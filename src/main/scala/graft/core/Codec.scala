@@ -1,0 +1,191 @@
+package graft.core
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import javax.imageio.ImageIO
+
+/** Pixel payload codecs: bytes ⇄ band-major Double planes.
+  *
+  * The reference reads pixels through GDAL drivers
+  * (/root/reference/GIP/gip/GeoRaster.h:452-485) and promotes to double
+  * for any math (/root/reference/GIP/gip/GeoRaster.h:94-96). Here the
+  * payload is one `binary` column per row; `fmt` names the codec:
+  *   raw-u8 | raw-i16le | raw-f32le — plane-sequential, nb bands, exact;
+  *   png | bmp | jpg — 8-bit grayscale via javax.imageio (jpg is lossy →
+  *   the PSNR ≥ 40 dB invariant, verified in CodecSpec).
+  *
+  * Nodata is represented as NaN inside decoded planes; each dtype has a
+  * storage sentinel (u8→0, i16→-32768, f32→-32768f), mirroring the
+  * reference's per-dtype nodata table
+  * (/root/reference/GIP/gip/DataType.h:122-133 — values our own).
+  */
+object Codec {
+
+  val NodataU8: Int     = 0
+  val NodataI16: Short  = Short.MinValue
+  val NodataF32: Float  = -32768.0f
+
+  def isRaw(fmt: String): Boolean = fmt.startsWith("raw-")
+
+  /** Encode band-major planes (band)(y*w+x) to bytes. NaN ⇒ nodata sentinel. */
+  def encode(planes: Array[Array[Double]], w: Int, h: Int, fmt: String): Array[Byte] = {
+    val nb = planes.length
+    fmt match {
+      case "raw-u8" =>
+        val out = new Array[Byte](nb * w * h)
+        var b = 0
+        while (b < nb) {
+          val p = planes(b); var i = 0
+          while (i < w * h) {
+            out(b * w * h + i) =
+              if (p(i).isNaN) NodataU8.toByte
+              else (p(i).toInt & 0xFF).toByte
+            i += 1
+          }
+          b += 1
+        }
+        out
+      case "raw-i16le" =>
+        val bb = ByteBuffer.allocate(nb * w * h * 2).order(ByteOrder.LITTLE_ENDIAN)
+        planes.foreach { p =>
+          var i = 0
+          while (i < w * h) {
+            bb.putShort(if (p(i).isNaN) NodataI16 else p(i).toInt.toShort); i += 1
+          }
+        }
+        bb.array()
+      case "raw-f32le" =>
+        val bb = ByteBuffer.allocate(nb * w * h * 4).order(ByteOrder.LITTLE_ENDIAN)
+        planes.foreach { p =>
+          var i = 0
+          while (i < w * h) {
+            bb.putFloat(if (p(i).isNaN) NodataF32 else p(i).toFloat); i += 1
+          }
+        }
+        bb.array()
+      case "png" | "bmp" | "jpg" =>
+        // single-band 8-bit gray; extra bands dropped by contract
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        val p = planes(0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = p(y * w + x)
+            raster.setSample(x, y, 0, if (v.isNaN) NodataU8 else v.toInt & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        val ok = ImageIO.write(img, if (fmt == "jpg") "jpeg" else fmt, bos)
+        require(ok, s"no imageio writer for $fmt")
+        bos.toByteArray
+      case other => throw new IllegalArgumentException(s"unknown fmt: $other")
+    }
+  }
+
+  /** Decode to band-major Double planes; nodata sentinel ⇒ NaN. */
+  def decode(bytes: Array[Byte], w: Int, h: Int, nb: Int, fmt: String): Array[Array[Double]] =
+    fmt match {
+      case "raw-u8" =>
+        Array.tabulate(nb) { b =>
+          val p = new Array[Double](w * h); var i = 0
+          while (i < w * h) {
+            val v = bytes(b * w * h + i) & 0xFF
+            p(i) = if (v == NodataU8) Double.NaN else v.toDouble; i += 1
+          }
+          p
+        }
+      case "raw-i16le" =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        Array.tabulate(nb) { b =>
+          val p = new Array[Double](w * h); var i = 0
+          while (i < w * h) {
+            val v = bb.getShort((b * w * h + i) * 2)
+            p(i) = if (v == NodataI16) Double.NaN else v.toDouble; i += 1
+          }
+          p
+        }
+      case "raw-f32le" =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        Array.tabulate(nb) { b =>
+          val p = new Array[Double](w * h); var i = 0
+          while (i < w * h) {
+            val v = bb.getFloat((b * w * h + i) * 4)
+            p(i) = if (v == NodataF32 || v.isNaN) Double.NaN else v.toDouble; i += 1
+          }
+          p
+        }
+      case "png" | "bmp" | "jpg" =>
+        val img = ImageIO.read(new ByteArrayInputStream(bytes))
+        require(img != null, s"imageio failed to decode $fmt")
+        val raster = img.getRaster
+        val p = new Array[Double](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0)
+            p(y * w + x) = if (v == NodataU8) Double.NaN else v.toDouble
+            x += 1
+          }
+          y += 1
+        }
+        Array(p)
+      case other => throw new IllegalArgumentException(s"unknown fmt: $other")
+    }
+
+  /** Bands stored per fmt: raw codecs carry all nb bands, image codecs 1. */
+  def bandsStored(fmt: String, nb: Int): Int = if (isRaw(fmt)) nb else 1
+
+  /** PSNR (dB) between two planes over pixels valid in BOTH, for the
+    * lossy-codec invariant (PSNR ≥ 40 dB, BASELINE.json input_hint). */
+  def psnr(a: Array[Double], b: Array[Double], peak: Double = 255.0): Double = {
+    var se = 0.0; var n = 0L; var i = 0
+    while (i < a.length) {
+      if (!a(i).isNaN && !b(i).isNaN) { val d = a(i) - b(i); se += d * d; n += 1 }
+      i += 1
+    }
+    if (n == 0) Double.PositiveInfinity
+    else if (se == 0.0) Double.PositiveInfinity
+    else 10.0 * math.log10(peak * peak / (se / n))
+  }
+
+  /** 64-bit average-hash (aHash) of a plane: 8×8 block-mean downsample,
+    * bit set where block mean > global mean of the 64 block means.
+    * Row-major bit order, bit 63 = block (0,0). NaN pixels excluded. */
+  def aHash(p: Array[Double], w: Int, h: Int): Long = {
+    val means = new Array[Double](64)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val x0 = bx * w / 8; val x1 = math.max(x0 + 1, (bx + 1) * w / 8)
+        val y0 = by * h / 8; val y1 = math.max(y0 + 1, (by + 1) * h / 8)
+        var s = 0.0; var n = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val v = p(y * w + x)
+            if (!v.isNaN) { s += v; n += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        means(by * 8 + bx) = if (n == 0) 0.0 else s / n
+        bx += 1
+      }
+      by += 1
+    }
+    val gm = means.sum / 64.0
+    var hash = 0L; var i = 0
+    while (i < 64) { if (means(i) > gm) hash |= (1L << (63 - i)); i += 1 }
+    hash
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,179 @@
+package graft.core
+
+/** Geometry primitives for the spatial engine.
+  *
+  * Re-creates the reference's rect/point algebra
+  * (/root/reference/GIP/gip/geometry.h:34-223) as immutable Scala case
+  * classes. Coordinates are carried in TWO spaces:
+  *   - integer milli-degrees (mdeg, 1e-3 deg) for all join/tiling logic —
+  *     exact, deterministic, and reproducible in any SQL engine;
+  *   - double degrees / meters only at the API edge (warp, WKT export).
+  */
+object Geom {
+
+  /** Integer bounding box in milli-degrees, half-open on neither side:
+    * intersection predicate is OPEN (strict overlap, touching edges do
+    * not intersect) — mirrors OGR Overlaps semantics used by the
+    * reference spatial join (/root/reference/GIP/gip/GeoVector.h:166).
+    */
+  final case class BBoxI(x0: Long, y0: Long, x1: Long, y1: Long) {
+    def width: Long  = x1 - x0
+    def height: Long = y1 - y0
+    def area: Long   = width * height
+    def intersects(o: BBoxI): Boolean =
+      x0 < o.x1 && o.x0 < x1 && y0 < o.y1 && o.y0 < y1
+    def intersect(o: BBoxI): Option[BBoxI] = {
+      val r = BBoxI(math.max(x0, o.x0), math.max(y0, o.y0),
+                    math.min(x1, o.x1), math.min(y1, o.y1))
+      if (r.x0 < r.x1 && r.y0 < r.y1) Some(r) else None
+    }
+    def unionWith(o: BBoxI): BBoxI =
+      BBoxI(math.min(x0, o.x0), math.min(y0, o.y0),
+            math.max(x1, o.x1), math.max(y1, o.y1))
+    def pad(p: Long): BBoxI = BBoxI(x0 - p, y0 - p, x1 + p, y1 + p)
+    def containsPoint(x: Long, y: Long): Boolean =
+      x >= x0 && x < x1 && y >= y0 && y < y1
+  }
+
+  /** Double-space bounding box (degrees or meters). Mirrors
+    * gip::BoundingBox (/root/reference/GIP/gip/geometry.h:218). */
+  final case class BBoxD(x0: Double, y0: Double, x1: Double, y1: Double) {
+    def width: Double  = x1 - x0
+    def height: Double = y1 - y0
+    def intersect(o: BBoxD): BBoxD =
+      BBoxD(math.max(x0, o.x0), math.max(y0, o.y0),
+            math.min(x1, o.x1), math.min(y1, o.y1))
+    def unionWith(o: BBoxD): BBoxD =
+      BBoxD(math.min(x0, o.x0), math.min(y0, o.y0),
+            math.max(x1, o.x1), math.max(y1, o.y1))
+  }
+
+  /** 6-element affine transform, layout per the reference
+    * (/root/reference/GIP/GeoResource.cpp:99-105):
+    * [x0, xres, xshear, y1, yshear, -yres]; pixel(x,y) → geo =
+    * (a0 + x*a1 + y*a2, a3 + x*a4 + y*a5). y1 is the TOP edge (north-up
+    * rasters have negative a5). */
+  final case class Affine(a0: Double, a1: Double, a2: Double,
+                          a3: Double, a4: Double, a5: Double) {
+    def geoloc(px: Double, py: Double): (Double, Double) =
+      (a0 + px * a1 + py * a2, a3 + px * a4 + py * a5)
+    /** Inverse for axis-aligned transforms (a2 = a4 = 0). */
+    def invloc(gx: Double, gy: Double): (Double, Double) =
+      ((gx - a0) / a1, (gy - a3) / a5)
+  }
+
+  object Affine {
+    /** North-up affine from an extent + pixel size, per the reference's
+      * create path (/root/reference/GIP/GeoResource.cpp:99-105). */
+    def northUp(x0: Double, y1: Double, xres: Double, yres: Double): Affine =
+      Affine(x0, xres, 0.0, y1, 0.0, -yres)
+  }
+
+  /** Minimal projection math (no PROJ available offline): spherical web
+    * mercator EPSG:4326 ⇄ EPSG:3857, the pair the reference's warp tests
+    * exercise (/root/reference/test/test_GeoImage.py:186-196). */
+  object Mercator {
+    val R: Double = 6378137.0
+    val MaxLat = 85.05112877980659
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lat = math.max(-MaxLat, math.min(MaxLat, latDeg))
+      (math.toRadians(lonDeg) * R,
+       R * math.log(math.tan(math.Pi / 4.0 + math.toRadians(lat) / 2.0)))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) =
+      (math.toDegrees(x / R),
+       math.toDegrees(2.0 * math.atan(math.exp(y / R)) - math.Pi / 2.0))
+    /** Transform a bbox by projecting its 4 corners (matches the
+      * 2-corner+edges behaviour the reference relies on for axis-aligned
+      * extents, /root/reference/GIP/gip/geometry.h:153-156). */
+    def forwardBBox(b: BBoxD): BBoxD = {
+      val pts = Seq((b.x0, b.y0), (b.x0, b.y1), (b.x1, b.y0), (b.x1, b.y1))
+        .map { case (x, y) => forward(x, y) }
+      BBoxD(pts.map(_._1).min, pts.map(_._2).min,
+            pts.map(_._1).max, pts.map(_._2).max)
+    }
+  }
+
+  /** Ray-casting point-in-polygon on a closed ring (pure Scala — JTS is
+    * used only as a test oracle). Even-odd rule; points exactly on an
+    * edge are resolved by the half-open crossing test (stable, but edge
+    * cases are additionally covered by ScalaCheck vs JTS). Ring:
+    * (x0,y0),…,(xn,yn) with first == last optional. */
+  def pointInPolygon(px: Double, py: Double,
+                     xs: Array[Double], ys: Array[Double]): Boolean = {
+    var inside = false
+    val n = xs.length
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val (xi, yi) = (xs(i), ys(i))
+      val (xj, yj) = (xs(j), ys(j))
+      if ((yi > py) != (yj > py) &&
+          px < (xj - xi) * (py - yi) / (yj - yi) + xi) inside = !inside
+      j = i; i += 1
+    }
+    inside
+  }
+
+  /** Does an axis-aligned rect overlap a polygon ring? Prefilter: bbox;
+    * refine: any rect corner in poly, any poly vertex in rect, or any
+    * edge pair crossing. This is the exact-refinement predicate behind
+    * the spatial join (reference two-phase pattern,
+    * /root/reference/GIP/gip/GeoVector.h:153-179). */
+  def rectIntersectsPolygon(r: BBoxD, xs: Array[Double], ys: Array[Double]): Boolean = {
+    val bx0 = xs.min; val bx1 = xs.max; val by0 = ys.min; val by1 = ys.max
+    if (!(r.x0 < bx1 && bx0 < r.x1 && r.y0 < by1 && by0 < r.y1)) return false
+    // any polygon vertex strictly inside rect
+    var i = 0
+    while (i < xs.length) {
+      if (xs(i) > r.x0 && xs(i) < r.x1 && ys(i) > r.y0 && ys(i) < r.y1)
+        return true
+      i += 1
+    }
+    // any rect corner inside polygon
+    val cs = Seq((r.x0, r.y0), (r.x0, r.y1), (r.x1, r.y0), (r.x1, r.y1))
+    if (cs.exists { case (x, y) => pointInPolygon(x, y, xs, ys) }) return true
+    // rect center inside polygon (poly may pierce rect without vertices inside)
+    if (pointInPolygon((r.x0 + r.x1) / 2, (r.y0 + r.y1) / 2, xs, ys)) return true
+    // edge crossing test
+    def segInt(ax: Double, ay: Double, bx: Double, by: Double,
+               cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+      def o(px: Double, py: Double, qx: Double, qy: Double,
+            rx: Double, ry: Double): Int = {
+        val v = (qy - py) * (rx - qx) - (qx - px) * (ry - qy)
+        if (v > 0) 1 else if (v < 0) -1 else 0
+      }
+      val o1 = o(ax, ay, bx, by, cx, cy); val o2 = o(ax, ay, bx, by, dx, dy)
+      val o3 = o(cx, cy, dx, dy, ax, ay); val o4 = o(cx, cy, dx, dy, bx, by)
+      o1 != o2 && o3 != o4
+    }
+    val rx = Array(r.x0, r.x1, r.x1, r.x0, r.x0)
+    val ry = Array(r.y0, r.y0, r.y1, r.y1, r.y0)
+    i = 0
+    while (i < xs.length) {
+      val j = (i + 1) % xs.length
+      var e = 0
+      while (e < 4) {
+        if (segInt(xs(i), ys(i), xs(j), ys(j),
+                   rx(e), ry(e), rx(e + 1), ry(e + 1))) return true
+        e += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Parse a simple `POLYGON ((x y, x y, ...))` WKT outer ring. */
+  def parsePolygonWkt(wkt: String): (Array[Double], Array[Double]) = {
+    val inner = wkt.substring(wkt.indexOf("((") + 2, wkt.indexOf("))"))
+    val pts = inner.split(",").map(_.trim).map { p =>
+      val xy = p.split("\\s+"); (xy(0).toDouble, xy(1).toDouble)
+    }
+    // drop closing vertex if it repeats the first
+    val ring = if (pts.length > 1 && pts.head == pts.last) pts.dropRight(1) else pts
+    (ring.map(_._1), ring.map(_._2))
+  }
+
+  def rectWkt(x0: Double, y0: Double, x1: Double, y1: Double): String =
+    s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))"
+}

@@ -1,0 +1,297 @@
+package graft.core
+
+/** Nodata-aware pixel kernels — the Spark-side re-creation of the
+  * reference's lazy per-pixel function chain
+  * (/root/reference/GIP/gip/GeoRaster.h:201-363, applied at read
+  * /root/reference/GIP/gip/GeoRaster.h:504-524).
+  *
+  * Nodata is NaN inside decoded planes. The reference's restore rule —
+  * "output is nodata wherever the ORIGINAL raw sample was nodata,
+  * regardless of the chain" — is enforced by `applyChain`, which guards
+  * every composed op with the input-NaN mask (a plain NaN-propagation
+  * chain would lose nodata through comparisons that yield 0/1).
+  *
+  * All kernels are pure Scala on Array[Double]; inside Spark they run in
+  * typed map / UDF position per row (one image per row), so no shuffle —
+  * the Catalyst plan stays a single projection, matching the reference's
+  * fused chunk loop.
+  */
+object Pixels {
+  type Op = Double => Double
+
+  // ---- §2.3 scalar chain ops (band ⊕ scalar) ----
+  def gt(v: Double): Op   = x => if (x > v) 1.0 else 0.0
+  def gte(v: Double): Op  = x => if (x >= v) 1.0 else 0.0
+  def lt(v: Double): Op   = x => if (x < v) 1.0 else 0.0
+  def lte(v: Double): Op  = x => if (x <= v) 1.0 else 0.0
+  def eq(v: Double): Op   = x => if (x == v) 1.0 else 0.0
+  def bxor(v: Long): Op   = x => (x.toLong ^ v).toDouble
+  def add(v: Double): Op  = _ + v
+  def sub(v: Double): Op  = _ - v
+  def mul(v: Double): Op  = _ * v
+  def div(v: Double): Op  = _ / v
+  def maxv(v: Double): Op = x => math.max(x, v)
+  def minv(v: Double): Op = x => math.min(x, v)
+  def pow(v: Double): Op  = math.pow(_, v)
+  val sqrt: Op  = math.sqrt
+  val log: Op   = math.log
+  val log10: Op = math.log10
+  val exp: Op   = math.exp
+  val abs: Op   = math.abs
+  val sign: Op  = x => if (x > 0) 1.0 else if (x < 0) -1.0 else 0.0
+  val cos: Op = math.cos; val sin: Op = math.sin; val tan: Op = math.tan
+  val acos: Op = math.acos; val asin: Op = math.asin; val atan: Op = math.atan
+  val cosh: Op = math.cosh; val sinh: Op = math.sinh; val tanh: Op = math.tanh
+  val sinc: Op = x => if (x == 0.0) 1.0 else math.sin(x) / x
+
+  /** Linear rescale [minin,maxin]→[minout,maxout] with clamp — the
+    * reference's scale() (/root/reference/GIP/gip/GeoRaster.h:347-352). */
+  def scale(minin: Double, maxin: Double, minout: Double, maxout: Double): Op = {
+    val gain = (maxout - minout) / (maxin - minin)
+    x => {
+      val v = (x - minin) * gain + minout
+      math.max(minout, math.min(maxout, v))
+    }
+  }
+
+  /** Apply a chain with the reference's nodata-restore postcondition. */
+  def applyChain(p: Array[Double], ops: Seq[Op]): Array[Double] = {
+    val out = new Array[Double](p.length)
+    var i = 0
+    while (i < p.length) {
+      val raw = p(i)
+      if (raw.isNaN) out(i) = Double.NaN
+      else {
+        var v = raw
+        ops.foreach(op => v = op(v))
+        out(i) = if (v.isNaN || v.isInfinite) Double.NaN else v
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Band ⊕ band (the reference does this eagerly inside algorithms,
+    * e.g. (nir-red)/(nir+red) /root/reference/GIP/GeoAlgorithms.cpp:512;
+    * nodata if either operand is nodata). */
+  def zip(a: Array[Double], b: Array[Double], f: (Double, Double) => Double): Array[Double] = {
+    val out = new Array[Double](a.length)
+    var i = 0
+    while (i < a.length) {
+      out(i) = if (a(i).isNaN || b(i).isNaN) Double.NaN else {
+        val v = f(a(i), b(i))
+        if (v.isInfinite) Double.NaN else v
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Mask application: pixels where mask != 1 become nodata
+    * (/root/reference/GIP/gip/GeoRaster.h:474-482). */
+  def applyMask(p: Array[Double], mask: Array[Double]): Array[Double] =
+    zip(p, mask, (v, m) => if (m == 1.0) v else Double.NaN)
+
+  // ---- §2.5 statistics ----
+  /** (count, sum, min, max, sumsq, sumcube) over valid pixels — one pass;
+    * feeds mean/stddev/skew like the reference's stats()
+    * (/root/reference/GIP/GeoRaster.cpp:82-123). */
+  final case class Stats(count: Long, sum: Double, min: Double, max: Double,
+                         sumsq: Double, sumcube: Double) {
+    def mean: Double   = if (count == 0) Double.NaN else sum / count
+    def stddev: Double =
+      if (count == 0) Double.NaN
+      else math.sqrt(math.max(0.0, sumsq / count - mean * mean))
+    def skew: Double = {
+      val m = mean; val sd = stddev
+      if (count == 0 || sd == 0.0) Double.NaN
+      else (sumcube / count - 3 * m * sumsq / count + 2 * m * m * m) / (sd * sd * sd)
+    }
+  }
+
+  def stats(p: Array[Double]): Stats = {
+    var n = 0L; var s = 0.0; var s2 = 0.0; var s3 = 0.0
+    var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < p.length) {
+      val v = p(i)
+      if (!v.isNaN) {
+        n += 1; s += v; s2 += v * v; s3 += v * v * v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+      }
+      i += 1
+    }
+    if (n == 0) Stats(0, 0, Double.NaN, Double.NaN, 0, 0)
+    else Stats(n, s, mn, mx, s2, s3)
+  }
+
+  /** Fixed-width histogram over [min,max] like the reference
+    * (/root/reference/GIP/GeoRaster.cpp:141-176): bin = floor((v-min)/
+    * step) clamped to [0,bins-1]; nodata excluded. */
+  def histogram(p: Array[Double], bins: Int): Array[Long] = {
+    val st = stats(p)
+    histogramIn(p, bins, st.min, st.max)
+  }
+
+  def histogramIn(p: Array[Double], bins: Int, mn: Double, mx: Double): Array[Long] = {
+    val counts = new Array[Long](bins)
+    if (mx <= mn) { counts(0) = stats(p).count; return counts }
+    val step = (mx - mn) / bins
+    var i = 0
+    while (i < p.length) {
+      val v = p(i)
+      if (!v.isNaN) {
+        var b = ((v - mn) / step).toInt
+        if (b >= bins) b = bins - 1
+        if (b < 0) b = 0
+        counts(b) += 1
+      }
+      i += 1
+    }
+    counts
+  }
+
+  /** Percentile via linear interpolation on a 100-bin cumulative
+    * histogram — the reference's (deliberately approximate) algorithm
+    * (/root/reference/GIP/GeoRaster.cpp:125-138), NOT an exact quantile.
+    * Replicated bin-for-bin for parity. */
+  def percentile(p: Array[Double], pct: Double): Double = {
+    val st = stats(p)
+    if (st.count == 0) return Double.NaN
+    if (st.max == st.min) return st.min
+    val bins = 100
+    val hist = histogramIn(p, bins, st.min, st.max)
+    val target = pct / 100.0 * st.count
+    var cum = 0.0
+    var i = 0
+    while (i < bins) {
+      val next = cum + hist(i)
+      if (next >= target) {
+        val frac = if (hist(i) == 0) 0.0 else (target - cum) / hist(i)
+        val step = (st.max - st.min) / bins
+        return st.min + step * (i + frac)
+      }
+      cum = next
+      i += 1
+    }
+    st.max
+  }
+
+  // ---- §2.4 neighborhood ops ----
+  /** Nodata-aware 2-D convolution, renormalizing by the kernel weight
+    * over VALID neighbors; all-invalid neighborhoods emit nodata —
+    * semantics of the reference's convolve plugin
+    * (/root/reference/GIP/cimg/convolve.h:43-76). Kernel row-major
+    * kw×kh, odd dims. */
+  def convolve(p: Array[Double], w: Int, h: Int,
+               kernel: Array[Double], kw: Int, kh: Int): Array[Double] = {
+    val out = new Array[Double](p.length)
+    val rx = kw / 2; val ry = kh / 2
+    val ktotal = kernel.sum
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val c = p(y * w + x)
+        if (c.isNaN) out(y * w + x) = Double.NaN
+        else {
+          var acc = 0.0; var wsum = 0.0
+          var ky = -ry
+          while (ky <= ry) {
+            var kx = -rx
+            while (kx <= rx) {
+              val xx = x + kx; val yy = y + ky
+              if (xx >= 0 && xx < w && yy >= 0 && yy < h) {
+                val v = p(yy * w + xx)
+                if (!v.isNaN) {
+                  val kv = kernel((ky + ry) * kw + (kx + rx))
+                  acc += v * kv; wsum += kv
+                }
+              }
+              kx += 1
+            }
+            ky += 1
+          }
+          out(y * w + x) =
+            if (wsum == 0.0) { if (ktotal == 0.0) acc else Double.NaN }
+            else if (ktotal == 0.0) acc           // derivative kernels: no renorm
+            else acc * ktotal / wsum              // renormalize by valid weight
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 3×3 laplacian (/root/reference/GIP/gip/GeoRaster.h:231-233). */
+  def laplacian(p: Array[Double], w: Int, h: Int): Array[Double] =
+    convolve(p, w, h, Array(0, 1, 0, 1, -4, 1, 0, 1, 0), 3, 3)
+
+  /** Morphological max/min filter over a wk×hk window
+    * (/root/reference/GIP/gip/GeoRaster.h:188-194). Nodata neighbors
+    * ignored; nodata centers stay nodata. */
+  private def morph(p: Array[Double], w: Int, h: Int, wk: Int, hk: Int,
+                    better: (Double, Double) => Boolean): Array[Double] = {
+    val out = new Array[Double](p.length)
+    val rx = wk / 2; val ry = hk / 2
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (p(y * w + x).isNaN) out(y * w + x) = Double.NaN
+        else {
+          var best = Double.NaN
+          var ky = -ry
+          while (ky <= ry) {
+            var kx = -rx
+            while (kx <= rx) {
+              val xx = x + kx; val yy = y + ky
+              if (xx >= 0 && xx < w && yy >= 0 && yy < h) {
+                val v = p(yy * w + xx)
+                if (!v.isNaN && (best.isNaN || better(v, best))) best = v
+              }
+              kx += 1
+            }
+            ky += 1
+          }
+          out(y * w + x) = best
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def dilate(p: Array[Double], w: Int, h: Int, wk: Int, hk: Int): Array[Double] =
+    morph(p, w, h, wk, hk, _ > _)
+  def erode(p: Array[Double], w: Int, h: Int, wk: Int, hk: Int): Array[Double] =
+    morph(p, w, h, wk, hk, _ < _)
+
+  /** Per-pixel mean/stddev/count ACROSS bands; stddev nodata when n<2 —
+    * the reference's spectral_statistics
+    * (/root/reference/GIP/GeoImage.cpp:236-280). */
+  def spectralStats(planes: Array[Array[Double]]): (Array[Double], Array[Double], Array[Double]) = {
+    val n = planes(0).length
+    val mean = new Array[Double](n); val sd = new Array[Double](n)
+    val cnt = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var c = 0; var s = 0.0; var s2 = 0.0
+      var b = 0
+      while (b < planes.length) {
+        val v = planes(b)(i)
+        if (!v.isNaN) { c += 1; s += v; s2 += v * v }
+        b += 1
+      }
+      cnt(i) = c.toDouble
+      mean(i) = if (c == 0) Double.NaN else s / c
+      sd(i) = if (c < 2) Double.NaN
+              else math.sqrt(math.max(0.0, s2 / c - (s / c) * (s / c)))
+      i += 1
+    }
+    (mean, sd, cnt)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.gen
+
+/** DuckDB-SQL mirrors of [[Synth]]'s integer derivations. Each query in
+  * `SparkEntry.oracleSql` composes these CTEs so the driver's DuckDB
+  * oracle re-derives the same tables from the same parquet files.
+  * DuckDB list literals are 1-indexed; `//` is integer division (Spark
+  * side uses `div`); all arithmetic is BIGINT-exact.
+  */
+object OracleCte {
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("[", ",", "]")
+
+  /** images metadata CTE: img2(k, image_id, w, h, fmt, nw, caption,
+    * x0m, y0m, x1m, y1m). */
+  val images: String =
+    s"""img AS (
+       |  SELECT CAST(p_partkey AS BIGINT) AS k,
+       |         'img-' || CAST(p_partkey AS VARCHAR) AS image_id,
+       |         CAST(16 + (p_partkey*13) % 240 AS BIGINT) AS w,
+       |         CAST(16 + (p_partkey*29) % 240 AS BIGINT) AS h,
+       |         ${sqlList(Synth.Formats)}[CAST(p_partkey % 6 AS INT)+1] AS fmt,
+       |         CAST(p_partkey % 5 AS BIGINT) AS nw,
+       |         'a ' || ${sqlList(Synth.Adjs)}[CAST(p_partkey % 16 AS INT)+1] ||
+       |           ' photo of ' ||
+       |           ${sqlList(Synth.Nouns)}[CAST((p_partkey*7) % 16 AS INT)+1] AS caption,
+       |         (p_partkey*7919) % 300000 - 150000 AS x0m,
+       |         (p_partkey*104729) % 120000 - 60000 AS y0m
+       |  FROM part),
+       |img2 AS (SELECT *, x0m + w*4 AS x1m, y0m + h*4 AS y1m FROM img)""".stripMargin
+
+  /** polygon CTE: poly2(fid, px0m, py0m, pwm, phm, px1m, py1m). */
+  val polygons: String =
+    """poly AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS fid,
+      |         (n_nationkey*51237 + 7919) % 280000 - 150000 AS px0m,
+      |         (n_nationkey*26543 + 104729) % 100000 - 55000 AS py0m,
+      |         4000 + (n_nationkey*3571) % 28000 AS pwm,
+      |         3000 + (n_nationkey*2713) % 20000 AS phm
+      |  FROM nation),
+      |poly2 AS (SELECT *, px0m+pwm AS px1m, py0m+phm AS py1m FROM poly)""".stripMargin
+
+  /** per-band pixel params: bandp(b, base, ax, ay) for a given image k
+    * (join against img2). */
+  val bandParams: String =
+    """bands AS (SELECT unnest([0,1,2,3]) AS b),
+      |bandp AS (
+      |  SELECT k, CAST(b AS BIGINT) AS b,
+      |         200 + (k*(b+3)) % 800 AS base,
+      |         (k + 11*b) % 8 AS ax,
+      |         (k + 17*b) % 8 AS ay
+      |  FROM img2 CROSS JOIN bands)""".stripMargin
+
+  /** Pixel-exact regeneration for small images (lateral
+    * generate_series): px(k, b, x, y, v) over VALID pixels only.
+    * Requires a preceding CTE `simg` selecting small rows of img2. */
+  val pixelGen: String =
+    """px AS (
+      |  SELECT s.k, p.b, xs.x, ys.y,
+      |         p.base + p.ax*xs.x + p.ay*ys.y AS v
+      |  FROM simg s
+      |  JOIN bandp p ON p.k = s.k
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.w-1 AS INT))) AS x) xs
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.h-1 AS INT))) AS y) ys
+      |  WHERE xs.x >= s.nw)""".stripMargin
+}

@@ -1,0 +1,181 @@
+package graft.gen
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Codec
+
+/** Deterministic synthesizer of the north-rule input table
+  * (image_id, bytes, w, h, fmt, caption, phash — BASELINE.json
+  * input_hint) and of the vector polygon layers it joins against.
+  *
+  * Every attribute is pure INTEGER arithmetic over a key drawn from the
+  * driver's TPC-H-ish parquet (`part.p_partkey` for images,
+  * `nation.n_nationkey` for polygons), so an independent SQL engine
+  * (the driver's DuckDB oracle) reproduces the exact same tables — the
+  * SQL mirror of each formula lives in [[OracleCte]]. Coordinates are
+  * integer MILLI-DEGREES (mdeg); footprints follow the reference's
+  * north-up affine model (/root/reference/GIP/GeoResource.cpp:99-105)
+  * with resolution 4 mdeg/pixel.
+  *
+  * Pixel content of image k, band b (0=blue,1=green,2=red,3=nir):
+  *   base = 200 + (k*(b+3)) % 800 ; ax = (k+11b) % 8 ; ay = (k+17b) % 8
+  *   v(x,y) = base + ax*x + ay*y            (16-bit / float codecs)
+  *   v8(x,y) = 1 + v(x,y) % 255             (8-bit codecs; 0 = nodata)
+  *   columns x < nw (nw = k % 5) are nodata  (SLC-gap-style stripe)
+  * Linear-ramp content means per-band aggregates have CLOSED FORMS the
+  * oracle can state in SQL, while small images can be re-generated
+  * pixel-by-pixel with generate_series for pixel-exact oracles.
+  */
+object Synth {
+
+  val ResM = 4L // mdeg per pixel
+  val NumBands = 4
+  val BandNames: Seq[String] = Seq("blue", "green", "red", "nir")
+  val Formats: Seq[String] =
+    Seq("raw-u8", "raw-i16le", "raw-f32le", "png", "bmp", "jpg")
+
+  val Adjs: Seq[String] = Seq("misty", "sunny", "ancient", "quiet", "vast",
+    "frozen", "lush", "arid", "stormy", "golden", "shaded", "bright",
+    "remote", "coastal", "rugged", "serene")
+  val Nouns: Seq[String] = Seq("forest", "river", "mountain", "harbor",
+    "desert", "glacier", "valley", "island", "canyon", "meadow", "delta",
+    "plateau", "lagoon", "volcano", "steppe", "reef")
+
+  // ---- scalar formulas (shared by generator, kernels and tests) ----
+  def wOf(k: Long): Int  = (16 + (k * 13) % 240).toInt
+  def hOf(k: Long): Int  = (16 + (k * 29) % 240).toInt
+  def nwOf(k: Long): Int = (k % 5).toInt
+  def fmtOf(k: Long): String = Formats((k % 6).toInt)
+  def x0mOf(k: Long): Long = (k * 7919) % 300000 - 150000
+  def y0mOf(k: Long): Long = (k * 104729) % 120000 - 60000
+  def baseOf(k: Long, b: Int): Long = 200 + (k * (b + 3)) % 800
+  def axOf(k: Long, b: Int): Long   = (k + 11L * b) % 8
+  def ayOf(k: Long, b: Int): Long   = (k + 17L * b) % 8
+
+  def is8bit(fmt: String): Boolean =
+    fmt == "raw-u8" || fmt == "png" || fmt == "bmp" || fmt == "jpg"
+
+  /** True pixel value (Double; NaN = nodata) of image k band b at (x,y). */
+  def pixelValue(k: Long, fmt: String, b: Int, x: Int, y: Int): Double = {
+    if (x < nwOf(k)) return Double.NaN
+    val v = baseOf(k, b) + axOf(k, b) * x + ayOf(k, b) * y
+    if (is8bit(fmt)) (1 + v % 255).toDouble else v.toDouble
+  }
+
+  /** Band-major planes of image k (bands stored per codec contract). */
+  def planes(k: Long): Array[Array[Double]] = {
+    val w = wOf(k); val h = hOf(k); val fmt = fmtOf(k)
+    val nb = Codec.bandsStored(fmt, NumBands)
+    Array.tabulate(nb) { b =>
+      val p = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { p(y * w + x) = pixelValue(k, fmt, b, x, y); x += 1 }
+        y += 1
+      }
+      p
+    }
+  }
+
+  def encodeImage(k: Long): Array[Byte] =
+    Codec.encode(planes(k), wOf(k), hOf(k), fmtOf(k))
+
+  /** Images metadata table derived from `part` — no pixel payload.
+    * Columns: k, image_id, w, h, fmt, nw, caption, x0m, y0m, x1m, y1m. */
+  def images(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+    val k = col("p_partkey").cast("long")
+    part.select(
+      k.as("k"),
+      concat(lit("img-"), col("p_partkey").cast("string")).as("image_id"),
+      (lit(16) + (k * 13) % 240).cast("long").as("w"),
+      (lit(16) + (k * 29) % 240).cast("long").as("h"),
+      element_at(array(Formats.map(lit): _*), ((k % 6) + 1).cast("int")).as("fmt"),
+      (k % 5).as("nw"),
+      concat(lit("a "),
+        element_at(array(Adjs.map(lit): _*), ((k % 16) + 1).cast("int")),
+        lit(" photo of "),
+        element_at(array(Nouns.map(lit): _*), (((k * 7) % 16) + 1).cast("int"))
+      ).as("caption"),
+      ((k * 7919) % 300000 - 150000).as("x0m"),
+      ((k * 104729) % 120000 - 60000).as("y0m")
+    ).withColumn("x1m", col("x0m") + col("w") * ResM)
+     .withColumn("y1m", col("y0m") + col("h") * ResM)
+  }
+
+  /** Images WITH encoded payload + phash (the full input_hint schema).
+    * `keyFilter` prunes BEFORE the encode kernel runs (column-pruned,
+    * filter-pushed scan; the encode is per-row, no shuffle). */
+  def imagesWithBytes(spark: SparkSession, sfDir: String,
+                      keyFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val enc = udf((k: Long) => encodeImage(k))
+    val ph  = udf((k: Long) => {
+      val pl = planes(k)
+      Codec.aHash(pl(0), wOf(k), hOf(k))
+    })
+    keyFilter(images(spark, sfDir))
+      .withColumn("bytes", enc(col("k")))
+      .withColumn("phash", ph(col("k")))
+  }
+
+  /** Polygon layer derived from `nation`: axis-aligned AOI rectangles in
+    * mdeg (the oracle-checkable layer; convex/concave test layers live
+    * in the ScalaTest fixtures). Schema mirrors the reference's feature
+    * model (/root/reference/GIP/gip/GeoFeature.h:36-173). */
+  def polygons(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val j = col("n_nationkey").cast("long")
+    nation.select(
+      j.as("fid"),
+      lit("aoi").as("layer"),
+      ((j * 51237 + 7919) % 280000 - 150000).as("px0m"),
+      ((j * 26543 + 104729) % 100000 - 55000).as("py0m"),
+      (lit(4000) + (j * 3571) % 28000).as("pwm"),
+      (lit(3000) + (j * 2713) % 20000).as("phm"),
+      col("n_name").as("name")
+    ).withColumn("px1m", col("px0m") + col("pwm"))
+     .withColumn("py1m", col("py0m") + col("phm"))
+     .withColumn("geom_wkt",
+       concat(lit("POLYGON (("),
+         col("px0m") / 1000.0, lit(" "), col("py0m") / 1000.0, lit(", "),
+         col("px1m") / 1000.0, lit(" "), col("py0m") / 1000.0, lit(", "),
+         col("px1m") / 1000.0, lit(" "), col("py1m") / 1000.0, lit(", "),
+         col("px0m") / 1000.0, lit(" "), col("py1m") / 1000.0, lit(", "),
+         col("px0m") / 1000.0, lit(" "), col("py0m") / 1000.0, lit("))")))
+  }
+
+  /** Scalable image-metadata generator for BENCHMARKS: same formulas,
+    * keys from spark.range (partitioned, no source table bottleneck).
+    * At 10^12 rows this is simply range(n) over more partitions —
+    * nothing in the derivation is driver-side. */
+  def imagesRange(spark: SparkSession, n: Long,
+                  numPartitions: Int): DataFrame = {
+    val ids = spark.range(0, n, 1, numPartitions)
+    val k = col("id")
+    ids.select(
+      k.as("k"),
+      concat(lit("img-"), k.cast("string")).as("image_id"),
+      (lit(16) + (k * 13) % 240).cast("long").as("w"),
+      (lit(16) + (k * 29) % 240).cast("long").as("h"),
+      element_at(array(Formats.map(lit): _*), ((k % 6) + 1).cast("int")).as("fmt"),
+      (k % 5).as("nw"),
+      ((k * 7919) % 300000 - 150000).as("x0m"),
+      ((k * 104729) % 120000 - 60000).as("y0m")
+    ).withColumn("x1m", col("x0m") + col("w") * ResM)
+     .withColumn("y1m", col("y0m") + col("h") * ResM)
+  }
+
+  /** Scalable polygon generator for benchmarks (m polygons). */
+  def polygonsRange(spark: SparkSession, m: Long): DataFrame = {
+    val j = col("id")
+    spark.range(0, m).select(
+      j.as("fid"),
+      ((j * 51237 + 7919) % 280000 - 150000).as("px0m"),
+      ((j * 26543 + 104729) % 100000 - 55000).as("py0m"),
+      (lit(4000) + (j * 3571) % 28000).as("pwm"),
+      (lit(3000) + (j * 2713) % 20000).as("phm")
+    ).withColumn("px1m", col("px0m") + col("pwm"))
+     .withColumn("py1m", col("py0m") + col("phm"))
+  }
+}

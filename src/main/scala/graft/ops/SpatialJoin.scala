@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Geom
+import graft.index.CellGrid
+
+/** The engine's spatial join: covering-cell equi-join prefilter + exact
+  * geometric refinement — the distributed generalization of the
+  * reference's two-phase pattern (bbox spatial filter → exact Overlaps,
+  * /root/reference/GIP/gip/GeoVector.h:153-179).
+  *
+  * Scale design:
+  *   - covering cells are generated with `explode(sequence(...))` over
+  *     pure shift arithmetic (codegen, no UDF);
+  *   - small polygon layers broadcast (zero shuffle); large layers take
+  *     a shuffled equi-join on the cell key, with optional SALTING of
+  *     hot cells plus AQE skew-split as the backstop;
+  *   - duplicate (image, polygon) pairs from multi-cell overlap are
+  *     eliminated WITHOUT a distinct shuffle: a pair is emitted only in
+  *     the cell containing the top-left corner of the intersection
+  *     rectangle (deterministic unique reporter cell).
+  */
+object SpatialJoin {
+
+  private def sh(res: Int): Int = CellGrid.Shift - res
+
+  def cellIx(c: Column, res: Int): Column =
+    shiftright(c + CellGrid.OffX, sh(res))
+  def cellIy(c: Column, res: Int): Column =
+    shiftright(c + CellGrid.OffY, sh(res))
+
+  /** Add exploded covering-cell columns (cix, ciy) for an mdeg bbox. */
+  def withCoverCells(df: DataFrame, res: Int,
+                     x0: String, y0: String, x1: String, y1: String): DataFrame =
+    df.withColumn("cix",
+        explode(sequence(cellIx(col(x0), res), cellIx(col(x1) - 1, res))))
+      .withColumn("ciy",
+        explode(sequence(cellIy(col(y0), res), cellIy(col(y1) - 1, res))))
+
+  /** Rect-layer spatial join. `images` needs (x0m,y0m,x1m,y1m), `polys`
+    * needs (px0m,py0m,px1m,py1m). Returns all pairs with OPEN-interval
+    * rectangle overlap, deduped, with all input columns. */
+  def joinRects(images: DataFrame, polys: DataFrame, res: Int = 7,
+                broadcastPolys: Boolean = true, salt: Int = 0): DataFrame = {
+    val imgCells = withCoverCells(images, res, "x0m", "y0m", "x1m", "y1m")
+    val polCells0 = withCoverCells(polys, res, "px0m", "py0m", "px1m", "py1m")
+
+    val overlap =
+      col("x0m") < col("px1m") && col("px0m") < col("x1m") &&
+      col("y0m") < col("py1m") && col("py0m") < col("y1m")
+    // unique reporter cell = cell of the intersection's min corner
+    val dedup =
+      cellIx(greatest(col("x0m"), col("px0m")), res) === col("cix") &&
+      cellIy(greatest(col("y0m"), col("py0m")), res) === col("ciy")
+
+    if (salt <= 1) {
+      val polCells = if (broadcastPolys) broadcast(polCells0) else polCells0
+      imgCells.join(polCells, Seq("cix", "ciy")).where(overlap && dedup)
+    } else {
+      // salt the (usually skew-prone) image side; replicate polygons
+      val imgS = imgCells.withColumn("salt", pmod(col("k"), lit(salt.toLong)))
+      val polS = polCells0.withColumn("salt",
+        explode(sequence(lit(0L), lit(salt.toLong - 1))))
+      imgS.join(polS, Seq("cix", "ciy", "salt")).where(overlap && dedup)
+    }
+  }
+
+  /** Anti-join: images matching NO polygon (reference analog: features
+    * with empty intersections map). */
+  def joinRectsAnti(images: DataFrame, polys: DataFrame, res: Int = 7): DataFrame = {
+    val matched = joinRects(images, polys, res).select(col("image_id")).distinct()
+    images.join(matched, Seq("image_id"), "left_anti")
+  }
+
+  /** Arbitrary-polygon layer join: cell prefilter on the polygon bbox,
+    * exact refinement = rect-vs-ring test (ray casting, pure Scala —
+    * /root/reference/GIP/gip/GeoVector.h:166's Overlaps analog).
+    * `polys` needs (fid, geom_wkt, px0m..py1m bbox columns). */
+  def joinPolygons(images: DataFrame, polys: DataFrame, res: Int = 7): DataFrame = {
+    val refine = udf((x0m: Long, y0m: Long, x1m: Long, y1m: Long, wkt: String) => {
+      val (xs, ys) = Geom.parsePolygonWkt(wkt)
+      Geom.rectIntersectsPolygon(
+        Geom.BBoxD(x0m / 1000.0, y0m / 1000.0, x1m / 1000.0, y1m / 1000.0),
+        xs, ys)
+    })
+    val imgCells = withCoverCells(images, res, "x0m", "y0m", "x1m", "y1m")
+    val polCells = broadcast(
+      withCoverCells(polys, res, "px0m", "py0m", "px1m", "py1m"))
+    val bboxOverlap =
+      col("x0m") < col("px1m") && col("px0m") < col("x1m") &&
+      col("y0m") < col("py1m") && col("py0m") < col("y1m")
+    val dedup =
+      cellIx(greatest(col("x0m"), col("px0m")), res) === col("cix") &&
+      cellIy(greatest(col("y0m"), col("py0m")), res) === col("ciy")
+    imgCells.join(polCells, Seq("cix", "ciy"))
+      .where(bboxOverlap && dedup)
+      .where(refine(col("x0m"), col("y0m"), col("x1m"), col("y1m"), col("geom_wkt")))
+  }
+
+  /** Pixel-space crop rect of a polygon(rect) ∩ image — the Extract /
+    * crop semantics (reference read(chunk) window math,
+    * /root/reference/GIP/gip/GeoRaster.h:452-530): intersection mapped
+    * through the inverse affine (res 4 mdeg/px, y row 0 at y1m top).
+    * Emits integer pixel bounds [px0,px1)×[py0,py1). */
+  def cropRects(joined: DataFrame, resM: Long = 4L): DataFrame = {
+    joined
+      .withColumn("ix0m", greatest(col("x0m"), col("px0m")))
+      .withColumn("iy0m", greatest(col("y0m"), col("py0m")))
+      .withColumn("ix1m", least(col("x1m"), col("px1m")))
+      .withColumn("iy1m", least(col("y1m"), col("py1m")))
+      // x: floor((ix0m - x0m)/resM) .. ceil((ix1m - x0m)/resM)
+      .withColumn("cpx0", Tiling.idiv(col("ix0m") - col("x0m"), lit(resM)))
+      .withColumn("cpx1", Tiling.idiv(col("ix1m") - col("x0m") + resM - 1, lit(resM)))
+      // y: row 0 is the TOP of the image (geo y1m), per the reference's
+      // north-up affine (negative yres)
+      .withColumn("cpy0", Tiling.idiv(col("y1m") - col("iy1m"), lit(resM)))
+      .withColumn("cpy1", Tiling.idiv(col("y1m") - col("iy0m") + resM - 1, lit(resM)))
+  }
+}
