@@ -80,8 +80,21 @@ object Codec {
           y += 1
         }
         val bos = new ByteArrayOutputStream()
-        val ok = ImageIO.write(img, if (fmt == "jpg") "jpeg" else fmt, bos)
-        require(ok, s"no imageio writer for $fmt")
+        if (fmt == "jpg") {
+          // explicit high quality so smooth content clears the 40 dB
+          // PSNR invariant (default ~0.75 lands just under)
+          val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+          val params = writer.getDefaultWriteParam
+          params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          params.setCompressionQuality(0.97f)
+          val ios = ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+          writer.dispose(); ios.close()
+        } else {
+          val ok = ImageIO.write(img, fmt, bos)
+          require(ok, s"no imageio writer for $fmt")
+        }
         bos.toByteArray
       case other => throw new IllegalArgumentException(s"unknown fmt: $other")
     }

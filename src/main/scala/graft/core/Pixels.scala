@@ -179,45 +179,37 @@ object Pixels {
   }
 
   // ---- §2.4 neighborhood ops ----
-  /** Nodata-aware 2-D convolution, renormalizing by the kernel weight
-    * over VALID neighbors; all-invalid neighborhoods emit nodata —
-    * semantics of the reference's convolve plugin
-    * (/root/reference/GIP/cimg/convolve.h:43-76). Kernel row-major
-    * kw×kh, odd dims. */
-  def convolve(p: Array[Double], w: Int, h: Int,
-               kernel: Array[Double], kw: Int, kh: Int): Array[Double] = {
-    val out = new Array[Double](p.length)
+  /** Nodata-aware 2-D convolution, reference-exact semantics
+    * (convolve_nodata, /root/reference/GIP/cimg/convolve.h:43-76):
+    *   out = Σ(v·kv over VALID neighbors) / Σ(kv over valid neighbors);
+    *   the border ring (within max(kw,kh)/2 of the edge) is UNTOUCHED;
+    *   all-invalid neighborhoods emit nodata; a nodata center with
+    *   valid neighbors gets FILLED (the read-time restore re-masks it
+    *   when used inside a chain). Kernel row-major kw×kh, odd dims. */
+  def convolveNodata(p: Array[Double], w: Int, h: Int,
+                     kernel: Array[Double], kw: Int, kh: Int): Array[Double] = {
+    val out = p.clone()
     val rx = kw / 2; val ry = kh / 2
-    val ktotal = kernel.sum
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val c = p(y * w + x)
-        if (c.isNaN) out(y * w + x) = Double.NaN
-        else {
-          var acc = 0.0; var wsum = 0.0
-          var ky = -ry
-          while (ky <= ry) {
-            var kx = -rx
-            while (kx <= rx) {
-              val xx = x + kx; val yy = y + ky
-              if (xx >= 0 && xx < w && yy >= 0 && yy < h) {
-                val v = p(yy * w + xx)
-                if (!v.isNaN) {
-                  val kv = kernel((ky + ry) * kw + (kx + rx))
-                  acc += v * kv; wsum += kv
-                }
-              }
-              kx += 1
+    val border = math.max(rx, ry)
+    var y = border
+    while (y < h - border) {
+      var x = border
+      while (x < w - border) {
+        var acc = 0.0; var wsum = 0.0; var valid = false
+        var ky = -ry
+        while (ky <= ry) {
+          var kx = -rx
+          while (kx <= rx) {
+            val v = p((y + ky) * w + (x + kx))
+            if (!v.isNaN) {
+              val kv = kernel((ky + ry) * kw + (kx + rx))
+              acc += v * kv; wsum += kv; valid = true
             }
-            ky += 1
+            kx += 1
           }
-          out(y * w + x) =
-            if (wsum == 0.0) { if (ktotal == 0.0) acc else Double.NaN }
-            else if (ktotal == 0.0) acc           // derivative kernels: no renorm
-            else acc * ktotal / wsum              // renormalize by valid weight
+          ky += 1
         }
+        out(y * w + x) = if (valid) acc / wsum else Double.NaN
         x += 1
       }
       y += 1
@@ -225,9 +217,48 @@ object Pixels {
     out
   }
 
-  /** 3×3 laplacian (/root/reference/GIP/gip/GeoRaster.h:231-233). */
+  /** Plain convolution (nodata treated as ordinary values, per the
+    * reference's default path /root/reference/GIP/gip/GeoRaster.h:225-230);
+    * `replicate` selects Neumann (edge-replicate) vs zero boundary. */
+  def convolve(p: Array[Double], w: Int, h: Int,
+               kernel: Array[Double], kw: Int, kh: Int,
+               replicate: Boolean = true): Array[Double] = {
+    val out = new Array[Double](p.length)
+    val rx = kw / 2; val ry = kh / 2
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var acc = 0.0
+        var ky = -ry
+        while (ky <= ry) {
+          var kx = -rx
+          while (kx <= rx) {
+            val kv = kernel((ky + ry) * kw + (kx + rx))
+            val xx0 = x + kx; val yy0 = y + ky
+            if (replicate) {
+              val xx = math.max(0, math.min(w - 1, xx0))
+              val yy = math.max(0, math.min(h - 1, yy0))
+              acc += p(yy * w + xx) * kv
+            } else if (xx0 >= 0 && xx0 < w && yy0 >= 0 && yy0 < h) {
+              acc += p(yy0 * w + xx0) * kv
+            }
+            kx += 1
+          }
+          ky += 1
+        }
+        out(y * w + x) = acc
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Laplacian, CImg semantics: 4-neighbor finite difference with
+    * replicate boundary (/root/reference/GIP/gip/GeoRaster.h:231-233). */
   def laplacian(p: Array[Double], w: Int, h: Int): Array[Double] =
-    convolve(p, w, h, Array(0, 1, 0, 1, -4, 1, 0, 1, 0), 3, 3)
+    convolve(p, w, h, Array(0, 1, 0, 1, -4, 1, 0, 1, 0), 3, 3, replicate = true)
 
   /** Morphological max/min filter over a wk×hk window
     * (/root/reference/GIP/gip/GeoRaster.h:188-194). Nodata neighbors

@@ -1,0 +1,154 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Codec, Pixels}
+import graft.gen.Synth
+
+class CodecPixelsSpec extends AnyFunSuite {
+
+  private def ramp(w: Int, h: Int, base: Double, ax: Double, ay: Double,
+                   nodataCols: Int = 0): Array[Double] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      if (x < nodataCols) Double.NaN else base + ax * x + ay * y
+    }
+
+  test("raw codecs round-trip exactly, nodata preserved") {
+    val w = 33; val h = 21
+    val p0 = ramp(w, h, 200, 3, 5, nodataCols = 2)
+    val p1 = ramp(w, h, 700, 1, 0, nodataCols = 2)
+    for (fmt <- Seq("raw-i16le", "raw-f32le")) {
+      val bytes = Codec.encode(Array(p0, p1), w, h, fmt)
+      val dec = Codec.decode(bytes, w, h, 2, fmt)
+      assert(dec.length == 2)
+      for (b <- 0 until 2; i <- 0 until w * h) {
+        val e = if (b == 0) p0(i) else p1(i)
+        if (e.isNaN) assert(dec(b)(i).isNaN)
+        else assert(dec(b)(i) == e, s"fmt=$fmt b=$b i=$i")
+      }
+    }
+    // u8: values 1..255 survive, nodata (NaN→0→NaN) round-trips
+    val pu = Array.tabulate(w * h)(i => if (i % 7 == 0) Double.NaN else (1 + i % 255).toDouble)
+    val bu = Codec.encode(Array(pu), w, h, "raw-u8")
+    val du = Codec.decode(bu, w, h, 1, "raw-u8")
+    for (i <- 0 until w * h)
+      if (pu(i).isNaN) assert(du(0)(i).isNaN) else assert(du(0)(i) == pu(i))
+  }
+
+  test("png/bmp lossless, jpg meets PSNR >= 40 dB invariant") {
+    val w = 64; val h = 48
+    val p = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (1 + (40 + 2 * x + 3 * y) % 255).toDouble   // smooth-ish, never 0
+    }
+    for (fmt <- Seq("png", "bmp")) {
+      val dec = Codec.decode(Codec.encode(Array(p), w, h, fmt), w, h, 1, fmt)
+      assert(dec(0).sameElements(p), s"$fmt not lossless")
+    }
+    val dj = Codec.decode(Codec.encode(Array(p), w, h, "jpg"), w, h, 1, "jpg")
+    val psnr = Codec.psnr(p, dj(0))
+    assert(psnr >= 40.0, s"jpg PSNR=$psnr < 40 dB")
+  }
+
+  test("synthesized image payloads decode to the formula values (all fmts)") {
+    for (k <- 0L to 23L) {
+      val fmt = Synth.fmtOf(k)
+      val w = Synth.wOf(k); val h = Synth.hOf(k)
+      val bytes = Synth.encodeImage(k)
+      val nb = Codec.bandsStored(fmt, Synth.NumBands)
+      val dec = Codec.decode(bytes, w, h, nb, fmt)
+      if (fmt != "jpg") {
+        for (b <- 0 until nb; y <- 0 until h by 7; x <- 0 until w by 5) {
+          val e = Synth.pixelValue(k, fmt, b, x, y)
+          val g = dec(b)(y * w + x)
+          if (e.isNaN) assert(g.isNaN, s"k=$k fmt=$fmt b=$b ($x,$y)")
+          else assert(g == e, s"k=$k fmt=$fmt b=$b ($x,$y): $g != $e")
+        }
+      } else {
+        val truth = Synth.planes(k)(0)
+        assert(Codec.psnr(truth, dec(0)) >= 40.0, s"k=$k jpg PSNR")
+      }
+    }
+  }
+
+  test("aHash: deterministic, near-identical images hamming-close") {
+    val w = 80; val h = 80
+    val p = ramp(w, h, 10, 2, 1)
+    val h1 = Codec.aHash(p, w, h)
+    assert(h1 == Codec.aHash(p.clone(), w, h))
+    val p2 = p.map(_ + 0.01) // tiny perturbation
+    assert(Codec.hamming(h1, Codec.aHash(p2, w, h)) <= 2)
+    val p3 = p.reverse // structurally different
+    assert(Codec.hamming(h1, Codec.aHash(p3, w, h)) > 10)
+  }
+
+  test("chain ops with nodata restore (reference GeoRaster.h:517-524 rule)") {
+    val p = Array(4.0, Double.NaN, 9.0, -1.0)
+    // sqrt of negative → NaN → restored as nodata
+    val r = Pixels.applyChain(p, Seq(Pixels.sqrt))
+    assert(r(0) == 2.0 && r(1).isNaN && r(2) == 3.0 && r(3).isNaN)
+    // comparison chain keeps nodata as nodata (not 0/1)
+    val c = Pixels.applyChain(p, Seq(Pixels.gt(3.0)))
+    assert(c(0) == 1.0 && c(1).isNaN && c(2) == 1.0 && c(3) == 0.0)
+    // scale clamps
+    val s = Pixels.applyChain(Array(0.0, 5.0, 10.0, 20.0),
+      Seq(Pixels.scale(0, 10, 0, 1)))
+    assert(s sameElements Array(0.0, 0.5, 1.0, 1.0))
+  }
+
+  test("stats/histogram/percentile parity with naive recompute") {
+    val r = new scala.util.Random(11)
+    val p = Array.fill(5000)(if (r.nextInt(10) == 0) Double.NaN else r.nextDouble() * 100)
+    val valid = p.filter(!_.isNaN)
+    val st = Pixels.stats(p)
+    assert(st.count == valid.length)
+    assert(math.abs(st.mean - valid.sum / valid.length) < 1e-9)
+    assert(st.min == valid.min && st.max == valid.max)
+    val naiveSd = math.sqrt(valid.map(v => v * v).sum / valid.length -
+      math.pow(valid.sum / valid.length, 2))
+    assert(math.abs(st.stddev - naiveSd) < 1e-9)
+    val hist = Pixels.histogram(p, 10)
+    assert(hist.sum == valid.length)
+    // percentile: 100-bin interpolation (reference algorithm) is within
+    // one bin-width of the exact quantile
+    val sorted = valid.sorted
+    val exact50 = sorted(valid.length / 2)
+    val p50 = Pixels.percentile(p, 50)
+    assert(math.abs(p50 - exact50) <= (st.max - st.min) / 100.0 + 1e-9)
+  }
+
+  test("convolve_nodata: reference semantics (convolve.h:43-76)") {
+    val w = 5; val h = 5
+    val p = Array.fill(w * h)(10.0)
+    p(12) = Double.NaN // center pixel nodata
+    val k = Array.fill(9)(1.0)
+    val out = Pixels.convolveNodata(p, w, h, k, 3, 3)
+    assert(out(12) == 10.0)  // nodata center FILLED from valid neighbors
+    assert(out(0) == 10.0)   // border ring untouched (original value)
+    assert(out(6) == 10.0)   // interior: total/norm over 8 valid = 10
+    // all-nodata neighborhood → nodata
+    val q = Array.fill(w * h)(Double.NaN)
+    assert(Pixels.convolveNodata(q, w, h, k, 3, 3)(12).isNaN)
+    // laplacian of constant field = 0 everywhere (replicate boundary)
+    val lap = Pixels.laplacian(Array.fill(w * h)(3.0), w, h)
+    assert(lap.forall(_ == 0.0))
+  }
+
+  test("dilate/erode morphological semantics") {
+    val w = 5; val h = 1
+    val p = Array(0.0, 0.0, 5.0, 0.0, Double.NaN)
+    val d = Pixels.dilate(p, w, h, 3, 1)
+    assert(d(0) == 0.0 && d(1) == 5.0 && d(2) == 5.0 && d(3) == 5.0 && d(4).isNaN)
+    val e = Pixels.erode(p, w, h, 3, 1)
+    assert(e(2) == 0.0 && e(4).isNaN)
+  }
+
+  test("spectral stats across bands, stddev nodata when n<2") {
+    val b0 = Array(1.0, Double.NaN, 3.0)
+    val b1 = Array(3.0, Double.NaN, Double.NaN)
+    val (mean, sd, cnt) = Pixels.spectralStats(Array(b0, b1))
+    assert(mean(0) == 2.0 && cnt(0) == 2.0 && sd(0) == 1.0)
+    assert(mean(1).isNaN && cnt(1) == 0.0)
+    assert(mean(2) == 3.0 && cnt(2) == 1.0 && sd(2).isNaN) // n<2 ⇒ nodata
+  }
+}

@@ -1,0 +1,168 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Geom
+import graft.core.Geom.{BBoxD, BBoxI}
+import graft.index.CellGrid
+
+class GeomCellSpec extends AnyFunSuite {
+
+  test("BBoxI intersect/union algebra") {
+    val a = BBoxI(0, 0, 10, 10)
+    val b = BBoxI(5, 5, 15, 15)
+    assert(a.intersects(b))
+    assert(a.intersect(b).contains(BBoxI(5, 5, 10, 10)))
+    assert(a.unionWith(b) == BBoxI(0, 0, 15, 15))
+    // touching edges do NOT intersect (open interval semantics)
+    assert(!a.intersects(BBoxI(10, 0, 20, 10)))
+  }
+
+  test("rect intersection is commutative and contained (property)") {
+    val r = new scala.util.Random(3)
+    def c() = r.nextLong(300001L) - 150000L
+    def d() = 1L + r.nextLong(5000L)
+    for (_ <- 1 to 500) {
+      val (ax, ay, aw, ah) = (c(), c(), d(), d())
+      val (bx, by, bw, bh) = (c(), c(), d(), d())
+      val a = BBoxI(ax, ay, ax + aw, ay + ah)
+      val b = BBoxI(bx, by, bx + bw, by + bh)
+      assert(a.intersects(b) == b.intersects(a))
+      a.intersect(b).foreach { i =>
+        assert(i.x0 >= a.x0 && i.x1 <= a.x1 && i.x0 >= b.x0 && i.x1 <= b.x1)
+      }
+    }
+  }
+
+  test("affine geoloc matches reference layout (north-up)") {
+    // gippy default create: EPSG:4326, bbox [0,0,1,1], res = 1/size
+    // (/root/reference/GIP/gip/GeoImage.h:71-75, asserted in
+    // test_GeoResource.py:55-78): affine = [0, 1/w, 0, 1, 0, -1/h]
+    val aff = Geom.Affine.northUp(0.0, 1.0, 1.0 / 100, 1.0 / 100)
+    assert(aff.geoloc(0, 0) == ((0.0, 1.0)))
+    assert(aff.geoloc(100, 100) == ((1.0, 0.0)))
+    val (px, py) = aff.invloc(0.5, 0.5)
+    assert(px == 50.0 && py == 50.0)
+  }
+
+  test("mercator golden: 1 deg square at 100m → 1114 px grid") {
+    // reference warp golden (/root/reference/test/test_GeoImage.py:186-196):
+    // a 1°×1° extent at lat 0 reprojected to EPSG:3857 at 100 m ⇒ 1114×1114
+    val b = Geom.Mercator.forwardBBox(BBoxD(0, 0, 1, 1))
+    val outW = math.ceil(b.width / 100.0).toLong
+    val outH = math.ceil(b.height / 100.0).toLong
+    assert(outW == 1114, s"got $outW")
+    assert(outH == 1114, s"got $outH")
+  }
+
+  test("mercator round trip") {
+    val r = new scala.util.Random(5)
+    for (_ <- 1 to 500) {
+      val lon = r.nextDouble() * 358 - 179
+      val lat = r.nextDouble() * 168 - 84
+      val (x, y) = Geom.Mercator.forward(lon, lat)
+      val (lon2, lat2) = Geom.Mercator.inverse(x, y)
+      assert(math.abs(lon - lon2) < 1e-9 && math.abs(lat - lat2) < 1e-9)
+    }
+  }
+
+  // --- point-in-polygon vs JTS oracle (jts-core on classpath, TEST ONLY) ---
+  private def jtsContains(xs: Array[Double], ys: Array[Double],
+                          px: Double, py: Double): Boolean = {
+    import org.locationtech.jts.geom._
+    val gf = new GeometryFactory()
+    val ring = (xs.indices :+ 0).map(i => new Coordinate(xs(i), ys(i))).toArray
+    val poly = gf.createPolygon(ring)
+    poly.contains(gf.createPoint(new Coordinate(px, py)))
+  }
+
+  test("ray-casting PIP matches JTS on random convex polygons") {
+    val r = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      // random convex polygon: sorted angles around a center
+      val n = 3 + r.nextInt(6)
+      val cx = r.nextDouble() * 100; val cy = r.nextDouble() * 100
+      val pts = Seq.fill(n)(r.nextDouble() * 2 * math.Pi).sorted.map { a =>
+        val rad = 5 + r.nextDouble() * 20
+        (cx + rad * math.cos(a), cy + rad * math.sin(a))
+      }
+      val xs = pts.map(_._1).toArray; val ys = pts.map(_._2).toArray
+      for (_ <- 1 to 20) {
+        val px = cx - 30 + r.nextDouble() * 60
+        val py = cy - 30 + r.nextDouble() * 60
+        val ours = Geom.pointInPolygon(px, py, xs, ys)
+        val jts = jtsContains(xs, ys, px, py)
+        // skip points within epsilon of the boundary (edge convention)
+        val onEdge = {
+          import org.locationtech.jts.geom._
+          val gf = new GeometryFactory()
+          val ring = (xs.indices :+ 0).map(i => new Coordinate(xs(i), ys(i))).toArray
+          gf.createPolygon(ring).getBoundary
+            .distance(gf.createPoint(new Coordinate(px, py))) < 1e-9
+        }
+        if (!onEdge) assert(ours == jts, s"PIP mismatch at ($px,$py)")
+      }
+    }
+  }
+
+  test("rect-polygon overlap matches JTS intersects on random cases") {
+    import org.locationtech.jts.geom._
+    val gf = new GeometryFactory()
+    val r = new scala.util.Random(7)
+    var checked = 0
+    for (_ <- 1 to 300) {
+      val n = 3 + r.nextInt(5)
+      val cx = r.nextDouble() * 100; val cy = r.nextDouble() * 100
+      val pts = Seq.fill(n)(r.nextDouble() * 2 * math.Pi).sorted.map { a =>
+        val rad = 5 + r.nextDouble() * 15
+        (cx + rad * math.cos(a), cy + rad * math.sin(a))
+      }
+      val xs = pts.map(_._1).toArray; val ys = pts.map(_._2).toArray
+      val ring = (xs.indices :+ 0).map(i => new Coordinate(xs(i), ys(i))).toArray
+      val poly = gf.createPolygon(ring)
+      val rx = r.nextDouble() * 120 - 10; val ry = r.nextDouble() * 120 - 10
+      val rw = 1 + r.nextDouble() * 30; val rh = 1 + r.nextDouble() * 30
+      val rect = Geom.BBoxD(rx, ry, rx + rw, ry + rh)
+      val jtsRect = gf.createPolygon(Array(
+        new Coordinate(rx, ry), new Coordinate(rx + rw, ry),
+        new Coordinate(rx + rw, ry + rh), new Coordinate(rx, ry + rh),
+        new Coordinate(rx, ry)))
+      val jts = jtsRect.intersects(poly)
+      val boundaryTouch = jtsRect.getBoundary.distance(poly.getBoundary) < 1e-9 &&
+        !jtsRect.getInteriorPoint.within(poly)
+      if (!boundaryTouch) {
+        assert(Geom.rectIntersectsPolygon(rect, xs, ys) == jts,
+          s"rect-poly mismatch rect=$rect")
+        checked += 1
+      }
+    }
+    assert(checked > 200)
+  }
+
+  test("cell grid: pack/unpack, parent prefix, cover, k-ring") {
+    val rnd = new scala.util.Random(9)
+    for (_ <- 1 to 1000) {
+      val res = rnd.nextInt(13)
+      val lonM = rnd.nextLong(300001L) - 150000L
+      val latM = rnd.nextLong(120001L) - 60000L
+      val id = CellGrid.cellOf(res, lonM, latM)
+      assert(CellGrid.resOf(id) == res)
+      assert(CellGrid.cellBBox(id).containsPoint(lonM, latM))
+      if (res > 0) {
+        val p = CellGrid.parent(id)
+        assert(CellGrid.resOf(p) == res - 1)
+        assert(CellGrid.cellBBox(p).containsPoint(lonM, latM))
+      }
+    }
+    // cover: every cell intersects the box; the box is fully covered
+    val b = BBoxI(-1000, -1000, 9000, 5000)
+    val cells = CellGrid.cover(10, b)
+    assert(cells.nonEmpty)
+    cells.foreach(c => assert(CellGrid.cellBBox(c).intersects(b)))
+    // corners covered
+    assert(cells.contains(CellGrid.cellOf(10, -1000, -1000)))
+    assert(cells.contains(CellGrid.cellOf(10, 8999, 4999)))
+    // k-ring of interior cell has (2k+1)^2 members
+    val id = CellGrid.cellOf(7, 0, 0)
+    assert(CellGrid.kRing(id, 2).length == 25)
+  }
+}
