@@ -108,8 +108,81 @@ object SparkEntry {
           Synth.imagesWithBytes(s, dir,
             _.where(col("k") % 6 === 1 || col("k") % 6 === 2)),
           Synth.NumBands)
-        .orderBy("image_id", "band"))
+        .orderBy("image_id", "band")),
+
+    // ---- text pipeline (documents) ----
+    "q_doc_tokens" -> ((s, dir) =>
+      graft.text.TextOps.tokenStats(docs(s, dir)).orderBy("doc_id")),
+    "q_doc_quality" -> ((s, dir) =>
+      graft.text.TextOps.quality(docs(s, dir)).orderBy("doc_id")),
+    "q_doc_langid" -> ((s, dir) =>
+      graft.text.TextOps.langId(docs(s, dir)).orderBy("doc_id")),
+    "q_doc_fingerprint" -> ((s, dir) =>
+      graft.text.TextOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
+    "q_dedup_exact" -> ((s, dir) =>
+      graft.text.TextOps.dedupExact(docs(s, dir)).orderBy("h")),
+    "q_minhash_sig" -> ((s, dir) =>
+      graft.text.TextOps.minhash(docs(s, dir), 4).orderBy("doc_id")),
+    "q_minhash_bands" -> ((s, dir) =>
+      graft.text.TextOps.minhashBands(docs(s, dir)).orderBy("band")),
+
+    // ---- embeddings ----
+    "q_ann_cosine_topk" -> ((s, dir) =>
+      graft.vec.VectorOps.cosineTopK(emb(s, dir), col("vec_id") < 3, 10)
+        .orderBy("qid", "rank")),
+    "q_vec_label_stats" -> ((s, dir) =>
+      graft.vec.VectorOps.labelNormStats(emb(s, dir)).orderBy("label")),
+
+    // ---- events (window / sessionization) ----
+    "q_events_top" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      ev.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .orderBy("user_id")
+    }),
+    "q_events_sessions" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      ev.withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("flag",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("flag")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ---- relational baseline (lineitem/orders) ----
+    "q_tpch_pricing" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(floor(col("l_extendedprice")).cast("long")).as("sum_price_fl"),
+          avg(col("l_quantity")).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_tpch_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("o_orderpriority")
+    })
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   // ---- DuckDB oracle SQL ----
   private val I = OracleCte.images
@@ -239,6 +312,141 @@ object SparkEntry {
          |  base + ax*(w-1) + ay*(h-1) AS vmax,
          |  base*base*(w-nw)*h + ax*ax*sx2*h + ay*ay*sy2*(w-nw)
          |    + 2*base*ax*sx*h + 2*base*ay*sy*(w-nw) + 2*ax*ay*sx*sy AS vsumsq
-         |FROM stat ORDER BY image_id, band""".stripMargin
+         |FROM stat ORDER BY image_id, band""".stripMargin,
+
+    "q_doc_tokens" ->
+      s"""WITH $TokCte
+         |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(ts)) AS BIGINT) AS n_uniq,
+         |  CAST(len(list_filter(ts, t -> t = 'the')) AS BIGINT) AS n_the,
+         |  CAST(len(list_filter(ts, t -> t = 'a')) AS BIGINT) AS n_a
+         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "q_doc_quality" ->
+      s"""WITH $TokCte,
+         |t2 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(ts)) AS BIGINT) AS n_uniq,
+         |  CAST(len(list_filter(ts, t -> t = 'the')) AS BIGINT) AS n_the,
+         |  CAST(len(list_filter(ts, t -> t = 'a')) AS BIGINT) AS n_a
+         |FROM tok)
+         |SELECT *,
+         |  CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+         |  CAST(n_the + n_a AS DOUBLE) / n_tokens AS stop_ratio
+         |FROM t2 ORDER BY doc_id""".stripMargin,
+
+    "q_doc_langid" ->
+      s"""WITH $TokCte,
+         |sc AS (SELECT doc_id, lang,
+         |  len(list_filter(ts, t -> t = 'the')) +
+         |    len(list_filter(ts, t -> t = 'a')) AS en,
+         |  len(list_filter(ts, t -> t = 'le')) +
+         |    len(list_filter(ts, t -> t = 'la')) AS fr,
+         |  len(list_filter(ts, t -> t = 'der')) +
+         |    len(list_filter(ts, t -> t = 'und')) AS de
+         |FROM tok)
+         |SELECT doc_id, lang,
+         |  CASE WHEN en >= fr AND en >= de AND en > 0 THEN 'en'
+         |       WHEN fr >= de AND fr > 0 THEN 'fr'
+         |       WHEN de > 0 THEN 'de' ELSE 'unk' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      s"""WITH $TokCte
+         |SELECT doc_id,
+         |  md5(concat_ws('|', ts[1], ts[2], ts[3], ts[-1],
+         |      CAST(n_chars AS VARCHAR))) AS fp
+         |FROM tok ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       MIN(doc_id) AS min_doc_id
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+    "q_minhash_sig" ->
+      s"""WITH $TokCte, $ShCte
+         |SELECT doc_id,
+         |  list_min(list_transform(sh, s -> md5('0' || s))) AS h0,
+         |  list_min(list_transform(sh, s -> md5('1' || s))) AS h1,
+         |  list_min(list_transform(sh, s -> md5('2' || s))) AS h2,
+         |  list_min(list_transform(sh, s -> md5('3' || s))) AS h3
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_bands" ->
+      s"""WITH $TokCte, $ShCte,
+         |sig AS (SELECT doc_id,
+         |  list_min(list_transform(sh, s -> md5('0' || s))) AS h0 FROM sh)
+         |SELECT substr(h0, 1, 2) AS band, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       MIN(doc_id) AS min_doc_id
+         |FROM sig GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "q_ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+        |           FROM embeddings WHERE vec_id < 3),
+        |c AS (SELECT q.qid, e.vec_id,
+        |        list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+        |        (sqrt(list_dot_product(q.qe, q.qe)) *
+        |         sqrt(list_dot_product(e.embedding::DOUBLE[],
+        |                               e.embedding::DOUBLE[]))) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
+        |r AS (SELECT qid, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY qid
+        |          ORDER BY sim DESC, vec_id) AS rank FROM c)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id FROM r
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q_vec_label_stats" ->
+      """WITH n AS (SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(FLOOR(list_dot_product(embedding::DOUBLE[],
+        |       embedding::DOUBLE[]) * 1e6) AS BIGINT) AS n2f
+        |FROM embeddings)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM(n2f) AS BIGINT) AS norm2_floor_sum
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_events_top" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id) AS rn FROM events)
+        |SELECT user_id, event_id, value FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id,
+        |  CASE WHEN LAG(us) OVER (PARTITION BY user_id
+        |         ORDER BY us, event_id) IS NULL THEN 1
+        |       WHEN us - LAG(us) OVER (PARTITION BY user_id
+        |         ORDER BY us, event_id) > 1800000000 THEN 1
+        |       ELSE 0 END AS flag
+        |  FROM e)
+        |SELECT user_id, CAST(SUM(flag) AS BIGINT) AS n_sessions,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_tpch_pricing" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_fl,
+        |  SUM(l_quantity) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_join" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
+
+  private val TokCte =
+    """tok AS (SELECT doc_id, lang, n_chars, text,
+      |  string_split(text, ' ') AS ts FROM documents)""".stripMargin
+  private val ShCte =
+    """sh AS (SELECT doc_id,
+      |  CASE WHEN len(ts) >= 3 THEN
+      |    list_transform(generate_series(1, CAST(len(ts)-2 AS INT)),
+      |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+      |  ELSE [text] END AS sh FROM tok)""".stripMargin
 }

@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators over the `documents` table — the
+  * training-data-pipeline surface (dedup, fingerprinting, language id,
+  * quality scoring, token stats). Everything is built from codegen'd
+  * `functions._` higher-order expressions (no UDFs), and every
+  * derivation is reproducible in plain SQL so the DuckDB oracle can
+  * check values exactly (md5 is the cross-engine hash).
+  *
+  * Scale notes: all ops are per-row projections except the dedup
+  * group-bys, which shuffle on a hash key (uniformly distributed by
+  * construction — no skew), and the LSH band histogram (bounded key
+  * cardinality; map-side partial aggregation applies).
+  */
+object TextOps {
+
+  def toks: Column = split(col("text"), " ")
+
+  private def termCount(term: String): Column =
+    size(filter(toks, t => t === lit(term))).cast("long")
+
+  /** Token statistics: counts are exact integers. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq"),
+      termCount("the").as("n_the"),
+      termCount("a").as("n_a"))
+
+  /** Quality score: lexical-diversity + stopword ratios (double math is
+    * a single division of exact longs — bit-reproducible). */
+  def quality(docs: DataFrame): DataFrame =
+    tokenStats(docs)
+      .withColumn("uniq_ratio", col("n_uniq") / col("n_tokens"))
+      .withColumn("stop_ratio", (col("n_the") + col("n_a")) / col("n_tokens"))
+
+  /** n-gram-marker language ID heuristic (deterministic argmax with
+    * fixed tie order en > fr > de). */
+  def langId(docs: DataFrame): DataFrame = {
+    val en = termCount("the") + termCount("a")
+    val fr = termCount("le") + termCount("la")
+    val de = termCount("der") + termCount("und")
+    docs.select(col("doc_id"), col("lang"),
+      when(en >= fr && en >= de && en > 0, "en")
+        .when(fr >= de && fr > 0, "fr")
+        .when(de > 0, "de")
+        .otherwise("unk").as("lang_pred"))
+  }
+
+  /** Document fingerprint: md5 over a structural digest (first/last
+    * tokens + length) — the cheap rolling-hash analog. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(concat_ws("|",
+        element_at(toks, 1), element_at(toks, 2), element_at(toks, 3),
+        element_at(toks, -1), col("n_chars").cast("string"))).as("fp"))
+
+  /** Exact dedup: hash-groupBy on md5(text); one row per group. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc_id"))
+
+  /** Normalized near-dup key: lower-cased text (input corpus is already
+    * punctuation-free; the normalizer composes lower+trim). */
+  def dedupNormalized(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(lower(trim(col("text")))).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc_id"))
+
+  /** MinHash signatures over 3-token shingles with `n` md5-salted hash
+    * functions: sig_j = min over shingles of md5(j || shingle). Pure
+    * higher-order expressions; exactly reproducible in SQL. */
+  def minhash(docs: DataFrame, n: Int = 4): DataFrame = {
+    val shingles = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array(col("text")))
+    val withSh = docs.withColumn("sh", shingles)
+    (0 until n).foldLeft(withSh) { (df, j) =>
+      df.withColumn(s"h$j",
+        array_min(transform(col("sh"), s => md5(concat(lit(j.toString), s)))))
+    }.select(col("doc_id") +: (0 until n).map(j => col(s"h$j")): _*)
+  }
+
+  /** LSH band histogram: band key = 2-hex-char prefix of sig h0
+    * (256 buckets); bucket sizes drive the candidate-pair join. */
+  def minhashBands(docs: DataFrame): DataFrame =
+    minhash(docs, 1)
+      .groupBy(substring(col("h0"), 1, 2).as("band"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc_id"))
+}
