@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.gen.{OracleCte, Synth}
 import graft.index.CellGrid
-import graft.ops.{Knn, SpatialJoin, Stats, Tiling}
+import graft.ops.{Indices, Knn, SpatialJoin, Stats, Tiling}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` mirror)
   * per implemented operator from SURVEY.md §2. The geospatial input
@@ -110,6 +110,57 @@ object SparkEntry {
           Synth.NumBands)
         .orderBy("image_id", "band")),
 
+    // ---- pixel math (small raw-codec class: w,h ≤ 64, i16/f32) ----
+    "q_indices_stats" -> ((s, dir) =>
+      Indices.indexStats(Synth.imagesWithBytes(s, dir, smallRaw),
+          Indices.All, Synth.NumBands)
+        .orderBy("image_id", "product")),
+
+    "q_histogram" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("hb", explode(Stats.histogramUdf(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands), lit(2), lit(16))))
+        .select(col("image_id"), col("hb._1").as("bin"), col("hb._2").as("cnt"))
+        .where(col("cnt") > 0)
+        .orderBy("image_id", "bin")),
+
+    "q_percentile" -> ((s, dir) => {
+      val im = Synth.imagesWithBytes(s, dir, smallRaw)
+      def p(pct: Double) = floor(Stats.percentileUdf(col("bytes"),
+        col("w").cast("int"), col("h").cast("int"), col("fmt"),
+        lit(Synth.NumBands), lit(3), lit(pct)) * 1e6).cast("long")
+      im.select(col("image_id"), p(25).as("fp25"), p(50).as("fp50"),
+        p(75).as("fp75")).orderBy("image_id")
+    }),
+
+    "q_laplacian" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("la", Stats.laplacianAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands)))
+        .select(col("image_id"), col("la._1").as("n_valid"),
+          col("la._2").as("lap_sum"))
+        .orderBy("image_id")),
+
+    "q_convolve_box" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("cv", Stats.convolveBoxAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands)))
+        .select(col("image_id"), col("cv._1").as("n_valid"),
+          col("cv._2").as("fsum"))
+        .orderBy("image_id")),
+
+    "q_spectral_stats" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("sp", Stats.spectralAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands)))
+        .select(col("image_id"), col("sp._1").as("n_px"),
+          col("sp._2").as("mean_fsum"), col("sp._3").as("sd_fsum"))
+        .orderBy("image_id")),
+
     // ---- text pipeline (documents) ----
     "q_doc_tokens" -> ((s, dir) =>
       graft.text.TextOps.tokenStats(docs(s, dir)).orderBy("doc_id")),
@@ -183,6 +234,11 @@ object SparkEntry {
     s.read.parquet(s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Pixel-exact query class: small (≤64×64) images in exact codecs. */
+  private val smallRaw: DataFrame => DataFrame =
+    _.where(col("w") <= 64 && col("h") <= 64 &&
+            (col("k") % 6 === 1 || col("k") % 6 === 2))
 
   // ---- DuckDB oracle SQL ----
   private val I = OracleCte.images
@@ -314,6 +370,116 @@ object SparkEntry {
          |    + 2*base*ax*sx*h + 2*base*ay*sy*(w-nw) + 2*ax*ay*sx*sy AS vsumsq
          |FROM stat ORDER BY image_id, band""".stripMargin,
 
+    "q_indices_stats" -> indicesOracleSql,
+
+    "q_histogram" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte,
+         |mm AS (SELECT s.k, s.image_id, p.base + p.ax*s.nw AS vmin,
+         |         p.base + p.ax*(s.w-1) + p.ay*(s.h-1) AS vmax
+         |       FROM simg s JOIN bandp p ON p.k = s.k AND p.b = 2),
+         |hb AS (SELECT px.k,
+         |         CASE WHEN m.vmax = m.vmin THEN CAST(0 AS BIGINT)
+         |              ELSE LEAST(15, CAST(FLOOR((CAST(px.v AS DOUBLE) - m.vmin) /
+         |                   ((CAST(m.vmax AS DOUBLE) - m.vmin)/16.0)) AS BIGINT))
+         |         END AS bin
+         |       FROM px JOIN mm m ON px.k = m.k WHERE px.b = 2)
+         |SELECT m2.image_id, hb.bin, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM hb JOIN mm m2 ON m2.k = hb.k
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_percentile" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte,
+         |mm AS (SELECT s.k, s.image_id, (s.w - s.nw)*s.h AS cnt,
+         |         p.base + p.ax*s.nw AS vmin,
+         |         p.base + p.ax*(s.w-1) + p.ay*(s.h-1) AS vmax
+         |       FROM simg s JOIN bandp p ON p.k = s.k AND p.b = 3),
+         |hb AS (SELECT px.k,
+         |         LEAST(99, CAST(FLOOR((CAST(px.v AS DOUBLE) - m.vmin) /
+         |              ((CAST(m.vmax AS DOUBLE) - m.vmin)/100.0)) AS BIGINT)) AS bin,
+         |         COUNT(*) AS cnt
+         |       FROM px JOIN mm m ON px.k = m.k
+         |       WHERE px.b = 3 AND m.vmax <> m.vmin GROUP BY 1, 2),
+         |cu AS (SELECT k, bin, cnt,
+         |         SUM(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum
+         |       FROM hb),
+         |pcts AS (SELECT unnest([25.0, 50.0, 75.0]) AS pct),
+         |tgt AS (SELECT m.k, m.image_id, p.pct, p.pct/100.0*m.cnt AS target,
+         |          CAST(m.vmin AS DOUBLE) AS vmin, CAST(m.vmax AS DOUBLE) AS vmax
+         |        FROM mm m, pcts p),
+         |sel AS (SELECT t.k, t.image_id, t.pct,
+         |          CASE WHEN t.vmax = t.vmin THEN t.vmin
+         |               ELSE t.vmin + (t.vmax - t.vmin)/100.0 *
+         |                    (c.bin + (t.target - (c.cum - c.cnt))/c.cnt)
+         |          END AS res
+         |        FROM tgt t LEFT JOIN cu c ON c.k = t.k
+         |          AND c.cum >= t.target AND c.cum - c.cnt < t.target)
+         |SELECT image_id,
+         |  MAX(CASE WHEN pct = 25.0 THEN CAST(FLOOR(res*1e6) AS BIGINT) END) AS fp25,
+         |  MAX(CASE WHEN pct = 50.0 THEN CAST(FLOOR(res*1e6) AS BIGINT) END) AS fp50,
+         |  MAX(CASE WHEN pct = 75.0 THEN CAST(FLOOR(res*1e6) AS BIGINT) END) AS fp75
+         |FROM sel GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    "q_laplacian" ->
+      s"""WITH $I, $B, $SimgCte,
+         |g AS (SELECT s.k, s.image_id, s.w, s.h, p.ax, p.ay, xs.x, ys.y
+         |      FROM simg s JOIN bandp p ON p.k = s.k AND p.b = 0
+         |      CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |        CAST(s.w-1 AS INT))) AS x) xs
+         |      CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |        CAST(s.h-1 AS INT))) AS y) ys
+         |      WHERE xs.x >= s.nw + LEAST(s.nw, 1))
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |  CAST(SUM(ax*(GREATEST(0,x-1)+LEAST(w-1,x+1)-2*x) +
+         |           ay*(GREATEST(0,y-1)+LEAST(h-1,y+1)-2*y)) AS BIGINT)
+         |    AS lap_sum
+         |FROM g GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    "q_convolve_box" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte,
+         |pos AS (SELECT s.k, s.image_id, s.w, s.h, s.nw, xs.x, ys.y
+         |        FROM simg s
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |          CAST(s.w-1 AS INT))) AS x) xs
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |          CAST(s.h-1 AS INT))) AS y) ys),
+         |offs AS (SELECT a.dx, b.dy
+         |         FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |              (SELECT unnest([-1,0,1]) AS dy) b),
+         |inter AS (SELECT pos.k, pos.image_id, pos.x, pos.y,
+         |            pos.x + o.dx AS xx, pos.y + o.dy AS yy
+         |          FROM pos, offs o
+         |          WHERE pos.x >= 1 AND pos.x <= pos.w-2
+         |            AND pos.y >= 1 AND pos.y <= pos.h-2),
+         |nb AS (SELECT i.k, i.image_id, i.x, i.y,
+         |         SUM(p.v) AS acc, COUNT(*) AS nv
+         |       FROM inter i JOIN px p ON p.k = i.k AND p.b = 0
+         |         AND p.x = i.xx AND p.y = i.yy
+         |       GROUP BY i.k, i.image_id, i.x, i.y),
+         |outs AS (
+         |  SELECT pos.image_id, CAST(p.v AS DOUBLE) AS o
+         |  FROM pos JOIN px p ON p.k = pos.k AND p.b = 0
+         |    AND p.x = pos.x AND p.y = pos.y
+         |  WHERE pos.x < 1 OR pos.x > pos.w-2 OR pos.y < 1 OR pos.y > pos.h-2
+         |  UNION ALL
+         |  SELECT image_id, CAST(acc AS DOUBLE)/nv FROM nb)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |  CAST(SUM(CAST(FLOOR(o*1e6) AS BIGINT)) AS BIGINT) AS fsum
+         |FROM outs GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    "q_spectral_stats" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte,
+         |sp AS (SELECT k, x, y, SUM(v) AS sv, SUM(v*v) AS s2, COUNT(*) AS c
+         |       FROM px GROUP BY k, x, y),
+         |m AS (SELECT k, CAST(sv AS DOUBLE)/c AS mean,
+         |        sqrt(GREATEST(0.0, CAST(s2 AS DOUBLE)/c -
+         |             (CAST(sv AS DOUBLE)/c)*(CAST(sv AS DOUBLE)/c))) AS sd
+         |      FROM sp)
+         |SELECT i.image_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+         |  CAST(SUM(CAST(FLOOR(mean*1e6) AS BIGINT)) AS BIGINT) AS mean_fsum,
+         |  CAST(SUM(CAST(FLOOR(sd*1e6) AS BIGINT)) AS BIGINT) AS sd_fsum
+         |FROM m JOIN img2 i ON i.k = m.k
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_doc_tokens" ->
       s"""WITH $TokCte
          |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
@@ -439,6 +605,54 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
+
+  private val SimgCte =
+    """simg AS (SELECT * FROM img2
+      |  WHERE w <= 64 AND h <= 64 AND k % 6 IN (1, 2))""".stripMargin
+
+  private val PxCte = OracleCte.pixelGen
+
+  /** UNION-ALL oracle for all 15 spectral indices over the pixel grid. */
+  private def indicesOracleSql: String = {
+    val defs: Map[String, (String, Option[String])] = Map(
+      "ndvi"   -> ("(n-r)/(n+r)", None),
+      "evi"    -> ("2.5*(n-r)/(n+6*r-7.5*b+1)", Some("n+6*r-7.5*b+1 <> 0")),
+      "lswi"   -> ("(n-s1)/(n+s1)", None),
+      "ndsi"   -> ("(g-s1)/(g+s1)", None),
+      "ndwi"   -> ("(g-n)/(g+n)", None),
+      "bi"     -> ("0.5*(b+n)", None),
+      "satvi"  -> ("1.5*(s1-r)/(s1+r+0.5) - 0.5*s2", None),
+      "msavi2" -> ("(2*n+1 - sqrt((2*n+1)*(2*n+1) - 8*(n-r))) * 0.5", None),
+      "vari"   -> ("(g-r)/(g+r-b)", Some("g+r-b <> 0")),
+      "brgt"   -> ("0.3*b + 0.3*r + 0.1*n + 0.3*g", None),
+      "ndti"   -> ("(s1-s2)/(s1+s2)", None),
+      "crc"    -> ("(s1-b)/(s2+b)", None),
+      "crcm"   -> ("(s1-g)/(s2+g)", None),
+      "isti"   -> ("s2/s1", None),
+      "sti"    -> ("s1/s2", None))
+    val branches = Indices.All.map { prod =>
+      val (e, cond) = defs(prod)
+      s"SELECT k, '$prod' AS product, CAST(COUNT(*) AS BIGINT) AS n_valid, " +
+        s"CAST(SUM(CAST(FLOOR(($e)*1e6) AS BIGINT)) AS BIGINT) AS fsum " +
+        s"FROM pxd ${cond.map(c => s"WHERE $c ").getOrElse("")}GROUP BY k"
+    }.mkString(" UNION ALL ")
+    s"""WITH $I, $B, $SimgCte, $PxCte,
+       |pxw AS (SELECT k, x, y,
+       |  MAX(CASE WHEN b=0 THEN v END) AS vb0,
+       |  MAX(CASE WHEN b=1 THEN v END) AS vb1,
+       |  MAX(CASE WHEN b=2 THEN v END) AS vb2,
+       |  MAX(CASE WHEN b=3 THEN v END) AS vb3,
+       |  MAX(CASE WHEN b=4 THEN v END) AS vb4,
+       |  MAX(CASE WHEN b=5 THEN v END) AS vb5
+       |  FROM px GROUP BY k, x, y),
+       |pxd AS (SELECT k, CAST(vb0 AS DOUBLE) AS b, CAST(vb1 AS DOUBLE) AS g,
+       |  CAST(vb2 AS DOUBLE) AS r, CAST(vb3 AS DOUBLE) AS n,
+       |  CAST(vb4 AS DOUBLE) AS s1, CAST(vb5 AS DOUBLE) AS s2 FROM pxw),
+       |u AS ($branches)
+       |SELECT i.image_id, u.product, u.n_valid, u.fsum
+       |FROM u JOIN img2 i ON i.k = u.k
+       |ORDER BY image_id, product""".stripMargin
+  }
 
   private val TokCte =
     """tok AS (SELECT doc_id, lang, n_chars, text,

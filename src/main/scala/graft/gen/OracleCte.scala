@@ -43,7 +43,7 @@ object OracleCte {
   /** per-band pixel params: bandp(b, base, ax, ay) for a given image k
     * (join against img2). */
   val bandParams: String =
-    """bands AS (SELECT unnest([0,1,2,3]) AS b),
+    """bands AS (SELECT unnest([0,1,2,3,4,5]) AS b),
       |bandp AS (
       |  SELECT k, CAST(b AS BIGINT) AS b,
       |         200 + (k*(b+3)) % 800 AS base,

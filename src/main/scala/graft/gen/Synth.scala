@@ -17,7 +17,7 @@ import graft.core.Codec
   * north-up affine model (/root/reference/GIP/GeoResource.cpp:99-105)
   * with resolution 4 mdeg/pixel.
   *
-  * Pixel content of image k, band b (0=blue,1=green,2=red,3=nir):
+  * Pixel content of image k, band b (blue,green,red,nir,swir1,swir2):
   *   base = 200 + (k*(b+3)) % 800 ; ax = (k+11b) % 8 ; ay = (k+17b) % 8
   *   v(x,y) = base + ax*x + ay*y            (16-bit / float codecs)
   *   v8(x,y) = 1 + v(x,y) % 255             (8-bit codecs; 0 = nodata)
@@ -29,8 +29,9 @@ import graft.core.Codec
 object Synth {
 
   val ResM = 4L // mdeg per pixel
-  val NumBands = 4
-  val BandNames: Seq[String] = Seq("blue", "green", "red", "nir")
+  val NumBands = 6
+  val BandNames: Seq[String] =
+    Seq("blue", "green", "red", "nir", "swir1", "swir2")
   val Formats: Seq[String] =
     Seq("raw-u8", "raw-i16le", "raw-f32le", "png", "bmp", "jpg")
 

@@ -56,4 +56,52 @@ object Stats {
       val planes = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
       Pixels.percentile(planes(band), pct)
     })
+
+  /** Laplacian (replicate boundary) of band 0, aggregated: NaN-poisoned
+    * outputs excluded; values are exact integers for linear-ramp
+    * content → (n_valid, lap_sum) both BIGINT. */
+  val laplacianAgg = udf(
+    (bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) => {
+      val p = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)(0)
+      val lap = Pixels.laplacian(p, w, h)
+      var n = 0L; var s = 0.0; var i = 0
+      while (i < lap.length) {
+        if (!lap(i).isNaN) { n += 1; s += lap(i) }
+        i += 1
+      }
+      (n, s.toLong)
+    })
+
+  /** 3×3 box convolve_nodata of band 0 (reference-exact semantics),
+    * aggregated as (n_valid, Σ floor(v·1e6)). */
+  val convolveBoxAgg = udf(
+    (bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) => {
+      val p = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)(0)
+      val out = Pixels.convolveNodata(p, w, h, Array.fill(9)(1.0), 3, 3)
+      var n = 0L; var fs = 0L; var i = 0
+      while (i < out.length) {
+        if (!out(i).isNaN) { n += 1; fs += math.floor(out(i) * 1e6).toLong }
+        i += 1
+      }
+      (n, fs)
+    })
+
+  /** Cross-band spectral statistics per pixel
+    * (/root/reference/GIP/GeoImage.cpp:236-280), aggregated:
+    * (n_valid_px, Σ floor(mean·1e6), Σ floor(stddev·1e6)). */
+  val spectralAgg = udf(
+    (bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) => {
+      val cube = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+      val (mean, sd, cnt) = Pixels.spectralStats(cube)
+      var n = 0L; var ms = 0L; var ss = 0L; var i = 0
+      while (i < mean.length) {
+        if (cnt(i) > 0) {
+          n += 1
+          ms += math.floor(mean(i) * 1e6).toLong
+          if (!sd(i).isNaN) ss += math.floor(sd(i) * 1e6).toLong
+        }
+        i += 1
+      }
+      (n, ms, ss)
+    })
 }
