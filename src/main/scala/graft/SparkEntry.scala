@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.gen.{OracleCte, Synth}
 import graft.index.CellGrid
-import graft.ops.{Indices, Knn, SpatialJoin, Stats, Tiling}
+import graft.ops.{Indices, Knn, Mosaic, SpatialJoin, Stats, Tiling, Warp}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` mirror)
   * per implemented operator from SURVEY.md §2. The geospatial input
@@ -109,6 +109,54 @@ object SparkEntry {
             _.where(col("k") % 6 === 1 || col("k") % 6 === 2)),
           Synth.NumBands)
         .orderBy("image_id", "band")),
+
+    // ---- warp / mosaic grid math ----
+    "q_warp_grid" -> ((s, dir) => {
+      val g = udf((x0: Long, y0: Long, x1: Long, y1: Long) => {
+        val gr = Warp.outputGrid(
+          graft.core.Geom.BBoxD(x0.toDouble, y0.toDouble, x1.toDouble, y1.toDouble),
+          10.0, 10.0)
+        (gr.w.toLong, gr.h.toLong)
+      })
+      imgs(s, dir)
+        .withColumn("g", g(col("x0m"), col("y0m"), col("x1m"), col("y1m")))
+        .select(col("image_id"), col("g._1").as("out_w"), col("g._2").as("out_h"))
+        .orderBy("image_id")
+    }),
+
+    "q_warp_grid_crop" -> ((s, dir) => {
+      val g = udf((x0: Long, y0: Long, x1: Long, y1: Long,
+                   fx0: Long, fy0: Long, fx1: Long, fy1: Long) => {
+        import graft.core.Geom.BBoxD
+        val ext = Warp.cropAnchoredExtent(
+          BBoxD(x0.toDouble, y0.toDouble, x1.toDouble, y1.toDouble),
+          BBoxD(fx0.toDouble, fy0.toDouble, fx1.toDouble, fy1.toDouble),
+          10.0, 10.0)
+        val gr = Warp.outputGrid(ext, 10.0, 10.0)
+        (ext.x0.toLong, ext.y1.toLong, gr.w.toLong, gr.h.toLong)
+      })
+      imgs(s, dir).withColumn("fid", col("k") % 25)
+        .join(broadcast(polys(s, dir)), Seq("fid"))
+        .where(col("x0m") < col("px1m") && col("px0m") < col("x1m") &&
+               col("y0m") < col("py1m") && col("py0m") < col("y1m"))
+        .withColumn("g", g(col("x0m"), col("y0m"), col("x1m"), col("y1m"),
+          col("px0m"), col("py0m"), col("px1m"), col("py1m")))
+        .select(col("image_id"), col("fid"), col("g._1").as("x0a"),
+          col("g._2").as("y1a"), col("g._3").as("cw"), col("g._4").as("ch"))
+        .orderBy("image_id")
+    }),
+
+    "q_mosaic_extent" -> ((s, dir) =>
+      Mosaic.unionExtent(
+          imgs(s, dir).withColumn("gid", col("k") % 50), 10L)
+        .select(col("gid"), col("ux0"), col("uy0"), col("ux1"), col("uy1"),
+          col("out_w"), col("out_h"))
+        .orderBy("gid")),
+
+    "q_overlay_order" -> ((s, dir) =>
+      Mosaic.overlayOrder(imgs(s, dir),
+          polys(s, dir).where(col("fid") < 3), 9)
+        .orderBy("fid", "cix", "ciy")),
 
     // ---- pixel math (small raw-codec class: w,h ≤ 64, i16/f32) ----
     "q_indices_stats" -> ((s, dir) =>
@@ -369,6 +417,56 @@ object SparkEntry {
          |  base*base*(w-nw)*h + ax*ax*sx2*h + ay*ay*sy2*(w-nw)
          |    + 2*base*ax*sx*h + 2*base*ay*sy*(w-nw) + 2*ax*ay*sx*sy AS vsumsq
          |FROM stat ORDER BY image_id, band""".stripMargin,
+
+    "q_warp_grid" ->
+      s"""WITH $I
+         |SELECT image_id, (w*4+9)//10 AS out_w, (h*4+9)//10 AS out_h
+         |FROM img2 ORDER BY image_id""".stripMargin,
+
+    "q_warp_grid_crop" ->
+      s"""WITH $I, $P,
+         |j AS (SELECT i.image_id, p.fid, i.x0m, i.y0m, i.x1m, i.y1m,
+         |        p.px0m, p.py0m, p.px1m, p.py1m,
+         |        GREATEST(i.x0m, p.px0m) AS ix0, GREATEST(i.y0m, p.py0m) AS iy0,
+         |        LEAST(i.x1m, p.px1m) AS ix1, LEAST(i.y1m, p.py1m) AS iy1
+         |      FROM img2 i JOIN poly2 p ON p.fid = i.k % 25
+         |       AND i.x0m < p.px1m AND p.px0m < i.x1m
+         |       AND i.y0m < p.py1m AND p.py0m < i.y1m),
+         |a AS (SELECT image_id, fid,
+         |        px0m + ((ix0 - px0m)//10)*10 AS x0a,
+         |        py1m - ((py1m - iy1)//10)*10 AS y1a, ix1, iy0
+         |      FROM j)
+         |SELECT image_id, fid, x0a, y1a,
+         |       (ix1 - x0a + 9)//10 AS cw, (y1a - iy0 + 9)//10 AS ch
+         |FROM a ORDER BY image_id""".stripMargin,
+
+    "q_mosaic_extent" ->
+      s"""WITH $I
+         |SELECT k % 50 AS gid, MIN(x0m) AS ux0, MIN(y0m) AS uy0,
+         |       MAX(x1m) AS ux1, MAX(y1m) AS uy1,
+         |       (MAX(x1m) - MIN(x0m) + 9)//10 AS out_w,
+         |       (MAX(y1m) - MIN(y0m) + 9)//10 AS out_h
+         |FROM img2 GROUP BY 1 ORDER BY gid""".stripMargin,
+
+    "q_overlay_order" ->
+      s"""WITH $I, $P,
+         |pc AS (SELECT fid,
+         |         (px0m+180000)//1024 AS ix0, (px1m-1+180000)//1024 AS ix1,
+         |         (py0m+90000)//1024 AS iy0, (py1m-1+90000)//1024 AS iy1
+         |       FROM poly2 WHERE fid < 3),
+         |cells AS (SELECT fid, cx.cix, cy.ciy,
+         |            cx.cix*1024 - 180000 + 512 AS ccx,
+         |            cy.ciy*1024 - 90000 + 512 AS ccy
+         |          FROM pc
+         |          CROSS JOIN LATERAL (SELECT unnest(generate_series(ix0, ix1))
+         |            AS cix) cx
+         |          CROSS JOIN LATERAL (SELECT unnest(generate_series(iy0, iy1))
+         |            AS ciy) cy)
+         |SELECT c.fid, c.cix, c.ciy, MAX(i.k) AS win_k
+         |FROM cells c JOIN img2 i
+         |  ON i.x0m <= c.ccx AND c.ccx < i.x1m
+         | AND i.y0m <= c.ccy AND c.ccy < i.y1m
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q_indices_stats" -> indicesOracleSql,
 
