@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.gen.{OracleCte, Synth}
 import graft.index.CellGrid
-import graft.ops.{Indices, Knn, Mosaic, SpatialJoin, Stats, Tiling, Warp}
+import graft.ops.{Algorithms, Indices, Knn, Mosaic, SpatialJoin, Stats, Tiling, Warp}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` mirror)
   * per implemented operator from SURVEY.md §2. The geospatial input
@@ -207,6 +207,67 @@ object SparkEntry {
           lit(Synth.NumBands)))
         .select(col("image_id"), col("sp._1").as("n_px"),
           col("sp._2").as("mean_fsum"), col("sp._3").as("sd_fsum"))
+        .orderBy("image_id")),
+
+    // ---- multi-band algorithms ----
+    "q_whiteness" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("wg", Algorithms.whitenessAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands)))
+        .select(col("image_id"), col("wg._1").as("n_valid"),
+          col("wg._2").as("fsum"))
+        .orderBy("image_id")),
+
+    "q_linear_transform" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("lt", explode(Algorithms.linearTransformAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands))))
+        .select(col("image_id"), col("lt._1").as("ob"),
+          col("lt._2").as("n_valid"), col("lt._3").as("fsum"))
+        .orderBy("image_id", "ob")),
+
+    "q_extract_classes" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("ec", explode(Algorithms.extractClassesAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands))))
+        .select(col("image_id"), col("ec._1").as("cls"),
+          col("ec._2").as("n_px"), col("ec._3").as("red_sum"))
+        .orderBy("image_id", "cls")),
+
+    "q_random_pixels" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("rp", Algorithms.randomPixelsAgg(col("k"), col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands), lit(16)))
+        .select(col("image_id"), col("rp._1").as("n_valid"),
+          col("rp._2").as("vsum"))
+        .orderBy("image_id")),
+
+    // rows-only checks (non-SQL-expressible: iterative / matrix-inverse
+    // / morphological multi-pass)
+    "q_kmeans_emb" -> ((s, dir) =>
+      Algorithms.kmeansEmbeddings(s, emb(s, dir), 4, 3).orderBy("vec_id")),
+
+    "q_rxd" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("rx", Algorithms.rxdAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands)))
+        .select(col("image_id"), col("rx._1").as("n_valid"),
+          floor(col("rx._2") * 1e3).cast("long").as("rx_fsum"),
+          floor(col("rx._3") * 1e6).cast("long").as("rx_fmax"))
+        .orderBy("image_id")),
+
+    "q_cloud_mask" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("cm", Algorithms.cloudMaskAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands)))
+        .select(col("image_id"), col("cm._1").as("n_cloud"),
+          col("cm._2").as("n_grown"))
         .orderBy("image_id")),
 
     // ---- text pipeline (documents) ----
@@ -578,6 +639,57 @@ object SparkEntry {
          |FROM m JOIN img2 i ON i.k = m.k
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_whiteness" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte, $PxdCte,
+         |wv AS (SELECT k,
+         |  (abs(r - (r+g+b)/3) + abs(g - (r+g+b)/3) + abs(b - (r+g+b)/3)) /
+         |    ((r+g+b)/3) AS wv
+         |  FROM pxd)
+         |SELECT i.image_id, CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |  CAST(SUM(CAST(FLOOR(wv*1e6) AS BIGINT)) AS BIGINT) AS fsum
+         |FROM wv JOIN img2 i ON i.k = wv.k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_linear_transform" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte, $PxdCte,
+         |u AS (
+         |  SELECT k, CAST(0 AS BIGINT) AS ob, COUNT(*) AS n_valid,
+         |    CAST(SUM(CAST(FLOOR((0.1*b + 0.2*g + 0.3*r + 0.4*n + 0.5*s1
+         |      + 0.6*s2)*1e6) AS BIGINT)) AS BIGINT) AS fsum
+         |  FROM pxd GROUP BY k
+         |  UNION ALL
+         |  SELECT k, CAST(1 AS BIGINT) AS ob, COUNT(*) AS n_valid,
+         |    CAST(SUM(CAST(FLOOR((0.6*b + -0.5*g + 0.4*r + -0.3*n + 0.2*s1
+         |      + -0.1*s2)*1e6) AS BIGINT)) AS BIGINT) AS fsum
+         |  FROM pxd GROUP BY k)
+         |SELECT i.image_id, u.ob, CAST(u.n_valid AS BIGINT) AS n_valid, u.fsum
+         |FROM u JOIN img2 i ON i.k = u.k ORDER BY image_id, ob""".stripMargin,
+
+    "q_extract_classes" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte, $PxdCte,
+         |cl AS (SELECT k, GREATEST(0, LEAST(3,
+         |         CAST(FLOOR(((n-r)/(n+r))*4) AS BIGINT))) AS cls,
+         |         CAST(r AS BIGINT) AS rv
+         |       FROM pxd)
+         |SELECT i.image_id, cl.cls, CAST(COUNT(*) AS BIGINT) AS n_px,
+         |  CAST(SUM(rv) AS BIGINT) AS red_sum
+         |FROM cl JOIN img2 i ON i.k = cl.k
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_random_pixels" ->
+      s"""WITH $I, $B, $SimgCte,
+         |draws AS (SELECT s.k, s.image_id, s.w, s.h, s.nw, p.base, p.ax, p.ay,
+         |            (s.k*1103515245 + g.i*2654435761) % (s.w*s.h) AS idx
+         |          FROM simg s JOIN bandp p ON p.k = s.k AND p.b = 0
+         |          CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 15))
+         |            AS i) g),
+         |vals AS (SELECT k, image_id, idx % w AS x, idx // w AS y, nw,
+         |           base, ax, ay FROM draws)
+         |SELECT image_id,
+         |  CAST(COUNT(*) FILTER (WHERE x >= nw) AS BIGINT) AS n_valid,
+         |  COALESCE(CAST(SUM(base + ax*x + ay*y) FILTER (WHERE x >= nw)
+         |    AS BIGINT), 0) AS vsum
+         |FROM vals GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_doc_tokens" ->
       s"""WITH $TokCte
          |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
@@ -710,6 +822,21 @@ object SparkEntry {
 
   private val PxCte = OracleCte.pixelGen
 
+  /** Pivot the pixel rows into one row per (k,x,y) with all 6 band
+    * values as DOUBLEs named (b,g,r,n,s1,s2). */
+  private val PxdCte =
+    """pxw AS (SELECT k, x, y,
+      |  MAX(CASE WHEN b=0 THEN v END) AS vb0,
+      |  MAX(CASE WHEN b=1 THEN v END) AS vb1,
+      |  MAX(CASE WHEN b=2 THEN v END) AS vb2,
+      |  MAX(CASE WHEN b=3 THEN v END) AS vb3,
+      |  MAX(CASE WHEN b=4 THEN v END) AS vb4,
+      |  MAX(CASE WHEN b=5 THEN v END) AS vb5
+      |  FROM px GROUP BY k, x, y),
+      |pxd AS (SELECT k, CAST(vb0 AS DOUBLE) AS b, CAST(vb1 AS DOUBLE) AS g,
+      |  CAST(vb2 AS DOUBLE) AS r, CAST(vb3 AS DOUBLE) AS n,
+      |  CAST(vb4 AS DOUBLE) AS s1, CAST(vb5 AS DOUBLE) AS s2 FROM pxw)""".stripMargin
+
   /** UNION-ALL oracle for all 15 spectral indices over the pixel grid. */
   private def indicesOracleSql: String = {
     val defs: Map[String, (String, Option[String])] = Map(
@@ -734,18 +861,7 @@ object SparkEntry {
         s"CAST(SUM(CAST(FLOOR(($e)*1e6) AS BIGINT)) AS BIGINT) AS fsum " +
         s"FROM pxd ${cond.map(c => s"WHERE $c ").getOrElse("")}GROUP BY k"
     }.mkString(" UNION ALL ")
-    s"""WITH $I, $B, $SimgCte, $PxCte,
-       |pxw AS (SELECT k, x, y,
-       |  MAX(CASE WHEN b=0 THEN v END) AS vb0,
-       |  MAX(CASE WHEN b=1 THEN v END) AS vb1,
-       |  MAX(CASE WHEN b=2 THEN v END) AS vb2,
-       |  MAX(CASE WHEN b=3 THEN v END) AS vb3,
-       |  MAX(CASE WHEN b=4 THEN v END) AS vb4,
-       |  MAX(CASE WHEN b=5 THEN v END) AS vb5
-       |  FROM px GROUP BY k, x, y),
-       |pxd AS (SELECT k, CAST(vb0 AS DOUBLE) AS b, CAST(vb1 AS DOUBLE) AS g,
-       |  CAST(vb2 AS DOUBLE) AS r, CAST(vb3 AS DOUBLE) AS n,
-       |  CAST(vb4 AS DOUBLE) AS s1, CAST(vb5 AS DOUBLE) AS s2 FROM pxw),
+    s"""WITH $I, $B, $SimgCte, $PxCte, $PxdCte,
        |u AS ($branches)
        |SELECT i.image_id, u.product, u.n_valid, u.fsum
        |FROM u JOIN img2 i ON i.k = u.k

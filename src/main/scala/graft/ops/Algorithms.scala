@@ -1,0 +1,353 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Codec, Pixels}
+
+/** The reference's multi-band algorithm suite
+  * (/root/reference/GIP/GeoAlgorithms.cpp) re-expressed for the
+  * image-per-row model: per-image passes are row-local kernels (no
+  * shuffle); the only distributed iteration is the embeddings k-means,
+  * which follows the classic Spark loop (broadcast centers → assign →
+  * groupBy-mean) — the pattern the reference's chunk-loop k-means
+  * (GeoAlgorithms.cpp:556-638) maps to at cluster scale.
+  */
+object Algorithms {
+
+  // ---- whiteness (GeoImage.h:409-423): (|r-μ|+|g-μ|+|b-μ|)/μ ----
+  def whitenessPlane(r: Array[Double], g: Array[Double], b: Array[Double]): Array[Double] = {
+    val out = new Array[Double](r.length)
+    var i = 0
+    while (i < r.length) {
+      out(i) =
+        if (r(i).isNaN || g(i).isNaN || b(i).isNaN) Double.NaN
+        else {
+          val mu = (r(i) + g(i) + b(i)) / 3
+          (math.abs(r(i) - mu) + math.abs(g(i) - mu) + math.abs(b(i) - mu)) / mu
+        }
+      i += 1
+    }
+    out
+  }
+
+  val whitenessAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) => {
+    val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+    val p = whitenessPlane(c(2), c(1), c(0)) // red, green, blue
+    var n = 0L; var fs = 0L; var i = 0
+    while (i < p.length) {
+      if (!p(i).isNaN) { n += 1; fs += math.floor(p(i) * 1e6).toLong }
+      i += 1
+    }
+    (n, fs)
+  })
+
+  // ---- linear_transform (GeoAlgorithms.cpp:642-670): out_j = Σ c_ij·band_i ----
+  /** Fixed demo coefficient rows (evaluated strictly left-to-right so
+    * the SQL oracle reproduces the exact double). */
+  val LtCoefs: Seq[Seq[Double]] = Seq(
+    Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6),
+    Seq(0.6, -0.5, 0.4, -0.3, 0.2, -0.1))
+
+  val linearTransformAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) => {
+    val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+    LtCoefs.zipWithIndex.map { case (cs, ob) =>
+      var n = 0L; var fs = 0L; var i = 0
+      while (i < c(0).length) {
+        var nan = false; var acc = 0.0; var bIdx = 0
+        while (bIdx < 6) {
+          val v = c(bIdx)(i)
+          if (v.isNaN) nan = true else acc = acc + cs(bIdx) * v
+          bIdx += 1
+        }
+        if (!nan) { n += 1; fs += math.floor(acc * 1e6).toLong }
+        i += 1
+      }
+      (ob.toLong, n, fs)
+    }
+  })
+
+  // ---- extract_classes (GeoImage.h:323-350): raster → (class, …) rows ----
+  /** Class map = NDVI quartile clamp(floor(ndvi·4), 0, 3); per class,
+    * pixel count and red-band sum — the raster→table extraction. */
+  val extractClassesAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) => {
+    val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+    val out = scala.collection.mutable.Map[Long, (Long, Long)]()
+    var i = 0
+    while (i < c(0).length) {
+      val r = c(2)(i); val n = c(3)(i)
+      if (!r.isNaN && !n.isNaN) {
+        val ndvi = (n - r) / (n + r)
+        val cls = math.max(0L, math.min(3L, math.floor(ndvi * 4).toLong))
+        val (pc, rs) = out.getOrElse(cls, (0L, 0L))
+        out(cls) = (pc + 1, rs + r.toLong)
+      }
+      i += 1
+    }
+    out.toSeq.map { case (cls, (pc, rs)) => (cls, pc, rs) }.sortBy(_._1)
+  })
+
+  // ---- read_random_pixels (GeoImage.h:297-319), made deterministic ----
+  /** Seeded LCG sample of `n` grid positions; invalid (nodata-stripe)
+    * draws are skipped, mirroring rejection semantics without a retry
+    * loop so the SQL oracle can restate it. */
+  val randomPixelsAgg = udf((k: Long, bytes: Array[Byte], w: Int, h: Int,
+                             fmt: String, nb: Int, n: Int) => {
+    val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+    var nv = 0L; var vs = 0L; var i = 0
+    while (i < n) {
+      val idx = java.lang.Math.floorMod(k * 1103515245L + i * 2654435761L,
+        (w.toLong * h))
+      val v = c(0)(idx.toInt)
+      if (!v.isNaN) { nv += 1; vs += v.toLong }
+      i += 1
+    }
+    (nv, vs)
+  })
+
+  // ---- spectral covariance (GeoImage.cpp:190-232) + rxd (GeoAlgorithms.cpp:730-758) ----
+  /** bands×bands covariance over valid pixels: E[xxᵀ] − μμᵀ. */
+  def covariance(cube: Array[Array[Double]]): Array[Array[Double]] = {
+    val nb = cube.length
+    val s = new Array[Double](nb)
+    val ss = Array.ofDim[Double](nb, nb)
+    var n = 0L
+    var i = 0
+    while (i < cube(0).length) {
+      var valid = true
+      var b = 0
+      while (b < nb) { if (cube(b)(i).isNaN) valid = false; b += 1 }
+      if (valid) {
+        n += 1
+        b = 0
+        while (b < nb) {
+          s(b) += cube(b)(i)
+          var b2 = 0
+          while (b2 < nb) { ss(b)(b2) += cube(b)(i) * cube(b2)(i); b2 += 1 }
+          b += 1
+        }
+      }
+      i += 1
+    }
+    Array.tabulate(nb, nb)((a, c) => ss(a)(c) / n - (s(a) / n) * (s(c) / n))
+  }
+
+  /** Gauss-Jordan inverse with ridge regularization (synthetic ramps
+    * are rank-deficient; the reference would divide by zero here —
+    * documented divergence). */
+  def invertRidge(m: Array[Array[Double]], ridge: Double = 1e-6): Array[Array[Double]] = {
+    val n = m.length
+    val a = Array.tabulate(n, 2 * n) { (i, j) =>
+      if (j < n) m(i)(j) + (if (i == j) ridge else 0.0)
+      else if (j - n == i) 1.0 else 0.0
+    }
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var r = col
+      while (r < n) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      val tmp = a(col); a(col) = a(piv); a(piv) = tmp
+      val d = a(col)(col)
+      var j = 0
+      while (j < 2 * n) { a(col)(j) /= d; j += 1 }
+      r = 0
+      while (r < n) {
+        if (r != col && a(r)(col) != 0.0) {
+          val f = a(r)(col)
+          j = 0
+          while (j < 2 * n) { a(r)(j) -= f * a(col)(j); j += 1 }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    Array.tabulate(n, n)((i, j) => a(i)(j + n))
+  }
+
+  /** RX anomaly: Mahalanobis distance (x−μ)ᵀK⁻¹(x−μ) per pixel. */
+  def rxdPlane(cube: Array[Array[Double]]): Array[Double] = {
+    val nb = cube.length
+    val npx = cube(0).length
+    val mu = new Array[Double](nb)
+    var n = 0L
+    var i = 0
+    while (i < npx) {
+      var valid = true
+      var b = 0
+      while (b < nb) { if (cube(b)(i).isNaN) valid = false; b += 1 }
+      if (valid) { n += 1; var b2 = 0; while (b2 < nb) { mu(b2) += cube(b2)(i); b2 += 1 } }
+      i += 1
+    }
+    var b = 0
+    while (b < nb) { mu(b) /= n; b += 1 }
+    val kinv = invertRidge(covariance(cube))
+    val out = new Array[Double](npx)
+    val d = new Array[Double](nb)
+    i = 0
+    while (i < npx) {
+      var valid = true
+      b = 0
+      while (b < nb) {
+        val v = cube(b)(i)
+        if (v.isNaN) valid = false else d(b) = v - mu(b)
+        b += 1
+      }
+      out(i) =
+        if (!valid) Double.NaN
+        else {
+          var acc = 0.0
+          var r = 0
+          while (r < nb) {
+            var c2 = 0
+            while (c2 < nb) { acc += d(r) * kinv(r)(c2) * d(c2); c2 += 1 }
+            r += 1
+          }
+          acc
+        }
+      i += 1
+    }
+    out
+  }
+
+  val rxdAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) => {
+    val cube = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+    val p = rxdPlane(cube)
+    var n = 0L; var s = 0.0; var mx = Double.NegativeInfinity; var i = 0
+    while (i < p.length) {
+      if (!p(i).isNaN) { n += 1; s += p(i); if (p(i) > mx) mx = p(i) }
+      i += 1
+    }
+    (n, s, if (n == 0) 0.0 else mx)
+  })
+
+  // ---- acca-style cloud mask (GeoAlgorithms.cpp:41-216 structure) ----
+  /** Two-pass threshold cascade + morphological grow: pass 1 flags
+    * candidate pixels by a band cascade (bright blue + non-vegetated +
+    * whiteness); pass 2 derives a refine threshold from pass-1 global
+    * stats (the reference's driver-side decision between jobs) and
+    * dilates the final mask. Returns (n_cloud, n_grown). */
+  val cloudMaskAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) => {
+    val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+    val blue = c(0); val red = c(2); val nir = c(3)
+    val white = whitenessPlane(c(2), c(1), c(0))
+    // pass 1 cascade
+    val pass1 = new Array[Double](blue.length)
+    var i = 0
+    while (i < blue.length) {
+      pass1(i) =
+        if (blue(i).isNaN) Double.NaN
+        else {
+          val ndvi = (nir(i) - red(i)) / (nir(i) + red(i))
+          if (blue(i) > 500 && ndvi < 0.3 && white(i) < 0.7) 1.0 else 0.0
+        }
+      i += 1
+    }
+    // pass 2: global-stat threshold on blue over pass-1 candidates
+    var s = 0.0; var n = 0L
+    i = 0
+    while (i < blue.length) {
+      if (pass1(i) == 1.0) { s += blue(i); n += 1 }
+      i += 1
+    }
+    val thresh = if (n == 0) Double.MaxValue else s / n
+    val mask = new Array[Double](blue.length)
+    i = 0
+    while (i < blue.length) {
+      mask(i) = if (pass1(i) == 1.0 && blue(i) >= thresh) 1.0
+                else if (blue(i).isNaN) Double.NaN else 0.0
+      i += 1
+    }
+    val grown = Pixels.dilate(mask, w, h, 3, 3)
+    var nc = 0L; var ng = 0L
+    i = 0
+    while (i < mask.length) {
+      if (mask(i) == 1.0) nc += 1
+      if (grown(i) == 1.0) ng += 1
+      i += 1
+    }
+    (nc, ng)
+  })
+
+  // ---- pansharp_brovey (GeoAlgorithms.cpp:678-726) ----
+  /** Brovey pansharpen: upscale RGB+NIR bilinearly to the pan grid,
+    * dnf = (pan − w3·nir) / (w0·r + w1·g + w2·b), multiply RGB by dnf. */
+  def pansharpBrovey(cube: Array[Array[Double]], w: Int, h: Int,
+                     pan: Array[Double], pw: Int, ph: Int,
+                     weights: Array[Double]): Array[Array[Double]] = {
+    // direct bilinear upscale (pan grid is an integer multiple)
+    val sx = w.toDouble / pw; val sy = h.toDouble / ph
+    def up2(p: Array[Double]): Array[Double] = {
+      val o = new Array[Double](pw * ph)
+      var j = 0
+      while (j < ph) {
+        var i2 = 0
+        while (i2 < pw) {
+          val px = (i2 + 0.5) * sx - 0.5; val py = (j + 0.5) * sy - 0.5
+          val x0 = math.floor(px).toInt; val y0 = math.floor(py).toInt
+          val fx = px - x0; val fy = py - y0
+          def at(x: Int, y: Int) =
+            p(math.max(0, math.min(h - 1, y)) * w + math.max(0, math.min(w - 1, x)))
+          o(j * pw + i2) = (at(x0, y0) * (1 - fx) + at(x0 + 1, y0) * fx) * (1 - fy) +
+            (at(x0, y0 + 1) * (1 - fx) + at(x0 + 1, y0 + 1) * fx) * fy
+          i2 += 1
+        }
+        j += 1
+      }
+      o
+    }
+    val r = up2(cube(2)); val g = up2(cube(1)); val b = up2(cube(0))
+    val nirU = up2(cube(3))
+    val out = Array(new Array[Double](pw * ph), new Array[Double](pw * ph),
+      new Array[Double](pw * ph))
+    var i = 0
+    while (i < pw * ph) {
+      val den = weights(0) * r(i) + weights(1) * g(i) + weights(2) * b(i)
+      val dnf = if (den == 0 || pan(i).isNaN || r(i).isNaN) Double.NaN
+                else (pan(i) - weights(3) * nirU(i)) / den
+      out(0)(i) = r(i) * dnf; out(1)(i) = g(i) * dnf; out(2)(i) = b(i) * dnf
+      i += 1
+    }
+    out
+  }
+
+  // ---- distributed k-means over embeddings ----
+  /** Deterministic k-means on the embeddings table: centers seeded from
+    * the `k` lowest vec_ids; fixed `iters` rounds of broadcast-assign /
+    * groupBy-mean. Returns (vec_id, cluster). */
+  def kmeansEmbeddings(spark: SparkSession, emb: DataFrame, k: Int,
+                       iters: Int): DataFrame = {
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>").as("e"))
+      .as[(Long, Array[Double])].cache()
+    var centers: Array[Array[Double]] =
+      vecs.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centers)
+      val a = vecs.map { case (id, e) =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < bc.value.length) {
+          var d = 0.0; var i = 0
+          val cv = bc.value(c)
+          while (i < e.length) { val t = e(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (id, best, e)
+      }.toDF("vec_id", "cluster", "e")
+      centers = a.groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          array((0 until centers(0).length)
+            .map(i => sum(col("e").getItem(i))): _*).as("s"))
+        .collect()
+        .sortBy(_.getInt(0))
+        .map { row =>
+          val n = row.getLong(1)
+          row.getSeq[Double](2).map(_ / n).toArray
+        }
+      assigned = a.select(col("vec_id"), col("cluster").cast("long"))
+    }
+    assigned
+  }
+}
