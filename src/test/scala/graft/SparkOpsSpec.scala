@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.core.Geom
+import graft.gen.Synth
+import graft.ops._
+import graft.table.Lineage
+import java.nio.file.Files
+
+class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def images(n: Long): DataFrame = Synth.imagesRange(spark, n, 4)
+  private def polys(m: Long): DataFrame = Synth.polygonsRange(spark, m)
+
+  test("joinRects matches brute-force theta join (all strategies)") {
+    val im = images(3000).cache()
+    val po = polys(40).cache()
+    val brute = im.crossJoin(po)
+      .where(col("x0m") < col("px1m") && col("px0m") < col("x1m") &&
+             col("y0m") < col("py1m") && col("py0m") < col("y1m"))
+      .select("image_id", "fid")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    for ((bcast, salt) <- Seq((true, 0), (false, 0), (false, 8))) {
+      val got = SpatialJoin.joinRects(im, po, 7, bcast, salt)
+        .select("image_id", "fid")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == brute, s"strategy bcast=$bcast salt=$salt")
+    }
+  }
+
+  test("joinPolygons (ray-casting refine) matches JTS brute force") {
+    import org.locationtech.jts.geom._
+    val gf = new GeometryFactory()
+    val im = images(2000).cache()
+    // concave V-shaped polygon + a triangle, in mdeg
+    val wkts = Seq(
+      (0L, "POLYGON ((-50 -20, 10 -20, 10 30, -20 30, -20 0, -50 0, -50 -20))"),
+      (1L, "POLYGON ((60 -40, 120 -40, 90 20, 60 -40))"))
+    val pdf = wkts.map { case (fid, wkt) =>
+      val (xs, ys) = Geom.parsePolygonWkt(wkt)
+      (fid, wkt, (xs.min * 1000).toLong, (ys.min * 1000).toLong,
+        (xs.max * 1000).toLong, (ys.max * 1000).toLong)
+    }
+    val polyDf = spark.createDataFrame(pdf)
+      .toDF("fid", "geom_wkt", "px0m", "py0m", "px1m", "py1m")
+    val got = SpatialJoin.joinPolygons(im, polyDf, 7)
+      .select("image_id", "fid")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // JTS oracle
+    val rows = im.select("image_id", "x0m", "y0m", "x1m", "y1m").collect()
+    val expect = (for {
+      r <- rows
+      (fid, wkt) <- wkts
+      poly = {
+        val (xs, ys) = Geom.parsePolygonWkt(wkt)
+        val ring = (xs.indices :+ 0).map(i => new Coordinate(xs(i), ys(i))).toArray
+        gf.createPolygon(ring)
+      }
+      rect = gf.createPolygon(Array(
+        new Coordinate(r.getLong(1) / 1000.0, r.getLong(2) / 1000.0),
+        new Coordinate(r.getLong(3) / 1000.0, r.getLong(2) / 1000.0),
+        new Coordinate(r.getLong(3) / 1000.0, r.getLong(4) / 1000.0),
+        new Coordinate(r.getLong(1) / 1000.0, r.getLong(4) / 1000.0),
+        new Coordinate(r.getLong(1) / 1000.0, r.getLong(2) / 1000.0)))
+      if rect.intersects(poly) && !rect.touches(poly)
+    } yield (r.getString(0), fid)).toSet
+    assert(got == expect)
+  }
+
+  test("knn matches brute force and is exact") {
+    val im = images(2000)
+      .withColumn("cxm", col("x0m") + col("w") * 2)
+      .withColumn("cym", col("y0m") + col("h") * 2)
+      .select("image_id", "cxm", "cym").cache()
+    val qs = spark.createDataFrame(Seq(
+      (0L, 0L, 0L), (1L, -140000L, -55000L), (2L, 145000L, 58000L),
+      (3L, 70000L, 10000L))).toDF("qid", "qxm", "qym")
+    val got = Knn.knn(spark, im, qs, 7, 7)
+      .select("qid", "rank", "image_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val brute = im.crossJoin(qs)
+      .withColumn("dist2",
+        (col("cxm") - col("qxm")) * (col("cxm") - col("qxm")) +
+        (col("cym") - col("qym")) * (col("cym") - col("qym")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("dist2"), col("image_id"))))
+      .where(col("rank") <= 7)
+      .select("qid", "rank", "image_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == brute)
+  }
+
+  test("tiling reproduces the reference chunks() contract") {
+    // contract (/root/reference/test/test_GeoResource.py:110-125):
+    // full-width row bands, contiguous, equal heights except last
+    val one = spark.createDataFrame(Seq(("i0", 2000L, 2000L)))
+      .toDF("image_id", "w", "h")
+    val t100 = Tiling.tilesNum(one, 100).orderBy("tile_idx")
+      .select("ty0", "ty1", "th").collect()
+    assert(t100.length == 100)
+    assert(t100.head.getLong(0) == 0)
+    assert(t100.last.getLong(1) == 2000)
+    t100.sliding(2).foreach(p =>
+      assert(p(0).getLong(1) == p(1).getLong(0), "contiguous"))
+    assert(t100.map(_.getLong(2)).distinct.length <= 2)
+    // chunkBytes formula: rows = floor(bytes/8/w)
+    val tB = Tiling.tiles(one, 8 * 2000 * 64).orderBy("tile_idx")
+      .select("ty0", "ty1").collect()
+    assert(tB.length == math.ceil(2000.0 / 64).toInt)
+    // padding clips at borders
+    val tp = Tiling.tilesNum(one, 4, padding = 3)
+      .orderBy("tile_idx").select("pty0", "pty1").collect()
+    assert(tp.head.getLong(0) == 0 && tp.last.getLong(1) == 2000)
+    assert(tp(1).getLong(0) == 500 - 3 && tp(1).getLong(1) == 1000 + 3)
+  }
+
+  test("warp: identity grid preserves pixels; 3857 output sizes") {
+    val k = 13L // raw-i16le image
+    val w = Synth.wOf(k); val h = Synth.hOf(k)
+    val p = Synth.planes(k)(0)
+    val grid = Warp.Grid(0, 0, w, h, w, h, 1.0, 1.0)
+    val out = Warp.resample(p, w, h, 0, h, 1.0, 1.0, grid, interp = 0)
+    assert(out.zip(p).forall { case (a, b) =>
+      (a.isNaN && b.isNaN) || a == b }, "identity warp must be exact")
+    // bilinear at 2x then block-mean ≈ original mean (smooth ramp)
+    val g2 = Warp.Grid(0, 0, w, h, w * 2, h * 2, 0.5, 0.5)
+    val up = Warp.resample(p, w, h, 0, h, 1.0, 1.0, g2, interp = 1)
+    val validUp = up.filter(!_.isNaN)
+    val valid = p.filter(!_.isNaN)
+    assert(math.abs(validUp.sum / validUp.length - valid.sum / valid.length) < 2.0)
+  }
+
+  test("pansharp brovey: constant-band sanity") {
+    val w = 8; val h = 8
+    val cube = Array.fill(6)(Array.fill(w * h)(100.0))
+    val pan = Array.fill(w * h * 4)(200.0)
+    val out = Algorithms.pansharpBrovey(cube, w, h, pan, w * 2, h * 2,
+      Array(0.3, 0.3, 0.3, 0.1))
+    // dnf = (200 - 0.1*100) / (0.3*100*3) = 190/90
+    val expect = 100.0 * (190.0 / 90.0)
+    assert(out(0).forall(v => math.abs(v - expect) < 1e-9))
+  }
+
+  test("kmeans embeddings: deterministic and separates clusters") {
+    import spark.implicits._
+    val r = new scala.util.Random(4)
+    val pts = (0 until 200).map { i =>
+      val c = i % 4
+      val base = Array.fill(8)(0.0); base(c * 2) = 10.0
+      (i.toLong, base.map(_ + r.nextGaussian() * 0.1))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val a1 = Algorithms.kmeansEmbeddings(spark, df, 4, 5)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toMap
+    val a2 = Algorithms.kmeansEmbeddings(spark, df, 4, 5)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toMap
+    assert(a1 == a2, "deterministic")
+    // all members of a true cluster land together
+    (0 until 4).foreach { c =>
+      val labels = (0 until 200).filter(_ % 4 == c).map(i => a1(i.toLong))
+      assert(labels.distinct.length == 1, s"true cluster $c split: $labels")
+    }
+  }
+
+  test("rxd: injected anomaly scores highest") {
+    val r = new scala.util.Random(8)
+    val n = 400
+    val cube = Array.fill(3)(Array.fill(n)(0.0))
+    for (i <- 0 until n; b <- 0 until 3)
+      cube(b)(i) = 100 + r.nextGaussian() * (b + 1)
+    // anomaly at 17
+    for (b <- 0 until 3) cube(b)(17) = 100 + 40 * (if (b == 1) -1 else 1)
+    val rx = Algorithms.rxdPlane(cube)
+    assert(rx.indexOf(rx.max) == 17)
+  }
+
+  test("lineage: resumable write skips committed buckets, metrics consistent") {
+    val root = Files.createTempDirectory("graft_lineage").toString
+    val df = images(1000).select("image_id", "k", "w", "h")
+    val n1 = Lineage.writeResumable(spark, df, root, "image_id", 8)
+    assert(n1 == 8)
+    // full resume: nothing to do
+    assert(Lineage.writeResumable(spark, df, root, "image_id", 8) == 0)
+    // simulate partial failure: drop last 3 commits from the log
+    val log = Lineage.logPath(root)
+    val lines = Files.readAllLines(log)
+    Files.write(log, lines.subList(0, 5))
+    assert(Lineage.writeResumable(spark, df, root, "image_id", 8) == 3)
+    val back = Lineage.read(spark, root)
+    assert(back.count() == 1000)
+    assert(back.select("image_id").distinct().count() == 1000)
+    val m = Lineage.metrics(spark, root)
+    assert(m.count() == 8) // 5 kept + 3 re-commits
+    assert(m.groupBy().agg(sum("rows")).collect()(0).getLong(0) >= 1000)
+  }
+
+}
