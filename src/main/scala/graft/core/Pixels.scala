@@ -109,11 +109,16 @@ object Pixels {
     }
   }
 
-  def stats(p: Array[Double]): Stats = {
+  def stats(p: Array[Double]): Stats = statsN(p, p.length)
+
+  /** Length-bounded variant for reusable scratch buffers (hot decode
+    * paths keep per-thread buffers sized to the max payload and bound
+    * the pass by the live prefix — zero allocation per image). */
+  def statsN(p: Array[Double], len: Int): Stats = {
     var n = 0L; var s = 0.0; var s2 = 0.0; var s3 = 0.0
     var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
     var i = 0
-    while (i < p.length) {
+    while (i < len) {
       val v = p(i)
       if (!v.isNaN) {
         n += 1; s += v; s2 += v * v; s3 += v * v * v
@@ -134,12 +139,15 @@ object Pixels {
     histogramIn(p, bins, st.min, st.max)
   }
 
-  def histogramIn(p: Array[Double], bins: Int, mn: Double, mx: Double): Array[Long] = {
+  def histogramIn(p: Array[Double], bins: Int, mn: Double, mx: Double): Array[Long] =
+    histogramInN(p, p.length, bins, mn, mx)
+
+  def histogramInN(p: Array[Double], len: Int, bins: Int, mn: Double, mx: Double): Array[Long] = {
     val counts = new Array[Long](bins)
-    if (mx <= mn) { counts(0) = stats(p).count; return counts }
+    if (mx <= mn) { counts(0) = statsN(p, len).count; return counts }
     val step = (mx - mn) / bins
     var i = 0
-    while (i < p.length) {
+    while (i < len) {
       val v = p(i)
       if (!v.isNaN) {
         var b = ((v - mn) / step).toInt
@@ -156,12 +164,15 @@ object Pixels {
     * histogram — the reference's (deliberately approximate) algorithm
     * (/root/reference/GIP/GeoRaster.cpp:125-138), NOT an exact quantile.
     * Replicated bin-for-bin for parity. */
-  def percentile(p: Array[Double], pct: Double): Double = {
-    val st = stats(p)
+  def percentile(p: Array[Double], pct: Double): Double =
+    percentileN(p, p.length, pct)
+
+  def percentileN(p: Array[Double], len: Int, pct: Double): Double = {
+    val st = statsN(p, len)
     if (st.count == 0) return Double.NaN
     if (st.max == st.min) return st.min
     val bins = 100
-    val hist = histogramIn(p, bins, st.min, st.max)
+    val hist = histogramInN(p, len, bins, st.min, st.max)
     val target = pct / 100.0 * st.count
     var cum = 0.0
     var i = 0

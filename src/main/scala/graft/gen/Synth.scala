@@ -167,15 +167,17 @@ object Synth {
      .withColumn("y1m", col("y0m") + col("h") * ResM)
   }
 
-  /** Scalable polygon generator for benchmarks (m polygons). */
-  def polygonsRange(spark: SparkSession, m: Long): DataFrame = {
+  /** Scalable polygon generator for benchmarks (m polygons).
+    * `sizeDiv` shrinks polygon extents (realistic AOI density for the
+    * throughput benchmark: default 4–32°/div). */
+  def polygonsRange(spark: SparkSession, m: Long, sizeDiv: Long = 1L): DataFrame = {
     val j = col("id")
     spark.range(0, m).select(
       j.as("fid"),
       ((j * 51237 + 7919) % 280000 - 150000).as("px0m"),
       ((j * 26543 + 104729) % 100000 - 55000).as("py0m"),
-      (lit(4000) + (j * 3571) % 28000).as("pwm"),
-      (lit(3000) + (j * 2713) % 20000).as("phm")
+      ((lit(4000) + (j * 3571) % 28000) / sizeDiv).cast("long").as("pwm"),
+      ((lit(3000) + (j * 2713) % 20000) / sizeDiv).cast("long").as("phm")
     ).withColumn("px1m", col("px0m") + col("pwm"))
      .withColumn("py1m", col("py0m") + col("phm"))
   }

@@ -66,6 +66,39 @@ object SpatialJoin {
     }
   }
 
+  /** Small-image fast path: when every image extent ≤ cellSize(res)
+    * (true at res ≤ 7 for this engine's ≤1.02° footprints), an image's
+    * MIN-CORNER cell alone suffices as the join key if the polygon
+    * side pads its covering by one ring: overlap ⇒ the image's min
+    * corner lies within one cell of the polygon bbox. One row per
+    * image (no explode), each (image, polygon) candidate appears
+    * exactly once (no dedup predicate) — the map side is 2 shifts per
+    * row and the probe is a single broadcast-hash lookup. Requires
+    * caller-guaranteed max image extent; falls back to [[joinRects]]
+    * otherwise. */
+  def joinRectsSmallImages(images: DataFrame, polys: DataFrame, res: Int = 7,
+                           maxImageExtentM: Long = 1024): DataFrame = {
+    require(maxImageExtentM <= CellGrid.cellSize(res),
+      s"image extent exceeds cell size at res $res — use joinRects")
+    // single packed long key -> Spark picks the allocation-free
+    // LongHashedRelation for the broadcast build (a two-column key
+    // would fall back to the generic UnsafeHashedRelation and allocate
+    // per probe row)
+    val imgCells = images.withColumn("cell",
+      cellIx(col("x0m"), res) * CellGrid.IxMul + cellIy(col("y0m"), res))
+    val polCells = broadcast(polys
+      .withColumn("cix", explode(sequence(
+        cellIx(col("px0m"), res) - 1, cellIx(col("px1m") - 1, res) + 1)))
+      .withColumn("ciy", explode(sequence(
+        cellIy(col("py0m"), res) - 1, cellIy(col("py1m") - 1, res) + 1)))
+      .withColumn("cell", col("cix") * CellGrid.IxMul + col("ciy"))
+      .drop("cix", "ciy"))
+    val overlap =
+      col("x0m") < col("px1m") && col("px0m") < col("x1m") &&
+      col("y0m") < col("py1m") && col("py0m") < col("y1m")
+    imgCells.join(polCells, Seq("cell")).where(overlap)
+  }
+
   /** Anti-join: images matching NO polygon (reference analog: features
     * with empty intersections map). */
   def joinRectsAnti(images: DataFrame, polys: DataFrame, res: Int = 7): DataFrame = {

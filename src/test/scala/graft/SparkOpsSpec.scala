@@ -40,6 +40,16 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       assert(got == brute, s"strategy bcast=$bcast salt=$salt")
     }
+    // min-corner fast path (image extent ≤ cell size) — identical rows
+    val fast = SpatialJoin.joinRectsSmallImages(im, po, 7)
+      .select("image_id", "fid")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fast == brute, "small-image fast path")
+    // and candidate multiplicity is exactly 1 (no dedup needed)
+    val cnt = SpatialJoin.joinRectsSmallImages(im, po, 7)
+      .groupBy("image_id", "fid").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(cnt == 1L)
   }
 
   test("joinPolygons (ray-casting refine) matches JTS brute force") {
