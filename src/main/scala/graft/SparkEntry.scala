@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.gen.{OracleCte, Synth}
 import graft.index.CellGrid
-import graft.ops.{Algorithms, Indices, Knn, Mosaic, SpatialJoin, Stats, Tiling, Warp}
+import graft.ops.{Algorithms, Bands, Indices, Knn, Mosaic, SpatialJoin, Stats, Tiling, Warp}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` mirror)
   * per implemented operator from SURVEY.md §2. The geospatial input
@@ -208,6 +208,44 @@ object SparkEntry {
         .select(col("image_id"), col("sp._1").as("n_px"),
           col("sp._2").as("mean_fsum"), col("sp._3").as("sd_fsum"))
         .orderBy("image_id")),
+
+    // ---- band registry / masks / overviews ----
+    "q_band_select" -> ((s, dir) =>
+      Stats.bandStats(
+          Bands.select(Synth.imagesWithBytes(s, dir, smallRaw),
+            Seq("nir", "red")), 2)
+        .orderBy("image_id", "band")),
+
+    "q_mask_apply" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("ms", Bands.maskStatsAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands), lit(0), lit(500.0), lit(3)))
+        .select(col("image_id"), col("ms._1").as("n_valid"),
+          col("ms._2").as("vsum"))
+        .orderBy("image_id")),
+
+    "q_overview_l2" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("ov", Bands.overviewAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands)))
+        .select(col("image_id"), col("ov._1").as("n_valid"),
+          col("ov._2").as("vsum"))
+        .orderBy("image_id")),
+
+    "q_phash_pairs" -> ((s, dir) => {
+      val im = Synth.imagesWithBytes(s, dir, smallRaw)
+        .select(col("image_id"), col("phash"))
+      val a = im.select(col("image_id").as("id_a"), col("phash").as("ph_a"))
+      val b = im.select(col("image_id").as("id_b"), col("phash").as("ph_b"))
+      val ham = udf((x: Long, y: Long) => graft.core.Codec.hamming(x, y))
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .withColumn("dist", ham(col("ph_a"), col("ph_b")))
+        .where(col("dist") <= 16)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")
+    }),
 
     // ---- multi-band algorithms ----
     "q_whiteness" -> ((s, dir) =>
@@ -637,6 +675,42 @@ object SparkEntry {
          |  CAST(SUM(CAST(FLOOR(mean*1e6) AS BIGINT)) AS BIGINT) AS mean_fsum,
          |  CAST(SUM(CAST(FLOOR(sd*1e6) AS BIGINT)) AS BIGINT) AS sd_fsum
          |FROM m JOIN img2 i ON i.k = m.k
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_band_select" ->
+      s"""WITH $I, $B, $SimgCte,
+         |sel AS (SELECT 0 AS ob, 3 AS b UNION ALL SELECT 1 AS ob, 2 AS b),
+         |stat AS (
+         |  SELECT s.image_id, sel.ob, s.w, s.h, s.nw, p.base, p.ax, p.ay,
+         |    ((s.w-1)*s.w)//2 - ((s.nw-1)*s.nw)//2 AS sx,
+         |    ((s.w-1)*s.w*(2*s.w-1))//6 - ((s.nw-1)*s.nw*(2*s.nw-1))//6 AS sx2,
+         |    (s.h*(s.h-1))//2 AS sy,
+         |    ((s.h-1)*s.h*(2*s.h-1))//6 AS sy2
+         |  FROM simg s CROSS JOIN sel JOIN bandp p ON p.k = s.k AND p.b = sel.b)
+         |SELECT image_id, CAST(ob AS BIGINT) AS band,
+         |  (w-nw)*h AS cnt,
+         |  base*(w-nw)*h + ax*sx*h + ay*sy*(w-nw) AS vsum,
+         |  base + ax*nw AS vmin,
+         |  base + ax*(w-1) + ay*(h-1) AS vmax,
+         |  base*base*(w-nw)*h + ax*ax*sx2*h + ay*ay*sy2*(w-nw)
+         |    + 2*base*ax*sx*h + 2*base*ay*sy*(w-nw) + 2*ax*ay*sx*sy AS vsumsq
+         |FROM stat ORDER BY image_id, band""".stripMargin,
+
+    "q_mask_apply" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte, $PxdCte,
+         |m AS (SELECT k, CAST(n AS BIGINT) AS nv FROM pxd WHERE b > 500)
+         |SELECT i.image_id, CAST(COUNT(m.nv) AS BIGINT) AS n_valid,
+         |  COALESCE(CAST(SUM(m.nv) AS BIGINT), 0) AS vsum
+         |FROM simg i LEFT JOIN m ON m.k = i.k
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_overview_l2" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte,
+         |ov AS (SELECT k, v FROM px
+         |       WHERE b = 0 AND x % 2 = 0 AND y % 2 = 0)
+         |SELECT i.image_id, CAST(COUNT(ov.v) AS BIGINT) AS n_valid,
+         |  COALESCE(CAST(SUM(ov.v) AS BIGINT), 0) AS vsum
+         |FROM simg i LEFT JOIN ov ON ov.k = i.k
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_whiteness" ->

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.index.CellGrid
+
+/** Structured-Streaming surface: continuous ingest of image-metadata
+  * rows → covering-cell assignment → per-cell running aggregation.
+  * The reference is batch-only (chunk loops); the north rule needs
+  * RESUMABILITY, which the batch path gets from graft.table.Lineage —
+  * this module covers the genuinely-streaming ingest case (new imagery
+  * arriving continuously), where checkpointing is Spark's own.
+  */
+object CellStream {
+
+  /** Streaming per-cell image counts at `res` (update/complete modes).
+    * Input stream needs (image_id, x0m, y0m): each image lands in its
+    * min-corner cell — a pure map, so the only stateful operator is
+    * the final aggregation (bounded state: one row per touched cell). */
+  def cellCounts(stream: DataFrame, res: Int): DataFrame = {
+    val shift = CellGrid.Shift - res
+    stream
+      .withColumn("cell",
+        shiftright(col("x0m") + CellGrid.OffX, shift) * CellGrid.IxMul +
+        shiftright(col("y0m") + CellGrid.OffY, shift))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_images"))
+  }
+
+  /** Event-time windowed variant with watermark (late data bounded by
+    * `lateness`): (ts, x0m, y0m) → per (window, cell) counts. */
+  def windowedCellCounts(stream: DataFrame, res: Int,
+                         window: String, lateness: String): DataFrame = {
+    val shift = CellGrid.Shift - res
+    stream
+      .withColumn("cell",
+        shiftright(col("x0m") + CellGrid.OffX, shift) * CellGrid.IxMul +
+        shiftright(col("y0m") + CellGrid.OffY, shift))
+      .withWatermark("ts", lateness)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("cell"))
+      .agg(count(lit(1)).as("n_images"))
+  }
+}

@@ -37,3 +37,26 @@ object Scratch {
     spark.stop()
   }
 }
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val im = graft.gen.Synth.imagesRange(spark, 1000000, 16)
+    val po = graft.gen.Synth.polygonsRange(spark, 1000, 8)
+    println("==== headline join+tile plan ====")
+    val j = graft.ops.SpatialJoin.joinRectsSmallImages(im, po, 7)
+    graft.ops.Tiling.tiles(graft.ops.SpatialJoin.cropRects(j)
+      .select(org.apache.spark.sql.functions.col("k"),
+        (org.apache.spark.sql.functions.col("cpx1") - org.apache.spark.sql.functions.col("cpx0")).as("w"),
+        (org.apache.spark.sql.functions.col("cpy1") - org.apache.spark.sql.functions.col("cpy0")).as("h")), 65536)
+      .explain("formatted")
+    println("==== gate spatial join on parquet (pushdown check) ====")
+    graft.ops.SpatialJoin.joinRects(
+      graft.gen.Synth.images(spark, "/root/testdata/sf0.01"),
+      graft.gen.Synth.polygons(spark, "/root/testdata/sf0.01"), 7)
+      .select("image_id", "fid").explain("formatted")
+    spark.stop()
+  }
+}
