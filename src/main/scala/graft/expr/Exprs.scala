@@ -1,0 +1,133 @@
+package graft.expr
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.{SparkSessionExtensions, SparkSessionExtensionsProvider}
+import graft.core.Geom
+import graft.index.CellGrid
+
+/** Native Catalyst expressions for the hot spatial primitives —
+  * preferred over Scala UDFs (no boxing/encoder round-trip; CellPack
+  * generates straight-line Java inside whole-stage codegen).
+  *
+  * Registered for SQL via [[GraftExtensions]]
+  * (SparkSessionExtensions.injectFunction) or
+  * [[GraftFunctions.register]] on an existing session:
+  *   graft_cell_pack(lonM, latM, res)          → packed long cell id
+  *   graft_cell_cover(x0,y0,x1,y1, res)        → array<long> covering
+  *   graft_rect_poly(x0,y0,x1,y1, wkt)         → exact rect∩polygon
+  */
+
+/** Packed covering-cell id of a point (mdeg) at `res` — the equi-join
+  * key; full whole-stage codegen. */
+case class CellPack(lon: Expression, lat: Expression, res: Expression)
+    extends TernaryExpression {
+  override def first: Expression = lon
+  override def second: Expression = lat
+  override def third: Expression = res
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (lon.dataType == LongType && lat.dataType == LongType &&
+        res.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_cell_pack(bigint, bigint, int), got " +
+        s"(${lon.dataType}, ${lat.dataType}, ${res.dataType})")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(lonV: Any, latV: Any, resV: Any): Any = {
+    val r = resV.asInstanceOf[Int]
+    val sh = CellGrid.Shift - r
+    (((lonV.asInstanceOf[Long] + CellGrid.OffX) >> sh) * CellGrid.IxMul) +
+      ((latV.asInstanceOf[Long] + CellGrid.OffY) >> sh)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lonC, latC, resC) =>
+      s"""
+         |int graft_sh = ${CellGrid.Shift} - $resC;
+         |${ev.value} = ((($lonC + ${CellGrid.OffX}L) >> graft_sh) *
+         |  ${CellGrid.IxMul}L) + (($latC + ${CellGrid.OffY}L) >> graft_sh);
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** Covering-cell id set of an mdeg bbox at `res` (H3-polyfill analog);
+  * row-major deterministic order. */
+case class CellCover(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 5, "graft_cell_cover(x0,y0,x1,y1,res)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val Seq(x0, y0, x1, y1) = vals.take(4).map(_.asInstanceOf[Long])
+    val res = vals(4).asInstanceOf[Int]
+    new GenericArrayData(
+      CellGrid.cover(res, Geom.BBoxI(x0, y0, x1, y1))
+        .map(id => CellGrid.ixOf(id) * CellGrid.IxMul + CellGrid.iyOf(id)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
+/** Exact rect-vs-polygon overlap (ray-casting refine). Coordinates in
+  * mdeg, polygon as WKT; parsed rings are memoized per expression
+  * instance (per task) so repeated polygons — the broadcast side of
+  * the join — parse once, not once per probe row. */
+case class RectIntersectsPoly(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 5, "graft_rect_poly(x0,y0,x1,y1,wkt)")
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  @transient private lazy val ringCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val Seq(x0, y0, x1, y1) = vals.take(4).map(_.asInstanceOf[Long])
+    val wkt = vals(4).asInstanceOf[UTF8String].toString
+    val (xs, ys) = ringCache.computeIfAbsent(wkt,
+      _ => Geom.parsePolygonWkt(wkt))
+    java.lang.Boolean.valueOf(Geom.rectIntersectsPolygon(
+      Geom.BBoxD(x0 / 1000.0, y0 / 1000.0, x1 / 1000.0, y1 / 1000.0), xs, ys))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
+object GraftFunctions {
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cell_pack" -> (es => CellPack(es(0), es(1), es(2))),
+    "graft_cell_cover" -> (es => CellCover(es)),
+    "graft_rect_poly" -> (es => RectIntersectsPoly(es)))
+
+  /** Idempotent registration on a live session. */
+  def register(spark: SparkSession): Unit = all.foreach { case (name, b) =>
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, b, "built-in")
+  }
+}
+
+/** spark.sql.extensions entry point: registers the graft functions at
+  * session build time (`--conf spark.sql.extensions=graft.expr.GraftExtensions`). */
+class GraftExtensions extends SparkSessionExtensionsProvider {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.expr", name), b))
+    }
+}

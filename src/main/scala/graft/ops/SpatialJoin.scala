@@ -111,12 +111,11 @@ object SpatialJoin {
     * /root/reference/GIP/gip/GeoVector.h:166's Overlaps analog).
     * `polys` needs (fid, geom_wkt, px0m..py1m bbox columns). */
   def joinPolygons(images: DataFrame, polys: DataFrame, res: Int = 7): DataFrame = {
-    val refine = udf((x0m: Long, y0m: Long, x1m: Long, y1m: Long, wkt: String) => {
-      val (xs, ys) = Geom.parsePolygonWkt(wkt)
-      Geom.rectIntersectsPolygon(
-        Geom.BBoxD(x0m / 1000.0, y0m / 1000.0, x1m / 1000.0, y1m / 1000.0),
-        xs, ys)
-    })
+    // native Catalyst refine expression: per-task WKT ring memoization
+    // instead of a per-row-parsing UDF (graft.expr.RectIntersectsPoly)
+    graft.expr.GraftFunctions.register(images.sparkSession)
+    val refine = (a: Column, b: Column, c: Column, d: Column, w: Column) =>
+      call_function("graft_rect_poly", a, b, c, d, w)
     val imgCells = withCoverCells(images, res, "x0m", "y0m", "x1m", "y1m")
     val polCells = broadcast(
       withCoverCells(polys, res, "px0m", "py0m", "px1m", "py1m"))
