@@ -209,6 +209,37 @@ object SparkEntry {
           col("sp._2").as("mean_fsum"), col("sp._3").as("sd_fsum"))
         .orderBy("image_id")),
 
+    // ---- vector-layer attribute ops (GeoVector.where analogs) ----
+    "q_vector_where" -> ((s, dir) => {
+      val g = new graft.api.GippySpark(s)
+      g.where(g.openPolygons(dir), "pwm > 20000 AND fid % 2 = 0")
+        .toDF().select(col("fid"), col("px0m"), col("py0m"),
+          col("px1m"), col("py1m"))
+        .orderBy("fid")
+    }),
+
+    // ---- warp resample (nearest, 2x upsample parity) ----
+    "q_warp_nearest2x" -> ((s, dir) => {
+      val rs = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        val p = graft.core.Codec.decode(bytes, w, h,
+          graft.core.Codec.bandsStored(fmt, Synth.NumBands), fmt)(0)
+        val out = Warp.resample(p, w, h, 0, h, 1.0, 1.0,
+          Warp.Grid(0, 0, w, h, 2 * w, 2 * h, 0.5, 0.5), interp = 0)
+        var n = 0L; var sum = 0L; var i = 0
+        while (i < out.length) {
+          if (!out(i).isNaN) { n += 1; sum += out(i).toLong }
+          i += 1
+        }
+        (n, sum)
+      })
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("r", rs(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt")))
+        .select(col("image_id"), col("r._1").as("n_valid"),
+          col("r._2").as("vsum"))
+        .orderBy("image_id")
+    }),
+
     // ---- band registry / masks / overviews ----
     "q_band_select" -> ((s, dir) =>
       Stats.bandStats(
@@ -676,6 +707,22 @@ object SparkEntry {
          |  CAST(SUM(CAST(FLOOR(sd*1e6) AS BIGINT)) AS BIGINT) AS sd_fsum
          |FROM m JOIN img2 i ON i.k = m.k
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_vector_where" ->
+      s"""WITH $P
+         |SELECT fid, px0m, py0m, px1m, py1m FROM poly2
+         |WHERE pwm > 20000 AND fid % 2 = 0 ORDER BY fid""".stripMargin,
+
+    "q_warp_nearest2x" ->
+      s"""WITH $I, $B, $SimgCte,
+         |stat AS (
+         |  SELECT s.image_id, s.w, s.h, s.nw, p.base, p.ax, p.ay,
+         |    ((s.w-1)*s.w)//2 - ((s.nw-1)*s.nw)//2 AS sx,
+         |    (s.h*(s.h-1))//2 AS sy
+         |  FROM simg s JOIN bandp p ON p.k = s.k AND p.b = 0)
+         |SELECT image_id, 4*(w-nw)*h AS n_valid,
+         |  4*(base*(w-nw)*h + ax*sx*h + ay*sy*(w-nw)) AS vsum
+         |FROM stat ORDER BY image_id""".stripMargin,
 
     "q_band_select" ->
       s"""WITH $I, $B, $SimgCte,

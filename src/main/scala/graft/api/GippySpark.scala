@@ -1,0 +1,70 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Codec, Pixels}
+import graft.gen.Synth
+import graft.ops._
+
+/** Typed user-facing API — what a gippy user writes after switching
+  * (reference Python surface: gippy.GeoImage / gippy.algorithms).
+  * `Dataset[ImageMeta]` rows are the GeoImage analog; band math and
+  * algorithms are Dataset→Dataset transformers; vector layers are
+  * `Dataset[Feature]`.
+  */
+object Model {
+  /** One image row (input_hint schema + derived georeferencing). */
+  final case class ImageMeta(image_id: String, k: Long, w: Long, h: Long,
+                             fmt: String, nw: Long,
+                             x0m: Long, y0m: Long, x1m: Long, y1m: Long)
+  /** One vector feature (reference GeoFeature.h:36-173). */
+  final case class Feature(fid: Long, layer: String, geom_wkt: String,
+                           px0m: Long, py0m: Long, px1m: Long, py1m: Long)
+  final case class TileRef(image_id: String, tile_idx: Long,
+                           ty0: Long, ty1: Long, th: Long)
+}
+
+final class GippySpark(val spark: SparkSession) {
+  import Model._
+  import spark.implicits._
+
+  graft.expr.GraftFunctions.register(spark)
+
+  /** Open the images table (metadata; payload columns stay lazy). */
+  def openImages(sfDir: String): Dataset[ImageMeta] =
+    Synth.images(spark, sfDir)
+      .select("image_id", "k", "w", "h", "fmt", "nw",
+        "x0m", "y0m", "x1m", "y1m")
+      .as[ImageMeta]
+
+  def openPolygons(sfDir: String): Dataset[Feature] =
+    Synth.polygons(spark, sfDir)
+      .select("fid", "layer", "geom_wkt", "px0m", "py0m", "px1m", "py1m")
+      .as[Feature]
+
+  /** GeoVector.where(attr, value) / where(sql) analogs
+    * (/root/reference/GIP/gip/GeoVector.h:129-150). */
+  def where(features: Dataset[Feature], sql: String): Dataset[Feature] =
+    features.where(expr(sql))
+
+  /** Primary-key feature lookup (GeoVector.h:63-114). */
+  def byKey(features: Dataset[Feature], fid: Long): Dataset[Feature] =
+    features.filter(_.fid == fid)
+
+  /** The spatial join: images ∩ polygon layer (cell prefilter + exact
+    * refine), typed pair output. */
+  def intersections(images: Dataset[ImageMeta], features: Dataset[Feature],
+                    res: Int = 7): DataFrame =
+    SpatialJoin.joinPolygons(images.toDF(), features.toDF(), res)
+
+  /** Tile map (chunks() parity). */
+  def tiles(images: Dataset[ImageMeta], chunkBytes: Long): Dataset[TileRef] =
+    Tiling.tiles(images.toDF(), chunkBytes)
+      .select("image_id", "tile_idx", "ty0", "ty1", "th").as[TileRef]
+
+  /** NDVI over decoded payloads (typed map — the lazy band-math chain
+    * materializes per row, whole-stage-codegen around it). */
+  def ndviStats(sfDir: String, keyFilter: DataFrame => DataFrame): DataFrame =
+    Indices.indexStats(Synth.imagesWithBytes(spark, sfDir, keyFilter),
+      Seq("ndvi"), Synth.NumBands)
+}
