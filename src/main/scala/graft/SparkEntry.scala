@@ -355,10 +355,28 @@ object SparkEntry {
     "q_minhash_bands" -> ((s, dir) =>
       graft.text.TextOps.minhashBands(docs(s, dir)).orderBy("band")),
 
+    "q_jaccard_pairs" -> ((s, dir) =>
+      graft.text.TextOps.jaccardPairs(
+          docs(s, dir).where(col("doc_id") < 100), 0.01)
+        .orderBy("id_a", "id_b")),
+
+    "q_simhash" -> ((s, dir) =>
+      graft.text.TextOps.simhash(docs(s, dir)).orderBy("doc_id")),
+
     // ---- embeddings ----
     "q_ann_cosine_topk" -> ((s, dir) =>
       graft.vec.VectorOps.cosineTopK(emb(s, dir), col("vec_id") < 3, 10)
         .orderBy("qid", "rank")),
+    "q_emb_neardup" -> ((s, dir) => {
+      val e = emb(s, dir).where(col("vec_id") < 200)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .withColumn("sim", graft.vec.VectorOps.cosine(col("ea"), col("eb")))
+        .where(col("sim") > 0.35)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
     "q_vec_label_stats" -> ((s, dir) =>
       graft.vec.VectorOps.labelNormStats(emb(s, dir)).orderBy("label")),
 
@@ -875,6 +893,34 @@ object SparkEntry {
          |SELECT substr(h0, 1, 2) AS band, CAST(COUNT(*) AS BIGINT) AS cnt,
          |       MIN(doc_id) AS min_doc_id
          |FROM sig GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      s"""WITH $TokCte,
+         |t AS (SELECT doc_id, list_distinct(
+         |        CASE WHEN len(ts) >= 3 THEN
+         |          list_transform(generate_series(1, CAST(len(ts)-2 AS INT)),
+         |            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+         |        ELSE [text] END) AS sh
+         |      FROM tok WHERE doc_id < 100),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT)
+         |          AS n_union
+         |      FROM t a, t b WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, n_inter, n_union FROM p
+         |WHERE CAST(n_inter AS DOUBLE)/n_union >= 0.01
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_emb_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed
+        |           FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.ed, b.ed) /
+        |      (sqrt(list_dot_product(a.ed, a.ed)) *
+        |       sqrt(list_dot_product(b.ed, b.ed))) > 0.35
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe

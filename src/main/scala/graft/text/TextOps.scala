@@ -92,4 +92,49 @@ object TextOps {
     minhash(docs, 1)
       .groupBy(substring(col("h0"), 1, 2).as("band"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc_id"))
+
+  /** Exact n-gram (3-token shingle) Jaccard near-dup pairs over a
+    * bounded candidate set: |A∩B| / |A∪B| on DISTINCT shingle sets.
+    * The sizes are exact integers, so the similarity threshold is
+    * bit-reproducible in SQL. At corpus scale candidates come from the
+    * MinHash/LSH buckets instead of the bounded cross join. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = array_distinct(when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array(col("text"))))
+    val withSh = docs.select(col("doc_id"), sh.as("sh"))
+    val a = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jac", col("n_inter") / col("n_union"))
+      .where(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
+  }
+
+  /** 64-bit SimHash over tokens: per token, md5 bits vote ±1 per bit
+    * position; sign → bit. Deterministic; cross-checked in the spec
+    * (hex-bit voting is not economically SQL-expressible). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val sim = udf((text: String) => {
+      val votes = new Array[Int](64)
+      text.split(" ").foreach { t =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8"))
+        var b = 0
+        while (b < 64) {
+          if ((d(b / 8) >> (7 - b % 8) & 1) == 1) votes(b) += 1
+          else votes(b) -= 1
+          b += 1
+        }
+      }
+      var h = 0L; var b = 0
+      while (b < 64) { if (votes(b) > 0) h |= (1L << (63 - b)); b += 1 }
+      h
+    })
+    docs.select(col("doc_id"), sim(col("text")).as("simhash"))
+  }
 }
