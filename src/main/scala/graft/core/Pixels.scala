@@ -54,6 +54,16 @@ object Pixels {
     }
   }
 
+  /** Gain/offset applied at the read boundary (raw*gain + offset on
+    * valid pixels, /root/reference/GIP/gip/GeoRaster.h:496-501) and its
+    * write-side inverse ((v-offset)/gain on non-nodata,
+    * /root/reference/GIP/gip/GeoRaster.h:562-577). */
+  def applyGainOffset(p: Array[Double], gain: Double, offset: Double): Array[Double] =
+    p.map(v => if (v.isNaN) Double.NaN else v * gain + offset)
+
+  def inverseGainOffset(p: Array[Double], gain: Double, offset: Double): Array[Double] =
+    p.map(v => if (v.isNaN) Double.NaN else (v - offset) / gain)
+
   /** Apply a chain with the reference's nodata-restore postcondition. */
   def applyChain(p: Array[Double], ops: Seq[Op]): Array[Double] = {
     val out = new Array[Double](p.length)

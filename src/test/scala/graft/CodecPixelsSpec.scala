@@ -96,6 +96,15 @@ class CodecPixelsSpec extends AnyFunSuite {
     assert(s sameElements Array(0.0, 0.5, 1.0, 1.0))
   }
 
+  test("gain/offset read-apply and write-inverse round trip") {
+    val p = Array(100.0, Double.NaN, 250.0)
+    val read = Pixels.applyGainOffset(p, 0.0001, -5.0)
+    assert(read(0) == 100.0 * 0.0001 - 5.0 && read(1).isNaN)
+    val back = Pixels.inverseGainOffset(read, 0.0001, -5.0)
+    assert(math.abs(back(0) - 100.0) < 1e-9 && back(1).isNaN &&
+      math.abs(back(2) - 250.0) < 1e-9)
+  }
+
   test("stats/histogram/percentile parity with naive recompute") {
     val r = new scala.util.Random(11)
     val p = Array.fill(5000)(if (r.nextInt(10) == 0) Double.NaN else r.nextDouble() * 100)
