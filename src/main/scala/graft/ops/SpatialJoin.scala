@@ -54,15 +54,22 @@ object SpatialJoin {
       cellIx(greatest(col("x0m"), col("px0m")), res) === col("cix") &&
       cellIy(greatest(col("y0m"), col("py0m")), res) === col("ciy")
 
+    // single packed long key on every path (broadcast builds the
+    // allocation-free LongHashedRelation; SMJ sorts one column)
+    val packed = col("cix") * CellGrid.IxMul + col("ciy")
     if (salt <= 1) {
-      val polCells = if (broadcastPolys) broadcast(polCells0) else polCells0
-      imgCells.join(polCells, Seq("cix", "ciy")).where(overlap && dedup)
+      val polCells = if (broadcastPolys)
+        broadcast(polCells0.withColumn("cell", packed).drop("cix", "ciy"))
+      else polCells0.withColumn("cell", packed).drop("cix", "ciy")
+      imgCells.withColumn("cell", packed)
+        .join(polCells, Seq("cell")).where(overlap && dedup)
     } else {
       // salt the (usually skew-prone) image side; replicate polygons
-      val imgS = imgCells.withColumn("salt", pmod(col("k"), lit(salt.toLong)))
-      val polS = polCells0.withColumn("salt",
-        explode(sequence(lit(0L), lit(salt.toLong - 1))))
-      imgS.join(polS, Seq("cix", "ciy", "salt")).where(overlap && dedup)
+      val imgS = imgCells.withColumn("cell", packed)
+        .withColumn("salt", pmod(col("k"), lit(salt.toLong)))
+      val polS = polCells0.withColumn("cell", packed).drop("cix", "ciy")
+        .withColumn("salt", explode(sequence(lit(0L), lit(salt.toLong - 1))))
+      imgS.join(polS, Seq("cell", "salt")).where(overlap && dedup)
     }
   }
 

@@ -52,6 +52,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cnt == 1L)
   }
 
+  test("headline join+tile plan shape: no shuffle, broadcast-only exchange") {
+    val im = images(10000)
+    val po = polys(100)
+    val tiles = Tiling.tiles(
+      SpatialJoin.cropRects(SpatialJoin.joinRectsSmallImages(im, po, 7))
+        .select(col("k"),
+          (col("cpx1") - col("cpx0")).as("w"),
+          (col("cpy1") - col("cpy0")).as("h")),
+      chunkBytes = 65536)
+    val plan = tiles.queryExecution.executedPlan.toString
+    val exchanges = "(?m)^.*Exchange.*$".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(_.contains("BroadcastExchange")),
+      s"unexpected shuffle in headline plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"))
+    // broadcast side joins on ONE long key (LongHashedRelation path)
+    assert(plan.contains("HashedRelationBroadcastMode(List(input[") &&
+      !plan.contains("SortMergeJoin"))
+  }
+
   test("joinPolygons (ray-casting refine) matches JTS brute force") {
     import org.locationtech.jts.geom._
     val gf = new GeometryFactory()
