@@ -191,10 +191,14 @@ object Bench {
           "-cp", System.getProperty("java.class.path"),
           "graft.tools.ScalePhase", c.toString, scaleN.toString)
       val out = new StringBuilder
-      val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-      scala.io.Source.fromInputStream(proc.getInputStream).getLines()
-        .foreach(l => out.append(l).append('\n'))
-      proc.waitFor()
+      try {
+        val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+          .foreach(l => out.append(l).append('\n'))
+        proc.waitFor()
+      } catch {
+        case e: Exception => System.err.println(s"scale fork failed: $e")
+      }
       def field(name: String): Double = out.toString.linesIterator
         .find(_.startsWith(s"$name="))
         .map(_.stripPrefix(s"$name=").toDouble)
@@ -205,14 +209,19 @@ object Bench {
     System.gc(); Thread.sleep(3000)
     val (r32, c32) = rateAt(32)
     System.gc(); Thread.sleep(3000)
-    val (r8, c8) = rateAt(8)
-    val eff = (r32 / r8) / 4.0
+    val (r8raw, c8raw) = rateAt(8)
+    // NaN would corrupt the single-line JSON contract — degrade to 0s
+    // (visible failure) instead
+    def safe(d: Double): Double = if (d.isNaN || d.isInfinite) 0.0 else d
+    val r8 = safe(r8raw); val c8 = if (safe(c8raw) == 0) 1.0 else c8raw
+    val r32s = safe(r32); val c32s = if (safe(c32) == 0) 1.0 else c32
+    val eff = if (r8 == 0) 0.0 else safe((r32s / r8) / 4.0)
     // hardware ceiling: pure-arithmetic thread scaling on this shared
     // socket (4N threads on ONE socket share turbo/power; a real 4N-
     // executor cluster multiplies sockets) — normalized efficiency is
     // the engine's scaling relative to that ceiling
-    val ceil = (c32 / c8) / 4.0
-    val effNorm = eff / ceil
+    val ceil = safe((c32s / c8) / 4.0)
+    val effNorm = if (ceil == 0) 0.0 else safe(eff / ceil)
 
     // ---- BENCH/BASELINE.md ----
     Files.createDirectories(Paths.get("BENCH"))
@@ -226,8 +235,8 @@ object Bench {
          || config | images | wall (s) | images/sec |
          ||---|---|---|---|
          || local[$cpus] (headline) | $benchN | ${f"$headSec%.2f"} | ${f"$rate%.0f"} |
-         || local[8]  (N)  | $scaleN | ${f"${scaleN / r8}%.2f"} | ${f"$r8%.0f"} |
-         || local[32] (4N) | $scaleN | ${f"${scaleN / r32}%.2f"} | ${f"$r32%.0f"} |
+         || local[8]  (N)  | $scaleN | ${f"${scaleN / math.max(r8, 1)}%.2f"} | ${f"$r8%.0f"} |
+         || local[32] (4N) | $scaleN | ${f"${scaleN / math.max(r32s, 1)}%.2f"} | ${f"$r32s%.0f"} |
          |
          |Scaling (north rule target ≥ 0.8):
          |  raw        (rate_32 / rate_8) / 4 = ${f"$eff%.3f"}
@@ -256,6 +265,6 @@ object Bench {
     val qs = qTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = qTimes.map(_._2).sum + headSec
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","throughput_images_per_sec":${f"$rate%.0f"},"headline_images":$benchN,"headline_sec":${f"$headSec%.3f"},"scaling":{"n_images":$scaleN,"rate_local8":${f"$r8%.0f"},"rate_local32":${f"$r32%.0f"},"efficiency":${f"$eff%.3f"},"hw_ceiling":${f"$ceil%.3f"},"efficiency_normalized":${f"$effNorm%.3f"}},"skew":{"hot_sec":${f"$skewSec0%.3f"},"salted16_sec":${f"$skewSec1%.3f"},"aqe_sec":${f"$skewSec2%.3f"},"salt_speedup":${f"${skewSec0 / skewSec1}%.2f"}}}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","throughput_images_per_sec":${f"$rate%.0f"},"headline_images":$benchN,"headline_sec":${f"$headSec%.3f"},"scaling":{"n_images":$scaleN,"rate_local8":${f"$r8%.0f"},"rate_local32":${f"$r32s%.0f"},"efficiency":${f"$eff%.3f"},"hw_ceiling":${f"$ceil%.3f"},"efficiency_normalized":${f"$effNorm%.3f"}},"skew":{"hot_sec":${f"$skewSec0%.3f"},"salted16_sec":${f"$skewSec1%.3f"},"aqe_sec":${f"$skewSec2%.3f"},"salt_speedup":${f"${skewSec0 / skewSec1}%.2f"}}}""")
   }
 }

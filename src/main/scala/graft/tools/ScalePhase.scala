@@ -53,7 +53,7 @@ object ScalePhase {
     spark.sparkContext.setLogLevel("ERROR")
     Bench.joinTilePipeline(spark, math.min(n / 8, 2000000L), 1000, cpus * 4,
       decode = true) // JIT/codegen warm-up
-    val secs = (1 to 2).map { _ =>
+    val secs = (1 to 3).map { _ =>
       Bench.joinTilePipeline(spark, n, 1000, cpus * 4, decode = true)._2
     }
     println(f"SCALE_RATE=${n / secs.min}%.0f")
