@@ -117,7 +117,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchN = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "128000000").toLong
-    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "24000000").toLong
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "16000000").toLong
 
     // ---- representative gate queries on the sf dir ----
     val names = Seq("q_spatial_join", "q_spatial_join_agg", "q_cells_cover",

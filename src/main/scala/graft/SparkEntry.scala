@@ -209,6 +209,21 @@ object SparkEntry {
           col("sp._2").as("mean_fsum"), col("sp._3").as("sd_fsum"))
         .orderBy("image_id")),
 
+    // ---- lineage / resumable table (rows-only; hash bucketing is
+    // Spark-murmur3, not SQL-reproducible) ----
+    "q_lineage_metrics" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lineage_q").toString
+      graft.table.Lineage.writeResumable(s,
+        imgs(s, dir).select("image_id", "k", "w", "h"), root, "image_id", 8)
+      // resume is a no-op on a committed table
+      assert(graft.table.Lineage.writeResumable(s,
+        imgs(s, dir).select("image_id", "k", "w", "h"), root, "image_id", 8) == 0)
+      graft.table.Lineage.metrics(s, root)
+        .select(col("part").cast("long").as("part"), col("rows"))
+        .orderBy("part")
+    }),
+
     // ---- vector-layer attribute ops (GeoVector.where analogs) ----
     "q_vector_where" -> ((s, dir) => {
       val g = new graft.api.GippySpark(s)
