@@ -350,8 +350,9 @@ object SparkEntry {
         .withColumn("cm", Algorithms.cloudMaskAgg(col("bytes"),
           col("w").cast("int"), col("h").cast("int"), col("fmt"),
           lit(Synth.NumBands)))
-        .select(col("image_id"), col("cm._1").as("n_cloud"),
-          col("cm._2").as("n_grown"))
+        .select(col("image_id"), col("cm._1").as("n_pass1"),
+          col("cm._2").as("n_amb"), col("cm._3").as("n_cloud"),
+          col("cm._4").as("n_final"))
         .orderBy("image_id")),
 
     // ---- text pipeline (documents) ----

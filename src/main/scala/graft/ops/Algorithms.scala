@@ -220,16 +220,20 @@ object Algorithms {
   })
 
   // ---- acca-style cloud mask (GeoAlgorithms.cpp:41-216 structure) ----
-  /** Two-pass threshold cascade + morphological grow: pass 1 flags
-    * candidate pixels by a band cascade (bright blue + non-vegetated +
-    * whiteness); pass 2 derives a refine threshold from pass-1 global
-    * stats (the reference's driver-side decision between jobs) and
-    * dilates the final mask. Returns (n_cloud, n_grown). */
+  /** ACCA re-creation without the thermal band (not synthesized):
+    * pass 1 = threshold cascade flagging cloud candidates (bright blue
+    * + non-vegetated + low whiteness) and AMBIGUOUS pixels (bright but
+    * mid-NDVI — the reference's warm/ambiguous bucket); pass 2 derives
+    * a global threshold from pass-1 candidate statistics (the
+    * reference's between-jobs driver decision, GeoAlgorithms.cpp:
+    * 127-162), reclassifies ambiguous pixels against it, and the final
+    * mask is morphologically grown (the shadow-smear dilation analog,
+    * :164-214). Returns (n_pass1, n_amb, n_cloud, n_final). */
   val cloudMaskAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) => {
     val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
     val blue = c(0); val red = c(2); val nir = c(3)
     val white = whitenessPlane(c(2), c(1), c(0))
-    // pass 1 cascade
+    // pass 1 cascade: 1=cloud candidate, 2=ambiguous, 0=clear, NaN=nodata
     val pass1 = new Array[Double](blue.length)
     var i = 0
     while (i < blue.length) {
@@ -237,11 +241,13 @@ object Algorithms {
         if (blue(i).isNaN) Double.NaN
         else {
           val ndvi = (nir(i) - red(i)) / (nir(i) + red(i))
-          if (blue(i) > 500 && ndvi < 0.3 && white(i) < 0.7) 1.0 else 0.0
+          if (blue(i) > 500 && ndvi < 0.3 && white(i) < 0.7) 1.0
+          else if (blue(i) > 500 && ndvi < 0.6) 2.0
+          else 0.0
         }
       i += 1
     }
-    // pass 2: global-stat threshold on blue over pass-1 candidates
+    // pass 2: global mean blue over candidates → reclassify
     var s = 0.0; var n = 0L
     i = 0
     while (i < blue.length) {
@@ -252,19 +258,24 @@ object Algorithms {
     val mask = new Array[Double](blue.length)
     i = 0
     while (i < blue.length) {
-      mask(i) = if (pass1(i) == 1.0 && blue(i) >= thresh) 1.0
-                else if (blue(i).isNaN) Double.NaN else 0.0
+      mask(i) =
+        if (blue(i).isNaN) Double.NaN
+        else if (pass1(i) == 1.0 ||
+                 (pass1(i) == 2.0 && blue(i) >= thresh)) 1.0
+        else 0.0
       i += 1
     }
     val grown = Pixels.dilate(mask, w, h, 3, 3)
-    var nc = 0L; var ng = 0L
+    var np = 0L; var na = 0L; var nc = 0L; var ng = 0L
     i = 0
     while (i < mask.length) {
+      if (pass1(i) == 1.0) np += 1
+      if (pass1(i) == 2.0) na += 1
       if (mask(i) == 1.0) nc += 1
       if (grown(i) == 1.0) ng += 1
       i += 1
     }
-    (nc, ng)
+    (np, na, nc, ng)
   })
 
   // ---- pansharp_brovey (GeoAlgorithms.cpp:678-726) ----
