@@ -220,7 +220,9 @@ object Bench {
     // socket (4N threads on ONE socket share turbo/power; a real 4N-
     // executor cluster multiplies sockets) — normalized efficiency is
     // the engine's scaling relative to that ceiling
-    val ceil = safe((c32s / c8) / 4.0)
+    // a measured ceiling > 1 (or absurdly low) is calibration noise —
+    // physical scaling of 4x threads on one socket lies in (0.25, 1]
+    val ceil = math.min(1.0, math.max(0.25, safe((c32s / c8) / 4.0)))
     val effNorm = if (ceil == 0) 0.0 else safe(eff / ceil)
 
     // ---- BENCH/BASELINE.md ----
