@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.index.CellGrid
@@ -11,12 +11,18 @@ import graft.index.CellGrid
   * distance > r·cellSize, so a query whose kth candidate distance is
   * ≤ r·cellSize is final.
   *
-  * Two rounds, bounded: (1) one broadcast ring-join at `initialRing`
-  * resolves the dense-region queries; (2) the (typically tiny) residue
-  * falls back to a broadcast scan over all images — images shuffle
-  * once per round at most, payloads never reach the driver, and the
-  * windowed top-k partitions by query id. At cluster scale round 2's
-  * residue is a skew-free broadcast-NL join over a pruned image set.
+  * Scale design (round-2 rebuild):
+  *   - images carry ONE packed-long cell key (cix·IxMul + ciy) — the
+  *     broadcast build is an allocation-free LongHashedRelation, and
+  *     the probe side is two shifts + one multiply per row (the same
+  *     single-key discipline as SpatialJoin);
+  *   - the query side (small) explodes to its ring cells and
+  *     broadcasts — images NEVER shuffle;
+  *   - unresolved queries RING-DOUBLE (r ← 2r) instead of falling back
+  *     to a cross join: each round's candidate set grows by a bounded
+  *     4× until the ring covers the domain, so worst case equals one
+  *     full pruned scan and typical case is one round. At 10¹² images
+  *     the residue rounds touch only the cells of sparse regions.
   */
 object Knn {
 
@@ -37,46 +43,57 @@ object Knn {
           k: Int, res: Int = 7, initialRing: Int = 4): DataFrame = {
     val shift = CellGrid.Shift - res
     val cellSize = 1L << shift
-    val r = initialRing.toLong
     val maxIx = 360000L >> shift
     val maxIy = 180000L >> shift
+    // once the ring covers the whole domain the join IS the exhaustive
+    // (grid-pruned) scan — the loop is guaranteed to terminate
+    val domainRing = math.max(maxIx, maxIy) + 1
 
+    val packed: Column = col("cix") * CellGrid.IxMul + col("ciy")
     val imgCells = images
       .withColumn("cix", shiftright(col("cxm") + CellGrid.OffX, shift))
       .withColumn("ciy", shiftright(col("cym") + CellGrid.OffY, shift))
+      .withColumn("cell", packed)
+      .drop("cix", "ciy")
 
-    val q = queries
+    val q0 = queries
       .withColumn("qcix", shiftright(col("qxm") + CellGrid.OffX, shift))
       .withColumn("qciy", shiftright(col("qym") + CellGrid.OffY, shift))
 
-    val qCells = q
+    def ringCells(qs: DataFrame, r: Long): DataFrame = qs
       .withColumn("cix", explode(sequence(
         greatest(lit(0L), col("qcix") - r), least(lit(maxIx), col("qcix") + r))))
       .withColumn("ciy", explode(sequence(
         greatest(lit(0L), col("qciy") - r), least(lit(maxIy), col("qciy") + r))))
+      .withColumn("cell", packed)
+      .drop("cix", "ciy")
 
-    val round1 = topk(
-      imgCells.join(broadcast(qCells), Seq("cix", "ciy")).withColumn("dist2", dist2),
-      k).cache()
-
-    // guarantee: k found AND kth distance ≤ r*cellSize
-    val bound = r * cellSize
-    val doneIds = round1.groupBy("qid")
-      .agg(count(lit(1)).as("n"), max(col("dist2")).as("kd2"))
-      .where(col("n") === k && col("kd2") <= lit(bound * bound))
-      .select("qid")
-
-    val resolved = round1.join(broadcast(doneIds), Seq("qid"))
-    val unresolved = q.join(broadcast(doneIds), Seq("qid"), "left_anti")
-      .select("qid", "qxm", "qym")
-
-    if (unresolved.isEmpty) resolved
-    else {
-      // fallback: exact brute force for the residue (broadcast-NL join;
-      // residue is small by construction at realistic densities)
-      val round2 = topk(
-        images.crossJoin(broadcast(unresolved)).withColumn("dist2", dist2), k)
-      resolved.union(round2)
+    var unresolved = q0
+    var resolved: DataFrame = null
+    var r = initialRing.toLong
+    var exhaustive = false
+    while (!exhaustive) {
+      exhaustive = r >= domainRing
+      val round = topk(
+        imgCells.join(broadcast(ringCells(unresolved, r)), Seq("cell"))
+          .withColumn("dist2", dist2),
+        k).cache()
+      if (exhaustive) {
+        resolved = if (resolved == null) round else resolved.union(round)
+      } else {
+        // ring guarantee: k found AND kth distance ≤ r·cellSize
+        val bound = r * cellSize
+        val doneIds = round.groupBy("qid")
+          .agg(count(lit(1)).as("n"), max(col("dist2")).as("kd2"))
+          .where(col("n") === k && col("kd2") <= lit(bound * bound))
+          .select("qid")
+        val roundResolved = round.join(broadcast(doneIds), Seq("qid"))
+        resolved =
+          if (resolved == null) roundResolved else resolved.union(roundResolved)
+        unresolved = unresolved.join(broadcast(doneIds), Seq("qid"), "left_anti")
+        if (unresolved.isEmpty) exhaustive = true else r *= 2
+      }
     }
+    resolved
   }
 }

@@ -1,62 +1,28 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.gen.Synth
-import graft.ops.{SpatialJoin, Tiling}
 
-/** Ad-hoc stage profiler (not part of the driver contract). */
+/** Ad-hoc profiling scratchpad (not part of the engine). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val cpus = args.headOption.getOrElse("32").toInt
-    val n = args.lift(1).getOrElse("4000000").toLong
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scratch")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(name: String)(f: => Long): Unit = {
+    args.foreach { name =>
       val t0 = System.nanoTime()
-      val r = f
-      println(f"STAGE $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$r  rate=${n / ((System.nanoTime() - t0) / 1e9)}%.0f/s")
+      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"TIMING $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      val t1 = System.nanoTime()
+      val n2 = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"TIMING2 $name rows=$n2 sec=${(System.nanoTime() - t1) / 1e9}%.2f")
     }
-    val im = Synth.imagesRange(spark, n, cpus * 4)
-    val po = Synth.polygonsRange(spark, 1000, sizeDiv = 8)
-    time("gen-only")(im.agg(count(lit(1))).collect()(0).getLong(0))
-    time("gen+cells")(SpatialJoin.withCoverCells(im, 7, "x0m", "y0m", "x1m", "y1m")
-      .agg(count(lit(1))).collect()(0).getLong(0))
-    time("join")(SpatialJoin.joinRectsSmallImages(im, po, 7).agg(count(lit(1))).collect()(0).getLong(0))
-    val joined = SpatialJoin.joinRectsSmallImages(im, po, 7)
-    time("join+crop")(SpatialJoin.cropRects(joined).agg(count(lit(1))).collect()(0).getLong(0))
-    val crops = SpatialJoin.cropRects(joined)
-    val tiles = Tiling.tiles(crops.select(col("k"), col("fid"),
-      (col("cpx1") - col("cpx0")).as("w"), (col("cpy1") - col("cpy0")).as("h")),
-      chunkBytes = 65536)
-    time("full")(tiles.agg(count(lit(1)), sum(col("th"))).collect()(0).getLong(0))
-    spark.stop()
-  }
-}
-object Explain {
-  def main(args: Array[String]): Unit = {
-    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val im = graft.gen.Synth.imagesRange(spark, 1000000, 16)
-    val po = graft.gen.Synth.polygonsRange(spark, 1000, 8)
-    println("==== headline join+tile plan ====")
-    val j = graft.ops.SpatialJoin.joinRectsSmallImages(im, po, 7)
-    graft.ops.Tiling.tiles(graft.ops.SpatialJoin.cropRects(j)
-      .select(org.apache.spark.sql.functions.col("k"),
-        (org.apache.spark.sql.functions.col("cpx1") - org.apache.spark.sql.functions.col("cpx0")).as("w"),
-        (org.apache.spark.sql.functions.col("cpy1") - org.apache.spark.sql.functions.col("cpy0")).as("h")), 65536)
-      .explain("formatted")
-    println("==== gate spatial join on parquet (pushdown check) ====")
-    graft.ops.SpatialJoin.joinRects(
-      graft.gen.Synth.images(spark, "/root/testdata/sf0.01"),
-      graft.gen.Synth.polygons(spark, "/root/testdata/sf0.01"), 7)
-      .select("image_id", "fid").explain("formatted")
     spark.stop()
   }
 }
