@@ -285,9 +285,32 @@ object SparkEntry {
         .select(col("image_id"), col("phash"))
       val a = im.select(col("image_id").as("id_a"), col("phash").as("ph_a"))
       val b = im.select(col("image_id").as("id_b"), col("phash").as("ph_b"))
-      val ham = udf((x: Long, y: Long) => graft.core.Codec.hamming(x, y))
       a.crossJoin(b).where(col("id_a") < col("id_b"))
-        .withColumn("dist", ham(col("ph_a"), col("ph_b")))
+        .withColumn("dist", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+        .where(col("dist") <= 16)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // corpus-scale pHash near-dup: 4×16-bit banded Hamming join
+    // (pigeonhole: any pair at distance ≤ 3 shares ≥ 1 band — full
+    // recall for d≤3; verified distance reported). No cross join.
+    "q_phash_banded" -> ((s, dir) => {
+      val im = Synth.imagesWithBytes(s, dir, smallRaw)
+        .select(col("image_id"), col("phash"))
+      val bands = im.select(col("image_id"), col("phash"),
+          explode(array((0 until 4).map(j =>
+            struct(lit(j).as("bj"),
+              shiftright(col("phash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("bk"))): _*)).as("b"))
+        .select(col("image_id"), col("phash"), col("b.bj").as("bj"), col("b.bk").as("bk"))
+      val cand = bands.select(col("image_id").as("id_a"), col("phash").as("ph_a"),
+          col("bj"), col("bk"))
+        .join(bands.select(col("image_id").as("id_b"), col("phash").as("ph_b"),
+          col("bj"), col("bk")), Seq("bj", "bk"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b").distinct()
+      cand
+        .withColumn("dist", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
         .where(col("dist") <= 16)
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
         .orderBy("id_a", "id_b")
@@ -376,6 +399,12 @@ object SparkEntry {
           docs(s, dir).where(col("doc_id") < 100), 0.01)
         .orderBy("id_a", "id_b")),
 
+    // corpus-scale near-dup: MinHash-band candidates + exact verify —
+    // UNBOUNDED input (whole documents table), no cross join in the plan
+    "q_jaccard_lsh" -> ((s, dir) =>
+      graft.text.TextOps.jaccardPairsLsh(docs(s, dir), 0.01)
+        .orderBy("id_a", "id_b")),
+
     "q_simhash" -> ((s, dir) =>
       graft.text.TextOps.simhash(docs(s, dir)).orderBy("doc_id")),
 
@@ -393,6 +422,18 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),
+    // corpus-scale embedding near-dup: LSH bucket-collision candidates
+    // (4 tables × 6-bit SRP) + exact cosine verify — UNBOUNDED input
+    // (whole embeddings table), no cross join in the plan
+    "q_emb_neardup_lsh" -> ((s, dir) =>
+      graft.vec.VectorOps.embNearDupLsh(emb(s, dir), 64, 0.35)
+        .orderBy("id_a", "id_b")),
+
+    // LSH-bucketed ANN top-k (recall vs brute force measured in LshSpec)
+    "q_ann_lsh_topk" -> ((s, dir) =>
+      graft.vec.VectorOps.lshTopK(emb(s, dir), 64, col("vec_id") < 3, 10)
+        .orderBy("qid", "rank")),
+
     "q_vec_label_stats" -> ((s, dir) =>
       graft.vec.VectorOps.labelNormStats(emb(s, dir)).orderBy("label")),
 
@@ -926,6 +967,74 @@ object SparkEntry {
          |SELECT id_a, id_b, n_inter, n_union FROM p
          |WHERE CAST(n_inter AS DOUBLE)/n_union >= 0.01
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_jaccard_lsh" ->
+      s"""WITH $TokCte, $ShCte,
+         |sig AS (SELECT doc_id,
+         |  list_min(list_transform(sh, s -> md5('0' || s))) AS h0,
+         |  list_min(list_transform(sh, s -> md5('1' || s))) AS h1,
+         |  list_min(list_transform(sh, s -> md5('2' || s))) AS h2,
+         |  list_min(list_transform(sh, s -> md5('3' || s))) AS h3
+         |FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS bj, substr(h0,1,2) AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, substr(h1,1,2) FROM sig
+         |  UNION ALL SELECT doc_id, 2, substr(h2,1,2) FROM sig
+         |  UNION ALL SELECT doc_id, 3, substr(h3,1,2) FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.bj = b.bj AND a.bk = b.bk
+         |  WHERE a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+         |p AS (SELECT c.id_a, c.id_b,
+         |  CAST(len(list_intersect(x.shd, y.shd)) AS BIGINT) AS n_inter,
+         |  CAST(len(list_distinct(list_concat(x.shd, y.shd))) AS BIGINT)
+         |    AS n_union
+         |  FROM cand c JOIN sets x ON x.doc_id = c.id_a
+         |  JOIN sets y ON y.doc_id = c.id_b)
+         |SELECT id_a, id_b, n_inter, n_union FROM p
+         |WHERE CAST(n_inter AS DOUBLE)/n_union >= 0.01
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_emb_neardup_lsh" -> {
+      val buckets = (0 until 4).map(t =>
+        s"SELECT vec_id, $t AS tj, ${OracleCte.lshBucketSql("ed", 64, 6, t)} AS bk FROM e")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+         |b AS ($buckets),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM b x JOIN b y ON x.tj = y.tj AND x.bk = y.bk
+         |  WHERE x.vec_id < y.vec_id)
+         |SELECT c.id_a, c.id_b FROM cand c
+         |JOIN e a ON a.vec_id = c.id_a
+         |JOIN e bb ON bb.vec_id = c.id_b
+         |WHERE list_dot_product(a.ed, bb.ed) /
+         |      (sqrt(list_dot_product(a.ed, a.ed)) *
+         |       sqrt(list_dot_product(bb.ed, bb.ed))) > 0.35
+         |ORDER BY 1, 2""".stripMargin
+    },
+
+    "q_ann_lsh_topk" -> {
+      val buckets = (0 until 4).map(t =>
+        s"SELECT vec_id, $t AS tj, ${OracleCte.lshBucketSql("ed", 64, 6, t)} AS bk FROM e")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+         |b AS ($buckets),
+         |qb AS (SELECT vec_id AS qid, tj, bk FROM b WHERE vec_id < 3),
+         |pairs AS (SELECT DISTINCT q.qid, b.vec_id
+         |  FROM b JOIN qb q ON b.tj = q.tj AND b.bk = q.bk
+         |  WHERE b.vec_id != q.qid),
+         |c AS (SELECT p.qid, p.vec_id,
+         |  list_dot_product(qe.ed, e.ed) /
+         |  (sqrt(list_dot_product(qe.ed, qe.ed)) *
+         |   sqrt(list_dot_product(e.ed, e.ed))) AS sim
+         |  FROM pairs p JOIN e ON e.vec_id = p.vec_id
+         |  JOIN e qe ON qe.vec_id = p.qid),
+         |r AS (SELECT qid, vec_id,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+         |    AS rank FROM c)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id FROM r
+         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+    },
 
     "q_emb_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed

@@ -51,6 +51,17 @@ object OracleCte {
       |         (k + 17*b) % 8 AS ay
       |  FROM img2 CROSS JOIN bands)""".stripMargin
 
+  /** SQL mirror of [[graft.vec.VectorOps.lshBucket]]: sign-random-
+    * projection bucket id over `edCol` (a DOUBLE[] column), integer
+    * plane weights — bit-exact across engines because every
+    * weight·component product is an exact double. */
+  def lshBucketSql(edCol: String, dim: Int, nb: Int, table: Int): String =
+    (0 until nb).map { j =>
+      val w = (0 until dim)
+        .map(i => graft.vec.VectorOps.planeW(table, j, i)).mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($edCol, $w::DOUBLE[]) >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   /** Pixel-exact regeneration for small images (lateral
     * generate_series): px(k, b, x, y, v) over VALID pixels only.
     * Requires a preceding CTE `simg` selecting small rows of img2. */

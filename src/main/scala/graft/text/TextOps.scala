@@ -93,18 +93,32 @@ object TextOps {
       .groupBy(substring(col("h0"), 1, 2).as("band"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc_id"))
 
+  /** DISTINCT 3-token-shingle set (the Jaccard universe). */
+  def shingleSet: Column = array_distinct(when(size(toks) >= 3,
+    transform(sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+    .otherwise(array(col("text"))))
+
+  private def jaccardVerify(cand: DataFrame, docs: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sets = docs.select(col("doc_id"), shingleSet.as("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .where(col("n_inter") / col("n_union") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
+  }
+
   /** Exact n-gram (3-token shingle) Jaccard near-dup pairs over a
     * bounded candidate set: |A∩B| / |A∪B| on DISTINCT shingle sets.
     * The sizes are exact integers, so the similarity threshold is
-    * bit-reproducible in SQL. At corpus scale candidates come from the
-    * MinHash/LSH buckets instead of the bounded cross join. */
+    * bit-reproducible in SQL. ALL-PAIRS — only for bounded inputs; the
+    * corpus-scale path is [[jaccardPairsLsh]]. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = array_distinct(when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ",
-          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array(col("text"))))
-    val withSh = docs.select(col("doc_id"), sh.as("sh"))
+    val withSh = docs.select(col("doc_id"), shingleSet.as("sh"))
     val a = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
@@ -113,6 +127,37 @@ object TextOps {
       .withColumn("jac", col("n_inter") / col("n_union"))
       .where(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
+  }
+
+  /** CORPUS-SCALE near-dup pairs: MinHash-band candidate generation +
+    * exact Jaccard verification — no cross join anywhere.
+    *
+    *   1. nSigs MinHash signatures per doc; band key = 2-hex-char
+    *      prefix of each signature (256 buckets/band).
+    *   2. candidates = docs sharing any (band index, band key) — an
+    *      equi-join on the band key whose per-bucket size is bounded by
+    *      the hash distribution (no skew by construction);
+    *   3. pair dedup via `distinct` on the (much smaller) candidate
+    *      set, then exact Jaccard on the joined-back shingle sets.
+    *
+    * A true pair at similarity s survives banding with probability
+    * 1−(1−s^r)^b (r=1 row, b=nSigs bands here, on the 2-char prefix) —
+    * recall vs [[jaccardPairs]] is measured in LshSpec. At 10¹² rows
+    * this plan shuffles candidates + shingle sets, never N². */
+  def jaccardPairsLsh(docs: DataFrame, threshold: Double,
+                      nSigs: Int = 4): DataFrame = {
+    val sig = minhash(docs, nSigs)
+    val bandStructs = (0 until nSigs).map(j =>
+      struct(lit(j).as("bj"), substring(col(s"h$j"), 1, 2).as("bk")))
+    val bands = sig.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.bj").as("bj"), col("b.bk").as("bk"))
+    val cand = bands.select(col("doc_id").as("id_a"), col("bj"), col("bk"))
+      .join(bands.select(col("doc_id").as("id_b"), col("bj"), col("bk")),
+        Seq("bj", "bk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    jaccardVerify(cand, docs, threshold)
   }
 
   /** 64-bit SimHash over tokens: per token, md5 bits vote ±1 per bit

@@ -47,39 +47,74 @@ object VectorOps {
       .groupBy("label")
       .agg(count(lit(1)).as("cnt"), sum(col("n2f")).as("norm2_floor_sum"))
 
-  /** Deterministic sign-random-projection LSH bucket id: `nb` planes,
-    * plane j's component i = centered md5-derived pseudo-random in
-    * [-0.5, 0.5) — fully deterministic, no RNG state. Returns bucket
-    * (long) per row; ANN = equi-join on bucket then exact re-rank.
-    * This is the 10^12-row ANN path: bucket cardinality 2^nb bounds
-    * each candidate group. */
-  def lshBucket(emb: DataFrame, dim: Int, nb: Int = 8): Column = {
-    // plane weights as literal arrays (driver-computed, tiny, broadcast
-    // with the plan): w_ji = frac(sin(j*1000003 + i) * 43758.5453) - 0.5
-    def plane(j: Int): Seq[Double] = (0 until dim).map { i =>
-      val s = math.sin(j * 1000003.0 + i) * 43758.5453123
-      (s - math.floor(s)) - 0.5
-    }
+  /** Deterministic sign-random-projection plane weight, table t, bit j,
+    * component i — INTEGER in [-500, 500], so plane·embedding products
+    * are exact doubles and the bucket is reproducible bit-for-bit by
+    * any engine (the DuckDB oracle re-derives it in SQL). */
+  def planeW(t: Int, j: Int, i: Int): Int =
+    (((t * 31 + j) * 1000003 + i * 7919) % 1001 + 1001) % 1001 - 500
+
+  /** Deterministic sign-random-projection LSH bucket id for hash table
+    * `table`: `nb` planes, bit j set iff embedding·plane_j ≥ 0.
+    * Returns bucket (long, 0..2^nb−1); ANN / near-dup = equi-join on
+    * (table, bucket) then exact re-rank or verify. This is the
+    * 10^12-row path: bucket cardinality 2^nb bounds each candidate
+    * group, and multiple tables trade shuffle volume for recall
+    * (P[collision in ≥1 of L tables] = 1−(1−(1−θ/π)^nb)^L). */
+  def lshBucket(dim: Int, nb: Int = 8, table: Int = 0): Column =
     (0 until nb).map { j =>
-      val w = array(plane(j).map(lit): _*)
+      val w = array((0 until dim).map(i => lit(planeW(table, j, i).toDouble)): _*)
       when(dot(col("embedding"), w) >= 0, 1L << j).otherwise(0L)
     }.reduce(_ + _)
-  }
 
-  /** LSH-bucketed approximate NN: candidates share a bucket; exact
-    * cosine re-rank within bucket. Recall measured in the spec. */
+  /** (vec_id, tj, bk) bucket rows for `tables` hash tables — the
+    * explode side of every LSH join. */
+  def lshBuckets(emb: DataFrame, dim: Int, nb: Int, tables: Int): DataFrame =
+    emb.select(col("vec_id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tj"), lshBucket(dim, nb, t).as("bk"))): _*)).as("b"))
+      .select(col("vec_id"), col("b.tj").as("tj"), col("b.bk").as("bk"))
+
+  /** LSH-bucketed approximate NN: candidates share a bucket in ANY of
+    * `tables` hash tables; pair dedup on ids; exact cosine re-rank.
+    * Recall vs the brute-force [[cosineTopK]] is measured in LshSpec.
+    * Plan shape at 10^12 rows: bucket explode (×tables) → broadcast
+    * equi-join on (tj,bk) → id-level distinct → join embeddings back —
+    * candidates never exceed Σ bucket sizes of the query's buckets. */
   def lshTopK(emb: DataFrame, dim: Int, queryFilter: Column, k: Int,
-              nb: Int = 8): DataFrame = {
-    val withB = emb.withColumn("bucket", lshBucket(emb, dim, nb))
-    val q = withB.where(queryFilter)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("bucket"))
-    val cand = withB.join(broadcast(q), Seq("bucket"))
+              nb: Int = 6, tables: Int = 4): DataFrame = {
+    val buckets = lshBuckets(emb, dim, nb, tables)
+    val qb = buckets.join(emb.where(queryFilter).select("vec_id"), Seq("vec_id"))
+      .withColumnRenamed("vec_id", "qid")
+    val pairs = buckets.join(broadcast(qb), Seq("tj", "bk"))
       .where(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val cand = pairs
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(emb.where(queryFilter)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))), Seq("qid"))
       .withColumn("sim", cosine(col("qe"), col("embedding")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"))
+  }
+
+  /** CORPUS-SCALE embedding near-dup pairs: LSH bucket-collision
+    * candidates (any of `tables` tables) + exact cosine verification —
+    * the no-crossJoin replacement for the bounded all-pairs query. */
+  def embNearDupLsh(emb: DataFrame, dim: Int, threshold: Double,
+                    nb: Int = 6, tables: Int = 4): DataFrame = {
+    val buckets = lshBuckets(emb, dim, nb, tables)
+    val cand = buckets.select(col("vec_id").as("id_a"), col("tj"), col("bk"))
+      .join(buckets.select(col("vec_id").as("id_b"), col("tj"), col("bk")),
+        Seq("tj", "bk"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), Seq("id_b"))
+      .where(cosine(col("ea"), col("eb")) > threshold)
+      .select(col("id_a"), col("id_b"))
   }
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.text.TextOps
+import graft.vec.VectorOps
+
+/** Candidate-generation (LSH / banded-Hamming) operators: subset,
+  * full-recall-in-guaranteed-regime, and measured-recall properties vs
+  * their brute-force counterparts. */
+class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-lsh-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Synthetic corpus: 40 base docs of 30 deterministic tokens; docs
+    * 100.. are near-copies of base docs (1 token changed) — guaranteed
+    * high-Jaccard pairs. */
+  private def corpus: DataFrame = {
+    import spark.implicits._
+    def words(seed: Long, n: Int): Seq[String] =
+      (0 until n).map(i => s"w${(seed * 31 + i * 7) % 97}-${(seed + i) % 13}")
+    val base = (0L until 40L).map(d => (d, words(d, 30).mkString(" ")))
+    val dups = (0L until 40L).map { d =>
+      val w = words(d, 30).updated(15, "CHANGED")
+      (100L + d, w.mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en"))
+  }
+
+  test("jaccardPairsLsh ⊆ jaccardPairs and full recall on near-dup pairs") {
+    val docs = corpus.cache()
+    val exact = TextOps.jaccardPairs(docs, 0.01)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextOps.jaccardPairsLsh(docs, 0.01)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a pair the exact join rejects")
+    // the injected near-dups (jac ≈ 0.87: 25 of 28+3 shingles shared)
+    // collide with prob 1-(1-s)^4 per 2-hex band ≈ 1; assert ALL found
+    val nearDups = (0L until 40L).map(d => (d, d + 100L)).toSet
+    val exactNear = exact.intersect(nearDups)
+    assert(exactNear == nearDups, "fixture near-dups missing from exact join")
+    assert(nearDups.subsetOf(lsh),
+      s"LSH recall on near-dups: ${nearDups.intersect(lsh).size}/${nearDups.size}")
+  }
+
+  test("banded Hamming join == brute force for distance ≤ 3 (pigeonhole)") {
+    import spark.implicits._
+    // hashes built from a base pattern with 0..5 bit flips
+    val base = 0x5A5A1234ABCD8765L
+    val rows = (0 until 200).map { i =>
+      var h = base ^ (i.toLong * 0x9E3779B97F4A7C15L) // unrelated hashes
+      if (i % 3 == 0) { // family: few flips from base
+        h = base
+        var f = 0
+        while (f < i % 6) { h ^= (1L << ((i * 11 + f * 17) % 64)); f += 1 }
+      }
+      (s"im-$i", h)
+    }
+    val im = rows.toDF("image_id", "phash").cache()
+    def brute(d: Int) = im.as("a").crossJoin(im.as("b"))
+      .where(col("a.image_id") < col("b.image_id"))
+      .where(bit_count(col("a.phash").bitwiseXOR(col("b.phash"))) <= d)
+      .select(col("a.image_id"), col("b.image_id"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def banded(d: Int) = {
+      val bands = im.select(col("image_id"), col("phash"),
+          explode(array((0 until 4).map(j => struct(lit(j).as("bj"),
+            shiftright(col("phash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("bk"))): _*)).as("b"))
+        .select(col("image_id"), col("phash"), col("b.bj").as("bj"), col("b.bk").as("bk"))
+      bands.select(col("image_id").as("id_a"), col("phash").as("ph_a"), col("bj"), col("bk"))
+        .join(bands.select(col("image_id").as("id_b"), col("phash").as("ph_b"), col("bj"), col("bk")),
+          Seq("bj", "bk"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b").distinct()
+        .where(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= d)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    val b3 = brute(3)
+    assert(b3.nonEmpty, "fixture produced no close pairs")
+    assert(banded(3) == b3, "pigeonhole guarantee violated at d=3")
+    // at d=16 banding is a candidate filter: subset of brute force
+    assert(banded(16).subsetOf(brute(16)))
+  }
+
+  test("lshTopK recall vs brute-force cosineTopK on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qf = col("vec_id") < 5
+    val brute = VectorOps.cosineTopK(emb, qf, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = VectorOps.lshTopK(emb, 64, qf, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(brute.nonEmpty)
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    info(f"lshTopK recall@10 vs brute = $recall%.3f")
+    // 4 tables × 6-bit SRP on 64-dim: measured 0.860 on this data; the
+    // op is deterministic (recall is a fixed value for fixed data), so
+    // the floor only guards against regressions
+    assert(recall >= 0.80, f"lshTopK recall@10 = $recall%.2f")
+    // every LSH hit must be a true candidate (vec in the table, not q)
+    assert(lsh.forall { case (q, v) => q != v })
+  }
+
+  test("embNearDupLsh ⊆ exact near-dup pairs (cosine verify is exact)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .cache()
+    val exact = {
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .where(VectorOps.cosine(col("ea"), col("eb")) > 0.35)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val lsh = VectorOps.embNearDupLsh(emb, 64, 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.nonEmpty, "LSH near-dup found nothing on real embeddings")
+  }
+}
