@@ -372,10 +372,21 @@ object SparkEntry {
       Synth.imagesWithBytes(s, dir, smallRaw)
         .withColumn("cm", Algorithms.cloudMaskAgg(col("bytes"),
           col("w").cast("int"), col("h").cast("int"), col("fmt"),
-          lit(Synth.NumBands)))
+          lit(Synth.NumBands),
+          lit(45.0), lit(135.0), lit(450.0))) // sun geometry: se/sa/cloudheight
         .select(col("image_id"), col("cm._1").as("n_pass1"),
           col("cm._2").as("n_amb"), col("cm._3").as("n_cloud"),
           col("cm._4").as("n_final"))
+        .orderBy("image_id")),
+
+    "q_fmask" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("fm", Algorithms.fmaskAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands), lit(3), lit(3)))
+        .select(col("image_id"), col("fm._1").as("n_final"),
+          col("fm._2").as("n_cloud"), col("fm._3").as("n_pcp"),
+          col("fm._4").as("n_water"), col("fm._5").as("n_land"))
         .orderBy("image_id")),
 
     // ---- text pipeline (documents) ----

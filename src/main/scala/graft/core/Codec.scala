@@ -100,6 +100,18 @@ object Codec {
     }
   }
 
+  /** Diagnostic guard for multi-band operators: png/bmp/jpg store a
+    * single band (bandsStored == 1), so a kernel addressing band
+    * index ≥ 1 must fail with a clear message, not an
+    * ArrayIndexOutOfBoundsException. Returns `c` for chaining. */
+  def requireBands(c: Array[Array[Double]], need: Int, op: String,
+                   fmt: String): Array[Array[Double]] = {
+    require(c.length >= need,
+      s"$op needs $need stored band(s) but fmt '$fmt' stores ${c.length} " +
+      "(png/bmp/jpg store one band) — filter to multi-band raw codecs first")
+    c
+  }
+
   /** Decode to band-major Double planes; nodata sentinel ⇒ NaN. */
   def decode(bytes: Array[Byte], w: Int, h: Int, nb: Int, fmt: String): Array[Array[Double]] =
     fmt match {

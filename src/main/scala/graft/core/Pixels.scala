@@ -171,9 +171,13 @@ object Pixels {
   }
 
   /** Percentile via linear interpolation on a 100-bin cumulative
-    * histogram — the reference's (deliberately approximate) algorithm
-    * (/root/reference/GIP/GeoRaster.cpp:125-138), NOT an exact quantile.
-    * Replicated bin-for-bin for parity. */
+    * histogram — the same histogram-interpolation FAMILY as the
+    * reference (/root/reference/GIP/GeoRaster.cpp:125-138), NOT an
+    * exact quantile. Not bit-identical to the reference: that code
+    * interpolates a float32 xaxis over (max−min)/(bins−1) intervals
+    * with p==0/p==99 shortcuts; this implementation interpolates the
+    * target rank inside its (max−min)/bins bin in double precision,
+    * which is what the engine's SQL oracle reproduces exactly. */
   def percentile(p: Array[Double], pct: Double): Double =
     percentileN(p, p.length, pct)
 

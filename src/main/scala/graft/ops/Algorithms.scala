@@ -31,7 +31,9 @@ object Algorithms {
   }
 
   val whitenessAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) => {
-    val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+    val c = Codec.requireBands(
+      Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt),
+      3, "whiteness", fmt)
     val p = whitenessPlane(c(2), c(1), c(0)) // red, green, blue
     var n = 0L; var fs = 0L; var i = 0
     while (i < p.length) {
@@ -49,7 +51,9 @@ object Algorithms {
     Seq(0.6, -0.5, 0.4, -0.3, 0.2, -0.1))
 
   val linearTransformAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) => {
-    val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+    val c = Codec.requireBands(
+      Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt),
+      6, "linear_transform", fmt)
     LtCoefs.zipWithIndex.map { case (cs, ob) =>
       var n = 0L; var fs = 0L; var i = 0
       while (i < c(0).length) {
@@ -70,7 +74,9 @@ object Algorithms {
   /** Class map = NDVI quartile clamp(floor(ndvi·4), 0, 3); per class,
     * pixel count and red-band sum — the raster→table extraction. */
   val extractClassesAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) => {
-    val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+    val c = Codec.requireBands(
+      Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt),
+      4, "extract_classes", fmt)
     val out = scala.collection.mutable.Map[Long, (Long, Long)]()
     var i = 0
     while (i < c(0).length) {
@@ -219,6 +225,52 @@ object Algorithms {
     (n, s, if (n == 0) 0.0 else mx)
   })
 
+  // ---- sun-geometry shadow smear (GeoAlgorithms.cpp:164-214) ----
+  /** The reference's coarse shadow-covering smear: project the cloud
+    * mask along the sun direction by OR-ing shifted copies, walking
+    * from (dx,dy) back toward the origin in (xstep,ystep) strides.
+    *   distance = cloudheight / tan(se);  dx = −sin(sa)·distance/xres;
+    *   dy = cos(sa)·distance/yres;        steps = max(|d|/dilate/4, 1).
+    * Shift is zero-fill; nodata (NaN) cells stay NaN. */
+  def shadowSmear(mask: Array[Double], w: Int, h: Int,
+                  seDeg: Double, saDeg: Double, cloudheight: Double,
+                  xres: Double = 30.0, yres: Double = 30.0,
+                  dilate: Int = 3): Array[Double] = {
+    val se = seDeg * math.Pi / 180.0
+    val sa = saDeg * math.Pi / 180.0
+    val distance = cloudheight / math.tan(se)
+    val dx = (-math.sin(sa) * distance / xres).toInt
+    val dy = (math.cos(sa) * distance / yres).toInt
+    val smearlen = math.sqrt(dx.toDouble * dx + dy.toDouble * dy).toInt
+    val out = mask.clone()
+    if (smearlen <= 0 || dx == 0 || dy == 0) return out
+    val signX = if (dx < 0) -1 else 1
+    val signY = if (dy < 0) -1 else 1
+    val xstep = math.max(signX * dx / dilate / 4, 1)
+    val ystep = math.max(signY * dy / dilate / 4, 1)
+    var xN = math.abs(dx); var yN = math.abs(dy)
+    while (xN > 0 && yN > 0) {
+      val sx = signX * xN; val sy = signY * yN
+      var y = 0
+      while (y < h) {
+        val ys = y - sy
+        if (ys >= 0 && ys < h) {
+          var x = 0
+          while (x < w) {
+            val xs = x - sx
+            if (xs >= 0 && xs < w && !out(y * w + x).isNaN &&
+                mask(ys * w + xs) == 1.0)
+              out(y * w + x) = 1.0
+            x += 1
+          }
+        }
+        y += 1
+      }
+      xN -= xstep; yN -= ystep
+    }
+    out
+  }
+
   // ---- acca-style cloud mask (GeoAlgorithms.cpp:41-216 structure) ----
   /** ACCA re-creation without the thermal band (not synthesized):
     * pass 1 = threshold cascade flagging cloud candidates (bright blue
@@ -229,8 +281,13 @@ object Algorithms {
     * 127-162), reclassifies ambiguous pixels against it, and the final
     * mask is morphologically grown (the shadow-smear dilation analog,
     * :164-214). Returns (n_pass1, n_amb, n_cloud, n_final). */
-  val cloudMaskAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) => {
-    val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+  /** Pure acca pipeline on decoded planes — exposed for the spec.
+    * Returns (pass1, cloudmask, final) where final = dilated mask OR
+    * its sun-geometry shadow smear (se/sa in degrees; cloudheight=0
+    * disables the smear, matching the pre-geometry behavior). */
+  def accaPlanes(c: Array[Array[Double]], w: Int, h: Int,
+                 seDeg: Double, saDeg: Double, cloudheight: Double)
+      : (Array[Double], Array[Double], Array[Double]) = {
     val blue = c(0); val red = c(2); val nir = c(3)
     val white = whitenessPlane(c(2), c(1), c(0))
     // pass 1 cascade: 1=cloud candidate, 2=ambiguous, 0=clear, NaN=nodata
@@ -266,16 +323,171 @@ object Algorithms {
       i += 1
     }
     val grown = Pixels.dilate(mask, w, h, 3, 3)
+    val fin =
+      if (cloudheight > 0)
+        shadowSmear(grown, w, h, seDeg, saDeg, cloudheight)
+      else grown
+    (pass1, mask, fin)
+  }
+
+  val cloudMaskAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
+                          nb: Int, seDeg: Double, saDeg: Double,
+                          cloudheight: Double) => {
+    val c = Codec.requireBands(
+      Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt),
+      4, "acca_cloud_mask", fmt)
+    val (pass1, mask, fin) = accaPlanes(c, w, h, seDeg, saDeg, cloudheight)
     var np = 0L; var na = 0L; var nc = 0L; var ng = 0L
-    i = 0
+    var i = 0
     while (i < mask.length) {
       if (pass1(i) == 1.0) np += 1
       if (pass1(i) == 2.0) na += 1
       if (mask(i) == 1.0) nc += 1
-      if (grown(i) == 1.0) ng += 1
+      if (fin(i) == 1.0) ng += 1
       i += 1
     }
     (np, na, nc, ng)
+  })
+
+  // ---- fmask (GeoAlgorithms.cpp:290-445, declared-names spec) ----
+  /** Fmask re-creation to the DECLARED band names
+    * {"finalmask","cloudmask","PCP","clearskywater","clearskyland"}
+    * (GeoAlgorithms.cpp:295) — the reference's body writes to
+    * lower-case names that don't all resolve (SURVEY §2.8 documents the
+    * bug); the declared set is the spec. No thermal band is synthesized
+    * (as with acca), so swir2/1000 serves as the brightness-temperature
+    * proxy; thresholds are the reference constants re-centered on the
+    * synthetic [0.2, 2.5] pseudo-reflectance domain (original values in
+    * comments). Multi-pass structure preserved exactly:
+    *   pass 1 (:315-364): PCP cascade + water test + clear-sky land;
+    *   global percentiles (:373-378): Twater/Tlo/Thi over the proxy;
+    *   probability maps (:388-402): wprob/lprob with vprob;
+    *   pass 2 (:414-442): final threshold + erode 5 + dilate d.
+    * Returns the five planes in declared order. */
+  def fmaskPlanes(c: Array[Array[Double]], w: Int, h: Int,
+                  tolerance: Int = 3, dilatePx: Int = 3)
+      : (Array[Double], Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val len = w * h
+    val blue = c(0); val green = c(1); val red = c(2)
+    val nir = c(3); val swir1 = c(4); val swir2 = c(5)
+    val white = whitenessPlane(red, green, blue)
+    val pcp = new Array[Double](len)
+    val water = new Array[Double](len)
+    val land = new Array[Double](len)
+    val vprob = new Array[Double](len)
+    var i = 0
+    while (i < len) {
+      if (blue(i).isNaN) {
+        pcp(i) = Double.NaN; water(i) = Double.NaN; land(i) = Double.NaN
+        vprob(i) = Double.NaN
+      } else {
+        val b = blue(i) / 1000; val g = green(i) / 1000; val r = red(i) / 1000
+        val n = nir(i) / 1000; val s1 = swir1(i) / 1000; val s2 = swir2(i) / 1000
+        val ndvi = (n - r) / (n + r)
+        val ndsi = (g - s1) / (g + s1)
+        // PCP cascade (:330-338): swir2 bright (ref 0.03), not hot (BT<27
+        // ⇒ proxy s2 < 2.0), ndvi < 0.8, ndsi < 0.8, haze b−0.5r > 0.08,
+        // whiteness < 0.7, nir/swir1 > 0.75
+        pcp(i) = if (s2 > 0.4 && s2 < 2.0 && ndvi < 0.8 && ndsi < 0.8 &&
+                     b - 0.5 * r > 0.08 && white(i) < 0.7 && n / s1 > 0.75) 1.0
+                 else 0.0
+        // water test (:355-356): (ndvi<0.01 ∧ nir<0.01)∨(ndvi<0.1 ∧ nir<0.05)
+        // re-centered: nir 0.01→0.7, 0.05→0.8 on the synthetic domain
+        water(i) = if ((ndvi < 0.01 && n < 0.7) || (ndvi < 0.1 && n < 0.8)) 1.0
+                   else 0.0
+        land(i) = if (water(i) == 0.0 && pcp(i) == 0.0) 1.0 else 0.0
+        // variability probability (:346-351), saturation exceptions
+        // omitted (no saturated synth pixels)
+        vprob(i) = 1.0 - math.max(white(i), math.max(math.abs(ndsi), math.abs(ndvi)))
+      }
+      i += 1
+    }
+    // global percentiles over the BT proxy (:373-378)
+    def maskedVals(sel: Array[Double]): Array[Double] = {
+      val out = new Array[Double](len)
+      var j = 0
+      while (j < len) {
+        out(j) = if (!sel(j).isNaN && sel(j) == 1.0) swir2(j) / 1000 else Double.NaN
+        j += 1
+      }
+      out
+    }
+    val twater = Pixels.percentileN(maskedVals(water), len, 82.5)
+    // "If not enough clear-sky land pixels then use all" — the
+    // reference's (commented-out) intent at :372; without it an
+    // all-water scene has NaN thresholds and a dead land-cloud path
+    val hasLand = land.exists(_ == 1.0)
+    val landBT =
+      if (hasLand) maskedVals(land)
+      else swir2.map(v => if (v.isNaN) Double.NaN else v / 1000)
+    val tlo = Pixels.percentileN(landBT, len, 17.5)
+    val thi = Pixels.percentileN(landBT, len, 82.5)
+    // probability maps (:388-402); temperature spread 4°C → 0.4 proxy
+    val wprob = new Array[Double](len)
+    val lprob = new Array[Double](len)
+    i = 0
+    while (i < len) {
+      if (blue(i).isNaN) { wprob(i) = Double.NaN; lprob(i) = Double.NaN }
+      else {
+        val s1 = swir1(i) / 1000; val s2 = swir2(i) / 1000
+        wprob(i) = (twater - s2) / 0.4 * (math.min(s1, 1.1) / 1.1)
+        lprob(i) = (thi + 0.4 - s2) / (thi + 0.4 - (tlo - 0.4)) * vprob(i)
+      }
+      i += 1
+    }
+    // land threshold (:408-410): P82.5 of lprob over clear-sky land + 0.2 + tol
+    val tol = (tolerance - 3) * 0.1
+    val wthresh = 0.5 + tol
+    val lprobLand = new Array[Double](len)
+    i = 0
+    while (i < len) {
+      lprobLand(i) =
+        if (!lprob(i).isNaN && (if (hasLand) land(i) == 1.0 else true))
+          lprob(i)
+        else Double.NaN
+      i += 1
+    }
+    val lthresh = Pixels.percentileN(lprobLand, len, 82.5) + 0.2 + tol
+    // pass 2 (:425-436): threshold cascade, erode 5, dilate d
+    val clouds = new Array[Double](len)
+    i = 0
+    while (i < len) {
+      clouds(i) =
+        if (blue(i).isNaN) Double.NaN
+        else if ((pcp(i) == 1.0 && water(i) == 1.0 && wprob(i) > wthresh) ||
+                 (pcp(i) == 1.0 && water(i) == 0.0 && lprob(i) > lthresh) ||
+                 (lprob(i) > 0.99 && water(i) == 0.0) ||
+                 (swir2(i) / 1000 > tlo + 0.25)) 1.0 // BT < Tlo−35°C analog, proxy-scaled
+        else 0.0
+      i += 1
+    }
+    val eroded = Pixels.erode(clouds, w, h, 5, 5)
+    val cloudmask = Pixels.dilate(eroded, w, h, dilatePx, dilatePx)
+    val finalmask = new Array[Double](len)
+    i = 0
+    while (i < len) {
+      finalmask(i) =
+        if (blue(i).isNaN) Double.NaN
+        else if (cloudmask(i) == 1.0) 0.0 else 1.0
+      i += 1
+    }
+    (finalmask, cloudmask, pcp, water, land)
+  }
+
+  /** Per-image fmask counts (n_final, n_cloud, n_pcp, n_water, n_land)
+    * over the five declared bands. */
+  val fmaskAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
+                      nb: Int, tolerance: Int, dilatePx: Int) => {
+    val c = Codec.requireBands(
+      Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt),
+      6, "fmask", fmt)
+    val (fin, cm, pcp, water, land) = fmaskPlanes(c, w, h, tolerance, dilatePx)
+    def cnt(p: Array[Double]): Long = {
+      var n = 0L; var i = 0
+      while (i < p.length) { if (p(i) == 1.0) n += 1; i += 1 }
+      n
+    }
+    (cnt(fin), cnt(cm), cnt(pcp), cnt(water), cnt(land))
   })
 
   // ---- pansharp_brovey (GeoAlgorithms.cpp:678-726) ----

@@ -34,8 +34,10 @@ object Bands {
              allNames: Seq[String] = Synth.BandNames): DataFrame = {
     val idx = names.map(bandIndex(allNames, _))
     val tx = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
-      val cube = Codec.decode(bytes, w, h,
-        Codec.bandsStored(fmt, allNames.length), fmt)
+      val cube = Codec.requireBands(
+        Codec.decode(bytes, w, h,
+          Codec.bandsStored(fmt, allNames.length), fmt),
+        idx.max + 1, "select(bands)", fmt)
       Codec.encode(idx.map(cube).toArray, w, h, fmt)
     })
     imagesWithBytes
@@ -50,7 +52,9 @@ object Bands {
   val maskStatsAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
                           nb: Int, maskBand: Int, thresh: Double,
                           target: Int) => {
-    val cube = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+    val cube = Codec.requireBands(
+      Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt),
+      math.max(maskBand, target) + 1, "apply_mask", fmt)
     val mask = Pixels.applyChain(cube(maskBand), Seq(Pixels.gt(thresh)))
     val masked = Pixels.applyMask(cube(target), mask)
     var n = 0L; var s = 0L; var i = 0

@@ -40,9 +40,16 @@ object SpatialJoin {
 
   /** Rect-layer spatial join. `images` needs (x0m,y0m,x1m,y1m), `polys`
     * needs (px0m,py0m,px1m,py1m). Returns all pairs with OPEN-interval
-    * rectangle overlap, deduped, with all input columns. */
+    * rectangle overlap, deduped, with all input columns.
+    *
+    * `salt > 1` spreads each hot cell across `salt` shuffle keys by
+    * hashing `saltKey` (any image-side column with per-row-distinct
+    * values — default the synth key "k"; pass e.g. "image_id" for
+    * other tables). Salting changes only the shuffle distribution,
+    * never the result rows. */
   def joinRects(images: DataFrame, polys: DataFrame, res: Int = 7,
-                broadcastPolys: Boolean = true, salt: Int = 0): DataFrame = {
+                broadcastPolys: Boolean = true, salt: Int = 0,
+                saltKey: String = "k"): DataFrame = {
     val imgCells = withCoverCells(images, res, "x0m", "y0m", "x1m", "y1m")
     val polCells0 = withCoverCells(polys, res, "px0m", "py0m", "px1m", "py1m")
 
@@ -66,7 +73,7 @@ object SpatialJoin {
     } else {
       // salt the (usually skew-prone) image side; replicate polygons
       val imgS = imgCells.withColumn("cell", packed)
-        .withColumn("salt", pmod(col("k"), lit(salt.toLong)))
+        .withColumn("salt", pmod(hash(col(saltKey)).cast("long"), lit(salt.toLong)))
       val polS = polCells0.withColumn("cell", packed).drop("cix", "ciy")
         .withColumn("salt", explode(sequence(lit(0L), lit(salt.toLong - 1))))
       imgS.join(polS, Seq("cell", "salt")).where(overlap && dedup)

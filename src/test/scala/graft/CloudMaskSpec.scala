@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Algorithms
+
+/** fmask cascade + acca sun-geometry smear on hand-crafted planes —
+  * each threshold branch exercised deterministically (the VERDICT-
+  * requested "cascade thresholds on synthetic planes" spec). */
+class CloudMaskSpec extends AnyFunSuite {
+
+  /** Build a 6-band cube where every pixel of band b has value v(b). */
+  private def flatCube(w: Int, h: Int, v: Seq[Double]): Array[Array[Double]] =
+    v.map(x => Array.fill(w * h)(x)).toArray
+
+  test("fmask PCP cascade: cloud-like pixel flagged, each filter can veto") {
+    val w = 12; val h = 12
+    // cloud-like: swir2 bright (0.9), cold proxy, flat spectrum (white
+    // small), haze positive, nir/swir1 > 0.75
+    val cloud = Seq(900.0, 900.0, 900.0, 900.0, 900.0, 900.0)
+    val (_, _, pcp0, _, _) = Algorithms.fmaskPlanes(flatCube(w, h, cloud), w, h)
+    assert(pcp0.forall(_ == 1.0), "cloud-like pixels must be PCP")
+
+    // veto via swir2 too dark (≤ 0.4 proxy)
+    val dark = cloud.updated(5, 300.0)
+    val (_, _, pcp1, _, _) = Algorithms.fmaskPlanes(flatCube(w, h, dark), w, h)
+    assert(pcp1.forall(_ == 0.0), "swir2-dark pixels must not be PCP")
+
+    // veto via whiteness (unbalanced RGB → white ≥ 0.7)
+    val colorful = Seq(1500.0, 200.0, 200.0, 900.0, 900.0, 900.0)
+    val (_, _, pcp2, _, _) = Algorithms.fmaskPlanes(flatCube(w, h, colorful), w, h)
+    assert(pcp2.forall(_ == 0.0), "high-whiteness pixels must not be PCP")
+
+    // veto via vegetation (ndvi ≥ 0.8): nir >> red
+    val veg = Seq(900.0, 900.0, 80.0, 1400.0, 900.0, 900.0)
+    val (_, _, pcp3, _, _) = Algorithms.fmaskPlanes(flatCube(w, h, veg), w, h)
+    assert(pcp3.forall(_ == 0.0), "vegetated pixels must not be PCP")
+  }
+
+  test("fmask water test and clear-sky land are complementary") {
+    val w = 10; val h = 10
+    // water-like: ndvi < 0.01 (nir ≈ red·1.0), nir < 0.7 proxy
+    val water = Seq(600.0, 600.0, 600.0, 590.0, 600.0, 300.0)
+    val (_, _, pcpW, waterW, landW) =
+      Algorithms.fmaskPlanes(flatCube(w, h, water), w, h)
+    assert(waterW.forall(_ == 1.0), "water-like pixels must be clearskywater")
+    assert(landW.forall(_ == 0.0))
+
+    // land-like: high nir (ndvi > 0.1), not PCP (dark swir2)
+    val land = Seq(600.0, 600.0, 500.0, 900.0, 600.0, 300.0)
+    val (_, _, pcpL, waterL, landL) =
+      Algorithms.fmaskPlanes(flatCube(w, h, land), w, h)
+    assert(pcpL.forall(_ == 0.0) && waterL.forall(_ == 0.0))
+    assert(landL.forall(_ == 1.0), "non-water non-PCP pixels are clearskyland")
+  }
+
+  test("fmask final mask: nodata preserved, final = NOT cloud on valid") {
+    val w = 16; val h = 16
+    val cube = flatCube(w, h, Seq(900.0, 900.0, 900.0, 900.0, 900.0, 900.0))
+    // nodata stripe in all bands at x<2
+    for (b <- 0 until 6; y <- 0 until h; x <- 0 until 2)
+      cube(b)(y * w + x) = Double.NaN
+    val (fin, cm, _, _, _) = Algorithms.fmaskPlanes(cube, w, h)
+    for (i <- 0 until w * h) {
+      if (cube(0)(i).isNaN) {
+        assert(fin(i).isNaN && cm(i).isNaN)
+      } else {
+        assert(fin(i) == (if (cm(i) == 1.0) 0.0 else 1.0))
+      }
+    }
+  }
+
+  test("acca shadow smear projects the mask along the sun direction") {
+    val w = 24; val h = 24
+    val mask = Array.fill(w * h)(0.0)
+    mask(12 * w + 12) = 1.0 // single cloud pixel
+    // se=45° ⇒ distance = cloudheight; sa=135° ⇒ dx>0, dy<0 (sin135>0 ⇒
+    // dx = −sin·d/30 < 0... use sa=315° for +x,+y): verify direction below
+    val out = Algorithms.shadowSmear(mask, w, h, seDeg = 45, saDeg = 135,
+      cloudheight = 150, xres = 30, yres = 30, dilate = 3)
+    // dx = −sin(135°)·150/30 = −3 (int), dy = cos(135°)·150/30 = −3
+    // smear ORs copies shifted by (−3,−3) … (−1,−1): the smear lands at
+    // (12+sx, 12+sy) for sx,sy ∈ {−3,…,−1} (out(y,x)=mask(y−sy, x−sx))
+    assert(out(12 * w + 12) == 1.0, "original pixel kept")
+    for (d <- 1 to 3)
+      assert(out((12 - d) * w + (12 - d)) == 1.0, s"shadow at offset -$d")
+    assert(out((12 + 1) * w + (12 + 1)) == 0.0, "no smear against the sun")
+    // cloudheight = 0 disables the smear entirely
+    val none = Algorithms.shadowSmear(mask, w, h, 45, 135, 0)
+    assert(none.count(_ == 1.0) == 1)
+  }
+
+  test("acca planes: smear only ever grows the final mask") {
+    val w = 32; val h = 32
+    // left half: blue>500, ndvi≈0.04, whiteness≈0.15 → pass-1 clouds;
+    // right half: blue 300 → clear
+    val cube = Array.tabulate(6) { b =>
+      Array.tabulate(w * h) { i =>
+        val x = i % w
+        b match {
+          case 0 => if (x < w / 2) 600.0 else 300.0 // blue
+          case 1 => 500.0                           // green
+          case 2 => 520.0                           // red
+          case 3 => 560.0                           // nir
+          case _ => 450.0
+        }
+      }
+    }
+    val (_, _, noSmear) = Algorithms.accaPlanes(cube, w, h, 45, 135, 0)
+    val (_, _, smeared) = Algorithms.accaPlanes(cube, w, h, 45, 135, 450)
+    val n0 = noSmear.count(_ == 1.0)
+    val n1 = smeared.count(_ == 1.0)
+    assert(n0 > 0)
+    assert(n1 >= n0, "smear must be monotone (OR of shifts)")
+    for (i <- 0 until w * h if noSmear(i) == 1.0)
+      assert(smeared(i) == 1.0)
+  }
+}

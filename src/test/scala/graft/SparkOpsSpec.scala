@@ -239,4 +239,35 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.groupBy().agg(sum("rows")).collect()(0).getLong(0) >= 1000)
   }
 
+  test("writeResumable scans the source exactly once") {
+    val root = Files.createTempDirectory("graft-lineage-1scan").toString
+    val acc = spark.sparkContext.longAccumulator("evals")
+    val tick = udf((x: Long) => { acc.add(1); x }).asNondeterministic()
+    val df = spark.range(0, 1000, 1, 4)
+      .select(tick(col("id")).as("k"), (col("id") * 3).as("v"))
+    assert(Lineage.writeResumable(spark, df, root, "k", 8) == 8)
+    // the old per-bucket loop re-evaluated the source once PER BUCKET
+    // (8000 evals here); the one-pass writer evaluates each row once
+    assert(acc.value == 1000L, s"source rows evaluated ${acc.value} times")
+    assert(Lineage.read(spark, root).count() == 1000)
+  }
+
+  test("commit log tolerates torn lines (crash mid-append)") {
+    val root = Files.createTempDirectory("graft-lineage-torn").toString
+    val df = spark.range(0, 200, 1, 4)
+      .select(col("id").as("k"), (col("id") * 3).as("v"))
+    assert(Lineage.writeResumable(spark, df, root, "k", 4) == 4)
+    // simulate a crash mid-append: a torn line that still contains
+    // '"part":2' but no complete record — must NOT count as committed
+    val log = Lineage.logPath(root)
+    val kept = Files.readAllLines(log).subList(0, 3)
+    Files.write(log, (kept.toArray.mkString("\n") + "\n" +
+      """{"part":3,"rows":""").getBytes)
+    assert(Lineage.committedParts(root) == Set(0, 1, 2))
+    assert(Lineage.metrics(spark, root).count() == 3) // parses cleanly
+    // resume redoes exactly the torn bucket
+    assert(Lineage.writeResumable(spark, df, root, "k", 4) == 1)
+    assert(Lineage.read(spark, root).count() == 200)
+  }
+
 }
