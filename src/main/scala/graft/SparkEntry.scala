@@ -353,6 +353,41 @@ object SparkEntry {
           col("rp._2").as("vsum"))
         .orderBy("image_id")),
 
+    // ---- distributed warp_into / pixel-level mosaic merge ----
+    // identity warp preserves every valid pixel (the reference's
+    // sum-preservation golden, test_GeoImage.py:207-215): each image
+    // warps into its own grid through the tile-gather join
+    "q_warp_into_identity" -> ((s, dir) => {
+      val im = Synth.imagesWithBytes(s, dir, smallRaw)
+      val grids = imgs(s, dir).where(col("w") <= 64 && col("h") <= 64 &&
+          (col("k") % 6 === 1 || col("k") % 6 === 2))
+        .select(col("image_id").as("gid"), col("x0m").as("gx0"),
+          col("y0m").as("gy0"), col("x1m").as("gx1"), col("y1m").as("gy1"))
+      Warp.warpInto(im, grids, pairPredicate = col("gid") === col("image_id"))
+        .groupBy("gid")
+        .agg(sum(col("n_valid")).as("n_valid"), sum(col("vsum")).as("vsum"))
+        .orderBy("gid")
+    }),
+
+    // pixel-level cookie-cutter: every smallRaw image warps onto each
+    // padded destination grid it overlaps; per-pixel last-wins merge
+    // (valid overwrites, nodata never) — value-exact vs a per-pixel
+    // winner oracle. Grids = image footprints padded ±512 mdeg, so the
+    // resample window is offset from the source grid (non-identity)
+    // and any overlapping neighbor image merges in by key order.
+    "q_mosaic_pixels" -> ((s, dir) => {
+      val im = Synth.imagesWithBytes(s, dir, smallRaw)
+      val grids = imgs(s, dir).where(col("w") <= 64 && col("h") <= 64 &&
+          (col("k") % 6 === 1 || col("k") % 6 === 2))
+        .select(col("image_id").as("gid"),
+          (col("x0m") - 512).as("gx0"), (col("y0m") - 512).as("gy0"),
+          (col("x1m") + 512).as("gx1"), (col("y1m") + 512).as("gy1"))
+      Warp.warpInto(im, grids)
+        .groupBy("gid")
+        .agg(sum(col("n_valid")).as("n_valid"), sum(col("vsum")).as("vsum"))
+        .orderBy("gid")
+    }),
+
     // rows-only checks (non-SQL-expressible: iterative / matrix-inverse
     // / morphological multi-pass)
     "q_kmeans_emb" -> ((s, dir) =>
@@ -633,6 +668,60 @@ object SparkEntry {
          |  base*base*(w-nw)*h + ax*ax*sx2*h + ay*ay*sy2*(w-nw)
          |    + 2*base*ax*sx*h + 2*base*ay*sy*(w-nw) + 2*ax*ay*sx*sy AS vsumsq
          |FROM stat ORDER BY image_id, band""".stripMargin,
+
+    // identity warp = per-image band-0 valid-pixel sums (closed forms)
+    "q_warp_into_identity" ->
+      s"""WITH $I, $B,
+         |stat AS (SELECT i.image_id, i.w, i.h, i.nw, p.base, p.ax, p.ay,
+         |  ((i.w-1)*i.w)//2 - ((i.nw-1)*i.nw)//2 AS sx,
+         |  (i.h*(i.h-1))//2 AS sy
+         |  FROM img2 i JOIN bandp p ON p.k = i.k AND p.b = 0
+         |  WHERE i.k % 6 IN (1,2) AND i.w <= 64 AND i.h <= 64)
+         |SELECT image_id AS gid, CAST((w-nw)*h AS BIGINT) AS n_valid,
+         |  CAST(base*(w-nw)*h + ax*sx*h + ay*sy*(w-nw) AS BIGINT) AS vsum
+         |FROM stat ORDER BY gid""".stripMargin,
+
+    // pixel-level mosaic: per dst pixel the max-k VALID covering image
+    // wins (nodata never overwrites); nearest lookup xi=(gx−x0m)//4
+    "q_mosaic_pixels" ->
+      s"""WITH $I,
+         |simg AS (SELECT * FROM img2
+         |         WHERE w <= 64 AND h <= 64 AND k % 6 IN (1,2)),
+         |g AS (SELECT image_id AS gid, x0m - 512 AS gx0, y0m - 512 AS gy0,
+         |        x1m + 512 AS gx1, y1m + 512 AS gy1 FROM simg),
+         |gdim AS (SELECT *, (gx1-gx0+3)//4 AS out_w, (gy1-gy0+3)//4 AS out_h
+         |         FROM g),
+         |cover AS (SELECT DISTINCT gid FROM gdim d JOIN simg i
+         |  ON i.x0m < d.gx0 + d.out_w*4 AND d.gx0 < i.x1m
+         | AND i.y0m < d.gy1 AND d.gy1 - d.out_h*4 < i.y1m),
+         |pxc AS (
+         |  SELECT d.gid, d.gx0 + xs.i*4 + 2 AS gx, d.gy1 - ys.j*4 - 2 AS gy
+         |  FROM gdim d
+         |  JOIN cover c ON c.gid = d.gid
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(d.out_w-1 AS INT))) AS i) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(d.out_h-1 AS INT))) AS j) ys),
+         |hit AS (
+         |  -- gx>=x0m / gy<=y1m guards keep // operands non-negative:
+         |  -- DuckDB // truncates toward zero, the engine floors
+         |  SELECT p.gid, p.gx, p.gy, i.k,
+         |         (p.gx - i.x0m)//4 AS xi, (i.y1m - p.gy)//4 AS yi
+         |  FROM pxc p JOIN simg i
+         |    ON p.gx >= i.x0m AND p.gy <= i.y1m
+         |   AND (p.gx - i.x0m)//4 BETWEEN i.nw AND i.w-1
+         |   AND (i.y1m - p.gy)//4 BETWEEN 0 AND i.h-1),
+         |win AS (SELECT gid, gx, gy, MAX(k) AS k FROM hit GROUP BY 1,2,3),
+         |val AS (SELECT w.gid,
+         |    200 + (w.k*3) % 800 + (w.k % 8)*h.xi + (w.k % 8)*h.yi AS v
+         |  FROM win w JOIN hit h
+         |    ON h.gid = w.gid AND h.gx = w.gx AND h.gy = w.gy AND h.k = w.k),
+         |sums AS (SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |                CAST(SUM(v) AS BIGINT) AS vsum
+         |         FROM val GROUP BY gid)
+         |SELECT c.gid, COALESCE(s.n_valid, 0) AS n_valid,
+         |       COALESCE(s.vsum, 0) AS vsum
+         |FROM cover c LEFT JOIN sums s USING (gid) ORDER BY gid""".stripMargin,
 
     "q_warp_grid" ->
       s"""WITH $I

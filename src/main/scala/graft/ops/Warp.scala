@@ -1,6 +1,8 @@
 package graft.ops
 
-import graft.core.Geom
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{Codec, Geom}
 import graft.core.Geom.BBoxD
 
 /** Warp/reproject: output-grid calculation (bit-exact re-derivation of
@@ -73,6 +75,117 @@ object Warp {
       j += 1
     }
     out
+  }
+
+  /** Merge warp fragments with the reference's sequential-overwrite
+    * semantics (/root/reference/GIP/GeoAlgorithms.cpp:280-283 +
+    * GeoRaster.cpp:210-310 noinit path): fragments apply in ascending
+    * key order; a later image's VALID pixel overwrites, its nodata
+    * (NaN) never does. Pure — also used by the spec directly. */
+  def mergeFragments(frags: Seq[(Long, Array[Double])], len: Int): Array[Double] = {
+    val out = Array.fill(len)(Double.NaN)
+    frags.sortBy(_._1).foreach { case (_, f) =>
+      var i = 0
+      while (i < len) { if (!f(i).isNaN) out(i) = f(i); i += 1 }
+    }
+    out
+  }
+
+  /** Rasterized cutline (GeoRaster.cpp:261-285): pixels of `grid` whose
+    * CENTER falls outside the polygon ring become NaN. */
+  def cutlineMask(plane: Array[Double], grid: Grid, wkt: String): Array[Double] = {
+    val (xs, ys) = Geom.parsePolygonWkt(wkt)
+    val out = plane.clone()
+    var j = 0
+    while (j < grid.h) {
+      val gy = grid.y1 - (j + 0.5) * math.abs(grid.yres)
+      var i = 0
+      while (i < grid.w) {
+        val gx = grid.x0 + (i + 0.5) * grid.xres
+        if (!Geom.pointInPolygon(gx, gy, xs, ys)) out(j * grid.w + i) = Double.NaN
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** DISTRIBUTED warp_into + cookie-cutter pixel merge — the tile-gather
+    * join the reference's multithreaded `ChunkAndWarpMulti` maps to at
+    * cluster scale (GeoRaster.cpp:210-310; mosaic loop
+    * GeoAlgorithms.cpp:225-286):
+    *
+    *   1. each destination grid (gid, gx0..gy1 mdeg, north-up, `resM`
+    *      mdeg/px) explodes into `tilePx`² pixel tiles;
+    *   2. source images GATHER-join the tiles they overlap (broadcast
+    *      here — at 10¹² rows the pair join swaps to the covering-cell
+    *      equi-join of SpatialJoin, same downstream plan);
+    *   3. each (tile, image) pair resamples the image's band 0 onto the
+    *      tile window (kernel of choice), optionally cut to `cutWkt`;
+    *   4. groupBy(tile) merges fragments in ascending image-key order —
+    *      valid-overwrites, nodata-never — replacing the reference's
+    *      sequential writes with an order-insensitive aggregation.
+    *
+    * `images` needs (k, image_id, bytes, w, h, fmt, x0m, y1m, and the
+    * footprint columns for the join); `grids` needs (gid, gx0, gy0,
+    * gx1, gy1). Returns per-tile (gid, tx, ty, n_valid, vsum) with
+    * vsum the exact integer sum of merged valid pixels (nearest
+    * resample of integer planes stays integral). */
+  def warpInto(images: DataFrame, grids: DataFrame, resM: Long = 4L,
+               tilePx: Int = 32, interp: Int = 0,
+               pairPredicate: Column = lit(true),
+               cutWkt: Column = lit(null).cast("string")): DataFrame = {
+    val tpx = tilePx.toLong
+    val tiles = grids
+      .withColumn("out_w", Tiling.idiv(col("gx1") - col("gx0") + resM - 1, lit(resM)))
+      .withColumn("out_h", Tiling.idiv(col("gy1") - col("gy0") + resM - 1, lit(resM)))
+      .withColumn("tx", explode(sequence(lit(0L),
+        Tiling.idiv(col("out_w") + tpx - 1, lit(tpx)) - 1)))
+      .withColumn("ty", explode(sequence(lit(0L),
+        Tiling.idiv(col("out_h") + tpx - 1, lit(tpx)) - 1)))
+      .withColumn("tw", least(lit(tpx), col("out_w") - col("tx") * tpx))
+      .withColumn("th", least(lit(tpx), col("out_h") - col("ty") * tpx))
+      .withColumn("tgx0", col("gx0") + col("tx") * (tpx * resM))
+      .withColumn("tgy1", col("gy1") - col("ty") * (tpx * resM))
+      .withColumn("tgx1", col("tgx0") + col("tw") * resM)
+      .withColumn("tgy0", col("tgy1") - col("th") * resM)
+    val pairs = images.join(broadcast(tiles),
+      col("x0m") < col("tgx1") && col("tgx0") < col("x1m") &&
+      col("y0m") < col("tgy1") && col("tgy0") < col("y1m") && pairPredicate)
+    // tile width/height packed into one long (udf arity cap is 10)
+    val fragUdf = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
+                       x0m: Long, y1m: Long, tgx0: Long, tgy1: Long,
+                       twh: Long, cut: String) => {
+      val tw = (twh >> 11).toInt; val th = (twh & 0x7FF).toInt
+      val plane = Codec.decode(bytes, w, h,
+        Codec.bandsStored(fmt, graft.gen.Synth.NumBands), fmt)(0)
+      val grid = Grid(tgx0.toDouble, (tgy1 - th * resM).toDouble,
+        (tgx0 + tw * resM).toDouble, tgy1.toDouble,
+        tw, th, resM.toDouble, resM.toDouble)
+      val f = resample(plane, w, h, x0m.toDouble, y1m.toDouble,
+        resM.toDouble, resM.toDouble, grid, interp)
+      if (cut == null) f else cutlineMask(f, grid, cut)
+    })
+    val mergeUdf = udf((frags: Seq[org.apache.spark.sql.Row], len: Int) => {
+      val merged = mergeFragments(
+        frags.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)), len)
+      var n = 0L; var s = 0L; var i = 0
+      while (i < len) {
+        if (!merged(i).isNaN) { n += 1; s += merged(i).toLong }
+        i += 1
+      }
+      (n, s)
+    })
+    pairs
+      .withColumn("frag", fragUdf(col("bytes"), col("w").cast("int"),
+        col("h").cast("int"), col("fmt"),
+        col("x0m"), col("y1m"), col("tgx0"), col("tgy1"),
+        shiftleft(col("tw"), 11) + col("th"), cutWkt))
+      .groupBy(col("gid"), col("tx"), col("ty"), col("tw"), col("th"))
+      .agg(collect_list(struct(col("k"), col("frag"))).as("frags"))
+      .withColumn("m", mergeUdf(col("frags"), (col("tw") * col("th")).cast("int")))
+      .select(col("gid"), col("tx"), col("ty"),
+        col("m._1").as("n_valid"), col("m._2").as("vsum"))
   }
 
   private def at(src: Array[Double], sw: Int, sh: Int, x: Int, y: Int): Double = {

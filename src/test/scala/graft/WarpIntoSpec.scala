@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.core.{Codec, Geom}
+import graft.ops.Warp
+
+/** Distributed warp_into: multi-image last-wins pixel merge and the
+  * polygon cutline mask, against straightforward recomputation. */
+class WarpIntoSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-warpinto-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Constant-plane image k at (x0m, y0m), w×h px, value v, with a
+    * nodata stripe in columns x < nw. */
+  private def img(k: Long, x0m: Long, y0m: Long, w: Int, h: Int,
+                  v: Double, nw: Int) = {
+    val planes = Array.tabulate(6) { _ =>
+      Array.tabulate(w * h)(i => if (i % w < nw) Double.NaN else v)
+    }
+    (k, s"im-$k", Codec.encode(planes, w, h, "raw-i16le"), w.toLong, h.toLong,
+      "raw-i16le", x0m, y0m, x0m + w * 4L, y0m + h * 4L)
+  }
+
+  test("warpInto merges overlapping images last-wins; nodata never overwrites") {
+    import spark.implicits._
+    // grid 40x40 px at (0,0)..(160,160); three images:
+    //  k=1 value 100 covers the whole grid
+    //  k=2 value 200 covers left half, nodata stripe first 2 columns
+    //  k=3 value 300 covers top-left 10x10 px
+    val rows = Seq(
+      img(1, 0, 0, 40, 40, 100, 0),
+      img(2, 0, 0, 20, 40, 200, 2),
+      img(3, 0, 120, 10, 10, 300, 0))
+    val im = rows.toDF("k", "image_id", "bytes", "w", "h", "fmt",
+      "x0m", "y0m", "x1m", "y1m")
+    val grids = Seq(("g", 0L, 0L, 160L, 160L))
+      .toDF("gid", "gx0", "gy0", "gx1", "gy1")
+    val out = Warp.warpInto(im, grids, tilePx = 16)
+      .groupBy("gid").agg(sum("n_valid").as("n"), sum("vsum").as("s"))
+      .collect()(0)
+    // expected per pixel (40x40): k=3 wins on top-left 10x10 = 300;
+    // k=2 wins on x in [2,20) (stripe x<2 stays k=1) except where k=3;
+    // k=1 elsewhere.
+    var n = 0L; var s = 0L
+    for (y <- 0 until 40; x <- 0 until 40) {
+      val v =
+        if (x < 10 && y < 10) 300
+        else if (x >= 2 && x < 20) 200
+        else 100
+      n += 1; s += v
+    }
+    assert(out.getLong(1) == n)
+    assert(out.getLong(2) == s)
+  }
+
+  test("cutline mask excludes pixels outside the polygon") {
+    import spark.implicits._
+    val im = Seq(img(1, 0, 0, 40, 40, 100, 0))
+      .toDF("k", "image_id", "bytes", "w", "h", "fmt",
+        "x0m", "y0m", "x1m", "y1m")
+    val grids = Seq(("g", 0L, 0L, 160L, 160L))
+      .toDF("gid", "gx0", "gy0", "gx1", "gy1")
+    // cutline = left half of the grid
+    val wkt = Geom.rectWkt(0, 0, 80, 160)
+    val out = Warp.warpInto(im, grids, tilePx = 16, cutWkt = lit(wkt))
+      .groupBy("gid").agg(sum("n_valid").as("n"), sum("vsum").as("s"))
+      .collect()(0)
+    assert(out.getLong(1) == 20L * 40) // half the pixels
+    assert(out.getLong(2) == 20L * 40 * 100)
+  }
+
+  test("mergeFragments: ascending-key overwrite, NaN transparent") {
+    val a = Array(1.0, 1.0, Double.NaN)
+    val b = Array(2.0, Double.NaN, Double.NaN)
+    val m = Warp.mergeFragments(Seq((2L, b), (1L, a)), 3)
+    assert(m(0) == 2.0) // later key wins
+    assert(m(1) == 1.0) // later key's NaN does not overwrite
+    assert(m(2).isNaN)  // nobody valid
+  }
+}
