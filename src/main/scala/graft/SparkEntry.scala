@@ -353,6 +353,65 @@ object SparkEntry {
           col("rp._2").as("vsum"))
         .orderBy("image_id")),
 
+    // metadata get/set: dataset-level + band-level (band/key flattened)
+    "q_metadata" -> ((s, dir) => {
+      val withMeta = Bands.setMeta(imgs(s, dir), Map(
+        "sensor" -> col("fmt"),
+        "pixels" -> (col("w") * col("h")).cast("string")))
+      val withBand = Bands.setBandMeta(withMeta, "red", Map(
+        "wavelength_nm" -> lit("650"),
+        "stripe_px" -> col("nw").cast("string")))
+      withBand.select(col("image_id"),
+          explode(map_concat(col("meta"), col("bandmeta"))).as(Seq("key", "value")))
+        .orderBy("image_id", "key")
+    }),
+
+    // add_band: derived quantized-NDVI plane appended + re-encoded;
+    // stats of the new band prove the payload round trip
+    "q_add_band" -> ((s, dir) => {
+      val ndviq: Array[Array[Double]] => Array[Double] = cube => {
+        val r = cube(2); val n = cube(3)
+        Array.tabulate(r.length)(i =>
+          if (r(i).isNaN || n(i).isNaN) Double.NaN
+          else math.floor((n(i) - r(i)) / (n(i) + r(i)) * 1000) + 1000)
+      }
+      val df = Bands.addBand(Synth.imagesWithBytes(s, dir, smallRaw),
+        "ndviq", ndviq)
+      val agg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.Codec
+        val p = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, 7), fmt)(6)
+        var n = 0L; var vs = 0L; var i = 0
+        while (i < p.length) {
+          if (!p(i).isNaN) { n += 1; vs += p(i).toLong }
+          i += 1
+        }
+        (n, vs)
+      })
+      df.withColumn("a", agg(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt")))
+        .select(col("image_id"), size(col("bands")).cast("long").as("n_bands"),
+          col("a._1").as("n_valid"), col("a._2").as("vsum"))
+        .orderBy("image_id")
+    }),
+
+    // set_bandname: registry rename with uniqueness enforcement
+    "q_band_rename" -> ((s, dir) =>
+      Bands.renameBand(imgs(s, dir), "nir", "nir08")
+        .select(col("image_id"),
+          posexplode(col("bands")).as(Seq("pos", "band")))
+        .select(col("image_id"), col("pos").cast("long").as("pos"), col("band"))
+        .orderBy("image_id", "pos")),
+
+    // autoscale (min/max variant): band 0 rescaled to [0,1000]
+    "q_autoscale" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("a", Algorithms.autoscaleAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands)))
+        .select(col("image_id"), col("a._1").as("n_valid"),
+          col("a._2").as("fsum"))
+        .orderBy("image_id")),
+
     // ---- distributed warp_into / pixel-level mosaic merge ----
     // identity warp preserves every valid pixel (the reference's
     // sum-preservation golden, test_GeoImage.py:207-215): each image
@@ -668,6 +727,60 @@ object SparkEntry {
          |  base*base*(w-nw)*h + ax*ax*sx2*h + ay*ay*sy2*(w-nw)
          |    + 2*base*ax*sx*h + 2*base*ay*sy*(w-nw) + 2*ax*ay*sx*sy AS vsumsq
          |FROM stat ORDER BY image_id, band""".stripMargin,
+
+    "q_metadata" ->
+      s"""WITH $I,
+         |kv AS (
+         |  SELECT image_id, 'sensor' AS key, fmt AS value FROM img2
+         |  UNION ALL SELECT image_id, 'pixels', CAST(w*h AS VARCHAR) FROM img2
+         |  UNION ALL SELECT image_id, 'red/wavelength_nm', '650' FROM img2
+         |  UNION ALL SELECT image_id, 'red/stripe_px', CAST(nw AS VARCHAR)
+         |    FROM img2)
+         |SELECT image_id, key, value FROM kv
+         |ORDER BY image_id, key""".stripMargin,
+
+    "q_add_band" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte,
+         |r AS (SELECT k, x, y, v FROM px WHERE b = 2),
+         |n AS (SELECT k, x, y, v FROM px WHERE b = 3),
+         |q AS (SELECT r.k,
+         |        FLOOR((CAST(n.v AS DOUBLE) - r.v) / (n.v + r.v) * 1000)
+         |          + 1000 AS v
+         |      FROM r JOIN n ON n.k = r.k AND n.x = r.x AND n.y = r.y)
+         |SELECT s.image_id, CAST(7 AS BIGINT) AS n_bands,
+         |       CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |       CAST(SUM(q.v) AS BIGINT) AS vsum
+         |FROM q JOIN simg s ON s.k = q.k
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_band_rename" -> {
+      val names = Seq("blue", "green", "red", "nir08", "swir1", "swir2")
+      val sel = names.zipWithIndex.map { case (n, i) =>
+        s"SELECT image_id, CAST($i AS BIGINT) AS pos, '$n' AS band FROM img2"
+      }.mkString("\nUNION ALL ")
+      s"""WITH $I
+         |$sel
+         |ORDER BY image_id, pos""".stripMargin
+    },
+
+    // autoscale: out = clamp((v−vmin)·1000/(vmax−vmin), 0, 1000);
+    // constant band ⇒ minout (0)
+    "q_autoscale" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte,
+         |rng AS (SELECT s.k, s.image_id,
+         |          p.base + p.ax*s.nw AS vmin,
+         |          p.base + p.ax*(s.w-1) + p.ay*(s.h-1) AS vmax
+         |        FROM simg s JOIN bandp p ON p.k = s.k AND p.b = 0),
+         |o AS (SELECT r.image_id,
+         |        CASE WHEN r.vmax = r.vmin THEN 0.0
+         |             ELSE LEAST(1000.0, GREATEST(0.0,
+         |               (CAST(px.v AS DOUBLE) - r.vmin) *
+         |               (1000.0/(CAST(r.vmax AS DOUBLE) - r.vmin)) + 0.0))
+         |        END AS outv
+         |      FROM px JOIN rng r ON r.k = px.k WHERE px.b = 0)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |       CAST(SUM(FLOOR(outv * 1000)) AS BIGINT) AS fsum
+         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identity warp = per-image band-0 valid-pixel sums (closed forms)
     "q_warp_into_identity" ->

@@ -94,6 +94,80 @@ object Geom {
     }
   }
 
+  /** Transverse Mercator (Snyder series) — the projection behind the
+    * reference's UTM fixtures (test/vectors/aoi1_epsg32416.prj:
+    * WGS_72BE UTM zone 16N; exercised by test_GeoAlgorithms.py:86-111).
+    * Forward verified against the fixture's own coordinate pairs to
+    * sub-mm (GeomCellSpec); inverse is the standard series, round-trip
+    * verified to <1e-6 m. No datum shift: the reference tooling applies
+    * none between these fixture files (verified numerically). */
+  final case class TransverseMercator(a: Double, invF: Double,
+                                      lon0Deg: Double, k0: Double,
+                                      falseEasting: Double,
+                                      falseNorthing: Double = 0.0) {
+    private val f = 1.0 / invF
+    private val e2 = 2 * f - f * f
+    private val ep2 = e2 / (1 - e2)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+
+    private def mDist(phi: Double): Double =
+      a * ((1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2 * e2 / 32 + 45 * e2 * e2 * e2 / 1024) * math.sin(2 * phi)
+        + (15 * e2 * e2 / 256 + 45 * e2 * e2 * e2 / 1024) * math.sin(4 * phi)
+        - (35 * e2 * e2 * e2 / 3072) * math.sin(6 * phi))
+
+    /** (lonDeg, latDeg) → (easting, northing) meters. */
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+      val sinP = math.sin(phi); val cosP = math.cos(phi); val tanP = math.tan(phi)
+      val nRad = a / math.sqrt(1 - e2 * sinP * sinP)
+      val t = tanP * tanP
+      val c = ep2 * cosP * cosP
+      val aa = (lam - lam0) * cosP
+      val x = falseEasting + k0 * nRad * (aa + (1 - t + c) * aa * aa * aa / 6 +
+        (5 - 18 * t + t * t + 72 * c - 58 * ep2) * math.pow(aa, 5) / 120)
+      val y = falseNorthing + k0 * (mDist(phi) + nRad * tanP * (aa * aa / 2 +
+        (5 - t + 9 * c + 4 * c * c) * math.pow(aa, 4) / 24 +
+        (61 - 58 * t + t * t + 600 * c - 330 * ep2) * math.pow(aa, 6) / 720))
+      (x, y)
+    }
+
+    /** (easting, northing) → (lonDeg, latDeg). */
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val m = (y - falseNorthing) / k0
+      val mu = m / (a * (1 - e2 / 4 - 3 * e2 * e2 / 64 - 5 * e2 * e2 * e2 / 256))
+      val phi1 = mu + (3 * e1 / 2 - 27 * math.pow(e1, 3) / 32) * math.sin(2 * mu) +
+        (21 * e1 * e1 / 16 - 55 * math.pow(e1, 4) / 32) * math.sin(4 * mu) +
+        (151 * math.pow(e1, 3) / 96) * math.sin(6 * mu) +
+        (1097 * math.pow(e1, 4) / 512) * math.sin(8 * mu)
+      val sinP = math.sin(phi1); val cosP = math.cos(phi1); val tanP = math.tan(phi1)
+      val c1 = ep2 * cosP * cosP
+      val t1 = tanP * tanP
+      val n1 = a / math.sqrt(1 - e2 * sinP * sinP)
+      val r1 = a * (1 - e2) / math.pow(1 - e2 * sinP * sinP, 1.5)
+      val d = (x - falseEasting) / (n1 * k0)
+      val phi = phi1 - (n1 * tanP / r1) * (d * d / 2 -
+        (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * ep2) * math.pow(d, 4) / 24 +
+        (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * ep2 - 3 * c1 * c1) *
+          math.pow(d, 6) / 720)
+      val lam = lam0 + (d - (1 + 2 * t1 + c1) * d * d * d / 6 +
+        (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * ep2 + 24 * t1 * t1) *
+          math.pow(d, 5) / 120) / cosP
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** The fixture's CRS: WGS_72BE UTM zone 16N (aoi1_epsg32416.prj). */
+  val Utm16N_Wgs72BE: TransverseMercator =
+    TransverseMercator(a = 6378135.0, invF = 298.26, lon0Deg = -87.0,
+      k0 = 0.9996, falseEasting = 500000.0)
+
+  /** WGS84 UTM northern zone (EPSG:326xx): zone 1..60. */
+  def utmWgs84(zone: Int): TransverseMercator =
+    TransverseMercator(a = 6378137.0, invF = 298.257223563,
+      lon0Deg = -183.0 + 6.0 * zone, k0 = 0.9996, falseEasting = 500000.0)
+
   /** Ray-casting point-in-polygon on a closed ring (pure Scala — JTS is
     * used only as a test oracle). Even-odd rule; points exactly on an
     * edge are resolved by the half-open crossing test (stable, but edge

@@ -46,6 +46,24 @@ object Pixels {
 
   /** Linear rescale [minin,maxin]→[minout,maxout] with clamp — the
     * reference's scale() (/root/reference/GIP/gip/GeoRaster.h:347-352). */
+  /** autoscale (/root/reference/GIP/gip/GeoRaster.h:355-363, image-wide
+    * GeoImage.h:238-244): linear rescale of the band's OWN range —
+    * min..max, or percentile(percent)..percentile(100−percent) when
+    * percent > 0 (tail trimming) — onto [minout, maxout], clamped.
+    * Composition of the global stats/percentile pass and [[scale]],
+    * exactly as the reference composes them. */
+  def autoscale(p: Array[Double], minout: Double, maxout: Double,
+                percent: Double = 0.0): Array[Double] = {
+    val (lo, hi) =
+      if (percent > 0)
+        (percentile(p, percent), percentile(p, 100 - percent))
+      else {
+        val st = stats(p); (st.min, st.max)
+      }
+    if (hi == lo) applyChain(p, Seq(_ => minout))
+    else applyChain(p, Seq(scale(lo, hi, minout, maxout)))
+  }
+
   def scale(minin: Double, maxin: Double, minout: Double, maxout: Double): Op = {
     val gain = (maxout - minout) / (maxin - minin)
     x => {

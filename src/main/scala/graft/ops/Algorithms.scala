@@ -225,6 +225,19 @@ object Algorithms {
     (n, s, if (n == 0) 0.0 else mx)
   })
 
+  /** autoscale over band 0 → (n_valid, Σ floor(out·1000)) with output
+    * range [0,1000] (GeoRaster.h:355-363 min/max variant). */
+  val autoscaleAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) => {
+    val p = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)(0)
+    val out = Pixels.autoscale(p, 0.0, 1000.0)
+    var n = 0L; var fs = 0L; var i = 0
+    while (i < out.length) {
+      if (!out(i).isNaN) { n += 1; fs += math.floor(out(i) * 1000).toLong }
+      i += 1
+    }
+    (n, fs)
+  })
+
   // ---- sun-geometry shadow smear (GeoAlgorithms.cpp:164-214) ----
   /** The reference's coarse shadow-covering smear: project the cloud
     * mask along the sun direction by OR-ing shifted copies, walking

@@ -29,6 +29,75 @@ object Bands {
   def bandsExist(names: Seq[String], want: Seq[String]): Boolean =
     want.forall(w => names.exists(_.equalsIgnoreCase(w)))
 
+  // ---- add_band / set_bandname (GeoImage.cpp:108-123, GeoImage.h:153-177) ----
+
+  /** add_band: append a DERIVED plane (computed from the existing cube
+    * by `plane`) under a new name; duplicate names rejected like the
+    * reference's dup check (GeoImage.cpp:110-114). Payload re-encoded
+    * with nb+1 bands; `bands` column gains the lower-cased name. */
+  def addBand(imagesWithBytes: DataFrame, name: String,
+              plane: Array[Array[Double]] => Array[Double],
+              allNames: Seq[String] = Synth.BandNames): DataFrame = {
+    require(!allNames.exists(_.equalsIgnoreCase(name)),
+      s"duplicate band name $name (existing: $allNames)")
+    val tx = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+      val cube = Codec.decode(bytes, w, h,
+        Codec.bandsStored(fmt, allNames.length), fmt)
+      Codec.encode(cube :+ plane(cube), w, h, fmt)
+    })
+    imagesWithBytes
+      .withColumn("bytes", tx(col("bytes"), col("w").cast("int"),
+        col("h").cast("int"), col("fmt")))
+      .withColumn("bands",
+        array((allNames :+ name).map(n => lit(n.toLowerCase)): _*))
+  }
+
+  /** set_bandname: rename a band in the registry column; uniqueness
+    * enforced (GeoImage.h:158-166). Case-insensitive match like every
+    * band lookup. */
+  def renameBand(df: DataFrame, from: String, to: String,
+                 allNames: Seq[String] = Synth.BandNames): DataFrame = {
+    bandIndex(allNames, from) // exists
+    require(!allNames.exists(_.equalsIgnoreCase(to)),
+      s"band name $to already exists in $allNames")
+    val renamed = allNames.map(n =>
+      if (n.equalsIgnoreCase(from)) to.toLowerCase else n.toLowerCase)
+    df.withColumn("bands", array(renamed.map(lit): _*))
+  }
+
+  // ---- metadata get/set (GeoResource.cpp:220-265, GeoRaster.cpp:179-208) ----
+
+  /** Metadata set into `into` (a map<string,string> column, created if
+    * absent): add/overwrite entries. Overwritten keys are filtered
+    * first, so no duplicate-key policy is involved. */
+  private def setMetaInto(df: DataFrame, into: String,
+                          kv: Map[String, org.apache.spark.sql.Column]): DataFrame = {
+    val keys = kv.keys.toSeq
+    val newMap = map(kv.toSeq.flatMap { case (k, v) => Seq(lit(k), v) }: _*)
+    val cleaned =
+      if (df.columns.contains(into))
+        map_filter(col(into), (k, _) => keys.map(lit(_) =!= k).reduce(_ && _))
+      else map().cast("map<string,string>")
+    df.withColumn(into, map_concat(cleaned, newMap))
+  }
+
+  /** Dataset-level metadata set (`meta` column). */
+  def setMeta(df: DataFrame, kv: Map[String, org.apache.spark.sql.Column]): DataFrame =
+    setMetaInto(df, "meta", kv)
+
+  /** Band-level metadata set: entries keyed `band/key` in the
+    * `bandmeta` map column (the reference's per-band dictionary,
+    * GeoRaster.cpp:179-208, flattened for the columnar model). */
+  def setBandMeta(df: DataFrame, band: String,
+                  kv: Map[String, org.apache.spark.sql.Column]): DataFrame =
+    setMetaInto(df, "bandmeta",
+      kv.map { case (k, v) => (s"${band.toLowerCase}/$k", v) })
+
+  /** meta(key) accessor (missing ⇒ null, like the reference's empty
+    * string return, GeoResource.cpp:236-243). */
+  def getMeta(df: DataFrame, key: String): org.apache.spark.sql.Column =
+    element_at(col("meta"), key)
+
   /** select(names): keep subset/reorder; payload re-encoded. */
   def select(imagesWithBytes: DataFrame, names: Seq[String],
              allNames: Seq[String] = Synth.BandNames): DataFrame = {

@@ -160,4 +160,40 @@ class CodecPixelsSpec extends AnyFunSuite {
     assert(mean(1).isNaN && cnt(1) == 0.0)
     assert(mean(2) == 3.0 && cnt(2) == 1.0 && sd(2).isNaN) // n<2 ⇒ nodata
   }
+
+  test("autoscale: min/max and percentile-trim variants") {
+    // ramp 0..999 plus two outliers and a nodata hole (the ramp spans
+    // ~20 of the 100 histogram bins, so the percentile interpolation
+    // is meaningful — it is a histogram estimate, not an exact quantile)
+    val p = Array.tabulate(1002) { i =>
+      if (i == 1000) 3000.0 else if (i == 1001) -2000.0 else i.toDouble
+    }
+    p(500) = Double.NaN
+    // min/max variant maps [-2000, 3000] → [0, 1000]
+    val a = graft.core.Pixels.autoscale(p, 0, 1000)
+    assert(a(1000) == 1000.0 && a(1001) == 0.0)
+    assert(math.abs(a(0) - 400.0) < 1e-9) // (0-(-2000))/5000*1000
+    assert(a(500).isNaN) // nodata preserved through the chain
+    // percentile trim (2%) cuts the outliers: the ramp then spans most
+    // of the output range and the outliers clamp to the bounds
+    val t = graft.core.Pixels.autoscale(p, 0, 1000, percent = 2)
+    assert(t(1000) == 1000.0 && t(1001) == 0.0)
+    assert(t(999) > 800, s"trimmed scale top ${t(999)}")
+    assert(t(1) < 200, s"trimmed scale bottom ${t(1)}")
+    // degenerate constant band → minout
+    val c = graft.core.Pixels.autoscale(Array(5.0, 5.0, Double.NaN), 0, 1000)
+    assert(c(0) == 0.0 && c(1) == 0.0 && c(2).isNaN)
+  }
+
+  test("addBand/renameBand enforce the reference's uniqueness rules") {
+    intercept[IllegalArgumentException] {
+      graft.ops.Bands.renameBand(null, "nir", "RED") // case-insensitive dup
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Bands.renameBand(null, "missing", "x")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Bands.addBand(null, "SWIR1", _ => Array())
+    }
+  }
 }

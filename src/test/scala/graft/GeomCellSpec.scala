@@ -165,4 +165,27 @@ class GeomCellSpec extends AnyFunSuite {
     val id = CellGrid.cellOf(7, 0, 0)
     assert(CellGrid.kRing(id, 2).length == 25)
   }
+
+  test("UTM 16N (WGS72BE) forward reproduces the reference fixture AOI") {
+    // vertex pairs extracted from the reference's own shapefiles
+    // (test/vectors/aoi1_epsg4326.shp ↔ aoi1_epsg32416.shp) — the same
+    // AOI in both CRS, exercised by test_GeoAlgorithms.py:86-111
+    val pairs = Seq(
+      ((-87.47235733646318, 30.663041208681697), (454747.89038529707, 3392353.6611242807)),
+      ((-87.38086891005085, 30.6642799924406), (463513.0705784495, 3392457.661136151)),
+      ((-87.380867178007, 30.635745912090574), (463502.5204764674, 3389295.5058578462)),
+      ((-87.47235568461703, 30.635604596410072), (454735.26974006696, 3389313.110288678)))
+    pairs.foreach { case ((lon, lat), (gx, gy)) =>
+      val (x, y) = Geom.Utm16N_Wgs72BE.forward(lon, lat)
+      assert(math.abs(x - gx) < 0.01, s"easting $x vs $gx")
+      assert(math.abs(y - gy) < 0.01, s"northing $y vs $gy")
+      // round trip through the inverse series
+      val (lo, la) = Geom.Utm16N_Wgs72BE.inverse(x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9)
+    }
+    // WGS84 UTM (EPSG:32616) sanity: same zone, slightly different
+    // ellipsoid — coordinates shift by meters, not kilometers
+    val (x84, y84) = Geom.utmWgs84(16).forward(-87.47235733646318, 30.663041208681697)
+    assert(math.abs(x84 - 454747.89) < 50 && math.abs(y84 - 3392353.66) < 800)
+  }
 }
