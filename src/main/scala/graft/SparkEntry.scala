@@ -353,6 +353,15 @@ object SparkEntry {
           col("rp._2").as("vsum"))
         .orderBy("image_id")),
 
+    // tile write/stitch round trip: padded tile slices (read(chunk))
+    // de-padded and re-assembled per image (write(chunk) inverse) —
+    // sums must equal the direct band-0 decode (identity oracle)
+    "q_tile_stitch" -> ((s, dir) =>
+      Tiling.stitch(
+          Tiling.tileSlices(Synth.imagesWithBytes(s, dir, smallRaw),
+            chunkBytes = 2048, padding = 2))
+        .orderBy("image_id")),
+
     // metadata get/set: dataset-level + band-level (band/key flattened)
     "q_metadata" -> ((s, dir) => {
       val withMeta = Bands.setMeta(imgs(s, dir), Map(
@@ -451,6 +460,40 @@ object SparkEntry {
     // / morphological multi-pass)
     "q_kmeans_emb" -> ((s, dir) =>
       Algorithms.kmeansEmbeddings(s, emb(s, dir), 4, 3).orderBy("vec_id")),
+
+    // pixel-spectra k-means with farthest-point seeding
+    // (get_random_classes analog) — per-image cluster histogram
+    "q_kmeans_pixels" -> ((s, dir) =>
+      Algorithms.kmeansPixels(s, Synth.imagesWithBytes(s, dir, smallRaw), 4, 3)
+        .orderBy("image_id", "cluster")),
+
+    // pansharp_brovey through the TWO-TABLE join: MS payload ⋈ derived
+    // 2× pan payload on image_id, per-pair sharpen kernel
+    "q_pansharp" -> ((s, dir) => {
+      val ms = Synth.imagesWithBytes(s, dir, smallRaw)
+      val panGen = udf((k: Long, w: Int, h: Int) => {
+        import graft.core.Codec
+        val pw = w * 2; val ph = h * 2
+        val base = 200 + (k * 3) % 800; val ax = k % 8; val ay = k % 8
+        val p = Array.tabulate(pw * ph)(i =>
+          (base + ax * (i % pw) + ay * (i / pw)).toDouble)
+        Codec.encode(Array(p), pw, ph, "raw-i16le")
+      })
+      val pan = imgs(s, dir).where(col("w") <= 64 && col("h") <= 64 &&
+          (col("k") % 6 === 1 || col("k") % 6 === 2))
+        .withColumn("pan_bytes", panGen(col("k"), col("w").cast("int"),
+          col("h").cast("int")))
+        .select(col("image_id"), col("pan_bytes"),
+          (col("w") * 2).cast("int").as("pw"),
+          (col("h") * 2).cast("int").as("ph"))
+      ms.join(pan, Seq("image_id"))
+        .withColumn("ps", Algorithms.pansharpAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          col("pan_bytes"), col("pw"), col("ph")))
+        .select(col("image_id"), col("ps._1").as("n_valid"),
+          col("ps._2").as("fsum"))
+        .orderBy("image_id")
+    }),
 
     "q_rxd" -> ((s, dir) =>
       Synth.imagesWithBytes(s, dir, smallRaw)
@@ -727,6 +770,19 @@ object SparkEntry {
          |  base*base*(w-nw)*h + ax*ax*sx2*h + ay*ay*sy2*(w-nw)
          |    + 2*base*ax*sx*h + 2*base*ay*sy*(w-nw) + 2*ax*ay*sx*sy AS vsumsq
          |FROM stat ORDER BY image_id, band""".stripMargin,
+
+    // stitched plane == direct band-0 sums (same closed forms as the
+    // identity warp)
+    "q_tile_stitch" ->
+      s"""WITH $I, $B,
+         |stat AS (SELECT i.image_id, i.w, i.h, i.nw, p.base, p.ax, p.ay,
+         |  ((i.w-1)*i.w)//2 - ((i.nw-1)*i.nw)//2 AS sx,
+         |  (i.h*(i.h-1))//2 AS sy
+         |  FROM img2 i JOIN bandp p ON p.k = i.k AND p.b = 0
+         |  WHERE i.k % 6 IN (1,2) AND i.w <= 64 AND i.h <= 64)
+         |SELECT image_id, CAST((w-nw)*h AS BIGINT) AS n_valid,
+         |  CAST(base*(w-nw)*h + ax*sx*h + ay*sy*(w-nw) AS BIGINT) AS vsum
+         |FROM stat ORDER BY image_id""".stripMargin,
 
     "q_metadata" ->
       s"""WITH $I,

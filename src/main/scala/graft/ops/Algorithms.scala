@@ -545,6 +545,129 @@ object Algorithms {
     out
   }
 
+  /** Per-image Brovey stats over the TWO-TABLE (MS ⋈ pan) join: decode
+    * both payloads, sharpen, return (n_valid, Σ floor(out·1e3)) over
+    * the three output bands. Weights 0.25 each (reference default is
+    * caller-supplied; GeoAlgorithms.cpp:678-726). */
+  val pansharpAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
+                         panBytes: Array[Byte], pw: Int, ph: Int) => {
+    val cube = Codec.requireBands(
+      Codec.decode(bytes, w, h, Codec.bandsStored(fmt, 6), fmt),
+      4, "pansharp_brovey", fmt)
+    val pan = Codec.decode(panBytes, pw, ph, 1, "raw-i16le")(0)
+    val out = pansharpBrovey(cube, w, h, pan, pw, ph,
+      Array(0.25, 0.25, 0.25, 0.25))
+    var n = 0L; var fs = 0L
+    var b = 0
+    while (b < 3) {
+      var i = 0
+      while (i < out(b).length) {
+        if (!out(b)(i).isNaN) { n += 1; fs += math.floor(out(b)(i) * 1e3).toLong }
+        i += 1
+      }
+      b += 1
+    }
+    (n, fs)
+  })
+
+  // ---- read_random_pixels distributed + farthest-point seeding ----
+
+  /** Seeded per-image spectra sample (read_random_pixels distributed,
+    * GeoImage.h:297-319 made deterministic): n LCG grid draws per
+    * image; draws touching nodata are skipped (rejection analog).
+    * Returns (image_id, draw, spectrum). */
+  def randomSpectra(imagesWithBytes: DataFrame, nPer: Int,
+                    nb: Int = 6): DataFrame = {
+    val sp = udf((k: Long, bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+      val cube = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+      (0 until nPer).flatMap { i =>
+        val idx = java.lang.Math.floorMod(
+          k * 1103515245L + i * 2654435761L, w.toLong * h).toInt
+        val s = Array.tabulate(cube.length)(b => cube(b)(idx))
+        if (s.exists(_.isNaN)) None else Some((i.toLong, s))
+      }
+    })
+    imagesWithBytes
+      .withColumn("sp", explode(sp(col("k"), col("bytes"),
+        col("w").cast("int"), col("h").cast("int"), col("fmt"))))
+      .select(col("image_id"), col("sp._1").as("draw"),
+        col("sp._2").as("spectrum"))
+  }
+
+  /** get_random_classes (GeoAlgorithms.h:87-117): greedy farthest-point
+    * seeding — seed 0 is the sample's first element (the reference uses
+    * srand(time); pinned for determinism), each next seed maximizes the
+    * min distance to the chosen set (ties → lowest index). Driver-side
+    * over a bounded sample, exactly like the reference's num_random. */
+  def farthestPointSeeds(sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty && k >= 1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    while (chosen.length < math.min(k, sample.length)) {
+      var best = -1; var bestMin = -1.0
+      var i = 0
+      while (i < sample.length) {
+        if (!chosen.contains(i)) {
+          var mn = Double.MaxValue
+          chosen.foreach(c => mn = math.min(mn, d2(sample(i), sample(c))))
+          if (mn > bestMin) { bestMin = mn; best = i }
+        }
+        i += 1
+      }
+      chosen += best
+    }
+    chosen.map(sample).toArray
+  }
+
+  /** PIXEL-SPECTRA k-means (GeoAlgorithms.cpp:556-638): cluster the
+    * sampled spectra of the whole images table — farthest-point seeds
+    * from a bounded driver-side sample, then broadcast-assign /
+    * groupBy-mean rounds (the chunk loop's cluster-scale shape).
+    * Returns per-image cluster histogram (image_id, cluster, n_px). */
+  def kmeansPixels(spark: SparkSession, imagesWithBytes: DataFrame,
+                   k: Int, iters: Int, nPerImage: Int = 16): DataFrame = {
+    import spark.implicits._
+    val spectra = randomSpectra(imagesWithBytes, nPerImage)
+      .select(col("image_id"), col("spectrum").cast("array<double>").as("e"))
+      .as[(String, Array[Double])].cache()
+    // bounded seed sample: lexicographically first images' draws
+    val seedSample = spectra.orderBy("image_id").limit(64).collect().map(_._2)
+    var centers = farthestPointSeeds(seedSample, k)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centers)
+      val a = spectra.map { case (id, e) =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < bc.value.length) {
+          var d = 0.0; var i = 0
+          val cv = bc.value(c)
+          while (i < e.length) { val t = e(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (id, best, e)
+      }.toDF("image_id", "cluster", "e")
+      centers = a.groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          array((0 until centers(0).length)
+            .map(i => sum(col("e").getItem(i))): _*).as("s"))
+        .collect()
+        .sortBy(_.getInt(0))
+        .map { row =>
+          val n = row.getLong(1)
+          row.getSeq[Double](2).map(_ / n).toArray
+        }
+      assigned = a.select(col("image_id"), col("cluster").cast("long"))
+    }
+    assigned.groupBy(col("image_id"), col("cluster"))
+      .agg(count(lit(1)).as("n_px"))
+  }
+
   // ---- distributed k-means over embeddings ----
   /** Deterministic k-means on the embeddings table: centers seeded from
     * the `k` lowest vec_ids; fixed `iters` rounds of broadcast-assign /
