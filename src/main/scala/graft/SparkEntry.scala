@@ -353,6 +353,25 @@ object SparkEntry {
           col("rp._2").as("vsum"))
         .orderBy("image_id")),
 
+    // info() debug summary — one line per image from metadata columns
+    "q_info" -> ((s, dir) =>
+      Bands.info(imgs(s, dir)).orderBy("image_id")),
+
+    // set_gain/offset column surface: band-0 stats AFTER the read-side
+    // raw·gain + offset (bandattr carried as column metadata)
+    "q_gain_offset" -> ((s, dir) => {
+      val df = Bands.setGainOffset(Synth.imagesWithBytes(s, dir, smallRaw),
+        "blue", gain = 0.1, offset = 5.0)
+      df.withColumn("g", Bands.gainOffsetStatsAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands),
+          element_at(col("bandattr"), "blue").getField("gain"),
+          element_at(col("bandattr"), "blue").getField("offset")))
+        .select(col("image_id"), col("g._1").as("n_valid"),
+          col("g._2").as("fsum"))
+        .orderBy("image_id")
+    }),
+
     // tile write/stitch round trip: padded tile slices (read(chunk))
     // de-padded and re-assembled per image (write(chunk) inverse) —
     // sums must equal the direct band-0 decode (identity oracle)
@@ -537,6 +556,8 @@ object SparkEntry {
       graft.text.TextOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
     "q_dedup_exact" -> ((s, dir) =>
       graft.text.TextOps.dedupExact(docs(s, dir)).orderBy("h")),
+    "q_dedup_norm" -> ((s, dir) =>
+      graft.text.TextOps.dedupNormalized(docs(s, dir)).orderBy("h")),
     "q_minhash_sig" -> ((s, dir) =>
       graft.text.TextOps.minhash(docs(s, dir), 4).orderBy("doc_id")),
     "q_minhash_bands" -> ((s, dir) =>
@@ -770,6 +791,27 @@ object SparkEntry {
          |  base*base*(w-nw)*h + ax*ax*sx2*h + ay*ay*sy2*(w-nw)
          |    + 2*base*ax*sx*h + 2*base*ay*sy*(w-nw) + 2*ax*ay*sx*sy AS vsumsq
          |FROM stat ORDER BY image_id, band""".stripMargin,
+
+    "q_info" -> {
+      val bandList = Synth.BandNames.mkString(",")
+      s"""WITH $I
+         |SELECT image_id,
+         |  image_id || ': ' || CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR)
+         |  || ' fmt=' || fmt || ' bands=$bandList'
+         |  || ' extent=[' || CAST(x0m AS VARCHAR) || ',' || CAST(y0m AS VARCHAR)
+         |  || ',' || CAST(x1m AS VARCHAR) || ',' || CAST(y1m AS VARCHAR) || ']'
+         |  AS info
+         |FROM img2 ORDER BY image_id""".stripMargin
+    },
+
+    // gain/offset read boundary: out = v·0.1 + 5 over band-0 valid px
+    "q_gain_offset" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte
+         |SELECT s.image_id, CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |  CAST(SUM(FLOOR((CAST(px.v AS DOUBLE) * 0.1 + 5.0) * 1000))
+         |    AS BIGINT) AS fsum
+         |FROM px JOIN simg s ON s.k = px.k WHERE px.b = 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // stitched plane == direct band-0 sums (same closed forms as the
     // identity warp)
@@ -1202,6 +1244,11 @@ object SparkEntry {
       """SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cnt,
         |       MIN(doc_id) AS min_doc_id
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+    "q_dedup_norm" ->
+      """SELECT md5(lower(trim(text))) AS h, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       MIN(doc_id) AS min_doc_id
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
 
     "q_minhash_sig" ->
       s"""WITH $TokCte, $ShCte

@@ -98,6 +98,50 @@ object Bands {
   def getMeta(df: DataFrame, key: String): org.apache.spark.sql.Column =
     element_at(col("meta"), key)
 
+  /** set_gain/set_offset/set_nodata column surface (GeoImage.h:221-234):
+    * per-band I/O attributes as a `bandattr` struct column —
+    * `bandattr[band] = (gain, offset, nodata)`. Kernels that read a
+    * band apply raw·gain + offset (GeoRaster.h:496-501); the Pixels
+    * apply/inverse kernels already implement the math — this is the
+    * column-metadata carrier. */
+  def setGainOffset(df: DataFrame, band: String, gain: Double,
+                    offset: Double, nodata: Double = Double.NaN): DataFrame = {
+    val entry = struct(lit(gain).as("gain"), lit(offset).as("offset"),
+      lit(nodata).as("nodata"))
+    val key = band.toLowerCase
+    val cleaned =
+      if (df.columns.contains("bandattr"))
+        map_filter(col("bandattr"), (k, _) => k =!= lit(key))
+      else map().cast("map<string,struct<gain:double,offset:double,nodata:double>>")
+    df.withColumn("bandattr", map_concat(cleaned, map(lit(key), entry)))
+  }
+
+  /** Per-image aggregate of band 0 AFTER applying the bandattr
+    * gain/offset at the read boundary: (n_valid, Σ floor(out·1e3)). */
+  val gainOffsetStatsAgg = udf((bytes: Array[Byte], w: Int, h: Int,
+                                fmt: String, nb: Int, gain: Double,
+                                offset: Double) => {
+    val p = Pixels.applyGainOffset(
+      Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)(0),
+      gain, offset)
+    var n = 0L; var fs = 0L; var i = 0
+    while (i < p.length) {
+      if (!p(i).isNaN) { n += 1; fs += math.floor(p(i) * 1e3).toLong }
+      i += 1
+    }
+    (n, fs)
+  })
+
+  /** info() debug summary (GeoImage.cpp:69-85, GeoRaster.cpp:58-79):
+    * one human-readable line per image from its metadata columns. */
+  def info(images: DataFrame, bandNames: Seq[String] = Synth.BandNames): DataFrame =
+    images.select(col("image_id"),
+      concat(col("image_id"), lit(": "), col("w"), lit("x"), col("h"),
+        lit(" fmt="), col("fmt"),
+        lit(s" bands=${bandNames.mkString(",")}"),
+        lit(" extent=["), col("x0m"), lit(","), col("y0m"), lit(","),
+        col("x1m"), lit(","), col("y1m"), lit("]")).as("info"))
+
   /** select(names): keep subset/reorder; payload re-encoded. */
   def select(imagesWithBytes: DataFrame, names: Seq[String],
              allNames: Seq[String] = Synth.BandNames): DataFrame = {
