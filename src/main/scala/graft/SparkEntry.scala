@@ -353,6 +353,45 @@ object SparkEntry {
           col("rp._2").as("vsum"))
         .orderBy("image_id")),
 
+    // create_from: template geometry kept, new fmt/bands, blank payload
+    "q_create_from" -> ((s, dir) => {
+      val df = Bands.createFrom(Synth.imagesWithBytes(s, dir, smallRaw),
+        "raw-u8", 2, Seq("m1", "m2"))
+      val agg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.Codec
+        val p = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, 2), fmt)(0)
+        p.count(!_.isNaN).toLong
+      })
+      df.select(col("image_id"), col("fmt"), col("w"), col("h"),
+          agg(col("bytes"), col("w").cast("int"), col("h").cast("int"),
+            col("fmt")).as("n_valid"))
+        .orderBy("image_id")
+    }),
+
+    // multi-file open: two payload tables stacked into one 12-band cube
+    // (join on image_id, prefixed names); band 7 = 2nd source's green
+    "q_stack_bands" -> ((s, dir) => {
+      val a = Synth.imagesWithBytes(s, dir, smallRaw)
+      val b = Synth.imagesWithBytes(s, dir, smallRaw)
+        .select(col("image_id"), col("bytes"), col("fmt"))
+      val df = Bands.stack(a, b, "lm", "hm")
+      val agg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.Codec
+        val p = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, 12), fmt)(7)
+        var n = 0L; var vs = 0L; var i = 0
+        while (i < p.length) {
+          if (!p(i).isNaN) { n += 1; vs += p(i).toLong }
+          i += 1
+        }
+        (n, vs)
+      })
+      df.withColumn("a", agg(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt")))
+        .select(col("image_id"), size(col("bands")).cast("long").as("n_bands"),
+          col("a._1").as("n_valid"), col("a._2").as("vsum"))
+        .orderBy("image_id")
+    }),
+
     // info() debug summary — one line per image from metadata columns
     "q_info" -> ((s, dir) =>
       Bands.info(imgs(s, dir)).orderBy("image_id")),
@@ -791,6 +830,24 @@ object SparkEntry {
          |  base*base*(w-nw)*h + ax*ax*sx2*h + ay*ay*sy2*(w-nw)
          |    + 2*base*ax*sx*h + 2*base*ay*sy*(w-nw) + 2*ax*ay*sx*sy AS vsumsq
          |FROM stat ORDER BY image_id, band""".stripMargin,
+
+    "q_create_from" ->
+      s"""WITH $I, $SimgCte
+         |SELECT image_id, 'raw-u8' AS fmt, w, h, CAST(0 AS BIGINT) AS n_valid
+         |FROM simg ORDER BY image_id""".stripMargin,
+
+    // band 7 of the stacked cube = source-2 green (b=1 closed forms)
+    "q_stack_bands" ->
+      s"""WITH $I, $B,
+         |stat AS (SELECT i.image_id, i.w, i.h, i.nw, p.base, p.ax, p.ay,
+         |  ((i.w-1)*i.w)//2 - ((i.nw-1)*i.nw)//2 AS sx,
+         |  (i.h*(i.h-1))//2 AS sy
+         |  FROM img2 i JOIN bandp p ON p.k = i.k AND p.b = 1
+         |  WHERE i.k % 6 IN (1,2) AND i.w <= 64 AND i.h <= 64)
+         |SELECT image_id, CAST(12 AS BIGINT) AS n_bands,
+         |  CAST((w-nw)*h AS BIGINT) AS n_valid,
+         |  CAST(base*(w-nw)*h + ax*sx*h + ay*sy*(w-nw) AS BIGINT) AS vsum
+         |FROM stat ORDER BY image_id""".stripMargin,
 
     "q_info" -> {
       val bandList = Synth.BandNames.mkString(",")

@@ -65,6 +65,46 @@ object Bands {
     df.withColumn("bands", array(renamed.map(lit): _*))
   }
 
+  /** create_from (GeoImage.h:85-110): a new image table cloning the
+    * template's geometry/metadata columns with a NEW format and band
+    * count; payload = blank all-nodata planes (the reference's
+    * nodata-initialized create). */
+  def createFrom(template: DataFrame, fmt: String, nb: Int,
+                 bandNames: Seq[String]): DataFrame = {
+    require(bandNames.length == nb, "one name per band")
+    val blank = udf((w: Int, h: Int) =>
+      Codec.encode(Array.fill(Codec.bandsStored(fmt, nb))(
+        Array.fill(w * h)(Double.NaN)), w, h, fmt))
+    template
+      .withColumn("fmt", lit(fmt))
+      .withColumn("bytes", blank(col("w").cast("int"), col("h").cast("int")))
+      .withColumn("bands", array(bandNames.map(n => lit(n.toLowerCase)): _*))
+  }
+
+  /** Multi-file open (GeoImage.cpp:33-48): stack the bands of two image
+    * tables sharing footprints — an equi-join on image_id, payloads
+    * decoded and re-encoded as one cube, band names PREFIXED per source
+    * like the reference's basename prefixes. */
+  def stack(a: DataFrame, b: DataFrame, prefixA: String, prefixB: String,
+            namesA: Seq[String] = Synth.BandNames,
+            namesB: Seq[String] = Synth.BandNames): DataFrame = {
+    val bSide = b.select(col("image_id"), col("bytes").as("bytes_b"),
+      col("fmt").as("fmt_b"))
+    val tx = udf((bytes: Array[Byte], fmt: String, bytesB: Array[Byte],
+                  fmtB: String, w: Int, h: Int) => {
+      val ca = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, namesA.length), fmt)
+      val cb = Codec.decode(bytesB, w, h, Codec.bandsStored(fmtB, namesB.length), fmtB)
+      Codec.encode(ca ++ cb, w, h, fmt)
+    })
+    val names = namesA.map(n => s"$prefixA-$n".toLowerCase) ++
+      namesB.map(n => s"$prefixB-$n".toLowerCase)
+    a.join(bSide, Seq("image_id"))
+      .withColumn("bytes", tx(col("bytes"), col("fmt"), col("bytes_b"),
+        col("fmt_b"), col("w").cast("int"), col("h").cast("int")))
+      .drop("bytes_b", "fmt_b")
+      .withColumn("bands", array(names.map(lit): _*))
+  }
+
   // ---- metadata get/set (GeoResource.cpp:220-265, GeoRaster.cpp:179-208) ----
 
   /** Metadata set into `into` (a map<string,string> column, created if
