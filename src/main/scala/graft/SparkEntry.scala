@@ -396,6 +396,45 @@ object SparkEntry {
     "q_info" -> ((s, dir) =>
       Bands.info(imgs(s, dir)).orderBy("image_id")),
 
+    // colortable + set_color: ramp/interp entries in band metadata;
+    // clear removes exactly the ramp (interp survives)
+    "q_colortable" -> ((s, dir) => {
+      val withCt = Bands.addColortable(
+        Bands.setColor(imgs(s, dir), "red", "ColorInterp_Red"),
+        "red", Seq(0 -> (0, 0, 0), 128 -> (128, 64, 32), 255 -> (255, 255, 255)))
+      val cleared = Bands.clearColortable(withCt, "red")
+        .withColumnRenamed("bandmeta", "bandmeta_cleared")
+      withCt.select(col("image_id"), col("bandmeta"))
+        .join(cleared.select(col("image_id"), col("bandmeta_cleared")),
+          Seq("image_id"))
+        .select(col("image_id"),
+          explode(col("bandmeta")).as(Seq("key", "value")),
+          size(map_keys(col("bandmeta_cleared"))).cast("long").as("n_after_clear"))
+        .orderBy("image_id", "key")
+    }),
+
+    // skeletonize: Zhang-Suen thinning of the NDVI>0 mask — skeleton
+    // pixel count per image (iterative kernel; rows-only)
+    "q_skeletonize" -> ((s, dir) => {
+      val sk = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.{Codec, Pixels}
+        val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, 6), fmt)
+        val mask = Array.tabulate(w * h) { i =>
+          val r = c(2)(i); val n = c(3)(i)
+          if (r.isNaN || n.isNaN) Double.NaN
+          else if (n - r > 0) 1.0 else 0.0
+        }
+        val s = Pixels.skeletonize(mask, w, h)
+        (mask.count(_ == 1.0).toLong, s.count(_ == 1.0).toLong)
+      })
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("sk", sk(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt")))
+        .select(col("image_id"), col("sk._1").as("n_mask"),
+          col("sk._2").as("n_skel"))
+        .orderBy("image_id")
+    }),
+
     // set_gain/offset column surface: band-0 stats AFTER the read-side
     // raw·gain + offset (bandattr carried as column metadata)
     "q_gain_offset" -> ((s, dir) => {
@@ -882,6 +921,17 @@ object SparkEntry {
          |SELECT image_id, CAST((w-nw)*h AS BIGINT) AS n_valid,
          |  CAST(base*(w-nw)*h + ax*sx*h + ay*sy*(w-nw) AS BIGINT) AS vsum
          |FROM stat ORDER BY image_id""".stripMargin,
+
+    "q_colortable" ->
+      s"""WITH $I,
+         |kv AS (
+         |  SELECT image_id, 'red/color/0' AS key, '0,0,0' AS value FROM img2
+         |  UNION ALL SELECT image_id, 'red/color/128', '128,64,32' FROM img2
+         |  UNION ALL SELECT image_id, 'red/color/255', '255,255,255' FROM img2
+         |  UNION ALL SELECT image_id, 'red/colorinterp', 'ColorInterp_Red'
+         |    FROM img2)
+         |SELECT image_id, key, value, CAST(1 AS BIGINT) AS n_after_clear
+         |FROM kv ORDER BY image_id, key""".stripMargin,
 
     "q_metadata" ->
       s"""WITH $I,

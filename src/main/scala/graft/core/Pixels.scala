@@ -221,6 +221,58 @@ object Pixels {
     st.max
   }
 
+  /** skeletonize (capability analog of
+    * /root/reference/GIP/gip/GeoRaster.h:195-197): binary thinning of a
+    * (>0) mask to a 1-px-wide skeleton. The reference uses CImg's
+    * Hamilton-Jacobi flux skeleton (cimg/skeletonize.h) — smoke-tested
+    * only (test_GeoRaster.py:173-179); this rebuild substitutes the
+    * standard Zhang-Suen morphological thinning (documented algorithmic
+    * substitution: same binary-skeleton capability, deterministic,
+    * shuffle-free per-image kernel). Nodata (NaN) cells are treated as
+    * background and preserved in the output. */
+  def skeletonize(p: Array[Double], w: Int, h: Int): Array[Double] = {
+    val a = new Array[Boolean](w * h)
+    var i = 0
+    while (i < p.length) { a(i) = !p(i).isNaN && p(i) > 0; i += 1 }
+    def at(x: Int, y: Int): Boolean =
+      x >= 0 && x < w && y >= 0 && y < h && a(y * w + x)
+    var changed = true
+    val kill = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (changed) {
+      changed = false
+      var pass = 0
+      while (pass < 2) {
+        kill.clear()
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            if (at(x, y)) {
+              val n = Array(at(x, y - 1), at(x + 1, y - 1), at(x + 1, y),
+                at(x + 1, y + 1), at(x, y + 1), at(x - 1, y + 1),
+                at(x - 1, y), at(x - 1, y - 1))
+              val b = n.count(identity)
+              var trans = 0
+              var j = 0
+              while (j < 8) { if (!n(j) && n((j + 1) % 8)) trans += 1; j += 1 }
+              val (c1, c2) =
+                if (pass == 0) (!(n(0) && n(2) && n(4)), !(n(2) && n(4) && n(6)))
+                else (!(n(0) && n(2) && n(6)), !(n(0) && n(4) && n(6)))
+              if (b >= 2 && b <= 6 && trans == 1 && c1 && c2)
+                kill += y * w + x
+            }
+            x += 1
+          }
+          y += 1
+        }
+        if (kill.nonEmpty) { changed = true; kill.foreach(a(_) = false) }
+        pass += 1
+      }
+    }
+    Array.tabulate(w * h)(i =>
+      if (p(i).isNaN) Double.NaN else if (a(i)) 1.0 else 0.0)
+  }
+
   // ---- §2.4 neighborhood ops ----
   /** Nodata-aware 2-D convolution, reference-exact semantics
     * (convolve_nodata, /root/reference/GIP/cimg/convolve.h:43-76):

@@ -172,6 +172,27 @@ object Bands {
     (n, fs)
   })
 
+  /** set_color → color interpretation tag (GeoRaster.h:120-133):
+    * band-name metadata only, as the SURVEY maps it. */
+  def setColor(df: DataFrame, band: String, interp: String): DataFrame =
+    setBandMeta(df, band, Map("colorinterp" -> lit(interp)))
+
+  /** add_colortable / clear_colortable (GeoRaster.h:136-158): byte-only
+    * color ramp stored as band metadata entries `band/color/<idx>` =
+    * "r,g,b" (cosmetic in the reference — used once for display in
+    * test_GeoAlgorithms.py:118-127). */
+  def addColortable(df: DataFrame, band: String,
+                    ramp: Seq[(Int, (Int, Int, Int))]): DataFrame =
+    setBandMeta(df, band, ramp.map { case (idx, (r, g, b)) =>
+      (s"color/$idx", lit(s"$r,$g,$b"))
+    }.toMap)
+
+  def clearColortable(df: DataFrame, band: String): DataFrame = {
+    val prefix = s"${band.toLowerCase}/color/"
+    df.withColumn("bandmeta",
+      map_filter(col("bandmeta"), (k, _) => !k.startsWith(prefix)))
+  }
+
   /** info() debug summary (GeoImage.cpp:69-85, GeoRaster.cpp:58-79):
     * one human-readable line per image from its metadata columns. */
   def info(images: DataFrame, bandNames: Seq[String] = Synth.BandNames): DataFrame =

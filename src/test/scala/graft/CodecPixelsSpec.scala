@@ -185,6 +185,32 @@ class CodecPixelsSpec extends AnyFunSuite {
     assert(c(0) == 0.0 && c(1) == 0.0 && c(2).isNaN)
   }
 
+  test("skeletonize: Zhang-Suen thinning invariants") {
+    val w = 20; val h = 20
+    // thick horizontal bar rows 8..11, cols 2..17
+    val bar = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      if (y >= 8 && y <= 11 && x >= 2 && x <= 17) 1.0 else 0.0
+    }
+    val sk = graft.core.Pixels.skeletonize(bar, w, h)
+    // subset of the original mask
+    for (i <- 0 until w * h if sk(i) == 1.0) assert(bar(i) == 1.0)
+    // thinner than the input, but non-empty (a 1-px line survives)
+    val n = sk.count(_ == 1.0)
+    assert(n > 0 && n < bar.count(_ == 1.0))
+    // no 2×2 all-on block (1-px-wide result)
+    for (y <- 0 until h - 1; x <- 0 until w - 1) {
+      val full = sk(y * w + x) == 1.0 && sk(y * w + x + 1) == 1.0 &&
+        sk((y + 1) * w + x) == 1.0 && sk((y + 1) * w + x + 1) == 1.0
+      assert(!full, s"2x2 block at $x,$y")
+    }
+    // idempotent: thinning a skeleton changes nothing
+    assert(graft.core.Pixels.skeletonize(sk, w, h).toSeq == sk.toSeq)
+    // nodata preserved
+    val withNaN = bar.clone(); withNaN(0) = Double.NaN
+    assert(graft.core.Pixels.skeletonize(withNaN, w, h)(0).isNaN)
+  }
+
   test("addBand/renameBand enforce the reference's uniqueness rules") {
     intercept[IllegalArgumentException] {
       graft.ops.Bands.renameBand(null, "nir", "RED") // case-insensitive dup
