@@ -272,8 +272,13 @@ object Bench {
     val effKern32 = ratio(leg32, leg8, "KERNEL_RATE")    // hw ceiling 8→32
     val effLc = if (lc1.getOrElse("SCALE_RATE", 0.0) <= 0) 0.0
                 else safe(lc4.getOrElse("SCALE_RATE", 0.0) / lc1("SCALE_RATE") / 4.0)
-    val effNorm = if (effKern <= 0) 0.0 else safe(eff / math.min(1.0, effKern))
-    val effNorm32 = if (effKern32 <= 0) 0.0 else safe(eff32 / math.min(1.0, effKern32))
+    // engine efficiency is capped at 1.0: the Spark job can legitimately
+    // out-scale the bare kernel (its metadata leg scales better), but
+    // reporting >1 reads as noise
+    val effNorm = if (effKern <= 0) 0.0
+                  else math.min(1.0, safe(eff / math.min(1.0, effKern)))
+    val effNorm32 = if (effKern32 <= 0) 0.0
+                    else math.min(1.0, safe(eff32 / math.min(1.0, effKern32)))
     val r4 = leg4.getOrElse("SCALE_RATE", 0.0); val r16 = leg16.getOrElse("SCALE_RATE", 0.0)
     val r8 = leg8.getOrElse("SCALE_RATE", 0.0); val r32s = leg32.getOrElse("SCALE_RATE", 0.0)
 

@@ -112,6 +112,9 @@ object ScalePhase {
         .config("spark.executor.extraClassPath",
           new java.io.File("target/scala-2.13/classes").getAbsolutePath)
         .config("spark.executor.memory", "5g")
+        // G1 hits the microVM madvise pathology documented in build.sbt;
+        // executors must pin ParallelGC like every other JVM here
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
