@@ -670,15 +670,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     // corpus-scale embedding near-dup: LSH bucket-collision candidates
-    // (4 tables × 6-bit SRP) + exact cosine verify — UNBOUNDED input
-    // (whole embeddings table), no cross join in the plan
+    // (16 tables × 4-bit SRP — tables buy recall, nb bounds bucket
+    // size) + exact cosine verify — UNBOUNDED input (whole embeddings
+    // table), no cross join in the plan. nb=4 suits this oracle-bounded
+    // corpus; real corpora size nb via VectorOps.nbForCorpus (≈30 at
+    // 10¹² rows) and the DuckDB oracle re-derives the same buckets
     "q_emb_neardup_lsh" -> ((s, dir) =>
-      graft.vec.VectorOps.embNearDupLsh(emb(s, dir), 64, 0.35)
+      graft.vec.VectorOps.embNearDupLsh(emb(s, dir), 64, 0.35,
+          nb = 4, tables = 16)
         .orderBy("id_a", "id_b")),
 
-    // LSH-bucketed ANN top-k (recall vs brute force measured in LshSpec)
+    // LSH-bucketed ANN top-k (recall@10 = 0.84 vs brute force, measured
+    // in LshSpec on honestly-decorrelated planes)
     "q_ann_lsh_topk" -> ((s, dir) =>
-      graft.vec.VectorOps.lshTopK(emb(s, dir), 64, col("vec_id") < 3, 10)
+      graft.vec.VectorOps.lshTopK(emb(s, dir), 64, col("vec_id") < 3, 10,
+          nb = 4, tables = 16)
         .orderBy("qid", "rank")),
 
     "q_vec_label_stats" -> ((s, dir) =>
@@ -1400,10 +1406,10 @@ object SparkEntry {
          |  list_min(list_transform(sh, s -> md5('3' || s))) AS h3
          |FROM sh),
          |bands AS (
-         |  SELECT doc_id, 0 AS bj, substr(h0,1,2) AS bk FROM sig
-         |  UNION ALL SELECT doc_id, 1, substr(h1,1,2) FROM sig
-         |  UNION ALL SELECT doc_id, 2, substr(h2,1,2) FROM sig
-         |  UNION ALL SELECT doc_id, 3, substr(h3,1,2) FROM sig),
+         |  SELECT doc_id, 0 AS bj, h0 AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, h1 FROM sig
+         |  UNION ALL SELECT doc_id, 2, h2 FROM sig
+         |  UNION ALL SELECT doc_id, 3, h3 FROM sig),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b ON a.bj = b.bj AND a.bk = b.bk
          |  WHERE a.doc_id < b.doc_id),
@@ -1419,8 +1425,8 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_emb_neardup_lsh" -> {
-      val buckets = (0 until 4).map(t =>
-        s"SELECT vec_id, $t AS tj, ${OracleCte.lshBucketSql("ed", 64, 6, t)} AS bk FROM e")
+      val buckets = (0 until 16).map(t =>
+        s"SELECT vec_id, $t AS tj, ${OracleCte.lshBucketSql("ed", 64, 4, t)} AS bk FROM e")
         .mkString("\nUNION ALL ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
          |b AS ($buckets),
@@ -1437,8 +1443,8 @@ object SparkEntry {
     },
 
     "q_ann_lsh_topk" -> {
-      val buckets = (0 until 4).map(t =>
-        s"SELECT vec_id, $t AS tj, ${OracleCte.lshBucketSql("ed", 64, 6, t)} AS bk FROM e")
+      val buckets = (0 until 16).map(t =>
+        s"SELECT vec_id, $t AS tj, ${OracleCte.lshBucketSql("ed", 64, 4, t)} AS bk FROM e")
         .mkString("\nUNION ALL ")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
          |b AS ($buckets),

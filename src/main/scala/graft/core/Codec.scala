@@ -181,7 +181,15 @@ object Codec {
 
   /** 64-bit average-hash (aHash) of a plane: 8×8 block-mean downsample,
     * bit set where block mean > global mean of the 64 block means.
-    * Row-major bit order, bit 63 = block (0,0). NaN pixels excluded. */
+    * Row-major bit order, bit 63 = block (0,0). NaN pixels excluded.
+    *
+    * The compare runs on 2^-20-QUANTIZED means (q = floor(mean·2^20);
+    * bit ⇔ 64·q > Σq): pure integer comparison, so the hash is
+    * bit-reproducible by any engine that can divide two exact integers
+    * in IEEE double (the DuckDB oracle re-derives it in SQL — a raw
+    * double compare of `mean > Σmean/64` would hinge on summation
+    * order). Quantization error vs the unquantized hash is < 2^-20 of
+    * a pixel unit — irrelevant at perceptual-hash granularity. */
   def aHash(p: Array[Double], w: Int, h: Int): Long = {
     val means = new Array[Double](64)
     var by = 0
@@ -206,9 +214,12 @@ object Codec {
       }
       by += 1
     }
-    val gm = means.sum / 64.0
-    var hash = 0L; var i = 0
-    while (i < 64) { if (means(i) > gm) hash |= (1L << (63 - i)); i += 1 }
+    val q = new Array[Long](64); var tot = 0L; var i = 0
+    while (i < 64) {
+      q(i) = math.floor(means(i) * 1048576.0).toLong; tot += q(i); i += 1
+    }
+    var hash = 0L; i = 0
+    while (i < 64) { if (64L * q(i) > tot) hash |= (1L << (63 - i)); i += 1 }
     hash
   }
 

@@ -652,20 +652,28 @@ object Algorithms {
         }
         (id, best, e)
       }.toDF("image_id", "cluster", "e")
-      centers = a.groupBy("cluster")
+      // keep exactly k center slots, indexed by CLUSTER ID: a cluster
+      // that received no points carries its previous centroid forward
+      // (positional indexing after a shrinking collect() would silently
+      // shift every later cluster's centroid)
+      val byId = a.groupBy("cluster")
         .agg(count(lit(1)).as("n"),
           array((0 until centers(0).length)
             .map(i => sum(col("e").getItem(i))): _*).as("s"))
         .collect()
-        .sortBy(_.getInt(0))
         .map { row =>
           val n = row.getLong(1)
-          row.getSeq[Double](2).map(_ / n).toArray
-        }
+          row.getInt(0) -> row.getSeq[Double](2).map(_ / n).toArray
+        }.toMap
+      centers = Array.tabulate(centers.length)(c => byId.getOrElse(c, centers(c)))
       assigned = a.select(col("image_id"), col("cluster").cast("long"))
     }
-    assigned.groupBy(col("image_id"), col("cluster"))
+    val out = assigned.groupBy(col("image_id"), col("cluster"))
       .agg(count(lit(1)).as("n_px"))
+      .cache()
+    out.count() // materialize before dropping the input cache
+    spectra.unpersist()
+    out
   }
 
   // ---- distributed k-means over embeddings ----
@@ -695,18 +703,23 @@ object Algorithms {
         }
         (id, best, e)
       }.toDF("vec_id", "cluster", "e")
-      centers = a.groupBy("cluster")
+      // k slots indexed by cluster id; empty clusters keep their center
+      // (see kmeansPixels — same latent index-shift hazard)
+      val byId = a.groupBy("cluster")
         .agg(count(lit(1)).as("n"),
           array((0 until centers(0).length)
             .map(i => sum(col("e").getItem(i))): _*).as("s"))
         .collect()
-        .sortBy(_.getInt(0))
         .map { row =>
           val n = row.getLong(1)
-          row.getSeq[Double](2).map(_ / n).toArray
-        }
+          row.getInt(0) -> row.getSeq[Double](2).map(_ / n).toArray
+        }.toMap
+      centers = Array.tabulate(centers.length)(c => byId.getOrElse(c, centers(c)))
       assigned = a.select(col("vec_id"), col("cluster").cast("long"))
     }
-    assigned
+    val out = assigned.cache()
+    out.count()
+    vecs.unpersist()
+    out
   }
 }

@@ -41,6 +41,10 @@ object Bands {
     require(!allNames.exists(_.equalsIgnoreCase(name)),
       s"duplicate band name $name (existing: $allNames)")
     val tx = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+      // png/bmp/jpg store ONE band: re-encoding an enlarged cube would
+      // silently keep band 0 while `bands` claims the appended name
+      require(Codec.isRaw(fmt),
+        s"add_band requires a multi-band (raw-*) codec, got $fmt")
       val cube = Codec.decode(bytes, w, h,
         Codec.bandsStored(fmt, allNames.length), fmt)
       Codec.encode(cube :+ plane(cube), w, h, fmt)
@@ -72,6 +76,8 @@ object Bands {
   def createFrom(template: DataFrame, fmt: String, nb: Int,
                  bandNames: Seq[String]): DataFrame = {
     require(bandNames.length == nb, "one name per band")
+    require(nb == 1 || Codec.isRaw(fmt),
+      s"create_from with $nb bands requires a raw-* codec, got $fmt")
     val blank = udf((w: Int, h: Int) =>
       Codec.encode(Array.fill(Codec.bandsStored(fmt, nb))(
         Array.fill(w * h)(Double.NaN)), w, h, fmt))
@@ -92,6 +98,8 @@ object Bands {
       col("fmt").as("fmt_b"))
     val tx = udf((bytes: Array[Byte], fmt: String, bytesB: Array[Byte],
                   fmtB: String, w: Int, h: Int) => {
+      require(Codec.isRaw(fmt),
+        s"stack requires a multi-band (raw-*) output codec, got $fmt")
       val ca = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, namesA.length), fmt)
       val cb = Codec.decode(bytesB, w, h, Codec.bandsStored(fmtB, namesB.length), fmtB)
       Codec.encode(ca ++ cb, w, h, fmt)

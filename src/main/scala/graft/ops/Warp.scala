@@ -117,9 +117,14 @@ object Warp {
     *
     *   1. each destination grid (gid, gx0..gy1 mdeg, north-up, `resM`
     *      mdeg/px) explodes into `tilePx`² pixel tiles;
-    *   2. source images GATHER-join the tiles they overlap (broadcast
-    *      here — at 10¹² rows the pair join swaps to the covering-cell
-    *      equi-join of SpatialJoin, same downstream plan);
+    *   2. source images GATHER-join the tiles they overlap through the
+    *      COVERING-CELL EQUI-JOIN (same machinery as SpatialJoin:
+    *      explode res-`cellRes` cells on both sides, equi-join on the
+    *      packed cell key, dedup via the intersection's min-corner
+    *      reporter cell, exact range refine after). NO nested-loop
+    *      join anywhere in the plan (asserted by WarpIntoSpec); tiles
+    *      broadcast when small (`broadcastTiles`), else the cell key
+    *      shuffles both sides — the 10¹²-row path;
     *   3. each (tile, image) pair resamples the image's band 0 onto the
     *      tile window (kernel of choice), optionally cut to `cutWkt`;
     *   4. groupBy(tile) merges fragments in ascending image-key order —
@@ -129,12 +134,23 @@ object Warp {
     * `images` needs (k, image_id, bytes, w, h, fmt, x0m, y1m, and the
     * footprint columns for the join); `grids` needs (gid, gx0, gy0,
     * gx1, gy1). Returns per-tile (gid, tx, ty, n_valid, vsum) with
-    * vsum the exact integer sum of merged valid pixels (nearest
-    * resample of integer planes stays integral). */
+    * vsum the exact integer sum of merged valid pixels — exact for
+    * interp=0 on integer planes; for interp=1/2 it is the floor-free
+    * toLong truncation of the interpolated doubles (documented
+    * contract; per-pixel parity for non-nearest kernels lives in the
+    * resample specs, not vsum).
+    *
+    * `cellRes` must satisfy cellSize(cellRes) ≥ max image/tile extent
+    * (res 7 = 4096 mdeg covers this engine's ≤1024 mdeg footprints and
+    * default 128 mdeg tiles). */
   def warpInto(images: DataFrame, grids: DataFrame, resM: Long = 4L,
                tilePx: Int = 32, interp: Int = 0,
                pairPredicate: Column = lit(true),
-               cutWkt: Column = lit(null).cast("string")): DataFrame = {
+               cutWkt: Column = lit(null).cast("string"),
+               broadcastTiles: Boolean = true,
+               cellRes: Int = 7): DataFrame = {
+    require(tilePx > 0 && tilePx < 2048,
+      s"tilePx=$tilePx out of range (packed into 11 bits: 1..2047)")
     val tpx = tilePx.toLong
     val tiles = grids
       .withColumn("out_w", Tiling.idiv(col("gx1") - col("gx0") + resM - 1, lit(resM)))
@@ -149,9 +165,27 @@ object Warp {
       .withColumn("tgy1", col("gy1") - col("ty") * (tpx * resM))
       .withColumn("tgx1", col("tgx0") + col("tw") * resM)
       .withColumn("tgy0", col("tgy1") - col("th") * resM)
-    val pairs = images.join(broadcast(tiles),
+    // covering-cell equi-join (SpatialJoin's pattern): single packed
+    // long key, min-corner reporter-cell dedup, exact range refine
+    val packed = col("cix") * graft.index.CellGrid.IxMul + col("ciy")
+    val tileCells = {
+      val t = SpatialJoin.withCoverCells(tiles, cellRes,
+        "tgx0", "tgy0", "tgx1", "tgy1")
+        .withColumn("cell", packed).drop("cix", "ciy")
+      if (broadcastTiles) broadcast(t) else t
+    }
+    val imgCells = SpatialJoin.withCoverCells(images, cellRes,
+      "x0m", "y0m", "x1m", "y1m")
+      .withColumn("cell", packed)
+    val overlapP =
       col("x0m") < col("tgx1") && col("tgx0") < col("x1m") &&
-      col("y0m") < col("tgy1") && col("tgy0") < col("y1m") && pairPredicate)
+      col("y0m") < col("tgy1") && col("tgy0") < col("y1m")
+    val dedup =
+      SpatialJoin.cellIx(greatest(col("x0m"), col("tgx0")), cellRes) === col("cix") &&
+      SpatialJoin.cellIy(greatest(col("y0m"), col("tgy0")), cellRes) === col("ciy")
+    val pairs = imgCells.join(tileCells, Seq("cell"))
+      .where(overlapP && dedup && pairPredicate)
+      .drop("cell", "cix", "ciy")
     // tile width/height packed into one long (udf arity cap is 10)
     val fragUdf = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
                        x0m: Long, y1m: Long, tgx0: Long, tgy1: Long,

@@ -86,6 +86,11 @@ object Lineage {
     Files.exists(dir) && Files.list(dir).iterator().asScala
       .exists(_.getFileName.toString.endsWith(".parquet"))
 
+  private def hasParquetRec(dir: Path): Boolean =
+    Files.exists(dir) && Files.walk(dir).iterator().asScala
+      .exists(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+
   /** Write `df` bucketed by hash(keyCol) % nParts with a commit log.
     * Returns the number of buckets committed THIS invocation (0 on a
     * fully-committed resume).
@@ -109,6 +114,13 @@ object Lineage {
     val stage = Paths.get(root, s"_stage")
     deleteRec(stage)
     pending.write.partitionBy("_part").mode("overwrite").parquet(stage.toString)
+    // per-bucket row counts in ONE footer-only Spark job over the stage
+    // (a per-bucket read.count() loop serializes nParts driver jobs)
+    val counts: Map[Int, Long] =
+      if (!hasParquetRec(stage)) Map.empty
+      else spark.read.parquet(stage.toString)
+        .groupBy("_part").count().collect()
+        .map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
     var written = 0
     todo.foreach { p =>
       val src = stage.resolve(s"_part=$p")
@@ -118,9 +130,7 @@ object Lineage {
         Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
       else
         Files.createDirectories(dst) // empty bucket
-      val rows =
-        if (hasParquet(dst)) spark.read.parquet(dst.toString).count() else 0L
-      appendCommit(root, Commit(p, rows, dirBytes(dst),
+      appendCommit(root, Commit(p, counts.getOrElse(p, 0L), dirBytes(dst),
         System.currentTimeMillis()))
       written += 1
     }
@@ -128,13 +138,17 @@ object Lineage {
     written
   }
 
-  /** Read back a resumable table (only committed, non-empty buckets). */
+  /** Read back a resumable table (only committed, non-empty buckets).
+    * A committed table whose buckets are ALL empty reads back as an
+    * empty (schemaless) DataFrame instead of throwing on a zero-path
+    * parquet() call. */
   def read(spark: SparkSession, root: String): DataFrame = {
     val parts = committedParts(root).toSeq.sorted
       .map(p => Paths.get(root, s"part=$p"))
       .filter(hasParquet)
       .map(_.toString)
-    spark.read.parquet(parts: _*)
+    if (parts.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(parts: _*)
   }
 
   /** Lineage metrics table: one row per committed bucket. */

@@ -132,32 +132,41 @@ object TextOps {
   /** CORPUS-SCALE near-dup pairs: MinHash-band candidate generation +
     * exact Jaccard verification — no cross join anywhere.
     *
-    *   1. nSigs MinHash signatures per doc; band key = 2-hex-char
-    *      prefix of each signature (256 buckets/band).
+    *   1. nSigs MinHash signatures per doc; band key = the FULL
+    *      signature (one md5 per band, keyspace 16³²): two docs are
+    *      candidates in band j iff their j-th minhash is IDENTICAL
+    *      (they share the band's min shingle). Key cardinality grows
+    *      with the corpus — at 10¹² rows the expected bucket is the
+    *      per-shingle duplicate group, not N/const (a fixed-width
+    *      prefix key would make candidate generation Θ(N²/K));
     *   2. candidates = docs sharing any (band index, band key) — an
-    *      equi-join on the band key whose per-bucket size is bounded by
-    *      the hash distribution (no skew by construction);
+    *      equi-join on the band key;
     *   3. pair dedup via `distinct` on the (much smaller) candidate
     *      set, then exact Jaccard on the joined-back shingle sets.
     *
-    * A true pair at similarity s survives banding with probability
-    * 1−(1−s^r)^b (r=1 row, b=nSigs bands here, on the 2-char prefix) —
-    * recall vs [[jaccardPairs]] is measured in LshSpec. At 10¹² rows
+    * A true pair at Jaccard similarity s survives banding with
+    * probability 1−(1−s)^b (r=1 row, b=nSigs bands; P[one minhash
+    * matches] = s exactly) — recall vs [[jaccardPairs]] is measured in
+    * LshSpec, as is the sub-quadratic candidate count. At 10¹² rows
     * this plan shuffles candidates + shingle sets, never N². */
   def jaccardPairsLsh(docs: DataFrame, threshold: Double,
-                      nSigs: Int = 4): DataFrame = {
+                      nSigs: Int = 4): DataFrame =
+    jaccardVerify(jaccardCandidatesLsh(docs, nSigs), docs, threshold)
+
+  /** The candidate-pair stage of [[jaccardPairsLsh]], exposed so specs
+    * can assert the candidate count stays sub-quadratic. */
+  def jaccardCandidatesLsh(docs: DataFrame, nSigs: Int = 4): DataFrame = {
     val sig = minhash(docs, nSigs)
     val bandStructs = (0 until nSigs).map(j =>
-      struct(lit(j).as("bj"), substring(col(s"h$j"), 1, 2).as("bk")))
+      struct(lit(j).as("bj"), col(s"h$j").as("bk")))
     val bands = sig.select(col("doc_id"),
         explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.bj").as("bj"), col("b.bk").as("bk"))
-    val cand = bands.select(col("doc_id").as("id_a"), col("bj"), col("bk"))
+    bands.select(col("doc_id").as("id_a"), col("bj"), col("bk"))
       .join(bands.select(col("doc_id").as("id_b"), col("bj"), col("bk")),
         Seq("bj", "bk"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    jaccardVerify(cand, docs, threshold)
   }
 
   /** 64-bit SimHash over tokens: per token, md5 bits vote ±1 per bit

@@ -109,11 +109,14 @@ object ScaleProfile {
         }
         res
       }
-    var gm = 0.0; i = 0
-    while (i < 64) { sums(i) = if (cnts(i) == 0) 0.0 else sums(i) / cnts(i); gm += sums(i); i += 1 }
-    gm /= 64.0
+    // quantized compare — must match Codec.aHash bit-for-bit
+    val q = new Array[Long](64); var tot = 0L; i = 0
+    while (i < 64) {
+      val m = if (cnts(i) == 0) 0.0 else sums(i) / cnts(i)
+      q(i) = math.floor(m * 1048576.0).toLong; tot += q(i); i += 1
+    }
     var hash = 0L; i = 0
-    while (i < 64) { if (sums(i) > gm) hash |= (1L << (63 - i)); i += 1 }
+    while (i < 64) { if (64L * q(i) > tot) hash |= (1L << (63 - i)); i += 1 }
     s + med + java.lang.Long.bitCount(hash)
   }
 

@@ -50,9 +50,36 @@ object VectorOps {
   /** Deterministic sign-random-projection plane weight, table t, bit j,
     * component i — INTEGER in [-500, 500], so plane·embedding products
     * are exact doubles and the bucket is reproducible bit-for-bit by
-    * any engine (the DuckDB oracle re-derives it in SQL). */
-  def planeW(t: Int, j: Int, i: Int): Int =
-    (((t * 31 + j) * 1000003 + i * 7919) % 1001 + 1001) % 1001 - 500
+    * any engine (the oracle INLINES the weights as SQL literals, so the
+    * mixing function itself needs no SQL mirror).
+    *
+    * The weights come from a splitmix64-style avalanche of (t, j, i):
+    * planes must be mutually DECORRELATED or buckets collapse. (The
+    * previous affine family `((t·31+j)·1000003 + i·7919) mod 1001` had
+    * 1000003 ≡ 4 (mod 1001), so consecutive planes differed by an
+    * additive constant of 4 — near-identical plane vectors, ~2
+    * effective buckets per table regardless of nb. Measured in LshSpec:
+    * the fix cuts isotropic-corpus candidate pairs from ~78% of N²/2
+    * to ~7%.) */
+  def planeW(t: Int, j: Int, i: Int): Int = {
+    var z = t.toLong * 131071L + j.toLong * 524287L + i.toLong + 1L
+    z *= 0x9E3779B97F4A7C15L
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    (java.lang.Math.floorMod(z, 1001L) - 500L).toInt
+  }
+
+  /** Number of SRP planes sized to the corpus: 2^nb buckets ≈
+    * n / targetBucket, floored at 6. Candidate generation within a
+    * bucket is quadratic, so nb MUST grow with the corpus — a fixed nb
+    * (e.g. 6 = 64 buckets, fine for the 10⁴-row oracle gates) makes
+    * the join Θ(N²/64) at 10¹² rows. nbForCorpus(10¹², 1024) = 30
+    * planes → ~10⁹ buckets of ~10³ vectors (≈10⁶ pair-checks per
+    * bucket per table — embarrassingly parallel). */
+  def nbForCorpus(n: Long, targetBucket: Long = 1024L): Int =
+    math.max(6, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
+      / math.log(2.0)).toInt)
 
   /** Deterministic sign-random-projection LSH bucket id for hash table
     * `table`: `nb` planes, bit j set iff embedding·plane_j ≥ 0.
@@ -60,8 +87,11 @@ object VectorOps {
     * (table, bucket) then exact re-rank or verify. This is the
     * 10^12-row path: bucket cardinality 2^nb bounds each candidate
     * group, and multiple tables trade shuffle volume for recall
-    * (P[collision in ≥1 of L tables] = 1−(1−(1−θ/π)^nb)^L). */
-  def lshBucket(dim: Int, nb: Int = 8, table: Int = 0): Column =
+    * (P[collision in ≥1 of L tables] = 1−(1−(1−θ/π)^nb)^L).
+    *
+    * `nb` is REQUIRED and must be sized to the corpus — see
+    * [[nbForCorpus]]; the oracle-bounded gates pass nb=6 explicitly. */
+  def lshBucket(dim: Int, nb: Int, table: Int = 0): Column =
     (0 until nb).map { j =>
       val w = array((0 until dim).map(i => lit(planeW(table, j, i).toDouble)): _*)
       when(dot(col("embedding"), w) >= 0, 1L << j).otherwise(0L)
@@ -82,7 +112,7 @@ object VectorOps {
     * equi-join on (tj,bk) → id-level distinct → join embeddings back —
     * candidates never exceed Σ bucket sizes of the query's buckets. */
   def lshTopK(emb: DataFrame, dim: Int, queryFilter: Column, k: Int,
-              nb: Int = 6, tables: Int = 4): DataFrame = {
+              nb: Int, tables: Int = 4): DataFrame = {
     val buckets = lshBuckets(emb, dim, nb, tables)
     val qb = buckets.join(emb.where(queryFilter).select("vec_id"), Seq("vec_id"))
       .withColumnRenamed("vec_id", "qid")
@@ -104,7 +134,7 @@ object VectorOps {
     * candidates (any of `tables` tables) + exact cosine verification —
     * the no-crossJoin replacement for the bounded all-pairs query. */
   def embNearDupLsh(emb: DataFrame, dim: Int, threshold: Double,
-                    nb: Int = 6, tables: Int = 4): DataFrame = {
+                    nb: Int, tables: Int = 4): DataFrame = {
     val buckets = lshBuckets(emb, dim, nb, tables)
     val cand = buckets.select(col("vec_id").as("id_a"), col("tj"), col("bk"))
       .join(buckets.select(col("vec_id").as("id_b"), col("tj"), col("bk")),

@@ -50,6 +50,33 @@ class AlgorithmsSpec2 extends AnyFunSuite with BeforeAndAfterAll {
     assert(clusters.forall(c => c >= 0 && c < 3))
   }
 
+  test("kmeansEmbeddings: empty cluster keeps its center slot (no index shift)") {
+    import spark.implicits._
+    // seeds = k lowest vec_ids. vecs 0 and 1 are IDENTICAL, so cluster
+    // 1 receives zero points from the first assignment on (distance
+    // ties go to the lowest cluster id). With positional re-indexing
+    // the collected centers array would shrink to [c0, c2] and every
+    // far point would silently migrate to "cluster 1"; the id-keyed
+    // update must keep them in cluster 2.
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(100.0f, 100.0f)),
+      (3L, Array(101.0f, 100.0f)),
+      (4L, Array(0.5f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Algorithms.kmeansEmbeddings(spark, emb, 3, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2) == 2L && out(3) == 2L,
+      s"far points must stay in cluster 2 across empty-cluster rounds: $out")
+    // the carried-forward center (0,0) legitimately RE-CAPTURES the
+    // coincident points next round (it is exactly their position) while
+    // vec 4 stays with the migrated cluster-0 centroid — the full
+    // deterministic fixpoint:
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 0L),
+      s"deterministic assignment drifted: $out")
+  }
+
   test("pansharpBrovey: constant planes give the exact closed-form output") {
     val w = 8; val h = 8; val pw = 16; val ph = 16
     // constant MS bands: b=1, g=2, r=3, nir=4; constant pan = 10

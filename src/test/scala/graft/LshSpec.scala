@@ -100,14 +100,16 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     val qf = col("vec_id") < 5
     val brute = VectorOps.cosineTopK(emb, qf, 10)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val lsh = VectorOps.lshTopK(emb, 64, qf, 10)
+    val lsh = VectorOps.lshTopK(emb, 64, qf, 10, nb = 4, tables = 16)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(brute.nonEmpty)
     val recall = lsh.intersect(brute).size.toDouble / brute.size
     info(f"lshTopK recall@10 vs brute = $recall%.3f")
-    // 4 tables × 6-bit SRP on 64-dim: measured 0.860 on this data; the
-    // op is deterministic (recall is a fixed value for fixed data), so
-    // the floor only guards against regressions
+    // 16 tables × 4-bit SRP on 64-dim: measured 0.84 on this data with
+    // DECORRELATED planes (the old correlated plane family reported
+    // 0.86 only because its buckets were degenerate — near-total
+    // candidate flood). The op is deterministic (recall is a fixed
+    // value for fixed data), so the floor only guards regressions.
     assert(recall >= 0.80, f"lshTopK recall@10 = $recall%.2f")
     // every LSH hit must be a true candidate (vec in the table, not q)
     assert(lsh.forall { case (q, v) => q != v })
@@ -124,9 +126,63 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select("id_a", "id_b")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
-    val lsh = VectorOps.embNearDupLsh(emb, 64, 0.35)
+    val lsh = VectorOps.embNearDupLsh(emb, 64, 0.35, nb = 4, tables = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact))
     assert(lsh.nonEmpty, "LSH near-dup found nothing on real embeddings")
+  }
+
+  test("full-signature band keys keep text candidate generation sub-quadratic") {
+    import spark.implicits._
+    // 3000 docs over a SHARED vocabulary (every token appears in ~30
+    // docs) — the adversarial case for fixed-width band keys: a 2-char
+    // prefix key (256 buckets) would produce Θ(N²/256) ≈ 17.5k pairs
+    // per band; the full-signature key only pairs docs sharing a
+    // minimum SHINGLE.
+    val n = 3000
+    val docs = (0L until n.toLong).map { d =>
+      val w = (0 until 30).map(i => s"t${(d * 17 + i * i * 13) % 400}")
+      (d, w.mkString(" "))
+    }.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en"))
+    val cand = TextOps.jaccardCandidatesLsh(docs).count()
+    val quadratic = n.toLong * (n - 1) / 2
+    info(s"candidates: $cand of $quadratic possible pairs")
+    assert(cand < 8L * n,
+      s"candidate generation not sub-quadratic: $cand pairs for $n docs")
+  }
+
+  test("nbForCorpus sizes SRP buckets so candidates stay sub-quadratic") {
+    // formula sanity: buckets track corpus size
+    assert(VectorOps.nbForCorpus(1000000000000L, 1024) == 30)
+    assert(VectorOps.nbForCorpus(100, 1024) == 6)
+    // measured on an ISOTROPIC corpus (deterministic hash components —
+    // a diverse web corpus, not the 4-label-clustered test table where
+    // near-total collision is the CORRECT answer): growing nb with the
+    // corpus shrinks the candidate set; at the corpus-sized nb the
+    // join is far from quadratic.
+    import spark.implicits._
+    val n = 2000
+    val emb = (0L until n.toLong).map { i =>
+      (i, Array.tabulate(64)(j =>
+        (((i * 2654435761L + j * 40503L + (i * j) % 997) % 1001) - 500)
+          .toFloat / 500f))
+    }.toDF("vec_id", "embedding").cache()
+    def cand(nb: Int): Long = {
+      val b = VectorOps.lshBuckets(emb, 64, nb, tables = 4)
+      b.select(col("vec_id").as("id_a"), col("tj"), col("bk"))
+        .join(b.select(col("vec_id").as("id_b"), col("tj"), col("bk")),
+          Seq("tj", "bk"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+    }
+    val quadratic = n.toLong * (n - 1) / 2
+    val nbCorpus = VectorOps.nbForCorpus(n.toLong, targetBucket = 8)
+    val c6 = cand(6); val cCorpus = cand(nbCorpus)
+    info(s"n=$n: nb=6 → $c6, nb=$nbCorpus → $cCorpus of $quadratic pairs")
+    assert(cCorpus < c6, "growing nb must shrink the candidate set")
+    assert(cCorpus < quadratic / 4,
+      s"corpus-sized nb=$nbCorpus left candidate generation near-quadratic")
   }
 }

@@ -79,6 +79,27 @@ class WarpIntoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getLong(2) == 20L * 40 * 100)
   }
 
+  test("warpInto plan: covering-cell equi-join, no nested-loop join") {
+    import spark.implicits._
+    val im = Seq(img(1, 0, 0, 40, 40, 100, 0), img(2, 0, 0, 20, 40, 200, 2))
+      .toDF("k", "image_id", "bytes", "w", "h", "fmt",
+        "x0m", "y0m", "x1m", "y1m")
+    val grids = Seq(("g", 0L, 0L, 160L, 160L))
+      .toDF("gid", "gx0", "gy0", "gx1", "gy1")
+    for (bcast <- Seq(true, false)) {
+      val plan = Warp.warpInto(im, grids, tilePx = 16,
+          broadcastTiles = bcast)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+             !plan.contains("CartesianProduct"),
+        s"nested-loop join in warpInto plan (broadcastTiles=$bcast):\n$plan")
+      assert(plan.contains("BroadcastHashJoin") ||
+             plan.contains("SortMergeJoin") ||
+             plan.contains("ShuffledHashJoin"),
+        s"no hash/merge equi-join found (broadcastTiles=$bcast):\n$plan")
+    }
+  }
+
   test("mergeFragments: ascending-key overwrite, NaN transparent") {
     val a = Array(1.0, 1.0, Double.NaN)
     val b = Array(2.0, Double.NaN, Double.NaN)
