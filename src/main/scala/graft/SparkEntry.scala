@@ -295,26 +295,42 @@ object SparkEntry {
     // corpus-scale pHash near-dup: 4×16-bit banded Hamming join
     // (pigeonhole: any pair at distance ≤ 3 shares ≥ 1 band — full
     // recall for d≤3; verified distance reported). No cross join.
-    "q_phash_banded" -> ((s, dir) => {
-      val im = Synth.imagesWithBytes(s, dir, smallRaw)
-        .select(col("image_id"), col("phash"))
-      val bands = im.select(col("image_id"), col("phash"),
-          explode(array((0 until 4).map(j =>
-            struct(lit(j).as("bj"),
-              shiftright(col("phash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("bk"))): _*)).as("b"))
-        .select(col("image_id"), col("phash"), col("b.bj").as("bj"), col("b.bk").as("bk"))
-      val cand = bands.select(col("image_id").as("id_a"), col("phash").as("ph_a"),
-          col("bj"), col("bk"))
-        .join(bands.select(col("image_id").as("id_b"), col("phash").as("ph_b"),
-          col("bj"), col("bk")), Seq("bj", "bk"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "ph_a", "ph_b").distinct()
-      cand
-        .withColumn("dist", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
-        .where(col("dist") <= 16)
-        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
-        .orderBy("id_a", "id_b")
-    }),
+    "q_phash_banded" -> ((s, dir) =>
+      graft.ops.Hamming.bandedPairs(
+          Synth.imagesWithBytes(s, dir, smallRaw)
+            .select(col("image_id"), col("phash")),
+          "image_id", "phash", 16)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash banded Hamming-neighbor join over documents — the text
+    // analog of q_phash_banded (same Hamming.bandedPairs machinery);
+    // rows-only: the 64-bit token-vote simhash itself is not
+    // SQL-expressible (subset + pigeonhole properties in LshSpec)
+    "q_simhash_banded" -> ((s, dir) =>
+      graft.ops.Hamming.bandedPairs(
+          graft.text.TextOps.simhash(docs(s, dir)),
+          "doc_id", "simhash", 12)
+        .orderBy("id_a", "id_b")),
+
+    // full overview pyramid levels 2/4/8 (reference GeoImage.cpp:284-291)
+    "q_overview_pyramid" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("ov", explode(Bands.overviewPyramidAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands))))
+        .select(col("image_id"), col("ov._1").as("level"),
+          col("ov._2").as("n_valid"), col("ov._3").as("vsum"))
+        .orderBy("image_id", "level")),
+
+    // per-hit intersection GEOMETRY (GeoVector.h:167-169): clip kernel
+    // output proved value-exact — the clipped ring's shoelace area must
+    // equal the closed-form rectangle overlap, vertex count 4
+    "q_intersection_geom" -> ((s, dir) =>
+      SpatialJoin.intersectionGeomMdeg(
+          SpatialJoin.joinRects(imgs(s, dir), polys(s, dir), JoinRes))
+        .select(col("image_id"), col("fid"), col("inter_nvert"),
+          col("inter_area"))
+        .orderBy("image_id", "fid")),
 
     // ---- multi-band algorithms ----
     "q_whiteness" -> ((s, dir) =>
@@ -1259,6 +1275,48 @@ object SparkEntry {
          |FROM simg i LEFT JOIN ov ON ov.k = i.k
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_overview_pyramid" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte,
+         |lv AS (SELECT unnest([2,4,8]) AS l),
+         |ov AS (SELECT s.image_id, lv.l,
+         |         COUNT(p.v) AS n_valid, COALESCE(SUM(p.v), 0) AS vsum
+         |       FROM simg s CROSS JOIN lv
+         |       LEFT JOIN px p ON p.k = s.k AND p.b = 0
+         |         AND p.x % lv.l = 0 AND p.y % lv.l = 0
+         |       GROUP BY 1, 2)
+         |SELECT image_id, CAST(l AS BIGINT) AS level,
+         |       CAST(n_valid AS BIGINT) AS n_valid,
+         |       CAST(vsum AS BIGINT) AS vsum
+         |FROM ov ORDER BY image_id, level""".stripMargin,
+
+    "q_intersection_geom" ->
+      s"""WITH $I, $P, $joinCte
+         |SELECT image_id, fid, CAST(4 AS BIGINT) AS inter_nvert,
+         |       overlap_area AS inter_area
+         |FROM j ORDER BY image_id, fid""".stripMargin,
+
+    "q_phash_pairs" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte, $PhashCte
+         |SELECT a.image_id AS id_a, b.image_id AS id_b,
+         |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS dist
+         |FROM phi a JOIN phi b ON a.image_id < b.image_id
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 16
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q_phash_banded" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte, $PhashCte,
+         |bnd AS (SELECT image_id, phash, j.bj,
+         |          (phash >> (j.bj*16)) & 65535 AS bk
+         |        FROM phi CROSS JOIN (SELECT unnest([0,1,2,3]) AS bj) j),
+         |cand AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+         |           a.phash AS pha, b.phash AS phb
+         |         FROM bnd a JOIN bnd b ON a.bj = b.bj AND a.bk = b.bk
+         |         WHERE a.image_id < b.image_id)
+         |SELECT id_a, id_b,
+         |       CAST(bit_count(xor(pha, phb)) AS BIGINT) AS dist
+         |FROM cand WHERE bit_count(xor(pha, phb)) <= 16
+         |ORDER BY 1, 2""".stripMargin,
+
     "q_whiteness" ->
       s"""WITH $I, $B, $SimgCte, $PxCte, $PxdCte,
          |wv AS (SELECT k,
@@ -1540,6 +1598,39 @@ object SparkEntry {
   private val SimgCte =
     """simg AS (SELECT * FROM img2
       |  WHERE w <= 64 AND h <= 64 AND k % 6 IN (1, 2))""".stripMargin
+
+  /** SQL mirror of Codec.aHash over the px pixel grid (requires simg +
+    * px): 8×8 block partition x0=(bx·w)//8, x1=((bx+1)·w)//8 (exact for
+    * w,h ≥ 16, which simg guarantees), 2^-20-quantized block means,
+    * bit ⇔ 64·q > Σq; bit 63 = block (0,0) via the two's-complement
+    * min literal. Produces phi(image_id, phash). */
+  private val PhashCte =
+    """blocks AS (SELECT unnest(generate_series(0, 7)) AS bi),
+      |blk AS (SELECT s.k, byb.bi AS byi, bxb.bi AS bxi,
+      |          (bxb.bi*s.w)//8 AS bx0, ((bxb.bi+1)*s.w)//8 AS bx1,
+      |          (byb.bi*s.h)//8 AS by0, ((byb.bi+1)*s.h)//8 AS by1
+      |        FROM simg s CROSS JOIN blocks bxb CROSS JOIN blocks byb),
+      |bm AS (SELECT b.k, b.byi, b.bxi,
+      |         COUNT(p.v) AS n, COALESCE(SUM(p.v), 0) AS sv
+      |       FROM blk b LEFT JOIN px p ON p.k = b.k AND p.b = 0
+      |         AND p.x >= b.bx0 AND p.x < b.bx1
+      |         AND p.y >= b.by0 AND p.y < b.by1
+      |       GROUP BY 1, 2, 3),
+      |bq AS (SELECT k, byi, bxi,
+      |         CASE WHEN n = 0 THEN 0
+      |              ELSE CAST(FLOOR(CAST(sv AS DOUBLE)/n*1048576.0) AS BIGINT)
+      |         END AS mq
+      |       FROM bm),
+      |bt AS (SELECT k, SUM(mq) AS tot FROM bq GROUP BY k),
+      |ph AS (SELECT q.k, CAST(SUM(
+      |         CASE WHEN 64*q.mq > t.tot THEN
+      |           CASE WHEN q.byi = 0 AND q.bxi = 0
+      |                THEN -9223372036854775807 - 1
+      |                ELSE (CAST(1 AS BIGINT) << CAST(63 - (q.byi*8 + q.bxi) AS INT))
+      |           END
+      |         ELSE 0 END) AS BIGINT) AS phash
+      |       FROM bq q JOIN bt t ON t.k = q.k GROUP BY q.k),
+      |phi AS (SELECT s.image_id, p.phash FROM ph p JOIN simg s ON s.k = p.k)""".stripMargin
 
   private val PxCte = OracleCte.pixelGen
 

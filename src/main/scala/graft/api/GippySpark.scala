@@ -57,6 +57,15 @@ final class GippySpark(val spark: SparkSession) {
                     res: Int = 7): DataFrame =
     SpatialJoin.joinPolygons(images.toDF(), features.toDF(), res)
 
+  /** `intersections` WITH the per-hit intersection GEOMETRY — the
+    * reference returns the exact Intersection WKT keyed by FID
+    * (/root/reference/GIP/gip/GeoVector.h:167-169): adds `inter_wkt`
+    * (clipped ring), `inter_nvert` and `inter_area_deg2` columns. */
+  def intersectionGeometries(images: Dataset[ImageMeta],
+                             features: Dataset[Feature],
+                             res: Int = 7): DataFrame =
+    SpatialJoin.intersectionGeom(intersections(images, features, res))
+
   /** Tile map (chunks() parity). */
   def tiles(images: Dataset[ImageMeta], chunkBytes: Long): Dataset[TileRef] =
     Tiling.tiles(images.toDF(), chunkBytes)

@@ -237,6 +237,76 @@ object Geom {
     false
   }
 
+  /** Sutherland–Hodgman clip of a polygon ring by an axis-aligned
+    * rect — the exact intersection GEOMETRY the reference's
+    * `intersections` returns per hit
+    * (/root/reference/GIP/gip/GeoVector.h:167-169), specialized to the
+    * image-footprint-rect case. Ring is open (first vertex not
+    * repeated); returns the clipped ring, possibly empty.
+    *
+    * For an axis-aligned subject rect the intersection vertices land
+    * EXACTLY on input coordinates (each clip plane substitutes its
+    * bound on one axis and interpolates the other, which is exact for
+    * axis-parallel edges), so integer-mdeg rect∩rect clips are
+    * bit-exact — the oracle checks area equality against the closed
+    * form. */
+  def clipPolygonRect(xs: Array[Double], ys: Array[Double],
+                      r: BBoxD): (Array[Double], Array[Double]) = {
+    // inside predicates + intersection for the 4 half-planes
+    type Pt = (Double, Double)
+    def clip(pts: Seq[Pt], inside: Pt => Boolean,
+             cross: (Pt, Pt) => Pt): Seq[Pt] = {
+      if (pts.isEmpty) return pts
+      val out = scala.collection.mutable.ArrayBuffer.empty[Pt]
+      var i = 0
+      while (i < pts.length) {
+        val cur = pts(i); val prev = pts((i + pts.length - 1) % pts.length)
+        val ci = inside(cur); val pi = inside(prev)
+        if (ci) {
+          if (!pi) out += cross(prev, cur)
+          out += cur
+        } else if (pi) out += cross(prev, cur)
+        i += 1
+      }
+      out.toSeq
+    }
+    def xAt(a: Pt, b: Pt, y: Double): Pt =
+      (a._1 + (y - a._2) * (b._1 - a._1) / (b._2 - a._2), y)
+    def yAt(a: Pt, b: Pt, x: Double): Pt =
+      (x, a._2 + (x - a._1) * (b._2 - a._2) / (b._1 - a._1))
+    var pts: Seq[Pt] = xs.indices.map(i => (xs(i), ys(i)))
+    pts = clip(pts, _._1 >= r.x0, (a, b) => yAt(a, b, r.x0))
+    pts = clip(pts, _._1 <= r.x1, (a, b) => yAt(a, b, r.x1))
+    pts = clip(pts, _._2 >= r.y0, (a, b) => xAt(a, b, r.y0))
+    pts = clip(pts, _._2 <= r.y1, (a, b) => xAt(a, b, r.y1))
+    // drop consecutive duplicates (degenerate touch cases)
+    val dedup = pts.indices.filter(i =>
+      pts(i) != pts((i + 1) % pts.length)).map(pts)
+    (dedup.map(_._1).toArray, dedup.map(_._2).toArray)
+  }
+
+  /** Absolute shoelace area of an open ring. Exact for integer-valued
+    * double coordinates below 2^26 (products stay in 2^53). */
+  def polygonArea(xs: Array[Double], ys: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = xs.length
+    while (i < n) {
+      val j = (i + 1) % n
+      s += xs(i) * ys(j) - xs(j) * ys(i)
+      i += 1
+    }
+    math.abs(s) / 2.0
+  }
+
+  /** WKT of an open ring (closing vertex appended). */
+  def ringWkt(xs: Array[Double], ys: Array[Double]): String =
+    if (xs.isEmpty) "POLYGON EMPTY"
+    else {
+      val pts = (xs.indices :+ 0)
+        .map(i => s"${xs(i)} ${ys(i)}").mkString(", ")
+      s"POLYGON (($pts))"
+    }
+
   /** Parse a simple `POLYGON ((x y, x y, ...))` WKT outer ring. */
   def parsePolygonWkt(wkt: String): (Array[Double], Array[Double]) = {
     val inner = wkt.substring(wkt.indexOf("((") + 2, wkt.indexOf("))"))

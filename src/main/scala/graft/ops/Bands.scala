@@ -247,6 +247,31 @@ object Bands {
     (n, s)
   })
 
+  /** Full NEAREST overview pyramid of band 0 at the reference's levels
+    * 2, 4, 8 (GeoImage.cpp:284-291 — GDAL NEAREST): per level L,
+    * out(x,y) = src(Lx, Ly), out dims ceil(w/L)×ceil(h/L). Returns one
+    * (level, n_valid, vsum) row per level — the derived-pyramid-table
+    * model (explicit rows instead of GDAL's in-file side effect). */
+  val overviewPyramidAgg = udf((bytes: Array[Byte], w: Int, h: Int,
+                                fmt: String, nb: Int) => {
+    val p = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)(0)
+    Seq(2, 4, 8).map { l =>
+      val ow = (w + l - 1) / l; val oh = (h + l - 1) / l
+      var n = 0L; var s = 0L
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) {
+          val v = p((l * y) * w + l * x)
+          if (!v.isNaN) { n += 1; s += v.toLong }
+          x += 1
+        }
+        y += 1
+      }
+      (l.toLong, n, s)
+    }
+  })
+
   /** NEAREST 2:1 downsample of band 0 (overview level 2): out(x,y) =
     * src(2x,2y), out dims ceil(w/2)×ceil(h/2). Returns exact aggregate
     * (n_valid, vsum) of the overview plane. */

@@ -144,6 +144,54 @@ object SpatialJoin {
       .where(refine(col("x0m"), col("y0m"), col("x1m"), col("y1m"), col("geom_wkt")))
   }
 
+  /** Per-hit intersection GEOMETRY — the reference's `intersections`
+    * returns the exact Intersection geometry WKT keyed by FID
+    * (/root/reference/GIP/gip/GeoVector.h:167-169); this emits it per
+    * joined (image, polygon) row: Sutherland-Hodgman clip of the
+    * polygon ring by the image footprint rect, plus vertex count and
+    * shoelace area. `joined` needs the image bbox (x0m..y1m) and
+    * `geom_wkt` (degree coordinates, as the layer stores them). */
+  def intersectionGeom(joined: DataFrame): DataFrame = {
+    val ig = udf((x0m: Long, y0m: Long, x1m: Long, y1m: Long, wkt: String) => {
+      val (xs, ys) = Geom.parsePolygonWkt(wkt)
+      val (cx, cy) = Geom.clipPolygonRect(xs, ys,
+        Geom.BBoxD(x0m / 1000.0, y0m / 1000.0, x1m / 1000.0, y1m / 1000.0))
+      (Geom.ringWkt(cx, cy), cx.length.toLong, Geom.polygonArea(cx, cy))
+    })
+    joined
+      .withColumn("ig", ig(col("x0m"), col("y0m"), col("x1m"), col("y1m"),
+        col("geom_wkt")))
+      .withColumn("inter_wkt", col("ig._1"))
+      .withColumn("inter_nvert", col("ig._2"))
+      .withColumn("inter_area_deg2", col("ig._3"))
+      .drop("ig")
+  }
+
+  /** Oracle-exact variant of [[intersectionGeom]] in INTEGER mdeg
+    * space: the polygon ring is rebuilt from its integer bbox columns
+    * so every clipped vertex and the shoelace area are exact integers —
+    * the driver gate checks area == the closed-form rectangle overlap.
+    * Same kernel as the WKT path (clip + shoelace), different ring
+    * source. */
+  def intersectionGeomMdeg(joined: DataFrame): DataFrame = {
+    val ig = udf((x0m: Long, y0m: Long, x1m: Long, y1m: Long,
+                  px0: Long, py0: Long, px1: Long, py1: Long) => {
+      val xs = Array(px0.toDouble, px1.toDouble, px1.toDouble, px0.toDouble)
+      val ys = Array(py0.toDouble, py0.toDouble, py1.toDouble, py1.toDouble)
+      val (cx, cy) = Geom.clipPolygonRect(xs, ys,
+        Geom.BBoxD(x0m.toDouble, y0m.toDouble, x1m.toDouble, y1m.toDouble))
+      (Geom.ringWkt(cx, cy), cx.length.toLong,
+        Geom.polygonArea(cx, cy).toLong)
+    })
+    joined
+      .withColumn("ig", ig(col("x0m"), col("y0m"), col("x1m"), col("y1m"),
+        col("px0m"), col("py0m"), col("px1m"), col("py1m")))
+      .withColumn("inter_wkt", col("ig._1"))
+      .withColumn("inter_nvert", col("ig._2"))
+      .withColumn("inter_area", col("ig._3"))
+      .drop("ig")
+  }
+
   /** Pixel-space crop rect of a polygon(rect) ∩ image — the Extract /
     * crop semantics (reference read(chunk) window math,
     * /root/reference/GIP/gip/GeoRaster.h:452-530): intersection mapped

@@ -17,6 +17,43 @@ class GeomCellSpec extends AnyFunSuite {
     assert(!a.intersects(BBoxI(10, 0, 20, 10)))
   }
 
+  test("clipPolygonRect matches JTS intersection on convex/concave rings") {
+    import org.locationtech.jts.geom._
+    val gf = new GeometryFactory()
+    def jtsPoly(xs: Array[Double], ys: Array[Double]): Geometry = {
+      val coords = (xs.indices :+ 0).map(i => new Coordinate(xs(i), ys(i)))
+      gf.createPolygon(coords.toArray)
+    }
+    def jtsRect(r: BBoxD): Geometry =
+      jtsPoly(Array(r.x0, r.x1, r.x1, r.x0), Array(r.y0, r.y0, r.y1, r.y1))
+    val rings = Seq(
+      // pentagon
+      (Array(0.0, 40.0, 50.0, 20.0, -10.0), Array(0.0, -5.0, 30.0, 55.0, 30.0)),
+      // concave chevron (simple ring, notch at top)
+      (Array(0.0, 40.0, 40.0, 20.0, 0.0),
+       Array(0.0, 0.0, 50.0, 20.0, 50.0)),
+      // triangle
+      (Array(-20.0, 60.0, 10.0), Array(-20.0, 10.0, 70.0)))
+    val rects = Seq(BBoxD(-5, -5, 25, 25), BBoxD(10, 10, 45, 60),
+      BBoxD(-30, -30, 100, 100), BBoxD(38, -4, 60, 8), BBoxD(70, 70, 90, 90))
+    for ((xs, ys) <- rings; r <- rects) {
+      val (cx, cy) = Geom.clipPolygonRect(xs, ys, r)
+      val got = Geom.polygonArea(cx, cy)
+      val want = jtsPoly(xs, ys).intersection(jtsRect(r)).getArea
+      assert(math.abs(got - want) < 1e-9,
+        s"clip area $got != JTS $want for rect $r")
+      if (want == 0.0) assert(Geom.ringWkt(cx, cy) == "POLYGON EMPTY" ||
+        got == 0.0)
+    }
+    // integer-mdeg rect∩rect: vertices and area exact
+    val (cx, cy) = Geom.clipPolygonRect(
+      Array(100.0, 500.0, 500.0, 100.0), Array(200.0, 200.0, 900.0, 900.0),
+      BBoxD(300.0, 100.0, 700.0, 600.0))
+    assert(cx.length == 4)
+    assert(Geom.polygonArea(cx, cy) == (500.0 - 300.0) * (600.0 - 200.0))
+    assert(cx.forall(v => v == math.rint(v)) && cy.forall(v => v == math.rint(v)))
+  }
+
   test("rect intersection is commutative and contained (property)") {
     val r = new scala.util.Random(3)
     def c() = r.nextLong(300001L) - 150000L

@@ -74,25 +74,36 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(bit_count(col("a.phash").bitwiseXOR(col("b.phash"))) <= d)
       .select(col("a.image_id"), col("b.image_id"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    def banded(d: Int) = {
-      val bands = im.select(col("image_id"), col("phash"),
-          explode(array((0 until 4).map(j => struct(lit(j).as("bj"),
-            shiftright(col("phash"), j * 16).bitwiseAND(lit(0xFFFFL)).as("bk"))): _*)).as("b"))
-        .select(col("image_id"), col("phash"), col("b.bj").as("bj"), col("b.bk").as("bk"))
-      bands.select(col("image_id").as("id_a"), col("phash").as("ph_a"), col("bj"), col("bk"))
-        .join(bands.select(col("image_id").as("id_b"), col("phash").as("ph_b"), col("bj"), col("bk")),
-          Seq("bj", "bk"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "ph_a", "ph_b").distinct()
-        .where(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= d)
+    def banded(d: Int) =
+      graft.ops.Hamming.bandedPairs(im, "image_id", "phash", d)
         .select("id_a", "id_b")
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    }
     val b3 = brute(3)
     assert(b3.nonEmpty, "fixture produced no close pairs")
     assert(banded(3) == b3, "pigeonhole guarantee violated at d=3")
     // at d=16 banding is a candidate filter: subset of brute force
     assert(banded(16).subsetOf(brute(16)))
+  }
+
+  test("simhash banded join: subset of brute force, full recall at d<=3") {
+    val docs = corpus
+    val sh = TextOps.simhash(docs).cache()
+    def brute(d: Int) = sh.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("simhash").as("hb")))
+      .where(col("id_a") < col("id_b"))
+      .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= d)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def banded(d: Int) =
+      graft.ops.Hamming.bandedPairs(sh, "doc_id", "simhash", d)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-copies (1 token of 30 changed) have small simhash distance —
+    // the banded join must find every d≤3 pair and never invent one
+    assert(banded(3) == brute(3), "simhash pigeonhole violated at d=3")
+    val b12 = brute(12)
+    assert(b12.nonEmpty, "corpus fixture yielded no close simhash pairs")
+    assert(banded(12).subsetOf(b12))
   }
 
   test("lshTopK recall vs brute-force cosineTopK on real embeddings") {
