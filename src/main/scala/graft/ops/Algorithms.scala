@@ -504,12 +504,17 @@ object Algorithms {
   })
 
   // ---- pansharp_brovey (GeoAlgorithms.cpp:678-726) ----
-  /** Brovey pansharpen: upscale RGB+NIR bilinearly to the pan grid,
-    * dnf = (pan − w3·nir) / (w0·r + w1·g + w2·b), multiply RGB by dnf. */
+  /** Brovey pansharpen: upscale RGB+NIR to the pan grid — CUBIC by
+    * default, matching the reference's `warp_into(..., interp=2)`
+    * upscale (GeoAlgorithms.cpp:695); interp=1 gives the bilinear
+    * variant — then dnf = (pan − w3·nir) / (w0·r + w1·g + w2·b),
+    * multiply RGB by dnf. */
   def pansharpBrovey(cube: Array[Array[Double]], w: Int, h: Int,
                      pan: Array[Double], pw: Int, ph: Int,
-                     weights: Array[Double]): Array[Array[Double]] = {
-    // direct bilinear upscale (pan grid is an integer multiple)
+                     weights: Array[Double],
+                     interp: Int = 2): Array[Array[Double]] = {
+    // direct upscale (pan grid is an integer multiple): Warp's clamped
+    // kernels; sample points stay inside [-0.5, w-0.5] so no NaN edge
     val sx = w.toDouble / pw; val sy = h.toDouble / ph
     def up2(p: Array[Double]): Array[Double] = {
       val o = new Array[Double](pw * ph)
@@ -518,12 +523,9 @@ object Algorithms {
         var i2 = 0
         while (i2 < pw) {
           val px = (i2 + 0.5) * sx - 0.5; val py = (j + 0.5) * sy - 0.5
-          val x0 = math.floor(px).toInt; val y0 = math.floor(py).toInt
-          val fx = px - x0; val fy = py - y0
-          def at(x: Int, y: Int) =
-            p(math.max(0, math.min(h - 1, y)) * w + math.max(0, math.min(w - 1, x)))
-          o(j * pw + i2) = (at(x0, y0) * (1 - fx) + at(x0 + 1, y0) * fx) * (1 - fy) +
-            (at(x0, y0 + 1) * (1 - fx) + at(x0 + 1, y0 + 1) * fx) * fy
+          o(j * pw + i2) =
+            if (interp == 2) Warp.cubic(p, w, h, px, py)
+            else Warp.bilinear(p, w, h, px, py)
           i2 += 1
         }
         j += 1

@@ -41,16 +41,31 @@ object Warp {
     * reference tests exercise; see GeomCellSpec golden 1114×1114). */
   def extentTo3857(ext: BBoxD): BBoxD = Geom.Mercator.forwardBBox(ext)
 
+  /** Identity dst→src geo transform (same SRS both sides). */
+  val SameSrs: (Double, Double) => (Double, Double) = (x, y) => (x, y)
+
+  /** dst is EPSG:3857, source geographic: inverse spherical mercator. */
+  val MercatorToGeo: (Double, Double) => (Double, Double) =
+    (x, y) => Geom.Mercator.inverse(x, y)
+
+  /** dst is a Transverse-Mercator/UTM CRS, source geographic — e.g.
+    * the reference fixture's WGS72BE UTM 16N cookie-cutter target
+    * (test_GeoAlgorithms.py:86-111, Geom.Utm16N_Wgs72BE). */
+  def utmToGeo(tm: Geom.TransverseMercator): (Double, Double) => (Double, Double) =
+    (x, y) => tm.inverse(x, y)
+
   /** Gather-resample a source plane onto a destination grid.
     * `srcX0,srcY1,srcXres,srcYres`: source north-up affine; dst pixel
-    * centers map through geo space (and optionally inverse mercator
-    * when dstIsMercator). interp: 0=nearest, 1=bilinear, 2=cubic
-    * (Catmull-Rom), per the reference's interpolation switch
+    * centers map through `dstToSrc` into the source's geo space —
+    * [[SameSrs]], [[MercatorToGeo]], [[utmToGeo]] or any custom CRS
+    * hop. interp: 0=nearest, 1=bilinear, 2=cubic (Catmull-Rom), per
+    * the reference's interpolation switch
     * (/root/reference/GIP/GeoRaster.cpp:240-246). Out-of-source or
     * nodata-touching samples yield NaN. */
   def resample(src: Array[Double], sw: Int, sh: Int,
                srcX0: Double, srcY1: Double, srcXres: Double, srcYres: Double,
-               dst: Grid, interp: Int, dstIsMercator: Boolean = false): Array[Double] = {
+               dst: Grid, interp: Int,
+               dstToSrc: (Double, Double) => (Double, Double) = SameSrs): Array[Double] = {
     val out = new Array[Double](dst.w * dst.h)
     var j = 0
     while (j < dst.h) {
@@ -58,8 +73,7 @@ object Warp {
       while (i < dst.w) {
         val gx0 = dst.x0 + (i + 0.5) * dst.xres
         val gy0 = dst.y1 - (j + 0.5) * math.abs(dst.yres)
-        val (gx, gy) =
-          if (dstIsMercator) Geom.Mercator.inverse(gx0, gy0) else (gx0, gy0)
+        val (gx, gy) = dstToSrc(gx0, gy0)
         val px = (gx - srcX0) / srcXres - 0.5
         val py = (srcY1 - gy) / srcYres - 0.5
         out(j * dst.w + i) = interp match {
@@ -228,8 +242,8 @@ object Warp {
     src(yc * sw + xc)
   }
 
-  private def bilinear(src: Array[Double], sw: Int, sh: Int,
-                       px: Double, py: Double): Double = {
+  private[ops] def bilinear(src: Array[Double], sw: Int, sh: Int,
+                            px: Double, py: Double): Double = {
     if (px < -0.5 || px > sw - 0.5 || py < -0.5 || py > sh - 0.5) return Double.NaN
     val x0 = math.floor(px).toInt; val y0 = math.floor(py).toInt
     val fx = px - x0; val fy = py - y0
@@ -242,8 +256,8 @@ object Warp {
     p1 + 0.5 * t * (p2 - p0 + t * (2 * p0 - 5 * p1 + 4 * p2 - p3 +
       t * (3 * (p1 - p2) + p3 - p0)))
 
-  private def cubic(src: Array[Double], sw: Int, sh: Int,
-                    px: Double, py: Double): Double = {
+  private[ops] def cubic(src: Array[Double], sw: Int, sh: Int,
+                         px: Double, py: Double): Double = {
     if (px < -0.5 || px > sw - 0.5 || py < -0.5 || py > sh - 0.5) return Double.NaN
     val x1 = math.floor(px).toInt; val y1 = math.floor(py).toInt
     val fx = px - x1; val fy = py - y1
