@@ -304,8 +304,8 @@ object SparkEntry {
 
     // SimHash banded Hamming-neighbor join over documents — the text
     // analog of q_phash_banded (same Hamming.bandedPairs machinery);
-    // rows-only: the 64-bit token-vote simhash itself is not
-    // SQL-expressible (subset + pigeonhole properties in LshSpec)
+    // value-exact: the md5-bit-vote simhash is re-derived in SQL
+    // (SimhashCte), pigeonhole/subset properties additionally in LshSpec
     "q_simhash_banded" -> ((s, dir) =>
       graft.ops.Hamming.bandedPairs(
           graft.text.TextOps.simhash(docs(s, dir)),
@@ -1482,6 +1482,25 @@ object SparkEntry {
          |WHERE CAST(n_inter AS DOUBLE)/n_union >= 0.01
          |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_simhash" ->
+      s"""WITH $TokCte, $SimhashCte
+         |SELECT doc_id, simhash FROM sh64 ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_banded" ->
+      s"""WITH $TokCte, $SimhashCte,
+         |sbnd AS (SELECT doc_id, simhash, j.bj,
+         |           (simhash >> (j.bj*16)) & 65535 AS bk
+         |         FROM sh64 CROSS JOIN
+         |           (SELECT unnest([0,1,2,3]) AS bj) j),
+         |scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |            a.simhash AS ha, b.simhash AS hb
+         |          FROM sbnd a JOIN sbnd b ON a.bj = b.bj AND a.bk = b.bk
+         |          WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS dist
+         |FROM scand WHERE bit_count(xor(ha, hb)) <= 12
+         |ORDER BY 1, 2""".stripMargin,
+
     "q_emb_neardup_lsh" -> {
       val buckets = (0 until 16).map(t =>
         s"SELECT vec_id, $t AS tj, ${OracleCte.lshBucketSql("ed", 64, 4, t)} AS bk FROM e")
@@ -1683,6 +1702,28 @@ object SparkEntry {
   private val TokCte =
     """tok AS (SELECT doc_id, lang, n_chars, text,
       |  string_split(text, ' ') AS ts FROM documents)""".stripMargin
+
+  /** SQL mirror of TextOps.simhash (requires tok): per token the first
+    * 8 md5 bytes vote ±1 per bit (bit b = hex char b//4, nibble bit
+    * 3−b%4), simhash bit set iff votes > 0 — all-integer, so the
+    * 64-bit value is exact cross-engine. Produces sh64(doc_id, simhash). */
+  private val SimhashCte =
+    """stok AS (SELECT doc_id, unnest(ts) AS t FROM tok),
+      |sbit AS (SELECT doc_id, bb.b,
+      |  CASE WHEN ((strpos('0123456789abcdef',
+      |                     substr(md5(t), bb.b//4 + 1, 1)) - 1)
+      |             >> (3 - bb.b % 4)) & 1 = 1
+      |       THEN 1 ELSE -1 END AS vote
+      |  FROM stok CROSS JOIN
+      |    (SELECT unnest(generate_series(0, 63)) AS b) bb),
+      |sv AS (SELECT doc_id, b, SUM(vote) AS votes
+      |       FROM sbit GROUP BY 1, 2),
+      |sh64 AS (SELECT doc_id, CAST(SUM(
+      |    CASE WHEN votes > 0 THEN
+      |      CASE WHEN b = 0 THEN -9223372036854775807 - 1
+      |           ELSE (CAST(1 AS BIGINT) << CAST(63 - b AS INT)) END
+      |    ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM sv GROUP BY doc_id)""".stripMargin
   private val ShCte =
     """sh AS (SELECT doc_id,
       |  CASE WHEN len(ts) >= 3 THEN

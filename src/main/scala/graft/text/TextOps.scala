@@ -169,9 +169,10 @@ object TextOps {
       .select("id_a", "id_b").distinct()
   }
 
-  /** 64-bit SimHash over tokens: per token, md5 bits vote ±1 per bit
-    * position; sign → bit. Deterministic; cross-checked in the spec
-    * (hex-bit voting is not economically SQL-expressible). */
+  /** 64-bit SimHash over tokens: per token, the first 8 md5 bytes vote
+    * ±1 per bit position; sign → bit. Deterministic and all-integer, so
+    * the DuckDB oracle re-derives it exactly (SparkEntry.SimhashCte:
+    * hex-char nibble bits × generate_series votes). */
   def simhash(docs: DataFrame): DataFrame = {
     val sim = udf((text: String) => {
       val votes = new Array[Int](64)

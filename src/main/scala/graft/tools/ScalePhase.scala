@@ -88,6 +88,17 @@ object ScalePhase {
     val master = if (args.length > 2) args(2) else s"local[$cpus]"
     val isCluster = master.startsWith("local-cluster")
 
+    if (master == "calibonly") {
+      // kernel-only mode: no Spark. Bench forks SEVERAL of these
+      // concurrently (one per emulated executor, each taskset-pinned to
+      // its core slice) to measure the multi-JVM hardware ceiling of
+      // the local-cluster legs — the calibration the round-2 verdict
+      // found missing for the 1→4-executor pair.
+      val kernN = math.max(200000L, n / 8)
+      println(f"KERNEL_RATE=${threadRate(cpus, kernN, 2)(k => Bench.decodeStatsKernel(k * 6 + 1))}%.0f")
+      return
+    }
+
     if (!isCluster) {
       // --- calibration ladder on the pinned cores (~31 µs/item each) ---
       val calN = 100000L * cpus
