@@ -156,8 +156,14 @@ object Bench {
       }
     }
 
-    // ---- headline throughput at full parallelism ----
-    val (outRows, headSec) = joinTilePipeline(spark, benchN, 1000, cpus * 4)
+    // ---- headline throughput at full parallelism (best of 2, like
+    // every other measurement in this file — a single shot is hostage
+    // to host placement noise) ----
+    val (outRows, headSec) = {
+      val a = joinTilePipeline(spark, benchN, 1000, cpus * 4)
+      val b = joinTilePipeline(spark, benchN, 1000, cpus * 4)
+      if (a._2 <= b._2) a else b
+    }
     val rate = benchN / headSec
 
     // ---- skew demonstration (SURVEY §7.4): all images + polygons in

@@ -629,6 +629,20 @@ object SparkEntry {
           col("cm._4").as("n_final"))
         .orderBy("image_id")),
 
+    // FAITHFUL thermal ACCA (reference constants, filters 1-7 +
+    // percentile pass 2 + smear) on derived reflectance/LWIR planes —
+    // rows-only (percentile interpolation + morphology multi-pass)
+    "q_acca_thermal" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("at", Algorithms.accaThermalAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands), lit(45.0), lit(135.0), lit(0), lit(3),
+          lit(450.0)))
+        .select(col("image_id"), col("at._1").as("n_final"),
+          col("at._2").as("n_cloud"), col("at._3").as("n_amb"),
+          col("at._4").as("n_pass1"))
+        .orderBy("image_id")),
+
     "q_fmask" -> ((s, dir) =>
       Synth.imagesWithBytes(s, dir, smallRaw)
         .withColumn("fm", Algorithms.fmaskAgg(col("bytes"),
@@ -701,6 +715,12 @@ object SparkEntry {
     "q_ann_lsh_topk" -> ((s, dir) =>
       graft.vec.VectorOps.lshTopK(emb(s, dir), 64, col("vec_id") < 3, 10,
           nb = 4, tables = 16)
+        .orderBy("qid", "rank")),
+
+    // IVF ANN top-k: 16 fixed-centroid cells, 4 probed per query,
+    // exact re-rank inside probed cells (recall vs brute in LshSpec)
+    "q_ann_ivf_topk" -> ((s, dir) =>
+      graft.vec.VectorOps.ivfTopK(emb(s, dir), col("vec_id") < 3, 10)
         .orderBy("qid", "rank")),
 
     "q_vec_label_stats" -> ((s, dir) =>
@@ -1541,6 +1561,36 @@ object SparkEntry {
          |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id FROM r
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
     },
+
+    "q_ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id < 16),
+        |asg AS (SELECT e.vec_id, e.ed, c.cid,
+        |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |            list_dot_product(e.ed, c.ce) /
+        |            (sqrt(list_dot_product(e.ed, e.ed)) *
+        |             sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cid) AS rk
+        |        FROM e CROSS JOIN cents c),
+        |cells AS (SELECT vec_id, ed, cid FROM asg WHERE rk = 1),
+        |q AS (SELECT vec_id AS qid, ed AS qe FROM e WHERE vec_id < 3),
+        |pr AS (SELECT q.qid, q.qe, c.cid,
+        |         ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+        |           list_dot_product(q.qe, c.ce) /
+        |           (sqrt(list_dot_product(q.qe, q.qe)) *
+        |            sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cid) AS rk
+        |       FROM q CROSS JOIN cents c),
+        |probes AS (SELECT qid, qe, cid FROM pr WHERE rk <= 4),
+        |cand AS (SELECT p.qid, v.vec_id,
+        |           list_dot_product(p.qe, v.ed) /
+        |           (sqrt(list_dot_product(p.qe, p.qe)) *
+        |            sqrt(list_dot_product(v.ed, v.ed))) AS sim
+        |         FROM cells v JOIN probes p ON p.cid = v.cid
+        |         WHERE v.vec_id != p.qid),
+        |r AS (SELECT qid, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY qid
+        |          ORDER BY sim DESC, vec_id) AS rank FROM cand)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id FROM r
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "q_emb_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed

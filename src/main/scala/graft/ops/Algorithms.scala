@@ -343,6 +343,140 @@ object Algorithms {
     (pass1, mask, fin)
   }
 
+  // ---- FAITHFUL thermal ACCA (GeoAlgorithms.cpp:41-216) ----
+  /** The reference cascade with its own constants, on reflectance
+    * planes + an LWIR temperature plane (°C). CImg threshold semantics
+    * are v ≥ th (CImg.h:23890); filters per GeoAlgorithms.cpp:79-99:
+    *
+    *   F1 ¬(red ≥ 0.08) | F2 ndsi ≥ 0.7 | F3 temp ≥ 27  → nonclouds
+    *   F4 (1−swir1)(temp+273.15) ≥ 225 | F5 nir/red ≥ 2 |
+    *   F6 nir/green ≥ 2 | ¬F7 nir/swir1 < 1             → ambclouds
+    *   clouds = ¬(nonclouds ∨ ambclouds)
+    *
+    * Pass 2 (GeoAlgorithms.cpp:127-162): if cloudcover > 0.004 and the
+    * cloud-temperature mean < 22, derive th0/th1 from LWIR percentiles
+    * 83.5/97.5 (+ skew-shift capped by p98.75), then accept WARM
+    * ambiguous clouds (th0 < T < th1) or else COLD ones (T < th0) when
+    * their population is < 40% of the scene with mean < 22.
+    *
+    * Final assembly (GeoAlgorithms.cpp:192-213): clouds ⊕ accepted
+    * ambclouds, OR saturation (any reflectance band ≥ satLevel),
+    * erode, dilate, sun-geometry shadow smear; finalmask = ¬cloudmask
+    * over valid pixels. The engine synthesizes no real LWIR DN — the
+    * gate derives temp deterministically from the swir2 ramp — but the
+    * cascade/percentile/acceptance logic here is the reference's own.
+    * Returns (finalmask, cloudmask, ambclouds, pass1). */
+  def accaThermal(c: Array[Array[Double]], temp: Array[Double], w: Int, h: Int,
+                  seDeg: Double, saDeg: Double, erodePx: Int, dilatePx: Int,
+                  cloudheight: Double, satLevel: Double = Double.MaxValue)
+      : (Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val thRed = 0.08; val thNdsi = 0.7; val thTemp = 27.0; val thComp = 225.0
+    val thNirRed = 2.0; val thNirGreen = 2.0; val thNirSwir1 = 1.0
+    val red = c(2); val green = c(1); val nir = c(3); val swir1 = c(4)
+    val n = w * h
+    val pass1 = new Array[Double](n)
+    val amb = new Array[Double](n)
+    var scenesize = 0L; var cloudsum = 0L
+    var i = 0
+    while (i < n) {
+      val valid = !red(i).isNaN && !green(i).isNaN && !nir(i).isNaN &&
+        !swir1(i).isNaN && !temp(i).isNaN
+      if (!valid) { pass1(i) = Double.NaN; amb(i) = Double.NaN }
+      else {
+        scenesize += 1
+        val ndsi = (green(i) - swir1(i)) / (green(i) + swir1(i))
+        val b56 = (1.0 - swir1(i)) * (temp(i) + 273.15)
+        val noncloud = !(red(i) >= thRed) || ndsi >= thNdsi || temp(i) >= thTemp
+        val ambHit = !noncloud &&
+          (b56 >= thComp || nir(i) / red(i) >= thNirRed ||
+           nir(i) / green(i) >= thNirGreen || !(nir(i) / swir1(i) >= thNirSwir1))
+        val cloud = !noncloud && !ambHit
+        pass1(i) = if (cloud) 1.0 else 0.0
+        amb(i) = if (ambHit) 1.0 else 0.0
+        if (cloud) cloudsum += 1
+      }
+      i += 1
+    }
+    // pass 2: thermal percentile decision over the cloud temperatures
+    val cloudcover = if (scenesize == 0) 0.0 else cloudsum.toDouble / scenesize
+    val cloudTemps = Array.tabulate(n)(i =>
+      if (pass1(i) == 1.0) temp(i) else Double.NaN)
+    val ts = Pixels.statsN(cloudTemps, n)
+    var addclouds = false
+    var ambAccepted = amb
+    if (cloudcover > 0.004 && ts.mean < 22.0) {
+      var th0 = Pixels.percentileN(temp, n, 83.5)
+      var th1 = Pixels.percentileN(temp, n, 97.5)
+      if (ts.skew > 0) {
+        val th2 = Pixels.percentileN(temp, n, 98.75)
+        var shift = ts.stddev * (if (ts.skew > 1.0) 1.0 else ts.skew)
+        if (th2 - th1 < shift) shift = th2 - th1
+        th0 += shift; th1 += shift
+      }
+      def restricted(pred: Double => Boolean): Array[Double] =
+        Array.tabulate(n)(i =>
+          if (amb(i).isNaN) Double.NaN
+          else if (amb(i) == 1.0 && pred(temp(i))) 1.0 else 0.0)
+      def accept(sel: Array[Double]): Boolean = {
+        val selTemps = Array.tabulate(n)(i =>
+          if (sel(i) == 1.0) temp(i) else Double.NaN)
+        val st = Pixels.statsN(selTemps, n)
+        st.count.toDouble / scenesize < 0.4 && st.mean < 22.0
+      }
+      val warm = restricted(t => t < th1 && t > th0)
+      if (accept(warm)) { ambAccepted = warm; addclouds = true }
+      else {
+        val cold = restricted(t => t < th0)
+        if (accept(cold)) { ambAccepted = cold; addclouds = true }
+      }
+    }
+    // final assembly: pass1 (+ accepted ambclouds) | saturation,
+    // erode → dilate → shadow smear; finalmask = ¬cloud over valid
+    var clouds = Array.tabulate(n) { i =>
+      if (pass1(i).isNaN) Double.NaN
+      else {
+        val sat = red(i) >= satLevel || green(i) >= satLevel ||
+          nir(i) >= satLevel || swir1(i) >= satLevel
+        if (pass1(i) == 1.0 || (addclouds && ambAccepted(i) == 1.0) || sat)
+          1.0
+        else 0.0
+      }
+    }
+    if (erodePx > 0) clouds = Pixels.erode(clouds, w, h, erodePx, erodePx)
+    if (dilatePx > 0) clouds = Pixels.dilate(clouds, w, h, dilatePx, dilatePx)
+    if (cloudheight > 0)
+      clouds = shadowSmear(clouds, w, h, seDeg, saDeg, cloudheight,
+        dilate = math.max(1, dilatePx))
+    val fin = Array.tabulate(n)(i =>
+      if (clouds(i).isNaN) Double.NaN
+      else if (clouds(i) == 1.0) 0.0 else 1.0)
+    (fin, clouds, ambAccepted, pass1)
+  }
+
+  /** Per-image thermal-ACCA counts over the derived reflectance/LWIR
+    * planes: refl = DN/4000 (red crosses the 0.08 filter), temp =
+    * swir2/40 − 10 °C (spans the 22/27 °C decision points). Returns
+    * (n_final, n_cloud, n_amb, n_pass1). */
+  val accaThermalAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
+                            nb: Int, seDeg: Double, saDeg: Double,
+                            erodePx: Int, dilatePx: Int,
+                            cloudheight: Double) => {
+    val c0 = Codec.requireBands(
+      Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt),
+      6, "acca_thermal", fmt)
+    val refl = c0.map(_.map(_ / 4000.0))
+    val temp = c0(5).map(v => v / 40.0 - 10.0)
+    val (fin, cm, ambA, p1) =
+      accaThermal(refl, temp, w, h, seDeg, saDeg, erodePx, dilatePx,
+        cloudheight)
+    def cnt(p: Array[Double]): Long = {
+      var m = 0L; var i = 0
+      while (i < p.length) { if (p(i) == 1.0) m += 1; i += 1 }
+      m
+    }
+    (cnt(fin), cnt(cm), cnt(ambA), cnt(p1))
+  })
+
   val cloudMaskAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
                           nb: Int, seDeg: Double, saDeg: Double,
                           cloudheight: Double) => {

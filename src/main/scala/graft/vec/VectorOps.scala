@@ -130,6 +130,49 @@ object VectorOps {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"))
   }
 
+  /** IVF (inverted-file) approximate NN — the cell-probing ANN family
+    * next to SRP-LSH. Coarse quantizer = `kc` FIXED centroids (the kc
+    * lowest vec_ids: deterministic, so any SQL engine re-derives the
+    * same index); every vector lands in its max-cosine cell (ties →
+    * lowest centroid id); a query probes its `nprobe` nearest cells
+    * and re-ranks exactly inside them.
+    *
+    * Scale shape at 10¹² rows: assignment is one broadcast of kc
+    * centroids + a per-row argmax (no shuffle); the candidate join is
+    * an equi-join on cell id touching ~nprobe/kc of the corpus per
+    * query. kc grows with the corpus exactly like LSH's 2^nb (cells ≈
+    * N/targetCell); a real deployment seeds centroids from
+    * [[graft.ops.Algorithms.kmeansEmbeddings]] — fixed-id seeds keep
+    * the oracle gate value-exact. */
+  def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
+              kc: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = emb.where(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val cells = emb.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("embedding"), col("ce")))
+      .withColumn("crank", row_number().over(wAssign))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val q = emb.where(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("qsim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("qsim", cosine(col("qe"), col("ce")))
+      .withColumn("prank", row_number().over(wProbe))
+      .where(col("prank") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid"))
+    val cand = cells.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("sim", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"))
+  }
+
   /** CORPUS-SCALE embedding near-dup pairs: LSH bucket-collision
     * candidates (any of `tables` tables) + exact cosine verification —
     * the no-crossJoin replacement for the bounded all-pairs query. */

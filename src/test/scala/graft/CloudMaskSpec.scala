@@ -36,6 +36,52 @@ class CloudMaskSpec extends AnyFunSuite {
     assert(pcp3.forall(_ == 0.0), "vegetated pixels must not be PCP")
   }
 
+  test("thermal ACCA: filters 1-7 with reference constants; warm-cloud acceptance") {
+    val w = 20; val h = 20; val n = w * h
+    // quadrant layout (reflectance space, temp in °C):
+    //   rows 0..4   : DARK (red < 0.08)            → noncloud via F1
+    //   rows 5..9   : HOT  (temp ≥ 27)             → noncloud via F3
+    //   rows 10..14 : CLOUD (bright, cold, flat)   → pass1 cloud
+    //   rows 15..19 : AMBIGUOUS (nir/red ≥ 2, warm band temp)
+    val refl = Array.fill(6)(new Array[Double](n))
+    val temp = new Array[Double](n)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = y * w + x
+      val (b, g, r, nir, s1, t) =
+        if (y < 5) (0.05, 0.05, 0.05, 0.05, 0.05, 10.0)
+        else if (y < 10) (0.5, 0.5, 0.5, 0.5, 0.5, 30.0)
+        else if (y < 15) (0.5, 0.5, 0.5, 0.5, 0.5, 5.0)
+        else (0.5, 0.5, 0.2, 0.5, 0.5, 15.0)
+      refl(0)(i) = b; refl(1)(i) = g; refl(2)(i) = r
+      refl(3)(i) = nir; refl(4)(i) = s1; refl(5)(i) = 0.5
+      temp(i) = t
+    }
+    val (fin, cm, ambA, p1) = Algorithms.accaThermal(refl, temp, w, h,
+      seDeg = 0, saDeg = 0, erodePx = 0, dilatePx = 0, cloudheight = 0)
+    def rowVal(p: Array[Double], y: Int) = p(y * w + 3)
+    // F1 dark and F3 hot are nonclouds (neither cloud nor ambiguous)
+    assert(rowVal(p1, 2) == 0.0 && rowVal(ambA, 2) == 0.0)
+    assert(rowVal(p1, 7) == 0.0 && rowVal(ambA, 7) == 0.0)
+    // bright/cold/flat row: cloud — verify each amb filter is quiet:
+    // b56 = (1-0.5)(5+273.15) = 139 < 225; ratios = 1 < 2; nir/swir1=1 ≥ 1
+    assert(rowVal(p1, 12) == 1.0)
+    // nir/red = 2.5 ≥ 2 → ambiguous (F5). Pass 2 engages (cloudcover
+    // 0.25 > 0.004, cloud-temp mean 5 < 22); the 83.5th percentile of
+    // the scene temps ≈ 29.8 °C, so the warm band (th0, th1) is empty
+    // and the COLD branch accepts the 15 °C ambiguous population
+    // (25% of scene < 40%, mean 15 < 22) → cloudmask = clouds + amb
+    assert(rowVal(cm, 12) == 1.0)
+    assert(rowVal(cm, 17) == 1.0 && rowVal(ambA, 17) == 1.0,
+      "cold-branch acceptance must add the ambiguous pixels")
+    // finalmask is the inverse over valid pixels
+    for (y <- Seq(2, 7, 12, 17))
+      assert(rowVal(fin, y) == 1.0 - rowVal(cm, y))
+    // saturation OR: saturated reflectance forces cloud
+    val (_, cmSat, _, _) = Algorithms.accaThermal(refl, temp, w, h,
+      0, 0, 0, 0, 0, satLevel = 0.4)
+    assert(rowVal(cmSat, 7) == 1.0, "saturated pixels must join the cloud mask")
+  }
+
   test("fmask water test and clear-sky land are complementary") {
     val w = 10; val h = 10
     // water-like: ndvi < 0.01 (nir ≈ red·1.0), nir < 0.7 proxy

@@ -126,6 +126,30 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.forall { case (q, v) => q != v })
   }
 
+  test("ivfTopK: cells partition the corpus; measured recall vs brute") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .cache()
+    val n = emb.count()
+    val qf = col("vec_id") < 5
+    val brute = VectorOps.cosineTopK(emb, qf, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = VectorOps.ivfTopK(emb, qf, 10, kc = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // every hit is a real vector and never the query itself
+    assert(ivf.forall { case (q, v) => q != v })
+    assert(ivf.nonEmpty)
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(f"ivfTopK recall@10 (kc=16, nprobe=4) vs brute = $recall%.3f")
+    // deterministic for fixed data; floor guards regressions only
+    assert(recall >= 0.60, f"ivf recall@10 = $recall%.2f")
+    // probing ALL cells must recover brute force exactly (sanity: the
+    // cell structure loses nothing, only the probe selection does)
+    val all = VectorOps.ivfTopK(emb, qf, 10, kc = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(all == brute, "nprobe=kc must equal brute force")
+    assert(n > 0)
+  }
+
   test("embNearDupLsh ⊆ exact near-dup pairs (cosine verify is exact)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .cache()
