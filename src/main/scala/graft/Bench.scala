@@ -273,13 +273,15 @@ object Bench {
     val t8b = legRun(8, scaleN / 2, None); val t32b = legRun(32, scaleN / 2, None)
     val leg8 = bestOf(8, scaleN / 2, Seq(t8a, t8b))
     val leg32 = bestOf(32, scaleN / 2, Seq(t32a, t32b))
-    // multi-executor evidence: REAL executor JVMs, 1 vs 4 × 8 cores
-    val lc1 = bestOf(8, scaleN / 2,
-      Seq(legRun(8, scaleN / 2, Some("local-cluster[1,8,6144]")),
-          legRun(8, scaleN / 2, Some("local-cluster[1,8,6144]"))))
-    val lc4 = bestOf(32, scaleN / 2,
-      Seq(legRun(32, scaleN / 2, Some("local-cluster[4,8,6144]")),
-          legRun(32, scaleN / 2, Some("local-cluster[4,8,6144]"))))
+    // multi-executor evidence: REAL executor JVMs, 1 vs 4 × 8 cores.
+    // Best-of-3 interleaved: the ≥24-thread legs ride a per-run host
+    // placement lottery of ±25% (BENCH/BASELINE.md ladder notes), so
+    // 2 trials still under-sample the uncontended machine.
+    def lcLeg(c: Int, m: String) = legRun(c, scaleN / 2, Some(m))
+    val lcT = (1 to 3).map(_ =>
+      (lcLeg(8, "local-cluster[1,8,6144]"), lcLeg(32, "local-cluster[4,8,6144]")))
+    val lc1 = bestOf(8, scaleN / 2, lcT.map(_._1))
+    val lc4 = bestOf(32, scaleN / 2, lcT.map(_._2))
     // local-cluster HW CEILING (the calibration the r2 verdict found
     // missing): the job kernel in 1 pinned 8-core JVM vs 4 CONCURRENT
     // pinned 8-core JVMs on disjoint core slices — exactly the

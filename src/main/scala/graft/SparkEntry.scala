@@ -658,6 +658,8 @@ object SparkEntry {
       graft.text.TextOps.tokenStats(docs(s, dir)).orderBy("doc_id")),
     "q_doc_quality" -> ((s, dir) =>
       graft.text.TextOps.quality(docs(s, dir)).orderBy("doc_id")),
+    "q_doc_subwords" -> ((s, dir) =>
+      graft.text.TextOps.subwordStats(docs(s, dir)).orderBy("doc_id")),
     "q_doc_langid" -> ((s, dir) =>
       graft.text.TextOps.langId(docs(s, dir)).orderBy("doc_id")),
     "q_doc_fingerprint" -> ((s, dir) =>
@@ -1407,6 +1409,13 @@ object SparkEntry {
          |  CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
          |  CAST(n_the + n_a AS DOUBLE) / n_tokens AS stop_ratio
          |FROM t2 ORDER BY doc_id""".stripMargin,
+
+    "q_doc_subwords" ->
+      s"""WITH $TokCte
+         |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(ts, t -> (length(t)+3)//4))
+         |    AS BIGINT) AS n_subtokens
+         |FROM tok ORDER BY doc_id""".stripMargin,
 
     "q_doc_langid" ->
       s"""WITH $TokCte,

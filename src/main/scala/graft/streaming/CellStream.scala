@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import graft.index.CellGrid
 
 /** Structured-Streaming surface: continuous ingest of image-metadata
@@ -25,6 +26,31 @@ object CellStream {
         shiftright(col("y0m") + CellGrid.OffY, shift))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_images"))
+  }
+
+  /** Per-cell CUSTOM state via mapGroupsWithState — the pattern for
+    * state the built-in aggregates can't express (here: running count
+    * + first/last event-time per cell, updated incrementally across
+    * micro-batches; state size = one row per touched cell). Input:
+    * typed (cell, tsMicros) rows; run the query in Update mode. */
+  def cellRunningState(stream: Dataset[(Long, Long)])
+      : Dataset[(Long, Long, Long, Long)] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (cell: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (n, first, last) =
+            state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { r =>
+            n += 1
+            if (r._2 < first) first = r._2
+            if (r._2 > last) last = r._2
+          }
+          state.update((n, first, last))
+          (cell, n, first, last)
+      }
   }
 
   /** Event-time windowed variant with watermark (late data bounded by

@@ -31,6 +31,19 @@ object TextOps {
       termCount("the").as("n_the"),
       termCount("a").as("n_a"))
 
+  /** BPE-ish subword token count: every whitespace token splits into
+    * ceil(len/4) subword pieces — the deterministic stand-in for a BPE
+    * tokenizer's token-count estimate (≈4 chars/token, the
+    * rule-of-thumb LLM pipelines budget with). Exact integers, SQL
+    * mirror in the oracle. */
+  def subwordStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + floor((length(t) + 3) / 4).cast("long"))
+        .as("n_subtokens"))
+
   /** Quality score: lexical-diversity + stopword ratios (double math is
     * a single division of exact longs — bit-reproducible). */
   def quality(docs: DataFrame): DataFrame =

@@ -239,6 +239,17 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.groupBy().agg(sum("rows")).collect()(0).getLong(0) >= 1000)
   }
 
+  test("lineage: fully-empty committed table reads back as empty") {
+    val root = Files.createTempDirectory("graft_lineage_empty").toString
+    val empty = images(1000).select("image_id", "k")
+      .where(col("k") < 0) // zero rows → every bucket empty
+    assert(Lineage.writeResumable(spark, empty, root, "image_id", 4) == 4)
+    assert(Lineage.read(spark, root).isEmpty) // no zero-path parquet throw
+    val m = Lineage.metrics(spark, root)
+    assert(m.count() == 4)
+    assert(m.agg(sum("rows")).collect()(0).getLong(0) == 0)
+  }
+
   test("writeResumable scans the source exactly once") {
     val root = Files.createTempDirectory("graft-lineage-1scan").toString
     val acc = spark.sparkContext.longAccumulator("evals")

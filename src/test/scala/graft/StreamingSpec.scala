@@ -44,4 +44,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows2.sameElements(Array(3L)))
     q.stop()
   }
+
+  test("windowed cell counts: watermark closes windows and drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val df = input.toDF().toDF("ts", "x0m", "y0m")
+    val counts = CellStream.windowedCellCounts(df, res = 7,
+      window = "10 seconds", lateness = "5 seconds")
+    val q = counts.writeStream.format("memory")
+      .queryName("wcells").outputMode("append").start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // three events in window [0,10) of one cell
+    input.addData((t(1), 0L, 0L), (t(3), 100L, 0L), (t(8), 0L, 100L))
+    q.processAllAvailable()
+    // nothing appended yet: watermark (max 8s − 5s = 3s) < window end
+    assert(spark.sql("SELECT * FROM wcells").count() == 0)
+    // an event far in the future advances the watermark past 10s and
+    // CLOSES the first window
+    input.addData((t(60), 0L, 0L))
+    q.processAllAvailable()
+    val closed = spark.sql("SELECT n_images FROM wcells").collect()
+      .map(_.getLong(0))
+    assert(closed.sameElements(Array(3L)), closed.mkString(","))
+    // a LATE event for the closed window (beyond the watermark) is
+    // dropped: no new append row for [0,10)
+    input.addData((t(2), 0L, 0L))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT count(*) FROM wcells").collect()(0).getLong(0)
+      == 1)
+    q.stop()
+  }
+
+  test("mapGroupsWithState: per-cell running state survives micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val out = CellStream.cellRunningState(input.toDS())
+    val q = out.toDF("cell", "n", "first_ts", "last_ts").writeStream
+      .format("memory").queryName("cellstate").outputMode("update").start()
+    input.addData((7L, 100L), (7L, 50L), (9L, 10L))
+    q.processAllAvailable()
+    input.addData((7L, 200L))
+    q.processAllAvailable()
+    // update mode emits one row per touched key per batch; the LAST
+    // emission per key carries the accumulated state
+    val last = spark.sql(
+      """SELECT cell, n, first_ts, last_ts FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC)
+        |    AS rk FROM cellstate) WHERE rk = 1""".stripMargin)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(last(7L) == ((3L, 50L, 200L)), s"state for cell 7: ${last(7L)}")
+    assert(last(9L) == ((1L, 10L, 10L)))
+    q.stop()
+  }
 }
