@@ -412,6 +412,48 @@ object SparkEntry {
     "q_info" -> ((s, dir) =>
       Bands.info(imgs(s, dir)).orderBy("image_id")),
 
+    // subdataset expansion (GeoImage.cpp:148-186): three single-band
+    // subdatasets (blue/red/nir) per container re-assemble into one
+    // 3-band frame; band 2 of the result must equal source band 3
+    "q_subdatasets" -> ((s, dir) => {
+      val mk = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String, b: Int) => {
+        import graft.core.Codec
+        val cube = Codec.decode(bytes, w, h,
+          Codec.bandsStored(fmt, Synth.NumBands), fmt)
+        Codec.encode(Array(cube(b)), w, h, fmt)
+      })
+      val subs = Synth.imagesWithBytes(s, dir, smallRaw)
+        .select(col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"),
+          explode(array(
+            struct(lit(0L).as("sub_idx"), lit("sub_blue").as("name"),
+              lit(0).as("b")),
+            struct(lit(1L).as("sub_idx"), lit("sub_red").as("name"),
+              lit(2).as("b")),
+            struct(lit(2L).as("sub_idx"), lit("sub_nir").as("name"),
+              lit(3).as("b")))).as("sd"))
+        .select(col("image_id"), col("sd.sub_idx").as("sub_idx"),
+          col("sd.name").as("name"),
+          mk(col("bytes"), col("w").cast("int"), col("h").cast("int"),
+            col("fmt"), col("sd.b")).as("bytes"),
+          col("w"), col("h"), col("fmt"))
+      val ex = Bands.expandSubdatasets(subs)
+      val agg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.Codec
+        val p = Codec.decode(bytes, w, h, 3, fmt)(2)
+        var n = 0L; var vs = 0L; var i = 0
+        while (i < p.length) {
+          if (!p(i).isNaN) { n += 1; vs += p(i).toLong }
+          i += 1
+        }
+        (n, vs)
+      })
+      ex.withColumn("a", agg(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt")))
+        .select(col("image_id"), size(col("bands")).cast("long").as("n_bands"),
+          col("a._1").as("n_valid"), col("a._2").as("vsum"))
+        .orderBy("image_id")
+    }),
+
     // colortable + set_color: ramp/interp entries in band metadata;
     // clear removes exactly the ramp (interp survives)
     "q_colortable" -> ((s, dir) => {
@@ -963,6 +1005,19 @@ object SparkEntry {
          |  FROM img2 i JOIN bandp p ON p.k = i.k AND p.b = 0
          |  WHERE i.k % 6 IN (1,2) AND i.w <= 64 AND i.h <= 64)
          |SELECT image_id, CAST((w-nw)*h AS BIGINT) AS n_valid,
+         |  CAST(base*(w-nw)*h + ax*sx*h + ay*sy*(w-nw) AS BIGINT) AS vsum
+         |FROM stat ORDER BY image_id""".stripMargin,
+
+    // band 2 of the expanded frame = source band 3 (nir) closed forms
+    "q_subdatasets" ->
+      s"""WITH $I, $B,
+         |stat AS (SELECT i.image_id, i.w, i.h, i.nw, p.base, p.ax, p.ay,
+         |  ((i.w-1)*i.w)//2 - ((i.nw-1)*i.nw)//2 AS sx,
+         |  (i.h*(i.h-1))//2 AS sy
+         |  FROM img2 i JOIN bandp p ON p.k = i.k AND p.b = 3
+         |  WHERE i.k % 6 IN (1,2) AND i.w <= 64 AND i.h <= 64)
+         |SELECT image_id, CAST(3 AS BIGINT) AS n_bands,
+         |  CAST((w-nw)*h AS BIGINT) AS n_valid,
          |  CAST(base*(w-nw)*h + ax*sx*h + ay*sy*(w-nw) AS BIGINT) AS vsum
          |FROM stat ORDER BY image_id""".stripMargin,
 

@@ -113,6 +113,52 @@ object Bands {
       .withColumn("bands", array(names.map(lit): _*))
   }
 
+  /** Subdataset expansion (GeoImage.cpp:148-186): every subdataset of
+    * a container contributes ONE band (the reference assumes 1
+    * band/subdataset; band name = the subdataset description), and the
+    * container's frame adopts the LARGEST subdataset (max xsize,
+    * lowest index among ties — the reference's strict-`>` scan).
+    *
+    * `subs` rows: (image_id, sub_idx, name, bytes, w, h, fmt) with
+    * single-band raw payloads. The columnar model stores one cube per
+    * image, so all subdatasets must share the frame dims (true of the
+    * reference's HDF use case); differing dims throw rather than
+    * invent a resample the reference doesn't perform. Returns one row
+    * per container: (image_id, bytes, w, h, fmt, bands). */
+  def expandSubdatasets(subs: DataFrame): DataFrame = {
+    val tx = udf((ss: Seq[org.apache.spark.sql.Row]) => {
+      val rows = ss.sortBy(_.getLong(0)) // by sub_idx
+      val dims = rows.map(r => (r.getInt(3), r.getInt(4)))
+      var frame = 0
+      var i = 1
+      while (i < dims.length) {
+        if (dims(i)._1 > dims(frame)._1) frame = i
+        i += 1
+      }
+      val (fw, fh) = dims(frame)
+      val fmt = rows(frame).getString(5)
+      require(Codec.isRaw(fmt),
+        s"subdataset expansion requires raw payloads, got $fmt")
+      require(dims.forall(_ == ((fw, fh))),
+        s"subdataset dims $dims differ from frame ${(fw, fh)} — " +
+          "unsupported (reference HDF subdatasets share the frame)")
+      val planes = rows.map { r =>
+        Codec.decode(r.getAs[Array[Byte]](2), fw, fh, 1, r.getString(5))(0)
+      }
+      (Codec.encode(planes.toArray, fw, fh, fmt), fw, fh, fmt,
+        rows.map(_.getString(1).toLowerCase))
+    })
+    subs
+      .groupBy(col("image_id"))
+      .agg(collect_list(struct(col("sub_idx").cast("long"), col("name"),
+        col("bytes"), col("w").cast("int"), col("h").cast("int"),
+        col("fmt"))).as("ss"))
+      .withColumn("x", tx(col("ss")))
+      .select(col("image_id"), col("x._1").as("bytes"),
+        col("x._2").cast("long").as("w"), col("x._3").cast("long").as("h"),
+        col("x._4").as("fmt"), col("x._5").as("bands"))
+  }
+
   // ---- metadata get/set (GeoResource.cpp:220-265, GeoRaster.cpp:179-208) ----
 
   /** Metadata set into `into` (a map<string,string> column, created if

@@ -239,6 +239,30 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.groupBy().agg(sum("rows")).collect()(0).getLong(0) >= 1000)
   }
 
+  test("subdataset expansion: sub_idx band order, names, dim-mismatch rejected") {
+    import spark.implicits._
+    import graft.core.Codec
+    def sub(id: String, idx: Long, name: String, w: Int, h: Int, v: Double) =
+      (id, idx, name,
+        Codec.encode(Array(Array.fill(w * h)(v)), w, h, "raw-i16le"),
+        w.toLong, h.toLong, "raw-i16le")
+    // out-of-order input rows: expansion must sort by sub_idx
+    val subs = Seq(sub("a", 2, "S3", 8, 8, 3), sub("a", 0, "S1", 8, 8, 1),
+        sub("a", 1, "S2", 8, 8, 2))
+      .toDF("image_id", "sub_idx", "name", "bytes", "w", "h", "fmt")
+    val ex = Bands.expandSubdatasets(subs).collect()(0)
+    assert(ex.getAs[scala.collection.Seq[String]]("bands").toSeq ==
+      Seq("s1", "s2", "s3"))
+    assert(ex.getAs[Long]("w") == 8 && ex.getAs[Long]("h") == 8)
+    val cube = Codec.decode(ex.getAs[Array[Byte]]("bytes"), 8, 8, 3, "raw-i16le")
+    assert(cube(1).forall(_ == 2.0) && cube(2).forall(_ == 3.0))
+    // differing dims: rejected (the reference keeps per-band rasters;
+    // the columnar cube model documents this as unsupported)
+    val bad = Seq(sub("b", 0, "S1", 8, 8, 1), sub("b", 1, "S2", 4, 4, 2))
+      .toDF("image_id", "sub_idx", "name", "bytes", "w", "h", "fmt")
+    intercept[Exception] { Bands.expandSubdatasets(bad).collect() }
+  }
+
   test("lineage: fully-empty committed table reads back as empty") {
     val root = Files.createTempDirectory("graft_lineage_empty").toString
     val empty = images(1000).select("image_id", "k")
