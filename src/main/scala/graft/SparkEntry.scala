@@ -280,6 +280,25 @@ object SparkEntry {
           col("ov._2").as("vsum"))
         .orderBy("image_id")),
 
+    // image feature-extract: pixel payload → 64-d block-mean embedding
+    // (the vector the ANN/near-dup ops consume); emitted 2^-20-
+    // quantized so the oracle is bit-exact
+    "q_img_embedding" -> ((s, dir) => {
+      val embU = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.Codec
+        val p = Codec.decode(bytes, w, h,
+          Codec.bandsStored(fmt, Synth.NumBands), fmt)(0)
+        Codec.blockMeanEmbedding(p, w, h)
+          .map(m => math.floor(m * 1048576.0).toLong)
+      })
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .select(col("image_id"),
+          posexplode(embU(col("bytes"), col("w").cast("int"),
+            col("h").cast("int"), col("fmt"))).as(Seq("bi", "mq")))
+        .select(col("image_id"), col("bi").cast("long").as("bi"), col("mq"))
+        .orderBy("image_id", "bi")
+    }),
+
     "q_phash_pairs" -> ((s, dir) => {
       val im = Synth.imagesWithBytes(s, dir, smallRaw)
         .select(col("image_id"), col("phash"))
@@ -1371,6 +1390,12 @@ object SparkEntry {
          |SELECT image_id, fid, CAST(4 AS BIGINT) AS inter_nvert,
          |       overlap_area AS inter_area
          |FROM j ORDER BY image_id, fid""".stripMargin,
+
+    "q_img_embedding" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte, $PhashCte
+         |SELECT s.image_id, CAST(q.byi*8 + q.bxi AS BIGINT) AS bi, q.mq
+         |FROM bq q JOIN simg s ON s.k = q.k
+         |ORDER BY image_id, bi""".stripMargin,
 
     "q_phash_pairs" ->
       s"""WITH $I, $B, $SimgCte, $PxCte, $PhashCte

@@ -191,6 +191,26 @@ object Codec {
     * order). Quantization error vs the unquantized hash is < 2^-20 of
     * a pixel unit — irrelevant at perceptual-hash granularity. */
   def aHash(p: Array[Double], w: Int, h: Int): Long = {
+    val means = blockMeanEmbedding(p, w, h)
+    val q = new Array[Long](64); var tot = 0L; var i = 0
+    while (i < 64) {
+      q(i) = math.floor(means(i) * 1048576.0).toLong; tot += q(i); i += 1
+    }
+    var hash = 0L; i = 0
+    while (i < 64) { if (64L * q(i) > tot) hash |= (1L << (63 - i)); i += 1 }
+    hash
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** 64-dim image feature vector: the aHash's 8×8 block means, exposed
+    * as an embedding (row-major, block (0,0) first; empty blocks 0.0).
+    * This is the pixel→vector feature-extract step of the training-
+    * data pipeline — its output feeds cosineTopK / lshTopK / ivfTopK
+    * exactly like the embeddings table. Deterministic integer-ratio
+    * means, so the DuckDB oracle re-derives the 2^-20-quantized values
+    * bit-exactly (same CTE as the phash gate). */
+  def blockMeanEmbedding(p: Array[Double], w: Int, h: Int): Array[Double] = {
     val means = new Array[Double](64)
     var by = 0
     while (by < 8) {
@@ -214,14 +234,6 @@ object Codec {
       }
       by += 1
     }
-    val q = new Array[Long](64); var tot = 0L; var i = 0
-    while (i < 64) {
-      q(i) = math.floor(means(i) * 1048576.0).toLong; tot += q(i); i += 1
-    }
-    var hash = 0L; i = 0
-    while (i < 64) { if (64L * q(i) > tot) hash |= (1L << (63 - i)); i += 1 }
-    hash
+    means
   }
-
-  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 }
