@@ -714,6 +714,19 @@ object SparkEntry {
           col("fm._4").as("n_water"), col("fm._5").as("n_land"))
         .orderBy("image_id")),
 
+    // FAITHFUL thermal fmask (reference constants + BT percentiles) on
+    // the same derived reflectance/LWIR planes as q_acca_thermal —
+    // rows-only (percentiles + morphology)
+    "q_fmask_thermal" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("fm", Algorithms.fmaskThermalAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands), lit(3), lit(3)))
+        .select(col("image_id"), col("fm._1").as("n_final"),
+          col("fm._2").as("n_cloud"), col("fm._3").as("n_pcp"),
+          col("fm._4").as("n_water"), col("fm._5").as("n_land"))
+        .orderBy("image_id")),
+
     // ---- text pipeline (documents) ----
     "q_doc_tokens" -> ((s, dir) =>
       graft.text.TextOps.tokenStats(docs(s, dir)).orderBy("doc_id")),

@@ -637,6 +637,141 @@ object Algorithms {
     (cnt(fin), cnt(cm), cnt(pcp), cnt(water), cnt(land))
   })
 
+  // ---- FAITHFUL thermal fmask (GeoAlgorithms.cpp:290-445) ----
+  /** The reference fmask with its own constants on reflectance planes +
+    * a brightness-temperature plane (°C):
+    *
+    *   PCP (:329-339): swir2 ≥ 0.03 ∧ BT ≤ 27 ∧ |ndvi| ≤ 0.8 ∧
+    *     ndsi ≤ 0.8 ∧ blue−0.5·red ≥ 0.08 ∧ white ≤ 0.7 ∧
+    *     nir/swir1 ≥ 0.75  (strict-threshold xor-1 forms ⇒ ≤);
+    *   water test (:354-355): (ndvi ≤ 0.01 ∧ nir ≤ 0.01) ∨
+    *     (ndvi ≤ 0.1 ∧ nir ≤ 0.05); land = ¬water ∧ ¬pcp;
+    *   early exit (:368): pcp ≥ 99.9% of pixels → no thermal pass;
+    *   Twater = p82.5 of BT over (swir2 < 0.03 ∧ water ∧ pcp); Tlo/Thi
+    *     = p17.5/p82.5 of BT over land (:374-379);
+    *   wprob = (Twater−BT)/4 · min(swir1,0.11)/0.11 (:396);
+    *   lprob = (Thi+4−BT)/(Thi+4−(Tlo−4)) · vprob, with vprob = 1 −
+    *     max(white, |ndsi|, |ndvi|) (:346-349) — per the algorithm's
+    *     stated intent; the reference body accidentally multiplies by
+    *     the just-written wcloud band instead (:400-401 reads "wcloud"
+    *     after writing wprob there), documented divergence;
+    *   thresholds (:405-408): wthresh = 0.5+(tol−3)·0.1 (the body
+    *     computes it then hardcodes 0.5 at :426 — identical at the
+    *     default tolerance 3; this rebuild applies wthresh), lthresh =
+    *     p82.5 of lprob over land + 0.2 + (tol−3)·0.1;
+    *   clouds (:425-429): (pcp ∧ water ∧ wprob ≥ wthresh) ∨ (pcp ∧
+    *     ¬water ∧ lprob ≥ lthresh) ∨ (lprob > 0.99 ∧ ¬water) ∨
+    *     (BT ≤ Tlo−35); erode 5, dilate `dilatePx`, final = ¬clouds.
+    *
+    * Returns (final, clouds, pcp, water, land). */
+  def fmaskThermal(c: Array[Array[Double]], bt: Array[Double], w: Int, h: Int,
+                   tolerance: Int = 3, dilatePx: Int = 3)
+      : (Array[Double], Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val len = w * h
+    val blue = c(0); val green = c(1); val red = c(2)
+    val nir = c(3); val swir1 = c(4); val swir2 = c(5)
+    val white = whitenessPlane(red, green, blue)
+    val pcp = new Array[Double](len)
+    val water = new Array[Double](len)
+    val land = new Array[Double](len)
+    val vprob = new Array[Double](len)
+    var nData = 0L; var nPcp = 0L
+    var i = 0
+    while (i < len) {
+      val valid = !blue(i).isNaN && !bt(i).isNaN
+      if (!valid) {
+        pcp(i) = Double.NaN; water(i) = Double.NaN; land(i) = Double.NaN
+        vprob(i) = Double.NaN
+      } else {
+        nData += 1
+        val ndvi = (nir(i) - red(i)) / (nir(i) + red(i))
+        val ndsi = (green(i) - swir1(i)) / (green(i) + swir1(i))
+        val isPcp = swir2(i) >= 0.03 && !(bt(i) > 27.0) && !(ndvi > 0.8) &&
+          !(ndsi > 0.8) && blue(i) - 0.5 * red(i) >= 0.08 &&
+          !(white(i) > 0.7) && nir(i) / swir1(i) >= 0.75
+        pcp(i) = if (isPcp) 1.0 else 0.0
+        if (isPcp) nPcp += 1
+        val isWater = (!(ndvi > 0.01) && !(nir(i) > 0.01)) ||
+                      (!(ndvi > 0.1) && !(nir(i) > 0.05))
+        water(i) = if (isWater) 1.0 else 0.0
+        land(i) = if (!isWater && !isPcp) 1.0 else 0.0
+        vprob(i) = 1.0 - math.max(white(i),
+          math.max(math.abs(ndsi), math.abs(ndvi)))
+      }
+      i += 1
+    }
+    // early exit: clouds everywhere — return pass-1 planes as the mask
+    if (nData > 0 && nPcp >= 0.999 * nData) {
+      val fin = Array.tabulate(len)(i =>
+        if (pcp(i).isNaN) Double.NaN else 1.0 - pcp(i))
+      return (fin, pcp.clone(), pcp, water, land)
+    }
+    def maskedBT(sel: Int => Boolean): Array[Double] =
+      Array.tabulate(len)(i =>
+        if (!pcp(i).isNaN && sel(i)) bt(i) else Double.NaN)
+    val tWater = Pixels.percentileN(
+      maskedBT(i => swir2(i) < 0.03 && water(i) == 1.0 && pcp(i) == 1.0),
+      len, 82.5)
+    val landBT = maskedBT(i => land(i) == 1.0)
+    val tLo = Pixels.percentileN(landBT, len, 17.5)
+    val tHi = Pixels.percentileN(landBT, len, 82.5)
+    val wprob = new Array[Double](len)
+    val lprob = new Array[Double](len)
+    i = 0
+    while (i < len) {
+      if (pcp(i).isNaN) { wprob(i) = Double.NaN; lprob(i) = Double.NaN }
+      else {
+        wprob(i) = (tWater - bt(i)) / 4.0 *
+          (math.min(swir1(i), 0.11) / 0.11)
+        lprob(i) = (tHi + 4.0 - bt(i)) / (tHi + 4.0 - (tLo - 4.0)) * vprob(i)
+      }
+      i += 1
+    }
+    val tol = (tolerance - 3) * 0.1
+    val wthresh = 0.5 + tol
+    val lprobLand = Array.tabulate(len)(i =>
+      if (land(i) == 1.0) lprob(i) else Double.NaN)
+    val lthresh = Pixels.percentileN(lprobLand, len, 82.5) + 0.2 + tol
+    var clouds = Array.tabulate(len) { i =>
+      if (pcp(i).isNaN) Double.NaN
+      else {
+        val hit =
+          (pcp(i) == 1.0 && water(i) == 1.0 && wprob(i) >= wthresh) ||
+          (pcp(i) == 1.0 && water(i) == 0.0 && lprob(i) >= lthresh) ||
+          (lprob(i) > 0.99 && water(i) == 0.0) ||
+          !(bt(i) > tLo - 35.0)
+        if (hit) 1.0 else 0.0
+      }
+    }
+    clouds = Pixels.erode(clouds, w, h, 5, 5)
+    if (dilatePx > 0) clouds = Pixels.dilate(clouds, w, h, dilatePx, dilatePx)
+    val fin = Array.tabulate(len)(i =>
+      if (clouds(i).isNaN) Double.NaN
+      else if (clouds(i) == 1.0) 0.0 else 1.0)
+    (fin, clouds, pcp, water, land)
+  }
+
+  /** Per-image thermal-fmask counts on the same derived planes as the
+    * thermal acca gate (refl = DN/4000, BT = swir2 DN/40 − 10 °C):
+    * (n_final, n_cloud, n_pcp, n_water, n_land). */
+  val fmaskThermalAgg = udf((bytes: Array[Byte], w: Int, h: Int,
+                             fmt: String, nb: Int, tolerance: Int,
+                             dilatePx: Int) => {
+    val c0 = Codec.requireBands(
+      Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt),
+      6, "fmask_thermal", fmt)
+    val refl = c0.map(_.map(_ / 4000.0))
+    val bt = c0(5).map(v => v / 40.0 - 10.0)
+    val (fin, cm, pcpP, waterP, landP) =
+      fmaskThermal(refl, bt, w, h, tolerance, dilatePx)
+    def cnt(p: Array[Double]): Long = {
+      var m = 0L; var i = 0
+      while (i < p.length) { if (p(i) == 1.0) m += 1; i += 1 }
+      m
+    }
+    (cnt(fin), cnt(cm), cnt(pcpP), cnt(waterP), cnt(landP))
+  })
+
   // ---- pansharp_brovey (GeoAlgorithms.cpp:678-726) ----
   /** Brovey pansharpen: upscale RGB+NIR to the pan grid — CUBIC by
     * default, matching the reference's `warp_into(..., interp=2)`

