@@ -99,8 +99,11 @@ object TextOps {
     }.select(col("doc_id") +: (0 until n).map(j => col(s"h$j")): _*)
   }
 
-  /** LSH band histogram: band key = 2-hex-char prefix of sig h0
-    * (256 buckets); bucket sizes drive the candidate-pair join. */
+  /** LSH band-occupancy histogram over a 2-hex-char prefix of sig h0
+    * (256 buckets) — a MONITORING view of the signature distribution.
+    * The candidate-pair join itself bands on FULL signatures
+    * ([[jaccardPairsLsh]]); this coarse histogram is what an operator
+    * dashboards to spot corpus-level skew. */
   def minhashBands(docs: DataFrame): DataFrame =
     minhash(docs, 1)
       .groupBy(substring(col("h0"), 1, 2).as("band"))
