@@ -76,4 +76,17 @@ final class GippySpark(val spark: SparkSession) {
   def ndviStats(sfDir: String, keyFilter: DataFrame => DataFrame): DataFrame =
     Indices.indexStats(Synth.imagesWithBytes(spark, sfDir, keyFilter),
       Seq("ndvi"), Synth.NumBands)
+
+  /** Zonal statistics per feature (extract-by-vector): rect layers via
+    * the half-open center rule, arbitrary rings via ray-casting. */
+  def zonalStats(imagesWithBytes: DataFrame, features: Dataset[Feature],
+                 exactRects: Boolean = true): DataFrame =
+    if (exactRects) Stats.zonalStats(imagesWithBytes, features.toDF(), Synth.NumBands)
+    else Stats.zonalStatsPoly(imagesWithBytes, features.toDF(), Synth.NumBands)
+
+  /** Near-dup dedup clusters over a documents table: LSH pair
+    * candidates → exact Jaccard verify → connected components;
+    * keep-one-per-cluster (`keep` column). */
+  def dedupClusters(docs: DataFrame, threshold: Double): DataFrame =
+    graft.graph.ConnectedComponents.dedupClusters(docs, threshold)
 }

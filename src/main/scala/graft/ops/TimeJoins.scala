@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal joins Spark has no native operator for — as-of join and
+  * bounded range (interval) join — built with the same two ideas the
+  * engine's spatial join uses: turn the predicate into an EQUI key
+  * (time bucket ↔ covering cell) or into a single partition-and-order
+  * pass (window), so nothing ever nested-loops two data-sized inputs.
+  *
+  * Both are event-pipeline staples (attribute an event to the latest
+  * preceding state; correlate events within a window) and both keep
+  * the shuffle key = the entity key, so skew tooling (salting, AQE)
+  * applies unchanged.
+  */
+object TimeJoins {
+
+  /** AS-OF JOIN: for every left row, the single most recent right row
+    * of the same `key` with right.ts <= left.ts (ties at equal ts
+    * include the right row; among equal-ts right rows the largest
+    * `rightId` wins — deterministic).
+    *
+    * Plan: tag + union + ONE window pass per key ordered by
+    * (ts, tag, id) with `last(right_id) ignoreNulls` over an
+    * unbounded-preceding frame — a single shuffle on `key`, no join at
+    * all, O(n log n_partition) sort. The classic alternative (equi-join
+    * then per-left max) shuffles twice and blows up on dense rights;
+    * this stays linear in the union size, which is what survives
+    * 10¹² events. Returns (l_id, key, asof_id); left rows with no
+    * preceding right are DROPPED (inner as-of, DuckDB's default). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               leftId: String, rightId: String): DataFrame = {
+    val l = left.select(col(key).as("k"), col(ts).as("t"),
+        col(leftId).cast("long").as("l_id"))
+      .withColumn("tag", lit(1))
+      .withColumn("r_id", lit(null).cast("long"))
+    val r = right.select(col(key).as("k"), col(ts).as("t"),
+        col(rightId).cast("long").as("r_id"))
+      .withColumn("tag", lit(0))
+      .withColumn("l_id", lit(null).cast("long"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("tag"), col("r_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof_id", last(col("r_id"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1 && col("asof_id").isNotNull)
+      .select(col("l_id"), col("k").as(key), col("asof_id"))
+  }
+
+  /** RANGE (interval) JOIN: all (left, right) pairs of the same `key`
+    * with 0 <= right.ts − left.ts <= maxGapSec — "right happened within
+    * the window after left".
+    *
+    * Plan: 1-D covering-bucket equi-join, the time-axis analog of the
+    * spatial covering-cell join: bucket width = the gap, left keys on
+    * bucket(left.ts), right explodes to {bucket−1, bucket} (any
+    * qualifying pair differs by at most one bucket), equi-join on
+    * (key, bucket), exact refine after. Each pair meets in EXACTLY one
+    * bucket (left's), so no distinct is needed. Candidate volume is
+    * O(pairs within ~2 gaps), never |L|×|R|. */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+                leftId: String, rightId: String, maxGapSec: Long): DataFrame = {
+    val gapUs = maxGapSec * 1000000L
+    // NTZ-safe: parquet TIMESTAMP_NTZ won't feed unix_micros directly;
+    // the session is pinned to UTC so the cast is deterministic
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    def bucket(c: Column): Column = floor(us(c) / gapUs).cast("long")
+    val l = left.select(col(key).as("k"), col(leftId).cast("long").as("l_id"),
+        col(ts).as("l_ts"))
+      .withColumn("bkt", bucket(col("l_ts")))
+    val r = right.select(col(key).as("k"), col(rightId).cast("long").as("r_id"),
+        col(ts).as("r_ts"))
+      .withColumn("bkt", explode(array(bucket(col("r_ts")) - 1, bucket(col("r_ts")))))
+    l.join(r, Seq("k", "bkt"))
+      .where(col("r_ts") >= col("l_ts") &&
+             us(col("r_ts")) - us(col("l_ts")) <= gapUs)
+      .select(col("l_id"), col("r_id"), col("k").as(key))
+  }
+}

@@ -53,6 +53,27 @@ object CellStream {
       }
   }
 
+  /** STREAMING exact dedup — the ingest-time half of the dedup
+    * pipeline (the batch half is TextOps.dedupExact + the
+    * ConnectedComponents clustering): emit ONE representative per
+    * content hash, suppress re-arrivals. Within a single micro-batch
+    * the surviving row is arbitrary (shuffle-read order) — canonical-
+    * representative choice belongs to the batch clustering pass, not
+    * ingest. `dropDuplicatesWithinWatermark`
+    * keys state on the hash and — unlike plain `dropDuplicates`, whose
+    * state grows without bound — evicts entries once the watermark
+    * passes them: state is bounded by (arrival rate × lateness), which
+    * is what makes continuous 10¹²-row ingest feasible. Duplicates
+    * separated by more than `lateness` re-emit (the documented
+    * contract: the batch clustering pass catches them). Input stream
+    * needs (ts, doc_id, text). */
+  def dedupStream(stream: DataFrame, lateness: String): DataFrame =
+    stream
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("doc_id"), col("h"))
+
   /** Event-time windowed variant with watermark (late data bounded by
     * `lateness`): (ts, x0m, y0m) → per (window, cell) counts. */
   def windowedCellCounts(stream: DataFrame, res: Int,

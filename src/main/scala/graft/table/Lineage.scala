@@ -31,19 +31,43 @@ import scala.jdk.CollectionConverters._
   */
 object Lineage {
 
-  final case class Commit(part: Int, rows: Long, bytes: Long, ts: Long)
+  final case class Commit(part: Int, rows: Long, bytes: Long, ts: Long,
+                          gen: Int = 0)
 
   def logPath(root: String): Path = Paths.get(root, "_commits.jsonl")
 
   private val CommitRe =
-    """\{"part":(\d+),"rows":(\d+),"bytes":(\d+),"ts":(\d+)\}""".r
+    """\{"part":(\d+),"rows":(\d+),"bytes":(\d+),"ts":(\d+)(?:,"gen":(\d+))?\}""".r
 
   /** Strict whole-line parse: torn/partial lines (crash mid-append)
-    * yield None and the bucket counts as uncommitted. */
+    * yield None and the bucket counts as uncommitted. Lines without a
+    * "gen" field are generation 0 (pre-compaction layout). */
   def parseCommit(line: String): Option[Commit] = line.trim match {
-    case CommitRe(p, r, b, t) => Some(Commit(p.toInt, r.toLong, b.toLong, t.toLong))
+    case CommitRe(p, r, b, t, g) =>
+      Some(Commit(p.toInt, r.toLong, b.toLong, t.toLong,
+        if (g == null) 0 else g.toInt))
     case _ => None
   }
+
+  /** Bucket data directory for a given generation: gen 0 is the plain
+    * `part=<i>` dir (writeResumable's layout); compacted generations
+    * are SIBLING dirs (`part=<i>.g<g>`), never nested — a nested gen
+    * dir under a gen-0 dir that still holds root-level parquet would
+    * trip Spark's partition discovery ("conflicting directory
+    * structures") on any read of the gen-0 path after a crash that
+    * left an uncommitted orphan. Readers always address one concrete
+    * gen path. */
+  def partDir(root: String, part: Int, gen: Int): Path =
+    if (gen == 0) Paths.get(root, s"part=$part")
+    else Paths.get(root, s"part=$part.g$gen")
+
+  /** Latest committed generation per bucket (compaction appends a
+    * higher-gen line; the data swap is crash-safe because the old gen
+    * stays complete until the new one is committed). */
+  def latestCommits(root: String): Map[Int, Commit] =
+    commits(root).groupBy(_.part).map { case (p, cs) =>
+      p -> cs.maxBy(_.gen)
+    }
 
   private def commits(root: String): Seq[Commit] = {
     val p = logPath(root)
@@ -67,7 +91,8 @@ object Lineage {
         b.get(0) != '\n'.toByte
       } finally ch.close()
     }
-    val line = s"""{"part":${c.part},"rows":${c.rows},"bytes":${c.bytes},"ts":${c.ts}}\n"""
+    val genField = if (c.gen > 0) s""","gen":${c.gen}""" else ""
+    val line = s"""{"part":${c.part},"rows":${c.rows},"bytes":${c.bytes},"ts":${c.ts}$genField}\n"""
     Files.write(p, ((if (needsNl) "\n" else "") + line).getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
@@ -143,19 +168,80 @@ object Lineage {
     * empty (schemaless) DataFrame instead of throwing on a zero-path
     * parquet() call. */
   def read(spark: SparkSession, root: String): DataFrame = {
-    val parts = committedParts(root).toSeq.sorted
-      .map(p => Paths.get(root, s"part=$p"))
+    val parts = latestCommits(root).toSeq.sortBy(_._1)
+      .map { case (p, c) => partDir(root, p, c.gen) }
       .filter(hasParquet)
       .map(_.toString)
     if (parts.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(parts: _*)
   }
 
-  /** Lineage metrics table: one row per committed bucket. */
+  private def parquetFiles(dir: Path): Seq[Path] =
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).toSeq
+
+  /** Remove a stale generation's data. Gen 0 keeps its `part=` dir
+    * (only the parquet files go — the dir is the bucket's identity);
+    * higher gens are self-contained sibling dirs and vanish whole. */
+  private def vacuumGen(root: String, part: Int, gen: Int): Unit =
+    if (gen == 0) parquetFiles(partDir(root, part, 0)).foreach(Files.delete)
+    else deleteRec(partDir(root, part, gen))
+
+  /** COMPACT committed buckets whose file count exceeds `maxFiles`:
+    * rewrite the bucket as ceil(bytes/targetBytes) files into the next
+    * generation dir, commit the new generation, then vacuum the old
+    * one. The small-files problem is the dominant metadata cost of a
+    * long-lived 10¹²-row table (every incremental `writeResumable`
+    * appends files; scans pay per-file open + footer read), and
+    * compaction must not break resumability: the old generation stays
+    * complete until the new one's commit line is durable, so a crash
+    * at ANY point leaves the latest COMMITTED generation readable —
+    * the same snapshot-swap contract Iceberg's rewrite_data_files
+    * action provides.
+    *
+    * Returns the number of buckets compacted. Also vacuums data left
+    * below the latest committed generation by earlier crashes. */
+  def compact(spark: SparkSession, root: String, maxFiles: Int = 1,
+              targetBytes: Long = 128L << 20): Int = {
+    var n = 0
+    latestCommits(root).toSeq.sortBy(_._1).foreach { case (p, c) =>
+      // vacuum: anything from generations below the committed one
+      (0 until c.gen).foreach(vacuumGen(root, p, _))
+      val dir = partDir(root, p, c.gen)
+      val files = parquetFiles(dir)
+      if (files.size > maxFiles) {
+        val nOut = math.max(1L, (dirBytes(dir) + targetBytes - 1) / targetBytes).toInt
+        val stage = Paths.get(root, s"_compact_p$p")
+        deleteRec(stage)
+        spark.read.parquet(dir.toString).repartition(nOut)
+          .write.mode("overwrite").parquet(stage.toString)
+        // drop Spark's non-data markers so the gen dir holds parquet only
+        Files.list(stage).iterator().asScala
+          .filter(f => !f.getFileName.toString.endsWith(".parquet"))
+          .foreach(f => if (Files.isRegularFile(f)) Files.delete(f))
+        val newGen = c.gen + 1
+        val dst = partDir(root, p, newGen)
+        deleteRec(dst)
+        Files.createDirectories(dst.getParent)
+        Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
+        appendCommit(root, Commit(p, c.rows, dirBytes(dst),
+          System.currentTimeMillis(), newGen))
+        // old generation is now stale — safe to vacuum post-commit
+        vacuumGen(root, p, c.gen)
+        n += 1
+      }
+    }
+    n
+  }
+
+  /** Lineage metrics table: one row per commit line (bucket writes AND
+    * compaction generations — the append-only history, snapshot-style). */
   def metrics(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
-    commits(root).map(c => (c.part, c.rows, c.bytes, c.ts))
-      .toDF("part", "rows", "bytes", "ts")
+    commits(root).map(c => (c.part, c.rows, c.bytes, c.ts, c.gen))
+      .toDF("part", "rows", "bytes", "ts", "gen")
   }
 
   /** Stage-level row/byte observation (`observe`): attach named metrics

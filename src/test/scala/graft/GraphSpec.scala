@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.graph.ConnectedComponents
+
+/** Connected-components (large-star/small-star) properties: exact
+  * labels vs a driver-side union-find on random graphs, chain/star/
+  * cycle topologies, isolated nodes, and the dedup-cluster contract. */
+class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-graph-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Reference union-find on the driver. */
+  private def ufLabels(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L until n).map(v => v -> find(v)).toMap
+  }
+
+  private def run(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val nodes = (0L until n).toDF("id")
+    val pairs = edges.toDF("id_a", "id_b")
+    ConnectedComponents.components(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain, star, cycle, isolated topologies are labeled exactly") {
+    // chain 0-1-2-...-9 (worst case for naive propagation), star at 20,
+    // 3-cycle 30-31-32, isolated 40..44
+    val edges = (0L until 9L).map(i => (i, i + 1)) ++
+      (21L to 25L).map(v => (20L, v)) ++
+      Seq((30L, 31L), (31L, 32L), (32L, 30L))
+    val got = run(45L, edges)
+    val want = ufLabels(45L, edges)
+    assert(got === want)
+    assert(got(9L) === 0L)      // chain collapses to its min
+    assert(got(25L) === 20L)
+    assert(got(32L) === 30L)
+    assert(got(44L) === 44L)    // isolated → self
+  }
+
+  test("random graph matches driver union-find exactly") {
+    val rnd = new scala.util.Random(42)
+    val n = 500L
+    val edges = Seq.fill(300)((rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+      .filter { case (a, b) => a != b }
+    assert(run(n, edges) === ufLabels(n, edges))
+  }
+
+  test("edge direction and duplicates don't matter") {
+    val e1 = Seq((1L, 2L), (2L, 3L))
+    val e2 = Seq((3L, 2L), (2L, 1L), (1L, 2L), (2L, 3L))
+    assert(run(5L, e1) === run(5L, e2))
+  }
+
+  test("dedupClusters keeps exactly one doc per cluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 identical docs + 2 identical docs + 1 unique
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (10L, "one two three four five six seven"),
+      (11L, "one two three four five six seven"),
+      (20L, "totally unrelated words nothing shared here"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en"))
+    val out = ConnectedComponents.dedupClusters(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byCluster = out.groupBy(_._2)
+    assert(byCluster.keySet === Set(0L, 10L, 20L))
+    assert(byCluster(0L).map(_._1).toSet === Set(0L, 1L, 2L))
+    assert(byCluster(10L).map(_._1).toSet === Set(10L, 11L))
+    // exactly one keep per cluster, and it is the min id
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.count(_._3) === 1)
+      assert(rows.find(_._3).get._1 === cid)
+    }
+  }
+}

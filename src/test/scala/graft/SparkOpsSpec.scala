@@ -263,6 +263,44 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { Bands.expandSubdatasets(bad).collect() }
   }
 
+  test("lineage: compaction swaps generations without losing a row") {
+    val root = Files.createTempDirectory("graft_lineage_cmp").toString
+    // many input partitions → many small files per bucket
+    val df = images(1000).select("image_id", "k", "w", "h").repartition(16)
+    assert(Lineage.writeResumable(spark, df, root, "image_id", 4) == 4)
+    def files(p: Int, g: Int) = {
+      val d = Lineage.partDir(root, p, g)
+      if (!Files.exists(d)) 0
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(d).iterator().asScala.count(
+          _.getFileName.toString.endsWith(".parquet"))
+      }
+    }
+    assert((0 until 4).exists(files(_, 0) > 1), "fixture needs small files")
+    val before = Lineage.read(spark, root).orderBy("image_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(Lineage.compact(spark, root, maxFiles = 1) == 4)
+    // every bucket now a single gen-1 file; gen-0 files vacuumed
+    (0 until 4).foreach { p =>
+      assert(files(p, 1) == 1)
+      assert(files(p, 0) == 0)
+    }
+    val after = Lineage.read(spark, root).orderBy("image_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(after == before)
+    // idempotent: nothing left to compact
+    assert(Lineage.compact(spark, root, maxFiles = 1) == 0)
+    // crash-sim: compact died after writing a gen-2 dir but BEFORE its
+    // commit line — readers must stay on committed gen 1 and ignore
+    // the orphan; the next compact vacuums nothing (gen 2 > committed)
+    val orphan = Lineage.partDir(root, 0, 2)
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("garbage.parquet"), Array[Byte](1, 2, 3))
+    assert(Lineage.read(spark, root).count() == before.size)
+    assert(Lineage.latestCommits(root)(0).gen == 1)
+  }
+
   test("lineage: fully-empty committed table reads back as empty") {
     val root = Files.createTempDirectory("graft_lineage_empty").toString
     val empty = images(1000).select("image_id", "k")

@@ -99,4 +99,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last(9L) == ((1L, 10L, 10L)))
     q.stop()
   }
+
+  test("streaming dedup: first arrival emits, replays within watermark suppressed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val out = CellStream.dedupStream(df, lateness = "10 seconds")
+    val q = out.writeStream.format("memory")
+      .queryName("dedup").outputMode("append").start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // doc 1 and its exact duplicate doc 2 in one batch; distinct doc 3
+    input.addData((t(1), 1L, "alpha beta"), (t(2), 2L, "alpha beta"),
+      (t(3), 3L, "gamma delta"))
+    q.processAllAvailable()
+    // replay of the same content in a LATER batch, still inside the
+    // watermark: suppressed by the keyed state
+    input.addData((t(5), 4L, "alpha beta"))
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT doc_id FROM dedup ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    // one representative per hash: doc 1 OR 2 for "alpha beta"
+    // (within-batch winner is arbitrary — documented), doc 3, and
+    // NEVER the later-batch replay doc 4
+    assert(ids.size == 2, s"got $ids")
+    assert(ids.contains(3L) && !ids.contains(4L), s"got $ids")
+    assert(ids.exists(i => i == 1L || i == 2L), s"got $ids")
+    q.stop()
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.ops.TimeJoins
+
+/** As-of and range joins vs brute-force evaluation on random data —
+  * the bucketed/windowed plans must be RESULT-identical to the naive
+  * quadratic definition. */
+class TimeJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-timejoins-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  // random (id, key, ts) rows; timestamps at millisecond grain
+  private def rows(n: Int, seed: Int): Seq[(Long, Long, java.sql.Timestamp)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, ts(rnd.nextInt(1000000) * 1000L)))
+  }
+
+  test("asofJoin matches brute-force latest-preceding per key") {
+    import spark.implicits._
+    val lRows = rows(120, 1)
+    val rRows = rows(80, 2)
+    val l = lRows.toDF("event_id", "user_id", "ts")
+    val r = rRows.toDF("view_id", "user_id", "ts")
+    val got = TimeJoins.asofJoin(l, r, "user_id", "ts", "event_id", "view_id")
+      .collect().map(x => x.getLong(0) -> x.getLong(2)).toMap
+    val want = lRows.flatMap { case (lid, k, lt) =>
+      val cands = rRows.filter(rr => rr._2 == k && !rr._3.after(lt))
+      if (cands.isEmpty) None
+      else {
+        // greatest ts, then greatest id (the documented tie-break)
+        val best = cands.maxBy(rr => (rr._3.getTime, rr._1))
+        Some(lid -> best._1)
+      }
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("rangeJoin matches brute-force interval filter, no duplicates") {
+    import spark.implicits._
+    val lRows = rows(150, 3)
+    val rRows = rows(150, 4)
+    val l = lRows.toDF("event_id", "user_id", "ts")
+    val r = rRows.toDF("event_id", "user_id", "ts")
+    val gap = 120L // seconds
+    val gotSeq = TimeJoins.rangeJoin(l, r, "user_id", "ts",
+        "event_id", "event_id", gap)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(gotSeq.size == gotSeq.distinct.size, "each pair exactly once")
+    val want = (for {
+      (lid, lk, lt) <- lRows
+      (rid, rk, rt) <- rRows
+      if lk == rk
+      d = (rt.getTime - lt.getTime) * 1000L
+      if d >= 0 && d <= gap * 1000000L
+    } yield (lid, rid)).toSet
+    assert(gotSeq.toSet === want)
+    assert(want.nonEmpty)
+  }
+}
