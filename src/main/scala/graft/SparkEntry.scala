@@ -209,6 +209,13 @@ object SparkEntry {
           col("sp._2").as("mean_fsum"), col("sp._3").as("sd_fsum"))
         .orderBy("image_id")),
 
+    // zonal stats: spatial join + per-polygon masked pixel rollup
+    // (extract-by-vector) — pixel-center-in-rect rule, exact BIGINTs
+    "q_zonal_stats" -> ((s, dir) =>
+      Stats.zonalStats(Synth.imagesWithBytes(s, dir, smallRaw),
+          Synth.polygons(s, dir), Synth.NumBands)
+        .orderBy("fid")),
+
     // ---- lineage / resumable table (rows-only; hash bucketing is
     // Spark-murmur3, not SQL-reproducible) ----
     "q_lineage_metrics" -> ((s, dir) => {
@@ -219,9 +226,14 @@ object SparkEntry {
       // resume is a no-op on a committed table
       assert(graft.table.Lineage.writeResumable(s,
         imgs(s, dir).select("image_id", "k", "w", "h"), root, "image_id", 8) == 0)
+      // compaction (snapshot-swap to gen 1) must preserve every row
+      val before = graft.table.Lineage.read(s, root).count()
+      graft.table.Lineage.compact(s, root, maxFiles = 1)
+      assert(graft.table.Lineage.read(s, root).count() == before)
       graft.table.Lineage.metrics(s, root)
-        .select(col("part").cast("long").as("part"), col("rows"))
-        .orderBy("part")
+        .select(col("part").cast("long").as("part"), col("rows"),
+          col("gen").cast("long").as("gen"))
+        .orderBy("part", "gen")
     }),
 
     // ---- vector-layer attribute ops (GeoVector.where analogs) ----
@@ -758,6 +770,30 @@ object SparkEntry {
       graft.text.TextOps.jaccardPairsLsh(docs(s, dir), 0.01)
         .orderBy("id_a", "id_b")),
 
+    // vocabulary induction: top-50 terms by collection frequency
+    // (deterministic term tie-break — the BPE-trainer input table)
+    "q_vocab" -> ((s, dir) =>
+      graft.text.TextOps.vocab(docs(s, dir), 50)),
+
+    // bigram count table (language-model counts), top-50
+    "q_ngrams" -> ((s, dir) =>
+      graft.text.TextOps.ngramCounts(docs(s, dir), 2, 50)),
+
+    // deterministic 10% val split: content-independent md5 bucket —
+    // stable under reshuffles, exactly reproducible in SQL
+    "q_doc_split" -> ((s, dir) =>
+      graft.text.TextOps.splitAssign(docs(s, dir), valPermille = 100)
+        .orderBy("doc_id")),
+
+    // dedup CLUSTERING: connected components (large-star/small-star)
+    // over the LSH near-dup pairs — one row per doc, cluster = the
+    // component min; the keep-one-per-cluster step of a 10¹²-row
+    // dedup pipeline (oracle: DuckDB recursive-CTE reachability)
+    "q_dedup_clusters" -> ((s, dir) =>
+      graft.graph.ConnectedComponents.dedupClusters(docs(s, dir), 0.01)
+        .select("doc_id", "cluster_id")
+        .orderBy("doc_id")),
+
     "q_simhash" -> ((s, dir) =>
       graft.text.TextOps.simhash(docs(s, dir)).orderBy("doc_id")),
 
@@ -786,6 +822,17 @@ object SparkEntry {
           nb = 4, tables = 16)
         .orderBy("id_a", "id_b")),
 
+    // embedding near-dup CLUSTERS: the same large-star/small-star
+    // components over the LSH-verified cosine edges — keep-one-per-
+    // cluster for embedding-level dedup (recursive-CTE oracle)
+    "q_emb_clusters" -> ((s, dir) =>
+      graft.graph.ConnectedComponents.components(
+          emb(s, dir).select("vec_id"),
+          graft.vec.VectorOps.embNearDupLsh(emb(s, dir), 64, 0.35,
+            nb = 4, tables = 16))
+        .select(col("id").as("vec_id"), col("comp").as("cluster_id"))
+        .orderBy("vec_id")),
+
     // LSH-bucketed ANN top-k (recall@10 = 0.84 vs brute force, measured
     // in LshSpec on honestly-decorrelated planes)
     "q_ann_lsh_topk" -> ((s, dir) =>
@@ -801,6 +848,17 @@ object SparkEntry {
 
     "q_vec_label_stats" -> ((s, dir) =>
       graft.vec.VectorOps.labelNormStats(emb(s, dir)).orderBy("label")),
+
+    // int8 embedding quantization (4× ANN-index shrink): per-vector
+    // scale + exact-integer element digests
+    "q_quantize_int8" -> ((s, dir) =>
+      graft.vec.VectorOps.quantizeInt8(emb(s, dir))
+        .select(col("vec_id"),
+          floor(col("scale") * 1e6).cast("long").as("scale_fl"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("qsum"),
+          array_min(col("q")).cast("long").as("qmin"),
+          array_max(col("q")).cast("long").as("qmax"))
+        .orderBy("vec_id")),
 
     // ---- events (window / sessionization) ----
     "q_events_top" -> ((s, dir) => {
@@ -824,6 +882,36 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(sum(col("flag")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    }),
+
+    // as-of join: every click attributed to the user's most recent
+    // prior-or-equal view (single window pass, no join — ops.TimeJoins)
+    "q_events_asof" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      // collapse equal-(user, ts) rights to max id: makes the as-of
+      // target unique, mirroring the oracle's pre-aggregation
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      val clicks = ev.where(col("event_type") === "click")
+      graft.ops.TimeJoins.asofJoin(clicks, views, "user_id", "ts",
+          "event_id", "view_id")
+        .select(col("l_id").as("click_id"), col("user_id"),
+          col("asof_id").as("view_id"))
+        .orderBy("click_id")
+    }),
+
+    // bounded range join: errors within 1 h AFTER a click, same user
+    // (1-D covering-bucket equi-join — the time analog of the spatial
+    // covering-cell join; no cross join, no distinct)
+    "q_events_range" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.ops.TimeJoins.rangeJoin(
+          ev.where(col("event_type") === "click"),
+          ev.where(col("event_type") === "error"),
+          "user_id", "ts", "event_id", "event_id", maxGapSec = 3600L)
+        .select(col("l_id").as("click_id"), col("r_id").as("err_id"))
+        .orderBy("click_id", "err_id")
     }),
 
     // ---- relational baseline (lineitem/orders) ----
@@ -1332,6 +1420,27 @@ object SparkEntry {
          |FROM m JOIN img2 i ON i.k = m.k
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // zonal stats ground truth: regenerate the small-raw pixels, map
+    // each to its geo CENTER (x0m + 4x + 2, y1m − 4y − 2), keep those
+    // inside [p0, p1) of each overlapping polygon, roll up per fid
+    "q_zonal_stats" ->
+      s"""WITH $I, $P, $B, $SimgCte, $PxCte,
+         |zp AS (SELECT p2.fid, i.k, x.v
+         |       FROM px x
+         |       JOIN img2 i ON i.k = x.k
+         |       JOIN poly2 p2
+         |         ON i.x0m + 4*x.x + 2 >= p2.px0m
+         |        AND i.x0m + 4*x.x + 2 <  p2.px1m
+         |        AND i.y1m - 4*x.y - 2 >= p2.py0m
+         |        AND i.y1m - 4*x.y - 2 <  p2.py1m
+         |       WHERE x.b = 0)
+         |SELECT fid, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_imgs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_px,
+         |  CAST(SUM(v) AS BIGINT) AS vsum,
+         |  CAST(MIN(v) AS BIGINT) AS vmin,
+         |  CAST(MAX(v) AS BIGINT) AS vmax
+         |FROM zp GROUP BY fid ORDER BY fid""".stripMargin,
+
     "q_vector_where" ->
       s"""WITH $P
          |SELECT fid, px0m, py0m, px1m, py1m FROM poly2
@@ -1604,6 +1713,79 @@ object SparkEntry {
          |WHERE CAST(n_inter AS DOUBLE)/n_union >= 0.01
          |ORDER BY id_a, id_b""".stripMargin,
 
+    "q_vocab" ->
+      s"""WITH $TokCte,
+         |t AS (SELECT doc_id, unnest(ts) AS term FROM tok),
+         |a AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+         |        CAST(COUNT(*) AS BIGINT) AS cf
+         |      FROM t GROUP BY term)
+         |SELECT term, df, cf FROM a
+         |ORDER BY cf DESC, term LIMIT 50""".stripMargin,
+
+    "q_ngrams" ->
+      s"""WITH $TokCte,
+         |g AS (SELECT unnest(CASE WHEN len(ts) >= 2 THEN
+         |        list_transform(generate_series(1, CAST(len(ts)-1 AS INT)),
+         |          i -> ts[i] || ' ' || ts[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END) AS gram FROM tok)
+         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM g GROUP BY gram ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+
+    "q_doc_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST((strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+        |    AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket * 1000 < 100 * 65536 THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // transitive-closure min-label per doc over the SAME verified
+    // near-dup edge set — the SQL ground truth for the distributed
+    // large-star/small-star components
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $TokCte, $ShCte,
+         |sig AS (SELECT doc_id,
+         |  list_min(list_transform(sh, s -> md5('0' || s))) AS h0,
+         |  list_min(list_transform(sh, s -> md5('1' || s))) AS h1,
+         |  list_min(list_transform(sh, s -> md5('2' || s))) AS h2,
+         |  list_min(list_transform(sh, s -> md5('3' || s))) AS h3
+         |FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS bj, h0 AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, h1 FROM sig
+         |  UNION ALL SELECT doc_id, 2, h2 FROM sig
+         |  UNION ALL SELECT doc_id, 3, h3 FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.bj = b.bj AND a.bk = b.bk
+         |  WHERE a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+         |p AS (SELECT c.id_a, c.id_b,
+         |  CAST(len(list_intersect(x.shd, y.shd)) AS BIGINT) AS n_inter,
+         |  CAST(len(list_distinct(list_concat(x.shd, y.shd))) AS BIGINT)
+         |    AS n_union
+         |  FROM cand c JOIN sets x ON x.doc_id = c.id_a
+         |  JOIN sets y ON y.doc_id = c.id_b),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p
+         |        WHERE CAST(n_inter AS DOUBLE)/n_union >= 0.01
+         |      UNION ALL
+         |      SELECT id_b, id_a FROM p
+         |        WHERE CAST(n_inter AS DOUBLE)/n_union >= 0.01),
+         |reach AS (
+         |  SELECT doc_id AS v, doc_id AS l FROM documents
+         |  UNION
+         |  SELECT e.v, r.l FROM reach r JOIN e ON e.u = r.v)
+         |SELECT v AS doc_id, MIN(l) AS cluster_id
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+
     "q_simhash" ->
       s"""WITH $TokCte, $SimhashCte
          |SELECT doc_id, simhash FROM sh64 ORDER BY doc_id""".stripMargin,
@@ -1639,6 +1821,33 @@ object SparkEntry {
          |      (sqrt(list_dot_product(a.ed, a.ed)) *
          |       sqrt(list_dot_product(bb.ed, bb.ed))) > 0.35
          |ORDER BY 1, 2""".stripMargin
+    },
+
+    // transitive closure over the SAME verified cosine edge set — the
+    // ground truth for the embedding-side components
+    "q_emb_clusters" -> {
+      val buckets = (0 until 16).map(t =>
+        s"SELECT vec_id, $t AS tj, ${OracleCte.lshBucketSql("ed", 64, 4, t)} AS bk FROM e")
+        .mkString("\nUNION ALL ")
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+         |b AS ($buckets),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM b x JOIN b y ON x.tj = y.tj AND x.bk = y.bk
+         |  WHERE x.vec_id < y.vec_id),
+         |vpairs AS (SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN e a ON a.vec_id = c.id_a
+         |  JOIN e bb ON bb.vec_id = c.id_b
+         |  WHERE list_dot_product(a.ed, bb.ed) /
+         |        (sqrt(list_dot_product(a.ed, a.ed)) *
+         |         sqrt(list_dot_product(bb.ed, bb.ed))) > 0.35),
+         |ed2 AS (SELECT id_a AS u, id_b AS v FROM vpairs
+         |        UNION ALL SELECT id_b, id_a FROM vpairs),
+         |reach AS (
+         |  SELECT vec_id AS v, vec_id AS l FROM embeddings
+         |  UNION
+         |  SELECT ed2.v, r.l FROM reach r JOIN ed2 ON ed2.u = r.v)
+         |SELECT v AS vec_id, MIN(l) AS cluster_id
+         |FROM reach GROUP BY v ORDER BY vec_id""".stripMargin
     },
 
     "q_ann_lsh_topk" -> {
@@ -1729,6 +1938,23 @@ object SparkEntry {
         |       CAST(SUM(n2f) AS BIGINT) AS norm2_floor_sum
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
 
+    // int8 quantization ground truth: identical float→double widen,
+    // IEEE divide, floor — every digest an exact integer
+    "q_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+        |s AS (SELECT vec_id, ed,
+        |        list_max(list_transform(ed, x -> abs(x))) AS scale FROM e),
+        |q AS (SELECT vec_id, scale,
+        |        CASE WHEN scale = 0 THEN list_transform(ed, x -> 0)
+        |             ELSE list_transform(ed,
+        |               x -> CAST(FLOOR(x * 127.0 / scale) AS INT)) END AS q
+        |      FROM s)
+        |SELECT vec_id, CAST(FLOOR(scale * 1e6) AS BIGINT) AS scale_fl,
+        |  CAST(list_sum(q) AS BIGINT) AS qsum,
+        |  CAST(list_min(q) AS BIGINT) AS qmin,
+        |  CAST(list_max(q) AS BIGINT) AS qmax
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "q_events_top" ->
       """WITH r AS (SELECT user_id, event_id, value,
         |  ROW_NUMBER() OVER (PARTITION BY user_id
@@ -1748,6 +1974,33 @@ object SparkEntry {
         |SELECT user_id, CAST(SUM(flag) AS BIGINT) AS n_sessions,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the ground truth for the windowed
+    // as-of implementation (greatest v.ts <= c.ts per user)
+    "q_events_asof" ->
+      """WITH v AS (SELECT user_id, ts, CAST(MAX(event_id) AS BIGINT)
+        |             AS view_id
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'click')
+        |SELECT CAST(c.event_id AS BIGINT) AS click_id, c.user_id,
+        |       v.view_id
+        |FROM c ASOF JOIN v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY click_id""".stripMargin,
+
+    // plain theta join is the ground truth for the bucketed range join
+    "q_events_range" ->
+      """WITH c AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'click'),
+        |e AS (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'error')
+        |SELECT CAST(c.event_id AS BIGINT) AS click_id,
+        |       CAST(e.event_id AS BIGINT) AS err_id
+        |FROM c JOIN e ON c.user_id = e.user_id
+        | AND e.ts >= c.ts
+        | AND epoch_us(e.ts) - epoch_us(c.ts) <= 3600000000
+        |ORDER BY click_id, err_id""".stripMargin,
 
     "q_tpch_pricing" ->
       """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,

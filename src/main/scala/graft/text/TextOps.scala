@@ -185,6 +185,51 @@ object TextOps {
       .select("id_a", "id_b").distinct()
   }
 
+  /** VOCABULARY induction — the token-frequency table a tokenizer/BPE
+    * trainer starts from: per term, document frequency (distinct docs)
+    * and collection frequency (total occurrences), top-N by cf with a
+    * deterministic term tie-break. One explode + one hash aggregate;
+    * map-side partial aggregation absorbs the token fan-out, the
+    * driver sees only N rows. */
+  def vocab(docs: DataFrame, topN: Int): DataFrame =
+    docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"),
+           count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("term"))
+      .limit(topN)
+
+  /** n-gram (token) counts — language-model count tables; same plan
+    * shape as [[vocab]] over the n-gram explode. */
+  def ngramCounts(docs: DataFrame, n: Int, topN: Int): DataFrame = {
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array())
+    docs.select(explode(grams).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(topN)
+  }
+
+  /** Deterministic train/val split — content-independent, stable under
+    * reshuffles and re-runs (a training-data pipeline must never let
+    * the split depend on partitioning): bucket = first 4 hex chars of
+    * md5(doc_id) as an integer (0..65535), val iff bucket < 65536·pct.
+    * Pure projection, no state, exactly reproducible in SQL. */
+  def splitAssign(docs: DataFrame, valPermille: Int): DataFrame = {
+    val bucket = (0 until 4).map { i =>
+      (instr(lit("0123456789abcdef"),
+        substring(md5(col("doc_id").cast("string")), i + 1, 1)) - 1) *
+        lit(1L << (4 * (3 - i)))
+    }.reduce(_ + _)
+    docs.select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") * 1000 < valPermille * 65536, "val")
+          .otherwise("train"))
+  }
+
   /** 64-bit SimHash over tokens: per token, the first 8 md5 bytes vote
     * ±1 per bit position; sign → bit. Deterministic and all-integer, so
     * the DuckDB oracle re-derives it exactly (SparkEntry.SimhashCte:

@@ -173,6 +173,24 @@ object VectorOps {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the memory
+    * move that makes a 10¹²-row ANN index feasible (4× smaller than
+    * f32, SIMD-friendly dot products): per-vector scale = max |v|,
+    * q_i = floor(127·v_i/scale) ∈ [−127, 127]. All steps (float→
+    * double widen, IEEE divide, floor) are correctly-rounded and
+    * engine-independent, so the oracle re-derives q exactly in SQL.
+    * Returns (vec_id, scale, q array<int>); scale 0 (zero vector) →
+    * all-zero q. */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+        array_max(transform(d(col("embedding")), x => abs(x))).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        when(col("scale") === 0.0,
+          transform(col("embedding"), _ => lit(0).cast("int")))
+        .otherwise(transform(d(col("embedding")),
+          x => floor(x * lit(127.0) / col("scale")).cast("int")))
+        .as("q"))
+
   /** CORPUS-SCALE embedding near-dup pairs: LSH bucket-collision
     * candidates (any of `tables` tables) + exact cosine verification —
     * the no-crossJoin replacement for the bounded all-pairs query. */

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.text.TextOps
+import graft.vec.VectorOps
+
+/** Curation-pipeline operators (vocab, n-grams, split, quantization):
+  * exact counts on a hand-checked corpus plus structural invariants. */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pipeops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs = {
+    import spark.implicits._
+    Seq((0L, "a b a c"), (1L, "a b"), (2L, "c"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en"))
+  }
+
+  test("vocab: df/cf exact, cf-desc term-asc order") {
+    val v = TextOps.vocab(docs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.toSeq == Seq(("a", 2L, 3L), ("b", 2L, 2L), ("c", 2L, 2L)))
+  }
+
+  test("ngramCounts: bigrams exact, short docs contribute none") {
+    val g = TextOps.ngramCounts(docs, 2, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(g == Map("a b" -> 2L, "b a" -> 1L, "a c" -> 1L))
+  }
+
+  test("splitAssign: deterministic, bucket bound respects permille") {
+    import spark.implicits._
+    val many = (0L until 2000L).map(i => (i, s"doc $i"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en"))
+    val s1 = TextOps.splitAssign(many, 250).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val s2 = TextOps.splitAssign(many.repartition(7), 250).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(s1.sortBy(_._1).sameElements(s2.sortBy(_._1)),
+      "split must not depend on partitioning")
+    s1.foreach { case (_, b, sp) =>
+      assert(b >= 0 && b < 65536)
+      assert((sp == "val") == (b * 1000 < 250 * 65536))
+    }
+    val frac = s1.count(_._3 == "val").toDouble / s1.length
+    assert(math.abs(frac - 0.25) < 0.05, s"val fraction $frac")
+  }
+
+  test("quantizeInt8: range bound, sign preserved, max element hits ±127") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f)),
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 1.0f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val q = VectorOps.quantizeInt8(emb).collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Int](2).toArray)).sortBy(_._1)
+    // v0: scale 1.0 → floor(127*[0.5,-1,0.25]) = [63, -127, 31]
+    assert(q(0)._2 == 1.0 && q(0)._3.sameElements(Array(63, -127, 31)))
+    // zero vector → zero q, scale 0
+    assert(q(1)._2 == 0.0 && q(1)._3.forall(_ == 0))
+    // v2: scale 2 → [127, 63, floor(-31.75)= -32]
+    assert(q(2)._2 == 2.0 && q(2)._3.sameElements(Array(127, 63, -32)))
+    q.foreach(_._3.foreach(x => assert(x >= -127 && x <= 127)))
+  }
+}
