@@ -642,15 +642,34 @@ object SparkEntry {
         .orderBy("gid")
     }),
 
-    // rows-only checks (non-SQL-expressible: iterative / matrix-inverse
-    // / morphological multi-pass)
+    // float k-means / rxd / masks: rows-only (float sums are partition-
+    // order-dependent; matrix-inverse and multi-pass morphology have no
+    // SQL mirror) — but the _exact k-means variants and pansharp below
+    // ARE oracle-exact
     "q_kmeans_emb" -> ((s, dir) =>
       Algorithms.kmeansEmbeddings(s, emb(s, dir), 4, 3).orderBy("vec_id")),
+
+    // BIT-REPRODUCIBLE k-means (exact-integer variant): quantized
+    // coordinates, truncated integer centroids — every cross-row
+    // reduction is an integer sum, so the result is identical across
+    // partitionings and engines, and the DuckDB oracle replays all
+    // three Lloyd rounds exactly (unlike float kmeans above)
+    "q_kmeans_exact" -> ((s, dir) =>
+      Algorithms.kmeansEmbeddingsExact(s, emb(s, dir), 4, 3)
+        .orderBy("vec_id")),
 
     // pixel-spectra k-means with farthest-point seeding
     // (get_random_classes analog) — per-image cluster histogram
     "q_kmeans_pixels" -> ((s, dir) =>
       Algorithms.kmeansPixels(s, Synth.imagesWithBytes(s, dir, smallRaw), 4, 3)
+        .orderBy("image_id", "cluster")),
+
+    // BIT-REPRODUCIBLE pixel-spectra k-means: all valid pixels' integer
+    // spectra, per-image-first seeds, truncated integer centroids —
+    // oracle replays all rounds over regenerated pixels
+    "q_kmeans_pixels_exact" -> ((s, dir) =>
+      Algorithms.kmeansPixelsExact(s,
+          Synth.imagesWithBytes(s, dir, smallRaw), 4, 3, Synth.NumBands)
         .orderBy("image_id", "cluster")),
 
     // pansharp_brovey through the TWO-TABLE join: MS payload ⋈ derived
@@ -1937,6 +1956,706 @@ object SparkEntry {
         |SELECT label, CAST(COUNT(*) AS BIGINT) AS cnt,
         |       CAST(SUM(n2f) AS BIGINT) AS norm2_floor_sum
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    // exact-integer k-means ground truth: all three Lloyd rounds
+    // unrolled in SQL — quantize, exact integer distances (ties →
+    // lowest cid), truncated integer centroid means (`//` truncates
+    // toward zero in DuckDB, mirrored by Scala Long division),
+    // empty-cluster carry-forward via COALESCE
+    "q_kmeans_exact" -> {
+      val K = 4; val Iters = 3; val Dim = 64
+      val ctes = scala.collection.mutable.ArrayBuffer[String](
+        s"""q AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+           |  x -> CAST(FLOOR(x*1048576.0) AS BIGINT)) AS qe
+           |  FROM embeddings)""".stripMargin,
+        s"dims AS (SELECT unnest(generate_series(1, $Dim)) AS i)",
+        s"c1 AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id < $K)")
+      for (r <- 1 to Iters) {
+        ctes += s"""d$r AS (SELECT q.vec_id, c.cid,
+                   |  SUM((q.qe[d.i]-c.ce[d.i])*(q.qe[d.i]-c.ce[d.i])) AS dist
+                   |  FROM q, c$r c, dims d GROUP BY 1, 2)""".stripMargin
+        ctes += s"""a$r AS (SELECT vec_id, cid AS cluster FROM
+                   |  (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY
+                   |     vec_id ORDER BY dist, cid) AS rn FROM d$r)
+                   |  WHERE rn = 1)""".stripMargin
+        if (r < Iters) {
+          ctes += s"""s$r AS (SELECT a.cluster, d.i,
+                     |  SUM(q.qe[d.i]) // COUNT(*) AS m
+                     |  FROM a$r a JOIN q ON q.vec_id = a.vec_id, dims d
+                     |  GROUP BY 1, 2)""".stripMargin
+          ctes += s"""c${r + 1} AS (SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
+                     |  FROM c$r p LEFT JOIN (SELECT cluster AS cid,
+                     |    list(m ORDER BY i) AS ce FROM s$r GROUP BY 1) n
+                     |  USING (cid))""".stripMargin
+        }
+      }
+      "WITH " + ctes.mkString(",\n") +
+        s"\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster" +
+        s"\nFROM a$Iters ORDER BY vec_id"
+    },
+
+    // FMASK ground truth — full multi-pass replay in SQL: PCP/water/
+    // land cascade (deterministic IEEE ratios), Twater/Tlo/Thi and the
+    // lprob-land threshold via the 100-bin percentile pattern over
+    // MASKED per-pixel doubles (regenerated with exact op order),
+    // no-land fallback, wprob/lprob probability maps, erode-5 (valid-
+    // neighbor min join) then dilate-3
+    "q_fmask" -> {
+      def pctCte(name: String, src: String, pcts: Seq[Double]): String = {
+        val pl = pcts.mkString(", ")
+        s"""${name}mm AS (SELECT k, COUNT(mv) AS cnt, MIN(mv) AS mn,
+           |    MAX(mv) AS mx FROM $src GROUP BY k),
+           |${name}hb AS (SELECT s.k,
+           |    LEAST(99, CAST(FLOOR((s.mv - m.mn)/((m.mx - m.mn)/100.0))
+           |      AS BIGINT)) AS bin,
+           |    COUNT(*) AS cnt
+           |  FROM $src s JOIN ${name}mm m ON m.k = s.k
+           |  WHERE s.mv IS NOT NULL AND m.mx <> m.mn GROUP BY 1, 2),
+           |${name}cu AS (SELECT k, bin, cnt,
+           |    SUM(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum
+           |  FROM ${name}hb),
+           |${name}tg AS (SELECT m.k, p.pct, p.pct/100.0*m.cnt AS target,
+           |    m.mn, m.mx, m.cnt AS n
+           |  FROM ${name}mm m, (SELECT unnest([$pl]) AS pct) p),
+           |${name}sel AS (SELECT t.k, t.pct,
+           |    CASE WHEN t.n = 0 THEN NULL
+           |         WHEN t.mx = t.mn THEN t.mn
+           |         ELSE t.mn + (t.mx - t.mn)/100.0 *
+           |              (c.bin + (t.target - (c.cum - c.cnt))/c.cnt)
+           |    END AS res
+           |  FROM ${name}tg t LEFT JOIN ${name}cu c ON c.k = t.k
+           |    AND c.cum >= t.target AND c.cum - c.cnt < t.target)""".stripMargin
+      }
+      s"""WITH $I, $SimgCte,
+         |fb AS (SELECT unnest([0,1,2,3,4,5]) AS b),
+         |fbp AS (SELECT s.k, CAST(t.b AS BIGINT) AS b,
+         |         200 + (s.k*(t.b+3)) % 800 AS base,
+         |         (s.k + 11*t.b) % 8 AS ax, (s.k + 17*t.b) % 8 AS ay
+         |       FROM simg s CROSS JOIN fb t),
+         |fpx AS (SELECT s.k, p.b, xs.x, ys.y,
+         |         p.base + p.ax*xs.x + p.ay*ys.y AS v
+         |  FROM simg s JOIN fbp p ON p.k = s.k
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.w-1 AS INT))) AS x) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.h-1 AS INT))) AS y) ys
+         |  WHERE xs.x >= s.nw),
+         |sp0 AS (SELECT k, x, y,
+         |    MAX(CASE WHEN b=0 THEN v END) AS ib,
+         |    MAX(CASE WHEN b=1 THEN v END) AS ig,
+         |    MAX(CASE WHEN b=2 THEN v END) AS ir,
+         |    MAX(CASE WHEN b=3 THEN v END) AS inr,
+         |    MAX(CASE WHEN b=4 THEN v END) AS is1,
+         |    MAX(CASE WHEN b=5 THEN v END) AS is2
+         |  FROM fpx GROUP BY 1, 2, 3),
+         |sp AS (SELECT k, x, y,
+         |    CAST(ib AS DOUBLE)/1000 AS b, CAST(ig AS DOUBLE)/1000 AS g,
+         |    CAST(ir AS DOUBLE)/1000 AS r, CAST(inr AS DOUBLE)/1000 AS n,
+         |    CAST(is1 AS DOUBLE)/1000 AS s1, CAST(is2 AS DOUBLE)/1000 AS s2,
+         |    (abs(ir - (CAST(ir+ig+ib AS DOUBLE)/3))
+         |     + abs(ig - (CAST(ir+ig+ib AS DOUBLE)/3))
+         |     + abs(ib - (CAST(ir+ig+ib AS DOUBLE)/3)))
+         |      / (CAST(ir+ig+ib AS DOUBLE)/3) AS white
+         |  FROM sp0),
+         |feat AS (SELECT k, x, y, b, g, r, n, s1, s2, white,
+         |    (n - r)/(n + r) AS ndvi, (g - s1)/(g + s1) AS ndsi
+         |  FROM sp),
+         |cls AS (SELECT k, x, y, s1, s2, white, ndvi, ndsi,
+         |    CASE WHEN s2 > 0.4 AND s2 < 2.0 AND ndvi < 0.8 AND ndsi < 0.8
+         |          AND b - 0.5*r > 0.08 AND white < 0.7 AND n/s1 > 0.75
+         |         THEN 1 ELSE 0 END AS pcp,
+         |    CASE WHEN (ndvi < 0.01 AND n < 0.7) OR (ndvi < 0.1 AND n < 0.8)
+         |         THEN 1 ELSE 0 END AS water,
+         |    1.0 - GREATEST(white, GREATEST(abs(ndsi), abs(ndvi))) AS vprob
+         |  FROM feat),
+         |cls2 AS (SELECT *, CASE WHEN water=0 AND pcp=0 THEN 1 ELSE 0 END
+         |  AS land FROM cls),
+         |hl AS (SELECT k, MAX(land) AS hasland FROM cls2 GROUP BY k),
+         |wmask AS (SELECT k, CASE WHEN water=1 THEN s2 END AS mv FROM cls2),
+         |${pctCte("tw", "wmask", Seq(82.5))},
+         |lmask AS (SELECT c.k,
+         |    CASE WHEN h.hasland = 1 THEN (CASE WHEN c.land=1 THEN c.s2 END)
+         |         ELSE c.s2 END AS mv
+         |  FROM cls2 c JOIN hl h ON h.k = c.k),
+         |${pctCte("tl", "lmask", Seq(17.5, 82.5))},
+         |ths AS (SELECT t.k,
+         |    (SELECT res FROM twsel w WHERE w.k = t.k AND w.pct = 82.5)
+         |      AS twater,
+         |    MAX(CASE WHEN t.pct=17.5 THEN t.res END) AS tlo,
+         |    MAX(CASE WHEN t.pct=82.5 THEN t.res END) AS thi
+         |  FROM tlsel t GROUP BY t.k),
+         |prob AS (SELECT c.k, c.x, c.y, c.pcp, c.water, c.land, c.s2,
+         |    (h.twater - c.s2)/0.4 * (LEAST(c.s1, 1.1)/1.1) AS wprob,
+         |    (h.thi + 0.4 - c.s2)/(h.thi + 0.4 - (h.tlo - 0.4)) * c.vprob
+         |      AS lprob,
+         |    h.tlo
+         |  FROM cls2 c JOIN ths h ON h.k = c.k),
+         |llmask AS (SELECT p.k,
+         |    CASE WHEN p.lprob IS NOT NULL
+         |          AND (CASE WHEN h.hasland = 1 THEN p.land = 1 ELSE true END)
+         |         THEN p.lprob END AS mv
+         |  FROM prob p JOIN hl h ON h.k = p.k),
+         |${pctCte("lt", "llmask", Seq(82.5))},
+         |lth AS (SELECT k, res + 0.2 + 0.0 AS lthresh
+         |  FROM ltsel WHERE pct = 82.5),
+         |fcl0 AS (SELECT p.k, p.x, p.y,
+         |    CASE WHEN (p.pcp = 1 AND p.water = 1 AND p.wprob > 0.5)
+         |           OR (p.pcp = 1 AND p.water = 0 AND p.lprob > l.lthresh)
+         |           OR (p.lprob > 0.99 AND p.water = 0)
+         |           OR (p.s2 > p.tlo + 0.25)
+         |         THEN 1 ELSE 0 END AS c0,
+         |    p.pcp, p.water
+         |  FROM prob p JOIN lth l ON l.k = p.k),
+         |foffs5 AS (SELECT a.dx, b.dy
+         |  FROM (SELECT unnest([-2,-1,0,1,2]) AS dx) a,
+         |       (SELECT unnest([-2,-1,0,1,2]) AS dy) b),
+         |fer AS (SELECT m0.k, m0.x, m0.y, MIN(mn.c0) AS e
+         |  FROM fcl0 m0 JOIN foffs5 o ON true
+         |  JOIN fcl0 mn ON mn.k = m0.k AND mn.x = m0.x + o.dx
+         |    AND mn.y = m0.y + o.dy
+         |  GROUP BY 1, 2, 3),
+         |foffs3 AS (SELECT a.dx, b.dy
+         |  FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |       (SELECT unnest([-1,0,1]) AS dy) b),
+         |fdl AS (SELECT m0.k, m0.x, m0.y, MAX(mn.e) AS d
+         |  FROM fer m0 JOIN foffs3 o ON true
+         |  JOIN fer mn ON mn.k = m0.k AND mn.x = m0.x + o.dx
+         |    AND mn.y = m0.y + o.dy
+         |  GROUP BY 1, 2, 3)
+         |SELECT i.image_id,
+         |  CAST(SUM(1 - d.d) AS BIGINT) AS n_final,
+         |  CAST(SUM(d.d) AS BIGINT) AS n_cloud,
+         |  CAST(SUM(c.pcp) AS BIGINT) AS n_pcp,
+         |  CAST(SUM(c.water) AS BIGINT) AS n_water,
+         |  CAST(SUM(CASE WHEN c.water=0 AND c.pcp=0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_land
+         |FROM fcl0 c JOIN fdl d USING (k, x, y) JOIN img2 i ON i.k = c.k
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // THERMAL FMASK ground truth — reference constants on refl + BT
+    // planes, same multi-pass SQL replay as q_fmask plus the 99.9%-PCP
+    // early-exit override (mask = pcp) and the BT-based Twater mask
+    "q_fmask_thermal" -> {
+      def pctCte(name: String, src: String, pcts: Seq[Double]): String = {
+        val pl = pcts.mkString(", ")
+        s"""${name}mm AS (SELECT k, COUNT(mv) AS cnt, MIN(mv) AS mn,
+           |    MAX(mv) AS mx FROM $src GROUP BY k),
+           |${name}hb AS (SELECT s.k,
+           |    LEAST(99, CAST(FLOOR((s.mv - m.mn)/((m.mx - m.mn)/100.0))
+           |      AS BIGINT)) AS bin,
+           |    COUNT(*) AS cnt
+           |  FROM $src s JOIN ${name}mm m ON m.k = s.k
+           |  WHERE s.mv IS NOT NULL AND m.mx <> m.mn GROUP BY 1, 2),
+           |${name}cu AS (SELECT k, bin, cnt,
+           |    SUM(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum
+           |  FROM ${name}hb),
+           |${name}tg AS (SELECT m.k, p.pct, p.pct/100.0*m.cnt AS target,
+           |    m.mn, m.mx, m.cnt AS n
+           |  FROM ${name}mm m, (SELECT unnest([$pl]) AS pct) p),
+           |${name}sel AS (SELECT t.k, t.pct,
+           |    CASE WHEN t.n = 0 THEN NULL
+           |         WHEN t.mx = t.mn THEN t.mn
+           |         ELSE t.mn + (t.mx - t.mn)/100.0 *
+           |              (c.bin + (t.target - (c.cum - c.cnt))/c.cnt)
+           |    END AS res
+           |  FROM ${name}tg t LEFT JOIN ${name}cu c ON c.k = t.k
+           |    AND c.cum >= t.target AND c.cum - c.cnt < t.target)""".stripMargin
+      }
+      s"""WITH $I, $SimgCte,
+         |gb AS (SELECT unnest([0,1,2,3,4,5]) AS b),
+         |gbp AS (SELECT s.k, CAST(t.b AS BIGINT) AS b,
+         |         200 + (s.k*(t.b+3)) % 800 AS base,
+         |         (s.k + 11*t.b) % 8 AS ax, (s.k + 17*t.b) % 8 AS ay
+         |       FROM simg s CROSS JOIN gb t),
+         |gpx AS (SELECT s.k, p.b, xs.x, ys.y,
+         |         p.base + p.ax*xs.x + p.ay*ys.y AS v
+         |  FROM simg s JOIN gbp p ON p.k = s.k
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.w-1 AS INT))) AS x) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.h-1 AS INT))) AS y) ys
+         |  WHERE xs.x >= s.nw),
+         |gsp AS (SELECT k, x, y,
+         |    CAST(MAX(CASE WHEN b=0 THEN v END) AS DOUBLE)/4000.0 AS bb,
+         |    CAST(MAX(CASE WHEN b=1 THEN v END) AS DOUBLE)/4000.0 AS gg,
+         |    CAST(MAX(CASE WHEN b=2 THEN v END) AS DOUBLE)/4000.0 AS rr,
+         |    CAST(MAX(CASE WHEN b=3 THEN v END) AS DOUBLE)/4000.0 AS nn,
+         |    CAST(MAX(CASE WHEN b=4 THEN v END) AS DOUBLE)/4000.0 AS s1,
+         |    CAST(MAX(CASE WHEN b=5 THEN v END) AS DOUBLE)/4000.0 AS s2,
+         |    CAST(MAX(CASE WHEN b=5 THEN v END) AS DOUBLE)/40.0 - 10.0 AS bt
+         |  FROM gpx GROUP BY 1, 2, 3),
+         |gfeat AS (SELECT k, x, y, bb, gg, rr, nn, s1, s2, bt,
+         |    (abs(rr - (rr+gg+bb)/3) + abs(gg - (rr+gg+bb)/3)
+         |     + abs(bb - (rr+gg+bb)/3)) / ((rr+gg+bb)/3) AS white,
+         |    (nn - rr)/(nn + rr) AS ndvi, (gg - s1)/(gg + s1) AS ndsi
+         |  FROM gsp),
+         |gcls AS (SELECT k, x, y, s1, s2, bt, white, ndvi, ndsi,
+         |    CASE WHEN s2 >= 0.03 AND NOT (bt > 27.0) AND NOT (ndvi > 0.8)
+         |          AND NOT (ndsi > 0.8) AND bb - 0.5*rr >= 0.08
+         |          AND NOT (white > 0.7) AND nn/s1 >= 0.75
+         |         THEN 1 ELSE 0 END AS pcp,
+         |    CASE WHEN (NOT (ndvi > 0.01) AND NOT (nn > 0.01))
+         |           OR (NOT (ndvi > 0.1) AND NOT (nn > 0.05))
+         |         THEN 1 ELSE 0 END AS water,
+         |    1.0 - GREATEST(white, GREATEST(abs(ndsi), abs(ndvi))) AS vprob
+         |  FROM gfeat),
+         |gcls2 AS (SELECT *, CASE WHEN water=0 AND pcp=0 THEN 1 ELSE 0 END
+         |  AS land FROM gcls),
+         |gearly AS (SELECT k, (SUM(pcp) >= 0.999 * COUNT(*)) AS allcloud
+         |  FROM gcls2 GROUP BY k),
+         |gwmask AS (SELECT k,
+         |    CASE WHEN s2 < 0.03 AND water=1 AND pcp=1 THEN bt END AS mv
+         |  FROM gcls2),
+         |${pctCte("gtw", "gwmask", Seq(82.5))},
+         |glmask AS (SELECT k, CASE WHEN land=1 THEN bt END AS mv FROM gcls2),
+         |${pctCte("gtl", "glmask", Seq(17.5, 82.5))},
+         |gths AS (SELECT t.k,
+         |    (SELECT res FROM gtwsel w WHERE w.k = t.k AND w.pct = 82.5)
+         |      AS twater,
+         |    MAX(CASE WHEN t.pct=17.5 THEN t.res END) AS tlo,
+         |    MAX(CASE WHEN t.pct=82.5 THEN t.res END) AS thi
+         |  FROM gtlsel t GROUP BY t.k),
+         |gprob AS (SELECT c.k, c.x, c.y, c.pcp, c.water, c.land, c.bt,
+         |    (h.twater - c.bt)/4.0 * (LEAST(c.s1, 0.11)/0.11) AS wprob,
+         |    (h.thi + 4.0 - c.bt)/(h.thi + 4.0 - (h.tlo - 4.0)) * c.vprob
+         |      AS lprob,
+         |    h.tlo
+         |  FROM gcls2 c JOIN gths h ON h.k = c.k),
+         |gllm AS (SELECT p.k, CASE WHEN c.land=1 THEN p.lprob END AS mv
+         |  FROM gprob p JOIN gcls2 c USING (k, x, y)),
+         |${pctCte("glt", "gllm", Seq(82.5))},
+         |glth AS (SELECT k, res + 0.2 + 0.0 AS lthresh
+         |  FROM gltsel WHERE pct = 82.5),
+         |gcl0 AS (SELECT p.k, p.x, p.y,
+         |    CASE WHEN (p.pcp = 1 AND p.water = 1 AND p.wprob >= 0.5)
+         |           OR (p.pcp = 1 AND p.water = 0 AND p.lprob >= l.lthresh)
+         |           OR (p.lprob > 0.99 AND p.water = 0)
+         |           OR (NOT (p.bt > p.tlo - 35.0))
+         |         THEN 1 ELSE 0 END AS c0
+         |  FROM gprob p JOIN glth l ON l.k = p.k),
+         |goffs5 AS (SELECT a.dx, b.dy
+         |  FROM (SELECT unnest([-2,-1,0,1,2]) AS dx) a,
+         |       (SELECT unnest([-2,-1,0,1,2]) AS dy) b),
+         |ger AS (SELECT m0.k, m0.x, m0.y, MIN(mn.c0) AS e
+         |  FROM gcl0 m0 JOIN goffs5 o ON true
+         |  JOIN gcl0 mn ON mn.k = m0.k AND mn.x = m0.x + o.dx
+         |    AND mn.y = m0.y + o.dy
+         |  GROUP BY 1, 2, 3),
+         |goffs3 AS (SELECT a.dx, b.dy
+         |  FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |       (SELECT unnest([-1,0,1]) AS dy) b),
+         |gdl AS (SELECT m0.k, m0.x, m0.y, MAX(mn.e) AS d
+         |  FROM ger m0 JOIN goffs3 o ON true
+         |  JOIN ger mn ON mn.k = m0.k AND mn.x = m0.x + o.dx
+         |    AND mn.y = m0.y + o.dy
+         |  GROUP BY 1, 2, 3),
+         |gfinal AS (SELECT c.k, c.x, c.y,
+         |    CASE WHEN e.allcloud THEN c2.pcp ELSE d.d END AS cm,
+         |    c2.pcp, c2.water, c2.land
+         |  FROM gcl0 c JOIN gdl d USING (k, x, y)
+         |  JOIN gcls2 c2 USING (k, x, y)
+         |  JOIN gearly e ON e.k = c.k)
+         |SELECT i.image_id,
+         |  CAST(SUM(1 - f.cm) AS BIGINT) AS n_final,
+         |  CAST(SUM(f.cm) AS BIGINT) AS n_cloud,
+         |  CAST(SUM(f.pcp) AS BIGINT) AS n_pcp,
+         |  CAST(SUM(f.water) AS BIGINT) AS n_water,
+         |  CAST(SUM(f.land) AS BIGINT) AS n_land
+         |FROM gfinal f JOIN img2 i ON i.k = f.k
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // THERMAL ACCA ground truth — the full reference cascade replayed
+    // in SQL: filters 1-7 as deterministic IEEE ratios, pass-2 cloud
+    // statistics via ORDERED list_reduce folds (bit-identical to the
+    // kernel's pixel-order accumulation, the one place float sums are
+    // order-sensitive), LWIR percentiles via the proven 100-bin
+    // interpolation pattern, skew-capped threshold shift, warm/cold
+    // acceptance, dilate join, engine-derived smear offsets
+    "q_acca_thermal" -> {
+      val offs = Algorithms.smearOffsets(45.0, 135.0, 450.0)
+      val vals = offs.map { case (sx, sy) => s"($sx, $sy)" }.mkString(", ")
+      s"""WITH $I, $SimgCte,
+         |tb AS (SELECT unnest([1,2,3,4,5]) AS b),
+         |tbp AS (SELECT s.k, CAST(t.b AS BIGINT) AS b,
+         |         200 + (s.k*(t.b+3)) % 800 AS base,
+         |         (s.k + 11*t.b) % 8 AS ax, (s.k + 17*t.b) % 8 AS ay
+         |       FROM simg s CROSS JOIN tb t),
+         |tpx AS (SELECT s.k, p.b, xs.x, ys.y,
+         |         p.base + p.ax*xs.x + p.ay*ys.y AS v
+         |  FROM simg s JOIN tbp p ON p.k = s.k
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.w-1 AS INT))) AS x) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.h-1 AS INT))) AS y) ys
+         |  WHERE xs.x >= s.nw),
+         |sp AS (SELECT k, x, y,
+         |    CAST(MAX(CASE WHEN b=2 THEN v END) AS DOUBLE)/4000.0 AS rr,
+         |    CAST(MAX(CASE WHEN b=1 THEN v END) AS DOUBLE)/4000.0 AS gg,
+         |    CAST(MAX(CASE WHEN b=3 THEN v END) AS DOUBLE)/4000.0 AS nn,
+         |    CAST(MAX(CASE WHEN b=4 THEN v END) AS DOUBLE)/4000.0 AS s1,
+         |    CAST(MAX(CASE WHEN b=5 THEN v END) AS DOUBLE)/40.0 - 10.0 AS t
+         |  FROM tpx GROUP BY 1, 2, 3),
+         |pa AS (SELECT k, x, y, t,
+         |    CASE WHEN (NOT (rr >= 0.08)) OR (gg-s1)/(gg+s1) >= 0.7
+         |           OR t >= 27.0 THEN 0
+         |         WHEN (1.0-s1)*(t+273.15) >= 225.0 OR nn/rr >= 2.0
+         |           OR nn/gg >= 2.0 OR NOT (nn/s1 >= 1.0) THEN 2
+         |         ELSE 1
+         |    END AS cls
+         |  FROM sp),
+         |scene AS (SELECT k, COUNT(*) AS scenesize,
+         |    SUM(CASE WHEN cls=1 THEN 1 ELSE 0 END) AS cloudsum,
+         |    list(t ORDER BY y, x) FILTER (WHERE cls=1) AS ctl
+         |  FROM pa GROUP BY k),
+         |cstat AS (SELECT k, scenesize, cloudsum,
+         |    CAST(cloudsum AS DOUBLE)/scenesize AS cc,
+         |    len(ctl) AS cn,
+         |    list_reduce(ctl, (a,b) -> a+b) AS cs,
+         |    list_reduce(list_transform(ctl, v -> v*v), (a,b) -> a+b) AS cs2,
+         |    list_reduce(list_transform(ctl, v -> v*v*v), (a,b) -> a+b) AS cs3
+         |  FROM scene),
+         |cstat2 AS (SELECT *, cs/cn AS cmean,
+         |    sqrt(GREATEST(0.0, cs2/cn - (cs/cn)*(cs/cn))) AS csd
+         |  FROM cstat),
+         |cstat3 AS (SELECT *,
+         |    CASE WHEN csd = 0.0 THEN NULL
+         |         ELSE (cs3/cn - 3*cmean*cs2/cn + 2*cmean*cmean*cmean)
+         |              /(csd*csd*csd)
+         |    END AS cskew,
+         |    (cc > 0.004 AND cn > 0 AND cs/cn < 22.0) AS pass2
+         |  FROM cstat2),
+         |tmm AS (SELECT k, COUNT(*) AS cnt, MIN(t) AS mn, MAX(t) AS mx
+         |  FROM pa GROUP BY k),
+         |thb AS (SELECT p.k,
+         |    LEAST(99, CAST(FLOOR((p.t - m.mn)/((m.mx - m.mn)/100.0))
+         |      AS BIGINT)) AS bin,
+         |    COUNT(*) AS cnt
+         |  FROM pa p JOIN tmm m ON m.k = p.k
+         |  WHERE m.mx <> m.mn GROUP BY 1, 2),
+         |tcu AS (SELECT k, bin, cnt,
+         |    SUM(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum FROM thb),
+         |tpcts AS (SELECT unnest([83.5, 97.5, 98.75]) AS pct),
+         |ttgt AS (SELECT m.k, p.pct, p.pct/100.0*m.cnt AS target, m.mn, m.mx
+         |  FROM tmm m, tpcts p),
+         |tsel AS (SELECT t.k, t.pct,
+         |    CASE WHEN t.mx = t.mn THEN t.mn
+         |         ELSE t.mn + (t.mx - t.mn)/100.0 *
+         |              (c.bin + (t.target - (c.cum - c.cnt))/c.cnt)
+         |    END AS res
+         |  FROM ttgt t LEFT JOIN tcu c ON c.k = t.k
+         |    AND c.cum >= t.target AND c.cum - c.cnt < t.target),
+         |tpv AS (SELECT k,
+         |    MAX(CASE WHEN pct=83.5 THEN res END) AS p835,
+         |    MAX(CASE WHEN pct=97.5 THEN res END) AS p975,
+         |    MAX(CASE WHEN pct=98.75 THEN res END) AS p9875
+         |  FROM tsel GROUP BY k),
+         |ths AS (SELECT c.k, c.pass2,
+         |    CASE WHEN c.cskew IS NOT NULL AND c.cskew > 0 THEN
+         |      t.p835 + LEAST(t.p9875 - t.p975,
+         |        c.csd * (CASE WHEN c.cskew > 1.0 THEN 1.0 ELSE c.cskew END))
+         |    ELSE t.p835 END AS th0,
+         |    CASE WHEN c.cskew IS NOT NULL AND c.cskew > 0 THEN
+         |      t.p975 + LEAST(t.p9875 - t.p975,
+         |        c.csd * (CASE WHEN c.cskew > 1.0 THEN 1.0 ELSE c.cskew END))
+         |    ELSE t.p975 END AS th1,
+         |    c.scenesize
+         |  FROM cstat3 c JOIN tpv t ON t.k = c.k),
+         |wsel AS (SELECT p.k,
+         |    COUNT(*) FILTER (WHERE p.cls=2 AND p.t < h.th1 AND p.t > h.th0)
+         |      AS wn,
+         |    list(p.t ORDER BY p.y, p.x)
+         |      FILTER (WHERE p.cls=2 AND p.t < h.th1 AND p.t > h.th0) AS wl,
+         |    COUNT(*) FILTER (WHERE p.cls=2 AND p.t < h.th0) AS cn2,
+         |    list(p.t ORDER BY p.y, p.x)
+         |      FILTER (WHERE p.cls=2 AND p.t < h.th0) AS cl2
+         |  FROM pa p JOIN ths h ON h.k = p.k GROUP BY p.k),
+         |dec AS (SELECT h.k, h.pass2, h.th0, h.th1,
+         |    (h.pass2 AND w.wn > 0
+         |      AND CAST(w.wn AS DOUBLE)/h.scenesize < 0.4
+         |      AND list_reduce(w.wl, (a,b) -> a+b)/w.wn < 22.0) AS warmAcc,
+         |    w.wn, w.cn2,
+         |    (w.cn2 > 0 AND CAST(w.cn2 AS DOUBLE)/h.scenesize < 0.4
+         |      AND list_reduce(w.cl2, (a,b) -> a+b)/w.cn2 < 22.0) AS coldOk
+         |  FROM ths h JOIN wsel w ON w.k = h.k),
+         |dec2 AS (SELECT k, pass2, th0, th1, warmAcc,
+         |    (pass2 AND NOT warmAcc AND coldOk) AS coldAcc FROM dec),
+         |ambacc AS (SELECT p.k, p.x, p.y, p.cls, p.t,
+         |    CASE WHEN d.warmAcc THEN
+         |           CASE WHEN p.cls=2 AND p.t < d.th1 AND p.t > d.th0
+         |                THEN 1 ELSE 0 END
+         |         WHEN d.coldAcc THEN
+         |           CASE WHEN p.cls=2 AND p.t < d.th0 THEN 1 ELSE 0 END
+         |         ELSE CASE WHEN p.cls=2 THEN 1 ELSE 0 END
+         |    END AS amb2,
+         |    (d.warmAcc OR d.coldAcc) AS addclouds
+         |  FROM pa p JOIN dec2 d ON d.k = p.k),
+         |cl0 AS (SELECT k, x, y,
+         |    CASE WHEN cls=1 OR (addclouds AND amb2=1) THEN 1 ELSE 0 END
+         |      AS c0
+         |  FROM ambacc),
+         |aoffs3 AS (SELECT a.dx, b.dy
+         |  FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |       (SELECT unnest([-1,0,1]) AS dy) b),
+         |agrown AS (SELECT m0.k, m0.x, m0.y, MAX(mn.c0) AS g
+         |  FROM cl0 m0 JOIN aoffs3 o ON true
+         |  JOIN cl0 mn ON mn.k = m0.k AND mn.x = m0.x + o.dx
+         |    AND mn.y = m0.y + o.dy
+         |  GROUP BY 1, 2, 3),
+         |asmoffs AS (SELECT * FROM (VALUES $vals) AS t(sx, sy)),
+         |afin AS (SELECT g0.k, g0.x, g0.y,
+         |    GREATEST(g0.g, COALESCE(MAX(gs.g), 0)) AS f
+         |  FROM agrown g0
+         |  LEFT JOIN asmoffs s ON true
+         |  LEFT JOIN agrown gs ON gs.k = g0.k
+         |    AND gs.x = g0.x - s.sx AND gs.y = g0.y - s.sy
+         |  GROUP BY 1, 2, 3, g0.g)
+         |SELECT i.image_id,
+         |  CAST(SUM(1 - f.f) AS BIGINT) AS n_final,
+         |  CAST(SUM(f.f) AS BIGINT) AS n_cloud,
+         |  CAST(SUM(a.amb2) AS BIGINT) AS n_amb,
+         |  CAST(SUM(CASE WHEN a.cls=1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass1
+         |FROM ambacc a JOIN afin f USING (k, x, y) JOIN img2 i ON i.k = a.k
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // ACCA cloud-mask ground truth: the proxy cascade is fully SQL-
+    // expressible — NDVI/whiteness ratios are deterministic IEEE
+    // divisions of exact integers, the pass-2 threshold is an exact
+    // integer mean, dilate is a 3×3 valid-neighbor max join, and the
+    // sun-geometry shadow smear's shift list comes from the SAME
+    // Algorithms.smearOffsets the engine uses (embedded as literals)
+    "q_cloud_mask" -> {
+      val offs = Algorithms.smearOffsets(45.0, 135.0, 450.0)
+      val smearJoin =
+        if (offs.isEmpty) "" else {
+          val vals = offs.map { case (sx, sy) => s"($sx, $sy)" }.mkString(", ")
+          s"""smoffs AS (SELECT * FROM (VALUES $vals) AS t(sx, sy)),"""
+        }
+      val smearExpr =
+        if (offs.isEmpty) "g0.g AS f"
+        else "GREATEST(g0.g, COALESCE(MAX(gs.g), 0)) AS f"
+      val smearFrom =
+        if (offs.isEmpty) "FROM grown g0 GROUP BY 1, 2, 3, g0.g"
+        else """FROM grown g0
+               |  LEFT JOIN smoffs s ON true
+               |  LEFT JOIN grown gs ON gs.k = g0.k
+               |    AND gs.x = g0.x - s.sx AND gs.y = g0.y - s.sy
+               |  GROUP BY 1, 2, 3, g0.g""".stripMargin
+      s"""WITH $I, $SimgCte,
+         |cbands AS (SELECT unnest([0,1,2,3]) AS b),
+         |cbandp AS (
+         |  SELECT s.k, CAST(cb.b AS BIGINT) AS b,
+         |         200 + (s.k*(cb.b+3)) % 800 AS base,
+         |         (s.k + 11*cb.b) % 8 AS ax,
+         |         (s.k + 17*cb.b) % 8 AS ay
+         |  FROM simg s CROSS JOIN cbands cb),
+         |cpx AS (
+         |  SELECT s.k, p.b, xs.x, ys.y,
+         |         p.base + p.ax*xs.x + p.ay*ys.y AS v
+         |  FROM simg s
+         |  JOIN cbandp p ON p.k = s.k
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.w-1 AS INT))) AS x) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.h-1 AS INT))) AS y) ys
+         |  WHERE xs.x >= s.nw),
+         |spec AS (SELECT k, x, y,
+         |    MAX(CASE WHEN b=0 THEN v END) AS blue,
+         |    MAX(CASE WHEN b=1 THEN v END) AS green,
+         |    MAX(CASE WHEN b=2 THEN v END) AS red,
+         |    MAX(CASE WHEN b=3 THEN v END) AS nir
+         |  FROM cpx GROUP BY 1, 2, 3),
+         |p1 AS (SELECT k, x, y, blue,
+         |    CASE WHEN blue > 500
+         |          AND CAST(nir-red AS DOUBLE)/(nir+red) < 0.3
+         |          AND (abs(red - (CAST(red+green+blue AS DOUBLE)/3))
+         |             + abs(green - (CAST(red+green+blue AS DOUBLE)/3))
+         |             + abs(blue - (CAST(red+green+blue AS DOUBLE)/3)))
+         |            / (CAST(red+green+blue AS DOUBLE)/3) < 0.7 THEN 1
+         |         WHEN blue > 500
+         |          AND CAST(nir-red AS DOUBLE)/(nir+red) < 0.6 THEN 2
+         |         ELSE 0 END AS pass1
+         |  FROM spec),
+         |th AS (SELECT k,
+         |    CASE WHEN COUNT(CASE WHEN pass1=1 THEN 1 END) = 0 THEN NULL
+         |         ELSE CAST(SUM(CASE WHEN pass1=1 THEN blue END) AS DOUBLE)
+         |              / COUNT(CASE WHEN pass1=1 THEN 1 END) END AS thresh
+         |  FROM p1 GROUP BY k),
+         |msk AS (SELECT p.k, p.x, p.y,
+         |    CASE WHEN p.pass1 = 1 OR (p.pass1 = 2 AND t.thresh IS NOT NULL
+         |           AND p.blue >= t.thresh) THEN 1 ELSE 0 END AS m
+         |  FROM p1 p JOIN th t ON t.k = p.k),
+         |offs3 AS (SELECT a.dx, b.dy FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |          (SELECT unnest([-1,0,1]) AS dy) b),
+         |grown AS (SELECT m0.k, m0.x, m0.y, MAX(mn.m) AS g
+         |  FROM msk m0 JOIN offs3 o ON true
+         |  JOIN msk mn ON mn.k = m0.k AND mn.x = m0.x + o.dx
+         |    AND mn.y = m0.y + o.dy
+         |  GROUP BY 1, 2, 3),
+         |$smearJoin
+         |fin AS (SELECT g0.k, g0.x, g0.y,
+         |    $smearExpr
+         |  $smearFrom)
+         |SELECT i.image_id,
+         |  CAST(SUM(CASE WHEN p.pass1=1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass1,
+         |  CAST(SUM(CASE WHEN p.pass1=2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_amb,
+         |  CAST(SUM(m.m) AS BIGINT) AS n_cloud,
+         |  CAST(SUM(f.f) AS BIGINT) AS n_final
+         |FROM p1 p
+         |JOIN msk m USING (k, x, y)
+         |JOIN fin f USING (k, x, y)
+         |JOIN img2 i ON i.k = p.k
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // pansharp_brovey ground truth: with a 2× upscale every Catmull-Rom
+    // intermediate is an exact dyadic rational (denominator 16384), so
+    // the upscaled planes regenerate in PURE INTEGER SQL (c128 row
+    // pass, c16384 column pass, clamped 4×4 windows, nodata → NULL via
+    // COUNT(*)=4); the Brovey ratio then uses the same exact double
+    // operands as the Scala kernel, making floor(out·1e3) sums
+    // value-exact (verified per-image against the engine)
+    "q_pansharp" ->
+      s"""WITH $I, $SimgCte,
+         |pbands AS (SELECT unnest([0,1,2,3]) AS b),
+         |pbandp AS (
+         |  SELECT s.k, CAST(pb.b AS BIGINT) AS b,
+         |         200 + (s.k*(pb.b+3)) % 800 AS base,
+         |         (s.k + 11*pb.b) % 8 AS ax,
+         |         (s.k + 17*pb.b) % 8 AS ay
+         |  FROM simg s CROSS JOIN pbands pb),
+         |ppx AS (
+         |  SELECT s.k, p.b, xs.x, ys.y,
+         |         p.base + p.ax*xs.x + p.ay*ys.y AS v
+         |  FROM simg s
+         |  JOIN pbandp p ON p.k = s.k
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.w-1 AS INT))) AS x) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.h-1 AS INT))) AS y) ys
+         |  WHERE xs.x >= s.nw),
+         |xg AS (SELECT s.k, s.w, s.h, xs.gx,
+         |         CAST(FLOOR((xs.gx-1)/2.0) AS BIGINT) AS x1,
+         |         CASE WHEN xs.gx % 2 = 0 THEN 3 ELSE 1 END AS tnx
+         |       FROM simg s CROSS JOIN LATERAL
+         |         (SELECT unnest(generate_series(0,
+         |            CAST(2*s.w-1 AS INT))) AS gx) xs),
+         |offs AS (SELECT unnest([0,1,2,3]) AS j),
+         |rown AS (SELECT x.k, x.gx, x.tnx, o.j,
+         |           LEAST(x.w-1, GREATEST(0, x.x1 + o.j - 1)) AS sx
+         |         FROM xg x CROSS JOIN offs o),
+         |rowv AS (SELECT r.k, p.b, r.gx, p.y, r.tnx, r.j, p.v
+         |         FROM rown r JOIN ppx p ON p.k = r.k AND p.x = r.sx),
+         |rowc AS (SELECT k, b, gx, y, tnx,
+         |  CASE WHEN COUNT(*) = 4 THEN
+         |    128*MAX(CASE WHEN j=1 THEN v END)
+         |    + 16*tnx*(MAX(CASE WHEN j=2 THEN v END)
+         |        - MAX(CASE WHEN j=0 THEN v END))
+         |    + 4*tnx*tnx*(2*MAX(CASE WHEN j=0 THEN v END)
+         |        - 5*MAX(CASE WHEN j=1 THEN v END)
+         |        + 4*MAX(CASE WHEN j=2 THEN v END)
+         |        - MAX(CASE WHEN j=3 THEN v END))
+         |    + tnx*tnx*tnx*(3*(MAX(CASE WHEN j=1 THEN v END)
+         |        - MAX(CASE WHEN j=2 THEN v END))
+         |        + MAX(CASE WHEN j=3 THEN v END)
+         |        - MAX(CASE WHEN j=0 THEN v END))
+         |  END AS c128
+         |  FROM rowv GROUP BY k, b, gx, y, tnx),
+         |yg AS (SELECT s.k, s.h, ys.gy,
+         |         CAST(FLOOR((ys.gy-1)/2.0) AS BIGINT) AS y1,
+         |         CASE WHEN ys.gy % 2 = 0 THEN 3 ELSE 1 END AS tny
+         |       FROM simg s CROSS JOIN LATERAL
+         |         (SELECT unnest(generate_series(0,
+         |            CAST(2*s.h-1 AS INT))) AS gy) ys),
+         |coln AS (SELECT y.k, y.gy, y.tny, o.j,
+         |           LEAST(y.h-1, GREATEST(0, y.y1 + o.j - 1)) AS sy
+         |         FROM yg y CROSS JOIN offs o),
+         |colv AS (SELECT c.k, r.b, r.gx, c.gy, c.tny, c.j, r.c128
+         |         FROM coln c JOIN rowc r ON r.k = c.k AND r.y = c.sy
+         |         WHERE r.c128 IS NOT NULL),
+         |up AS (SELECT k, b, gx, gy,
+         |  CASE WHEN COUNT(*) = 4 THEN
+         |    128*MAX(CASE WHEN j=1 THEN c128 END)
+         |    + 16*tny*(MAX(CASE WHEN j=2 THEN c128 END)
+         |        - MAX(CASE WHEN j=0 THEN c128 END))
+         |    + 4*tny*tny*(2*MAX(CASE WHEN j=0 THEN c128 END)
+         |        - 5*MAX(CASE WHEN j=1 THEN c128 END)
+         |        + 4*MAX(CASE WHEN j=2 THEN c128 END)
+         |        - MAX(CASE WHEN j=3 THEN c128 END))
+         |    + tny*tny*tny*(3*(MAX(CASE WHEN j=1 THEN c128 END)
+         |        - MAX(CASE WHEN j=2 THEN c128 END))
+         |        + MAX(CASE WHEN j=3 THEN c128 END)
+         |        - MAX(CASE WHEN j=0 THEN c128 END))
+         |  END AS c16384
+         |  FROM colv GROUP BY k, b, gx, gy, tny),
+         |piv AS (SELECT k, gx, gy,
+         |          MAX(CASE WHEN b=2 THEN c16384 END) AS r16,
+         |          MAX(CASE WHEN b=1 THEN c16384 END) AS g16,
+         |          MAX(CASE WHEN b=0 THEN c16384 END) AS b16,
+         |          MAX(CASE WHEN b=3 THEN c16384 END) AS n16,
+         |          COUNT(c16384) AS nbv
+         |        FROM up GROUP BY k, gx, gy),
+         |sharp AS (SELECT p.k, p.gx, p.gy, p.r16, p.g16, p.b16,
+         |          ((200 + (p.k*3) % 800) + (p.k%8)*p.gx + (p.k%8)*p.gy
+         |            - CAST(p.n16 AS DOUBLE)/65536.0)
+         |          / ((CAST(p.r16 AS DOUBLE) + p.g16 + p.b16)/65536.0) AS dnf
+         |        FROM piv p WHERE p.nbv = 4)
+         |SELECT i.image_id, CAST(3*COUNT(*) AS BIGINT) AS n_valid,
+         |  CAST(SUM(
+         |    CAST(FLOOR(CAST(s.r16 AS DOUBLE)/16384.0 * s.dnf * 1000.0)
+         |      AS BIGINT)
+         |    + CAST(FLOOR(CAST(s.g16 AS DOUBLE)/16384.0 * s.dnf * 1000.0)
+         |      AS BIGINT)
+         |    + CAST(FLOOR(CAST(s.b16 AS DOUBLE)/16384.0 * s.dnf * 1000.0)
+         |      AS BIGINT)) AS BIGINT) AS fsum
+         |FROM sharp s JOIN img2 i ON i.k = s.k
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact-integer pixel-spectra k-means ground truth: pixels
+    // regenerated via pixelGen, spectra as ordered integer lists,
+    // per-image-first seeds (string image_id order, matching Spark's
+    // orderBy), three unrolled Lloyd rounds with `//` centroid means
+    "q_kmeans_pixels_exact" -> {
+      val K = 4; val Iters = 3; val Dim = 6
+      val ctes = scala.collection.mutable.ArrayBuffer[String](
+        I, SimgCte, B, PxCte,
+        """spx AS (SELECT i.image_id, p.x, p.y, list(p.v ORDER BY p.b) AS qe
+          |  FROM px p JOIN img2 i ON i.k = p.k GROUP BY 1, 2, 3)""".stripMargin,
+        s"dims AS (SELECT unnest(generate_series(1, $Dim)) AS i)",
+        s"""c1 AS (SELECT ROW_NUMBER() OVER (ORDER BY image_id) - 1 AS cid,
+           |  qe AS ce FROM
+           |  (SELECT image_id, qe, ROW_NUMBER() OVER (PARTITION BY image_id
+           |     ORDER BY y, x) AS rn FROM spx)
+           |  WHERE rn = 1 ORDER BY image_id LIMIT $K)""".stripMargin)
+      for (r <- 1 to Iters) {
+        ctes += s"""d$r AS (SELECT q.image_id, q.x, q.y, c.cid,
+                   |  SUM((q.qe[d.i]-c.ce[d.i])*(q.qe[d.i]-c.ce[d.i])) AS dist
+                   |  FROM spx q, c$r c, dims d GROUP BY 1, 2, 3, 4)""".stripMargin
+        ctes += s"""a$r AS (SELECT image_id, x, y, cid AS cluster FROM
+                   |  (SELECT image_id, x, y, cid, ROW_NUMBER() OVER (
+                   |     PARTITION BY image_id, x, y ORDER BY dist, cid) AS rn
+                   |   FROM d$r) WHERE rn = 1)""".stripMargin
+        if (r < Iters) {
+          ctes += s"""s$r AS (SELECT a.cluster, d.i,
+                     |  SUM(q.qe[d.i]) // COUNT(*) AS m
+                     |  FROM a$r a JOIN spx q USING (image_id, x, y), dims d
+                     |  GROUP BY 1, 2)""".stripMargin
+          ctes += s"""c${r + 1} AS (SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
+                     |  FROM c$r p LEFT JOIN (SELECT cluster AS cid,
+                     |    list(m ORDER BY i) AS ce FROM s$r GROUP BY 1) n
+                     |  USING (cid))""".stripMargin
+        }
+      }
+      "WITH " + ctes.mkString(",\n") +
+        s"\nSELECT image_id, CAST(cluster AS BIGINT) AS cluster," +
+        s" CAST(COUNT(*) AS BIGINT) AS n_px" +
+        s"\nFROM a$Iters GROUP BY 1, 2 ORDER BY image_id, cluster"
+    },
 
     // int8 quantization ground truth: identical float→double widen,
     // IEEE divide, floor — every digest an exact integer

@@ -245,42 +245,55 @@ object Algorithms {
     *   distance = cloudheight / tan(se);  dx = −sin(sa)·distance/xres;
     *   dy = cos(sa)·distance/yres;        steps = max(|d|/dilate/4, 1).
     * Shift is zero-fill; nodata (NaN) cells stay NaN. */
-  def shadowSmear(mask: Array[Double], w: Int, h: Int,
-                  seDeg: Double, saDeg: Double, cloudheight: Double,
-                  xres: Double = 30.0, yres: Double = 30.0,
-                  dilate: Int = 3): Array[Double] = {
+  /** The (sx, sy) shift list the shadow smear applies — exposed as the
+    * single source of truth so the DuckDB oracle can embed the exact
+    * same offsets as SQL literals (pure function of the sun geometry). */
+  def smearOffsets(seDeg: Double, saDeg: Double, cloudheight: Double,
+                   xres: Double = 30.0, yres: Double = 30.0,
+                   dilate: Int = 3): Seq[(Int, Int)] = {
     val se = seDeg * math.Pi / 180.0
     val sa = saDeg * math.Pi / 180.0
     val distance = cloudheight / math.tan(se)
     val dx = (-math.sin(sa) * distance / xres).toInt
     val dy = (math.cos(sa) * distance / yres).toInt
     val smearlen = math.sqrt(dx.toDouble * dx + dy.toDouble * dy).toInt
-    val out = mask.clone()
-    if (smearlen <= 0 || dx == 0 || dy == 0) return out
+    if (smearlen <= 0 || dx == 0 || dy == 0) return Seq.empty
     val signX = if (dx < 0) -1 else 1
     val signY = if (dy < 0) -1 else 1
     val xstep = math.max(signX * dx / dilate / 4, 1)
     val ystep = math.max(signY * dy / dilate / 4, 1)
     var xN = math.abs(dx); var yN = math.abs(dy)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
     while (xN > 0 && yN > 0) {
-      val sx = signX * xN; val sy = signY * yN
-      var y = 0
-      while (y < h) {
-        val ys = y - sy
-        if (ys >= 0 && ys < h) {
-          var x = 0
-          while (x < w) {
-            val xs = x - sx
-            if (xs >= 0 && xs < w && !out(y * w + x).isNaN &&
-                mask(ys * w + xs) == 1.0)
-              out(y * w + x) = 1.0
-            x += 1
-          }
-        }
-        y += 1
-      }
+      out += ((signX * xN, signY * yN))
       xN -= xstep; yN -= ystep
     }
+    out.toSeq
+  }
+
+  def shadowSmear(mask: Array[Double], w: Int, h: Int,
+                  seDeg: Double, saDeg: Double, cloudheight: Double,
+                  xres: Double = 30.0, yres: Double = 30.0,
+                  dilate: Int = 3): Array[Double] = {
+    val out = mask.clone()
+    smearOffsets(seDeg, saDeg, cloudheight, xres, yres, dilate)
+      .foreach { case (sx, sy) =>
+        var y = 0
+        while (y < h) {
+          val ys = y - sy
+          if (ys >= 0 && ys < h) {
+            var x = 0
+            while (x < w) {
+              val xs = x - sx
+              if (xs >= 0 && xs < w && !out(y * w + x).isNaN &&
+                  mask(ys * w + xs) == 1.0)
+                out(y * w + x) = 1.0
+              x += 1
+            }
+          }
+          y += 1
+        }
+      }
     out
   }
 
@@ -943,6 +956,139 @@ object Algorithms {
       .agg(count(lit(1)).as("n_px"))
       .cache()
     out.count() // materialize before dropping the input cache
+    spectra.unpersist()
+    out
+  }
+
+  /** BIT-REPRODUCIBLE distributed k-means — the exact-integer variant
+    * of [[kmeansEmbeddings]]: coordinates quantized to
+    * floor(x·2^20) longs, centroids TRUNCATED integer means
+    * (Σq / n, toward zero — matching SQL's `//`), distances exact
+    * integer squared sums. Every
+    * cross-row reduction is an INTEGER sum (associative — partition
+    * order cannot change the result), so the clustering is identical
+    * across partitionings, engines and re-runs; float k-means
+    * ([[kmeansEmbeddings]], reference-faithful) is not, which is why
+    * its gate is rows-only while this one is DuckDB-oracle-exact. The
+    * ≤1-quantum centroid floor bias is immaterial at 2^20 scale, and
+    * reproducible preprocessing is worth it in a 10¹²-row pipeline
+    * (the same corpus must cluster identically on any cluster shape).
+    * Seeds = the k lowest vec_ids; ties → lowest cluster id. */
+  def kmeansEmbeddingsExact(spark: SparkSession, emb: DataFrame, k: Int,
+                            iters: Int): DataFrame = {
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1048576.0)).cast("long")).as("q"))
+      .as[(Long, Array[Long])].cache()
+    var centers: Array[Array[Long]] =
+      vecs.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centers)
+      val a = vecs.map { case (id, q) =>
+        var best = 0; var bestD = Long.MaxValue
+        var c = 0
+        while (c < bc.value.length) {
+          var d = 0L; var i = 0
+          val cv = bc.value(c)
+          while (i < q.length) { val t = q(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (id, best, q)
+      }.toDF("vec_id", "cluster", "q")
+      val byId = a.groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          array((0 until centers(0).length)
+            .map(i => sum(col("q").getItem(i))): _*).as("s"))
+        .collect()
+        .map { row =>
+          val n = row.getLong(1)
+          row.getInt(0) -> row.getSeq[Long](2).map(_ / n).toArray
+        }.toMap
+      centers = Array.tabulate(centers.length)(c => byId.getOrElse(c, centers(c)))
+      assigned = a.select(col("vec_id"), col("cluster").cast("long"))
+    }
+    val out = assigned.cache()
+    out.count()
+    vecs.unpersist()
+    out
+  }
+
+  /** BIT-REPRODUCIBLE pixel-spectra k-means — the exact-integer sibling
+    * of [[kmeansPixels]] (same contract as [[kmeansEmbeddingsExact]]):
+    * ALL valid pixels' 6-band integer spectra (exact-codec payloads
+    * decode to integers), seeds = the first valid pixel (min y, then
+    * x) of each of the k lexicographically-first images (well-spread:
+    * per-image base values differ), truncated-integer centroid means,
+    * exact integer distances, ties → lowest cluster. Cross-row
+    * reductions are integer sums → identical across partitionings and
+    * replayable by the DuckDB oracle. Returns (image_id, cluster,
+    * n_px). */
+  def kmeansPixelsExact(spark: SparkSession, imagesWithBytes: DataFrame,
+                        k: Int, iters: Int, nb: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sp = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+      val cube = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Long])]()
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          if (!cube(0)(y * w + x).isNaN)
+            out += ((x, y, Array.tabulate(cube.length)(b =>
+              cube(b)(y * w + x).toLong)))
+          x += 1
+        }
+        y += 1
+      }
+      out.toSeq
+    })
+    val spectra = imagesWithBytes
+      .withColumn("p", explode(sp(col("bytes"), col("w").cast("int"),
+        col("h").cast("int"), col("fmt"))))
+      .select(col("image_id"), col("p._1").as("x"), col("p._2").as("y"),
+        col("p._3").as("q"))
+      .as[(String, Int, Int, Array[Long])].cache()
+    val wFirst = Window.partitionBy(col("image_id"))
+      .orderBy(col("y"), col("x"))
+    var centers: Array[Array[Long]] = spectra.toDF()
+      .withColumn("rn", row_number().over(wFirst))
+      .where(col("rn") === 1)
+      .orderBy("image_id").limit(k)
+      .select("q").as[Array[Long]].collect()
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centers)
+      val a = spectra.map { case (id, _, _, q) =>
+        var best = 0; var bestD = Long.MaxValue
+        var c = 0
+        while (c < bc.value.length) {
+          var d = 0L; var i = 0
+          val cv = bc.value(c)
+          while (i < q.length) { val t = q(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (id, best, q)
+      }.toDF("image_id", "cluster", "q")
+      val byId = a.groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          array((0 until centers(0).length)
+            .map(i => sum(col("q").getItem(i))): _*).as("s"))
+        .collect()
+        .map { row =>
+          val n = row.getLong(1)
+          row.getInt(0) -> row.getSeq[Long](2).map(_ / n).toArray
+        }.toMap
+      centers = Array.tabulate(centers.length)(c => byId.getOrElse(c, centers(c)))
+      assigned = a.select(col("image_id"), col("cluster").cast("long"))
+    }
+    val out = assigned.groupBy(col("image_id"), col("cluster"))
+      .agg(count(lit(1)).as("n_px")).cache()
+    out.count()
     spectra.unpersist()
     out
   }

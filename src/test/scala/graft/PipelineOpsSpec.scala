@@ -61,6 +61,17 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(frac - 0.25) < 0.05, s"val fraction $frac")
   }
 
+  test("kmeansEmbeddingsExact: identical assignments under any partitioning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Algorithms.kmeansEmbeddingsExact(spark, df, 4, 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(emb)
+    val b = run(emb.repartition(13))
+    assert(a === b, "integer sums make the clustering partition-order-independent")
+    assert(a.values.toSet.size > 1, "fixture should use more than one cluster")
+  }
+
   test("quantizeInt8: range bound, sign preserved, max element hits ±127") {
     import spark.implicits._
     val emb = Seq(
