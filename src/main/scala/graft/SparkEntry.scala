@@ -230,10 +230,15 @@ object SparkEntry {
       val before = graft.table.Lineage.read(s, root).count()
       graft.table.Lineage.compact(s, root, maxFiles = 1)
       assert(graft.table.Lineage.read(s, root).count() == before)
+      // per-bucket row counts are DISTINCT over commit lines (gens
+      // repeat the same rows; whether compaction fired depends on the
+      // file layout, so the gen column itself is not oracle-stable) —
+      // the counts are pure murmur3(image_id) bucketing, which the
+      // DuckDB oracle replays bit-exactly
       graft.table.Lineage.metrics(s, root)
-        .select(col("part").cast("long").as("part"), col("rows"),
-          col("gen").cast("long").as("gen"))
-        .orderBy("part", "gen")
+        .select(col("part").cast("long").as("part"), col("rows"))
+        .distinct()
+        .orderBy("part")
     }),
 
     // ---- vector-layer attribute ops (GeoVector.where analogs) ----
@@ -1992,6 +1997,60 @@ object SparkEntry {
       "WITH " + ctes.mkString(",\n") +
         s"\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster" +
         s"\nFROM a$Iters ORDER BY vec_id"
+    },
+
+    // LINEAGE bucketing ground truth — Spark's Murmur3_x86_32 (seed
+    // 42, word pass + per-byte tail, fmix) replayed in SQL with
+    // HUGEINT modular 32-bit arithmetic: per-bucket row counts are
+    // pmod(murmur3(image_id), 8) group sizes, bit-exact
+    "q_lineage_metrics" -> {
+      val W = 4294967296L
+      def mul(e: String, c: Long): String =
+        s"CAST((CAST($e AS HUGEINT) * $c) % $W AS BIGINT)"
+      def mix(h: String, k: String): String = {
+        val k1 = mul(s"($k)", 3432918353L)
+        val k1r = s"(($k1 << 15) % $W | ($k1 >> 17))"
+        val k1m = mul(k1r, 461845907L)
+        val hx = s"(xor($h, $k1m))"
+        val hr = s"((($hx << 13) % $W) | ($hx >> 19))"
+        s"CAST((CAST($hr AS HUGEINT) * 5 + 3864292196) % $W AS BIGINT)"
+      }
+      s"""WITH i0 AS (SELECT CAST(p_partkey AS BIGINT) AS k,
+         |  'img-' || CAST(p_partkey AS VARCHAR) AS s FROM part),
+         |i1 AS (SELECT k, s, LENGTH(s) AS n,
+         |  list_transform(generate_series(1, LENGTH(s)),
+         |    i -> CAST(ascii(substr(s, i, 1)) AS BIGINT)) AS b
+         |  FROM i0),
+         |mh0 AS (SELECT *, CAST(42 AS BIGINT) AS h FROM i1),
+         |mh1 AS (SELECT k, n, b, CASE WHEN n >= 4 THEN
+         |    ${mix("h", "b[1] + 256*b[2] + 65536*b[3] + 16777216*b[4]")}
+         |  ELSE h END AS h FROM mh0),
+         |mh2 AS (SELECT k, n, b, CASE WHEN n >= 8 THEN
+         |    ${mix("h", "b[5] + 256*b[6] + 65536*b[7] + 16777216*b[8]")}
+         |  ELSE h END AS h FROM mh1),
+         |mh3 AS (SELECT k, n, b, CASE WHEN n >= 12 THEN
+         |    ${mix("h", "b[9] + 256*b[10] + 65536*b[11] + 16777216*b[12]")}
+         |  ELSE h END AS h FROM mh2),
+         |mt1 AS (SELECT k, n, b, CASE WHEN n % 4 >= 1 THEN
+         |    ${mix("h", "b[n - n % 4 + 1]")}
+         |  ELSE h END AS h FROM mh3),
+         |mt2 AS (SELECT k, n, b, CASE WHEN n % 4 >= 2 THEN
+         |    ${mix("h", "b[n - n % 4 + 2]")}
+         |  ELSE h END AS h FROM mt1),
+         |mt3 AS (SELECT k, n, b, CASE WHEN n % 4 >= 3 THEN
+         |    ${mix("h", "b[n - n % 4 + 3]")}
+         |  ELSE h END AS h FROM mt2),
+         |mf1 AS (SELECT k, xor(h, n) AS h FROM mt3),
+         |mf2 AS (SELECT k, xor(h, h >> 16) AS h FROM mf1),
+         |mf3 AS (SELECT k, ${mul("h", 2246822507L)} AS h FROM mf2),
+         |mf4 AS (SELECT k, xor(h, h >> 13) AS h FROM mf3),
+         |mf5 AS (SELECT k, ${mul("h", 3266489909L)} AS h FROM mf4),
+         |mf6 AS (SELECT k, xor(h, h >> 16) AS h FROM mf5),
+         |mf7 AS (SELECT k, CASE WHEN h >= 2147483648 THEN h - 4294967296
+         |  ELSE h END AS hs FROM mf6)
+         |SELECT CAST(((hs % 8) + 8) % 8 AS BIGINT) AS part,
+         |  CAST(COUNT(*) AS BIGINT) AS rows
+         |FROM mf7 GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     // FMASK ground truth — full multi-pass replay in SQL: PCP/water/
