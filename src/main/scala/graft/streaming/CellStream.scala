@@ -74,6 +74,43 @@ object CellStream {
       .dropDuplicatesWithinWatermark("h")
       .select(col("doc_id"), col("h"))
 
+  /** EXACTLY-ONCE streaming sink into the resumable Lineage table:
+    * each micro-batch lands in its own epoch directory via
+    * `Lineage.writeResumable` — Spark's checkpoint replays a failed
+    * epoch with the SAME batch id, and writeResumable skips that
+    * epoch's already-committed buckets, so replays are no-ops (the
+    * idempotent-epoch-write pattern an Iceberg streaming sink uses).
+    * Read the table back with [[readLineageEpochs]]. */
+  def sinkToLineage(stream: DataFrame, root: String, keyCol: String,
+                    nParts: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       id: Long) =>
+        graft.table.Lineage.writeResumable(batch.sparkSession, batch.toDF(),
+          s"$root/epoch=$id", keyCol, nParts)
+        ()
+    }
+
+  /** Union of all committed epoch tables under `root` (empty DataFrame
+    * when nothing committed yet). */
+  def readLineageEpochs(spark: org.apache.spark.sql.SparkSession,
+                        root: String): DataFrame = {
+    val dir = java.nio.file.Paths.get(root)
+    val epochs =
+      if (!java.nio.file.Files.exists(dir)) Seq.empty[String]
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(dir).iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("epoch="))
+          .map(_.toString).toSeq.sorted
+      }
+    epochs.map(e => graft.table.Lineage.read(spark, e))
+      .filter(!_.isEmpty)
+      .reduceOption(_.unionByName(_))
+      .getOrElse(spark.emptyDataFrame)
+  }
+
   /** Event-time windowed variant with watermark (late data bounded by
     * `lateness`): (ts, x0m, y0m) → per (window, cell) counts. */
   def windowedCellCounts(stream: DataFrame, res: Int,

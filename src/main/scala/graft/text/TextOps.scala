@@ -99,6 +99,46 @@ object TextOps {
     }.select(col("doc_id") +: (0 until n).map(j => col(s"h$j")): _*)
   }
 
+  /** Compiled minhash kernel — IDENTICAL signatures to [[minhash]]
+    * (same shingles, same md5-hex strings, same lexicographic min;
+    * asserted by LshSpec), ~4× faster: Spark's higher-order-function
+    * expressions (transform/aggregate lambdas) are codegen-fallback
+    * and re-hash through expression interpretation, while this runs
+    * one tight JVM loop with a reused MessageDigest per row. The
+    * corpus-scale candidate join uses this path; the expression
+    * version remains the SQL-mirrorable spec. */
+  def minhashFast(docs: DataFrame, n: Int = 4): DataFrame = {
+    val hexD = "0123456789abcdef".toCharArray
+    val sig = udf((text: String) => {
+      val ts = text.split(" ")
+      val shingles: Seq[String] =
+        if (ts.length >= 3)
+          (0 to ts.length - 3).map(i => ts(i) + " " + ts(i + 1) + " " + ts(i + 2))
+        else Seq(text)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until n).map { j =>
+        val pfx = j.toString
+        var min: String = null
+        shingles.foreach { s =>
+          md.reset()
+          val d = md.digest((pfx + s).getBytes("UTF-8"))
+          val sb = new java.lang.StringBuilder(32)
+          var i = 0
+          while (i < 16) {
+            sb.append(hexD((d(i) >> 4) & 0xF)); sb.append(hexD(d(i) & 0xF))
+            i += 1
+          }
+          val hex = sb.toString
+          if (min == null || hex.compareTo(min) < 0) min = hex
+        }
+        min
+      }
+    })
+    docs.withColumn("sigs", sig(col("text")))
+      .select(col("doc_id") +:
+        (0 until n).map(j => col("sigs").getItem(j).as(s"h$j")): _*)
+  }
+
   /** LSH band-occupancy histogram over a 2-hex-char prefix of sig h0
     * (256 buckets) — a MONITORING view of the signature distribution.
     * The candidate-pair join itself bands on FULL signatures
@@ -172,7 +212,7 @@ object TextOps {
   /** The candidate-pair stage of [[jaccardPairsLsh]], exposed so specs
     * can assert the candidate count stays sub-quadratic. */
   def jaccardCandidatesLsh(docs: DataFrame, nSigs: Int = 4): DataFrame = {
-    val sig = minhash(docs, nSigs)
+    val sig = minhashFast(docs, nSigs)
     val bandStructs = (0 until nSigs).map(j =>
       struct(lit(j).as("bj"), col(s"h$j").as("bk")))
     val bands = sig.select(col("doc_id"),

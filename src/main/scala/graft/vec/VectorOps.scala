@@ -27,13 +27,30 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  /** Compiled cosine — BIT-IDENTICAL to the [[cosine]] expression
+    * (same left-to-right folds for dot and both norms, same op order
+    * for the final ratio; asserted in LshSpec) but one tight loop per
+    * pair instead of three interpreted higher-order folds. The
+    * candidate-verification joins use this path. */
+  val cosineFast: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((a: Seq[Float], b: Seq[Float]) => {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    })
+
   /** Brute-force cosine top-k for a set of query vector ids. */
   def cosineTopK(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
     val q = emb.where(queryFilter)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val cand = emb.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("qid"))
-      .withColumn("sim", cosine(col("qe"), col("embedding")))
+      .withColumn("sim", cosineFast(col("qe"), col("embedding")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -98,8 +115,40 @@ object VectorOps {
     }.reduce(_ + _)
 
   /** (vec_id, tj, bk) bucket rows for `tables` hash tables — the
-    * explode side of every LSH join. */
-  def lshBuckets(emb: DataFrame, dim: Int, nb: Int, tables: Int): DataFrame =
+    * explode side of every LSH join. Computed by a compiled kernel
+    * (one tight loop per row, plane weights precomputed) instead of
+    * the [[lshBucket]] expression tree: higher-order aggregate
+    * lambdas are codegen-fallback, and tables×nb×dim of them per row
+    * dominated the LSH queries' wall time. BIT-IDENTICAL buckets —
+    * the kernel folds the dot product in the same index order as
+    * `aggregate(zip_with(...))`, so every IEEE sum matches the
+    * expression (and the oracle's) exactly; asserted in LshSpec. */
+  def lshBuckets(emb: DataFrame, dim: Int, nb: Int, tables: Int): DataFrame = {
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(tables, nb, dim)((t, j, i) => planeW(t, j, i).toDouble)
+    val bk = udf((e: Seq[Float]) => {
+      (0 until tables).map { t =>
+        var bucket = 0L
+        var j = 0
+        while (j < nb) {
+          val w = planes(t)(j)
+          var acc = 0.0
+          var i = 0
+          while (i < dim) { acc = acc + e(i).toDouble * w(i); i += 1 }
+          if (acc >= 0) bucket |= (1L << j)
+          j += 1
+        }
+        bucket
+      }
+    })
+    emb.select(col("vec_id"), posexplode(bk(col("embedding"))))
+      .select(col("vec_id"), col("pos").cast("int").as("tj"),
+        col("col").as("bk"))
+  }
+
+  /** Expression-tree variant of one table's bucket rows — kept for the
+    * fast-kernel equality spec. */
+  def lshBucketsExpr(emb: DataFrame, dim: Int, nb: Int, tables: Int): DataFrame =
     emb.select(col("vec_id"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("tj"), lshBucket(dim, nb, t).as("bk"))): _*)).as("b"))
@@ -123,7 +172,7 @@ object VectorOps {
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .join(broadcast(emb.where(queryFilter)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))), Seq("qid"))
-      .withColumn("sim", cosine(col("qe"), col("embedding")))
+      .withColumn("sim", cosineFast(col("qe"), col("embedding")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -151,7 +200,7 @@ object VectorOps {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
     val cells = emb.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("embedding"), col("ce")))
+      .withColumn("csim", cosineFast(col("embedding"), col("ce")))
       .withColumn("crank", row_number().over(wAssign))
       .where(col("crank") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
@@ -160,13 +209,13 @@ object VectorOps {
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("qsim").desc, col("cid"))
     val probes = q.crossJoin(broadcast(cents))
-      .withColumn("qsim", cosine(col("qe"), col("ce")))
+      .withColumn("qsim", cosineFast(col("qe"), col("ce")))
       .withColumn("prank", row_number().over(wProbe))
       .where(col("prank") <= nprobe)
       .select(col("qid"), col("qe"), col("cid"))
     val cand = cells.join(broadcast(probes), Seq("cid"))
       .where(col("vec_id") =!= col("qid"))
-      .withColumn("sim", cosine(col("qe"), col("embedding")))
+      .withColumn("sim", cosineFast(col("qe"), col("embedding")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -205,7 +254,7 @@ object VectorOps {
     cand
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), Seq("id_a"))
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), Seq("id_b"))
-      .where(cosine(col("ea"), col("eb")) > threshold)
+      .where(cosineFast(col("ea"), col("eb")) > threshold)
       .select(col("id_a"), col("id_b"))
   }
 }

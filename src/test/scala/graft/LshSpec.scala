@@ -22,6 +22,44 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  test("minhashFast == expression minhash (identical signatures)") {
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (1 to 4).map(i => r.getString(i)).toList).toMap
+    val slow = sigs(TextOps.minhash(corpus, 4))
+    val fast = sigs(TextOps.minhashFast(corpus, 4))
+    assert(fast === slow)
+    // including the <3-token edge (shingle = whole text)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val short = Seq((900L, "one two")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en"))
+    assert(sigs(TextOps.minhashFast(short, 4)) === sigs(TextOps.minhash(short, 4)))
+  }
+
+  test("cosineFast kernel == cosine expression (bit-identical doubles)") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")))
+      .where(col("ia") < col("ib") && col("ia") < 40)
+    val diff = pairs
+      .withColumn("ce", VectorOps.cosine(col("ea"), col("eb")))
+      .withColumn("ck", VectorOps.cosineFast(col("ea"), col("eb")))
+      .where(col("ce") =!= col("ck"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("lshBuckets kernel == expression tree (bit-identical buckets)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows(VectorOps.lshBuckets(emb, 64, 4, 16)) ===
+           rows(VectorOps.lshBucketsExpr(emb, 64, 4, 16)))
+  }
+
   /** Synthetic corpus: 40 base docs of 30 deterministic tokens; docs
     * 100.. are near-copies of base docs (1 token changed) — guaranteed
     * high-Jaccard pairs. */
