@@ -147,14 +147,20 @@ object Bench {
       try SparkEntry.queries(w)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
-    val qTimes = names.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"$name: $e"); -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+    // a query that throws records -1.0, not its (short) elapsed wall
+    // time — a broken query must be visible in the JSON, not plausible
+    def timeQueries(qNames: Seq[String]): Seq[(String, Double)] =
+      qNames.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"$name FAILED: $e"); false }
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
       }
-    }
+    val qTimes = timeQueries(names)
 
     // ---- round-3 operator additions, timed SEPARATELY (not in the
     // round-over-round-comparable total): dedup clustering, zonal,
@@ -162,14 +168,7 @@ object Bench {
     val newNames = Seq("q_jaccard_lsh", "q_dedup_clusters", "q_emb_clusters",
       "q_zonal_stats", "q_events_asof", "q_events_range", "q_vocab",
       "q_ngrams", "q_doc_split", "q_quantize_int8")
-    val newTimes = newNames.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"$name: $e"); -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    }
+    val newTimes = timeQueries(newNames)
 
     // ---- headline throughput at full parallelism (best of 2, like
     // every other measurement in this file — a single shot is hostage
@@ -240,7 +239,8 @@ object Bench {
     // bimodal; max-of-trials estimates the uncontended machine and is
     // applied symmetrically to both legs).
     def legRun(c: Int, n: Long, master: Option[String],
-               cores: String = null): Map[String, Double] = {
+               cores: String = null,
+               kernelOnly: Boolean = false): Map[String, Double] = {
       val javaBin = s"${System.getProperty("java.home")}/bin/java"
       val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
         .defaultModuleOptions().split(" ").toSeq
@@ -265,7 +265,9 @@ object Bench {
         .filter(_.matches("[A-Z_0-9]+=[-0-9.E]+"))
         .map { l => val Array(k, v) = l.split("=", 2); k -> v.toDouble }
         .toMap
-      if (!fields.contains("SCALE_RATE"))
+      // calibration-only ceiling probes legitimately emit KERNEL_RATE
+      // alone — only a full Spark leg missing its rate is an error
+      if (!kernelOnly && !fields.contains("SCALE_RATE"))
         System.err.println(s"scale leg c=$c missing SCALE_RATE:\n$out")
       fields
     }
@@ -273,6 +275,12 @@ object Bench {
       trials.flatMap(_.keys).distinct.map { k =>
         k -> trials.flatMap(_.get(k)).foldLeft(0.0)(math.max)
       }.toMap
+    def medianOf(trials: Seq[Map[String, Double]], k: String): Double = {
+      val vs = trials.flatMap(_.get(k)).sorted
+      if (vs.isEmpty) 0.0 else vs(vs.length / 2)
+    }
+    def okTrials(trials: Seq[Map[String, Double]]): Int =
+      trials.count(_.contains("SCALE_RATE"))
     // quiesce the parent JVM so forked legs own their pinned cores
     System.gc(); Thread.sleep(2000)
     val nPrim = scaleN / 4 // 4M default: ~26 s on the 4-core leg
@@ -292,18 +300,31 @@ object Bench {
     // Best-of-3 interleaved: the ≥24-thread legs ride a per-run host
     // placement lottery of ±25% (BENCH/BASELINE.md ladder notes), so
     // 2 trials still under-sample the uncontended machine.
-    def lcLeg(c: Int, m: String) = legRun(c, scaleN / 2, Some(m))
+    // longer legs than the in-process pairs (full scaleN, not /2):
+    // executor-JVM startup + broadcast warm-up is a fixed cost the
+    // pinned-JVM legs don't pay, so amortizing it over 2× rows is the
+    // honest comparison (VERDICT r3 #8)
+    val lcN = scaleN
+    def lcLeg(c: Int, m: String) = legRun(c, lcN, Some(m))
     val lcT = (1 to 3).map(_ =>
       (lcLeg(8, "local-cluster[1,8,6144]"), lcLeg(32, "local-cluster[4,8,6144]")))
-    val lc1 = bestOf(8, scaleN / 2, lcT.map(_._1))
-    val lc4 = bestOf(32, scaleN / 2, lcT.map(_._2))
+    val lc1 = bestOf(8, lcN, lcT.map(_._1))
+    val lc4 = bestOf(32, lcN, lcT.map(_._2))
+    // median-of-trials alongside best-of-trials so the cluster claim
+    // doesn't lean on the placement lottery's best draw
+    val lcEffMed = {
+      val m1 = medianOf(lcT.map(_._1), "SCALE_RATE")
+      val m4 = medianOf(lcT.map(_._2), "SCALE_RATE")
+      if (m1 <= 0) 0.0 else m4 / m1 / 4.0
+    }
     // local-cluster HW CEILING (the calibration the r2 verdict found
     // missing): the job kernel in 1 pinned 8-core JVM vs 4 CONCURRENT
     // pinned 8-core JVMs on disjoint core slices — exactly the
     // multi-JVM topology of local-cluster[4,8], zero Spark. Ratio =
     // Σ(concurrent rates) / single rate / 4.
     def kernelRate(cores: String): Map[String, Double] =
-      legRun(8, scaleN / 2, Some("calibonly"), cores = cores)
+      legRun(8, scaleN / 2, Some("calibonly"), cores = cores,
+        kernelOnly = true)
     val lcKernSingle = kernelRate("0-7").getOrElse("KERNEL_RATE", 0.0)
     val slices = Seq("0-7", "8-15", "16-23", "24-31")
     val quadRates = new Array[Double](4)
@@ -376,6 +397,19 @@ object Bench {
          || **4 → 16 cores (primary)** | **${f"$eff%.3f"}** | ${f"$effKern%.3f"} | ${f"$effNorm%.3f"} |
          || 8 → 32 cores | ${f"$eff32%.3f"} | ${f"$effKern32%.3f"} | ${f"$effNorm32%.3f"} |
          || 1 → 4 executor JVMs (8 cores each) | ${f"$effLc%.3f"} | ${f"$lcCeil%.3f"} | ${f"$effLcNorm%.3f"} |
+         |
+         |Per-leg successful trials (SCALE_RATE present / attempted):
+         |local[4] ${okTrials(Seq(t4a, t4b, t4c))}/3,
+         |local[16] ${okTrials(Seq(t16a, t16b, t16c))}/3,
+         |local[8] ${okTrials(Seq(t8a, t8b))}/2,
+         |local[32] ${okTrials(Seq(t32a, t32b))}/2,
+         |local-cluster[1,8] ${okTrials(lcT.map(_._1))}/3,
+         |local-cluster[4,8] ${okTrials(lcT.map(_._2))}/3 — per-leg rate
+         |= best of these trials, applied symmetrically to both legs.
+         |Cluster-pair MEDIAN-of-trials efficiency (doesn't lean on the
+         |best draw): ${f"$lcEffMed%.3f"} raw (vs best-of ${f"$effLc%.3f"});
+         |cluster legs run $lcN images (2× the in-process legs) so
+         |executor-JVM startup amortizes.
          |
          |The executor-JVM ceiling row is measured in the SAME multi-JVM
          |topology as local-cluster[4,8]: the job kernel bare-threaded in
@@ -463,6 +497,6 @@ object Bench {
     val qsNew = newTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = qTimes.map(_._2).sum + headSec
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"queries_new":$qsNew,"sf":"$sfDir","throughput_images_per_sec":${f"$rate%.0f"},"headline_images":$benchN,"headline_sec":${f"$headSec%.3f"},"scaling":{"n_images":$nPrim,"rate_local4":${f"$r4%.0f"},"rate_local16":${f"$r16%.0f"},"rate_local8":${f"$r8%.0f"},"rate_local32":${f"$r32s%.0f"},"rate_cluster1x8":${g(lc1, "SCALE_RATE")},"rate_cluster4x8":${g(lc4, "SCALE_RATE")},"efficiency":${f"$eff%.3f"},"efficiency_8_32":${f"$eff32%.3f"},"efficiency_cluster":${f"$effLc%.3f"},"hw_ceiling":${f"$effKern%.3f"},"hw_ceiling_8_32":${f"$effKern32%.3f"},"hw_ceiling_cluster":${f"$lcCeil%.3f"},"efficiency_normalized":${f"$effNorm%.3f"},"efficiency_normalized_8_32":${f"$effNorm32%.3f"},"efficiency_normalized_cluster":${f"$effLcNorm%.3f"}},"skew":{"hot_sec":${f"$skewSec0%.3f"},"salted16_sec":${f"$skewSec1%.3f"},"aqe_sec":${f"$skewSec2%.3f"},"salt_speedup":${f"${skewSec0 / skewSec1}%.2f"}}}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"queries_new":$qsNew,"sf":"$sfDir","throughput_images_per_sec":${f"$rate%.0f"},"headline_images":$benchN,"headline_sec":${f"$headSec%.3f"},"scaling":{"n_images":$nPrim,"rate_local4":${f"$r4%.0f"},"rate_local16":${f"$r16%.0f"},"rate_local8":${f"$r8%.0f"},"rate_local32":${f"$r32s%.0f"},"rate_cluster1x8":${g(lc1, "SCALE_RATE")},"rate_cluster4x8":${g(lc4, "SCALE_RATE")},"efficiency":${f"$eff%.3f"},"efficiency_8_32":${f"$eff32%.3f"},"efficiency_cluster":${f"$effLc%.3f"},"efficiency_cluster_median":${f"$lcEffMed%.3f"},"hw_ceiling":${f"$effKern%.3f"},"hw_ceiling_8_32":${f"$effKern32%.3f"},"hw_ceiling_cluster":${f"$lcCeil%.3f"},"efficiency_normalized":${f"$effNorm%.3f"},"efficiency_normalized_8_32":${f"$effNorm32%.3f"},"efficiency_normalized_cluster":${f"$effLcNorm%.3f"}},"skew":{"hot_sec":${f"$skewSec0%.3f"},"salted16_sec":${f"$skewSec1%.3f"},"aqe_sec":${f"$skewSec2%.3f"},"salt_speedup":${f"${skewSec0 / skewSec1}%.2f"}}}""")
   }
 }

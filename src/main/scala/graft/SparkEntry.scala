@@ -111,6 +111,32 @@ object SparkEntry {
         .orderBy("image_id", "band")),
 
     // ---- warp / mosaic grid math ----
+    // FULL DTYPE LATTICE: transcode each small exact-codec payload into
+    // the four new raw dtypes (u16/u32/i32/f64 — completing the
+    // reference's 7-type lattice) and re-derive band stats from the
+    // transcoded bytes; values survive every dtype exactly (they fit
+    // u16), so the oracle states one closed form for all four fmts
+    "q_dtype_stats" -> ((s, dir) => {
+      val fmts = Seq("raw-u16le", "raw-u32le", "raw-i32le", "raw-f64le")
+      val tr = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
+                    dst: String) =>
+        graft.core.Codec.encode(
+          graft.core.Codec.decode(bytes, w, h, Synth.NumBands, fmt),
+          w, h, dst))
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("dfmt", explode(array(fmts.map(lit): _*)))
+        .withColumn("bytes2", tr(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt"), col("dfmt")))
+        .withColumn("bs", explode(Stats.bandStatsUdf(
+          col("bytes2"), col("w").cast("int"), col("h").cast("int"),
+          col("dfmt"), lit(Synth.NumBands))))
+        .select(col("image_id"), col("dfmt"),
+          col("bs._1").as("band"), col("bs._2").as("cnt"),
+          col("bs._3").as("vsum"), col("bs._4").as("vmin"),
+          col("bs._5").as("vmax"), col("bs._6").as("vsumsq"))
+        .orderBy("image_id", "dfmt", "band")
+    }),
+
     "q_warp_grid" -> ((s, dir) => {
       val g = udf((x0: Long, y0: Long, x1: Long, y1: Long) => {
         val gr = Warp.outputGrid(
@@ -214,6 +240,16 @@ object SparkEntry {
     "q_zonal_stats" -> ((s, dir) =>
       Stats.zonalStats(Synth.imagesWithBytes(s, dir, smallRaw),
           Synth.polygons(s, dir), Synth.NumBands)
+        .orderBy("fid")),
+
+    // ARBITRARY-RING zonal stats (extract-by-vector on a CONCAVE
+    // polygon): ray-cast pixel-center inclusion against the L-ring
+    // layer — the engine's generic PIP; the oracle states the same
+    // inclusion as the union of two half-open rects (exact for
+    // axis-aligned rings under the PIP's half-open crossing rule)
+    "q_zonal_poly" -> ((s, dir) =>
+      Stats.zonalStatsPoly(Synth.imagesWithBytes(s, dir, smallRaw),
+          Synth.polygonsL(s, dir), Synth.NumBands)
         .orderBy("fid")),
 
     // ---- lineage / resumable table (rows-only; hash bucketing is
@@ -647,6 +683,22 @@ object SparkEntry {
         .orderBy("gid")
     }),
 
+    // MULTI-BAND mosaic: same tile-gather join, every stored band warps
+    // through the per-band fragment kernel (reference warps each band,
+    // GeoImage.cpp:329-338) — per-(grid, band) merged sums, value-exact
+    "q_mosaic_bands" -> ((s, dir) => {
+      val im = Synth.imagesWithBytes(s, dir, smallRaw)
+      val grids = imgs(s, dir).where(col("w") <= 64 && col("h") <= 64 &&
+          (col("k") % 6 === 1 || col("k") % 6 === 2))
+        .select(col("image_id").as("gid"),
+          (col("x0m") - 512).as("gx0"), (col("y0m") - 512).as("gy0"),
+          (col("x1m") + 512).as("gx1"), (col("y1m") + 512).as("gy1"))
+      Warp.warpInto(im, grids, nbBands = Synth.NumBands)
+        .groupBy("gid", "band")
+        .agg(sum(col("n_valid")).as("n_valid"), sum(col("vsum")).as("vsum"))
+        .orderBy("gid", "band")
+    }),
+
     // float k-means / rxd / masks: rows-only (float sums are partition-
     // order-dependent; matrix-inverse and multi-pass morphology have no
     // SQL mirror) — but the _exact k-means variants and pansharp below
@@ -713,6 +765,21 @@ object SparkEntry {
         .select(col("image_id"), col("rx._1").as("n_valid"),
           floor(col("rx._2") * 1e3).cast("long").as("rx_fsum"),
           floor(col("rx._3") * 1e6).cast("long").as("rx_fmax"))
+        .orderBy("image_id")),
+
+    // BIT-REPRODUCIBLE RX anomaly (exact-integer twin of q_rxd): 16
+    // seeded sample pixels, bands 0-2, Mahalanobis as the exact ratio
+    // yᵀ·adj(M)·y / det(M) over the ridged integer scatter matrix —
+    // both big integers surface as decimal strings, so the DuckDB
+    // oracle replays them digit-exactly (no float matrix inverse on
+    // either side)
+    "q_rxd_exact" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("rx", Algorithms.rxdExactAgg(col("k"), col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands)))
+        .select(col("image_id"), col("rx._1").as("n_valid"),
+          col("rx._2").as("rx_det"), col("rx._3").as("rx_num"))
         .orderBy("image_id")),
 
     "q_cloud_mask" -> ((s, dir) =>
@@ -1100,6 +1167,30 @@ object SparkEntry {
          |    + 2*base*ax*sx*h + 2*base*ay*sy*(w-nw) + 2*ax*ay*sx*sy AS vsumsq
          |FROM stat ORDER BY image_id, band""".stripMargin,
 
+    // dtype-lattice transcode: the ramp values fit every new dtype
+    // exactly, so the per-(image, band) closed forms are fmt-invariant
+    // — one cross join over the 4 new raw fmts
+    "q_dtype_stats" ->
+      s"""WITH $I, $B, $SimgCte,
+         |dfmts AS (SELECT unnest(
+         |  ['raw-f64le','raw-i32le','raw-u16le','raw-u32le']) AS dfmt),
+         |stat AS (
+         |  SELECT i.image_id, p.b, i.w, i.h, i.nw, p.base, p.ax, p.ay,
+         |    ((i.w-1)*i.w)//2 - ((i.nw-1)*i.nw)//2 AS sx,
+         |    ((i.w-1)*i.w*(2*i.w-1))//6 - ((i.nw-1)*i.nw*(2*i.nw-1))//6 AS sx2,
+         |    (i.h*(i.h-1))//2 AS sy,
+         |    ((i.h-1)*i.h*(2*i.h-1))//6 AS sy2
+         |  FROM simg i JOIN bandp p ON p.k = i.k)
+         |SELECT image_id, d.dfmt, b AS band,
+         |  (w-nw)*h AS cnt,
+         |  base*(w-nw)*h + ax*sx*h + ay*sy*(w-nw) AS vsum,
+         |  base + ax*nw AS vmin,
+         |  base + ax*(w-1) + ay*(h-1) AS vmax,
+         |  base*base*(w-nw)*h + ax*ax*sx2*h + ay*ay*sy2*(w-nw)
+         |    + 2*base*ax*sx*h + 2*base*ay*sy*(w-nw) + 2*ax*ay*sx*sy AS vsumsq
+         |FROM stat CROSS JOIN dfmts d
+         |ORDER BY image_id, d.dfmt, band""".stripMargin,
+
     "q_create_from" ->
       s"""WITH $I, $SimgCte
          |SELECT image_id, 'raw-u8' AS fmt, w, h, CAST(0 AS BIGINT) AS n_valid
@@ -1284,6 +1375,51 @@ object SparkEntry {
          |       COALESCE(s.vsum, 0) AS vsum
          |FROM cover c LEFT JOIN sums s USING (gid) ORDER BY gid""".stripMargin,
 
+    // multi-band mosaic: same winner-per-pixel as q_mosaic_pixels (the
+    // nodata stripe hits every band, so the max-k winner is band-
+    // independent), value from each band's own ramp params
+    "q_mosaic_bands" ->
+      s"""WITH $I, $B,
+         |simg AS (SELECT * FROM img2
+         |         WHERE w <= 64 AND h <= 64 AND k % 6 IN (1,2)),
+         |g AS (SELECT image_id AS gid, x0m - 512 AS gx0, y0m - 512 AS gy0,
+         |        x1m + 512 AS gx1, y1m + 512 AS gy1 FROM simg),
+         |gdim AS (SELECT *, (gx1-gx0+3)//4 AS out_w, (gy1-gy0+3)//4 AS out_h
+         |         FROM g),
+         |cover AS (SELECT DISTINCT gid FROM gdim d JOIN simg i
+         |  ON i.x0m < d.gx0 + d.out_w*4 AND d.gx0 < i.x1m
+         | AND i.y0m < d.gy1 AND d.gy1 - d.out_h*4 < i.y1m),
+         |pxc AS (
+         |  SELECT d.gid, d.gx0 + xs.i*4 + 2 AS gx, d.gy1 - ys.j*4 - 2 AS gy
+         |  FROM gdim d
+         |  JOIN cover c ON c.gid = d.gid
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(d.out_w-1 AS INT))) AS i) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(d.out_h-1 AS INT))) AS j) ys),
+         |hit AS (
+         |  SELECT p.gid, p.gx, p.gy, i.k,
+         |         (p.gx - i.x0m)//4 AS xi, (i.y1m - p.gy)//4 AS yi
+         |  FROM pxc p JOIN simg i
+         |    ON p.gx >= i.x0m AND p.gy <= i.y1m
+         |   AND (p.gx - i.x0m)//4 BETWEEN i.nw AND i.w-1
+         |   AND (i.y1m - p.gy)//4 BETWEEN 0 AND i.h-1),
+         |win AS (SELECT gid, gx, gy, MAX(k) AS k FROM hit GROUP BY 1,2,3),
+         |val AS (SELECT w.gid, p.b AS band,
+         |    p.base + p.ax*h.xi + p.ay*h.yi AS v
+         |  FROM win w JOIN hit h
+         |    ON h.gid = w.gid AND h.gx = w.gx AND h.gy = w.gy AND h.k = w.k
+         |  JOIN bandp p ON p.k = w.k),
+         |sums AS (SELECT gid, band, CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |                CAST(SUM(v) AS BIGINT) AS vsum
+         |         FROM val GROUP BY gid, band)
+         |SELECT c.gid, CAST(bn.b AS BIGINT) AS band,
+         |       COALESCE(s.n_valid, 0) AS n_valid,
+         |       COALESCE(s.vsum, 0) AS vsum
+         |FROM cover c CROSS JOIN bands bn
+         |LEFT JOIN sums s ON s.gid = c.gid AND s.band = bn.b
+         |ORDER BY 1, 2""".stripMargin,
+
     "q_warp_grid" ->
       s"""WITH $I
          |SELECT image_id, (w*4+9)//10 AS out_w, (h*4+9)//10 AS out_h
@@ -1465,10 +1601,94 @@ object SparkEntry {
          |  CAST(MAX(v) AS BIGINT) AS vmax
          |FROM zp GROUP BY fid ORDER BY fid""".stripMargin,
 
+    // concave L-ring zonal: inclusion = union of two half-open rects
+    // (lower full-width slab + upper left-of-cut slab) — the exact SQL
+    // statement of the engine's ray-cast PIP on this axis-aligned ring
+    "q_zonal_poly" ->
+      s"""WITH $I, $P, $B, $SimgCte, $PxCte,
+         |lc AS (SELECT *, px0m + pwm//2 AS cutx, py0m + phm//2 AS cuty
+         |       FROM poly2),
+         |zp AS (SELECT p2.fid, i.k, x.v
+         |       FROM px x
+         |       JOIN img2 i ON i.k = x.k
+         |       JOIN lc p2 ON
+         |         ((i.x0m + 4*x.x + 2 >= p2.px0m
+         |           AND i.x0m + 4*x.x + 2 < p2.px1m
+         |           AND i.y1m - 4*x.y - 2 >= p2.py0m
+         |           AND i.y1m - 4*x.y - 2 < p2.cuty)
+         |          OR (i.x0m + 4*x.x + 2 >= p2.px0m
+         |           AND i.x0m + 4*x.x + 2 < p2.cutx
+         |           AND i.y1m - 4*x.y - 2 >= p2.cuty
+         |           AND i.y1m - 4*x.y - 2 < p2.py1m))
+         |       WHERE x.b = 0)
+         |SELECT fid, CAST(COUNT(DISTINCT k) AS BIGINT) AS n_imgs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_px,
+         |  CAST(SUM(v) AS BIGINT) AS vsum,
+         |  CAST(MIN(v) AS BIGINT) AS vmin,
+         |  CAST(MAX(v) AS BIGINT) AS vmax
+         |FROM zp GROUP BY fid ORDER BY fid""".stripMargin,
+
     "q_vector_where" ->
       s"""WITH $P
          |SELECT fid, px0m, py0m, px1m, py1m FROM poly2
          |WHERE pwm > 20000 AND fid % 2 = 0 ORDER BY fid""".stripMargin,
+
+    // exact-integer RXD: 16 seeded samples (read_random_pixels index
+    // formula), bands 0-2; M = n·Q − S·Sᵀ + I (HUGEINT), det by
+    // cofactor expansion, adj(M) entries, per-sample y = n·v − S,
+    // num = Σ yᵀ·adj(M)·y — all integer, compared as decimal strings
+    "q_rxd_exact" ->
+      s"""WITH $I, $B, $SimgCte,
+         |samp AS (SELECT s.k, s.image_id, s.w, s.h, s.nw,
+         |    (s.k*1103515245 + ii.i*2654435761) % (s.w*s.h) AS idx
+         |  FROM simg s CROSS JOIN
+         |    (SELECT unnest(generate_series(0, 15)) AS i) ii),
+         |sv AS (SELECT p.k, p.image_id,
+         |    b0.base + b0.ax*(p.idx % p.w) + b0.ay*(p.idx // p.w) AS v0,
+         |    b1.base + b1.ax*(p.idx % p.w) + b1.ay*(p.idx // p.w) AS v1,
+         |    b2.base + b2.ax*(p.idx % p.w) + b2.ay*(p.idx // p.w) AS v2
+         |  FROM samp p
+         |  JOIN bandp b0 ON b0.k = p.k AND b0.b = 0
+         |  JOIN bandp b1 ON b1.k = p.k AND b1.b = 1
+         |  JOIN bandp b2 ON b2.k = p.k AND b2.b = 2
+         |  WHERE (p.idx % p.w) >= p.nw),
+         |ag AS (SELECT k, image_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(v0) AS s0, SUM(v1) AS s1, SUM(v2) AS s2,
+         |    SUM(v0*v0) AS q00, SUM(v0*v1) AS q01, SUM(v0*v2) AS q02,
+         |    SUM(v1*v1) AS q11, SUM(v1*v2) AS q12, SUM(v2*v2) AS q22
+         |  FROM sv GROUP BY 1, 2),
+         |mm AS (SELECT k, image_id, n, s0, s1, s2,
+         |    CAST(n*q00 - s0*s0 + 1 AS HUGEINT) AS m00,
+         |    CAST(n*q01 - s0*s1 AS HUGEINT) AS m01,
+         |    CAST(n*q02 - s0*s2 AS HUGEINT) AS m02,
+         |    CAST(n*q11 - s1*s1 + 1 AS HUGEINT) AS m11,
+         |    CAST(n*q12 - s1*s2 AS HUGEINT) AS m12,
+         |    CAST(n*q22 - s2*s2 + 1 AS HUGEINT) AS m22
+         |  FROM ag),
+         |dd AS (SELECT *,
+         |    m00*(m11*m22 - m12*m12) - m01*(m01*m22 - m02*m12)
+         |      + m02*(m01*m12 - m02*m11) AS det3,
+         |    (m11*m22 - m12*m12) AS a00,
+         |    (m02*m12 - m01*m22) AS a01,
+         |    (m01*m12 - m02*m11) AS a02,
+         |    (m00*m22 - m02*m02) AS a11,
+         |    (m02*m01 - m00*m12) AS a12,
+         |    (m00*m11 - m01*m01) AS a22
+         |  FROM mm),
+         |ys AS (SELECT d.*,
+         |    CAST(d.n*v.v0 - d.s0 AS HUGEINT) AS y0,
+         |    CAST(d.n*v.v1 - d.s1 AS HUGEINT) AS y1,
+         |    CAST(d.n*v.v2 - d.s2 AS HUGEINT) AS y2
+         |  FROM dd d JOIN sv v ON v.k = d.k),
+         |res AS (SELECT k, image_id, n, det3,
+         |    SUM(y0*y0*a00 + y1*y1*a11 + y2*y2*a22
+         |      + 2*(y0*y1*a01 + y0*y2*a02 + y1*y2*a12)) AS num
+         |  FROM ys GROUP BY 1, 2, 3, 4)
+         |SELECT s.image_id, COALESCE(r.n, 0) AS n_valid,
+         |  COALESCE(CAST(r.det3 AS VARCHAR), '0') AS rx_det,
+         |  COALESCE(CAST(r.num AS VARCHAR), '0') AS rx_num
+         |FROM simg s LEFT JOIN res r ON r.image_id = s.image_id
+         |ORDER BY 1""".stripMargin,
 
     "q_warp_nearest2x" ->
       s"""WITH $I, $B, $SimgCte,

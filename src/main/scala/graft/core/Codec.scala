@@ -11,7 +11,9 @@ import javax.imageio.ImageIO
   * (/root/reference/GIP/gip/GeoRaster.h:452-485) and promotes to double
   * for any math (/root/reference/GIP/gip/GeoRaster.h:94-96). Here the
   * payload is one `binary` column per row; `fmt` names the codec:
-  *   raw-u8 | raw-i16le | raw-f32le — plane-sequential, nb bands, exact;
+  *   raw-u8 | raw-u16le | raw-i16le | raw-u32le | raw-i32le |
+  *   raw-f32le | raw-f64le — plane-sequential, nb bands, exact (the
+  *   reference's full 7-type lattice, DataType.h:43-54);
   *   png | bmp | jpg — 8-bit grayscale via javax.imageio (jpg is lossy →
   *   the PSNR ≥ 40 dB invariant, verified in CodecSpec).
   *
@@ -25,6 +27,13 @@ object Codec {
   val NodataU8: Int     = 0
   val NodataI16: Short  = Short.MinValue
   val NodataF32: Float  = -32768.0f
+  // full 7-type lattice (reference DataType.h:43-54 carries uint8,
+  // uint16, int16, uint32, int32, float32, float64 with per-type
+  // default nodata, DataType.h:122-133 — sentinel VALUES are our own):
+  val NodataU16: Int    = 65535          // uint16 max (Landsat DN fill)
+  val NodataU32: Long   = 0xFFFFFFFFL    // uint32 max
+  val NodataI32: Int    = Int.MinValue
+  val NodataF64: Double = -32768.0
 
   def isRaw(fmt: String): Boolean = fmt.startsWith("raw-")
 
@@ -61,6 +70,46 @@ object Codec {
           var i = 0
           while (i < w * h) {
             bb.putFloat(if (p(i).isNaN) NodataF32 else p(i).toFloat); i += 1
+          }
+        }
+        bb.array()
+      case "raw-u16le" =>
+        val bb = ByteBuffer.allocate(nb * w * h * 2).order(ByteOrder.LITTLE_ENDIAN)
+        planes.foreach { p =>
+          var i = 0
+          while (i < w * h) {
+            bb.putShort(if (p(i).isNaN) NodataU16.toShort
+                        else (p(i).toLong & 0xFFFF).toShort)
+            i += 1
+          }
+        }
+        bb.array()
+      case "raw-u32le" =>
+        val bb = ByteBuffer.allocate(nb * w * h * 4).order(ByteOrder.LITTLE_ENDIAN)
+        planes.foreach { p =>
+          var i = 0
+          while (i < w * h) {
+            bb.putInt(if (p(i).isNaN) NodataU32.toInt
+                      else (p(i).toLong & 0xFFFFFFFFL).toInt)
+            i += 1
+          }
+        }
+        bb.array()
+      case "raw-i32le" =>
+        val bb = ByteBuffer.allocate(nb * w * h * 4).order(ByteOrder.LITTLE_ENDIAN)
+        planes.foreach { p =>
+          var i = 0
+          while (i < w * h) {
+            bb.putInt(if (p(i).isNaN) NodataI32 else p(i).toInt); i += 1
+          }
+        }
+        bb.array()
+      case "raw-f64le" =>
+        val bb = ByteBuffer.allocate(nb * w * h * 8).order(ByteOrder.LITTLE_ENDIAN)
+        planes.foreach { p =>
+          var i = 0
+          while (i < w * h) {
+            bb.putDouble(if (p(i).isNaN) NodataF64 else p(i)); i += 1
           }
         }
         bb.array()
@@ -113,7 +162,8 @@ object Codec {
   }
 
   /** Decode to band-major Double planes; nodata sentinel ⇒ NaN. */
-  def decode(bytes: Array[Byte], w: Int, h: Int, nb: Int, fmt: String): Array[Array[Double]] =
+  def decode(bytes: Array[Byte], w: Int, h: Int, nb: Int, fmt: String): Array[Array[Double]] = {
+    decodeCounter.increment()
     fmt match {
       case "raw-u8" =>
         Array.tabulate(nb) { b =>
@@ -144,6 +194,46 @@ object Codec {
           }
           p
         }
+      case "raw-u16le" =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        Array.tabulate(nb) { b =>
+          val p = new Array[Double](w * h); var i = 0
+          while (i < w * h) {
+            val v = bb.getShort((b * w * h + i) * 2) & 0xFFFF
+            p(i) = if (v == NodataU16) Double.NaN else v.toDouble; i += 1
+          }
+          p
+        }
+      case "raw-u32le" =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        Array.tabulate(nb) { b =>
+          val p = new Array[Double](w * h); var i = 0
+          while (i < w * h) {
+            val v = bb.getInt((b * w * h + i) * 4).toLong & 0xFFFFFFFFL
+            p(i) = if (v == NodataU32) Double.NaN else v.toDouble; i += 1
+          }
+          p
+        }
+      case "raw-i32le" =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        Array.tabulate(nb) { b =>
+          val p = new Array[Double](w * h); var i = 0
+          while (i < w * h) {
+            val v = bb.getInt((b * w * h + i) * 4)
+            p(i) = if (v == NodataI32) Double.NaN else v.toDouble; i += 1
+          }
+          p
+        }
+      case "raw-f64le" =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        Array.tabulate(nb) { b =>
+          val p = new Array[Double](w * h); var i = 0
+          while (i < w * h) {
+            val v = bb.getDouble((b * w * h + i) * 8)
+            p(i) = if (v == NodataF64 || v.isNaN) Double.NaN else v; i += 1
+          }
+          p
+        }
       case "png" | "bmp" | "jpg" =>
         val img = ImageIO.read(new ByteArrayInputStream(bytes))
         require(img != null, s"imageio failed to decode $fmt")
@@ -162,9 +252,45 @@ object Codec {
         Array(p)
       case other => throw new IllegalArgumentException(s"unknown fmt: $other")
     }
+  }
 
   /** Bands stored per fmt: raw codecs carry all nb bands, image codecs 1. */
   def bandsStored(fmt: String, nb: Int): Int = if (isRaw(fmt)) nb else 1
+
+  /** Count of real (non-memoized) payload decodes — instrumentation for
+    * the decode-amplification specs/bench only; a LongAdder add is
+    * noise next to a plane decode. */
+  val decodeCounter = new java.util.concurrent.atomic.LongAdder
+
+  private val memoSlot =
+    new ThreadLocal[(Long, Int, String, Array[Array[Double]])]
+
+  /** One-slot per-thread decode memo, keyed by image key `k` plus a
+    * payload content hash.
+    *
+    * Kills the decode-per-joined-pair amplification in the pair kernels
+    * (tile-gather warp, zonal): an image overlapping T tiles/polygons
+    * appears in T consecutive join-output rows — broadcast-hash and
+    * sort-merge joins both emit one streamed row's matches contiguously
+    * — so a one-slot memo turns T decodes into 1 without any plan
+    * change. Correctness never depends on row order (a miss just
+    * decodes); the slot holds ONE image per thread, so memory stays
+    * bounded at task width. The `Arrays.hashCode(bytes)` guard (one
+    * cheap pass, orders of magnitude under a decode) protects against
+    * two tables reusing the same small integer keys inside one JVM —
+    * a hit requires key, format AND payload hash to match. Callers
+    * must not mutate returned planes. */
+  def decodeMemo(k: Long, bytes: Array[Byte], w: Int, h: Int, nb: Int,
+                 fmt: String): Array[Array[Double]] = {
+    val bh = java.util.Arrays.hashCode(bytes)
+    val cur = memoSlot.get()
+    if (cur != null && cur._1 == k && cur._2 == bh && cur._3 == fmt) cur._4
+    else {
+      val p = decode(bytes, w, h, nb, fmt)
+      memoSlot.set((k, bh, fmt, p))
+      p
+    }
+  }
 
   /** PSNR (dB) between two planes over pixels valid in BOTH, for the
     * lossy-codec invariant (PSNR ≥ 40 dB, BASELINE.json input_hint). */

@@ -146,6 +146,27 @@ object Synth {
          col("px0m") / 1000.0, lit(" "), col("py0m") / 1000.0, lit("))")))
   }
 
+  /** CONCAVE L-ring layer derived from [[polygons]]: each AOI rect
+    * with its upper-right quadrant removed (cut at the integer
+    * half-width/half-height point). Bbox columns are unchanged (the
+    * join prefilter still sees the full rect); geom_wkt is the
+    * 6-vertex concave ring — the arbitrary-ring zonal gate's layer.
+    * Inclusion under the engine's ray-cast PIP is exactly the union of
+    * two half-open rects, which is what the DuckDB oracle states. */
+  def polygonsL(spark: SparkSession, sfDir: String): DataFrame =
+    polygons(spark, sfDir)
+      .withColumn("cutxm", col("px0m") + floor(col("pwm") / 2).cast("long"))
+      .withColumn("cutym", col("py0m") + floor(col("phm") / 2).cast("long"))
+      .withColumn("geom_wkt",
+        concat(lit("POLYGON (("),
+          col("px0m") / 1000.0, lit(" "), col("py0m") / 1000.0, lit(", "),
+          col("px1m") / 1000.0, lit(" "), col("py0m") / 1000.0, lit(", "),
+          col("px1m") / 1000.0, lit(" "), col("cutym") / 1000.0, lit(", "),
+          col("cutxm") / 1000.0, lit(" "), col("cutym") / 1000.0, lit(", "),
+          col("cutxm") / 1000.0, lit(" "), col("py1m") / 1000.0, lit(", "),
+          col("px0m") / 1000.0, lit(" "), col("py1m") / 1000.0, lit(", "),
+          col("px0m") / 1000.0, lit(" "), col("py0m") / 1000.0, lit("))")))
+
   /** Scalable image-metadata generator for BENCHMARKS: same formulas,
     * keys from spark.range (partitioned, no source table bottleneck).
     * At 10^12 rows this is simply range(n) over more partitions —

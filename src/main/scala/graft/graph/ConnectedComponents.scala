@@ -62,14 +62,23 @@ object ConnectedComponents {
       .distinct()
   }
 
-  /** Order-insensitive convergence fingerprint: (#edges, bit_xor of
-    * per-edge hashes — overflow-free under ANSI). One tiny aggregate
-    * per round — the only thing the driver ever collects. */
-  private def fingerprint(e: DataFrame): (Long, Long) = {
-    val r = e.select(xxhash64(col("u"), col("v")).as("h"))
+  /** LAZY-checkpoint + order-insensitive convergence fingerprint
+    * (#edges, bit_xor of per-edge hashes — overflow-free under ANSI)
+    * in ONE action: the fingerprint aggregate is the first job over
+    * the lazily-checkpointed edges, so it materializes the checkpoint
+    * blocks while computing the (count, xor) row — one job per round
+    * instead of checkpoint-then-fingerprint's two. The fingerprint row
+    * is still the only thing the driver ever collects. */
+  private def ckptFingerprint(df: DataFrame): (DataFrame, (Long, Long)) = {
+    val c = df.localCheckpoint(false)
+    val r = c.select(xxhash64(col("u"), col("v")).as("h"))
       .agg(count(lit(1)), expr("bit_xor(h)")).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    (c, (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
   }
+
+  /** Rounds taken by the most recent [[starEdges]] call (diagnostic —
+    * read by GraphSpec's one-action-per-round assertion). */
+  @volatile var lastRounds: Int = 0
 
   /** One large-star + small-star round over a canonical edge set —
     * exposed for plan inspection (PlanDump) and round-level tests; the
@@ -82,24 +91,25 @@ object ConnectedComponents {
   /** Run star rounds until the edge set is a fixpoint; returns the
     * star edges (node → its component min, for every non-min node).
     *
-    * Each round ends in `localCheckpoint` — iterative DataFrames
-    * otherwise double their logical plan every round (lineage grows as
-    * 2^rounds: analysis/codegen cost explodes long before data does).
-    * On a real cluster swap in reliable `checkpoint()` (or a per-round
-    * Lineage table write) so a lost executor can't lose a round. */
+    * Each round ends in a lazy `localCheckpoint` whose materializing
+    * job IS the convergence-fingerprint aggregate (one job per round —
+    * see [[ckptFingerprint]]); iterative DataFrames otherwise double
+    * their logical plan every round (lineage grows as 2^rounds:
+    * analysis/codegen cost explodes long before data does). On a real
+    * cluster swap in reliable `checkpoint()` (or a per-round Lineage
+    * table write) so a lost executor can't lose a round. */
   def starEdges(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    var e = canon(pairs).localCheckpoint(true)
-    var fp = fingerprint(e)
+    var (e, fp) = ckptFingerprint(canon(pairs))
     var done = false
     var it = 0
     while (!done && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nfp = fingerprint(next)
+      val (next, nfp) = ckptFingerprint(smallStar(largeStar(e)))
       e = next
       done = nfp == fp
       fp = nfp
       it += 1
     }
+    lastRounds = it
     require(done, s"connectedComponents did not converge in $maxIter rounds")
     e
   }

@@ -225,6 +225,79 @@ object Algorithms {
     (n, s, if (n == 0) 0.0 else mx)
   })
 
+  /** BIT-REPRODUCIBLE RX anomaly — the exact-integer twin of [[rxdAgg]]
+    * (same contract pattern as the kmeans-exact gates): 16 seeded
+    * sample pixels (the read_random_pixels index formula), bands 0-2,
+    * Mahalanobis via ADJUGATE + DETERMINANT of the integer scatter
+    * matrix so neither engine ever inverts a float matrix
+    * (reference rxd: /root/reference/GIP/GeoAlgorithms.cpp:730-758).
+    *
+    * With μ = S/n and Cov = (n·Q − S·Sᵀ)/n², let y = n·x − S and
+    * M = n·Q − S·Sᵀ + I (integer ridge +1 on the diagonal — the synth
+    * ramps are planar, so the un-ridged scatter is singular; M is PSD,
+    * so det(M+I) ≥ 1). Then (x−μ)ᵀ·(M/n²)⁻¹·(x−μ) = yᵀ·M⁻¹·y =
+    * yᵀ·adj(M)·y / det(M): an exact integer ratio. Output per image:
+    * (n_valid, det(M), Σ_samples yᵀ·adj(M)·y) with the two big
+    * integers as DECIMAL STRINGS (≤ ~1e30 here — inside DuckDB's
+    * HUGEINT, outside int64), replayed digit-exactly by the oracle. */
+  val rxdExactAgg = udf((k: Long, bytes: Array[Byte], w: Int, h: Int,
+                         fmt: String, nb: Int) => {
+    val cube = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+    val NS = 16
+    val idxs = Array.tabulate(NS)(i => java.lang.Math.floorMod(
+      k * 1103515245L + i * 2654435761L, w.toLong * h).toInt)
+    // valid sample = band 0 valid (the nodata stripe hits every band)
+    val vs = idxs.flatMap { idx =>
+      val v0 = cube(0)(idx)
+      if (v0.isNaN) None
+      else Some(Array(v0.toLong, cube(1)(idx).toLong, cube(2)(idx).toLong))
+    }
+    val n = vs.length.toLong
+    if (n == 0) (0L, "0", "0")
+    else {
+      val s = new Array[Long](3)
+      val q = Array.ofDim[Long](3, 3)
+      vs.foreach { v =>
+        var a = 0
+        while (a < 3) {
+          s(a) += v(a)
+          var b = 0
+          while (b < 3) { q(a)(b) += v(a) * v(b); b += 1 }
+          a += 1
+        }
+      }
+      import java.math.BigInteger
+      def bi(l: Long) = BigInteger.valueOf(l)
+      val m = Array.tabulate(3, 3)((a, b) =>
+        bi(n * q(a)(b) - s(a) * s(b) + (if (a == b) 1L else 0L)))
+      def c2(a: BigInteger, b: BigInteger, c: BigInteger, d: BigInteger) =
+        a.multiply(d).subtract(b.multiply(c))
+      val det = m(0)(0).multiply(c2(m(1)(1), m(1)(2), m(2)(1), m(2)(2)))
+        .subtract(m(0)(1).multiply(c2(m(1)(0), m(1)(2), m(2)(0), m(2)(2))))
+        .add(m(0)(2).multiply(c2(m(1)(0), m(1)(1), m(2)(0), m(2)(1))))
+      // adjugate of the symmetric M (adj is symmetric too)
+      val a00 = c2(m(1)(1), m(1)(2), m(2)(1), m(2)(2))
+      val a01 = c2(m(0)(2), m(0)(1), m(2)(2), m(2)(1))
+      val a02 = c2(m(0)(1), m(0)(2), m(1)(1), m(1)(2))
+      val a11 = c2(m(0)(0), m(0)(2), m(2)(0), m(2)(2))
+      val a12 = c2(m(0)(2), m(0)(0), m(1)(2), m(1)(0))
+      val a22 = c2(m(0)(0), m(0)(1), m(1)(0), m(1)(1))
+      var num = BigInteger.ZERO
+      vs.foreach { v =>
+        val y = Array.tabulate(3)(b => bi(n * v(b) - s(b)))
+        val t = y(0).multiply(y(0)).multiply(a00)
+          .add(y(1).multiply(y(1)).multiply(a11))
+          .add(y(2).multiply(y(2)).multiply(a22))
+          .add(BigInteger.TWO.multiply(
+            y(0).multiply(y(1)).multiply(a01)
+              .add(y(0).multiply(y(2)).multiply(a02))
+              .add(y(1).multiply(y(2)).multiply(a12))))
+        num = num.add(t)
+      }
+      (n, det.toString, num.toString)
+    }
+  })
+
   /** autoscale over band 0 → (n_valid, Σ floor(out·1000)) with output
     * range [0,1000] (GeoRaster.h:355-363 min/max variant). */
   val autoscaleAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) => {
@@ -981,8 +1054,14 @@ object Algorithms {
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(1048576.0)).cast("long")).as("q"))
       .as[(Long, Array[Long])].cache()
+    // seeds = the k lowest vec_ids on ANY id domain (orderBy/limit, the
+    // kmeansPixelsExact pattern — a `vec_id < k` filter silently yields
+    // fewer than k seeds when ids aren't 0-based contiguous)
     var centers: Array[Array[Long]] =
-      vecs.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
+      vecs.orderBy(col(vecs.columns.head)).limit(k)
+        .collect().sortBy(_._1).map(_._2)
+    require(centers.length == k,
+      s"kmeansEmbeddingsExact: corpus has ${centers.length} < $k vectors")
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centers)
@@ -1103,8 +1182,13 @@ object Algorithms {
     val vecs = emb.select(col("vec_id").cast("long"),
         col("embedding").cast("array<double>").as("e"))
       .as[(Long, Array[Double])].cache()
+    // seeds = the k lowest vec_ids on ANY id domain (see
+    // kmeansEmbeddingsExact — same fix)
     var centers: Array[Array[Double]] =
-      vecs.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
+      vecs.orderBy(col(vecs.columns.head)).limit(k)
+        .collect().sortBy(_._1).map(_._2)
+    require(centers.length == k,
+      s"kmeansEmbeddings: corpus has ${centers.length} < $k vectors")
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centers)

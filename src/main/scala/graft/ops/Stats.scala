@@ -149,10 +149,17 @@ object Stats {
                  broadcastPolys: Boolean = true): DataFrame = {
     val joined = SpatialJoin.joinRects(imagesWithBytes, polys,
       broadcastPolys = broadcastPolys)
-    val zs = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
-                  x0m: Long, y1m: Long,
+    // decodeMemo keyed on k: an image joined to P polygons decodes once
+    // per contiguous run of its join rows, not P times (see Codec)
+    val zs = udf((img: org.apache.spark.sql.Row,
                   px0: Long, py0: Long, px1: Long, py1: Long) => {
-      val plane = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)(band)
+      val k = img.getLong(0)
+      val bytes = img.getAs[Array[Byte]](1)
+      val w = img.getInt(2); val h = img.getInt(3)
+      val fmt = img.getString(4)
+      val x0m = img.getLong(5); val y1m = img.getLong(6)
+      val plane = Codec.decodeMemo(k, bytes, w, h,
+        Codec.bandsStored(fmt, nb), fmt)(band)
       val half = resM / 2
       // cx = x0m + resM·x + half ∈ [px0, px1)
       val xLo = math.max(0L, ceilDiv(px0 - x0m - half, resM)).toInt
@@ -163,8 +170,9 @@ object Stats {
       accumWindow(plane, w, xLo, xHi, yLo, yHi, (_, _) => true)
     })
     zonalRollup(joined
-      .withColumn("z", zs(col("bytes"), col("w").cast("int"),
-        col("h").cast("int"), col("fmt"), col("x0m"), col("y1m"),
+      .withColumn("z", zs(
+        struct(col("k"), col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt"), col("x0m"), col("y1m")),
         col("px0m"), col("py0m"), col("px1m"), col("py1m"))))
   }
 
@@ -178,9 +186,14 @@ object Stats {
   def zonalStatsPoly(imagesWithBytes: DataFrame, polys: DataFrame, nb: Int,
                      band: Int = 0, resM: Long = 4L): DataFrame = {
     val joined = graft.ops.SpatialJoin.joinPolygons(imagesWithBytes, polys)
-    val zs = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
-                  x0m: Long, y1m: Long, wkt: String) => {
-      val plane = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)(band)
+    val zs = udf((img: org.apache.spark.sql.Row, wkt: String) => {
+      val k = img.getLong(0)
+      val bytes = img.getAs[Array[Byte]](1)
+      val w = img.getInt(2); val h = img.getInt(3)
+      val fmt = img.getString(4)
+      val x0m = img.getLong(5); val y1m = img.getLong(6)
+      val plane = Codec.decodeMemo(k, bytes, w, h,
+        Codec.bandsStored(fmt, nb), fmt)(band)
       val (rx, ry) = graft.core.Geom.parsePolygonWkt(wkt)
       // clamp window from the ring's own bbox (widened one pixel:
       // boundary centers are decided by the PIP test, not the clamp)
@@ -199,8 +212,9 @@ object Stats {
           (y1m - resM * y - half) / 1000.0, rx, ry))
     })
     zonalRollup(joined
-      .withColumn("z", zs(col("bytes"), col("w").cast("int"),
-        col("h").cast("int"), col("fmt"), col("x0m"), col("y1m"),
+      .withColumn("z", zs(
+        struct(col("k"), col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt"), col("x0m"), col("y1m")),
         col("geom_wkt"))))
   }
 

@@ -139,20 +139,28 @@ object Warp {
     *      join anywhere in the plan (asserted by WarpIntoSpec); tiles
     *      broadcast when small (`broadcastTiles`), else the cell key
     *      shuffles both sides — the 10¹²-row path;
-    *   3. each (tile, image) pair resamples the image's band 0 onto the
-    *      tile window (kernel of choice), optionally cut to `cutWkt`;
-    *   4. groupBy(tile) merges fragments in ascending image-key order —
-    *      valid-overwrites, nodata-never — replacing the reference's
-    *      sequential writes with an order-insensitive aggregation.
+    *   3. each (tile, image) pair resamples EVERY stored band of the
+    *      image (up to `nbBands`) onto the tile window — the
+    *      reference's per-band warp loop
+    *      (/root/reference/GIP/GeoImage.cpp:329-338) — decoding the
+    *      payload ONCE per (image, tile) run via [[Codec.decodeMemo]]
+    *      (an image overlapping T tiles decodes once, not T times);
+    *      optionally cut to `cutWkt`;
+    *   4. groupBy(tile, band) merges fragments in ascending image-key
+    *      order — valid-overwrites, nodata-never — replacing the
+    *      reference's sequential writes with an order-insensitive
+    *      aggregation.
     *
     * `images` needs (k, image_id, bytes, w, h, fmt, x0m, y1m, and the
     * footprint columns for the join); `grids` needs (gid, gx0, gy0,
-    * gx1, gy1). Returns per-tile (gid, tx, ty, n_valid, vsum) with
-    * vsum the exact integer sum of merged valid pixels — exact for
-    * interp=0 on integer planes; for interp=1/2 it is the floor-free
-    * toLong truncation of the interpolated doubles (documented
-    * contract; per-pixel parity for non-nearest kernels lives in the
-    * resample specs, not vsum).
+    * gx1, gy1). Returns per-tile-band (gid, tx, ty, band, n_valid,
+    * vsum) with vsum the exact integer sum of merged valid pixels —
+    * exact for interp=0 on integer planes; for interp=1/2 it is the
+    * floor-free toLong truncation of the interpolated doubles
+    * (documented contract; per-pixel parity for non-nearest kernels
+    * lives in the resample specs, not vsum). `nbBands` defaults to 1
+    * (band 0 only); single-band codecs (png/bmp/jpg) always contribute
+    * exactly their one stored band regardless of `nbBands`.
     *
     * `cellRes` must satisfy cellSize(cellRes) ≥ max image/tile extent
     * (res 7 = 4096 mdeg covers this engine's ≤1024 mdeg footprints and
@@ -162,7 +170,7 @@ object Warp {
                pairPredicate: Column = lit(true),
                cutWkt: Column = lit(null).cast("string"),
                broadcastTiles: Boolean = true,
-               cellRes: Int = 7): DataFrame = {
+               cellRes: Int = 7, nbBands: Int = 1): DataFrame = {
     require(tilePx > 0 && tilePx < 2048,
       s"tilePx=$tilePx out of range (packed into 11 bits: 1..2047)")
     val tpx = tilePx.toLong
@@ -200,19 +208,30 @@ object Warp {
     val pairs = imgCells.join(tileCells, Seq("cell"))
       .where(overlapP && dedup && pairPredicate)
       .drop("cell", "cix", "ciy")
-    // tile width/height packed into one long (udf arity cap is 10)
-    val fragUdf = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
-                       x0m: Long, y1m: Long, tgx0: Long, tgy1: Long,
-                       twh: Long, cut: String) => {
-      val tw = (twh >> 11).toInt; val th = (twh & 0x7FF).toInt
-      val plane = Codec.decode(bytes, w, h,
-        Codec.bandsStored(fmt, graft.gen.Synth.NumBands), fmt)(0)
+    // struct args (udf arity cap is 10); per-band fragments out, band
+    // index = position. decodeMemo: one payload decode per run of
+    // same-image join rows (both join strategies emit a streamed row's
+    // matches contiguously), not one per (image, tile) pair.
+    val fragUdf = udf((img: org.apache.spark.sql.Row,
+                       tile: org.apache.spark.sql.Row) => {
+      val k = img.getLong(0)
+      val bytes = img.getAs[Array[Byte]](1)
+      val w = img.getInt(2); val h = img.getInt(3)
+      val fmt = img.getString(4)
+      val x0m = img.getLong(5); val y1m = img.getLong(6)
+      val tgx0 = tile.getLong(0); val tgy1 = tile.getLong(1)
+      val tw = tile.getLong(2).toInt; val th = tile.getLong(3).toInt
+      val cut = if (tile.isNullAt(4)) null else tile.getString(4)
+      val stored = Codec.bandsStored(fmt, graft.gen.Synth.NumBands)
+      val planes = Codec.decodeMemo(k, bytes, w, h, stored, fmt)
       val grid = Grid(tgx0.toDouble, (tgy1 - th * resM).toDouble,
         (tgx0 + tw * resM).toDouble, tgy1.toDouble,
         tw, th, resM.toDouble, resM.toDouble)
-      val f = resample(plane, w, h, x0m.toDouble, y1m.toDouble,
-        resM.toDouble, resM.toDouble, grid, interp)
-      if (cut == null) f else cutlineMask(f, grid, cut)
+      (0 until math.min(nbBands, stored)).map { b =>
+        val f = resample(planes(b), w, h, x0m.toDouble, y1m.toDouble,
+          resM.toDouble, resM.toDouble, grid, interp)
+        (if (cut == null) f else cutlineMask(f, grid, cut)).toSeq
+      }
     })
     val mergeUdf = udf((frags: Seq[org.apache.spark.sql.Row], len: Int) => {
       val merged = mergeFragments(
@@ -225,14 +244,18 @@ object Warp {
       (n, s)
     })
     pairs
-      .withColumn("frag", fragUdf(col("bytes"), col("w").cast("int"),
-        col("h").cast("int"), col("fmt"),
-        col("x0m"), col("y1m"), col("tgx0"), col("tgy1"),
-        shiftleft(col("tw"), 11) + col("th"), cutWkt))
-      .groupBy(col("gid"), col("tx"), col("ty"), col("tw"), col("th"))
+      .withColumn("fr", fragUdf(
+        struct(col("k"), col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt"), col("x0m"), col("y1m")),
+        struct(col("tgx0"), col("tgy1"), col("tw"), col("th"), cutWkt)))
+      .select(col("gid"), col("tx"), col("ty"), col("tw"), col("th"),
+        col("k"), posexplode(col("fr")).as(Seq("band", "frag")))
+      .groupBy(col("gid"), col("tx"), col("ty"), col("tw"), col("th"),
+        col("band"))
       .agg(collect_list(struct(col("k"), col("frag"))).as("frags"))
       .withColumn("m", mergeUdf(col("frags"), (col("tw") * col("th")).cast("int")))
       .select(col("gid"), col("tx"), col("ty"),
+        col("band").cast("long").as("band"),
         col("m._1").as("n_valid"), col("m._2").as("vsum"))
   }
 

@@ -110,7 +110,11 @@ object TextOps {
   def minhashFast(docs: DataFrame, n: Int = 4): DataFrame = {
     val hexD = "0123456789abcdef".toCharArray
     val sig = udf((text: String) => {
-      val ts = text.split(" ")
+      // limit -1 keeps trailing empty tokens — Spark's split() (the
+      // expression spec and the DuckDB oracle) keeps them, and Java's
+      // default split drops them, which would silently change shingles
+      // for trailing-whitespace text (LshSpec has the case)
+      val ts = text.split(" ", -1)
       val shingles: Seq[String] =
         if (ts.length >= 3)
           (0 to ts.length - 3).map(i => ts(i) + " " + ts(i + 1) + " " + ts(i + 2))
@@ -277,7 +281,9 @@ object TextOps {
   def simhash(docs: DataFrame): DataFrame = {
     val sim = udf((text: String) => {
       val votes = new Array[Int](64)
-      text.split(" ").foreach { t =>
+      // limit -1: keep trailing empty tokens, matching the SQL mirror's
+      // split semantics (same latent divergence class as minhashFast)
+      text.split(" ", -1).foreach { t =>
         val d = java.security.MessageDigest.getInstance("MD5")
           .digest(t.getBytes("UTF-8"))
         var b = 0

@@ -34,14 +34,21 @@ object VectorOps {
     * candidate-verification joins use this path. */
   val cosineFast: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((a: Seq[Float], b: Seq[Float]) => {
-      var d = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        d += x * y; na += x * x; nb += y * y
-        i += 1
+      // null semantics of the expression it replaces: null input or a
+      // length mismatch → null out (zip_with pads the short side with
+      // null, which nulls the whole fold), never a runtime throw
+      if (a == null || b == null || a.length != b.length) Option.empty[Double]
+      else {
+        val n = a.length
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          d += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        Some(d / (math.sqrt(na) * math.sqrt(nb)))
       }
-      d / (math.sqrt(na) * math.sqrt(nb))
     })
 
   /** Brute-force cosine top-k for a set of query vector ids. */
@@ -190,13 +197,75 @@ object VectorOps {
     * centroids + a per-row argmax (no shuffle); the candidate join is
     * an equi-join on cell id touching ~nprobe/kc of the corpus per
     * query. kc grows with the corpus exactly like LSH's 2^nb (cells ≈
-    * N/targetCell); a real deployment seeds centroids from
-    * [[graft.ops.Algorithms.kmeansEmbeddings]] — fixed-id seeds keep
-    * the oracle gate value-exact. */
+    * N/targetCell); a real deployment uses [[ivfTopKSeeded]] (k-means
+    * centroids) — fixed-id seeds keep the oracle gate value-exact. */
   def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
-              kc: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = emb.where(col("vec_id") < kc)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+              kc: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKWithCentroids(emb,
+      emb.where(col("vec_id") < kc)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")),
+      queryFilter, k, nprobe)
+
+  /** DATA-ADAPTIVE IVF: coarse quantizer TRAINED on a bounded
+    * deterministic sample (the `sampleN` lowest vec_ids) with
+    * farthest-point seeding + Lloyd rounds on the driver — the
+    * standard way IVF quantizers are built (sample-trained, then
+    * broadcast-assigned), and the scale-correct one: training costs
+    * one bounded collect, zero distributed iterations, and the
+    * resulting centroids SPREAD over the corpus's actual geometry
+    * instead of being whatever the kc lowest vec_ids look like (the
+    * fixed-id variant stays as the oracle gate; this is the
+    * deployment path). Recall vs the fixed-id quantizer is measured
+    * in LshSpec. Deterministic for fixed data. */
+  def ivfTopKSeeded(spark: org.apache.spark.sql.SparkSession,
+                    emb: DataFrame, queryFilter: Column, k: Int,
+                    kc: Int = 16, nprobe: Int = 4, iters: Int = 3,
+                    sampleN: Int = 1024): DataFrame = {
+    import spark.implicits._
+    // SPHERICAL k-means: cells are assigned by max COSINE, so train on
+    // L2-normalized vectors (Euclidean on the unit sphere ranks like
+    // cosine) and re-normalize each Lloyd mean — a Euclidean quantizer
+    // over raw magnitudes would disagree with the cosine cell rule
+    def unit(v: Array[Double]): Array[Double] = {
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i) * v(i); i += 1 }
+      if (n == 0.0) v else { val s = 1.0 / math.sqrt(n); v.map(_ * s) }
+    }
+    val sample: Array[Array[Double]] = emb
+      .orderBy(col("vec_id")).limit(sampleN)
+      .select(col("embedding").cast("array<double>"))
+      .as[Array[Double]].collect().map(unit)
+    var centers = graft.ops.Algorithms.farthestPointSeeds(sample, kc)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(centers.length)(new Array[Double](sample(0).length))
+      val cnts = new Array[Long](centers.length)
+      sample.foreach { e =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centers.length) {
+          var d = 0.0; var i = 0
+          val cv = centers(c)
+          while (i < e.length) { val t = e(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        cnts(best) += 1
+        var i = 0
+        while (i < e.length) { sums(best)(i) += e(i); i += 1 }
+      }
+      centers = Array.tabulate(centers.length)(c =>
+        if (cnts(c) == 0) centers(c)
+        else unit(sums(c).map(_ / cnts(c))))
+    }
+    val cents = centers.zipWithIndex
+      .map { case (ce, i) => (i.toLong, ce.map(_.toFloat)) }
+      .toSeq.toDF("cid", "ce")
+    ivfTopKWithCentroids(emb, cents, queryFilter, k, nprobe)
+  }
+
+  private def ivfTopKWithCentroids(emb: DataFrame, cents: DataFrame,
+                                   queryFilter: Column, k: Int,
+                                   nprobe: Int): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
     val cells = emb.crossJoin(broadcast(cents))

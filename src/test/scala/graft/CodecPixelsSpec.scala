@@ -35,6 +35,35 @@ class CodecPixelsSpec extends AnyFunSuite {
       if (pu(i).isNaN) assert(du(0)(i).isNaN) else assert(du(0)(i) == pu(i))
   }
 
+  test("new dtype lattice (u16/u32/i32/f64) round-trips, type ranges honored") {
+    val w = 33; val h = 21
+    val p0 = ramp(w, h, 200, 3, 5, nodataCols = 2)
+    val p1 = ramp(w, h, 700, 1, 0, nodataCols = 2)
+    for (fmt <- Seq("raw-u16le", "raw-u32le", "raw-i32le", "raw-f64le")) {
+      val bytes = Codec.encode(Array(p0, p1), w, h, fmt)
+      val dec = Codec.decode(bytes, w, h, 2, fmt)
+      assert(dec.length == 2)
+      for (b <- 0 until 2; i <- 0 until w * h) {
+        val e = if (b == 0) p0(i) else p1(i)
+        if (e.isNaN) assert(dec(b)(i).isNaN)
+        else assert(dec(b)(i) == e, s"fmt=$fmt b=$b i=$i")
+      }
+    }
+    // type-range extremes survive their own dtype exactly
+    def rt1(fmt: String, v: Double): Double = {
+      val p = Array.fill(4)(v)
+      Codec.decode(Codec.encode(Array(p), 2, 2, fmt), 2, 2, 1, fmt)(0)(0)
+    }
+    assert(rt1("raw-u16le", 65534.0) == 65534.0) // 65535 is the sentinel
+    assert(rt1("raw-u32le", 4000000000.0) == 4000000000.0) // > int32 range
+    assert(rt1("raw-i32le", -2000000000.0) == -2000000000.0)
+    assert(rt1("raw-i32le", 2000000000.0) == 2000000000.0)
+    assert(rt1("raw-f64le", 0.123456789012345) == 0.123456789012345)
+    // per-dtype nodata sentinels map back to NaN
+    for (fmt <- Seq("raw-u16le", "raw-u32le", "raw-i32le", "raw-f64le"))
+      assert(rt1(fmt, Double.NaN).isNaN, s"$fmt sentinel")
+  }
+
   test("png/bmp lossless, jpg meets PSNR >= 40 dB invariant") {
     val w = 64; val h = 48
     val p = Array.tabulate(w * h) { i =>

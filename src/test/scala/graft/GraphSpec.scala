@@ -71,6 +71,55 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(5L, e1) === run(5L, e2))
   }
 
+  test("starEdges fuses the fingerprint into the checkpoint job (fewer jobs than eager+separate)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((30L, 31L), (31L, 32L))).toDF("id_a", "id_b")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def countJobs(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      jobs.set(0)
+      try { body; Thread.sleep(1500); jobs.get() }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // reference: the pre-fusion loop — EAGER checkpoint then a separate
+    // fingerprint action per round (what starEdges used to do)
+    def eagerRounds(): Unit = {
+      def fp(e: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = e.select(xxhash64(col("u"), col("v")).as("h"))
+          .agg(count(lit(1)), expr("bit_xor(h)")).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      var e = ConnectedComponents.canonEdges(
+        pairs.select(col("id_a"), col("id_b"))).localCheckpoint(true)
+      var f = fp(e)
+      var done = false
+      while (!done) {
+        val next = ConnectedComponents.starRound(e).localCheckpoint(true)
+        val nf = fp(next)
+        e = next; done = nf == f; f = nf
+      }
+    }
+    val jFused = countJobs {
+      ConnectedComponents.starEdges(pairs).count()
+    }
+    val jEager = countJobs { eagerRounds() }
+    info(s"jobs: fused=$jFused eager+separate=$jEager " +
+      s"(rounds=${ConnectedComponents.lastRounds})")
+    assert(ConnectedComponents.lastRounds >= 1)
+    // the fused loop must schedule strictly fewer jobs than the eager
+    // reference on the same input (one materializing aggregate per
+    // round vs checkpoint-job + fingerprint-job)
+    assert(jFused < jEager,
+      s"fusion gone: $jFused jobs fused vs $jEager eager")
+  }
+
   test("dedupClusters keeps exactly one doc per cluster") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -36,6 +36,15 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("n_chars", length(col("text")))
       .withColumn("lang", lit("en"))
     assert(sigs(TextOps.minhashFast(short, 4)) === sigs(TextOps.minhash(short, 4)))
+    // trailing/leading whitespace: Spark's split keeps empty tokens,
+    // Java's default split drops trailing ones — the fast kernel must
+    // match the expression (and the oracle) on such text too
+    val ws = Seq((901L, "alpha beta gamma delta "),
+                 (902L, " alpha beta"),
+                 (903L, "alpha  beta gamma")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en"))
+    assert(sigs(TextOps.minhashFast(ws, 4)) === sigs(TextOps.minhash(ws, 4)))
   }
 
   test("cosineFast kernel == cosine expression (bit-identical doubles)") {
@@ -50,6 +59,18 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       .where(col("ce") =!= col("ck"))
       .count()
     assert(diff == 0L)
+    // null semantics: null input or length mismatch → null, no throw
+    // (matches the expression, which nulls the whole zip_with fold)
+    import spark.implicits._
+    val odd = Seq(
+      (1L, Array(1f, 2f), Array(1f, 2f)),
+      (2L, null.asInstanceOf[Array[Float]], Array(1f, 2f)),
+      (3L, Array(1f, 2f, 3f), Array(1f, 2f))
+    ).toDF("id", "a", "b")
+      .withColumn("c", VectorOps.cosineFast(col("a"), col("b")))
+    val rows = odd.select("id", "c").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows(1L).isDefined && rows(2L).isEmpty && rows(3L).isEmpty)
   }
 
   test("lshBuckets kernel == expression tree (bit-identical buckets)") {
@@ -186,6 +207,57 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(all == brute, "nprobe=kc must equal brute force")
     assert(n > 0)
+  }
+
+  test("ivfTopKSeeded (trained quantizer) recall >= fixed-id on a clustered corpus") {
+    import spark.implicits._
+    // The testdata embeddings are near-isotropic (measured within-label
+    // cosine ≈ 0.01), where no quantizer choice matters — and the
+    // fixed-id variant's centroids (lowest vec_ids) literally CONTAIN
+    // the lowest-id queries, a degenerate advantage. Adaptivity is
+    // about CLUSTERED corpora, so this spec builds one: 16
+    // well-separated deterministic clusters with imbalanced sizes,
+    // ids numbered so the 16 lowest vec_ids ALL fall in cluster 0 —
+    // the realistic failure mode of a non-adaptive quantizer at scale
+    // (ids are never uniform over a real corpus's geometry).
+    def hvec(seed: Long): Array[Float] = {
+      val v = Array.tabulate(64) { j =>
+        var z = seed * 131071L + j * 524287L + 17L
+        z *= 0x9E3779B97F4A7C15L; z ^= (z >>> 31)
+        ((java.lang.Math.floorMod(z, 2001L) - 1000L) / 1000.0)
+      }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+    var id = 0L
+    for (c <- 0 until 16) {
+      val center = hvec(1000L + c)
+      val sz = 20 + c * 15 // imbalanced: 20..245 points per cluster
+      for (p <- 0 until sz) {
+        val noise = hvec(10000L + c * 1000 + p)
+        rows += ((id, center.zip(noise).map { case (a, b) => a + 0.7f * b }))
+        id += 1
+      }
+    }
+    val emb = rows.toSeq.toDF("vec_id", "embedding").cache()
+    // queries: one point from clusters 4, 8, 12, 15 (none in cluster 0)
+    val starts = (0 until 16).scanLeft(0L)((acc, c) => acc + 20 + c * 15)
+    val qset = Seq(starts(4), starts(8), starts(12), starts(15))
+    val qf = col("vec_id").isin(qset: _*)
+    val brute = VectorOps.cosineTopK(emb, qf, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      s.intersect(brute).size.toDouble / brute.size
+    }
+    val rFixed = recall(VectorOps.ivfTopK(emb, qf, 10, kc = 16, nprobe = 4))
+    val rSeed = recall(VectorOps.ivfTopKSeeded(spark, emb, qf, 10,
+      kc = 16, nprobe = 4, sampleN = 2048))
+    info(f"clustered-corpus ivf recall@10: fixed-id $rFixed%.3f, trained $rSeed%.3f")
+    assert(rSeed >= rFixed,
+      f"trained-quantizer recall $rSeed%.3f < fixed-id $rFixed%.3f")
+    assert(rSeed >= 0.8, f"trained quantizer should nail clustered data: $rSeed%.2f")
   }
 
   test("embNearDupLsh ⊆ exact near-dup pairs (cosine verify is exact)") {

@@ -63,6 +63,63 @@ class WarpIntoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getLong(2) == s)
   }
 
+  /** Band-varying sibling of [[img]]: band b holds value v + b. */
+  private def imgB(k: Long, x0m: Long, y0m: Long, w: Int, h: Int,
+                   v: Double, nw: Int) = {
+    val planes = Array.tabulate(6) { b =>
+      Array.tabulate(w * h)(i => if (i % w < nw) Double.NaN else v + b)
+    }
+    (k, s"im-$k", Codec.encode(planes, w, h, "raw-i16le"), w.toLong, h.toLong,
+      "raw-i16le", x0m, y0m, x0m + w * 4L, y0m + h * 4L)
+  }
+
+  test("warpInto nbBands: every band warps; per-band merge matches band 0 + b·n") {
+    import spark.implicits._
+    val rows = Seq(
+      imgB(1, 0, 0, 40, 40, 100, 0),
+      imgB(2, 0, 0, 20, 40, 200, 2),
+      imgB(3, 0, 120, 10, 10, 300, 0))
+    val im = rows.toDF("k", "image_id", "bytes", "w", "h", "fmt",
+      "x0m", "y0m", "x1m", "y1m")
+    val grids = Seq(("g", 0L, 0L, 160L, 160L))
+      .toDF("gid", "gx0", "gy0", "gx1", "gy1")
+    val out = Warp.warpInto(im, grids, tilePx = 16, nbBands = 6)
+      .groupBy("band").agg(sum("n_valid").as("n"), sum("vsum").as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == (0L until 6L).toSet, "every stored band present")
+    var n = 0L; var s = 0L
+    for (y <- 0 until 40; x <- 0 until 40) {
+      val v =
+        if (x < 10 && y < 10) 300
+        else if (x >= 2 && x < 20) 200
+        else 100
+      n += 1; s += v
+    }
+    (0 until 6).foreach { b =>
+      assert(out(b.toLong) == ((n, s + b * n)),
+        s"band $b merged sums wrong")
+    }
+  }
+
+  test("decodeMemo: an image overlapping T tiles decodes once, not T times") {
+    import spark.implicits._
+    // one image fully covering a grid of 3x3=9 tiles → 9 (image,tile)
+    // pairs but only 1 real decode (plus nothing else in this query)
+    val im = Seq(img(7, 0, 0, 48, 48, 100, 0)).toDF(
+      "k", "image_id", "bytes", "w", "h", "fmt",
+      "x0m", "y0m", "x1m", "y1m").coalesce(1)
+    val grids = Seq(("g", 0L, 0L, 192L, 192L))
+      .toDF("gid", "gx0", "gy0", "gx1", "gy1")
+    val q = Warp.warpInto(im, grids, tilePx = 16)
+    Codec.decodeCounter.reset()
+    val tiles = q.count()
+    val decodes = Codec.decodeCounter.sum()
+    assert(tiles == 9L, s"expected 9 tiles, got $tiles")
+    assert(decodes < 9L,
+      s"decode amplification: $decodes decodes for 9 pairs of 1 image")
+    assert(decodes >= 1L)
+  }
+
   test("cutline mask excludes pixels outside the polygon") {
     import spark.implicits._
     val im = Seq(img(1, 0, 0, 40, 40, 100, 0))
