@@ -89,4 +89,30 @@ final class GippySpark(val spark: SparkSession) {
     * keep-one-per-cluster (`keep` column). */
   def dedupClusters(docs: DataFrame, threshold: Double): DataFrame =
     graft.graph.ConnectedComponents.dedupClusters(docs, threshold)
+
+  /** Distributed warp/mosaic into destination grids — the
+    * cookie_cutter analog (reference GeoAlgorithms.cpp:225-286): every
+    * stored band of every overlapping image resamples onto each grid's
+    * tiles through the covering-cell tile-gather join, merged
+    * last-wins per (tile, band). `imagesWithBytes` = the payload table
+    * (k, image_id, bytes, w, h, fmt, x0m..y1m); `grids` = (gid, gx0,
+    * gy0, gx1, gy1) in mdeg. */
+  def mosaicInto(imagesWithBytes: DataFrame, grids: DataFrame,
+                 interp: Int = 0, nbBands: Int = Synth.NumBands): DataFrame =
+    Warp.warpInto(imagesWithBytes, grids, interp = interp, nbBands = nbBands)
+
+  /** Approximate nearest neighbors over an embeddings table
+    * (vec_id, embedding array<float>): `"ivf"` = sample-trained
+    * spherical-k-means quantizer (the deployment path), `"lsh"` =
+    * multi-table SRP-LSH, `"exact"` = brute-force cosine. */
+  def nearestNeighbors(emb: DataFrame, queryFilter: org.apache.spark.sql.Column,
+                       k: Int, method: String = "ivf"): DataFrame =
+    method match {
+      case "ivf"   => graft.vec.VectorOps.ivfTopKSeeded(spark, emb, queryFilter, k)
+      case "lsh"   => graft.vec.VectorOps.lshTopK(emb, 64, queryFilter, k,
+        nb = graft.vec.VectorOps.nbForCorpus(emb.count()), tables = 16)
+      case "exact" => graft.vec.VectorOps.cosineTopK(emb, queryFilter, k)
+      case other   => throw new IllegalArgumentException(
+        s"method '$other' (ivf | lsh | exact)")
+    }
 }

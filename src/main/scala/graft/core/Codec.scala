@@ -262,6 +262,11 @@ object Codec {
     * noise next to a plane decode. */
   val decodeCounter = new java.util.concurrent.atomic.LongAdder
 
+  /** Count of [[decodeMemo]] calls (≈ joined pairs through the pair
+    * kernels) — together with [[decodeCounter]] this quantifies the
+    * decode-amplification win in the bench report. */
+  val memoCallCounter = new java.util.concurrent.atomic.LongAdder
+
   private val memoSlot =
     new ThreadLocal[(Long, Int, String, Array[Array[Double]])]
 
@@ -282,6 +287,7 @@ object Codec {
     * must not mutate returned planes. */
   def decodeMemo(k: Long, bytes: Array[Byte], w: Int, h: Int, nb: Int,
                  fmt: String): Array[Array[Double]] = {
+    memoCallCounter.increment()
     val bh = java.util.Arrays.hashCode(bytes)
     val cur = memoSlot.get()
     if (cur != null && cur._1 == k && cur._2 == bh && cur._3 == fmt) cur._4

@@ -110,10 +110,22 @@ case class RectIntersectsPoly(children: Seq[Expression])
 }
 
 object GraftFunctions {
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$name expects a literal int, got $e")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cell_pack" -> (es => CellPack(es(0), es(1), es(2))),
     "graft_cell_cover" -> (es => CellCover(es)),
-    "graft_rect_poly" -> (es => RectIntersectsPoly(es)))
+    "graft_rect_poly" -> (es => RectIntersectsPoly(es)),
+    // text/vector hot kernels (round 4): codegen expressions calling
+    // static Kernels methods — see VecExprs
+    "graft_cosine" -> (es => CosineSim(es(0), es(1))),
+    "graft_minhash" -> (es => MinhashSig(es(0), intLit(es(1), "graft_minhash n"))),
+    "graft_lsh_buckets" -> (es => LshBuckets(es(0),
+      intLit(es(1), "tables"), intLit(es(2), "nb"), intLit(es(3), "dim"))))
 
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b) =>

@@ -1,0 +1,104 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen Catalyst expressions for the text/vector hot kernels —
+  * round-4 promotion of the measured-hot `udf`s (minhash, SRP-LSH
+  * buckets, cosine verify) to native expressions: the generated Java
+  * calls a static [[Kernels]] method on the unsafe ArrayData /
+  * UTF8String directly, so the per-row Row↔Seq encoder round-trip the
+  * udfs paid is gone while the arithmetic (and therefore every bit of
+  * every result) is the same code path. Registered in
+  * [[GraftFunctions]] as graft_cosine / graft_minhash /
+  * graft_lsh_buckets; bit-identity vs the udf twins is asserted in
+  * LshSpec.
+  */
+
+/** cosine(a, b) over array<float>: null (not a throw) on null input or
+  * length mismatch — the zip_with expression's semantics. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine(array<float>, array<float>), got ($l, $r)")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
+    if (aa.numElements() != bb.numElements()) null
+    else java.lang.Double.valueOf(Kernels.cosine(aa, bb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() == $b.numElements()) {
+         |  ${ev.value} = graft.expr.Kernels.cosine($a, $b);
+         |} else {
+         |  ${ev.isNull} = true;
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** minhash signature array (n salted md5 minima) of a text column. */
+case class MinhashSig(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0 && n <= 64, s"minhash n=$n out of range")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_minhash(string), got $t")
+  }
+
+  override protected def nullSafeEval(text: Any): Any =
+    Kernels.minhashSig(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.Kernels.minhashSig($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** SRP-LSH bucket ids (one long per table) of an array<float>
+  * embedding; the integer plane weights are derived once per instance
+  * from (tables, nb, dim) and shipped as a codegen reference object. */
+case class LshBuckets(child: Expression, tables: Int, nb: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_buckets(array<float>), got $t")
+  }
+
+  @transient private lazy val planes: Array[Array[Array[Double]]] =
+    Array.tabulate(tables, nb, dim)((t, j, i) =>
+      graft.vec.VectorOps.planeW(t, j, i).toDouble)
+
+  override protected def nullSafeEval(e: Any): Any =
+    Kernels.lshBuckets(e.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftLshPlanes", planes, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.Kernels.lshBuckets($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

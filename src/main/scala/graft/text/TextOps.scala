@@ -100,45 +100,20 @@ object TextOps {
   }
 
   /** Compiled minhash kernel — IDENTICAL signatures to [[minhash]]
-    * (same shingles, same md5-hex strings, same lexicographic min;
-    * asserted by LshSpec), ~4× faster: Spark's higher-order-function
-    * expressions (transform/aggregate lambdas) are codegen-fallback
-    * and re-hash through expression interpretation, while this runs
-    * one tight JVM loop with a reused MessageDigest per row. The
-    * corpus-scale candidate join uses this path; the expression
-    * version remains the SQL-mirrorable spec. */
+    * (same shingles, same md5-hex strings, same lexicographic min,
+    * same trailing-empty-token split semantics; asserted by LshSpec),
+    * ~4× faster than the higher-order-expression spec: Spark's
+    * transform/aggregate lambdas are codegen-fallback and re-hash
+    * through expression interpretation, while this is the codegen
+    * [[graft.expr.MinhashSig]] expression — generated Java calls the
+    * static [[graft.expr.Kernels.minhashSig]] (one tight loop, reused
+    * MessageDigest, no udf encoder round-trip; round 4 promoted the
+    * former Scala udf). The corpus-scale candidate join uses this
+    * path; the expression version remains the SQL-mirrorable spec. */
   def minhashFast(docs: DataFrame, n: Int = 4): DataFrame = {
-    val hexD = "0123456789abcdef".toCharArray
-    val sig = udf((text: String) => {
-      // limit -1 keeps trailing empty tokens — Spark's split() (the
-      // expression spec and the DuckDB oracle) keeps them, and Java's
-      // default split drops them, which would silently change shingles
-      // for trailing-whitespace text (LshSpec has the case)
-      val ts = text.split(" ", -1)
-      val shingles: Seq[String] =
-        if (ts.length >= 3)
-          (0 to ts.length - 3).map(i => ts(i) + " " + ts(i + 1) + " " + ts(i + 2))
-        else Seq(text)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      (0 until n).map { j =>
-        val pfx = j.toString
-        var min: String = null
-        shingles.foreach { s =>
-          md.reset()
-          val d = md.digest((pfx + s).getBytes("UTF-8"))
-          val sb = new java.lang.StringBuilder(32)
-          var i = 0
-          while (i < 16) {
-            sb.append(hexD((d(i) >> 4) & 0xF)); sb.append(hexD(d(i) & 0xF))
-            i += 1
-          }
-          val hex = sb.toString
-          if (min == null || hex.compareTo(min) < 0) min = hex
-        }
-        min
-      }
-    })
-    docs.withColumn("sigs", sig(col("text")))
+    graft.expr.GraftFunctions.register(docs.sparkSession)
+    docs.withColumn("sigs",
+        call_function("graft_minhash", col("text"), lit(n)))
       .select(col("doc_id") +:
         (0 until n).map(j => col("sigs").getItem(j).as(s"h$j")): _*)
   }

@@ -27,32 +27,29 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  /** Idempotent registration of the graft_* codegen expressions on the
+    * input's session — every method that builds kernel columns calls
+    * this first. */
+  private def reg(df: DataFrame): DataFrame = {
+    graft.expr.GraftFunctions.register(df.sparkSession)
+    df
+  }
+
   /** Compiled cosine — BIT-IDENTICAL to the [[cosine]] expression
     * (same left-to-right folds for dot and both norms, same op order
-    * for the final ratio; asserted in LshSpec) but one tight loop per
-    * pair instead of three interpreted higher-order folds. The
-    * candidate-verification joins use this path. */
-  val cosineFast: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((a: Seq[Float], b: Seq[Float]) => {
-      // null semantics of the expression it replaces: null input or a
-      // length mismatch → null out (zip_with pads the short side with
-      // null, which nulls the whole fold), never a runtime throw
-      if (a == null || b == null || a.length != b.length) Option.empty[Double]
-      else {
-        val n = a.length
-        var d = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < n) {
-          val x = a(i).toDouble; val y = b(i).toDouble
-          d += x * y; na += x * x; nb += y * y
-          i += 1
-        }
-        Some(d / (math.sqrt(na) * math.sqrt(nb)))
-      }
-    })
+    * for the final ratio; asserted in LshSpec). Round 4 promoted this
+    * from a Scala udf to the codegen [[graft.expr.CosineSim]]
+    * expression (generated Java calls the static Kernels.cosine over
+    * the unsafe array — the udf's per-row Row↔Seq boxing is gone).
+    * Null input or length mismatch → null, like the expression it
+    * mirrors. Requires [[graft.expr.GraftFunctions.register]] on the
+    * session (every VectorOps entry point does it). */
+  def cosineFast(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
 
   /** Brute-force cosine top-k for a set of query vector ids. */
-  def cosineTopK(emb: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+  def cosineTopK(emb0: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val emb = reg(emb0)
     val q = emb.where(queryFilter)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val cand = emb.crossJoin(broadcast(q))
@@ -122,36 +119,22 @@ object VectorOps {
     }.reduce(_ + _)
 
   /** (vec_id, tj, bk) bucket rows for `tables` hash tables — the
-    * explode side of every LSH join. Computed by a compiled kernel
-    * (one tight loop per row, plane weights precomputed) instead of
-    * the [[lshBucket]] expression tree: higher-order aggregate
-    * lambdas are codegen-fallback, and tables×nb×dim of them per row
-    * dominated the LSH queries' wall time. BIT-IDENTICAL buckets —
-    * the kernel folds the dot product in the same index order as
+    * explode side of every LSH join. Computed by the codegen
+    * [[graft.expr.LshBuckets]] expression (generated Java calls the
+    * static Kernels.lshBuckets over the unsafe float array, plane
+    * weights shipped once as a reference object — round 4 promoted
+    * the former Scala udf): higher-order aggregate lambdas are
+    * codegen-fallback, and tables×nb×dim of them per row dominated
+    * the LSH queries' wall time. BIT-IDENTICAL buckets — the kernel
+    * folds the dot product in the same index order as
     * `aggregate(zip_with(...))`, so every IEEE sum matches the
     * expression (and the oracle's) exactly; asserted in LshSpec. */
-  def lshBuckets(emb: DataFrame, dim: Int, nb: Int, tables: Int): DataFrame = {
-    val planes: Array[Array[Array[Double]]] =
-      Array.tabulate(tables, nb, dim)((t, j, i) => planeW(t, j, i).toDouble)
-    val bk = udf((e: Seq[Float]) => {
-      (0 until tables).map { t =>
-        var bucket = 0L
-        var j = 0
-        while (j < nb) {
-          val w = planes(t)(j)
-          var acc = 0.0
-          var i = 0
-          while (i < dim) { acc = acc + e(i).toDouble * w(i); i += 1 }
-          if (acc >= 0) bucket |= (1L << j)
-          j += 1
-        }
-        bucket
-      }
-    })
-    emb.select(col("vec_id"), posexplode(bk(col("embedding"))))
+  def lshBuckets(emb: DataFrame, dim: Int, nb: Int, tables: Int): DataFrame =
+    reg(emb).select(col("vec_id"),
+        posexplode(call_function("graft_lsh_buckets", col("embedding"),
+          lit(tables), lit(nb), lit(dim))))
       .select(col("vec_id"), col("pos").cast("int").as("tj"),
         col("col").as("bk"))
-  }
 
   /** Expression-tree variant of one table's bucket rows — kept for the
     * fast-kernel equality spec. */
@@ -263,9 +246,10 @@ object VectorOps {
     ivfTopKWithCentroids(emb, cents, queryFilter, k, nprobe)
   }
 
-  private def ivfTopKWithCentroids(emb: DataFrame, cents: DataFrame,
+  private def ivfTopKWithCentroids(emb0: DataFrame, cents: DataFrame,
                                    queryFilter: Column, k: Int,
                                    nprobe: Int): DataFrame = {
+    val emb = reg(emb0)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
     val cells = emb.crossJoin(broadcast(cents))

@@ -49,6 +49,7 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("cosineFast kernel == cosine expression (bit-identical doubles)") {
     import org.apache.spark.sql.functions._
+    graft.expr.GraftFunctions.register(spark)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("ea"))
       .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("eb")))
