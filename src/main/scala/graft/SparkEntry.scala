@@ -1222,6 +1222,73 @@ object SparkEntry {
     },
 
     // gain/offset read boundary: out = v·0.1 + 5 over band-0 valid px
+    // Zhang-Suen thinning replayed EXACTLY in a recursive CTE: each
+    // recursion step is one sub-pass (pass parity = it % 2, matching
+    // the engine's pass0/pass1 alternation); the 8-neighborhood is
+    // built by exploding every live cell into 9 (bit, offset)
+    // contributions and grouping on the receiving cell (the recursive
+    // working table may be referenced only once — this needs no
+    // self-join). 80 sub-passes = 40 engine rounds, far past
+    // convergence for ≤64px half-plane masks; extra sub-passes are
+    // no-ops on the stable skeleton, so the fixed bound equals the
+    // engine's run-until-stable result.
+    "q_skeletonize" ->
+      s"""WITH RECURSIVE $I, $B, $SimgCte,
+         |offs(bit, dx, dy, po2) AS (VALUES
+         |  (0, 0, -1, 1), (1, 1, -1, 2), (2, 1, 0, 4), (3, 1, 1, 8),
+         |  (4, 0, 1, 16), (5, -1, 1, 32), (6, -1, 0, 64), (7, -1, -1, 128),
+         |  (8, 0, 0, 0)),
+         |m0 AS (
+         |  SELECT s.k, xs.x, ys.y
+         |  FROM simg s
+         |  JOIN bandp p2 ON p2.k = s.k AND p2.b = 2
+         |  JOIN bandp p3 ON p3.k = s.k AND p3.b = 3
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.w-1 AS INT))) AS x) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.h-1 AS INT))) AS y) ys
+         |  WHERE xs.x >= s.nw
+         |    AND p3.base + p3.ax*xs.x + p3.ay*ys.y
+         |      > p2.base + p2.ax*xs.x + p2.ay*ys.y),
+         |thin(k, x, y, it) AS (
+         |  SELECT k, x, y, 0 FROM m0
+         |  UNION ALL
+         |  SELECT c.k, c.x, c.y, c.it + 1
+         |  FROM (
+         |    SELECT t.k, t.x - o.dx AS x, t.y - o.dy AS y,
+         |           MAX(t.it) AS it,
+         |           MAX(CASE WHEN o.bit = 8 THEN 1 ELSE 0 END) AS fg,
+         |           CAST(SUM(o.po2) AS INTEGER) AS m
+         |    FROM thin t CROSS JOIN offs o
+         |    GROUP BY 1, 2, 3
+         |  ) c
+         |  WHERE c.fg = 1 AND c.it < 80 AND NOT (
+         |    bit_count(c.m) BETWEEN 2 AND 6
+         |    AND (CASE WHEN ((c.m>>0)&1)=0 AND ((c.m>>1)&1)=1 THEN 1 ELSE 0 END
+         |       + CASE WHEN ((c.m>>1)&1)=0 AND ((c.m>>2)&1)=1 THEN 1 ELSE 0 END
+         |       + CASE WHEN ((c.m>>2)&1)=0 AND ((c.m>>3)&1)=1 THEN 1 ELSE 0 END
+         |       + CASE WHEN ((c.m>>3)&1)=0 AND ((c.m>>4)&1)=1 THEN 1 ELSE 0 END
+         |       + CASE WHEN ((c.m>>4)&1)=0 AND ((c.m>>5)&1)=1 THEN 1 ELSE 0 END
+         |       + CASE WHEN ((c.m>>5)&1)=0 AND ((c.m>>6)&1)=1 THEN 1 ELSE 0 END
+         |       + CASE WHEN ((c.m>>6)&1)=0 AND ((c.m>>7)&1)=1 THEN 1 ELSE 0 END
+         |       + CASE WHEN ((c.m>>7)&1)=0 AND ((c.m>>0)&1)=1 THEN 1 ELSE 0 END) = 1
+         |    AND (CASE WHEN c.it % 2 = 0
+         |         THEN NOT (((c.m>>0)&1)=1 AND ((c.m>>2)&1)=1 AND ((c.m>>4)&1)=1)
+         |          AND NOT (((c.m>>2)&1)=1 AND ((c.m>>4)&1)=1 AND ((c.m>>6)&1)=1)
+         |         ELSE NOT (((c.m>>0)&1)=1 AND ((c.m>>2)&1)=1 AND ((c.m>>6)&1)=1)
+         |          AND NOT (((c.m>>0)&1)=1 AND ((c.m>>4)&1)=1 AND ((c.m>>6)&1)=1)
+         |         END))
+         |),
+         |skel AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_skel
+         |         FROM thin WHERE it = 80 GROUP BY k),
+         |msk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_mask
+         |        FROM m0 GROUP BY k)
+         |SELECT s.image_id, COALESCE(msk.n_mask, 0) AS n_mask,
+         |       COALESCE(skel.n_skel, 0) AS n_skel
+         |FROM simg s LEFT JOIN msk ON msk.k = s.k
+         |LEFT JOIN skel ON skel.k = s.k
+         |ORDER BY 1""".stripMargin,
+
     "q_gain_offset" ->
       s"""WITH $I, $B, $SimgCte, $PxCte
          |SELECT s.image_id, CAST(COUNT(*) AS BIGINT) AS n_valid,
