@@ -841,6 +841,19 @@ object SparkEntry {
       graft.text.TextOps.langId(docs(s, dir)).orderBy("doc_id")),
     "q_doc_fingerprint" -> ((s, dir) =>
       graft.text.TextOps.fingerprint(docs(s, dir)).orderBy("doc_id")),
+    // PII/URL scrub over PII-augmented docs (every 3rd doc gains an
+    // email + URL token — derived identically in SQL): redacted-text
+    // md5 + redaction counts, LIKE-only matching so both engines agree
+    "q_doc_scrub" -> ((s, dir) =>
+      graft.text.TextOps.scrub(docs(s, dir).withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"),
+              lit(" mail bob@example.com or www.example.org now")))
+          .otherwise(col("text"))))
+        .select(col("doc_id"), md5(col("scrubbed")).as("scrub_h"),
+          col("n_redacted"))
+        .orderBy("doc_id")),
+
     "q_dedup_exact" -> ((s, dir) =>
       graft.text.TextOps.dedupExact(docs(s, dir)).orderBy("h")),
     "q_dedup_norm" -> ((s, dir) =>
@@ -1952,6 +1965,27 @@ object SparkEntry {
          |  md5(concat_ws('|', ts[1], ts[2], ts[3], ts[-1],
          |      CAST(n_chars AS VARCHAR))) AS fp
          |FROM tok ORDER BY doc_id""".stripMargin,
+
+    // scrub: LIKE-only token redaction over the same PII augmentation
+    "q_doc_scrub" ->
+      """WITH aug AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN text || ' mail bob@example.com or www.example.org now'
+        |       ELSE text END AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM aug),
+        |red AS (SELECT doc_id,
+        |  list_transform(ts, t -> CASE
+        |    WHEN t LIKE '%@%.%' THEN '<EMAIL>'
+        |    WHEN t LIKE 'http://%' OR t LIKE 'https://%' OR t LIKE 'www.%'
+        |      THEN '<URL>'
+        |    ELSE t END) AS rts,
+        |  CAST(len(list_filter(ts, t -> t LIKE '%@%.%'
+        |    OR t LIKE 'http://%' OR t LIKE 'https://%'
+        |    OR t LIKE 'www.%')) AS BIGINT) AS n_redacted
+        |  FROM tok)
+        |SELECT doc_id, md5(array_to_string(rts, ' ')) AS scrub_h, n_redacted
+        |FROM red ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS cnt,

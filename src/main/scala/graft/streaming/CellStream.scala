@@ -111,6 +111,21 @@ object CellStream {
       .getOrElse(spark.emptyDataFrame)
   }
 
+  /** STREAM-STATIC spatial join: continuously arriving image rows
+    * (x0m..y1m footprints) join the static polygon layer through the
+    * SAME covering-cell equi-join as the batch path
+    * ([[graft.ops.SpatialJoin.joinRects]]) — every operator involved
+    * (project, cell explode, broadcast hash join, exact-refine filter,
+    * reporter-cell dedup) is STATELESS, so the query runs in Append
+    * mode with no watermark and no state store: each arriving image
+    * emits exactly its polygon matches once. This is the ingest-time
+    * "which AOIs does this new scene touch" routing stage at 10¹²-row
+    * scale: static side broadcast once per micro-batch, stream side
+    * never shuffles. */
+  def spatialJoinStream(stream: DataFrame, polys: DataFrame,
+                        res: Int = 7): DataFrame =
+    graft.ops.SpatialJoin.joinRects(stream, polys, res)
+
   /** Event-time windowed variant with watermark (late data bounded by
     * `lateness`): (ts, x0m, y0m) → per (window, cell) counts. */
   def windowedCellCounts(stream: DataFrame, res: Int,

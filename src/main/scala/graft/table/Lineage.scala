@@ -204,11 +204,13 @@ object Lineage {
     * Returns the number of buckets compacted. Also vacuums data left
     * below the latest committed generation by earlier crashes. */
   def compact(spark: SparkSession, root: String, maxFiles: Int = 1,
-              targetBytes: Long = 128L << 20): Int = {
+              targetBytes: Long = 128L << 20,
+              vacuumOld: Boolean = true): Int = {
     var n = 0
     latestCommits(root).toSeq.sortBy(_._1).foreach { case (p, c) =>
       // vacuum: anything from generations below the committed one
-      (0 until c.gen).foreach(vacuumGen(root, p, _))
+      // (skipped under snapshot retention — expireSnapshots does it)
+      if (vacuumOld) (0 until c.gen).foreach(vacuumGen(root, p, _))
       val dir = partDir(root, p, c.gen)
       val files = parquetFiles(dir)
       if (files.size > maxFiles) {
@@ -228,9 +230,56 @@ object Lineage {
         Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
         appendCommit(root, Commit(p, c.rows, dirBytes(dst),
           System.currentTimeMillis(), newGen))
-        // old generation is now stale — safe to vacuum post-commit
-        vacuumGen(root, p, c.gen)
+        // old generation is now stale — vacuum post-commit, unless the
+        // caller retains snapshots for time travel (expireSnapshots
+        // reclaims them later; Iceberg's expire_snapshots contract)
+        if (vacuumOld) vacuumGen(root, p, c.gen)
         n += 1
+      }
+    }
+    n
+  }
+
+  /** TIME-TRAVEL read (Iceberg `AS OF TIMESTAMP` analog): per bucket,
+    * the commit with the greatest ts ≤ `asOfTs` selects which
+    * generation's data to read. Needs the old generations retained —
+    * run `compact(..., vacuumOld = false)` and reclaim later with
+    * [[expireSnapshots]]. Throws if a selected non-empty generation's
+    * data was already expired (an unreadable snapshot must not
+    * silently return fewer rows). */
+  def readSnapshot(spark: SparkSession, root: String, asOfTs: Long): DataFrame = {
+    val chosen = commits(root).filter(_.ts <= asOfTs)
+      .groupBy(_.part).map { case (p, cs) =>
+        p -> cs.maxBy(c => (c.ts, c.gen))
+      }.toSeq.sortBy(_._1)
+    val dirs = chosen.flatMap { case (p, c) =>
+      val d = partDir(root, p, c.gen)
+      if (hasParquet(d)) Some(d.toString)
+      else if (c.rows == 0) None
+      else throw new IllegalStateException(
+        s"snapshot asOf=$asOfTs selects part=$p gen=${c.gen} " +
+        s"(${c.rows} rows) but its data was expired — retain with " +
+        "compact(vacuumOld = false) to time-travel")
+    }
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(dirs: _*)
+  }
+
+  /** Reclaim data of superseded generations whose SUPERSEDING commit is
+    * older than `olderThanTs` — Iceberg's expire_snapshots: time travel
+    * beyond the horizon is given up, current reads are untouched.
+    * Returns the number of generations vacuumed. */
+  def expireSnapshots(root: String, olderThanTs: Long): Int = {
+    var n = 0
+    commits(root).groupBy(_.part).foreach { case (p, cs) =>
+      val latest = cs.maxBy(_.gen)
+      cs.filter(c => c.gen < latest.gen).foreach { c =>
+        // superseded by the first commit with a higher gen
+        val superseder = cs.filter(_.gen > c.gen).minBy(_.gen)
+        if (superseder.ts < olderThanTs && hasParquet(partDir(root, p, c.gen))) {
+          vacuumGen(root, p, c.gen)
+          n += 1
+        }
       }
     }
     n

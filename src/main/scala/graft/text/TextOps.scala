@@ -72,6 +72,27 @@ object TextOps {
         element_at(toks, 1), element_at(toks, 2), element_at(toks, 3),
         element_at(toks, -1), col("n_chars").cast("string"))).as("fp"))
 
+  /** PII / URL scrub — the redaction stage of a training-data curation
+    * pipeline: email-shaped tokens (`%@%.%`) become `<EMAIL>`,
+    * URL-shaped tokens (`http://%` | `https://%` | `www.%`) become
+    * `<URL>`. Deliberately TOKEN-level and LIKE-only (no regex): SQL
+    * LIKE with `%` is semantically identical across engines, so the
+    * scrubbed text and redaction counts are bit-reproducible by the
+    * DuckDB oracle — a regex formulation would hinge on dialect
+    * (Java vs RE2) corner cases. Returns (doc_id, scrubbed,
+    * n_redacted). */
+  def scrub(docs: DataFrame): DataFrame = {
+    val isEmail = (t: Column) => t.like("%@%.%")
+    val isUrl = (t: Column) =>
+      t.like("http://%") || t.like("https://%") || t.like("www.%")
+    val red = transform(toks, t =>
+      when(isEmail(t), "<EMAIL>").when(isUrl(t), "<URL>").otherwise(t))
+    docs.select(col("doc_id"),
+      concat_ws(" ", red).as("scrubbed"),
+      size(filter(toks, t => isEmail(t) || isUrl(t)))
+        .cast("long").as("n_redacted"))
+  }
+
   /** Exact dedup: hash-groupBy on md5(text); one row per group. */
   def dedupExact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("h"))

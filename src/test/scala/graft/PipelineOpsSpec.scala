@@ -61,6 +61,26 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(frac - 0.25) < 0.05, s"val fraction $frac")
   }
 
+  test("scrub: email/url tokens redacted, plain tokens untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "write to a.b@mail.example or https://x.y/z soon"),
+      (2L, "nothing to redact here at all"),
+      (3L, "www.site.org plus email@d.com plus http://p.q end"),
+      (4L, "edge @ cases like user@nodot and www stay")) // no redaction
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en"))
+    val out = graft.text.TextOps.scrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("write to <EMAIL> or <URL> soon", 2L))
+    assert(out(2L) == ("nothing to redact here at all", 0L))
+    assert(out(3L) == ("<URL> plus <EMAIL> plus <URL> end", 3L))
+    // '@' without a dot after it and bare 'www' are NOT redacted
+    assert(out(4L) == ("edge @ cases like user@nodot and www stay", 0L))
+  }
+
   test("kmeansEmbeddingsExact: identical assignments under any partitioning") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def run(df: org.apache.spark.sql.DataFrame) =

@@ -301,6 +301,33 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lineage.latestCommits(root)(0).gen == 1)
   }
 
+  test("lineage: snapshot retention — time-travel read + expire (Iceberg analog)") {
+    val root = Files.createTempDirectory("graft_lineage_tt").toString
+    val df = images(500).select("image_id", "k", "w").repartition(8)
+    assert(Lineage.writeResumable(spark, df, root, "image_id", 4) == 4)
+    val before = Lineage.read(spark, root).count()
+    Thread.sleep(5)
+    val ts1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    // retain old generations for time travel
+    assert(Lineage.compact(spark, root, maxFiles = 0, vacuumOld = false) == 4)
+    assert(Lineage.read(spark, root).count() == before)
+    // as-of ts1 = the gen-0 snapshot, still readable (data retained)
+    assert(Lineage.readSnapshot(spark, root, ts1).count() == before)
+    // as-of now = the latest generations
+    assert(Lineage.readSnapshot(spark, root,
+      System.currentTimeMillis()).count() == before)
+    // expire: superseded gen-0 data reclaimed; current reads untouched
+    assert(Lineage.expireSnapshots(root, System.currentTimeMillis() + 1) == 4)
+    assert(Lineage.read(spark, root).count() == before)
+    // time travel past the horizon must FAIL LOUDLY, not shrink
+    intercept[IllegalStateException] {
+      Lineage.readSnapshot(spark, root, ts1)
+    }
+    // expire is idempotent
+    assert(Lineage.expireSnapshots(root, System.currentTimeMillis() + 1) == 0)
+  }
+
   test("lineage: fully-empty committed table reads back as empty") {
     val root = Files.createTempDirectory("graft_lineage_empty").toString
     val empty = images(1000).select("image_id", "k")

@@ -45,6 +45,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("stream-static spatial join == batch join on the same rows (append, stateless)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val polys = graft.gen.Synth.polygonsRange(spark, 30).cache()
+    // deterministic image rows, synth footprint formulas
+    val rows = (0L until 400L).map { k =>
+      val w = 16 + (k * 13) % 240; val h = 16 + (k * 29) % 240
+      val x0 = (k * 7919) % 300000 - 150000
+      val y0 = (k * 104729) % 120000 - 60000
+      (s"img-$k", k, x0, y0, x0 + w * 4, y0 + h * 4)
+    }
+    val input = MemoryStream[(String, Long, Long, Long, Long, Long)]
+    val df = input.toDF().toDF("image_id", "k", "x0m", "y0m", "x1m", "y1m")
+    val joined = CellStream.spatialJoinStream(df, polys)
+      .select("image_id", "fid")
+    val q = joined.writeStream.format("memory")
+      .queryName("sjoin").outputMode("append").start()
+    // feed in two micro-batches; each image's matches must appear once
+    input.addData(rows.take(250): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(250): _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT image_id, fid FROM sjoin")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    q.stop()
+    val batch = graft.ops.SpatialJoin.joinRects(
+        rows.toDF("image_id", "k", "x0m", "y0m", "x1m", "y1m"), polys)
+      .select("image_id", "fid")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(batch.nonEmpty, "fixture produced no joins")
+    // exact multiset equality: stateless append emits each pair once
+    assert(streamed.sorted.toSeq == batch.sorted.toSeq)
+  }
+
   test("windowed cell counts: watermark closes windows and drops late data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
