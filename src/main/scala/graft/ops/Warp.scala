@@ -227,15 +227,30 @@ object Warp {
       val grid = Grid(tgx0.toDouble, (tgy1 - th * resM).toDouble,
         (tgx0 + tw * resM).toDouble, tgy1.toDouble,
         tw, th, resM.toDouble, resM.toDouble)
+      // fragments travel as PACKED LITTLE-ENDIAN doubles (binary), not
+      // array<double>: a Seq[Double] fragment boxes every pixel on the
+      // way into the shuffle (pairs × bands × tile pixels of java.lang
+      // .Double) — the byte image is the same 8 B/px with zero boxing
       (0 until math.min(nbBands, stored)).map { b =>
         val f = resample(planes(b), w, h, x0m.toDouble, y1m.toDouble,
           resM.toDouble, resM.toDouble, grid, interp)
-        (if (cut == null) f else cutlineMask(f, grid, cut)).toSeq
+        val fc = if (cut == null) f else cutlineMask(f, grid, cut)
+        val bb = java.nio.ByteBuffer.allocate(fc.length * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.asDoubleBuffer().put(fc)
+        bb.array()
       }
     })
     val mergeUdf = udf((frags: Seq[org.apache.spark.sql.Row], len: Int) => {
       val merged = mergeFragments(
-        frags.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)), len)
+        frags.map { r =>
+          val fb = r.getAs[Array[Byte]](1)
+          val out = new Array[Double](len)
+          java.nio.ByteBuffer.wrap(fb)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            .asDoubleBuffer().get(out)
+          (r.getLong(0), out)
+        }, len)
       var n = 0L; var s = 0L; var i = 0
       while (i < len) {
         if (!merged(i).isNaN) { n += 1; s += merged(i).toLong }

@@ -20,7 +20,8 @@ object KernelTiming {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = Seq("q_minhash_sig", "q_jaccard_lsh", "q_ann_cosine_topk",
-      "q_ann_lsh_topk", "q_emb_neardup_lsh")
+      "q_ann_lsh_topk", "q_emb_neardup_lsh",
+      "q_mosaic_pixels", "q_mosaic_bands")
     names.foreach { n =>
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count() // warm
       val best = (1 to 3).map { _ =>
