@@ -225,11 +225,13 @@ object Pixels {
     * /root/reference/GIP/gip/GeoRaster.h:195-197): binary thinning of a
     * (>0) mask to a 1-px-wide skeleton. The reference uses CImg's
     * Hamilton-Jacobi flux skeleton (cimg/skeletonize.h) — smoke-tested
-    * only (test_GeoRaster.py:173-179); this rebuild substitutes the
-    * standard Zhang-Suen morphological thinning (documented algorithmic
-    * substitution: same binary-skeleton capability, deterministic,
-    * shuffle-free per-image kernel). Nodata (NaN) cells are treated as
-    * background and preserved in the output. */
+    * only (test_GeoRaster.py:173-179); this rebuild offers BOTH the
+    * standard Zhang-Suen morphological thinning (this method — the
+    * oracle-gated default: deterministic, SQL-replayable) and a
+    * flux-ordered Hamilton-Jacobi skeleton ([[skeletonizeFlux]], the
+    * same algorithm FAMILY as the reference, implemented from the
+    * published method, not its code). Nodata (NaN) cells are treated
+    * as background and preserved in the output. */
   def skeletonize(p: Array[Double], w: Int, h: Int): Array[Double] = {
     val a = new Array[Boolean](w * h)
     var i = 0
@@ -271,6 +273,226 @@ object Pixels {
     }
     Array.tabulate(w * h)(i =>
       if (p(i).isNaN) Double.NaN else if (a(i)) 1.0 else 0.0)
+  }
+
+  /** Exact squared Euclidean distance transform to the nearest
+    * BACKGROUND pixel (Felzenszwalb & Huttenlocher's two-pass
+    * lower-envelope method, "Distance Transforms of Sampled
+    * Functions", Theory of Computing 2012 — public algorithm).
+    * Background (and everything outside the image) is at distance 0. */
+  private def edt2(fg: Array[Boolean], w: Int, h: Int): Array[Double] = {
+    val INF = 1e18
+    val d = new Array[Double](w * h)
+    var i = 0
+    while (i < w * h) { d(i) = if (fg(i)) INF else 0.0; i += 1 }
+    // pad: outside the image counts as background ⇒ seed border cells
+    // with their distance to the virtual outside ring via the 1-D pass
+    def dt1(f: Array[Double]): Array[Double] = {
+      val n = f.length
+      val dOut = new Array[Double](n)
+      val v = new Array[Int](n); val z = new Array[Double](n + 1)
+      var k = 0
+      v(0) = 0; z(0) = -INF; z(1) = INF
+      var q = 1
+      while (q < n) {
+        var s = ((f(q) + q * q) - (f(v(k)) + v(k) * v(k))) / (2.0 * q - 2.0 * v(k))
+        while (s <= z(k)) {
+          k -= 1
+          s = ((f(q) + q * q) - (f(v(k)) + v(k) * v(k))) / (2.0 * q - 2.0 * v(k))
+        }
+        k += 1; v(k) = q; z(k) = s; z(k + 1) = INF
+        q += 1
+      }
+      k = 0
+      q = 0
+      while (q < n) {
+        while (z(k + 1) < q) k += 1
+        dOut(q) = (q - v(k)) * (q - v(k)) + f(v(k))
+        q += 1
+      }
+      dOut
+    }
+    // outside-is-background: extend each scanline by one virtual zero
+    // cell at both ends (index -1 and n) — equivalently clamp f with a
+    // 0 at the borders by running the 1-D pass on an array padded with
+    // zeros and cropping
+    def dt1Padded(f: Array[Double]): Array[Double] = {
+      val padded = new Array[Double](f.length + 2)
+      padded(0) = 0.0; padded(padded.length - 1) = 0.0
+      System.arraycopy(f, 0, padded, 1, f.length)
+      val r = dt1(padded)
+      java.util.Arrays.copyOfRange(r, 1, 1 + f.length)
+    }
+    // pass 1: rows
+    var y = 0
+    while (y < h) {
+      val row = new Array[Double](w)
+      var x = 0
+      while (x < w) { row(x) = d(y * w + x); x += 1 }
+      val r = dt1Padded(row)
+      x = 0
+      while (x < w) { d(y * w + x) = r(x); x += 1 }
+      y += 1
+    }
+    // pass 2: columns
+    var x = 0
+    while (x < w) {
+      val colA = new Array[Double](h)
+      var yy = 0
+      while (yy < h) { colA(yy) = d(yy * w + x); yy += 1 }
+      val r = dt1Padded(colA)
+      yy = 0
+      while (yy < h) { d(yy * w + x) = r(yy); yy += 1 }
+      x += 1
+    }
+    d
+  }
+
+  /** HAMILTON-JACOBI (flux-ordered) skeleton — the same algorithm
+    * family as the reference's CImg plugin, implemented from the
+    * published method (Siddiqi, Bouix, Tannenbaum, Zucker,
+    * "Hamilton-Jacobi Skeletons", IJCV 2002 — public literature; the
+    * reference's CeCILL-licensed plugin code was NOT used):
+    *
+    *   1. D = Euclidean distance transform to the background ([[edt2]]);
+    *   2. ∇D by central differences; average OUTWARD FLUX of ∇D
+    *      through each pixel's 8-neighborhood — strongly negative
+    *      flux marks medial (shock) points;
+    *   3. homotopy-preserving ordered thinning: process foreground
+    *      pixels in increasing-D order (priority queue, ties by
+    *      index → fully deterministic); remove a pixel iff it is a
+    *      SIMPLE point (removal preserves 8-fg/4-bg topology) and NOT
+    *      an endpoint with flux below `fluxThresh` — endpoints with
+    *      strong inward flux survive as curve-skeleton tips.
+    *
+    * Returns 1.0/0.0/NaN like [[skeletonize]]. Verified by invariant
+    * specs (subset, component preservation, determinism, medial
+    * location); the oracle-gated engine default remains Zhang-Suen. */
+  def skeletonizeFlux(p: Array[Double], w: Int, h: Int,
+                      fluxThresh: Double = -0.4): Array[Double] = {
+    val fg = new Array[Boolean](w * h)
+    var i = 0
+    while (i < p.length) { fg(i) = !p(i).isNaN && p(i) > 0; i += 1 }
+    val d2 = edt2(fg, w, h)
+    val dist = d2.map(math.sqrt)
+    def at(x: Int, y: Int): Boolean =
+      x >= 0 && x < w && y >= 0 && y < h && fg(y * w + x)
+    def dAt(x: Int, y: Int): Double =
+      if (x < 0 || x >= w || y < 0 || y >= h) 0.0 else dist(y * w + x)
+    // central-difference gradient of D
+    val gx = new Array[Double](w * h); val gy = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        gx(y * w + x) = (dAt(x + 1, y) - dAt(x - 1, y)) / 2.0
+        gy(y * w + x) = (dAt(x, y + 1) - dAt(x, y - 1)) / 2.0
+        x += 1
+      }
+      y += 1
+    }
+    // average outward flux over the 8-neighborhood
+    val flux = new Array[Double](w * h)
+    val offs = Array((0, -1), (1, -1), (1, 0), (1, 1),
+                     (0, 1), (-1, 1), (-1, 0), (-1, -1))
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (fg(y * w + x)) {
+          var f = 0.0; var n = 0
+          offs.foreach { case (dx, dy) =>
+            val qx = x + dx; val qy = y + dy
+            if (qx >= 0 && qx < w && qy >= 0 && qy < h) {
+              val len = math.sqrt((dx * dx + dy * dy).toDouble)
+              f += (gx(qy * w + qx) * dx + gy(qy * w + qx) * dy) / len
+              n += 1
+            }
+          }
+          flux(y * w + x) = if (n == 0) 0.0 else f / n
+        }
+        x += 1
+      }
+      y += 1
+    }
+    // SIMPLE-POINT test, (8-fg, 4-bg) topology: removable iff the fg
+    // ring cells form exactly ONE 8-connected component and the bg
+    // ring cells form exactly ONE 4-connected component that touches
+    // an orthogonal neighbor (Bertrand/Couprie characterization of
+    // 2-D simple points — public literature). Components are counted
+    // with a tiny union-find over the 8 ring positions with the exact
+    // Chebyshev/Manhattan adjacency, no heuristics:
+    //   fg 8-adjacency: consecutive ring cells + orthogonal pairs
+    //     around a shared corner (N-E, E-S, S-W, W-N);
+    //   bg 4-adjacency: consecutive ring cells only.
+    val fg8Pairs: Array[(Int, Int)] =
+      Array.tabulate(8)(j => (j, (j + 1) % 8)) ++
+        Array((0, 2), (2, 4), (4, 6), (6, 0))
+    def isSimple(x: Int, yy: Int): Boolean = {
+      val nb = Array.tabulate(8) { j =>
+        at(x + offs(j)._1, yy + offs(j)._2)
+      }
+      val parent = Array.tabulate(8)(identity)
+      def find(a: Int): Int =
+        if (parent(a) == a) a else { parent(a) = find(parent(a)); parent(a) }
+      def union(a: Int, b: Int): Unit = { parent(find(a)) = find(b) }
+      // fg 8-components
+      fg8Pairs.foreach { case (a, b) => if (nb(a) && nb(b)) union(a, b) }
+      val fgComp = (0 until 8).filter(nb).map(find).distinct.size
+      // bg 4-components (reset union-find)
+      (0 until 8).foreach(j => parent(j) = j)
+      (0 until 8).foreach { j =>
+        val k = (j + 1) % 8
+        if (!nb(j) && !nb(k)) union(j, k)
+      }
+      // only components containing an ORTHOGONAL bg neighbor count
+      // (a bg corner alone is not 4-adjacent to the center)
+      val bgComp = Seq(0, 2, 4, 6).filter(j => !nb(j)).map(find).distinct.size
+      fgComp == 1 && bgComp == 1
+    }
+    def isEnd(x: Int, yy: Int): Boolean = {
+      var n = 0
+      offs.foreach { case (dx, dy) => if (at(x + dx, yy + dy)) n += 1 }
+      n <= 1
+    }
+    // ordered thinning: min-dist first, deterministic tie-break
+    val pq = new java.util.PriorityQueue[(Double, Int)](
+      (a: (Double, Int), b: (Double, Int)) => {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c else Integer.compare(a._2, b._2)
+      })
+    val queued = new Array[Boolean](w * h)
+    def push(x: Int, yy: Int): Unit = {
+      val idx = yy * w + x
+      if (fg(idx) && !queued(idx)) { queued(idx) = true; pq.add((dist(idx), idx)) }
+    }
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // seed: boundary fg pixels (some 4-neighbor is background)
+        if (fg(y * w + x) &&
+            (!at(x, y - 1) || !at(x + 1, y) || !at(x, y + 1) || !at(x - 1, y)))
+          push(x, y)
+        x += 1
+      }
+      y += 1
+    }
+    while (!pq.isEmpty) {
+      val (_, idx) = pq.poll()
+      queued(idx) = false
+      val x = idx % w; val yy = idx / w
+      if (fg(idx) && isSimple(x, yy) &&
+          !(isEnd(x, yy) && flux(idx) < fluxThresh)) {
+        fg(idx) = false
+        offs.foreach { case (dx, dy) =>
+          val qx = x + dx; val qy = yy + dy
+          if (at(qx, qy)) push(qx, qy)
+        }
+      }
+    }
+    Array.tabulate(w * h)(i =>
+      if (p(i).isNaN) Double.NaN else if (fg(i)) 1.0 else 0.0)
   }
 
   // ---- §2.4 neighborhood ops ----

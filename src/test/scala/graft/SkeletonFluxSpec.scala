@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Pixels
+
+/** Hamilton-Jacobi (flux-ordered) skeleton invariants — the reference-
+  * family algorithm next to the oracle-gated Zhang-Suen default. */
+class SkeletonFluxSpec extends AnyFunSuite {
+
+  private def mask(w: Int, h: Int)(fg: (Int, Int) => Boolean): Array[Double] =
+    Array.tabulate(w * h)(i => if (fg(i % w, i / w)) 1.0 else 0.0)
+
+  private def fgSet(p: Array[Double], w: Int): Set[(Int, Int)] =
+    p.zipWithIndex.collect { case (v, i) if v == 1.0 => (i % w, i / w) }.toSet
+
+  /** 8-connected component count (spec-side BFS). */
+  private def comps(cells: Set[(Int, Int)]): Int = {
+    var left = cells; var n = 0
+    while (left.nonEmpty) {
+      n += 1
+      var frontier = Set(left.head)
+      left -= left.head
+      while (frontier.nonEmpty) {
+        val nxt = for {
+          (x, y) <- frontier
+          dx <- -1 to 1; dy <- -1 to 1
+          q = (x + dx, y + dy) if left(q)
+        } yield q
+        left --= nxt
+        frontier = nxt
+      }
+    }
+    n
+  }
+
+  test("rectangle: skeleton is a thin medial subset, topology preserved") {
+    val (w, h) = (25, 13)
+    val m = mask(w, h)((x, y) => x >= 2 && x <= 22 && y >= 2 && y <= 10)
+    val sk = Pixels.skeletonizeFlux(m, w, h)
+    val ms = fgSet(m, w); val ss = fgSet(sk, w)
+    assert(ss.subsetOf(ms), "skeleton must be inside the mask")
+    assert(ss.nonEmpty && ss.size < ms.size / 3, s"not thin: ${ss.size}/${ms.size}")
+    assert(comps(ss) == comps(ms), "component count must be preserved")
+    // medial-ness: a rectangle's medial axis is the central spine plus
+    // 45° corner branches — assert every skeleton pixel keeps distance
+    // ≥ 2 from the background (no boundary hugging), and the central
+    // spine row survives through the middle
+    def distToBg(px: Int, py: Int): Int =
+      (for {x <- 0 until w; y <- 0 until h
+            if !ms((x, y))} yield math.max(math.abs(x - px), math.abs(y - py))).min
+    assert(ss.forall { case (x, y) => distToBg(x, y) >= 2 },
+      s"boundary-hugging skeleton pixel in $ss")
+    assert(ss.exists { case (x, y) => y == 6 && x >= 10 && x <= 14 })
+    // no 2x2 block fully set (curve thinness)
+    assert(!ss.exists { case (x, y) =>
+      ss((x + 1, y)) && ss((x, y + 1)) && ss((x + 1, y + 1)) })
+  }
+
+  test("plus shape: all four arm tips survive as curve endpoints") {
+    val (w, h) = (21, 21)
+    val m = mask(w, h)((x, y) =>
+      (math.abs(x - 10) <= 1 && y >= 2 && y <= 18) ||
+      (math.abs(y - 10) <= 1 && x >= 2 && x <= 18))
+    val sk = Pixels.skeletonizeFlux(m, w, h)
+    val ss = fgSet(sk, w)
+    assert(ss.subsetOf(fgSet(m, w)))
+    assert(comps(ss) == 1)
+    // the skeleton must still reach deep into each of the 4 arms
+    assert(ss.exists { case (x, y) => x == 10 && y <= 4 }, "north arm lost")
+    assert(ss.exists { case (x, y) => x == 10 && y >= 16 }, "south arm lost")
+    assert(ss.exists { case (x, y) => y == 10 && x <= 4 }, "west arm lost")
+    assert(ss.exists { case (x, y) => y == 10 && x >= 16 }, "east arm lost")
+    // and keep the junction
+    assert(ss((10, 10)))
+  }
+
+  test("two blobs stay two components; deterministic across runs") {
+    val (w, h) = (30, 12)
+    val m = mask(w, h)((x, y) =>
+      (x >= 1 && x <= 10 && y >= 2 && y <= 9) ||
+      (x >= 18 && x <= 28 && y >= 3 && y <= 8))
+    val a = Pixels.skeletonizeFlux(m, w, h)
+    val b = Pixels.skeletonizeFlux(m, w, h)
+    assert(a.sameElements(b), "must be deterministic")
+    assert(comps(fgSet(a, w)) == 2)
+  }
+
+  test("nodata preserved; empty mask fixpoint; isolated pixel survives") {
+    val (w, h) = (8, 8)
+    val m = Array.tabulate(w * h) { i =>
+      if (i == 0) Double.NaN else if (i == 27) 1.0 else 0.0
+    }
+    val sk = Pixels.skeletonizeFlux(m, w, h)
+    assert(sk(0).isNaN)
+    assert(sk(27) == 1.0, "isolated pixel is its own skeleton")
+    assert(sk.count(_ == 1.0) == 1)
+  }
+}
