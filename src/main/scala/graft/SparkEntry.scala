@@ -137,6 +137,18 @@ object SparkEntry {
         .orderBy("image_id", "dfmt", "band")
     }),
 
+    // RESIZE/thumbnail (standardize-resolution for vision training):
+    // band 0 → 16×16 nearest with the exact integer pixel-center index
+    // map — thumbnail aggregates value-exact vs the SQL index replay
+    "q_resize" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("rz", Bands.resizeAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands), lit(16), lit(16)))
+        .select(col("image_id"), col("rz._1").as("n_valid"),
+          col("rz._2").as("vsum"))
+        .orderBy("image_id")),
+
     "q_warp_grid" -> ((s, dir) => {
       val g = udf((x0: Long, y0: Long, x1: Long, y1: Long) => {
         val gr = Warp.outputGrid(
@@ -1499,6 +1511,23 @@ object SparkEntry {
          |FROM cover c CROSS JOIN bands bn
          |LEFT JOIN sums s ON s.gid = c.gid AND s.band = bn.b
          |ORDER BY 1, 2""".stripMargin,
+
+    // nearest resize to 16×16: xi = ((2x+1)·w)//32, yi likewise —
+    // the engine's integer pixel-center map replayed verbatim
+    "q_resize" ->
+      s"""WITH $I, $B, $SimgCte,
+         |t AS (SELECT s.k, s.image_id, s.nw, p.base, p.ax, p.ay,
+         |        ((2*xs.x+1)*s.w)//32 AS xi, ((2*ys.y+1)*s.h)//32 AS yi
+         |      FROM simg s JOIN bandp p ON p.k = s.k AND p.b = 0
+         |      CROSS JOIN LATERAL
+         |        (SELECT unnest(generate_series(0, 15)) AS x) xs
+         |      CROSS JOIN LATERAL
+         |        (SELECT unnest(generate_series(0, 15)) AS y) ys)
+         |SELECT image_id,
+         |  CAST(COUNT(CASE WHEN xi >= nw THEN 1 END) AS BIGINT) AS n_valid,
+         |  CAST(COALESCE(SUM(CASE WHEN xi >= nw
+         |    THEN base + ax*xi + ay*yi END), 0) AS BIGINT) AS vsum
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_warp_grid" ->
       s"""WITH $I

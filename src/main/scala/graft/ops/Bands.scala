@@ -318,6 +318,47 @@ object Bands {
     }
   })
 
+  /** RESIZE to a fixed target (rw × rh), NEAREST — the standardize-
+    * resolution / thumbnail stage of an image-training pipeline (every
+    * vision model consumes a fixed input size; the reference's analog
+    * is warp-to-resolution). Pixel-center mapping, exact in integers:
+    *   xi = floor(((2x+1)·w) / (2·rw)),  yi likewise —
+    * i.e. round((x+0.5)·w/rw − 0.5) without any float, so the DuckDB
+    * oracle replays the index map digit-exactly. Returns the resized
+    * plane of `band` (row-major doubles, NaN preserved). */
+  def resizeNearest(p: Array[Double], w: Int, h: Int,
+                    rw: Int, rh: Int): Array[Double] = {
+    val out = new Array[Double](rw * rh)
+    var y = 0
+    while (y < rh) {
+      val yi = ((2 * y + 1).toLong * h / (2 * rh)).toInt
+      var x = 0
+      while (x < rw) {
+        val xi = ((2 * x + 1).toLong * w / (2 * rw)).toInt
+        out(y * rw + x) = p(yi * w + xi)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Gate kernel: resize band 0 to rw×rh (nearest) and aggregate the
+    * thumbnail exactly → (n_valid, vsum). Downstream of this, the
+    * thumbnail feeds [[graft.core.Codec.blockMeanEmbedding]] exactly
+    * like any other plane (standard image-embedding prep). */
+  val resizeAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
+                       nb: Int, rw: Int, rh: Int) => {
+    val p = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)(0)
+    val t = resizeNearest(p, w, h, rw, rh)
+    var n = 0L; var s = 0L; var i = 0
+    while (i < t.length) {
+      if (!t(i).isNaN) { n += 1; s += t(i).toLong }
+      i += 1
+    }
+    (n, s)
+  })
+
   /** NEAREST 2:1 downsample of band 0 (overview level 2): out(x,y) =
     * src(2x,2y), out dims ceil(w/2)×ceil(h/2). Returns exact aggregate
     * (n_valid, vsum) of the overview plane. */

@@ -64,6 +64,30 @@ class CodecPixelsSpec extends AnyFunSuite {
       assert(rt1(fmt, Double.NaN).isNaN, s"$fmt sentinel")
   }
 
+  test("resizeNearest: identity at same size; exact index map; NaN preserved") {
+    import graft.ops.Bands
+    val w = 7; val h = 5
+    val p = Array.tabulate(w * h)(i =>
+      if (i == 3) Double.NaN else (10 + i).toDouble)
+    // identity
+    val id = Bands.resizeNearest(p, w, h, w, h)
+    for (i <- p.indices)
+      if (p(i).isNaN) assert(id(i).isNaN) else assert(id(i) == p(i))
+    // 2x downscale vs brute-force index map round((x+.5)*w/rw - .5)
+    val (rw, rh) = (3, 2)
+    val dn = Bands.resizeNearest(p, w, h, rw, rh)
+    for (y <- 0 until rh; x <- 0 until rw) {
+      val xi = math.round((x + 0.5) * w / rw - 0.5).toInt
+      val yi = math.round((y + 0.5) * h / rh - 0.5).toInt
+      val e = p(yi * w + xi)
+      if (e.isNaN) assert(dn(y * rw + x).isNaN)
+      else assert(dn(y * rw + x) == e, s"($x,$y) -> ($xi,$yi)")
+    }
+    // upscale repeats pixels, never invents values
+    val up = Bands.resizeNearest(p, w, h, 14, 10)
+    assert(up.filterNot(_.isNaN).toSet.subsetOf(p.filterNot(_.isNaN).toSet))
+  }
+
   test("png/bmp lossless, jpg meets PSNR >= 40 dB invariant") {
     val w = 64; val h = 48
     val p = Array.tabulate(w * h) { i =>
