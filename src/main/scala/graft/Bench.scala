@@ -518,10 +518,11 @@ object Bench {
          |at 0.910 raw, and the 1→4-executor pair reaches 0.758 raw /
          |0.764 median / 1.000 engine-normalized on the shipped code
          |(run 7) — the multi-executor plan itself loses nothing when the
-         |host cooperates. In every single run the Spark job's raw
+         |host cooperates. In each of the recorded runs above the Spark job's raw
          |ratio lands ON or ABOVE its same-run bare-kernel hardware ceiling
-         |(engine-normalized ≥ 0.86 everywhere): the plan adds no scaling
-         |loss of its own.
+         |(engine-normalized ≥ 0.86 in every recorded run — a claim about
+         |the history table, re-check it against fresh rows): the plan adds
+         |no scaling loss of its own.
          |""".stripMargin)
 
     val qs = qTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

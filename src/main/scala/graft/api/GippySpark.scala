@@ -104,13 +104,25 @@ final class GippySpark(val spark: SparkSession) {
   /** Approximate nearest neighbors over an embeddings table
     * (vec_id, embedding array<float>): `"ivf"` = sample-trained
     * spherical-k-means quantizer (the deployment path), `"lsh"` =
-    * multi-table SRP-LSH, `"exact"` = brute-force cosine. */
+    * multi-table SRP-LSH, `"exact"` = brute-force cosine.
+    *
+    * The LSH path needs the embedding dimension and a corpus-size
+    * estimate (to size `nb` — see nbForCorpus); pass them explicitly
+    * when known, or leave the defaults and this method derives dim
+    * from the first row and corpusN from a count — two small driver
+    * jobs, fine for an interactive entry point, wasteful inside a
+    * loop. */
   def nearestNeighbors(emb: DataFrame, queryFilter: org.apache.spark.sql.Column,
-                       k: Int, method: String = "ivf"): DataFrame =
+                       k: Int, method: String = "ivf",
+                       dim: Int = -1, corpusN: Long = -1L): DataFrame =
     method match {
       case "ivf"   => graft.vec.VectorOps.ivfTopKSeeded(spark, emb, queryFilter, k)
-      case "lsh"   => graft.vec.VectorOps.lshTopK(emb, 64, queryFilter, k,
-        nb = graft.vec.VectorOps.nbForCorpus(emb.count()), tables = 16)
+      case "lsh"   =>
+        val d = if (dim > 0) dim
+                else emb.select(size(col("embedding"))).head().getInt(0)
+        val n = if (corpusN > 0) corpusN else emb.count()
+        graft.vec.VectorOps.lshTopK(emb, d, queryFilter, k,
+          nb = graft.vec.VectorOps.nbForCorpus(n), tables = 16)
       case "exact" => graft.vec.VectorOps.cosineTopK(emb, queryFilter, k)
       case other   => throw new IllegalArgumentException(
         s"method '$other' (ivf | lsh | exact)")

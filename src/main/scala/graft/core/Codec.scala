@@ -268,7 +268,7 @@ object Codec {
   val memoCallCounter = new java.util.concurrent.atomic.LongAdder
 
   private val memoSlot =
-    new ThreadLocal[(Long, Int, String, Array[Array[Double]])]
+    new ThreadLocal[(Long, Int, Int, String, Array[Array[Double]])]
 
   /** One-slot per-thread decode memo, keyed by image key `k` plus a
     * payload content hash.
@@ -290,10 +290,15 @@ object Codec {
     memoCallCounter.increment()
     val bh = java.util.Arrays.hashCode(bytes)
     val cur = memoSlot.get()
-    if (cur != null && cur._1 == k && cur._2 == bh && cur._3 == fmt) cur._4
+    // nb is part of the key: two kernels in one JVM may decode the same
+    // payload with different plane counts (e.g. a 1-band zonal then a
+    // 6-band warp on a reused task thread) — a plane-count-blind hit
+    // would hand the second caller a too-short array
+    if (cur != null && cur._1 == k && cur._2 == bh && cur._3 == nb &&
+        cur._4 == fmt) cur._5
     else {
       val p = decode(bytes, w, h, nb, fmt)
-      memoSlot.set((k, bh, fmt, p))
+      memoSlot.set((k, bh, nb, fmt, p))
       p
     }
   }

@@ -52,9 +52,17 @@ object Kernels {
 
   /** SRP-LSH bucket ids for all tables; reads floats straight out of
     * the unsafe ArrayData (same left-to-right fold order as the
-    * `aggregate(zip_with(...))` expression — bit-identical buckets). */
+    * `aggregate(zip_with(...))` expression — bit-identical buckets).
+    * Returns NULL (the caller raises isNull) for a too-short array or
+    * any null element: getFloat past numElements on UnsafeArrayData
+    * reads adjacent memory, and a null slot reads as 0.0 — both would
+    * be silently wrong buckets instead of a null row. */
   def lshBuckets(e: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
     val tables = planes.length
+    val dimNeed = planes(0)(0).length
+    if (e.numElements() < dimNeed) return null
+    var g = 0
+    while (g < dimNeed) { if (e.isNullAt(g)) return null; g += 1 }
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -79,17 +87,21 @@ object Kernels {
 
   /** Cosine similarity, double accumulation in index order — identical
     * IEEE result to the `aggregate(zip_with(...))` expression and the
-    * udf twin. Caller guarantees equal lengths (the expression nulls
-    * mismatches before calling). */
-  def cosine(a: ArrayData, b: ArrayData): Double = {
+    * udf twin. Returns NULL (boxed) on length mismatch or any null
+    * element — the zip_with expression's semantics (a null slot nulls
+    * the whole fold; reading it as 0.0 would be a silently wrong
+    * similarity). */
+  def cosineBoxed(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
+    if (b.numElements() != n) return null
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
       d += x * y; na += x * x; nb += y * y
       i += 1
     }
-    d / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(d / (math.sqrt(na) * math.sqrt(nb)))
   }
 }

@@ -19,8 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * LshSpec.
   */
 
-/** cosine(a, b) over array<float>: null (not a throw) on null input or
-  * length mismatch — the zip_with expression's semantics. */
+/** cosine(a, b) over array<float>: null (not a throw) on null input,
+  * length mismatch, or any NULL ELEMENT — the zip_with expression's
+  * semantics (a null slot nulls the whole fold). */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -32,21 +33,21 @@ case class CosineSim(left: Expression, right: Expression)
       s"graft_cosine(array<float>, array<float>), got ($l, $r)")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val aa = a.asInstanceOf[ArrayData]; val bb = b.asInstanceOf[ArrayData]
-    if (aa.numElements() != bb.numElements()) null
-    else java.lang.Double.valueOf(Kernels.cosine(aa, bb))
-  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosineBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("graftCos")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |if ($a.numElements() == $b.numElements()) {
-         |  ${ev.value} = graft.expr.Kernels.cosine($a, $b);
-         |} else {
+         |java.lang.Double $r = graft.expr.Kernels.cosineBoxed($a, $b);
+         |if ($r == null) {
          |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.doubleValue();
          |}
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(l, r)
@@ -78,7 +79,11 @@ case class MinhashSig(child: Expression, n: Int) extends UnaryExpression {
   * from (tables, nb, dim) and shipped as a codegen reference object. */
 case class LshBuckets(child: Expression, tables: Int, nb: Int, dim: Int)
     extends UnaryExpression {
+  require(tables > 0 && nb > 0 && dim > 0,
+    s"graft_lsh_buckets(tables=$tables, nb=$nb, dim=$dim) must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null even on non-null input: short array / null element → null row
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -95,8 +100,17 @@ case class LshBuckets(child: Expression, tables: Int, nb: Int, dim: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("graftLshPlanes", planes, "double[][][]")
+    val r = ctx.freshName("graftLsh")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expr.Kernels.lshBuckets($c, $ref);")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.expr.Kernels.lshBuckets($c, $ref);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r;
+         |}
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

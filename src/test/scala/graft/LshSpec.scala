@@ -72,6 +72,24 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = odd.select("id", "c").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(rows(1L).isDefined && rows(2L).isEmpty && rows(3L).isEmpty)
+    // a NULL ELEMENT inside the array nulls the whole result (zip_with
+    // semantics — 0.0-substitution would be a silently wrong cosine),
+    // and the same for lsh buckets / a too-short array
+    val ne = spark.range(1)
+      .select(
+        array(lit(1.0f), lit(null).cast("float")).as("a"),
+        array(lit(1.0f), lit(2.0f)).as("b"),
+        array(lit(1.0f), lit(2.0f)).as("short"))
+      .select(
+        VectorOps.cosineFast(col("a"), col("b")).as("c"),
+        call_function("graft_lsh_buckets", col("a"),
+          lit(1), lit(2), lit(2)).as("bk_null"),
+        call_function("graft_lsh_buckets", col("short"),
+          lit(1), lit(2), lit(3)).as("bk_short"))
+      .head()
+    assert(ne.isNullAt(0), "null element must null the cosine")
+    assert(ne.isNullAt(1), "null element must null the buckets")
+    assert(ne.isNullAt(2), "short array must null the buckets")
   }
 
   test("lshBuckets kernel == expression tree (bit-identical buckets)") {
