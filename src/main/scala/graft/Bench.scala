@@ -171,7 +171,7 @@ object Bench {
       // round-4 additions: multi-band mosaic, concave-ring zonal,
       // exact RXD, dtype transcode, PII scrub
       "q_mosaic_bands", "q_zonal_poly", "q_rxd_exact", "q_dtype_stats",
-      "q_doc_scrub")
+      "q_doc_scrub", "q_resize")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel
