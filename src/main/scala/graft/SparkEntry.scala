@@ -868,6 +868,15 @@ object SparkEntry {
 
     "q_dedup_exact" -> ((s, dir) =>
       graft.text.TextOps.dedupExact(docs(s, dir)).orderBy("h")),
+    // IMAGE-level exact dedup: hash-groupBy on the perceptual hash —
+    // the image twin of q_dedup_exact (same plan shape: uniform hash
+    // key shuffle, one row per group); value-exact because the oracle
+    // re-derives every phash bit
+    "q_dedup_images" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("cnt"), min(col("image_id")).as("min_image_id"))
+        .orderBy("phash")),
     "q_dedup_norm" -> ((s, dir) =>
       graft.text.TextOps.dedupNormalized(docs(s, dir)).orderBy("h")),
     "q_minhash_sig" -> ((s, dir) =>
@@ -1893,6 +1902,12 @@ object SparkEntry {
          |       CAST(bit_count(xor(pha, phb)) AS BIGINT) AS dist
          |FROM cand WHERE bit_count(xor(pha, phb)) <= 16
          |ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_images" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte, $PhashCte
+         |SELECT phash, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       MIN(image_id) AS min_image_id
+         |FROM phi GROUP BY phash ORDER BY phash""".stripMargin,
 
     "q_whiteness" ->
       s"""WITH $I, $B, $SimgCte, $PxCte, $PxdCte,
