@@ -695,6 +695,26 @@ object SparkEntry {
         .orderBy("gid")
     }),
 
+    // CUTLINE mosaic: the q_mosaic_pixels pipeline with a global
+    // rectangular cutline (mdeg, grid units) — destination pixels whose
+    // CENTER ray-casts outside the ring become nodata before the merge
+    // (GeoRaster.cpp:261-285's rasterized cutline); for the
+    // axis-aligned ring the engine's PIP is exactly the half-open rect
+    // the oracle states
+    "q_mosaic_cut" -> ((s, dir) => {
+      val im = Synth.imagesWithBytes(s, dir, smallRaw)
+      val grids = imgs(s, dir).where(col("w") <= 64 && col("h") <= 64 &&
+          (col("k") % 6 === 1 || col("k") % 6 === 2))
+        .select(col("image_id").as("gid"),
+          (col("x0m") - 512).as("gx0"), (col("y0m") - 512).as("gy0"),
+          (col("x1m") + 512).as("gx1"), (col("y1m") + 512).as("gy1"))
+      val cut = graft.core.Geom.rectWkt(-100000, -40000, 20000, 30000)
+      Warp.warpInto(im, grids, cutWkt = lit(cut))
+        .groupBy("gid")
+        .agg(sum(col("n_valid")).as("n_valid"), sum(col("vsum")).as("vsum"))
+        .orderBy("gid")
+    }),
+
     // MULTI-BAND mosaic: same tile-gather join, every stored band warps
     // through the per-band fragment kernel (reference warps each band,
     // GeoImage.cpp:329-338) — per-(grid, band) merged sums, value-exact
@@ -1461,6 +1481,50 @@ object SparkEntry {
          |  SELECT p.gid, p.gx, p.gy, i.k,
          |         (p.gx - i.x0m)//4 AS xi, (i.y1m - p.gy)//4 AS yi
          |  FROM pxc p JOIN simg i
+         |    ON p.gx >= i.x0m AND p.gy <= i.y1m
+         |   AND (p.gx - i.x0m)//4 BETWEEN i.nw AND i.w-1
+         |   AND (i.y1m - p.gy)//4 BETWEEN 0 AND i.h-1),
+         |win AS (SELECT gid, gx, gy, MAX(k) AS k FROM hit GROUP BY 1,2,3),
+         |val AS (SELECT w.gid,
+         |    200 + (w.k*3) % 800 + (w.k % 8)*h.xi + (w.k % 8)*h.yi AS v
+         |  FROM win w JOIN hit h
+         |    ON h.gid = w.gid AND h.gx = w.gx AND h.gy = w.gy AND h.k = w.k),
+         |sums AS (SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |                CAST(SUM(v) AS BIGINT) AS vsum
+         |         FROM val GROUP BY gid)
+         |SELECT c.gid, COALESCE(s.n_valid, 0) AS n_valid,
+         |       COALESCE(s.vsum, 0) AS vsum
+         |FROM cover c LEFT JOIN sums s USING (gid) ORDER BY gid""".stripMargin,
+
+    // cutline mosaic: q_mosaic_pixels' winner-per-pixel restricted to
+    // destination centers inside the half-open cut rect (the engine's
+    // ray-cast PIP on an axis-aligned ring == [x0,x1)×[y0,y1))
+    "q_mosaic_cut" ->
+      s"""WITH $I,
+         |simg AS (SELECT * FROM img2
+         |         WHERE w <= 64 AND h <= 64 AND k % 6 IN (1,2)),
+         |g AS (SELECT image_id AS gid, x0m - 512 AS gx0, y0m - 512 AS gy0,
+         |        x1m + 512 AS gx1, y1m + 512 AS gy1 FROM simg),
+         |gdim AS (SELECT *, (gx1-gx0+3)//4 AS out_w, (gy1-gy0+3)//4 AS out_h
+         |         FROM g),
+         |cover AS (SELECT DISTINCT gid FROM gdim d JOIN simg i
+         |  ON i.x0m < d.gx0 + d.out_w*4 AND d.gx0 < i.x1m
+         | AND i.y0m < d.gy1 AND d.gy1 - d.out_h*4 < i.y1m),
+         |pxc AS (
+         |  SELECT d.gid, d.gx0 + xs.i*4 + 2 AS gx, d.gy1 - ys.j*4 - 2 AS gy
+         |  FROM gdim d
+         |  JOIN cover c ON c.gid = d.gid
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(d.out_w-1 AS INT))) AS i) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(d.out_h-1 AS INT))) AS j) ys),
+         |pcut AS (SELECT * FROM pxc
+         |  WHERE gx >= -100000 AND gx < 20000
+         |    AND gy >= -40000 AND gy < 30000),
+         |hit AS (
+         |  SELECT p.gid, p.gx, p.gy, i.k,
+         |         (p.gx - i.x0m)//4 AS xi, (i.y1m - p.gy)//4 AS yi
+         |  FROM pcut p JOIN simg i
          |    ON p.gx >= i.x0m AND p.gy <= i.y1m
          |   AND (p.gx - i.x0m)//4 BETWEEN i.nw AND i.w-1
          |   AND (i.y1m - p.gy)//4 BETWEEN 0 AND i.h-1),
