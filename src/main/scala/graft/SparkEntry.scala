@@ -299,6 +299,34 @@ object SparkEntry {
     }),
 
     // ---- warp resample (nearest, 2x upsample parity) ----
+    // BILINEAR 2× upscale — dyadic-exact: at factor 2 every sample
+    // lands on fx, fy ∈ {0.25, 0.75}, so 16·out is an exact integer
+    // combination of four (replicate-clamped) source pixels and the
+    // oracle re-derives Σ16·out with pure integer 1-D sums (validity
+    // depends on x only: a dst pixel is NaN iff its LEFT sample column
+    // is in the nodata stripe). Completes the kernel trio's oracles:
+    // nearest (q_warp_nearest2x), cubic (q_pansharp), bilinear (here).
+    "q_warp_bilinear2x" -> ((s, dir) => {
+      val rs = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        val p = graft.core.Codec.decode(bytes, w, h,
+          graft.core.Codec.bandsStored(fmt, Synth.NumBands), fmt)(0)
+        val out = Warp.resample(p, w, h, 0, h, 1.0, 1.0,
+          Warp.Grid(0, 0, w, h, 2 * w, 2 * h, 0.5, 0.5), interp = 1)
+        var n = 0L; var s16 = 0L; var i = 0
+        while (i < out.length) {
+          if (!out(i).isNaN) { n += 1; s16 += (out(i) * 16.0).toLong }
+          i += 1
+        }
+        (n, s16)
+      })
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("r", rs(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt")))
+        .select(col("image_id"), col("r._1").as("n_valid"),
+          col("r._2").as("vsum16"))
+        .orderBy("image_id")
+    }),
+
     "q_warp_nearest2x" -> ((s, dir) => {
       val rs = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
         val p = graft.core.Codec.decode(bytes, w, h,
@@ -1871,6 +1899,47 @@ object SparkEntry {
          |  COALESCE(CAST(r.num AS VARCHAR), '0') AS rx_num
          |FROM simg s LEFT JOIN res r ON r.image_id = s.image_id
          |ORDER BY 1""".stripMargin,
+
+    // bilinear 2×: per dst column i (0..2w−1), left sample x1 =
+    // i//2 − (1 − i%2), weights (wa, 4−wa) with wa = 1 for even i /
+    // 3 for odd; replicate-clamp; valid iff the clamped LEFT column
+    // ≥ nw. Separability: Σ16·out over the valid dst grid =
+    // 16·base·nX·nY + 4·ax·ΣX·nY + 4·ay·ΣY·nX
+    "q_warp_bilinear2x" ->
+      s"""WITH $I, $B, $SimgCte,
+         |xs AS (SELECT s.k, s.nw, ii.i,
+         |    GREATEST(0, LEAST(s.w-1,
+         |      ii.i//2 - (1 - ii.i % 2))) AS x1c,
+         |    GREATEST(0, LEAST(s.w-1,
+         |      ii.i//2 - (1 - ii.i % 2) + 1)) AS x2c,
+         |    CASE WHEN ii.i % 2 = 0 THEN 1 ELSE 3 END AS wa
+         |  FROM simg s CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(0, CAST(2*s.w-1 AS INT))) AS i) ii),
+         |xagg AS (SELECT k,
+         |    CAST(COUNT(CASE WHEN x1c >= nw THEN 1 END) AS BIGINT) AS nx,
+         |    CAST(COALESCE(SUM(CASE WHEN x1c >= nw
+         |      THEN wa*x1c + (4-wa)*x2c END), 0) AS BIGINT) AS sx
+         |  FROM xs GROUP BY k),
+         |ys AS (SELECT s.k, jj.j,
+         |    GREATEST(0, LEAST(s.h-1,
+         |      jj.j//2 - (1 - jj.j % 2))) AS y1c,
+         |    GREATEST(0, LEAST(s.h-1,
+         |      jj.j//2 - (1 - jj.j % 2) + 1)) AS y2c,
+         |    CASE WHEN jj.j % 2 = 0 THEN 1 ELSE 3 END AS wa
+         |  FROM simg s CROSS JOIN LATERAL
+         |    (SELECT unnest(generate_series(0, CAST(2*s.h-1 AS INT))) AS j) jj),
+         |yagg AS (SELECT k,
+         |    CAST(COUNT(*) AS BIGINT) AS ny,
+         |    CAST(SUM(wa*y1c + (4-wa)*y2c) AS BIGINT) AS sy
+         |  FROM ys GROUP BY k)
+         |SELECT s.image_id, x.nx * y.ny AS n_valid,
+         |  16*p.base*x.nx*y.ny + 4*p.ax*x.sx*y.ny + 4*p.ay*y.sy*x.nx
+         |    AS vsum16
+         |FROM simg s
+         |JOIN bandp p ON p.k = s.k AND p.b = 0
+         |JOIN xagg x ON x.k = s.k
+         |JOIN yagg y ON y.k = s.k
+         |ORDER BY s.image_id""".stripMargin,
 
     "q_warp_nearest2x" ->
       s"""WITH $I, $B, $SimgCte,
