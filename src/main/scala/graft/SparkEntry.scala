@@ -678,6 +678,34 @@ object SparkEntry {
         .select(col("image_id"), col("pos").cast("long").as("pos"), col("band"))
         .orderBy("image_id", "pos")),
 
+    // PER-PIXEL LAZY CHAIN (§2.3, the reference's queued-function
+    // read path): sqrt → +5 → ×2 over band 0 with the nodata-restore
+    // rule. Every step is a correctly-rounded IEEE op applied in the
+    // same order by both engines (sqrt is exactly rounded per IEEE
+    // 754), so Σ floor(out·1e6) is value-exact in SQL — the chain
+    // gate that was previously spec-only.
+    "q_chain_ops" -> ((s, dir) => {
+      val ch = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.{Codec, Pixels}
+        val p = Codec.decode(bytes, w, h,
+          Codec.bandsStored(fmt, Synth.NumBands), fmt)(0)
+        val out = Pixels.applyChain(p,
+          Seq(math.sqrt, (v: Double) => v + 5.0, (v: Double) => v * 2.0))
+        var n = 0L; var fs = 0L; var i = 0
+        while (i < out.length) {
+          if (!out(i).isNaN) { n += 1; fs += math.floor(out(i) * 1e6).toLong }
+          i += 1
+        }
+        (n, fs)
+      })
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("c", ch(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt")))
+        .select(col("image_id"), col("c._1").as("n_valid"),
+          col("c._2").as("fsum"))
+        .orderBy("image_id")
+    }),
+
     // autoscale (min/max variant): band 0 rescaled to [0,1000]
     "q_autoscale" -> ((s, dir) =>
       Synth.imagesWithBytes(s, dir, smallRaw)
@@ -2035,6 +2063,16 @@ object SparkEntry {
          |       CAST(bit_count(xor(pha, phb)) AS BIGINT) AS dist
          |FROM cand WHERE bit_count(xor(pha, phb)) <= 16
          |ORDER BY 1, 2""".stripMargin,
+
+    // chain sqrt → +5 → ×2: DuckDB sqrt/+/× are the same correctly-
+    // rounded IEEE doubles in the same order
+    "q_chain_ops" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte
+         |SELECT s.image_id, CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |  CAST(SUM(CAST(FLOOR((SQRT(CAST(px.v AS DOUBLE)) + 5.0) * 2.0
+         |    * 1e6) AS BIGINT)) AS BIGINT) AS fsum
+         |FROM px JOIN simg s ON s.k = px.k WHERE px.b = 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dedup_images" ->
       s"""WITH $I, $B, $SimgCte, $PxCte, $PhashCte
