@@ -855,6 +855,18 @@ object SparkEntry {
           floor(col("rx._3") * 1e6).cast("long").as("rx_fmax"))
         .orderBy("image_id")),
 
+    // EXACT-INTEGER spectral scatter (spectral_covariance's gate):
+    // per band pair, M_ab = n·ΣQ − S·S = n²·Cov — closed-form ramp
+    // sums make every entry a pure integer the oracle re-derives
+    "q_spectral_cov" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("sc", explode(Algorithms.scatterAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands))))
+        .select(col("image_id"), col("sc._1").as("ba"),
+          col("sc._2").as("bb"), col("sc._3").as("mval"))
+        .orderBy("image_id", "ba", "bb")),
+
     // BIT-REPRODUCIBLE RX anomaly (exact-integer twin of q_rxd): 16
     // seeded sample pixels, bands 0-2, Mahalanobis as the exact ratio
     // yᵀ·adj(M)·y / det(M) over the ridged integer scatter matrix —
@@ -1870,6 +1882,38 @@ object SparkEntry {
       s"""WITH $P
          |SELECT fid, px0m, py0m, px1m, py1m FROM poly2
          |WHERE pwm > 20000 AND fid % 2 = 0 ORDER BY fid""".stripMargin,
+
+    // spectral scatter: closed-form ramp sums per band pair — with
+    // W = w−nw, N = W·h, Svsum_b = base_b·N + ax_b·sx·h + ay_b·sy·W,
+    // Q_ab expands over (sx, sx2, sy, sy2, sx·sy)
+    "q_spectral_cov" ->
+      s"""WITH $I, $B, $SimgCte,
+         |stat AS (
+         |  SELECT s.k, s.image_id, (s.w - s.nw)*s.h AS n,
+         |    ((s.w-1)*s.w)//2 - ((s.nw-1)*s.nw)//2 AS sx,
+         |    ((s.w-1)*s.w*(2*s.w-1))//6
+         |      - ((s.nw-1)*s.nw*(2*s.nw-1))//6 AS sx2,
+         |    (s.h*(s.h-1))//2 AS sy,
+         |    ((s.h-1)*s.h*(2*s.h-1))//6 AS sy2,
+         |    s.w - s.nw AS ww, s.h AS hh
+         |  FROM simg s),
+         |pr AS (SELECT a.k, a.b AS ba, b.b AS bb,
+         |         a.base AS base_a, a.ax AS ax_a, a.ay AS ay_a,
+         |         b.base AS base_b, b.ax AS ax_b, b.ay AS ay_b
+         |       FROM bandp a JOIN bandp b
+         |         ON b.k = a.k AND b.b >= a.b)
+         |SELECT t.image_id, CAST(p.ba AS BIGINT) AS ba,
+         |  CAST(p.bb AS BIGINT) AS bb,
+         |  t.n * (p.base_a*p.base_b*t.n
+         |    + p.base_a*(p.ax_b*t.sx*t.hh + p.ay_b*t.sy*t.ww)
+         |    + p.base_b*(p.ax_a*t.sx*t.hh + p.ay_a*t.sy*t.ww)
+         |    + p.ax_a*p.ax_b*t.sx2*t.hh + p.ay_a*p.ay_b*t.sy2*t.ww
+         |    + (p.ax_a*p.ay_b + p.ax_b*p.ay_a)*t.sx*t.sy)
+         |  - (p.base_a*t.n + p.ax_a*t.sx*t.hh + p.ay_a*t.sy*t.ww)
+         |    * (p.base_b*t.n + p.ax_b*t.sx*t.hh + p.ay_b*t.sy*t.ww)
+         |  AS mval
+         |FROM stat t JOIN pr p ON p.k = t.k
+         |ORDER BY 1, 2, 3""".stripMargin,
 
     // exact-integer RXD: 16 seeded samples (read_random_pixels index
     // formula), bands 0-2; M = n·Q − S·Sᵀ + I (HUGEINT), det by

@@ -225,6 +225,41 @@ object Algorithms {
     (n, s, if (n == 0) 0.0 else mx)
   })
 
+  /** EXACT-INTEGER spectral scatter matrix — the oracle-checkable form
+    * of [[covariance]] (reference spectral_covariance,
+    * /root/reference/GIP/GeoImage.cpp:190-232): per band pair (a ≤ b),
+    * M_ab = n·Σv_a v_b − Σv_a·Σv_b over valid pixels = n²·Cov_ab, all
+    * integer for exact-codec payloads, so the closed-form ramp sums
+    * replay it digit-exactly in SQL (the float covariance divides by n
+    * — partition-order-safe here since sums are per-image sequential,
+    * but the integer form removes the engine-dependence question
+    * entirely). Emits one (ba, bb, m) row per pair. */
+  val scatterAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
+                        nb: Int) => {
+    val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+    val nbs = c.length
+    val s = new Array[Long](nbs)
+    val q = Array.ofDim[Long](nbs, nbs)
+    var n = 0L
+    var i = 0
+    while (i < c(0).length) {
+      if (!c(0)(i).isNaN) { // stripe nodata hits every band together
+        n += 1
+        var a = 0
+        while (a < nbs) {
+          val va = c(a)(i).toLong
+          s(a) += va
+          var b = a
+          while (b < nbs) { q(a)(b) += va * c(b)(i).toLong; b += 1 }
+          a += 1
+        }
+      }
+      i += 1
+    }
+    (for (a <- 0 until nbs; b <- a until nbs)
+      yield (a.toLong, b.toLong, n * q(a)(b) - s(a) * s(b))).toSeq
+  })
+
   /** BIT-REPRODUCIBLE RX anomaly — the exact-integer twin of [[rxdAgg]]
     * (same contract pattern as the kmeans-exact gates): 16 seeded
     * sample pixels (the read_random_pixels index formula), bands 0-2,
