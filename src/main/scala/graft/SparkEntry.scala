@@ -994,6 +994,12 @@ object SparkEntry {
 
     // deterministic 10% val split: content-independent md5 bucket —
     // stable under reshuffles, exactly reproducible in SQL
+    // keyword extraction: per-doc top-3 terms (tf desc, df asc, term
+    // asc — the log-free tf-idf ordering; pure integers/lexicographic)
+    "q_doc_keywords" -> ((s, dir) =>
+      graft.text.TextOps.keywords(docs(s, dir), 3)
+        .orderBy("doc_id", "rank")),
+
     "q_doc_split" -> ((s, dir) =>
       graft.text.TextOps.splitAssign(docs(s, dir), valPermille = 100)
         .orderBy("doc_id")),
@@ -2325,6 +2331,22 @@ object SparkEntry {
          |      FROM t GROUP BY term)
          |SELECT term, df, cf FROM a
          |ORDER BY cf DESC, term LIMIT 50""".stripMargin,
+
+    // per-doc top-3 keywords: tf desc, df asc, term asc — integer +
+    // lexicographic ordering only
+    "q_doc_keywords" ->
+      s"""WITH $TokCte,
+         |t AS (SELECT doc_id, unnest(ts) AS term FROM tok),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |       FROM t GROUP BY 1),
+         |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |        ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |          ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+         |      FROM tf JOIN df USING (term))
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_ngrams" ->
       s"""WITH $TokCte,

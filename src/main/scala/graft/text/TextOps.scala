@@ -239,6 +239,28 @@ object TextOps {
       .orderBy(col("cf").desc, col("term"))
       .limit(topN)
 
+  /** KEYWORD extraction — per-document top-`k` terms ranked by term
+    * frequency desc, then document frequency asc (tf-idf's ordering
+    * without the non-portable log: for fixed tf, rarer-in-corpus wins),
+    * then term asc. All-integer/lexicographic ranking → the DuckDB
+    * oracle replays it exactly. Plan: one token explode → per-(doc,
+    * term) hash agg (map-side combined) → broadcast-join the term df
+    * table → per-doc window top-k; the df table is vocabulary-sized,
+    * not corpus-sized. */
+  def keywords(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"))
+  }
+
   /** n-gram (token) counts — language-model count tables; same plan
     * shape as [[vocab]] over the n-gram explode. */
   def ngramCounts(docs: DataFrame, n: Int, topN: Int): DataFrame = {
