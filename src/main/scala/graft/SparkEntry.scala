@@ -907,6 +907,23 @@ object SparkEntry {
           col("at._4").as("n_pass1"))
         .orderBy("image_id")),
 
+    // Thermal ACCA on an INDEPENDENT synthesized LWIR band, shipped as
+    // its own single-band file and band-stacked onto the reflectance
+    // image via an equi-join on k — the reference's multi-file model
+    // (GeoImage.h:60-74). The thermal pass now runs on data the
+    // reflectance cascade never saw.
+    "q_acca_thermal_lwir" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .join(Synth.lwirImages(s, dir, smallRaw)
+                .select(col("k"), col("lwir_bytes")), Seq("k"))
+        .withColumn("at", Algorithms.accaThermalLwirAgg(col("bytes"),
+          col("lwir_bytes"), col("w").cast("int"), col("h").cast("int"),
+          col("fmt"), lit(45.0), lit(135.0), lit(0), lit(3), lit(450.0)))
+        .select(col("image_id"), col("at._1").as("n_final"),
+          col("at._2").as("n_cloud"), col("at._3").as("n_amb"),
+          col("at._4").as("n_pass1"))
+        .orderBy("image_id")),
+
     "q_fmask" -> ((s, dir) =>
       Synth.imagesWithBytes(s, dir, smallRaw)
         .withColumn("fm", Algorithms.fmaskAgg(col("bytes"),
@@ -925,6 +942,20 @@ object SparkEntry {
         .withColumn("fm", Algorithms.fmaskThermalAgg(col("bytes"),
           col("w").cast("int"), col("h").cast("int"), col("fmt"),
           lit(Synth.NumBands), lit(3), lit(3)))
+        .select(col("image_id"), col("fm._1").as("n_final"),
+          col("fm._2").as("n_cloud"), col("fm._3").as("n_pcp"),
+          col("fm._4").as("n_water"), col("fm._5").as("n_land"))
+        .orderBy("image_id")),
+
+    // Thermal fmask with BT from the INDEPENDENT LWIR band file (same
+    // multi-file stack as q_acca_thermal_lwir)
+    "q_fmask_thermal_lwir" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .join(Synth.lwirImages(s, dir, smallRaw)
+                .select(col("k"), col("lwir_bytes")), Seq("k"))
+        .withColumn("fm", Algorithms.fmaskThermalLwirAgg(col("bytes"),
+          col("lwir_bytes"), col("w").cast("int"), col("h").cast("int"),
+          col("fmt"), lit(3), lit(3)))
         .select(col("image_id"), col("fm._1").as("n_final"),
           col("fm._2").as("n_cloud"), col("fm._3").as("n_pcp"),
           col("fm._4").as("n_water"), col("fm._5").as("n_land"))
@@ -1179,6 +1210,295 @@ object SparkEntry {
        |  FROM img2 i JOIN poly2 p
        |    ON i.x0m < p.px1m AND p.px0m < i.x1m
        |   AND i.y0m < p.py1m AND p.py0m < i.y1m)""".stripMargin
+
+  /** THERMAL FMASK ground truth (multi-pass SQL replay; see the
+    * q_fmask_thermal registry comment). `tempB` as in
+    * [[accaThermalOracle]]: 5 = swir2 proxy, 6 = independent LWIR. */
+  private def fmaskThermalOracle(tempB: Int): String = {
+    val gbl = if (tempB == 6) "0,1,2,3,4,5,6" else "0,1,2,3,4,5"
+
+      def pctCte(name: String, src: String, pcts: Seq[Double]): String = {
+        val pl = pcts.mkString(", ")
+        s"""${name}mm AS (SELECT k, COUNT(mv) AS cnt, MIN(mv) AS mn,
+           |    MAX(mv) AS mx FROM $src GROUP BY k),
+           |${name}hb AS (SELECT s.k,
+           |    LEAST(99, CAST(FLOOR((s.mv - m.mn)/((m.mx - m.mn)/100.0))
+           |      AS BIGINT)) AS bin,
+           |    COUNT(*) AS cnt
+           |  FROM $src s JOIN ${name}mm m ON m.k = s.k
+           |  WHERE s.mv IS NOT NULL AND m.mx <> m.mn GROUP BY 1, 2),
+           |${name}cu AS (SELECT k, bin, cnt,
+           |    SUM(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum
+           |  FROM ${name}hb),
+           |${name}tg AS (SELECT m.k, p.pct, p.pct/100.0*m.cnt AS target,
+           |    m.mn, m.mx, m.cnt AS n
+           |  FROM ${name}mm m, (SELECT unnest([$pl]) AS pct) p),
+           |${name}sel AS (SELECT t.k, t.pct,
+           |    CASE WHEN t.n = 0 THEN NULL
+           |         WHEN t.mx = t.mn THEN t.mn
+           |         ELSE t.mn + (t.mx - t.mn)/100.0 *
+           |              (c.bin + (t.target - (c.cum - c.cnt))/c.cnt)
+           |    END AS res
+           |  FROM ${name}tg t LEFT JOIN ${name}cu c ON c.k = t.k
+           |    AND c.cum >= t.target AND c.cum - c.cnt < t.target)""".stripMargin
+      }
+      s"""WITH $I, $SimgCte,
+         |gb AS (SELECT unnest([$gbl]) AS b),
+         |gbp AS (SELECT s.k, CAST(t.b AS BIGINT) AS b,
+         |         200 + (s.k*(t.b+3)) % 800 AS base,
+         |         (s.k + 11*t.b) % 8 AS ax, (s.k + 17*t.b) % 8 AS ay
+         |       FROM simg s CROSS JOIN gb t),
+         |gpx AS (SELECT s.k, p.b, xs.x, ys.y,
+         |         p.base + p.ax*xs.x + p.ay*ys.y AS v
+         |  FROM simg s JOIN gbp p ON p.k = s.k
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.w-1 AS INT))) AS x) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.h-1 AS INT))) AS y) ys
+         |  WHERE xs.x >= s.nw),
+         |gsp AS (SELECT k, x, y,
+         |    CAST(MAX(CASE WHEN b=0 THEN v END) AS DOUBLE)/4000.0 AS bb,
+         |    CAST(MAX(CASE WHEN b=1 THEN v END) AS DOUBLE)/4000.0 AS gg,
+         |    CAST(MAX(CASE WHEN b=2 THEN v END) AS DOUBLE)/4000.0 AS rr,
+         |    CAST(MAX(CASE WHEN b=3 THEN v END) AS DOUBLE)/4000.0 AS nn,
+         |    CAST(MAX(CASE WHEN b=4 THEN v END) AS DOUBLE)/4000.0 AS s1,
+         |    CAST(MAX(CASE WHEN b=5 THEN v END) AS DOUBLE)/4000.0 AS s2,
+         |    CAST(MAX(CASE WHEN b=$tempB THEN v END) AS DOUBLE)/40.0 - 10.0 AS bt
+         |  FROM gpx GROUP BY 1, 2, 3),
+         |gfeat AS (SELECT k, x, y, bb, gg, rr, nn, s1, s2, bt,
+         |    (abs(rr - (rr+gg+bb)/3) + abs(gg - (rr+gg+bb)/3)
+         |     + abs(bb - (rr+gg+bb)/3)) / ((rr+gg+bb)/3) AS white,
+         |    (nn - rr)/(nn + rr) AS ndvi, (gg - s1)/(gg + s1) AS ndsi
+         |  FROM gsp),
+         |gcls AS (SELECT k, x, y, s1, s2, bt, white, ndvi, ndsi,
+         |    CASE WHEN s2 >= 0.03 AND NOT (bt > 27.0) AND NOT (ndvi > 0.8)
+         |          AND NOT (ndsi > 0.8) AND bb - 0.5*rr >= 0.08
+         |          AND NOT (white > 0.7) AND nn/s1 >= 0.75
+         |         THEN 1 ELSE 0 END AS pcp,
+         |    CASE WHEN (NOT (ndvi > 0.01) AND NOT (nn > 0.01))
+         |           OR (NOT (ndvi > 0.1) AND NOT (nn > 0.05))
+         |         THEN 1 ELSE 0 END AS water,
+         |    1.0 - GREATEST(white, GREATEST(abs(ndsi), abs(ndvi))) AS vprob
+         |  FROM gfeat),
+         |gcls2 AS (SELECT *, CASE WHEN water=0 AND pcp=0 THEN 1 ELSE 0 END
+         |  AS land FROM gcls),
+         |gearly AS (SELECT k, (SUM(pcp) >= 0.999 * COUNT(*)) AS allcloud
+         |  FROM gcls2 GROUP BY k),
+         |gwmask AS (SELECT k,
+         |    CASE WHEN s2 < 0.03 AND water=1 AND pcp=1 THEN bt END AS mv
+         |  FROM gcls2),
+         |${pctCte("gtw", "gwmask", Seq(82.5))},
+         |glmask AS (SELECT k, CASE WHEN land=1 THEN bt END AS mv FROM gcls2),
+         |${pctCte("gtl", "glmask", Seq(17.5, 82.5))},
+         |gths AS (SELECT t.k,
+         |    (SELECT res FROM gtwsel w WHERE w.k = t.k AND w.pct = 82.5)
+         |      AS twater,
+         |    MAX(CASE WHEN t.pct=17.5 THEN t.res END) AS tlo,
+         |    MAX(CASE WHEN t.pct=82.5 THEN t.res END) AS thi
+         |  FROM gtlsel t GROUP BY t.k),
+         |gprob AS (SELECT c.k, c.x, c.y, c.pcp, c.water, c.land, c.bt,
+         |    (h.twater - c.bt)/4.0 * (LEAST(c.s1, 0.11)/0.11) AS wprob,
+         |    (h.thi + 4.0 - c.bt)/(h.thi + 4.0 - (h.tlo - 4.0)) * c.vprob
+         |      AS lprob,
+         |    h.tlo
+         |  FROM gcls2 c JOIN gths h ON h.k = c.k),
+         |gllm AS (SELECT p.k, CASE WHEN c.land=1 THEN p.lprob END AS mv
+         |  FROM gprob p JOIN gcls2 c USING (k, x, y)),
+         |${pctCte("glt", "gllm", Seq(82.5))},
+         |glth AS (SELECT k, res + 0.2 + 0.0 AS lthresh
+         |  FROM gltsel WHERE pct = 82.5),
+         |gcl0 AS (SELECT p.k, p.x, p.y,
+         |    CASE WHEN (p.pcp = 1 AND p.water = 1 AND p.wprob >= 0.5)
+         |           OR (p.pcp = 1 AND p.water = 0 AND p.lprob >= l.lthresh)
+         |           OR (p.lprob > 0.99 AND p.water = 0)
+         |           OR (NOT (p.bt > p.tlo - 35.0))
+         |         THEN 1 ELSE 0 END AS c0
+         |  FROM gprob p JOIN glth l ON l.k = p.k),
+         |goffs5 AS (SELECT a.dx, b.dy
+         |  FROM (SELECT unnest([-2,-1,0,1,2]) AS dx) a,
+         |       (SELECT unnest([-2,-1,0,1,2]) AS dy) b),
+         |ger AS (SELECT m0.k, m0.x, m0.y, MIN(mn.c0) AS e
+         |  FROM gcl0 m0 JOIN goffs5 o ON true
+         |  JOIN gcl0 mn ON mn.k = m0.k AND mn.x = m0.x + o.dx
+         |    AND mn.y = m0.y + o.dy
+         |  GROUP BY 1, 2, 3),
+         |goffs3 AS (SELECT a.dx, b.dy
+         |  FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |       (SELECT unnest([-1,0,1]) AS dy) b),
+         |gdl AS (SELECT m0.k, m0.x, m0.y, MAX(mn.e) AS d
+         |  FROM ger m0 JOIN goffs3 o ON true
+         |  JOIN ger mn ON mn.k = m0.k AND mn.x = m0.x + o.dx
+         |    AND mn.y = m0.y + o.dy
+         |  GROUP BY 1, 2, 3),
+         |gfinal AS (SELECT c.k, c.x, c.y,
+         |    CASE WHEN e.allcloud THEN c2.pcp ELSE d.d END AS cm,
+         |    c2.pcp, c2.water, c2.land
+         |  FROM gcl0 c JOIN gdl d USING (k, x, y)
+         |  JOIN gcls2 c2 USING (k, x, y)
+         |  JOIN gearly e ON e.k = c.k)
+         |SELECT i.image_id,
+         |  CAST(SUM(1 - f.cm) AS BIGINT) AS n_final,
+         |  CAST(SUM(f.cm) AS BIGINT) AS n_cloud,
+         |  CAST(SUM(f.pcp) AS BIGINT) AS n_pcp,
+         |  CAST(SUM(f.water) AS BIGINT) AS n_water,
+         |  CAST(SUM(f.land) AS BIGINT) AS n_land
+         |FROM gfinal f JOIN img2 i ON i.k = f.k
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }
+
+  /** THERMAL ACCA ground truth (full reference cascade replayed in
+    * SQL; see the q_acca_thermal registry comment). `tempB` picks the
+    * temperature source: 5 = the swir2-derived proxy plane, 6 = the
+    * INDEPENDENT LWIR band file ([[graft.gen.Synth.lwirImages]]). */
+  private def accaThermalOracle(tempB: Int): String = {
+    val tbl = if (tempB == 6) "1,2,3,4,5,6" else "1,2,3,4,5"
+
+      val offs = Algorithms.smearOffsets(45.0, 135.0, 450.0)
+      val vals = offs.map { case (sx, sy) => s"($sx, $sy)" }.mkString(", ")
+      s"""WITH $I, $SimgCte,
+         |tb AS (SELECT unnest([$tbl]) AS b),
+         |tbp AS (SELECT s.k, CAST(t.b AS BIGINT) AS b,
+         |         200 + (s.k*(t.b+3)) % 800 AS base,
+         |         (s.k + 11*t.b) % 8 AS ax, (s.k + 17*t.b) % 8 AS ay
+         |       FROM simg s CROSS JOIN tb t),
+         |tpx AS (SELECT s.k, p.b, xs.x, ys.y,
+         |         p.base + p.ax*xs.x + p.ay*ys.y AS v
+         |  FROM simg s JOIN tbp p ON p.k = s.k
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.w-1 AS INT))) AS x) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.h-1 AS INT))) AS y) ys
+         |  WHERE xs.x >= s.nw),
+         |sp AS (SELECT k, x, y,
+         |    CAST(MAX(CASE WHEN b=2 THEN v END) AS DOUBLE)/4000.0 AS rr,
+         |    CAST(MAX(CASE WHEN b=1 THEN v END) AS DOUBLE)/4000.0 AS gg,
+         |    CAST(MAX(CASE WHEN b=3 THEN v END) AS DOUBLE)/4000.0 AS nn,
+         |    CAST(MAX(CASE WHEN b=4 THEN v END) AS DOUBLE)/4000.0 AS s1,
+         |    CAST(MAX(CASE WHEN b=$tempB THEN v END) AS DOUBLE)/40.0 - 10.0 AS t
+         |  FROM tpx GROUP BY 1, 2, 3),
+         |pa AS (SELECT k, x, y, t,
+         |    CASE WHEN (NOT (rr >= 0.08)) OR (gg-s1)/(gg+s1) >= 0.7
+         |           OR t >= 27.0 THEN 0
+         |         WHEN (1.0-s1)*(t+273.15) >= 225.0 OR nn/rr >= 2.0
+         |           OR nn/gg >= 2.0 OR NOT (nn/s1 >= 1.0) THEN 2
+         |         ELSE 1
+         |    END AS cls
+         |  FROM sp),
+         |scene AS (SELECT k, COUNT(*) AS scenesize,
+         |    SUM(CASE WHEN cls=1 THEN 1 ELSE 0 END) AS cloudsum,
+         |    list(t ORDER BY y, x) FILTER (WHERE cls=1) AS ctl
+         |  FROM pa GROUP BY k),
+         |cstat AS (SELECT k, scenesize, cloudsum,
+         |    CAST(cloudsum AS DOUBLE)/scenesize AS cc,
+         |    len(ctl) AS cn,
+         |    list_reduce(ctl, (a,b) -> a+b) AS cs,
+         |    list_reduce(list_transform(ctl, v -> v*v), (a,b) -> a+b) AS cs2,
+         |    list_reduce(list_transform(ctl, v -> v*v*v), (a,b) -> a+b) AS cs3
+         |  FROM scene),
+         |cstat2 AS (SELECT *, cs/cn AS cmean,
+         |    sqrt(GREATEST(0.0, cs2/cn - (cs/cn)*(cs/cn))) AS csd
+         |  FROM cstat),
+         |cstat3 AS (SELECT *,
+         |    CASE WHEN csd = 0.0 THEN NULL
+         |         ELSE (cs3/cn - 3*cmean*cs2/cn + 2*cmean*cmean*cmean)
+         |              /(csd*csd*csd)
+         |    END AS cskew,
+         |    (cc > 0.004 AND cn > 0 AND cs/cn < 22.0) AS pass2
+         |  FROM cstat2),
+         |tmm AS (SELECT k, COUNT(*) AS cnt, MIN(t) AS mn, MAX(t) AS mx
+         |  FROM pa GROUP BY k),
+         |thb AS (SELECT p.k,
+         |    LEAST(99, CAST(FLOOR((p.t - m.mn)/((m.mx - m.mn)/100.0))
+         |      AS BIGINT)) AS bin,
+         |    COUNT(*) AS cnt
+         |  FROM pa p JOIN tmm m ON m.k = p.k
+         |  WHERE m.mx <> m.mn GROUP BY 1, 2),
+         |tcu AS (SELECT k, bin, cnt,
+         |    SUM(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum FROM thb),
+         |tpcts AS (SELECT unnest([83.5, 97.5, 98.75]) AS pct),
+         |ttgt AS (SELECT m.k, p.pct, p.pct/100.0*m.cnt AS target, m.mn, m.mx
+         |  FROM tmm m, tpcts p),
+         |tsel AS (SELECT t.k, t.pct,
+         |    CASE WHEN t.mx = t.mn THEN t.mn
+         |         ELSE t.mn + (t.mx - t.mn)/100.0 *
+         |              (c.bin + (t.target - (c.cum - c.cnt))/c.cnt)
+         |    END AS res
+         |  FROM ttgt t LEFT JOIN tcu c ON c.k = t.k
+         |    AND c.cum >= t.target AND c.cum - c.cnt < t.target),
+         |tpv AS (SELECT k,
+         |    MAX(CASE WHEN pct=83.5 THEN res END) AS p835,
+         |    MAX(CASE WHEN pct=97.5 THEN res END) AS p975,
+         |    MAX(CASE WHEN pct=98.75 THEN res END) AS p9875
+         |  FROM tsel GROUP BY k),
+         |ths AS (SELECT c.k, c.pass2,
+         |    CASE WHEN c.cskew IS NOT NULL AND c.cskew > 0 THEN
+         |      t.p835 + LEAST(t.p9875 - t.p975,
+         |        c.csd * (CASE WHEN c.cskew > 1.0 THEN 1.0 ELSE c.cskew END))
+         |    ELSE t.p835 END AS th0,
+         |    CASE WHEN c.cskew IS NOT NULL AND c.cskew > 0 THEN
+         |      t.p975 + LEAST(t.p9875 - t.p975,
+         |        c.csd * (CASE WHEN c.cskew > 1.0 THEN 1.0 ELSE c.cskew END))
+         |    ELSE t.p975 END AS th1,
+         |    c.scenesize
+         |  FROM cstat3 c JOIN tpv t ON t.k = c.k),
+         |wsel AS (SELECT p.k,
+         |    COUNT(*) FILTER (WHERE p.cls=2 AND p.t < h.th1 AND p.t > h.th0)
+         |      AS wn,
+         |    list(p.t ORDER BY p.y, p.x)
+         |      FILTER (WHERE p.cls=2 AND p.t < h.th1 AND p.t > h.th0) AS wl,
+         |    COUNT(*) FILTER (WHERE p.cls=2 AND p.t < h.th0) AS cn2,
+         |    list(p.t ORDER BY p.y, p.x)
+         |      FILTER (WHERE p.cls=2 AND p.t < h.th0) AS cl2
+         |  FROM pa p JOIN ths h ON h.k = p.k GROUP BY p.k),
+         |dec AS (SELECT h.k, h.pass2, h.th0, h.th1,
+         |    (h.pass2 AND w.wn > 0
+         |      AND CAST(w.wn AS DOUBLE)/h.scenesize < 0.4
+         |      AND list_reduce(w.wl, (a,b) -> a+b)/w.wn < 22.0) AS warmAcc,
+         |    w.wn, w.cn2,
+         |    (w.cn2 > 0 AND CAST(w.cn2 AS DOUBLE)/h.scenesize < 0.4
+         |      AND list_reduce(w.cl2, (a,b) -> a+b)/w.cn2 < 22.0) AS coldOk
+         |  FROM ths h JOIN wsel w ON w.k = h.k),
+         |dec2 AS (SELECT k, pass2, th0, th1, warmAcc,
+         |    (pass2 AND NOT warmAcc AND coldOk) AS coldAcc FROM dec),
+         |ambacc AS (SELECT p.k, p.x, p.y, p.cls, p.t,
+         |    CASE WHEN d.warmAcc THEN
+         |           CASE WHEN p.cls=2 AND p.t < d.th1 AND p.t > d.th0
+         |                THEN 1 ELSE 0 END
+         |         WHEN d.coldAcc THEN
+         |           CASE WHEN p.cls=2 AND p.t < d.th0 THEN 1 ELSE 0 END
+         |         ELSE CASE WHEN p.cls=2 THEN 1 ELSE 0 END
+         |    END AS amb2,
+         |    (d.warmAcc OR d.coldAcc) AS addclouds
+         |  FROM pa p JOIN dec2 d ON d.k = p.k),
+         |cl0 AS (SELECT k, x, y,
+         |    CASE WHEN cls=1 OR (addclouds AND amb2=1) THEN 1 ELSE 0 END
+         |      AS c0
+         |  FROM ambacc),
+         |aoffs3 AS (SELECT a.dx, b.dy
+         |  FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |       (SELECT unnest([-1,0,1]) AS dy) b),
+         |agrown AS (SELECT m0.k, m0.x, m0.y, MAX(mn.c0) AS g
+         |  FROM cl0 m0 JOIN aoffs3 o ON true
+         |  JOIN cl0 mn ON mn.k = m0.k AND mn.x = m0.x + o.dx
+         |    AND mn.y = m0.y + o.dy
+         |  GROUP BY 1, 2, 3),
+         |asmoffs AS (SELECT * FROM (VALUES $vals) AS t(sx, sy)),
+         |afin AS (SELECT g0.k, g0.x, g0.y,
+         |    GREATEST(g0.g, COALESCE(MAX(gs.g), 0)) AS f
+         |  FROM agrown g0
+         |  LEFT JOIN asmoffs s ON true
+         |  LEFT JOIN agrown gs ON gs.k = g0.k
+         |    AND gs.x = g0.x - s.sx AND gs.y = g0.y - s.sy
+         |  GROUP BY 1, 2, 3, g0.g)
+         |SELECT i.image_id,
+         |  CAST(SUM(1 - f.f) AS BIGINT) AS n_final,
+         |  CAST(SUM(f.f) AS BIGINT) AS n_cloud,
+         |  CAST(SUM(a.amb2) AS BIGINT) AS n_amb,
+         |  CAST(SUM(CASE WHEN a.cls=1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pass1
+         |FROM ambacc a JOIN afin f USING (k, x, y) JOIN img2 i ON i.k = a.k
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }
 
   def oracleSql: Map[String, String] = Map(
     "q_images_meta" ->
@@ -2797,135 +3117,9 @@ object SparkEntry {
     // THERMAL FMASK ground truth — reference constants on refl + BT
     // planes, same multi-pass SQL replay as q_fmask plus the 99.9%-PCP
     // early-exit override (mask = pcp) and the BT-based Twater mask
-    "q_fmask_thermal" -> {
-      def pctCte(name: String, src: String, pcts: Seq[Double]): String = {
-        val pl = pcts.mkString(", ")
-        s"""${name}mm AS (SELECT k, COUNT(mv) AS cnt, MIN(mv) AS mn,
-           |    MAX(mv) AS mx FROM $src GROUP BY k),
-           |${name}hb AS (SELECT s.k,
-           |    LEAST(99, CAST(FLOOR((s.mv - m.mn)/((m.mx - m.mn)/100.0))
-           |      AS BIGINT)) AS bin,
-           |    COUNT(*) AS cnt
-           |  FROM $src s JOIN ${name}mm m ON m.k = s.k
-           |  WHERE s.mv IS NOT NULL AND m.mx <> m.mn GROUP BY 1, 2),
-           |${name}cu AS (SELECT k, bin, cnt,
-           |    SUM(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum
-           |  FROM ${name}hb),
-           |${name}tg AS (SELECT m.k, p.pct, p.pct/100.0*m.cnt AS target,
-           |    m.mn, m.mx, m.cnt AS n
-           |  FROM ${name}mm m, (SELECT unnest([$pl]) AS pct) p),
-           |${name}sel AS (SELECT t.k, t.pct,
-           |    CASE WHEN t.n = 0 THEN NULL
-           |         WHEN t.mx = t.mn THEN t.mn
-           |         ELSE t.mn + (t.mx - t.mn)/100.0 *
-           |              (c.bin + (t.target - (c.cum - c.cnt))/c.cnt)
-           |    END AS res
-           |  FROM ${name}tg t LEFT JOIN ${name}cu c ON c.k = t.k
-           |    AND c.cum >= t.target AND c.cum - c.cnt < t.target)""".stripMargin
-      }
-      s"""WITH $I, $SimgCte,
-         |gb AS (SELECT unnest([0,1,2,3,4,5]) AS b),
-         |gbp AS (SELECT s.k, CAST(t.b AS BIGINT) AS b,
-         |         200 + (s.k*(t.b+3)) % 800 AS base,
-         |         (s.k + 11*t.b) % 8 AS ax, (s.k + 17*t.b) % 8 AS ay
-         |       FROM simg s CROSS JOIN gb t),
-         |gpx AS (SELECT s.k, p.b, xs.x, ys.y,
-         |         p.base + p.ax*xs.x + p.ay*ys.y AS v
-         |  FROM simg s JOIN gbp p ON p.k = s.k
-         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
-         |    CAST(s.w-1 AS INT))) AS x) xs
-         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
-         |    CAST(s.h-1 AS INT))) AS y) ys
-         |  WHERE xs.x >= s.nw),
-         |gsp AS (SELECT k, x, y,
-         |    CAST(MAX(CASE WHEN b=0 THEN v END) AS DOUBLE)/4000.0 AS bb,
-         |    CAST(MAX(CASE WHEN b=1 THEN v END) AS DOUBLE)/4000.0 AS gg,
-         |    CAST(MAX(CASE WHEN b=2 THEN v END) AS DOUBLE)/4000.0 AS rr,
-         |    CAST(MAX(CASE WHEN b=3 THEN v END) AS DOUBLE)/4000.0 AS nn,
-         |    CAST(MAX(CASE WHEN b=4 THEN v END) AS DOUBLE)/4000.0 AS s1,
-         |    CAST(MAX(CASE WHEN b=5 THEN v END) AS DOUBLE)/4000.0 AS s2,
-         |    CAST(MAX(CASE WHEN b=5 THEN v END) AS DOUBLE)/40.0 - 10.0 AS bt
-         |  FROM gpx GROUP BY 1, 2, 3),
-         |gfeat AS (SELECT k, x, y, bb, gg, rr, nn, s1, s2, bt,
-         |    (abs(rr - (rr+gg+bb)/3) + abs(gg - (rr+gg+bb)/3)
-         |     + abs(bb - (rr+gg+bb)/3)) / ((rr+gg+bb)/3) AS white,
-         |    (nn - rr)/(nn + rr) AS ndvi, (gg - s1)/(gg + s1) AS ndsi
-         |  FROM gsp),
-         |gcls AS (SELECT k, x, y, s1, s2, bt, white, ndvi, ndsi,
-         |    CASE WHEN s2 >= 0.03 AND NOT (bt > 27.0) AND NOT (ndvi > 0.8)
-         |          AND NOT (ndsi > 0.8) AND bb - 0.5*rr >= 0.08
-         |          AND NOT (white > 0.7) AND nn/s1 >= 0.75
-         |         THEN 1 ELSE 0 END AS pcp,
-         |    CASE WHEN (NOT (ndvi > 0.01) AND NOT (nn > 0.01))
-         |           OR (NOT (ndvi > 0.1) AND NOT (nn > 0.05))
-         |         THEN 1 ELSE 0 END AS water,
-         |    1.0 - GREATEST(white, GREATEST(abs(ndsi), abs(ndvi))) AS vprob
-         |  FROM gfeat),
-         |gcls2 AS (SELECT *, CASE WHEN water=0 AND pcp=0 THEN 1 ELSE 0 END
-         |  AS land FROM gcls),
-         |gearly AS (SELECT k, (SUM(pcp) >= 0.999 * COUNT(*)) AS allcloud
-         |  FROM gcls2 GROUP BY k),
-         |gwmask AS (SELECT k,
-         |    CASE WHEN s2 < 0.03 AND water=1 AND pcp=1 THEN bt END AS mv
-         |  FROM gcls2),
-         |${pctCte("gtw", "gwmask", Seq(82.5))},
-         |glmask AS (SELECT k, CASE WHEN land=1 THEN bt END AS mv FROM gcls2),
-         |${pctCte("gtl", "glmask", Seq(17.5, 82.5))},
-         |gths AS (SELECT t.k,
-         |    (SELECT res FROM gtwsel w WHERE w.k = t.k AND w.pct = 82.5)
-         |      AS twater,
-         |    MAX(CASE WHEN t.pct=17.5 THEN t.res END) AS tlo,
-         |    MAX(CASE WHEN t.pct=82.5 THEN t.res END) AS thi
-         |  FROM gtlsel t GROUP BY t.k),
-         |gprob AS (SELECT c.k, c.x, c.y, c.pcp, c.water, c.land, c.bt,
-         |    (h.twater - c.bt)/4.0 * (LEAST(c.s1, 0.11)/0.11) AS wprob,
-         |    (h.thi + 4.0 - c.bt)/(h.thi + 4.0 - (h.tlo - 4.0)) * c.vprob
-         |      AS lprob,
-         |    h.tlo
-         |  FROM gcls2 c JOIN gths h ON h.k = c.k),
-         |gllm AS (SELECT p.k, CASE WHEN c.land=1 THEN p.lprob END AS mv
-         |  FROM gprob p JOIN gcls2 c USING (k, x, y)),
-         |${pctCte("glt", "gllm", Seq(82.5))},
-         |glth AS (SELECT k, res + 0.2 + 0.0 AS lthresh
-         |  FROM gltsel WHERE pct = 82.5),
-         |gcl0 AS (SELECT p.k, p.x, p.y,
-         |    CASE WHEN (p.pcp = 1 AND p.water = 1 AND p.wprob >= 0.5)
-         |           OR (p.pcp = 1 AND p.water = 0 AND p.lprob >= l.lthresh)
-         |           OR (p.lprob > 0.99 AND p.water = 0)
-         |           OR (NOT (p.bt > p.tlo - 35.0))
-         |         THEN 1 ELSE 0 END AS c0
-         |  FROM gprob p JOIN glth l ON l.k = p.k),
-         |goffs5 AS (SELECT a.dx, b.dy
-         |  FROM (SELECT unnest([-2,-1,0,1,2]) AS dx) a,
-         |       (SELECT unnest([-2,-1,0,1,2]) AS dy) b),
-         |ger AS (SELECT m0.k, m0.x, m0.y, MIN(mn.c0) AS e
-         |  FROM gcl0 m0 JOIN goffs5 o ON true
-         |  JOIN gcl0 mn ON mn.k = m0.k AND mn.x = m0.x + o.dx
-         |    AND mn.y = m0.y + o.dy
-         |  GROUP BY 1, 2, 3),
-         |goffs3 AS (SELECT a.dx, b.dy
-         |  FROM (SELECT unnest([-1,0,1]) AS dx) a,
-         |       (SELECT unnest([-1,0,1]) AS dy) b),
-         |gdl AS (SELECT m0.k, m0.x, m0.y, MAX(mn.e) AS d
-         |  FROM ger m0 JOIN goffs3 o ON true
-         |  JOIN ger mn ON mn.k = m0.k AND mn.x = m0.x + o.dx
-         |    AND mn.y = m0.y + o.dy
-         |  GROUP BY 1, 2, 3),
-         |gfinal AS (SELECT c.k, c.x, c.y,
-         |    CASE WHEN e.allcloud THEN c2.pcp ELSE d.d END AS cm,
-         |    c2.pcp, c2.water, c2.land
-         |  FROM gcl0 c JOIN gdl d USING (k, x, y)
-         |  JOIN gcls2 c2 USING (k, x, y)
-         |  JOIN gearly e ON e.k = c.k)
-         |SELECT i.image_id,
-         |  CAST(SUM(1 - f.cm) AS BIGINT) AS n_final,
-         |  CAST(SUM(f.cm) AS BIGINT) AS n_cloud,
-         |  CAST(SUM(f.pcp) AS BIGINT) AS n_pcp,
-         |  CAST(SUM(f.water) AS BIGINT) AS n_water,
-         |  CAST(SUM(f.land) AS BIGINT) AS n_land
-         |FROM gfinal f JOIN img2 i ON i.k = f.k
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+    "q_fmask_thermal" -> fmaskThermalOracle(5),
+    // BT from the INDEPENDENT LWIR band file (multi-file band stack)
+    "q_fmask_thermal_lwir" -> fmaskThermalOracle(6),
 
     // THERMAL ACCA ground truth — the full reference cascade replayed
     // in SQL: filters 1-7 as deterministic IEEE ratios, pass-2 cloud
@@ -2934,153 +3128,10 @@ object SparkEntry {
     // order-sensitive), LWIR percentiles via the proven 100-bin
     // interpolation pattern, skew-capped threshold shift, warm/cold
     // acceptance, dilate join, engine-derived smear offsets
-    "q_acca_thermal" -> {
-      val offs = Algorithms.smearOffsets(45.0, 135.0, 450.0)
-      val vals = offs.map { case (sx, sy) => s"($sx, $sy)" }.mkString(", ")
-      s"""WITH $I, $SimgCte,
-         |tb AS (SELECT unnest([1,2,3,4,5]) AS b),
-         |tbp AS (SELECT s.k, CAST(t.b AS BIGINT) AS b,
-         |         200 + (s.k*(t.b+3)) % 800 AS base,
-         |         (s.k + 11*t.b) % 8 AS ax, (s.k + 17*t.b) % 8 AS ay
-         |       FROM simg s CROSS JOIN tb t),
-         |tpx AS (SELECT s.k, p.b, xs.x, ys.y,
-         |         p.base + p.ax*xs.x + p.ay*ys.y AS v
-         |  FROM simg s JOIN tbp p ON p.k = s.k
-         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
-         |    CAST(s.w-1 AS INT))) AS x) xs
-         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
-         |    CAST(s.h-1 AS INT))) AS y) ys
-         |  WHERE xs.x >= s.nw),
-         |sp AS (SELECT k, x, y,
-         |    CAST(MAX(CASE WHEN b=2 THEN v END) AS DOUBLE)/4000.0 AS rr,
-         |    CAST(MAX(CASE WHEN b=1 THEN v END) AS DOUBLE)/4000.0 AS gg,
-         |    CAST(MAX(CASE WHEN b=3 THEN v END) AS DOUBLE)/4000.0 AS nn,
-         |    CAST(MAX(CASE WHEN b=4 THEN v END) AS DOUBLE)/4000.0 AS s1,
-         |    CAST(MAX(CASE WHEN b=5 THEN v END) AS DOUBLE)/40.0 - 10.0 AS t
-         |  FROM tpx GROUP BY 1, 2, 3),
-         |pa AS (SELECT k, x, y, t,
-         |    CASE WHEN (NOT (rr >= 0.08)) OR (gg-s1)/(gg+s1) >= 0.7
-         |           OR t >= 27.0 THEN 0
-         |         WHEN (1.0-s1)*(t+273.15) >= 225.0 OR nn/rr >= 2.0
-         |           OR nn/gg >= 2.0 OR NOT (nn/s1 >= 1.0) THEN 2
-         |         ELSE 1
-         |    END AS cls
-         |  FROM sp),
-         |scene AS (SELECT k, COUNT(*) AS scenesize,
-         |    SUM(CASE WHEN cls=1 THEN 1 ELSE 0 END) AS cloudsum,
-         |    list(t ORDER BY y, x) FILTER (WHERE cls=1) AS ctl
-         |  FROM pa GROUP BY k),
-         |cstat AS (SELECT k, scenesize, cloudsum,
-         |    CAST(cloudsum AS DOUBLE)/scenesize AS cc,
-         |    len(ctl) AS cn,
-         |    list_reduce(ctl, (a,b) -> a+b) AS cs,
-         |    list_reduce(list_transform(ctl, v -> v*v), (a,b) -> a+b) AS cs2,
-         |    list_reduce(list_transform(ctl, v -> v*v*v), (a,b) -> a+b) AS cs3
-         |  FROM scene),
-         |cstat2 AS (SELECT *, cs/cn AS cmean,
-         |    sqrt(GREATEST(0.0, cs2/cn - (cs/cn)*(cs/cn))) AS csd
-         |  FROM cstat),
-         |cstat3 AS (SELECT *,
-         |    CASE WHEN csd = 0.0 THEN NULL
-         |         ELSE (cs3/cn - 3*cmean*cs2/cn + 2*cmean*cmean*cmean)
-         |              /(csd*csd*csd)
-         |    END AS cskew,
-         |    (cc > 0.004 AND cn > 0 AND cs/cn < 22.0) AS pass2
-         |  FROM cstat2),
-         |tmm AS (SELECT k, COUNT(*) AS cnt, MIN(t) AS mn, MAX(t) AS mx
-         |  FROM pa GROUP BY k),
-         |thb AS (SELECT p.k,
-         |    LEAST(99, CAST(FLOOR((p.t - m.mn)/((m.mx - m.mn)/100.0))
-         |      AS BIGINT)) AS bin,
-         |    COUNT(*) AS cnt
-         |  FROM pa p JOIN tmm m ON m.k = p.k
-         |  WHERE m.mx <> m.mn GROUP BY 1, 2),
-         |tcu AS (SELECT k, bin, cnt,
-         |    SUM(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum FROM thb),
-         |tpcts AS (SELECT unnest([83.5, 97.5, 98.75]) AS pct),
-         |ttgt AS (SELECT m.k, p.pct, p.pct/100.0*m.cnt AS target, m.mn, m.mx
-         |  FROM tmm m, tpcts p),
-         |tsel AS (SELECT t.k, t.pct,
-         |    CASE WHEN t.mx = t.mn THEN t.mn
-         |         ELSE t.mn + (t.mx - t.mn)/100.0 *
-         |              (c.bin + (t.target - (c.cum - c.cnt))/c.cnt)
-         |    END AS res
-         |  FROM ttgt t LEFT JOIN tcu c ON c.k = t.k
-         |    AND c.cum >= t.target AND c.cum - c.cnt < t.target),
-         |tpv AS (SELECT k,
-         |    MAX(CASE WHEN pct=83.5 THEN res END) AS p835,
-         |    MAX(CASE WHEN pct=97.5 THEN res END) AS p975,
-         |    MAX(CASE WHEN pct=98.75 THEN res END) AS p9875
-         |  FROM tsel GROUP BY k),
-         |ths AS (SELECT c.k, c.pass2,
-         |    CASE WHEN c.cskew IS NOT NULL AND c.cskew > 0 THEN
-         |      t.p835 + LEAST(t.p9875 - t.p975,
-         |        c.csd * (CASE WHEN c.cskew > 1.0 THEN 1.0 ELSE c.cskew END))
-         |    ELSE t.p835 END AS th0,
-         |    CASE WHEN c.cskew IS NOT NULL AND c.cskew > 0 THEN
-         |      t.p975 + LEAST(t.p9875 - t.p975,
-         |        c.csd * (CASE WHEN c.cskew > 1.0 THEN 1.0 ELSE c.cskew END))
-         |    ELSE t.p975 END AS th1,
-         |    c.scenesize
-         |  FROM cstat3 c JOIN tpv t ON t.k = c.k),
-         |wsel AS (SELECT p.k,
-         |    COUNT(*) FILTER (WHERE p.cls=2 AND p.t < h.th1 AND p.t > h.th0)
-         |      AS wn,
-         |    list(p.t ORDER BY p.y, p.x)
-         |      FILTER (WHERE p.cls=2 AND p.t < h.th1 AND p.t > h.th0) AS wl,
-         |    COUNT(*) FILTER (WHERE p.cls=2 AND p.t < h.th0) AS cn2,
-         |    list(p.t ORDER BY p.y, p.x)
-         |      FILTER (WHERE p.cls=2 AND p.t < h.th0) AS cl2
-         |  FROM pa p JOIN ths h ON h.k = p.k GROUP BY p.k),
-         |dec AS (SELECT h.k, h.pass2, h.th0, h.th1,
-         |    (h.pass2 AND w.wn > 0
-         |      AND CAST(w.wn AS DOUBLE)/h.scenesize < 0.4
-         |      AND list_reduce(w.wl, (a,b) -> a+b)/w.wn < 22.0) AS warmAcc,
-         |    w.wn, w.cn2,
-         |    (w.cn2 > 0 AND CAST(w.cn2 AS DOUBLE)/h.scenesize < 0.4
-         |      AND list_reduce(w.cl2, (a,b) -> a+b)/w.cn2 < 22.0) AS coldOk
-         |  FROM ths h JOIN wsel w ON w.k = h.k),
-         |dec2 AS (SELECT k, pass2, th0, th1, warmAcc,
-         |    (pass2 AND NOT warmAcc AND coldOk) AS coldAcc FROM dec),
-         |ambacc AS (SELECT p.k, p.x, p.y, p.cls, p.t,
-         |    CASE WHEN d.warmAcc THEN
-         |           CASE WHEN p.cls=2 AND p.t < d.th1 AND p.t > d.th0
-         |                THEN 1 ELSE 0 END
-         |         WHEN d.coldAcc THEN
-         |           CASE WHEN p.cls=2 AND p.t < d.th0 THEN 1 ELSE 0 END
-         |         ELSE CASE WHEN p.cls=2 THEN 1 ELSE 0 END
-         |    END AS amb2,
-         |    (d.warmAcc OR d.coldAcc) AS addclouds
-         |  FROM pa p JOIN dec2 d ON d.k = p.k),
-         |cl0 AS (SELECT k, x, y,
-         |    CASE WHEN cls=1 OR (addclouds AND amb2=1) THEN 1 ELSE 0 END
-         |      AS c0
-         |  FROM ambacc),
-         |aoffs3 AS (SELECT a.dx, b.dy
-         |  FROM (SELECT unnest([-1,0,1]) AS dx) a,
-         |       (SELECT unnest([-1,0,1]) AS dy) b),
-         |agrown AS (SELECT m0.k, m0.x, m0.y, MAX(mn.c0) AS g
-         |  FROM cl0 m0 JOIN aoffs3 o ON true
-         |  JOIN cl0 mn ON mn.k = m0.k AND mn.x = m0.x + o.dx
-         |    AND mn.y = m0.y + o.dy
-         |  GROUP BY 1, 2, 3),
-         |asmoffs AS (SELECT * FROM (VALUES $vals) AS t(sx, sy)),
-         |afin AS (SELECT g0.k, g0.x, g0.y,
-         |    GREATEST(g0.g, COALESCE(MAX(gs.g), 0)) AS f
-         |  FROM agrown g0
-         |  LEFT JOIN asmoffs s ON true
-         |  LEFT JOIN agrown gs ON gs.k = g0.k
-         |    AND gs.x = g0.x - s.sx AND gs.y = g0.y - s.sy
-         |  GROUP BY 1, 2, 3, g0.g)
-         |SELECT i.image_id,
-         |  CAST(SUM(1 - f.f) AS BIGINT) AS n_final,
-         |  CAST(SUM(f.f) AS BIGINT) AS n_cloud,
-         |  CAST(SUM(a.amb2) AS BIGINT) AS n_amb,
-         |  CAST(SUM(CASE WHEN a.cls=1 THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_pass1
-         |FROM ambacc a JOIN afin f USING (k, x, y) JOIN img2 i ON i.k = a.k
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+    "q_acca_thermal" -> accaThermalOracle(5),
+    // same cascade, temperature from the INDEPENDENT LWIR band file
+    // (multi-file band stack) instead of the swir2-derived proxy
+    "q_acca_thermal_lwir" -> accaThermalOracle(6),
 
     // ACCA cloud-mask ground truth: the proxy cascade is fully SQL-
     // expressible — NDVI/whiteness ratios are deterministic IEEE

@@ -120,6 +120,34 @@ object Synth {
       .withColumn("phash", ph(col("k")))
   }
 
+  /** Independent single-band LWIR (thermal) file per image — the
+    * reference's multi-file model where the thermal band ships as its
+    * own GeoTIFF and is band-stacked onto the reflectance image
+    * (/root/reference/GIP/GeoImage.h:60-74 multi-file ctor). Same
+    * w/h/nodata stripe as image k; pixel formula is the natural band
+    * b = 6 extension of [[pixelValue]] (base 200+(k·9)%800, ax/ay
+    * (k+66)%8/(k+102)%8) so the DuckDB oracle states it with the same
+    * parameterized CTE. Always raw-i16le: values ≤ 4345 are exact, and
+    * DN/40 − 10 °C spans the cascades' 22/27 °C decision points.
+    * Columns: k, image_id, w, h, lwir_bytes. */
+  def lwirImages(spark: SparkSession, sfDir: String,
+                 keyFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val enc = udf((k: Long) => {
+      val w = wOf(k); val h = hOf(k)
+      val p = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { p(y * w + x) = pixelValue(k, "raw-i16le", 6, x, y); x += 1 }
+        y += 1
+      }
+      Codec.encode(Array(p), w, h, "raw-i16le")
+    })
+    keyFilter(images(spark, sfDir))
+      .select(col("k"), col("image_id"), col("w"), col("h"))
+      .withColumn("lwir_bytes", enc(col("k")))
+  }
+
   /** Polygon layer derived from `nation`: axis-aligned AOI rectangles in
     * mdeg (the oracle-checkable layer; convex/concave test layers live
     * in the ScalaTest fixtures). Schema mirrors the reference's feature

@@ -598,6 +598,33 @@ object Algorithms {
     (cnt(fin), cnt(cm), cnt(ambA), cnt(p1))
   })
 
+  /** Thermal ACCA on an INDEPENDENT LWIR plane (the multi-file band
+    * stack: reflectance payload + separate single-band raw-i16le
+    * thermal file, [[graft.gen.Synth.lwirImages]]), rather than the
+    * swir2-derived proxy above. refl = DN/4000, temp = LWIR DN/40 − 10.
+    * 6-band reflectance payload assumed (Spark `udf` caps at 10 args). */
+  val accaThermalLwirAgg = udf((bytes: Array[Byte], lwir: Array[Byte],
+                                w: Int, h: Int, fmt: String,
+                                seDeg: Double, saDeg: Double,
+                                erodePx: Int, dilatePx: Int,
+                                cloudheight: Double) => {
+    val c0 = Codec.requireBands(
+      Codec.decode(bytes, w, h, Codec.bandsStored(fmt, 6), fmt),
+      6, "acca_thermal_lwir", fmt)
+    val refl = c0.map(_.map(_ / 4000.0))
+    val temp = Codec.decode(lwir, w, h, 1, "raw-i16le")(0)
+      .map(v => v / 40.0 - 10.0)
+    val (fin, cm, ambA, p1) =
+      accaThermal(refl, temp, w, h, seDeg, saDeg, erodePx, dilatePx,
+        cloudheight)
+    def cnt(p: Array[Double]): Long = {
+      var m = 0L; var i = 0
+      while (i < p.length) { if (p(i) == 1.0) m += 1; i += 1 }
+      m
+    }
+    (cnt(fin), cnt(cm), cnt(ambA), cnt(p1))
+  })
+
   val cloudMaskAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
                           nb: Int, seDeg: Double, saDeg: Double,
                           cloudheight: Double) => {
@@ -883,6 +910,27 @@ object Algorithms {
       6, "fmask_thermal", fmt)
     val refl = c0.map(_.map(_ / 4000.0))
     val bt = c0(5).map(v => v / 40.0 - 10.0)
+    val (fin, cm, pcpP, waterP, landP) =
+      fmaskThermal(refl, bt, w, h, tolerance, dilatePx)
+    def cnt(p: Array[Double]): Long = {
+      var m = 0L; var i = 0
+      while (i < p.length) { if (p(i) == 1.0) m += 1; i += 1 }
+      m
+    }
+    (cnt(fin), cnt(cm), cnt(pcpP), cnt(waterP), cnt(landP))
+  })
+
+  /** Thermal fmask on an INDEPENDENT LWIR plane (multi-file band
+    * stack, see [[accaThermalLwirAgg]]): BT = LWIR DN/40 − 10 °C. */
+  val fmaskThermalLwirAgg = udf((bytes: Array[Byte], lwir: Array[Byte],
+                                 w: Int, h: Int, fmt: String,
+                                 tolerance: Int, dilatePx: Int) => {
+    val c0 = Codec.requireBands(
+      Codec.decode(bytes, w, h, Codec.bandsStored(fmt, 6), fmt),
+      6, "fmask_thermal_lwir", fmt)
+    val refl = c0.map(_.map(_ / 4000.0))
+    val bt = Codec.decode(lwir, w, h, 1, "raw-i16le")(0)
+      .map(v => v / 40.0 - 10.0)
     val (fin, cm, pcpP, waterP, landP) =
       fmaskThermal(refl, bt, w, h, tolerance, dilatePx)
     def cnt(p: Array[Double]): Long = {

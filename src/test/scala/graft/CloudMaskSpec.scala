@@ -168,6 +168,41 @@ class CloudMaskSpec extends AnyFunSuite {
     assert(none.count(_ == 1.0) == 1)
   }
 
+  test("independent LWIR plane: same stripe, different temps than the proxy") {
+    // the multi-file thermal stack (Synth.lwirImages) must carry the
+    // image's nodata stripe and give the cascades genuinely different
+    // temperature data than the swir2-derived proxy
+    import graft.gen.Synth
+    import graft.core.Codec
+    val k = 7L // nw = 2: has a nodata stripe
+    val w = Synth.wOf(k); val h = Synth.hOf(k)
+    val lwirPlane = Array.tabulate(w * h) { i =>
+      Synth.pixelValue(k, "raw-i16le", 6, i % w, i / w)
+    }
+    val bytes = Codec.encode(Array(lwirPlane), w, h, "raw-i16le")
+    val dec = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    assert(dec.sameElements(lwirPlane) ||
+      dec.zip(lwirPlane).forall { case (a, b) => a == b || (a.isNaN && b.isNaN) })
+    // stripe: x < nw is nodata in BOTH the reflectance and lwir planes
+    val refl = Synth.planes(k)
+    for (y <- 0 until h; x <- 0 until Synth.nwOf(k)) {
+      assert(dec(y * w + x).isNaN && refl(5)(y * w + x).isNaN)
+    }
+    // independence: lwir-derived temps differ from the swir2 proxy
+    val tLwir = dec.map(v => v / 40.0 - 10.0)
+    val tProxy = refl(5).map(v => v / 40.0 - 10.0)
+    val diff = tLwir.zip(tProxy).count { case (a, b) =>
+      !a.isNaN && !b.isNaN && a != b
+    }
+    assert(diff > 0, "lwir plane must not equal the swir2 proxy")
+    // cascade consistency on the stacked cube: final = NOT cloud on valid
+    val reflN = refl.map(_.map(_ / 4000.0))
+    val (fin, cm, _, _) = Algorithms.accaThermal(reflN, tLwir, w, h,
+      45.0, 135.0, 0, 3, 450.0)
+    val valid = fin.count(!_.isNaN)
+    assert(fin.count(_ == 1.0) + cm.count(_ == 1.0) == valid)
+  }
+
   test("acca planes: smear only ever grows the final mask") {
     val w = 32; val h = 32
     // left half: blue>500, ndvi≈0.04, whiteness≈0.15 → pass-1 clouds;
