@@ -289,6 +289,39 @@ object SparkEntry {
         .orderBy("part")
     }),
 
+    // ZONE-MAP pruned range scan (Iceberg lower/upper-bounds stats):
+    // the table is range-bucketed on k, each commit line carries the
+    // bucket's exact [lo, hi], and the scan reads ONLY overlapping
+    // buckets — asserted strictly narrower than the full table before
+    // the result is returned. Pruning is transparent to the rows, so
+    // the oracle is the plain range filter.
+    "q_lineage_range" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lineage_rng_q").toString
+      graft.table.Lineage.writeRangeResumable(s,
+        imgs(s, dir).select("image_id", "k", "w", "h"), root, "k", 8)
+      val (sel, total) = graft.table.Lineage.prunedParts(root, 50, 150)
+      assert(sel.size < total, s"zone maps must prune: ${sel.size}/$total")
+      graft.table.Lineage.readRange(s, root, "k", 50, 150)
+        .select(col("image_id"), col("k"), col("w"), col("h"))
+        .orderBy("k")
+    }),
+
+    // Equality BUCKET-PRUNING point lookups on the hash layout
+    // (Iceberg bucket-transform partition pruning): each lookup
+    // recomputes the writer's bucket and opens that one directory
+    "q_lineage_lookup" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lineage_pt_q").toString
+      graft.table.Lineage.writeResumable(s,
+        imgs(s, dir).select("image_id", "k", "w", "h"), root, "image_id", 8)
+      Seq("img-3", "img-77", "img-150")
+        .map(id => graft.table.Lineage.readForKey(s, root, "image_id", id, 8))
+        .reduce(_ unionByName _)
+        .select(col("image_id"), col("k"), col("w"), col("h"))
+        .orderBy("k")
+    }),
+
     // ---- vector-layer attribute ops (GeoVector.where analogs) ----
     "q_vector_where" -> ((s, dir) => {
       val g = new graft.api.GippySpark(s)
@@ -2925,6 +2958,20 @@ object SparkEntry {
     // 42, word pass + per-byte tail, fmix) replayed in SQL with
     // HUGEINT modular 32-bit arithmetic: per-bucket row counts are
     // pmod(murmur3(image_id), 8) group sizes, bit-exact
+    // pruned scans are transparent to the result set: the oracle is
+    // the plain predicate over the full table (the PRUNING itself is
+    // asserted engine-side before the rows come back)
+    "q_lineage_range" ->
+      s"""WITH $I
+         |SELECT image_id, k, w, h FROM img2
+         |WHERE k BETWEEN 50 AND 150 ORDER BY k""".stripMargin,
+
+    "q_lineage_lookup" ->
+      s"""WITH $I
+         |SELECT image_id, k, w, h FROM img2
+         |WHERE image_id IN ('img-3', 'img-77', 'img-150')
+         |ORDER BY k""".stripMargin,
+
     "q_lineage_metrics" -> {
       val W = 4294967296L
       def mul(e: String, c: Long): String =

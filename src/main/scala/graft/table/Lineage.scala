@@ -31,21 +31,26 @@ import scala.jdk.CollectionConverters._
   */
 object Lineage {
 
+  /** `lo`/`hi` are an optional ZONE MAP over the table's sort/range key
+    * (Iceberg's per-file `lower_bounds`/`upper_bounds` column stats):
+    * range scans skip buckets whose [lo, hi] misses the predicate. */
   final case class Commit(part: Int, rows: Long, bytes: Long, ts: Long,
-                          gen: Int = 0)
+                          gen: Int = 0,
+                          lo: Option[Long] = None, hi: Option[Long] = None)
 
   def logPath(root: String): Path = Paths.get(root, "_commits.jsonl")
 
   private val CommitRe =
-    """\{"part":(\d+),"rows":(\d+),"bytes":(\d+),"ts":(\d+)(?:,"gen":(\d+))?\}""".r
+    """\{"part":(\d+),"rows":(\d+),"bytes":(\d+),"ts":(\d+)(?:,"gen":(\d+))?(?:,"lo":(-?\d+),"hi":(-?\d+))?\}""".r
 
   /** Strict whole-line parse: torn/partial lines (crash mid-append)
     * yield None and the bucket counts as uncommitted. Lines without a
     * "gen" field are generation 0 (pre-compaction layout). */
   def parseCommit(line: String): Option[Commit] = line.trim match {
-    case CommitRe(p, r, b, t, g) =>
+    case CommitRe(p, r, b, t, g, lo, hi) =>
       Some(Commit(p.toInt, r.toLong, b.toLong, t.toLong,
-        if (g == null) 0 else g.toInt))
+        if (g == null) 0 else g.toInt,
+        Option(lo).map(_.toLong), Option(hi).map(_.toLong)))
     case _ => None
   }
 
@@ -92,7 +97,11 @@ object Lineage {
       } finally ch.close()
     }
     val genField = if (c.gen > 0) s""","gen":${c.gen}""" else ""
-    val line = s"""{"part":${c.part},"rows":${c.rows},"bytes":${c.bytes},"ts":${c.ts}$genField}\n"""
+    val statField = (c.lo, c.hi) match {
+      case (Some(l), Some(h)) => s""","lo":$l,"hi":$h"""
+      case _                  => ""
+    }
+    val line = s"""{"part":${c.part},"rows":${c.rows},"bytes":${c.bytes},"ts":${c.ts}$genField$statField}\n"""
     Files.write(p, ((if (needsNl) "\n" else "") + line).getBytes,
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
@@ -163,6 +172,120 @@ object Lineage {
     written
   }
 
+  /** RANGE-bucketed resumable write (Iceberg sort-order + partition
+    * transform analog): buckets are contiguous ranges of a LONG
+    * `keyCol` instead of hash slots, and each commit line carries the
+    * bucket's exact [lo, hi] zone map, so range scans ([[readRange]])
+    * skip non-overlapping buckets from METADATA only — no file opens,
+    * no footer reads. Boundary selection is a one-pass
+    * `percentile_approx` (sampled quantiles, the same mechanism
+    * Spark's own RangePartitioner scales with); per-bucket min/max
+    * come from the same single staging-scan job as the row counts.
+    * Same crash/resume contract as [[writeResumable]]. */
+  def writeRangeResumable(spark: SparkSession, df: DataFrame, root: String,
+                          keyCol: String, nParts: Int): Int = {
+    Files.createDirectories(Paths.get(root))
+    val done = committedParts(root)
+    val todo = (0 until nParts).filterNot(done)
+    if (todo.isEmpty) return 0
+    // interior boundaries b_1..b_{n-1}: bucket i = (b_i, b_{i+1}]
+    val probs = (1 until nParts).map(_.toDouble / nParts).toArray
+    val bRow = df.select(
+      percentile_approx(col(keyCol).cast("long"), lit(probs),
+        lit(10000))).head()
+    val bounds: Seq[Long] =
+      if (bRow.isNullAt(0)) Seq.empty else bRow.getSeq[Long](0)
+    // nested when-chain, smallest boundary checked first:
+    // _part = 0 for key ≤ b_1, 1 for key ≤ b_2, …, nParts-1 otherwise
+    val asc = bounds.zipWithIndex.reverse.foldLeft(lit(nParts - 1)) {
+      case (acc, (b, i)) => when(col(keyCol) <= b, lit(i)).otherwise(acc)
+    }
+    val withPart = df.withColumn("_part", asc)
+    val pending =
+      if (done.isEmpty) withPart
+      else withPart.where(!col("_part").isin(done.toSeq: _*))
+    val stage = Paths.get(root, "_stage")
+    deleteRec(stage)
+    pending.write.partitionBy("_part").mode("overwrite").parquet(stage.toString)
+    // counts + ZONE MAP (min/max of keyCol) in one job over the stage
+    val stats: Map[Int, (Long, Long, Long)] =
+      if (!hasParquetRec(stage)) Map.empty
+      else spark.read.parquet(stage.toString)
+        .groupBy("_part")
+        .agg(count(lit(1)).as("n"),
+          min(col(keyCol).cast("long")).as("lo"),
+          max(col(keyCol).cast("long")).as("hi"))
+        .collect()
+        .map(r => r.get(0).toString.toInt ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    var written = 0
+    todo.foreach { p =>
+      val src = stage.resolve(s"_part=$p")
+      val dst = Paths.get(root, s"part=$p")
+      deleteRec(dst)
+      if (Files.exists(src))
+        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      else
+        Files.createDirectories(dst)
+      val (n, lo, hi) = stats.getOrElse(p, (0L, 0L, -1L))
+      appendCommit(root, Commit(p, n, dirBytes(dst),
+        System.currentTimeMillis(), 0,
+        if (n > 0) Some(lo) else None, if (n > 0) Some(hi) else None))
+      written += 1
+    }
+    deleteRec(stage)
+    written
+  }
+
+  /** Buckets a [lo, hi] range scan must touch, from commit-log zone
+    * maps alone: a bucket without stats is never skipped (correctness
+    * over pruning). Returns (selected buckets, total committed). */
+  def prunedParts(root: String, lo: Long, hi: Long): (Seq[Int], Int) = {
+    val latest = latestCommits(root).toSeq.sortBy(_._1)
+    val sel = latest.collect {
+      case (p, c) if c.rows > 0 && ((c.lo, c.hi) match {
+        case (Some(l), Some(h)) => h >= lo && l <= hi
+        case _                  => true
+      }) => p
+    }
+    (sel, latest.size)
+  }
+
+  /** Zone-map-pruned range scan: read ONLY the buckets whose [lo, hi]
+    * overlaps the predicate (metadata decision — at 10¹² rows this is
+    * the difference between opening every file and opening the few
+    * covering buckets), then apply the residual filter. */
+  def readRange(spark: SparkSession, root: String, keyCol: String,
+                lo: Long, hi: Long): DataFrame = {
+    val (sel, _) = prunedParts(root, lo, hi)
+    val byPart = latestCommits(root)
+    val dirs = sel.map(p => partDir(root, p, byPart(p).gen))
+      .filter(hasParquet).map(_.toString)
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(dirs: _*)
+      .where(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
+  /** Equality-predicate BUCKET PRUNING on the hash layout (Iceberg's
+    * bucket-transform partition pruning): recompute the writer's
+    * bucket for `value` and read that single directory — a point
+    * lookup touches 1/nParts of the table regardless of scale. The
+    * bucket id is evaluated with the same Catalyst `hash`/`pmod` the
+    * writer used (a one-row local plan — no cluster job). */
+  def readForKey(spark: SparkSession, root: String, keyCol: String,
+                 value: Any, nParts: Int): DataFrame = {
+    val bucket = spark.range(1)
+      .select(pmod(hash(lit(value)), lit(nParts)).cast("int"))
+      .head().getInt(0)
+    val c = latestCommits(root).get(bucket)
+    val dir = c.map(cc => partDir(root, bucket, cc.gen)).filter(hasParquet)
+    dir match {
+      case Some(d) =>
+        spark.read.parquet(d.toString).where(col(keyCol) === lit(value))
+      case None => spark.emptyDataFrame
+    }
+  }
+
   /** Read back a resumable table (only committed, non-empty buckets).
     * A committed table whose buckets are ALL empty reads back as an
     * empty (schemaless) DataFrame instead of throwing on a zero-path
@@ -229,7 +352,7 @@ object Lineage {
         Files.createDirectories(dst.getParent)
         Files.move(stage, dst, StandardCopyOption.ATOMIC_MOVE)
         appendCommit(root, Commit(p, c.rows, dirBytes(dst),
-          System.currentTimeMillis(), newGen))
+          System.currentTimeMillis(), newGen, c.lo, c.hi))
         // old generation is now stale — vacuum post-commit, unless the
         // caller retains snapshots for time travel (expireSnapshots
         // reclaims them later; Iceberg's expire_snapshots contract)

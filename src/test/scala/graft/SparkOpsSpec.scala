@@ -263,6 +263,50 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { Bands.expandSubdatasets(bad).collect() }
   }
 
+  test("lineage: range buckets carry zone maps; range scan prunes, lookup hits one bucket") {
+    val root = Files.createTempDirectory("graft_lineage_rng").toString
+    val df = images(1000).select("image_id", "k", "w", "h")
+    assert(Lineage.writeRangeResumable(spark, df, root, "k", 8) == 8)
+    // resume is a no-op
+    assert(Lineage.writeRangeResumable(spark, df, root, "k", 8) == 0)
+    // zone maps: every non-empty bucket has stats, ranges are disjoint
+    val cs = Lineage.latestCommits(root).values.filter(_.rows > 0).toSeq
+      .sortBy(_.lo.get)
+    assert(cs.nonEmpty && cs.forall(c => c.lo.isDefined && c.hi.isDefined))
+    cs.sliding(2).foreach {
+      case Seq(a, b) => assert(a.hi.get < b.lo.get)
+      case _         =>
+    }
+    // pruning decision is metadata-only and strictly narrower than 8
+    val lo = 100L; val hi = 200L
+    val (sel, total) = Lineage.prunedParts(root, lo, hi)
+    assert(total == 8 && sel.nonEmpty && sel.size < 8)
+    // pruned read == unpruned filter
+    val got = Lineage.readRange(spark, root, "k", lo, hi)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    val want = df.where(col("k") >= lo && col("k") <= hi)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // zone maps survive compaction (gen swap keeps lo/hi)
+    Lineage.compact(spark, root, maxFiles = 1)
+    val (sel2, _) = Lineage.prunedParts(root, lo, hi)
+    assert(sel2 == sel)
+    val got2 = Lineage.readRange(spark, root, "k", lo, hi)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 == want)
+    // equality bucket pruning on the HASH layout: one dir, right rows
+    val hroot = Files.createTempDirectory("graft_lineage_pt").toString
+    assert(Lineage.writeResumable(spark, df, hroot, "image_id", 8) == 8)
+    val one = Lineage.readForKey(spark, hroot, "image_id", "img-17", 8)
+      .collect()
+    assert(one.length == 1 && one(0).getAs[Long]("k") == 17L)
+    // and its plan reads a single bucket directory
+    val scanned = Lineage.readForKey(spark, hroot, "image_id", "img-17", 8)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString
+    assert("part=\\d+".r.findAllIn(scanned).toSet.size <= 1)
+  }
+
   test("lineage: compaction swaps generations without losing a row") {
     val root = Files.createTempDirectory("graft_lineage_cmp").toString
     // many input partitions → many small files per bucket
