@@ -381,6 +381,33 @@ object SparkEntry {
         .orderBy("image_id")
     }),
 
+    // OVERVIEW-AWARE downscale warp (GDAL's overview selection): a 3×
+    // coarser output grid reads the level-2 pyramid plane — 1/4 of the
+    // pixels — then nearest-resamples with the level-adjusted affine.
+    // The two-step index map is pure integer arithmetic the oracle
+    // replays digit-exactly.
+    "q_warp_overview" -> ((s, dir) => {
+      val rs = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        val p = graft.core.Codec.decode(bytes, w, h,
+          graft.core.Codec.bandsStored(fmt, Synth.NumBands), fmt)(0)
+        val dw = (w + 2) / 3; val dh = (h + 2) / 3
+        val out = Warp.resampleWithOverviews(p, w, h, 0, h, 1.0, 1.0,
+          Warp.Grid(0, 0, w, h, dw, dh, 3.0, 3.0), interp = 0)
+        var n = 0L; var sum = 0L; var i = 0
+        while (i < out.length) {
+          if (!out(i).isNaN) { n += 1; sum += out(i).toLong }
+          i += 1
+        }
+        (n, sum)
+      })
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("r", rs(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt")))
+        .select(col("image_id"), col("r._1").as("n_valid"),
+          col("r._2").as("vsum"))
+        .orderBy("image_id")
+    }),
+
     // ---- band registry / masks / overviews ----
     "q_band_select" -> ((s, dir) =>
       Stats.bandStats(
@@ -2382,6 +2409,30 @@ object SparkEntry {
          |SELECT image_id, 4*(w-nw)*h AS n_valid,
          |  4*(base*(w-nw)*h + ax*sx*h + ay*sy*(w-nw)) AS vsum
          |FROM stat ORDER BY image_id""".stripMargin,
+
+    // overview-aware warp: dst pixel (i,j) at res 3 reads level-2
+    // overview cell (xi, yi) = ((6i+3)//4, (6j+3)//4) = base pixel
+    // (2xi, 2yi); out of the ceil(w/2)×ceil(h/2) overview → nodata
+    "q_warp_overview" ->
+      s"""WITH $I, $B, $SimgCte,
+         |wod AS (SELECT s.k, s.image_id, s.w, s.h, s.nw,
+         |    (s.w+2)//3 AS dw, (s.h+2)//3 AS dh,
+         |    (s.w+1)//2 AS ow, (s.h+1)//2 AS oh,
+         |    p.base, p.ax, p.ay
+         |  FROM simg s JOIN bandp p ON p.k = s.k AND p.b = 0),
+         |wpx AS (SELECT o.image_id,
+         |    CASE WHEN (6*xs.i+3)//4 < o.ow AND (6*ys.j+3)//4 < o.oh
+         |          AND 2*((6*xs.i+3)//4) >= o.nw THEN 1 ELSE 0 END AS ok,
+         |    o.base + o.ax*2*((6*xs.i+3)//4)
+         |           + o.ay*2*((6*ys.j+3)//4) AS v
+         |  FROM wod o
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(o.dw-1 AS INT))) AS i) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(o.dh-1 AS INT))) AS j) ys)
+         |SELECT image_id, CAST(SUM(ok) AS BIGINT) AS n_valid,
+         |  CAST(SUM(CASE WHEN ok=1 THEN v ELSE 0 END) AS BIGINT) AS vsum
+         |FROM wpx GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_band_select" ->
       s"""WITH $I, $B, $SimgCte,

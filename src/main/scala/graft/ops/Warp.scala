@@ -91,6 +91,54 @@ object Warp {
     out
   }
 
+  /** NEAREST decimation of a plane to pyramid level `l` — the same
+    * convention as the overview table (Bands.overviewPyramidAgg,
+    * GDAL NEAREST per /root/reference/GIP/GeoImage.cpp:284-291):
+    * ov(x,y) = src(Lx, Ly), dims ceil(w/L) × ceil(h/L). */
+  def overviewPlane(src: Array[Double], sw: Int, sh: Int, l: Int)
+      : (Array[Double], Int, Int) = {
+    val ow = (sw + l - 1) / l; val oh = (sh + l - 1) / l
+    val o = new Array[Double](ow * oh)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) { o(y * ow + x) = src((l * y) * sw + l * x); x += 1 }
+      y += 1
+    }
+    (o, ow, oh)
+  }
+
+  /** GDAL-style overview selection: the largest pyramid level ≤ the
+    * dst/src resolution ratio (1 = read the base image). */
+  def overviewLevelFor(scale: Double, levels: Seq[Int] = Seq(8, 4, 2)): Int =
+    levels.sorted.reverse.find(_ <= scale).getOrElse(1)
+
+  /** Overview-aware downscale warp: a coarse-output warp reads the
+    * pyramid, not the base payload — at level L that is 1/L² of the
+    * pixels decoded, resampled and shipped, which is the difference
+    * between a browse-resolution mosaic over 10¹² images touching
+    * 100 TB or ~1.5 TB. Picks the level from the resolution ratio,
+    * decimates (or, in the table model, reads the overview row),
+    * then runs the standard [[resample]] with the level-adjusted
+    * affine (origin unchanged, res × L). Same-SRS only — a CRS hop
+    * changes the scale per-pixel, so cross-SRS warps keep the
+    * conservative base path. */
+  def resampleWithOverviews(src: Array[Double], sw: Int, sh: Int,
+                            srcX0: Double, srcY1: Double,
+                            srcXres: Double, srcYres: Double,
+                            dst: Grid, interp: Int,
+                            levels: Seq[Int] = Seq(8, 4, 2)): Array[Double] = {
+    val scale = math.min(dst.xres / srcXres, math.abs(dst.yres) / srcYres)
+    val l = overviewLevelFor(scale, levels)
+    if (l <= 1)
+      resample(src, sw, sh, srcX0, srcY1, srcXres, srcYres, dst, interp)
+    else {
+      val (ov, ow, oh) = overviewPlane(src, sw, sh, l)
+      resample(ov, ow, oh, srcX0, srcY1, srcXres * l, srcYres * l,
+        dst, interp)
+    }
+  }
+
   /** Merge warp fragments with the reference's sequential-overwrite
     * semantics (/root/reference/GIP/GeoAlgorithms.cpp:280-283 +
     * GeoRaster.cpp:210-310 noinit path): fragments apply in ascending

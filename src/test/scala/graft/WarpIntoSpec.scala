@@ -157,6 +157,34 @@ class WarpIntoSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("overview-aware warp: level choice, two-step equality, base fallback") {
+    import graft.ops.Warp
+    // GDAL-style selection: largest level ≤ scale
+    assert(Warp.overviewLevelFor(1.5) == 1)
+    assert(Warp.overviewLevelFor(2.0) == 2)
+    assert(Warp.overviewLevelFor(3.0) == 2)
+    assert(Warp.overviewLevelFor(4.5) == 4)
+    assert(Warp.overviewLevelFor(9.0) == 8)
+    val w = 23; val h = 17
+    val src = Array.tabulate(w * h)(i => (100 + 3 * (i % w) + 7 * (i / w)).toDouble)
+    src(5) = Double.NaN
+    // downscale 3×: must equal explicit decimate-then-resample at L=2
+    val dw = (w + 2) / 3; val dh = (h + 2) / 3
+    val g = Warp.Grid(0, 0, w, h, dw, dh, 3.0, 3.0)
+    val got = Warp.resampleWithOverviews(src, w, h, 0, h, 1.0, 1.0, g, 0)
+    val (ov, ow, oh) = Warp.overviewPlane(src, w, h, 2)
+    assert(ow == 12 && oh == 9)
+    val want = Warp.resample(ov, ow, oh, 0, h, 2.0, 2.0, g, 0)
+    assert(got.zip(want).forall { case (a, b) =>
+      a == b || (a.isNaN && b.isNaN) })
+    // upscale / sub-2× downscale: identical to the base resample
+    val g2 = Warp.Grid(0, 0, w, h, w, h, 1.0, 1.0)
+    val base = Warp.resample(src, w, h, 0, h, 1.0, 1.0, g2, 0)
+    val viaOv = Warp.resampleWithOverviews(src, w, h, 0, h, 1.0, 1.0, g2, 0)
+    assert(viaOv.zip(base).forall { case (a, b) =>
+      a == b || (a.isNaN && b.isNaN) })
+  }
+
   test("mergeFragments: ascending-key overwrite, NaN transparent") {
     val a = Array(1.0, 1.0, Double.NaN)
     val b = Array(2.0, Double.NaN, Double.NaN)
