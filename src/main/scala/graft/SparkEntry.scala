@@ -322,6 +322,66 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // Copy-on-write MERGE (Iceberg MERGE INTO): a small delta (2
+    // updates + 2 inserts) upserts into the committed table; the
+    // rewrite is BUCKET-PRUNED (asserted strictly fewer buckets than
+    // the table has) and the oracle replays plain merge semantics
+    "q_lineage_merge" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lineage_mrg_q").toString
+      val base = imgs(s, dir).select("image_id", "k", "w", "h")
+      graft.table.Lineage.writeResumable(s, base, root, "image_id", 8)
+      import s.implicits._
+      val upd = base.where(col("image_id").isin("img-3", "img-77"))
+        .withColumn("w", col("w") + 1000)
+      val ins = Seq(("img-new-1", 9000001L, 42L, 24L),
+                    ("img-new-2", 9000002L, 50L, 30L))
+        .toDF("image_id", "k", "w", "h")
+      val rewritten = graft.table.Lineage.merge(
+        s, upd.unionByName(ins), root, "image_id", 8)
+      assert(rewritten > 0 && rewritten < 8,
+        s"merge must bucket-prune: rewrote $rewritten/8")
+      // a second identical merge converges (idempotent upsert)
+      graft.table.Lineage.merge(s, upd.unionByName(ins), root, "image_id", 8)
+      graft.table.Lineage.read(s, root)
+        .select("image_id", "k", "w", "h").orderBy("k", "image_id")
+    }),
+
+    // Copy-on-write row-level DELETE by key, bucket-pruned like merge
+    "q_lineage_delete" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lineage_del_q").toString
+      val base = imgs(s, dir).select("image_id", "k", "w", "h")
+      graft.table.Lineage.writeResumable(s, base, root, "image_id", 8)
+      import s.implicits._
+      val keys = Seq("img-5", "img-150", "img-absent").toDF("image_id")
+      val rewritten = graft.table.Lineage.deleteKeys(
+        s, keys, root, "image_id", 8)
+      assert(rewritten > 0 && rewritten < 8,
+        s"delete must bucket-prune: rewrote $rewritten/8")
+      graft.table.Lineage.read(s, root)
+        .select("image_id", "k", "w", "h").orderBy("k")
+    }),
+
+    // INCREMENTAL (CDC) consumption of the streaming epoch-sink
+    // layout: two committed epochs, cursor after epoch 0 → exactly
+    // epoch 1's rows come back (Iceberg incremental append scan)
+    "q_lineage_cdc" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lineage_cdc_q").toString
+      val base = imgs(s, dir).select("image_id", "k", "w", "h")
+      graft.table.Lineage.writeResumable(
+        s, base.where(col("k") % 2 === 0), s"$root/epoch=0", "image_id", 4)
+      graft.table.Lineage.writeResumable(
+        s, base.where(col("k") % 2 === 1), s"$root/epoch=1", "image_id", 4)
+      assert(graft.streaming.CellStream.latestLineageEpoch(root) == 1L)
+      // the full-history read still sees every row
+      assert(graft.streaming.CellStream.readLineageEpochs(s, root).count()
+        == base.count())
+      graft.streaming.CellStream.readLineageEpochsSince(s, root, 0L)
+        .select("image_id", "k", "w", "h").orderBy("k")
+    }),
+
     // ---- vector-layer attribute ops (GeoVector.where analogs) ----
     "q_vector_where" -> ((s, dir) => {
       val g = new graft.api.GippySpark(s)
@@ -3022,6 +3082,41 @@ object SparkEntry {
          |SELECT image_id, k, w, h FROM img2
          |WHERE image_id IN ('img-3', 'img-77', 'img-150')
          |ORDER BY k""".stripMargin,
+
+    // MERGE semantics replayed plainly: delta rows win on key match,
+    // unmatched delta rows insert, everything else passes through
+    // (the engine-side bucket pruning is asserted before rows return)
+    "q_lineage_merge" ->
+      s"""WITH $I,
+         |base AS (SELECT image_id, k, w, h FROM img2),
+         |delta AS (
+         |  SELECT image_id, k, w + 1000 AS w, h FROM base
+         |  WHERE image_id IN ('img-3', 'img-77')
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    ('img-new-1', CAST(9000001 AS BIGINT),
+         |     CAST(42 AS BIGINT), CAST(24 AS BIGINT)),
+         |    ('img-new-2', CAST(9000002 AS BIGINT),
+         |     CAST(50 AS BIGINT), CAST(30 AS BIGINT))
+         |  ) v(image_id, k, w, h)),
+         |merged AS (
+         |  SELECT * FROM delta
+         |  UNION ALL
+         |  SELECT * FROM base
+         |  WHERE image_id NOT IN (SELECT image_id FROM delta))
+         |SELECT image_id, k, w, h FROM merged
+         |ORDER BY k, image_id""".stripMargin,
+
+    "q_lineage_delete" ->
+      s"""WITH $I
+         |SELECT image_id, k, w, h FROM img2
+         |WHERE image_id NOT IN ('img-5', 'img-150', 'img-absent')
+         |ORDER BY k""".stripMargin,
+
+    "q_lineage_cdc" ->
+      s"""WITH $I
+         |SELECT image_id, k, w, h FROM img2
+         |WHERE k % 2 = 1 ORDER BY k""".stripMargin,
 
     "q_lineage_metrics" -> {
       val W = 4294967296L

@@ -92,24 +92,51 @@ object CellStream {
         ()
     }
 
+  /** (epoch id, epoch root) pairs committed under `root`, ascending. */
+  def lineageEpochs(root: String): Seq[(Long, String)] = {
+    val dir = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(dir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("epoch="))
+        .map(p => p.getFileName.toString.stripPrefix("epoch=").toLong ->
+          p.toString)
+        .toSeq.sortBy(_._1)
+    }
+  }
+
   /** Union of all committed epoch tables under `root` (empty DataFrame
     * when nothing committed yet). */
   def readLineageEpochs(spark: org.apache.spark.sql.SparkSession,
-                        root: String): DataFrame = {
-    val dir = java.nio.file.Paths.get(root)
-    val epochs =
-      if (!java.nio.file.Files.exists(dir)) Seq.empty[String]
-      else {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(dir).iterator().asScala
-          .filter(p => p.getFileName.toString.startsWith("epoch="))
-          .map(_.toString).toSeq.sorted
-      }
-    epochs.map(e => graft.table.Lineage.read(spark, e))
+                        root: String): DataFrame =
+    unionEpochs(spark, lineageEpochs(root).map(_._2))
+
+  /** INCREMENTAL consumption of the epoch-sink layout (Iceberg
+    * incremental append scan / CDC read): only the epochs with id >
+    * `afterEpoch` are opened — a downstream batch consumer checkpoints
+    * [[latestLineageEpoch]] after each run and re-processes ONLY data
+    * that arrived since, never the 10¹²-row history. Epoch ids are the
+    * streaming sink's micro-batch ids: monotonic, gap-free per the
+    * checkpoint contract, and immutable once committed — so the cursor
+    * is exact (no timestamp skew, no double-reads on replay: a replayed
+    * epoch rewrites the SAME id idempotently). */
+  def readLineageEpochsSince(spark: org.apache.spark.sql.SparkSession,
+                             root: String, afterEpoch: Long): DataFrame =
+    unionEpochs(spark,
+      lineageEpochs(root).collect { case (id, p) if id > afterEpoch => p })
+
+  /** The newest committed epoch id (cursor for incremental consumers);
+    * -1 when the sink has not committed anything yet. */
+  def latestLineageEpoch(root: String): Long =
+    lineageEpochs(root).lastOption.map(_._1).getOrElse(-1L)
+
+  private def unionEpochs(spark: org.apache.spark.sql.SparkSession,
+                          roots: Seq[String]): DataFrame =
+    roots.map(e => graft.table.Lineage.read(spark, e))
       .filter(!_.isEmpty)
       .reduceOption(_.unionByName(_))
       .getOrElse(spark.emptyDataFrame)
-  }
 
   /** STREAM-STATIC spatial join: continuously arriving image rows
     * (x0m..y1m footprints) join the static polygon layer through the

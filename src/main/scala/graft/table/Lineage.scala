@@ -408,6 +408,103 @@ object Lineage {
     n
   }
 
+  /** Copy-on-write MERGE (Iceberg `MERGE INTO` analog, matched-update +
+    * unmatched-insert by `keyCol`): rows of `source` REPLACE target rows
+    * with the same key; source keys absent from the target are inserted.
+    * The rewrite is BUCKET-PRUNED on the hash layout: the writer's
+    * `pmod(hash(key), nParts)` is recomputed over the source, and only
+    * the buckets that hold at least one source key are rewritten — at
+    * 10¹² rows an upsert of a day's delta touches the delta's buckets,
+    * never the table. One shuffle job rewrites all affected buckets
+    * (anti-join out matched keys, union the source, `partitionBy`
+    * stage), then each bucket snapshot-swaps to its next generation
+    * under the same crash contract as [[compact]]: the old generation
+    * stays complete until the new commit line is durable, and a re-run
+    * of the same merge after a mid-loop crash converges (upsert is
+    * idempotent). Requires every bucket committed and the source schema
+    * to match the table's. Returns the number of buckets rewritten. */
+  def merge(spark: SparkSession, source: DataFrame, root: String,
+            keyCol: String, nParts: Int,
+            vacuumOld: Boolean = true): Int =
+    rewriteBuckets(spark, source, root, keyCol, nParts, insert = true,
+      vacuumOld)
+
+  /** Row-level DELETE by key (Iceberg copy-on-write delete): removes
+    * target rows whose `keyCol` appears in `keys` (any DataFrame with
+    * that column). Bucket-pruned and crash-safe exactly as [[merge]].
+    * Returns the number of buckets rewritten. */
+  def deleteKeys(spark: SparkSession, keys: DataFrame, root: String,
+                 keyCol: String, nParts: Int,
+                 vacuumOld: Boolean = true): Int =
+    rewriteBuckets(spark, keys.select(keyCol), root, keyCol, nParts,
+      insert = false, vacuumOld)
+
+  private def rewriteBuckets(spark: SparkSession, source: DataFrame,
+                             root: String, keyCol: String, nParts: Int,
+                             insert: Boolean, vacuumOld: Boolean): Int = {
+    val latest = latestCommits(root)
+    require((0 until nParts).forall(latest.contains),
+      s"merge/delete needs a fully committed table ($nParts buckets)")
+    require(latest.values.forall(c => c.lo.isEmpty && c.hi.isEmpty),
+      "merge/delete targets the HASH layout; this table carries zone " +
+      "maps (writeRangeResumable) — hash placement would corrupt it")
+    val bucketOf = pmod(hash(col(keyCol)), lit(nParts)).cast("int")
+    val srcP = source.withColumn("_part", bucketOf)
+    // the affected-bucket set is tiny by construction (≤ nParts ids) —
+    // this collect is metadata, not data
+    val affected = srcP.select("_part").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) return 0
+    val tgtDirs = affected.toSeq
+      .map(p => partDir(root, p, latest(p).gen))
+      .filter(hasParquet).map(_.toString)
+    val tgt =
+      if (tgtDirs.isEmpty) None
+      else Some(spark.read.parquet(tgtDirs: _*).withColumn("_part", bucketOf))
+    val kept = tgt.map(
+      _.join(broadcastIfSmall(srcP.select(keyCol).distinct()),
+        Seq(keyCol), "left_anti"))
+    val merged = (kept, insert) match {
+      case (Some(k), true)  => k.unionByName(srcP)
+      case (Some(k), false) => k
+      case (None, true)     => srcP
+      case (None, false)    => return 0 // nothing to delete from
+    }
+    val stage = Paths.get(root, "_rewrite_stage")
+    deleteRec(stage)
+    merged.write.partitionBy("_part").mode("overwrite").parquet(stage.toString)
+    // per-bucket rows in ONE footer-only job (see writeResumable)
+    val counts: Map[Int, Long] =
+      if (!hasParquetRec(stage)) Map.empty
+      else spark.read.parquet(stage.toString)
+        .groupBy("_part").count().collect()
+        .map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
+    var n = 0
+    affected.foreach { p =>
+      val c = latest(p)
+      val newGen = c.gen + 1
+      val dst = partDir(root, p, newGen)
+      deleteRec(dst)
+      val src = stage.resolve(s"_part=$p")
+      if (Files.exists(src)) {
+        Files.createDirectories(dst.getParent)
+        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      } else Files.createDirectories(dst) // bucket emptied by the delete
+      appendCommit(root, Commit(p, counts.getOrElse(p, 0L), dirBytes(dst),
+        System.currentTimeMillis(), newGen, c.lo, c.hi))
+      if (vacuumOld) (0 until newGen).foreach(vacuumGen(root, p, _))
+      n += 1
+    }
+    deleteRec(stage)
+    n
+  }
+
+  /** Broadcast the anti-join's key side when it is small enough to ship
+    * (a delta merge's key set usually is); Spark falls back to a
+    * shuffled join on its own when the hint is unenforceable. */
+  private def broadcastIfSmall(df: DataFrame): DataFrame =
+    org.apache.spark.sql.functions.broadcast(df)
+
   /** Lineage metrics table: one row per commit line (bucket writes AND
     * compaction generations — the append-only history, snapshot-style). */
   def metrics(spark: SparkSession, root: String): DataFrame = {

@@ -345,6 +345,80 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lineage.latestCommits(root)(0).gen == 1)
   }
 
+  test("lineage: merge upserts with bucket pruning; delete removes; range layout rejected") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lineage_mrg").toString
+    val df = images(500).select("image_id", "k", "w", "h")
+    assert(Lineage.writeResumable(spark, df, root, "image_id", 8) == 8)
+    val upd = df.where(col("image_id") === "img-7")
+      .withColumn("w", col("w") + 9000)
+    val ins = Seq(("img-x", 777777L, 11L, 12L)).toDF("image_id", "k", "w", "h")
+    val delta = upd.unionByName(ins)
+    val r1 = Lineage.merge(spark, delta, root, "image_id", 8)
+    assert(r1 > 0 && r1 <= 2, s"2 keys touch at most 2 buckets, got $r1")
+    val back = Lineage.read(spark, root)
+    val wMerged = back.where(col("image_id") === "img-7")
+      .head().getAs[Long]("w")
+    assert(back.count() == 501)
+    assert(wMerged ==
+      df.where(col("image_id") === "img-7").head().getAs[Long]("w") + 9000)
+    assert(back.where(col("image_id") === "img-x").count() == 1)
+    // re-running the same merge (crash-redo) converges to the same table
+    // (a handle from before the merge is stale — vacuumed generation —
+    // so re-read the table, as after any snapshot swap)
+    Lineage.merge(spark, delta, root, "image_id", 8)
+    val back2 = Lineage.read(spark, root)
+    assert(back2.count() == 501)
+    assert(back2.where(col("image_id") === "img-7").head().getAs[Long]("w")
+      == wMerged)
+    // delete (one present + one absent key): present key gone, count drops
+    val d = Lineage.deleteKeys(spark,
+      Seq("img-7", "img-nope").toDF("image_id"), root, "image_id", 8)
+    assert(d > 0 && d <= 2)
+    val back3 = Lineage.read(spark, root)
+    assert(back3.count() == 500)
+    assert(back3.where(col("image_id") === "img-7").count() == 0)
+    // merge against a range-bucketed (zone-mapped) table must refuse
+    val rngRoot = Files.createTempDirectory("graft_lineage_mrg_rng").toString
+    Lineage.writeRangeResumable(spark, df, rngRoot, "k", 8)
+    intercept[IllegalArgumentException] {
+      Lineage.merge(spark, delta, rngRoot, "image_id", 8)
+    }
+  }
+
+  test("lineage: merge retains pre-merge snapshot when vacuumOld=false") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lineage_mrg_tt").toString
+    val df = images(200).select("image_id", "k", "w", "h")
+    Lineage.writeResumable(spark, df, root, "image_id", 4)
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(5)
+    val delta = Seq(("img-y", 888888L, 1L, 2L)).toDF("image_id", "k", "w", "h")
+    Lineage.merge(spark, delta, root, "image_id", 4, vacuumOld = false)
+    assert(Lineage.read(spark, root).count() == 201)
+    // time travel to before the merge sees the pre-merge table
+    assert(Lineage.readSnapshot(spark, root, t0).count() == 200)
+  }
+
+  test("lineage: epoch CDC read returns only epochs past the cursor") {
+    val root = Files.createTempDirectory("graft_lineage_cdc").toString
+    val df = images(300).select("image_id", "k", "w", "h")
+    import graft.streaming.CellStream
+    assert(CellStream.latestLineageEpoch(root) == -1L)
+    Lineage.writeResumable(spark, df.where(col("k") < 150),
+      s"$root/epoch=0", "image_id", 4)
+    Lineage.writeResumable(spark, df.where(col("k") >= 150 && col("k") < 250),
+      s"$root/epoch=1", "image_id", 4)
+    Lineage.writeResumable(spark, df.where(col("k") >= 250),
+      s"$root/epoch=2", "image_id", 4)
+    assert(CellStream.latestLineageEpoch(root) == 2L)
+    assert(CellStream.readLineageEpochs(spark, root).count() == 300)
+    val inc = CellStream.readLineageEpochsSince(spark, root, 0L)
+    assert(inc.count() == 150)
+    assert(inc.agg(min("k")).head().getLong(0) >= 150)
+    assert(CellStream.readLineageEpochsSince(spark, root, 2L).isEmpty)
+  }
+
   test("lineage: snapshot retention — time-travel read + expire (Iceberg analog)") {
     val root = Files.createTempDirectory("graft_lineage_tt").toString
     val df = images(500).select("image_id", "k", "w").repartition(8)
