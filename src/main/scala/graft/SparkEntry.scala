@@ -363,6 +363,31 @@ object SparkEntry {
         .select("image_id", "k", "w", "h").orderBy("k")
     }),
 
+    // SCHEMA EVOLUTION (Iceberg ALTER TABLE): metadata-only add /
+    // rename / drop, then a post-evolution MERGE so old-schema and
+    // new-schema files genuinely coexist on disk — the read
+    // reconciles both vintages (mergeSchema + evolution-log replay)
+    "q_lineage_evolve" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_lineage_evo_q").toString
+      val base = imgs(s, dir).select("image_id", "k", "w", "h")
+      graft.table.Lineage.writeResumable(s, base, root, "image_id", 8)
+      graft.table.Lineage.addColumn(root, "label", "string",
+        Some("unlabeled"))
+      graft.table.Lineage.renameColumn(root, "h", "height")
+      graft.table.Lineage.dropColumn(root, "w")
+      import s.implicits._
+      // delta arrives in the EVOLVED schema; its buckets rewrite in
+      // that physical schema while unaffected buckets keep the old one
+      val delta = Seq(("img-new-9", 9000009L, 64L, "fresh"))
+        .toDF("image_id", "k", "height", "label")
+      val rewritten = graft.table.Lineage.merge(
+        s, delta, root, "image_id", 8)
+      assert(rewritten > 0 && rewritten < 8)
+      graft.table.Lineage.read(s, root)
+        .select("image_id", "k", "height", "label").orderBy("k")
+    }),
+
     // INCREMENTAL (CDC) consumption of the streaming epoch-sink
     // layout: two committed epochs, cursor after epoch 0 → exactly
     // epoch 1's rows come back (Iceberg incremental append scan)
@@ -1088,6 +1113,9 @@ object SparkEntry {
       graft.text.TextOps.quality(docs(s, dir)).orderBy("doc_id")),
     "q_doc_subwords" -> ((s, dir) =>
       graft.text.TextOps.subwordStats(docs(s, dir)).orderBy("doc_id")),
+    // Gopher-style repetition filters (dup words, top 2-/3-gram mass)
+    "q_doc_repetition" -> ((s, dir) =>
+      graft.text.TextOps.repetitionStats(docs(s, dir)).orderBy("doc_id")),
     "q_doc_langid" -> ((s, dir) =>
       graft.text.TextOps.langId(docs(s, dir)).orderBy("doc_id")),
     "q_doc_fingerprint" -> ((s, dir) =>
@@ -2672,6 +2700,29 @@ object SparkEntry {
          |    AS BIGINT) AS n_subtokens
          |FROM tok ORDER BY doc_id""".stripMargin,
 
+    // repetition stats replayed with list comprehensions: n-grams are
+    // joined token slices; the top-gram count is the max over distinct
+    // grams of each gram's occurrence count (all exact integers)
+    "q_doc_repetition" ->
+      s"""WITH $TokCte,
+         |g AS (SELECT doc_id, ts,
+         |  list_transform(range(1, len(ts)),
+         |    i -> array_to_string(list_slice(ts, i, i+1), ' ')) AS g2,
+         |  list_transform(range(1, len(ts)-1),
+         |    i -> array_to_string(list_slice(ts, i, i+2), ' ')) AS g3
+         |  FROM tok)
+         |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(len(ts) - len(list_distinct(ts)) AS BIGINT) AS n_dup_words,
+         |  CAST(len(g2) AS BIGINT) AS n_2grams,
+         |  CAST(coalesce(list_max(list_transform(list_distinct(g2),
+         |    x -> len(list_filter(g2, y -> y = x)))), 0) AS BIGINT)
+         |    AS max_2gram,
+         |  CAST(len(g3) AS BIGINT) AS n_3grams,
+         |  CAST(coalesce(list_max(list_transform(list_distinct(g3),
+         |    x -> len(list_filter(g3, y -> y = x)))), 0) AS BIGINT)
+         |    AS max_3gram
+         |FROM g ORDER BY doc_id""".stripMargin,
+
     "q_doc_langid" ->
       s"""WITH $TokCte,
          |sc AS (SELECT doc_id, lang,
@@ -3117,6 +3168,20 @@ object SparkEntry {
       s"""WITH $I
          |SELECT image_id, k, w, h FROM img2
          |WHERE k % 2 = 1 ORDER BY k""".stripMargin,
+
+    // evolution replayed plainly: h renamed, w dropped, label added
+    // with its default for pre-evolution rows; the merged delta row
+    // carries its own label
+    "q_lineage_evolve" ->
+      s"""WITH $I,
+         |evolved AS (
+         |  SELECT image_id, k, h AS height, 'unlabeled' AS label
+         |  FROM img2
+         |  UNION ALL
+         |  SELECT 'img-new-9', CAST(9000009 AS BIGINT),
+         |         CAST(64 AS BIGINT), 'fresh')
+         |SELECT image_id, k, height, label FROM evolved
+         |ORDER BY k""".stripMargin,
 
     "q_lineage_metrics" -> {
       val W = 4294967296L

@@ -261,8 +261,7 @@ object Lineage {
     val byPart = latestCommits(root)
     val dirs = sel.map(p => partDir(root, p, byPart(p).gen))
       .filter(hasParquet).map(_.toString)
-    if (dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(dirs: _*)
+    readDirs(spark, root, dirs)
       .where(col(keyCol) >= lo && col(keyCol) <= hi)
   }
 
@@ -281,7 +280,8 @@ object Lineage {
     val dir = c.map(cc => partDir(root, bucket, cc.gen)).filter(hasParquet)
     dir match {
       case Some(d) =>
-        spark.read.parquet(d.toString).where(col(keyCol) === lit(value))
+        readDirs(spark, root, Seq(d.toString))
+          .where(col(keyCol) === lit(value))
       case None => spark.emptyDataFrame
     }
   }
@@ -295,8 +295,7 @@ object Lineage {
       .map { case (p, c) => partDir(root, p, c.gen) }
       .filter(hasParquet)
       .map(_.toString)
-    if (parts.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(parts: _*)
+    readDirs(spark, root, parts)
   }
 
   private def parquetFiles(dir: Path): Seq[Path] =
@@ -384,8 +383,7 @@ object Lineage {
         s"(${c.rows} rows) but its data was expired — retain with " +
         "compact(vacuumOld = false) to time-travel")
     }
-    if (dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(dirs: _*)
+    readDirs(spark, root, dirs, asOfTs)
   }
 
   /** Reclaim data of superseded generations whose SUPERSEDING commit is
@@ -407,6 +405,114 @@ object Lineage {
     }
     n
   }
+
+  // ------------------------------------------------------------------
+  // SCHEMA EVOLUTION (Iceberg ALTER TABLE analog): add / rename / drop
+  // are METADATA-ONLY — no data file is rewritten. Ops append to
+  // `_evolution.jsonl` (same torn-line-tolerant contract as the commit
+  // log) and every read reconciles whatever physical schema vintages
+  // the files carry:
+  //   add    — files without the column read it as the declared
+  //            default (NULL when none); files that already have it
+  //            keep their values, with NULLs backfilled by the default
+  //            (documented conflation — Iceberg's initial-default)
+  //   rename — old-name files and new-name files coalesce into the
+  //            new name
+  //   drop   — the column disappears from every vintage
+  // Rewrites after an evolution (merge, compact) persist the EVOLVED
+  // schema, so vintages genuinely mix on disk and reads stay exact.
+  // Ops carry a ts: [[readSnapshot]] applies only the evolution ops
+  // visible at the as-of time (schema time travel).
+  // ------------------------------------------------------------------
+
+  final case class Evolution(op: String, name: String, to: String,
+                             dtype: String, default: Option[String],
+                             ts: Long)
+
+  def evolutionPath(root: String): Path = Paths.get(root, "_evolution.jsonl")
+
+  private val EvoRe =
+    ("""\{"op":"(add|rename|drop)","name":"([^"]*)","to":"([^"]*)",""" +
+     """"dtype":"([^"]*)"(?:,"default":"([^"]*)")?,"ts":(\d+)\}""").r
+
+  def parseEvolution(line: String): Option[Evolution] = line.trim match {
+    case EvoRe(op, name, to, dt, dflt, ts) =>
+      Some(Evolution(op, name, to, dt, Option(dflt), ts.toLong))
+    case _ => None
+  }
+
+  def evolutions(root: String): Seq[Evolution] = {
+    val p = evolutionPath(root)
+    if (!Files.exists(p)) Seq.empty
+    else Files.readAllLines(p).asScala.toSeq.flatMap(parseEvolution)
+  }
+
+  private def appendEvolution(root: String, e: Evolution): Unit = {
+    val json = s"""{"op":"${e.op}","name":"${e.name}","to":"${e.to}",""" +
+      s""""dtype":"${e.dtype}"""" +
+      e.default.map(d => s""","default":"$d"""").getOrElse("") +
+      s""","ts":${e.ts}}""" + "\n"
+    Files.write(evolutionPath(root), json.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** ALTER TABLE ADD COLUMN `name` `dtype` [DEFAULT `default`]:
+    * metadata-only; existing files read the column as the default
+    * (NULL when none). `dtype` is a Spark SQL type string. */
+  def addColumn(root: String, name: String, dtype: String,
+                default: Option[String] = None): Unit =
+    appendEvolution(root,
+      Evolution("add", name, "", dtype, default, System.currentTimeMillis()))
+
+  /** ALTER TABLE RENAME COLUMN: metadata-only. */
+  def renameColumn(root: String, from: String, to: String): Unit =
+    appendEvolution(root,
+      Evolution("rename", from, to, "", None, System.currentTimeMillis()))
+
+  /** ALTER TABLE DROP COLUMN: metadata-only (data stays in old files
+    * and is projected away on read). */
+  def dropColumn(root: String, name: String): Unit =
+    appendEvolution(root,
+      Evolution("drop", name, "", "", None, System.currentTimeMillis()))
+
+  /** Reconcile a raw mixed-vintage read with the evolution log (ops
+    * with ts ≤ `asOfTs`), in log order. Idempotent per op, so files
+    * written before AND after any evolution reconcile to one schema. */
+  private def applyEvolution(df: DataFrame, root: String,
+                             asOfTs: Long = Long.MaxValue): DataFrame =
+    evolutions(root).filter(_.ts <= asOfTs).foldLeft(df) { (d, e) =>
+      val cols = d.columns.toSet
+      e.op match {
+        case "add" =>
+          val dflt = e.default
+            .map(v => lit(v).cast(e.dtype))
+            .getOrElse(lit(null).cast(e.dtype))
+          if (cols(e.name)) d.withColumn(e.name, coalesce(col(e.name), dflt))
+          else d.withColumn(e.name, dflt)
+        case "rename" =>
+          (cols(e.name), cols(e.to)) match {
+            case (true, true) =>
+              d.withColumn(e.to, coalesce(col(e.to), col(e.name)))
+                .drop(e.name)
+            case (true, false) => d.withColumnRenamed(e.name, e.to)
+            case _             => d
+          }
+        case "drop" => if (cols(e.name)) d.drop(e.name) else d
+        case _      => d
+      }
+    }
+
+  /** Read a set of bucket dirs with schema reconciliation: vintages are
+    * schema-merged, then the evolution log is applied. The mergeSchema
+    * footer pass only runs when the table has evolved. */
+  private def readDirs(spark: SparkSession, root: String,
+                       dirs: Seq[String],
+                       asOfTs: Long = Long.MaxValue): DataFrame =
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else if (evolutions(root).isEmpty) spark.read.parquet(dirs: _*)
+    else applyEvolution(
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*),
+      root, asOfTs)
 
   /** Copy-on-write MERGE (Iceberg `MERGE INTO` analog, matched-update +
     * unmatched-insert by `keyCol`): rows of `source` REPLACE target rows
@@ -460,7 +566,7 @@ object Lineage {
       .filter(hasParquet).map(_.toString)
     val tgt =
       if (tgtDirs.isEmpty) None
-      else Some(spark.read.parquet(tgtDirs: _*).withColumn("_part", bucketOf))
+      else Some(readDirs(spark, root, tgtDirs).withColumn("_part", bucketOf))
     val kept = tgt.map(
       _.join(broadcastIfSmall(srcP.select(keyCol).distinct()),
         Seq(keyCol), "left_anti"))

@@ -51,6 +51,37 @@ object TextOps {
       .withColumn("uniq_ratio", col("n_uniq") / col("n_tokens"))
       .withColumn("stop_ratio", (col("n_the") + col("n_a")) / col("n_tokens"))
 
+  /** Gopher-style intra-document REPETITION statistics (the rule set
+    * that removes boilerplate/spam before training): per doc, the
+    * total and most-frequent-gram counts for 2-grams and 3-grams plus
+    * the duplicate-word count — all exact integers (consumers form the
+    * "fraction in most common n-gram" thresholds by division). Pure
+    * per-row higher-order expressions: no shuffle, codegen'd, and the
+    * max-count scan is bounded by the doc's distinct-gram count. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def grams(n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    def maxCount(g: Column): Column =
+      coalesce(
+        array_max(transform(array_distinct(g),
+          x => size(filter(g, y => y === x)))),
+        lit(0)).cast("long")
+    val g2 = grams(2)
+    val g3 = grams(3)
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      (size(toks) - size(array_distinct(toks))).cast("long")
+        .as("n_dup_words"),
+      size(g2).cast("long").as("n_2grams"),
+      maxCount(g2).as("max_2gram"),
+      size(g3).cast("long").as("n_3grams"),
+      maxCount(g3).as("max_3gram"))
+  }
+
   /** n-gram-marker language ID heuristic (deterministic argmax with
     * fixed tie order en > fr > de). */
   def langId(docs: DataFrame): DataFrame = {

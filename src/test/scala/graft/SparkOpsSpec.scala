@@ -400,6 +400,39 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lineage.readSnapshot(spark, root, t0).count() == 200)
   }
 
+  test("lineage: schema evolution reconciles vintages; snapshot sees pre-evolution schema") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_lineage_evo").toString
+    val df = images(400).select("image_id", "k", "w", "h")
+    Lineage.writeResumable(spark, df, root, "image_id", 4)
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Lineage.addColumn(root, "label", "string", Some("unlabeled"))
+    Lineage.renameColumn(root, "h", "height")
+    Lineage.dropColumn(root, "w")
+    // reads reconcile instantly — no file was rewritten
+    val evolved = Lineage.read(spark, root)
+    assert(evolved.columns.toSet == Set("image_id", "k", "height", "label"))
+    assert(evolved.where(col("label") === "unlabeled").count() == 400)
+    // a merge writes the evolved physical schema for its buckets only
+    val delta = Seq(("img-z", 555555L, 9L, "tagged"))
+      .toDF("image_id", "k", "height", "label")
+    Lineage.merge(spark, delta, root, "image_id", 4, vacuumOld = false)
+    val mixed = Lineage.read(spark, root)
+    assert(mixed.count() == 401)
+    assert(mixed.where(col("image_id") === "img-z")
+      .head().getAs[String]("label") == "tagged")
+    assert(mixed.where(col("label") === "unlabeled").count() == 400)
+    // point lookup and range scan reconcile too
+    val one = Lineage.readForKey(spark, root, "image_id", "img-z", 4)
+    assert(one.columns.toSet == Set("image_id", "k", "height", "label"))
+    // schema TIME TRAVEL: the pre-evolution snapshot reads pre-evolution
+    // columns (merge retained old generations via vacuumOld = false)
+    val snap = Lineage.readSnapshot(spark, root, t0)
+    assert(snap.columns.toSet == Set("image_id", "k", "w", "h"))
+    assert(snap.count() == 400)
+  }
+
   test("lineage: epoch CDC read returns only epochs past the cursor") {
     val root = Files.createTempDirectory("graft_lineage_cdc").toString
     val df = images(300).select("image_id", "k", "w", "h")
