@@ -1183,6 +1183,36 @@ object SparkEntry {
       graft.text.TextOps.splitAssign(docs(s, dir), valPermille = 100)
         .orderBy("doc_id")),
 
+    // deterministic stratified sampling (training-data mixing): keep
+    // 500‰ en / 100‰ de / 250‰ es / 1000‰ fr, drop unlisted zh; the
+    // md5(doc_id:salt) draw is content-independent and reshuffle-stable
+    "q_doc_sample" -> ((s, dir) =>
+      graft.text.TextOps.sampleStratified(docs(s, dir),
+          Seq("en" -> 500, "de" -> 100, "es" -> 250, "fr" -> 1000), "r4")
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // concat-and-chunk sequence packing: 256-token budget, 8 shards;
+    // per-doc token interval + first/last packed-sequence ids
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.text.TextOps.packSequences(docs(s, dir), 256, 8)
+        .orderBy("doc_id")),
+
+    // train/test decontamination: corpus docs sharing ≥2 distinct
+    // 3-grams with the benchmark subset (doc_id % 17 == 0); benchmark
+    // grams broadcast, corpus streams — no corpus-wide shuffle
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.TextOps.decontaminate(
+          d, d.where(col("doc_id") % 17 === 0), n = 3, minHits = 2)
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // deterministic epoch shuffle: reproducible per-epoch (shard, pos)
+    // training order, sharded row_number (no global sort)
+    "q_epoch_shuffle" -> ((s, dir) =>
+      graft.text.TextOps.epochShuffle(docs(s, dir), epoch = 2, nShards = 4)
+        .orderBy("doc_id")),
+
     // dedup CLUSTERING: connected components (large-star/small-star)
     // over the LSH near-dup pairs — one row per doc, cluster = the
     // component min; the keep-one-per-cluster step of a 10¹²-row
@@ -2889,6 +2919,67 @@ object SparkEntry {
         |       ELSE 'train' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
 
+    // same md5-bucket draw, salted and stratified by lang; zh has no
+    // CASE arm so its rate is 0 (dropped), mirroring the Scala foldRight
+    "q_doc_sample" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |  ${Md5BucketSql("CAST(doc_id AS VARCHAR) || ':r4'")} AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang FROM b
+         |WHERE bucket * 1000 <
+         |  (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 100
+         |             WHEN 'es' THEN 250 WHEN 'fr' THEN 1000
+         |             ELSE 0 END) * 65536
+         |ORDER BY doc_id""".stripMargin,
+
+    // sharded running-offset replay of the concat-and-chunk packing:
+    // cumulative token sum PARTITION BY shard ORDER BY doc_id, then
+    // integer division by the 256-token budget
+    "q_pack_sequences" ->
+      s"""WITH $TokCte,
+         |b AS (SELECT doc_id,
+         |  ${Md5BucketSql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         |  CAST(len(ts) AS BIGINT) AS n_tokens FROM tok),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS tok_start FROM b)
+         |SELECT doc_id, shard, n_tokens, tok_start,
+         |  CAST(FLOOR(tok_start / 256.0) AS BIGINT) AS first_seq,
+         |  CAST(FLOOR((tok_start + n_tokens - 1) / 256.0) AS BIGINT)
+         |    AS last_seq
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // distinct-3-gram self-join against the doc_id%17 benchmark
+    // subset; shared = distinct grams in common, threshold 2
+    "q_decontaminate" ->
+      s"""WITH $TokCte,
+         |grams AS (SELECT DISTINCT doc_id, gram FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(ts) >= 3 THEN
+         |      list_transform(generate_series(1, CAST(len(ts)-2 AS INT)),
+         |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END) AS gram
+         |  FROM tok)),
+         |hits AS (SELECT c.doc_id, b.doc_id AS bench_id,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM grams c JOIN grams b ON c.gram = b.gram
+         |  WHERE b.doc_id % 17 = 0 AND c.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, bench_id, shared FROM hits
+         |WHERE shared >= 2 ORDER BY doc_id, bench_id""".stripMargin,
+
+    // per-shard rank over the md5(doc_id:epoch) sort key — the
+    // epoch-2 permutation replayed with window row_number
+    "q_epoch_shuffle" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  md5(CAST(doc_id AS VARCHAR) || ':2') AS sort_key,
+         |  ${Md5BucketSql("CAST(doc_id AS VARCHAR) || ':2'")} % 4 AS shard
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+         |    ORDER BY sort_key, doc_id) - 1 AS BIGINT) AS pos
+         |FROM b ORDER BY doc_id""".stripMargin,
+
     // transitive-closure min-label per doc over the SAME verified
     // near-dup edge set — the SQL ground truth for the distributed
     // large-star/small-star components
@@ -3796,6 +3887,15 @@ object SparkEntry {
   private val TokCte =
     """tok AS (SELECT doc_id, lang, n_chars, text,
       |  string_split(text, ' ') AS ts FROM documents)""".stripMargin
+
+  /** SQL mirror of TextOps.md5Bucket: first 4 hex chars of md5(expr)
+    * as an integer 0..65535 (the deterministic-selection hash). */
+  private def Md5BucketSql(expr: String): String =
+    s"""CAST((strpos('0123456789abcdef', substr(md5($expr), 1, 1)) - 1) * 4096
+       |   + (strpos('0123456789abcdef', substr(md5($expr), 2, 1)) - 1) * 256
+       |   + (strpos('0123456789abcdef', substr(md5($expr), 3, 1)) - 1) * 16
+       |   + (strpos('0123456789abcdef', substr(md5($expr), 4, 1)) - 1)
+       |  AS BIGINT)""".stripMargin
 
   /** SQL mirror of TextOps.simhash (requires tok): per token the first
     * 8 md5 bytes vote ±1 per bit (bit b = hex char b//4, nibble bit

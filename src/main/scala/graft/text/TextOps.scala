@@ -323,6 +323,108 @@ object TextOps {
           .otherwise("train"))
   }
 
+  /** First 4 hex chars of md5(`e`) as an integer 0..65535 — the
+    * content-independent, reshuffle-stable sampling hash every
+    * deterministic selection op here keys on. */
+  private def md5Bucket(e: Column): Column =
+    (0 until 4).map { i =>
+      (instr(lit("0123456789abcdef"), substring(md5(e), i + 1, 1)) - 1) *
+        lit(1L << (4 * (3 - i)))
+    }.reduce(_ + _)
+
+  /** Deterministic STRATIFIED sampling — per-stratum keep rates (the
+    * data-mixing stage of a training pipeline: e.g. keep 50% of en,
+    * 10% of de). A doc survives iff md5(doc_id:salt) lands under its
+    * stratum's permille threshold: content-independent, stable under
+    * reshuffles/re-runs, and changing `salt` redraws an independent
+    * sample. Pure filter projection — predicate-pushdown-friendly,
+    * no shuffle, no state at any scale. Unlisted strata drop. */
+  def sampleStratified(docs: DataFrame, ratesPermille: Seq[(String, Int)],
+                       salt: String): DataFrame = {
+    val bucket = md5Bucket(concat(col("doc_id").cast("string"),
+      lit(":"), lit(salt)))
+    val rate = ratesPermille.foldRight(lit(0)) { case ((l, p), acc) =>
+      when(col("lang") === l, lit(p)).otherwise(acc)
+    }
+    docs.where(bucket * 1000 < rate * 65536)
+  }
+
+  /** Concat-and-chunk SEQUENCE PACKING (how LLM pre-training shapes
+    * documents into fixed-length samples): docs are laid end-to-end in
+    * (shard, doc_id) order and cut into `budget`-token sequences; a
+    * doc may straddle two cuts. Emits each doc's token interval and
+    * first/last sequence ids. The layout is SHARDED — the running
+    * offset is a window cumsum PARTITION BY shard (an md5 bucket of
+    * doc_id mod `nShards`), never a single global sort: per-shard
+    * windows parallelize across the cluster at 10¹² docs, while a
+    * global ORDER BY window would serialize into one partition. */
+  def packSequences(docs: DataFrame, budget: Int,
+                    nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(md5Bucket(col("doc_id").cast("string")), lit(nShards))
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    docs.select(col("doc_id"), shard.as("shard"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("tok_start",
+        coalesce(sum("n_tokens").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("first_seq",
+        graft.ops.Tiling.idiv(col("tok_start"), lit(budget)))
+      .withColumn("last_seq", graft.ops.Tiling.idiv(
+        col("tok_start") + col("n_tokens") - 1, lit(budget)))
+  }
+
+  /** TRAIN/TEST DECONTAMINATION — flag corpus documents that share at
+    * least `minHits` DISTINCT token n-grams with any document of a
+    * held-out benchmark set (the n-gram-overlap rule used to scrub
+    * eval sets out of pre-training corpora). Emits one row per
+    * (contaminated doc, benchmark doc) pair with the distinct shared
+    * n-gram count; self-pairs are excluded so a benchmark that is a
+    * subset of the corpus doesn't flag itself.
+    *
+    * Scale posture: benchmark sets are tiny relative to a 10¹²-doc
+    * corpus, so the benchmark's distinct n-gram table is BROADCAST —
+    * the corpus side streams past the hash map with no shuffle; only
+    * the matched (doc, bench, gram) rows (a minuscule fraction) reach
+    * the (doc_id, bench_id) count aggregate, which combines map-side. */
+  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int,
+                    minHits: Int): DataFrame = {
+    def grams(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("doc_id").as(idAs), explode(when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ",
+              (0 until n).map(j => element_at(toks, i + j)): _*)))
+          .otherwise(array())).as("gram"))
+        .distinct()
+    grams(docs, "doc_id")
+      .join(broadcast(grams(bench, "bench_id")), Seq("gram"))
+      .where(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minHits)
+  }
+
+  /** Deterministic EPOCH SHUFFLE — the global training-order
+    * permutation for epoch `epoch`: every doc gets a pseudorandom but
+    * reproducible (shard, pos) coordinate, re-drawn per epoch. Sort
+    * key = md5(doc_id:epoch); shard = key mod `nShards`; pos =
+    * rank within shard by (key, doc_id). Sharded exactly like
+    * [[packSequences]] — per-shard row_number windows parallelize
+    * where a single global ORDER BY would serialize into one
+    * partition. A reader streams shard s in pos order and the
+    * concatenation over shards is the epoch's document order. */
+  def epochShuffle(docs: DataFrame, epoch: Int, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(col("doc_id").cast("string"),
+      lit(":"), lit(epoch).cast("string")))
+    val shard = pmod(md5Bucket(concat(col("doc_id").cast("string"),
+      lit(":"), lit(epoch).cast("string"))), lit(nShards))
+    val w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    docs.select(col("doc_id"), shard.as("shard"), key.as("sort_key"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select("doc_id", "shard", "pos")
+  }
+
   /** 64-bit SimHash over tokens: per token, the first 8 md5 bytes vote
     * ±1 per bit position; sign → bit. Deterministic and all-integer, so
     * the DuckDB oracle re-derives it exactly (SparkEntry.SimhashCte:

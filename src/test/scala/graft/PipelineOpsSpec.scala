@@ -110,4 +110,108 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q(2)._2 == 2.0 && q(2)._3.sameElements(Array(127, 63, -32)))
     q.foreach(_._3.foreach(x => assert(x >= -127 && x <= 127)))
   }
+
+  test("sampleStratified: per-stratum rates, salt independence, stability") {
+    import spark.implicits._
+    val many = (0L until 4000L).map(i =>
+      (i, s"doc $i", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")))
+    val rates = Seq("en" -> 500, "de" -> 100)
+    val s1 = TextOps.sampleStratified(many, rates, "s").collect()
+      .map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    val s2 = TextOps.sampleStratified(many.repartition(7), rates, "s")
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    assert(s1.sameElements(s2), "sample must not depend on partitioning")
+    val en = s1.count(_._2 == "en").toDouble / 2000
+    val de = s1.count(_._2 == "de").toDouble / 2000
+    assert(math.abs(en - 0.5) < 0.05, s"en rate $en")
+    assert(math.abs(de - 0.1) < 0.03, s"de rate $de")
+    // unlisted stratum drops entirely
+    val zh = TextOps.sampleStratified(
+      many.withColumn("lang", lit("zh")), rates, "s")
+    assert(zh.count() == 0L)
+    // a different salt redraws: overlap ≈ rate², not ≈ rate
+    val s3 = TextOps.sampleStratified(many, rates, "t").collect()
+      .map(_.getLong(0)).toSet
+    val enOverlap = s1.filter(_._2 == "en").map(_._1).count(s3.contains)
+    assert(enOverlap < 0.35 * 2000, s"salted redraw should be independent")
+  }
+
+  test("packSequences: per-shard intervals are contiguous and exact") {
+    import spark.implicits._
+    val many = (0L until 300L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en"))
+    val p = TextOps.packSequences(many, budget = 16, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(p.length == 300)
+    p.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1) // doc_id order within shard
+      var off = 0L
+      sorted.foreach { case (_, _, n, start, first, last) =>
+        assert(start == off, "intervals must be gap-free and disjoint")
+        assert(first == start / 16 && last == (start + n - 1) / 16)
+        off += n
+      }
+    }
+    // reshuffle-stable (offsets depend only on (shard, doc_id) order)
+    val p2 = TextOps.packSequences(many.repartition(11), 16, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    p.foreach { case (id, _, _, start, _, _) => assert(p2(id) == start) }
+  }
+
+  test("decontaminate: threshold, self-exclusion, broadcast plan") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"),   // benchmark (0%1? use %3)
+      (3L, "alpha beta gamma zeta eta"),        // benchmark
+      (1L, "alpha beta gamma delta xi"),        // shares 2 grams w/ doc 0
+      (2L, "alpha beta gamma omicron pi"),      // 1 gram each — below thr
+      (4L, "totally different words here now")) // no overlap
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en"))
+    val bench = corpus.where(col("doc_id") % 3 === 0)
+    val out = TextOps.decontaminate(corpus, bench, n = 3, minHits = 2)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1 vs bench 0: shares "alpha beta gamma" + "beta gamma delta"
+    assert(rows.contains((1L, 0L, 2L)))
+    // no self-pairs even though bench ⊂ corpus
+    assert(!rows.exists(r => r._1 == r._2))
+    // doc 2 shares only 1 distinct gram with each bench doc
+    assert(!rows.exists(_._1 == 2L))
+    assert(!rows.exists(_._1 == 4L))
+    // benchmark grams must broadcast: corpus side stays shuffle-free
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("epochShuffle: dense per-shard positions, epoch redraw, stability") {
+    import spark.implicits._
+    val many = (0L until 1000L).map(i => (i, s"doc $i"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en"))
+    val e2 = TextOps.epochShuffle(many, epoch = 2, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e2.length == 1000)
+    // positions are a dense 0..n-1 enumeration within each shard
+    e2.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(0L until rows.length))
+    }
+    // another epoch is a different permutation (order redrawn)
+    val e3 = TextOps.epochShuffle(many, epoch = 3, nShards = 4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val moved = e2.count { case (id, sh, pos) => e3(id) != ((sh, pos)) }
+    assert(moved > 900, s"epoch redraw should move nearly all docs ($moved)")
+    // reshuffle-stable
+    val e2b = TextOps.epochShuffle(many.repartition(13), 2, 4).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    e2.foreach { case (id, sh, pos) => assert(e2b(id) == ((sh, pos))) }
+  }
 }
