@@ -559,6 +559,22 @@ object SparkEntry {
           "image_id", "phash", 16)
         .orderBy("id_a", "id_b")),
 
+    // near-dup IMAGE clusters: connected components over the banded
+    // pHash Hamming pairs (d ≤ 16) — the image twin of
+    // q_dedup_clusters; keep-one-per-cluster image dedup at corpus
+    // scale (oracle: recursive-CTE reachability over the same edges)
+    "q_phash_clusters" -> ((s, dir) => {
+      val imgs = Synth.imagesWithBytes(s, dir, smallRaw)
+        .select(col("image_id"), col("phash"))
+      val pairs = graft.ops.Hamming
+        .bandedPairs(imgs, "image_id", "phash", 16)
+        .select("id_a", "id_b")
+      graft.graph.ConnectedComponents
+        .components(imgs.select("image_id"), pairs)
+        .select(col("id").as("image_id"), col("comp").as("cluster_id"))
+        .orderBy("image_id")
+    }),
+
     // SimHash banded Hamming-neighbor join over documents — the text
     // analog of q_phash_banded (same Hamming.bandedPairs machinery);
     // value-exact: the md5-bit-vote simhash is re-derived in SQL
@@ -2635,6 +2651,29 @@ object SparkEntry {
          |       CAST(bit_count(xor(pha, phb)) AS BIGINT) AS dist
          |FROM cand WHERE bit_count(xor(pha, phb)) <= 16
          |ORDER BY 1, 2""".stripMargin,
+
+    // same banded candidates + d≤16 edges, then recursive-CTE
+    // reachability → min-label per image (the CC ground truth)
+    "q_phash_clusters" ->
+      s"""WITH RECURSIVE $I, $B, $SimgCte, $PxCte, $PhashCte,
+         |bnd AS (SELECT image_id, phash, j.bj,
+         |          (phash >> (j.bj*16)) & 65535 AS bk
+         |        FROM phi CROSS JOIN (SELECT unnest([0,1,2,3]) AS bj) j),
+         |cand AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+         |           a.phash AS pha, b.phash AS phb
+         |         FROM bnd a JOIN bnd b ON a.bj = b.bj AND a.bk = b.bk
+         |         WHERE a.image_id < b.image_id),
+         |e AS (SELECT id_a AS u, id_b AS v FROM cand
+         |        WHERE bit_count(xor(pha, phb)) <= 16
+         |      UNION ALL
+         |      SELECT id_b, id_a FROM cand
+         |        WHERE bit_count(xor(pha, phb)) <= 16),
+         |reach AS (
+         |  SELECT image_id AS v, image_id AS l FROM phi
+         |  UNION
+         |  SELECT e.v, r.l FROM reach r JOIN e ON e.u = r.v)
+         |SELECT v AS image_id, MIN(l) AS cluster_id
+         |FROM reach GROUP BY v ORDER BY image_id""".stripMargin,
 
     // chain sqrt → +5 → ×2: DuckDB sqrt/+/× are the same correctly-
     // rounded IEEE doubles in the same order
