@@ -839,6 +839,28 @@ object SparkEntry {
         .select(col("image_id"), col("pos").cast("long").as("pos"), col("band"))
         .orderBy("image_id", "pos")),
 
+    // lossless geometric AUGMENTATION (hflip + rot90) on band 0:
+    // per image two rows with a POSITION-weighted checksum
+    // (Σ DN·10⁶·outIdx) — sensitive to where every pixel landed, so
+    // the remap itself is value-checked, not just the multiset of DNs
+    "q_augment" -> ((s, dir) => {
+      val aug = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.Codec
+        import graft.ops.Augment
+        val p = Codec.decode(bytes, w, h,
+          Codec.bandsStored(fmt, Synth.NumBands), fmt)(0)
+        val f = Augment.posChecksum(Augment.flipH(p, w, h))
+        val r = Augment.posChecksum(Augment.rot90(p, w, h))
+        Seq(("hflip", f._1, f._2), ("rot90", r._1, r._2))
+      })
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("a", explode(aug(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt"))))
+        .select(col("image_id"), col("a._1").as("op"),
+          col("a._2").as("n_valid"), col("a._3").as("checksum"))
+        .orderBy("image_id", "op")
+    }),
+
     // PER-PIXEL LAZY CHAIN (§2.3, the reference's queued-function
     // read path): sqrt → +5 → ×2 over band 0 with the nodata-restore
     // rule. Every step is a correctly-rounded IEEE op applied in the
@@ -2674,6 +2696,25 @@ object SparkEntry {
          |  SELECT e.v, r.l FROM reach r JOIN e ON e.u = r.v)
          |SELECT v AS image_id, MIN(l) AS cluster_id
          |FROM reach GROUP BY v ORDER BY image_id""".stripMargin,
+
+    // the remapped output index is computed from the ORIGINAL (x,y):
+    // hflip idx = y·w + (w−1−x), rot90 idx = x·h + (h−1−y); DN·10⁶
+    // is integer-exact so the weighted sum replays exactly
+    "q_augment" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte,
+         |a AS (
+         |  SELECT s.image_id, 'hflip' AS op, COUNT(*) AS n_valid,
+         |    SUM(CAST(px.v AS BIGINT) * 1000000 *
+         |        (px.y * s.w + (s.w - 1 - px.x))) AS cs
+         |  FROM px JOIN simg s ON s.k = px.k WHERE px.b = 0 GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT s.image_id, 'rot90', COUNT(*),
+         |    SUM(CAST(px.v AS BIGINT) * 1000000 *
+         |        (px.x * s.h + (s.h - 1 - px.y)))
+         |  FROM px JOIN simg s ON s.k = px.k WHERE px.b = 0 GROUP BY 1, 2)
+         |SELECT image_id, op, CAST(n_valid AS BIGINT) AS n_valid,
+         |  CAST(cs AS BIGINT) AS checksum
+         |FROM a ORDER BY image_id, op""".stripMargin,
 
     // chain sqrt → +5 → ×2: DuckDB sqrt/+/× are the same correctly-
     // rounded IEEE doubles in the same order

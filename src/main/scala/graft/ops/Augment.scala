@@ -1,0 +1,60 @@
+package graft.ops
+
+/** Deterministic geometric AUGMENTATION kernels over decoded planes —
+  * the image-side training-data ops (a vision pipeline materializes
+  * flipped/rotated variants at ingest). Pure per-row array remaps:
+  * embarrassingly parallel, no shuffle at any scale; nodata (NaN)
+  * pixels travel with the remap.
+  *
+  * Reference anchor: gippy exposes per-pixel/chunk processing but no
+  * augmentation ops — these extend the surface for training-data
+  * pipelines (flip/rot90 are the lossless subset: exact integer DNs
+  * are preserved, unlike interpolating rotations which go through
+  * [[Warp]]'s resample kernels).
+  */
+object Augment {
+
+  /** Horizontal flip: output(x, y) = input(w-1-x, y). */
+  def flipH(p: Array[Double], w: Int, h: Int): Array[Double] = {
+    require(p.length == w * h, s"plane ${p.length} != ${w}x$h")
+    val out = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      val row = y * w
+      var x = 0
+      while (x < w) { out(row + x) = p(row + (w - 1 - x)); x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** Clockwise 90° rotation: an input (x, y) lands at output
+    * (h-1-y, x); the output plane is h wide and w tall. */
+  def rot90(p: Array[Double], w: Int, h: Int): Array[Double] = {
+    require(p.length == w * h, s"plane ${p.length} != ${w}x$h")
+    val out = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { out(x * h + (h - 1 - y)) = p(y * w + x); x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** Position-weighted checksum: (n_valid, Σ floor(v·10⁶) · idx) over
+    * the plane's linear index (= y·outW + x of the OUTPUT grid),
+    * skipping NaN. The positional weight makes the checksum sensitive
+    * to WHERE each pixel landed, so a flip/rotation that moved nothing
+    * (or moved pixels wrongly) cannot pass — a plain value sum is
+    * permutation-invariant and would. */
+  def posChecksum(p: Array[Double]): (Long, Long) = {
+    var n = 0L; var s = 0L; var i = 0
+    while (i < p.length) {
+      val v = p(i)
+      if (!v.isNaN) { n += 1; s += math.floor(v * 1e6).toLong * i }
+      i += 1
+    }
+    (n, s)
+  }
+}

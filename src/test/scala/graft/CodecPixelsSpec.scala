@@ -264,6 +264,31 @@ class CodecPixelsSpec extends AnyFunSuite {
     assert(graft.core.Pixels.skeletonize(withNaN, w, h)(0).isNaN)
   }
 
+  test("augment: flip/rot90 involutions, exact remap, NaN travels") {
+    import graft.ops.Augment._
+    val w = 5; val h = 3
+    // asymmetric plane with one nodata pixel
+    val p = Array.tabulate(w * h)(i => (i * 7 % 13).toDouble)
+    p(7) = Double.NaN // (x=2, y=1)
+    // flipH is an involution; rot90 has order 4
+    assert(flipH(flipH(p, w, h), w, h).toSeq.toString == p.toSeq.toString)
+    val r4 = rot90(rot90(rot90(rot90(p, w, h), h, w), w, h), h, w)
+    assert(r4.toSeq.toString == p.toSeq.toString)
+    // exact remap: flip (x,y)→(w-1-x,y); rot90 (x,y)→(h-1-y,x)
+    val f = flipH(p, w, h)
+    val r = rot90(p, w, h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = p(y * w + x)
+      val fv = f(y * w + (w - 1 - x))
+      val rv = r(x * h + (h - 1 - y))
+      assert((v.isNaN && fv.isNaN && rv.isNaN) || (v == fv && v == rv))
+    }
+    // positional checksum distinguishes layouts a value-sum cannot
+    val q = p.clone(); q(7) = 999.0 // no NaN variant, asymmetric
+    assert(posChecksum(flipH(q, w, h))._2 != posChecksum(q)._2)
+    assert(posChecksum(q)._1 == (w * h).toLong)
+  }
+
   test("addBand/renameBand enforce the reference's uniqueness rules") {
     intercept[IllegalArgumentException] {
       graft.ops.Bands.renameBand(null, "nir", "RED") // case-insensitive dup
