@@ -861,6 +861,16 @@ object SparkEntry {
         .orderBy("image_id", "op")
     }),
 
+    // WebDataset-style shard packing: md5 writer buckets, per-writer
+    // greedy first-fit into 64 KiB shards in image_id order; offset =
+    // byte position inside the shard (the tar index). Also implicitly
+    // value-checks payload byte sizes: the oracle recomputes nbytes
+    // from (fmt, w, h) while Spark measures the real encoded payload
+    "q_pack_shards" -> ((s, dir) =>
+      graft.ops.Sharding.packShards(
+          Synth.imagesWithBytes(s, dir, smallRaw), 65536L, 2)
+        .orderBy("image_id")),
+
     // PER-PIXEL LAZY CHAIN (§2.3, the reference's queued-function
     // read path): sqrt → +5 → ×2 over band 0 with the nodata-restore
     // rule. Every step is a correctly-rounded IEEE op applied in the
@@ -2696,6 +2706,35 @@ object SparkEntry {
          |  SELECT e.v, r.l FROM reach r JOIN e ON e.u = r.v)
          |SELECT v AS image_id, MIN(l) AS cluster_id
          |FROM reach GROUP BY v ORDER BY image_id""".stripMargin,
+
+    // greedy first-fit replayed as a per-writer recursive chain over
+    // row_number; nbytes from the raw-codec layout (6 bands × 2/4 B)
+    "q_pack_shards" ->
+      s"""WITH RECURSIVE $I, $SimgCte,
+         |sized AS (SELECT image_id,
+         |    CAST(CASE fmt WHEN 'raw-i16le' THEN 12*w*h
+         |                  ELSE 24*w*h END AS BIGINT) AS nbytes,
+         |    ${Md5BucketSql("image_id")} % 2 AS writer
+         |  FROM simg),
+         |it AS (SELECT image_id, nbytes, writer,
+         |    ROW_NUMBER() OVER (PARTITION BY writer ORDER BY image_id)
+         |      AS rn FROM sized),
+         |rec AS (
+         |  SELECT image_id, nbytes, writer, rn,
+         |    CAST(0 AS BIGINT) AS shard, CAST(0 AS BIGINT) AS off,
+         |    nbytes AS used
+         |  FROM it WHERE rn = 1
+         |  UNION ALL
+         |  SELECT i.image_id, i.nbytes, i.writer, i.rn,
+         |    CASE WHEN r.used + i.nbytes <= 65536 THEN r.shard
+         |         ELSE r.shard + 1 END,
+         |    CASE WHEN r.used + i.nbytes <= 65536 THEN r.used
+         |         ELSE CAST(0 AS BIGINT) END,
+         |    CASE WHEN r.used + i.nbytes <= 65536 THEN r.used + i.nbytes
+         |         ELSE i.nbytes END
+         |  FROM rec r JOIN it i ON i.writer = r.writer AND i.rn = r.rn + 1)
+         |SELECT image_id, writer, nbytes, shard, off AS offset
+         |FROM rec ORDER BY image_id""".stripMargin,
 
     // the remapped output index is computed from the ORIGINAL (x,y):
     // hflip idx = y·w + (w−1−x), rot90 idx = x·h + (h−1−y); DN·10⁶

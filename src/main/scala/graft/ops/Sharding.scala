@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WebDataset-style SHARD PACKING — the materialization stage of an
+  * image training pipeline: payloads are laid into byte-budgeted
+  * shard files (one tar per shard in a real writer), each shard the
+  * work of exactly one writer task.
+  *
+  * Contract: writer = md5(image_id) mod `nWriters` (content-
+  * independent, reshuffle-stable); within a writer, images pack in
+  * image_id order by GREEDY first-fit — an image goes into the
+  * current shard iff it fits in the remaining budget, else it opens
+  * the next shard (an oversized image gets a shard to itself). Emits
+  * (image_id, writer, nbytes, shard, offset): `offset` is the byte
+  * position inside the shard, so the assignment doubles as the tar
+  * index.
+  *
+  * Scale posture: greedy packing is inherently sequential PER WRITER,
+  * so the writer axis is the parallelism — one hash shuffle to
+  * co-locate each writer's rows, a partition-local sort, then a
+  * single O(1)-state streaming pass (`mapPartitions`); no window over
+  * a global order, no driver state. At 10¹² images you raise
+  * `nWriters` to the cluster's write parallelism and every writer
+  * streams its items once. */
+object Sharding {
+
+  def packShards(imgs: DataFrame, budget: Long, nWriters: Int): DataFrame = {
+    val spark = imgs.sparkSession
+    import spark.implicits._
+    imgs.select(col("image_id").cast("string").as("image_id"),
+        length(col("bytes")).cast("long").as("nbytes"),
+        pmod(graft.text.TextOps.md5Bucket(col("image_id")),
+          lit(nWriters)).cast("long").as("writer"))
+      .as[(String, Long, Long)]
+      .repartition(col("writer"))
+      .sortWithinPartitions("writer", "image_id")
+      .mapPartitions { it =>
+        // a partition holds one or more COMPLETE writers (hash
+        // partitioning on writer); state resets at writer boundaries
+        var curWriter = Long.MinValue
+        var shard = 0L
+        var used = 0L
+        it.map { case (id, n, w) =>
+          if (w != curWriter) { curWriter = w; shard = 0L; used = 0L }
+          if (used + n > budget && used > 0L) { shard += 1L; used = 0L }
+          val off = used
+          used += n
+          (id, w, n, shard, off)
+        }
+      }
+      .toDF("image_id", "writer", "nbytes", "shard", "offset")
+  }
+}

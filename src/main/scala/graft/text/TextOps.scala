@@ -326,7 +326,7 @@ object TextOps {
   /** First 4 hex chars of md5(`e`) as an integer 0..65535 — the
     * content-independent, reshuffle-stable sampling hash every
     * deterministic selection op here keys on. */
-  private def md5Bucket(e: Column): Column =
+  private[graft] def md5Bucket(e: Column): Column =
     (0 until 4).map { i =>
       (instr(lit("0123456789abcdef"), substring(md5(e), i + 1, 1)) - 1) *
         lit(1L << (4 * (3 - i)))

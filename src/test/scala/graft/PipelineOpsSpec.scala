@@ -191,6 +191,36 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("packShards: greedy fit, contiguous offsets, oversize isolation") {
+    import spark.implicits._
+    val budget = 100L
+    val imgs = (0L until 60L).map { i =>
+      // sizes 10..250: some oversized relative to the budget
+      (f"im-$i%03d", Array.fill(((i * 37 % 25 + 1) * 10).toInt)(0.toByte))
+    }.toDF("image_id", "bytes")
+    val out = graft.ops.Sharding.packShards(imgs, budget, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == 60)
+    out.groupBy(x => (x._2, x._4)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      // offsets are the running byte layout, starting at 0
+      var off = 0L
+      sorted.foreach { case (_, _, n, _, o) => assert(o == off); off += n }
+      // a shard only exceeds the budget when a single item does
+      assert(off <= budget || rows.length == 1)
+    }
+    // greedy: consecutive shards per writer, no empty shard ids
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val shards = rows.map(_._4).distinct.sorted
+      assert(shards.sameElements(0L until shards.length))
+    }
+    // reshuffle-stable
+    val out2 = graft.ops.Sharding.packShards(imgs.repartition(7), budget, 3)
+      .collect().map(r => (r.getString(0), (r.getLong(3), r.getLong(4)))).toMap
+    out.foreach { case (id, _, _, sh, o) => assert(out2(id) == ((sh, o))) }
+  }
+
   test("epochShuffle: dense per-shard positions, epoch redraw, stability") {
     import spark.implicits._
     val many = (0L until 1000L).map(i => (i, s"doc $i"))
