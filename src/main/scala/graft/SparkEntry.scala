@@ -1261,6 +1261,15 @@ object SparkEntry {
       graft.text.TextOps.epochShuffle(docs(s, dir), epoch = 2, nShards = 4)
         .orderBy("doc_id")),
 
+    // end-to-end curation: langid → integer quality bounds → LSH
+    // near-dup canonical → decontamination → stratified sample, one
+    // row per doc with a 0/1 flag per stage + the final keep product
+    "q_curate" -> ((s, dir) =>
+      graft.text.TextOps.curate(docs(s, dir),
+          Seq("en" -> 600, "de" -> 400, "es" -> 500,
+              "fr" -> 700, "zh" -> 300), "cur")
+        .orderBy("doc_id")),
+
     // dedup CLUSTERING: connected components (large-star/small-star)
     // over the LSH near-dup pairs — one row per doc, cluster = the
     // component min; the keep-one-per-cluster step of a 10¹²-row
@@ -3103,39 +3112,73 @@ object SparkEntry {
     // near-dup edge set — the SQL ground truth for the distributed
     // large-star/small-star components
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $TokCte, $ShCte,
-         |sig AS (SELECT doc_id,
-         |  list_min(list_transform(sh, s -> md5('0' || s))) AS h0,
-         |  list_min(list_transform(sh, s -> md5('1' || s))) AS h1,
-         |  list_min(list_transform(sh, s -> md5('2' || s))) AS h2,
-         |  list_min(list_transform(sh, s -> md5('3' || s))) AS h3
-         |FROM sh),
-         |bands AS (
-         |  SELECT doc_id, 0 AS bj, h0 AS bk FROM sig
-         |  UNION ALL SELECT doc_id, 1, h1 FROM sig
-         |  UNION ALL SELECT doc_id, 2, h2 FROM sig
-         |  UNION ALL SELECT doc_id, 3, h3 FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b ON a.bj = b.bj AND a.bk = b.bk
-         |  WHERE a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
-         |p AS (SELECT c.id_a, c.id_b,
-         |  CAST(len(list_intersect(x.shd, y.shd)) AS BIGINT) AS n_inter,
-         |  CAST(len(list_distinct(list_concat(x.shd, y.shd))) AS BIGINT)
-         |    AS n_union
-         |  FROM cand c JOIN sets x ON x.doc_id = c.id_a
-         |  JOIN sets y ON y.doc_id = c.id_b),
-         |e AS (SELECT id_a AS u, id_b AS v FROM p
-         |        WHERE CAST(n_inter AS DOUBLE)/n_union >= 0.01
-         |      UNION ALL
-         |      SELECT id_b, id_a FROM p
-         |        WHERE CAST(n_inter AS DOUBLE)/n_union >= 0.01),
-         |reach AS (
-         |  SELECT doc_id AS v, doc_id AS l FROM documents
-         |  UNION
-         |  SELECT e.v, r.l FROM reach r JOIN e ON e.u = r.v)
+      s"""WITH RECURSIVE $TokCte, $ShCte, $LshClosureCte
          |SELECT v AS doc_id, MIN(l) AS cluster_id
          |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+
+    // the composed curation decision: every stage's oracle fragment
+    // (langid votes, integer quality bounds, LSH-cluster closure,
+    // decontamination hits, md5 sample draw) joined on doc_id
+    "q_curate" ->
+      s"""WITH RECURSIVE $TokCte, $ShCte, $LshClosureCte,
+         |clus AS (SELECT v AS doc_id, MIN(l) AS cid
+         |  FROM reach GROUP BY v),
+         |lsc AS (SELECT doc_id,
+         |  len(list_filter(ts, t -> t = 'the')) +
+         |    len(list_filter(ts, t -> t = 'a')) AS en,
+         |  len(list_filter(ts, t -> t = 'le')) +
+         |    len(list_filter(ts, t -> t = 'la')) AS fr,
+         |  len(list_filter(ts, t -> t = 'der')) +
+         |    len(list_filter(ts, t -> t = 'und')) AS de
+         |FROM tok),
+         |qf AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(ts)) AS BIGINT) AS n_uniq,
+         |  CAST(len(list_filter(ts, t -> t = 'the')) +
+         |       len(list_filter(ts, t -> t = 'a')) AS BIGINT) AS n_stop
+         |FROM tok),
+         |cgrams AS (SELECT DISTINCT doc_id, gram FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(ts) >= 3 THEN
+         |      list_transform(generate_series(1, CAST(len(ts)-2 AS INT)),
+         |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+         |    ELSE CAST([] AS VARCHAR[]) END) AS gram
+         |  FROM tok)),
+         |dirty AS (SELECT c.doc_id FROM cgrams c
+         |  JOIN cgrams b ON c.gram = b.gram
+         |  WHERE b.doc_id % 17 = 0 AND c.doc_id <> b.doc_id
+         |  GROUP BY c.doc_id, b.doc_id HAVING count(*) >= 2),
+         |dd AS (SELECT DISTINCT doc_id FROM dirty),
+         |smp AS (SELECT doc_id,
+         |  CASE WHEN ${Md5BucketSql(
+               "CAST(d.doc_id AS VARCHAR) || ':cur'")} * 1000 <
+         |    (CASE lang WHEN 'en' THEN 600 WHEN 'de' THEN 400
+         |               WHEN 'es' THEN 500 WHEN 'fr' THEN 700
+         |               WHEN 'zh' THEN 300 ELSE 0 END) * 65536
+         |  THEN 1 ELSE 0 END AS sampled
+         |  FROM documents d),
+         |f AS (SELECT d.doc_id,
+         |  CASE WHEN (l.en >= l.fr AND l.en >= l.de AND l.en > 0)
+         |         OR (l.fr >= l.de AND l.fr > 0) OR l.de > 0
+         |       THEN 1 ELSE 0 END AS pass_lang,
+         |  CASE WHEN q.n_uniq * 9 >= q.n_tokens * 4
+         |        AND q.n_stop * 10 <= q.n_tokens
+         |       THEN 1 ELSE 0 END AS pass_quality,
+         |  CASE WHEN c.cid = d.doc_id THEN 1 ELSE 0 END AS is_canonical,
+         |  CASE WHEN dd.doc_id IS NULL THEN 1 ELSE 0 END AS is_clean,
+         |  s.sampled
+         |FROM documents d
+         |JOIN lsc l ON l.doc_id = d.doc_id
+         |JOIN qf q ON q.doc_id = d.doc_id
+         |JOIN clus c ON c.doc_id = d.doc_id
+         |LEFT JOIN dd ON dd.doc_id = d.doc_id
+         |JOIN smp s ON s.doc_id = d.doc_id)
+         |SELECT doc_id, CAST(pass_lang AS BIGINT) AS pass_lang,
+         |  CAST(pass_quality AS BIGINT) AS pass_quality,
+         |  CAST(is_canonical AS BIGINT) AS is_canonical,
+         |  CAST(is_clean AS BIGINT) AS is_clean,
+         |  CAST(sampled AS BIGINT) AS sampled,
+         |  CAST(pass_lang * pass_quality * is_canonical * is_clean
+         |    * sampled AS BIGINT) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_simhash" ->
       s"""WITH $TokCte, $SimhashCte
@@ -4043,4 +4086,39 @@ object SparkEntry {
       |    list_transform(generate_series(1, CAST(len(ts)-2 AS INT)),
       |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
       |  ELSE [text] END AS sh FROM tok)""".stripMargin
+
+  /** The MinHash-LSH near-dup transitive closure (requires tok + sh,
+    * WITH RECURSIVE): band candidates → exact-Jaccard edges (≥ 0.01)
+    * → `reach` reachability. Shared by q_dedup_clusters and q_curate. */
+  private val LshClosureCte =
+    """sig AS (SELECT doc_id,
+      |  list_min(list_transform(sh, s -> md5('0' || s))) AS h0,
+      |  list_min(list_transform(sh, s -> md5('1' || s))) AS h1,
+      |  list_min(list_transform(sh, s -> md5('2' || s))) AS h2,
+      |  list_min(list_transform(sh, s -> md5('3' || s))) AS h3
+      |FROM sh),
+      |bands AS (
+      |  SELECT doc_id, 0 AS bj, h0 AS bk FROM sig
+      |  UNION ALL SELECT doc_id, 1, h1 FROM sig
+      |  UNION ALL SELECT doc_id, 2, h2 FROM sig
+      |  UNION ALL SELECT doc_id, 3, h3 FROM sig),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b ON a.bj = b.bj AND a.bk = b.bk
+      |  WHERE a.doc_id < b.doc_id),
+      |sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+      |p AS (SELECT c.id_a, c.id_b,
+      |  CAST(len(list_intersect(x.shd, y.shd)) AS BIGINT) AS n_inter,
+      |  CAST(len(list_distinct(list_concat(x.shd, y.shd))) AS BIGINT)
+      |    AS n_union
+      |  FROM cand c JOIN sets x ON x.doc_id = c.id_a
+      |  JOIN sets y ON y.doc_id = c.id_b),
+      |e AS (SELECT id_a AS u, id_b AS v FROM p
+      |        WHERE CAST(n_inter AS DOUBLE)/n_union >= 0.01
+      |      UNION ALL
+      |      SELECT id_b, id_a FROM p
+      |        WHERE CAST(n_inter AS DOUBLE)/n_union >= 0.01),
+      |reach AS (
+      |  SELECT doc_id AS v, doc_id AS l FROM documents
+      |  UNION
+      |  SELECT e.v, r.l FROM reach r JOIN e ON e.u = r.v)""".stripMargin
 }

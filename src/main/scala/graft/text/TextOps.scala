@@ -340,13 +340,70 @@ object TextOps {
     * sample. Pure filter projection — predicate-pushdown-friendly,
     * no shuffle, no state at any scale. Unlisted strata drop. */
   def sampleStratified(docs: DataFrame, ratesPermille: Seq[(String, Int)],
-                       salt: String): DataFrame = {
+                       salt: String): DataFrame =
+    docs.where(sampleFlag(ratesPermille, salt))
+
+  /** The per-row survival predicate of [[sampleStratified]], exposed
+    * as a flag column so composite pipelines can report it without
+    * filtering. */
+  private[graft] def sampleFlag(ratesPermille: Seq[(String, Int)],
+                                salt: String): Column = {
     val bucket = md5Bucket(concat(col("doc_id").cast("string"),
       lit(":"), lit(salt)))
     val rate = ratesPermille.foldRight(lit(0)) { case ((l, p), acc) =>
       when(col("lang") === l, lit(p)).otherwise(acc)
     }
-    docs.where(bucket * 1000 < rate * 65536)
+    bucket * 1000 < rate * 65536
+  }
+
+  /** End-to-end CURATION pipeline — the composed keep decision of a
+    * training-data run, one row per document with a 0/1 flag per
+    * stage and the final conjunction:
+    *
+    *   1. pass_lang — [[langId]] recognizes a language (pred ≠ unk);
+    *   2. pass_quality — lexical-diversity and stopword-ratio bounds,
+    *      expressed in INTEGER cross-multiplied form (9·uniq ≥ 4·n,
+    *      10·stop ≤ n) so the oracle replay has no float threshold;
+    *   3. is_canonical — the doc is its MinHash-LSH near-dup
+    *      cluster's minimum ([[graft.graph.ConnectedComponents
+    *      .dedupClusters]] keep rule);
+    *   4. is_clean — not flagged by [[decontaminate]] against the
+    *      `doc_id % benchMod == 0` benchmark subset;
+    *   5. sampled — the [[sampleStratified]] draw.
+    *
+    * Every stage is a doc_id-keyed flag join (broadcast-sized flag
+    * sets at any corpus scale come only from stages 3-4, whose edge/
+    * hit sets are corpus-sublinear; 1, 2 and 5 are projections). */
+  def curate(docs: DataFrame, ratesPermille: Seq[(String, Int)],
+             salt: String, benchMod: Int = 17,
+             simThreshold: Double = 0.01): DataFrame = {
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    val lang = langId(docs).select(col("doc_id"),
+      flag(col("lang_pred") =!= "unk").as("pass_lang"))
+    val qual = tokenStats(docs).select(col("doc_id"),
+      flag(col("n_uniq") * 9 >= col("n_tokens") * 4 &&
+           (col("n_the") + col("n_a")) * 10 <= col("n_tokens"))
+        .as("pass_quality"))
+    val canon = graft.graph.ConnectedComponents
+      .dedupClusters(docs, simThreshold)
+      .select(col("doc_id"), flag(col("keep")).as("is_canonical"))
+    val dirty = decontaminate(docs,
+        docs.where(col("doc_id") % benchMod === 0), n = 3, minHits = 2)
+      .select(col("doc_id")).distinct()
+      .withColumn("dirty", lit(1L))
+    val sampled = docs.select(col("doc_id"),
+      flag(sampleFlag(ratesPermille, salt)).as("sampled"))
+    docs.select("doc_id")
+      .join(lang, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .join(canon, Seq("doc_id"))
+      .join(dirty, Seq("doc_id"), "left")
+      .withColumn("is_clean", when(col("dirty").isNull, 1L).otherwise(0L))
+      .drop("dirty")
+      .join(sampled, Seq("doc_id"))
+      .withColumn("keep",
+        col("pass_lang") * col("pass_quality") * col("is_canonical") *
+          col("is_clean") * col("sampled"))
   }
 
   /** Concat-and-chunk SEQUENCE PACKING (how LLM pre-training shapes
