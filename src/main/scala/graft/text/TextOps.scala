@@ -378,12 +378,19 @@ object TextOps {
              salt: String, benchMod: Int = 17,
              simThreshold: Double = 0.01): DataFrame = {
     val flag = (c: Column) => when(c, 1L).otherwise(0L)
-    val lang = langId(docs).select(col("doc_id"),
-      flag(col("lang_pred") =!= "unk").as("pass_lang"))
-    val qual = tokenStats(docs).select(col("doc_id"),
-      flag(col("n_uniq") * 9 >= col("n_tokens") * 4 &&
-           (col("n_the") + col("n_a")) * 10 <= col("n_tokens"))
-        .as("pass_quality"))
+    // stages 1, 2 and 5 are pure per-row expressions — computed
+    // INLINE (zero joins/shuffles for them); only the cluster keep
+    // (3) and the contamination hit set (4) are genuine joins
+    val en = termCount("the") + termCount("a")
+    val fr = termCount("le") + termCount("la")
+    val de = termCount("der") + termCount("und")
+    val nTok = size(toks).cast("long")
+    val nUniq = size(array_distinct(toks)).cast("long")
+    val inline = docs.select(col("doc_id"),
+      flag((en >= fr && en >= de && en > 0) ||
+           (fr >= de && fr > 0) || de > 0).as("pass_lang"),
+      flag(nUniq * 9 >= nTok * 4 && en * 10 <= nTok).as("pass_quality"),
+      flag(sampleFlag(ratesPermille, salt)).as("sampled"))
     val canon = graft.graph.ConnectedComponents
       .dedupClusters(docs, simThreshold)
       .select(col("doc_id"), flag(col("keep")).as("is_canonical"))
@@ -391,19 +398,15 @@ object TextOps {
         docs.where(col("doc_id") % benchMod === 0), n = 3, minHits = 2)
       .select(col("doc_id")).distinct()
       .withColumn("dirty", lit(1L))
-    val sampled = docs.select(col("doc_id"),
-      flag(sampleFlag(ratesPermille, salt)).as("sampled"))
-    docs.select("doc_id")
-      .join(lang, Seq("doc_id"))
-      .join(qual, Seq("doc_id"))
+    inline
       .join(canon, Seq("doc_id"))
       .join(dirty, Seq("doc_id"), "left")
       .withColumn("is_clean", when(col("dirty").isNull, 1L).otherwise(0L))
       .drop("dirty")
-      .join(sampled, Seq("doc_id"))
-      .withColumn("keep",
-        col("pass_lang") * col("pass_quality") * col("is_canonical") *
-          col("is_clean") * col("sampled"))
+      .select(col("doc_id"), col("pass_lang"), col("pass_quality"),
+        col("is_canonical"), col("is_clean"), col("sampled"),
+        (col("pass_lang") * col("pass_quality") * col("is_canonical") *
+          col("is_clean") * col("sampled")).as("keep"))
   }
 
   /** Concat-and-chunk SEQUENCE PACKING (how LLM pre-training shapes
