@@ -171,7 +171,13 @@ object Bench {
       // round-4 additions: multi-band mosaic, concave-ring zonal,
       // exact RXD, dtype transcode, PII scrub
       "q_mosaic_bands", "q_zonal_poly", "q_rxd_exact", "q_dtype_stats",
-      "q_doc_scrub", "q_resize")
+      "q_doc_scrub", "q_resize",
+      // late round-4 additions: sampling/packing/decontamination/
+      // epoch-shuffle, image cluster dedup, augmentation, shard
+      // packing, and the composed curation pipeline
+      "q_doc_sample", "q_pack_sequences", "q_decontaminate",
+      "q_epoch_shuffle", "q_phash_clusters", "q_augment",
+      "q_pack_shards", "q_curate", "q_augment_crop")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

@@ -861,6 +861,35 @@ object SparkEntry {
         .orderBy("image_id", "op")
     }),
 
+    // seeded RANDOM-CROP augmentation: the 12×12 window anchor is an
+    // md5 draw over image_id (content-independent, reshuffle-stable —
+    // the same determinism contract as the doc sampling ops), the
+    // crop kernel runs on the decoded plane, and the checksum is
+    // position-weighted over the crop's local grid
+    "q_augment_crop" -> ((s, dir) => {
+      val cs = 12
+      val cropSum = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
+                         x0: Int, y0: Int) => {
+        import graft.core.Codec
+        import graft.ops.Augment
+        val p = Codec.decode(bytes, w, h,
+          Codec.bandsStored(fmt, Synth.NumBands), fmt)(0)
+        Augment.posChecksum(Augment.crop(p, w, h, x0, y0, cs, cs))
+      })
+      val x0 = pmod(graft.text.TextOps.md5Bucket(
+        concat(col("image_id"), lit(":x"))), col("w") - (cs - 1))
+      val y0 = pmod(graft.text.TextOps.md5Bucket(
+        concat(col("image_id"), lit(":y"))), col("h") - (cs - 1))
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("x0", x0.cast("int")).withColumn("y0", y0.cast("int"))
+        .withColumn("c", cropSum(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt"), col("x0"), col("y0")))
+        .select(col("image_id"), col("x0").cast("long").as("x0"),
+          col("y0").cast("long").as("y0"),
+          col("c._1").as("n_valid"), col("c._2").as("checksum"))
+        .orderBy("image_id")
+    }),
+
     // WebDataset-style shard packing: md5 writer buckets, per-writer
     // greedy first-fit into 64 KiB shards in image_id order; offset =
     // byte position inside the shard (the tar index). Also implicitly
@@ -2715,6 +2744,25 @@ object SparkEntry {
          |  SELECT e.v, r.l FROM reach r JOIN e ON e.u = r.v)
          |SELECT v AS image_id, MIN(l) AS cluster_id
          |FROM reach GROUP BY v ORDER BY image_id""".stripMargin,
+
+    // same md5 anchor draw in SQL; window filter over px + local
+    // (y−y0)·12 + (x−x0) weights
+    "q_augment_crop" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte,
+         |anch AS (SELECT k, image_id, w, h,
+         |    ${Md5BucketSql("image_id || ':x'")} % (w - 11) AS x0,
+         |    ${Md5BucketSql("image_id || ':y'")} % (h - 11) AS y0
+         |  FROM simg)
+         |SELECT a.image_id, CAST(a.x0 AS BIGINT) AS x0,
+         |  CAST(a.y0 AS BIGINT) AS y0,
+         |  CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |  CAST(SUM(CAST(px.v AS BIGINT) * 1000000 *
+         |      ((px.y - a.y0) * 12 + (px.x - a.x0))) AS BIGINT)
+         |    AS checksum
+         |FROM px JOIN anch a ON a.k = px.k
+         |WHERE px.b = 0 AND px.x >= a.x0 AND px.x < a.x0 + 12
+         |  AND px.y >= a.y0 AND px.y < a.y0 + 12
+         |GROUP BY 1, 2, 3 ORDER BY image_id""".stripMargin,
 
     // greedy first-fit replayed as a per-writer recursive chain over
     // row_number; nbytes from the raw-codec layout (6 bands × 2/4 B)

@@ -42,6 +42,24 @@ object Augment {
     out
   }
 
+  /** Window crop: the cw×ch sub-plane anchored at (x0, y0) — the
+    * kernel of seeded random-crop augmentation (the caller derives
+    * (x0, y0) from a reproducible per-image hash so the "random"
+    * crop is content-independent and reshuffle-stable). */
+  def crop(p: Array[Double], w: Int, h: Int,
+           x0: Int, y0: Int, cw: Int, ch: Int): Array[Double] = {
+    require(p.length == w * h, s"plane ${p.length} != ${w}x$h")
+    require(x0 >= 0 && y0 >= 0 && x0 + cw <= w && y0 + ch <= h,
+      s"crop ($x0,$y0,$cw,$ch) outside ${w}x$h")
+    val out = new Array[Double](cw * ch)
+    var y = 0
+    while (y < ch) {
+      System.arraycopy(p, (y0 + y) * w + x0, out, y * cw, cw)
+      y += 1
+    }
+    out
+  }
+
   /** Position-weighted checksum: (n_valid, Σ floor(v·10⁶) · idx) over
     * the plane's linear index (= y·outW + x of the OUTPUT grid),
     * skipping NaN. The positional weight makes the checksum sensitive

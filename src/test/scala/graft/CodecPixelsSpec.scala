@@ -289,6 +289,16 @@ class CodecPixelsSpec extends AnyFunSuite {
     assert(posChecksum(q)._1 == (w * h).toLong)
   }
 
+  test("augment crop: exact window, bounds enforced") {
+    import graft.ops.Augment._
+    val w = 7; val h = 5
+    val p = Array.tabulate(w * h)(_.toDouble)
+    val c = crop(p, w, h, 2, 1, 3, 2)
+    assert(c.toSeq == Seq(9.0, 10.0, 11.0, 16.0, 17.0, 18.0))
+    intercept[IllegalArgumentException] { crop(p, w, h, 5, 0, 3, 2) }
+    intercept[IllegalArgumentException] { crop(p, w, h, -1, 0, 3, 2) }
+  }
+
   test("addBand/renameBand enforce the reference's uniqueness rules") {
     intercept[IllegalArgumentException] {
       graft.ops.Bands.renameBand(null, "nir", "RED") // case-insensitive dup
