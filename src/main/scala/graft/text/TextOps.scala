@@ -444,9 +444,12 @@ object TextOps {
     *
     * Scale posture: benchmark sets are tiny relative to a 10¹²-doc
     * corpus, so the benchmark's distinct n-gram table is BROADCAST —
-    * the corpus side streams past the hash map with no shuffle; only
-    * the matched (doc, bench, gram) rows (a minuscule fraction) reach
-    * the (doc_id, bench_id) count aggregate, which combines map-side. */
+    * the corpus side streams past the hash map with NO pre-join
+    * shuffle (its grams are deliberately NOT deduped first: a
+    * corpus-wide (doc, gram) distinct would itself be a full-corpus
+    * shuffle; instead the distinct folds into the post-join
+    * countDistinct, which touches only the matched rows — a
+    * minuscule fraction — and combines map-side). */
   def decontaminate(docs: DataFrame, bench: DataFrame, n: Int,
                     minHits: Int): DataFrame = {
     def grams(df: DataFrame, idAs: String): DataFrame =
@@ -455,12 +458,11 @@ object TextOps {
             i => concat_ws(" ",
               (0 until n).map(j => element_at(toks, i + j)): _*)))
           .otherwise(array())).as("gram"))
-        .distinct()
     grams(docs, "doc_id")
-      .join(broadcast(grams(bench, "bench_id")), Seq("gram"))
+      .join(broadcast(grams(bench, "bench_id").distinct()), Seq("gram"))
       .where(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id", "bench_id")
-      .agg(count(lit(1)).as("shared"))
+      .agg(countDistinct(col("gram")).as("shared"))
       .where(col("shared") >= minHits)
   }
 
