@@ -861,6 +861,22 @@ object SparkEntry {
         .orderBy("image_id", "op")
     }),
 
+    // CAPTION analytics — the text-pipeline stack applied to the image
+    // table's caption column (the cross-modal face of the input_hint
+    // schema): exact caption dedup groups over ALL images (metadata
+    // only, no payload decode) ...
+    "q_caption_dedup" -> ((s, dir) =>
+      graft.text.TextOps.dedupExact(
+          Synth.images(s, dir)
+            .select(col("k").as("doc_id"), col("caption").as("text")))
+        .orderBy("h")),
+
+    // ... and caption vocabulary induction (term df/cf), same reuse
+    "q_caption_vocab" -> ((s, dir) =>
+      graft.text.TextOps.vocab(
+          Synth.images(s, dir)
+            .select(col("k").as("doc_id"), col("caption").as("text")), 40)),
+
     // seeded RANDOM-CROP augmentation: the 12×12 window anchor is an
     // md5 draw over image_id (content-independent, reshuffle-stable —
     // the same determinism contract as the doc sampling ops), the
@@ -2744,6 +2760,20 @@ object SparkEntry {
          |  SELECT e.v, r.l FROM reach r JOIN e ON e.u = r.v)
          |SELECT v AS image_id, MIN(l) AS cluster_id
          |FROM reach GROUP BY v ORDER BY image_id""".stripMargin,
+
+    "q_caption_dedup" ->
+      s"""WITH $I
+         |SELECT md5(caption) AS h, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  MIN(k) AS min_doc_id
+         |FROM img2 GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "q_caption_vocab" ->
+      s"""WITH $I,
+         |ct AS (SELECT k, unnest(string_split(caption, ' ')) AS term
+         |       FROM img2)
+         |SELECT term, CAST(COUNT(DISTINCT k) AS BIGINT) AS df,
+         |  CAST(COUNT(*) AS BIGINT) AS cf
+         |FROM ct GROUP BY term ORDER BY cf DESC, term LIMIT 40""".stripMargin,
 
     // same md5 anchor draw in SQL; window filter over px + local
     // (y−y0)·12 + (x−x0) weights
