@@ -74,6 +74,19 @@ object CellStream {
       .dropDuplicatesWithinWatermark("h")
       .select(col("doc_id"), col("h"))
 
+  /** IMAGE-ingest twin of [[dedupStream]]: dedup on the perceptual
+    * hash column itself (phash is part of the input_hint schema, so
+    * no payload decode happens at ingest). Exact-phash ingest dedup
+    * only — near-dup (Hamming ≤ d) clustering stays in the batch
+    * [[graft.ops.Hamming]]/CC pass, exactly as text near-dup does.
+    * State bounded by rate × lateness. Input needs (ts, image_id,
+    * phash). */
+  def dedupImageStream(stream: DataFrame, lateness: String): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("phash")
+      .select(col("image_id"), col("phash"))
+
   /** EXACTLY-ONCE streaming sink into the resumable Lineage table:
     * each micro-batch lands in its own epoch directory via
     * `Lineage.writeResumable` — Spark's checkpoint replays a failed

@@ -186,4 +186,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.exists(i => i == 1L || i == 2L), s"got $ids")
     q.stop()
   }
+
+  test("streaming image dedup: phash-keyed, replay suppressed, no decode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val df = input.toDF().toDF("ts", "image_id", "phash")
+    val out = CellStream.dedupImageStream(df, lateness = "10 seconds")
+    val q = out.writeStream.format("memory")
+      .queryName("imgdedup").outputMode("append").start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    input.addData((t(1), "im-a", 42L), (t(2), "im-b", 42L),
+      (t(3), "im-c", 7L))
+    q.processAllAvailable()
+    input.addData((t(5), "im-d", 42L)) // later-batch replay, in watermark
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT image_id FROM imgdedup ORDER BY image_id")
+      .collect().map(_.getString(0)).toSeq
+    assert(ids.size == 2, s"got $ids")
+    assert(ids.contains("im-c") && !ids.contains("im-d"), s"got $ids")
+    assert(ids.exists(i => i == "im-a" || i == "im-b"), s"got $ids")
+    q.stop()
+  }
 }
