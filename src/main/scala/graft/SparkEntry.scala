@@ -1290,6 +1290,31 @@ object SparkEntry {
       graft.text.TextOps.packSequences(docs(s, dir), 256, 8)
         .orderBy("doc_id")),
 
+    // data validation ("expectations"): per-rule violation counts
+    // over a deterministically corrupted corpus (every doc_id%50==0
+    // doc re-appears with n_chars+1 and lang 'xx' → known non-zero
+    // counts for three of the four rules)
+    "q_validate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val mut = d.where(col("doc_id") % 50 === 0)
+        .withColumn("n_chars", col("n_chars") + 1)
+        .withColumn("lang", lit("xx"))
+      graft.text.TextOps.validate(d.unionByName(mut),
+          Seq("en", "de", "es", "fr", "zh"))
+        .orderBy("rule")
+    }),
+
+    // incremental near-dup: the doc_id%10==7 DELTA batch verified
+    // against the rest-of-corpus — band collisions only ever pair
+    // delta×corpus (per-batch cost scales with the delta)
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.TextOps.jaccardPairsIncremental(
+          d.where(col("doc_id") % 10 =!= 7),
+          d.where(col("doc_id") % 10 === 7), 0.01)
+        .orderBy("id_new", "id_old")
+    }),
+
     // train/test decontamination: corpus docs sharing ≥2 distinct
     // 3-grams with the benchmark subset (doc_id % 17 == 0); benchmark
     // grams broadcast, corpus streams — no corpus-wide shuffle
@@ -3155,6 +3180,58 @@ object SparkEntry {
          |  CAST(FLOOR((tok_start + n_tokens - 1) / 256.0) AS BIGINT)
          |    AS last_seq
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the same corrupted union replayed; each rule is one aggregate
+    "q_validate" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, lang, n_chars, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 'xx' AS lang, n_chars + 1 AS n_chars, text
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |v AS (
+         |  SELECT 'bad_n_chars' AS rule, CAST(SUM(CASE WHEN
+         |      n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS violations FROM u
+         |  UNION ALL
+         |  SELECT 'bad_lang', CAST(SUM(CASE WHEN lang NOT IN
+         |      ('en','de','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM u
+         |  UNION ALL
+         |  SELECT 'empty_text', CAST(SUM(CASE WHEN text IS NULL OR
+         |      length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM u
+         |  UNION ALL
+         |  SELECT 'dup_doc_ids', CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+         |  FROM (SELECT doc_id, COUNT(*) AS c FROM u GROUP BY 1))
+         |SELECT rule, violations FROM v ORDER BY rule""".stripMargin,
+
+    // full-corpus sig/band CTEs, but candidates pair ONLY delta
+    // (doc_id%10=7) against the rest; exact-Jaccard verify as usual
+    "q_dedup_incremental" ->
+      s"""WITH $TokCte, $ShCte,
+         |sig AS (SELECT doc_id,
+         |  list_min(list_transform(sh, s -> md5('0' || s))) AS h0,
+         |  list_min(list_transform(sh, s -> md5('1' || s))) AS h1,
+         |  list_min(list_transform(sh, s -> md5('2' || s))) AS h2,
+         |  list_min(list_transform(sh, s -> md5('3' || s))) AS h3
+         |FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 0 AS bj, h0 AS bk FROM sig
+         |  UNION ALL SELECT doc_id, 1, h1 FROM sig
+         |  UNION ALL SELECT doc_id, 2, h2 FROM sig
+         |  UNION ALL SELECT doc_id, 3, h3 FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+         |  FROM bands a JOIN bands b ON a.bj = b.bj AND a.bk = b.bk
+         |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+         |sets AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+         |p AS (SELECT c.id_new, c.id_old,
+         |  CAST(len(list_intersect(x.shd, y.shd)) AS BIGINT) AS n_inter,
+         |  CAST(len(list_distinct(list_concat(x.shd, y.shd))) AS BIGINT)
+         |    AS n_union
+         |  FROM cand c JOIN sets x ON x.doc_id = c.id_new
+         |  JOIN sets y ON y.doc_id = c.id_old)
+         |SELECT id_new, id_old, n_inter, n_union FROM p
+         |WHERE CAST(n_inter AS DOUBLE)/n_union >= 0.01
+         |ORDER BY id_new, id_old""".stripMargin,
 
     // distinct-3-gram self-join against the doc_id%17 benchmark
     // subset; shared = distinct grams in common, threshold 2

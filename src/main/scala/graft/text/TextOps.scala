@@ -487,6 +487,64 @@ object TextOps {
       .select("doc_id", "shard", "pos")
   }
 
+  /** DATA VALIDATION ("expectations") — the pre-training sanity gate:
+    * one row per rule with its violation count over the corpus, all
+    * exact integers. Rules: n_chars must equal length(text); lang
+    * must be in the allowed set; text must be non-empty; doc_id must
+    * be unique (violations = rows beyond the first per id). Pure
+    * scan + map-side-combined aggregates — one pass, no skew (the
+    * dup-check groups on doc_id, unique by construction ⇒ uniform). */
+  def validate(docs: DataFrame, allowedLangs: Seq[String]): DataFrame = {
+    val scanRules = docs.select(
+      sum(when(col("n_chars") =!= length(col("text")), 1L)
+        .otherwise(0L)).as("bad_n_chars"),
+      sum(when(!col("lang").isin(allowedLangs: _*), 1L)
+        .otherwise(0L)).as("bad_lang"),
+      sum(when(length(col("text")) === 0 || col("text").isNull, 1L)
+        .otherwise(0L)).as("empty_text"))
+    val dupIds = docs.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .select(coalesce(sum(col("c") - 1), lit(0L)).as("dup_doc_ids"))
+    val wide = scanRules.crossJoin(dupIds) // two 1-row relations
+    wide.select(explode(array(
+        struct(lit("bad_n_chars").as("rule"),
+          col("bad_n_chars").as("violations")),
+        struct(lit("bad_lang").as("rule"), col("bad_lang").as("violations")),
+        struct(lit("empty_text").as("rule"),
+          col("empty_text").as("violations")),
+        struct(lit("dup_doc_ids").as("rule"),
+          col("dup_doc_ids").as("violations")))).as("r"))
+      .select(col("r.rule").as("rule"), col("r.violations").as("violations"))
+  }
+
+  /** INCREMENTAL near-dup — the continual-ingest pattern: verify a
+    * small DELTA batch against the EXISTING corpus without ever
+    * pairing corpus×corpus. Band keys are computed on both sides
+    * with the same [[minhashFast]] kernel; candidates are only
+    * delta×corpus band collisions, then exact-Jaccard verified at
+    * `threshold`. At 10¹² corpus rows the corpus side is a static
+    * bucketed table the delta equi-joins into — per-batch cost scales
+    * with the delta, not the corpus. */
+  def jaccardPairsIncremental(corpus: DataFrame, delta: DataFrame,
+                              threshold: Double,
+                              nSigs: Int = 4): DataFrame = {
+    def bands(df: DataFrame, idAs: String): DataFrame = {
+      val sig = minhashFast(df, nSigs)
+      sig.select(col("doc_id").as(idAs),
+          explode(array((0 until nSigs).map(j =>
+            struct(lit(j).as("bj"), col(s"h$j").as("bk"))): _*)).as("b"))
+        .select(col(idAs), col("b.bj").as("bj"), col("b.bk").as("bk"))
+    }
+    val cand = bands(delta, "id_new")
+      .join(bands(corpus, "id_old"), Seq("bj", "bk"))
+      .where(col("id_new") =!= col("id_old"))
+      .select("id_new", "id_old").distinct()
+    jaccardVerify(
+      cand.select(col("id_new").as("id_a"), col("id_old").as("id_b")),
+      corpus.unionByName(delta), threshold)
+      .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
+        col("n_inter"), col("n_union"))
+  }
+
   /** 64-bit SimHash over tokens: per token, the first 8 md5 bytes vote
     * ±1 per bit position; sign → bit. Deterministic and all-integer, so
     * the DuckDB oracle re-derives it exactly (SparkEntry.SimhashCte:

@@ -221,6 +221,44 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.foreach { case (id, _, _, sh, o) => assert(out2(id) == ((sh, o))) }
   }
 
+  test("validate: exact violation counts on a hand-corrupted table") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "good text", "en"), (2L, "also fine", "de"),
+      (3L, "", "en"),                    // empty text
+      (4L, "bad count", "fr"), (4L, "bad count", "fr"), // dup id ×2 extra? no, 1 extra
+      (5L, "wrong lang", "tlh"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars",
+        when(col("doc_id") === 4, lit(999)).otherwise(length(col("text"))))
+    val v = TextOps.validate(d, Seq("en", "de", "fr")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(v("bad_n_chars") == 2L) // both doc-4 rows
+    assert(v("bad_lang") == 1L)
+    assert(v("empty_text") == 1L)
+    assert(v("dup_doc_ids") == 1L) // one row beyond the first for id 4
+  }
+
+  test("incremental dedup == full LSH pairs restricted to delta x corpus") {
+    import spark.implicits._
+    val docs = (0L until 120L).map { i =>
+      val base = s"tok${i % 8} alpha beta gamma delta epsilon zeta"
+      (i, if (i % 3 == 0) base else s"$base extra${i}")
+    }.toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en"))
+    val delta = docs.where(col("doc_id") % 10 === 7)
+    val corpus = docs.where(col("doc_id") % 10 =!= 7)
+    val inc = TextOps.jaccardPairsIncremental(corpus, delta, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = TextOps.jaccardPairsLsh(docs, 0.2).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+                        (r.getLong(1), r.getLong(0))))
+      .filter { case (n, o) => n % 10 == 7 && o % 10 != 7 }.toSet
+    assert(inc == full, s"inc=${inc.size} full=${full.size}")
+    assert(inc.nonEmpty)
+  }
+
   test("epochShuffle: dense per-shard positions, epoch redraw, stability") {
     import spark.implicits._
     val many = (0L until 1000L).map(i => (i, s"doc $i"))
