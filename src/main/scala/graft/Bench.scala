@@ -178,7 +178,7 @@ object Bench {
       "q_doc_sample", "q_pack_sequences", "q_decontaminate",
       "q_epoch_shuffle", "q_phash_clusters", "q_augment",
       "q_pack_shards", "q_curate", "q_augment_crop",
-      "q_validate", "q_dedup_incremental", "q_caption_dedup")
+      "q_validate", "q_dedup_incremental", "q_caption_dedup", "q_patchify")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

@@ -861,6 +861,26 @@ object SparkEntry {
         .orderBy("image_id", "op")
     }),
 
+    // ViT-style PATCHIFY: the 16×16 non-overlapping patch grid per
+    // image (ragged edges clipped), one row per patch with a
+    // patch-local position-weighted checksum — the image analog of
+    // sequence packing (what a ViT embedding layer consumes)
+    "q_patchify" -> ((s, dir) => {
+      val pat = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.Codec
+        val p = Codec.decode(bytes, w, h,
+          Codec.bandsStored(fmt, Synth.NumBands), fmt)(0)
+        graft.ops.Augment.patchify(p, w, h, 16)
+      })
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("t", explode(pat(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt"))))
+        .select(col("image_id"),
+          col("t._1").cast("long").as("px"), col("t._2").cast("long").as("py"),
+          col("t._3").as("n_valid"), col("t._4").as("checksum"))
+        .orderBy("image_id", "py", "px")
+    }),
+
     // CAPTION analytics — the text-pipeline stack applied to the image
     // table's caption column (the cross-modal face of the input_hint
     // schema): exact caption dedup groups over ALL images (metadata
@@ -2785,6 +2805,18 @@ object SparkEntry {
          |  SELECT e.v, r.l FROM reach r JOIN e ON e.u = r.v)
          |SELECT v AS image_id, MIN(l) AS cluster_id
          |FROM reach GROUP BY v ORDER BY image_id""".stripMargin,
+
+    // patch coords = (x//16, y//16); local weight = (y%16)·16 + x%16
+    "q_patchify" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte
+         |SELECT s.image_id,
+         |  CAST(px.x // 16 AS BIGINT) AS px,
+         |  CAST(px.y // 16 AS BIGINT) AS py,
+         |  CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |  CAST(SUM(CAST(px.v AS BIGINT) * 1000000 *
+         |      ((px.y % 16) * 16 + (px.x % 16))) AS BIGINT) AS checksum
+         |FROM px JOIN simg s ON s.k = px.k WHERE px.b = 0
+         |GROUP BY 1, 2, 3 ORDER BY image_id, py, px""".stripMargin,
 
     "q_caption_dedup" ->
       s"""WITH $I

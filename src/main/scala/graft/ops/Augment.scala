@@ -60,6 +60,46 @@ object Augment {
     out
   }
 
+  /** ViT-style PATCHIFY: cut the plane into the non-overlapping P×P
+    * grid (ragged edge patches clipped to the image) and emit one
+    * (px, py, n_valid, posChecksum) tuple per patch — the image
+    * analog of sequence packing: the patch grid is what a vision
+    * transformer's embedding layer consumes. Checksums weight by the
+    * patch-LOCAL index so the oracle verifies each pixel's position
+    * inside its patch. */
+  def patchify(p: Array[Double], w: Int, h: Int,
+               ps: Int): Seq[(Int, Int, Long, Long)] = {
+    require(p.length == w * h, s"plane ${p.length} != ${w}x$h")
+    val npx = (w + ps - 1) / ps
+    val npy = (h + ps - 1) / ps
+    for {
+      py <- 0 until npy
+      px <- 0 until npx
+    } yield {
+      val x0 = px * ps; val y0 = py * ps
+      val cw = math.min(ps, w - x0); val ch = math.min(ps, h - y0)
+      val (n, s) = posChecksumW(crop(p, w, h, x0, y0, cw, ch), cw, ps)
+      (px, py, n, s)
+    }
+  }
+
+  /** posChecksum with an explicit row stride for the weight (so a
+    * clipped edge patch of width cw still weights positions on the
+    * FULL ps-wide patch grid — local idx = y·ps + x). */
+  private def posChecksumW(p: Array[Double], cw: Int, ps: Int)
+      : (Long, Long) = {
+    var n = 0L; var s = 0L; var i = 0
+    while (i < p.length) {
+      val v = p(i)
+      if (!v.isNaN) {
+        n += 1
+        s += math.floor(v * 1e6).toLong * ((i / cw) * ps + i % cw)
+      }
+      i += 1
+    }
+    (n, s)
+  }
+
   /** Position-weighted checksum: (n_valid, Σ floor(v·10⁶) · idx) over
     * the plane's linear index (= y·outW + x of the OUTPUT grid),
     * skipping NaN. The positional weight makes the checksum sensitive

@@ -299,6 +299,25 @@ class CodecPixelsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { crop(p, w, h, -1, 0, 3, 2) }
   }
 
+  test("patchify: full cover, ragged edges clipped, local weights") {
+    import graft.ops.Augment._
+    val w = 20; val h = 9 // 2x1 grid of 16-patches with ragged edges
+    val p = Array.tabulate(w * h)(i => (i % 11).toDouble)
+    val pat = patchify(p, w, h, 16)
+    assert(pat.map(t => (t._1, t._2)).toSet ==
+      Set((0, 0), (1, 0)), "grid is ceil(20/16) x ceil(9/16)")
+    // every valid pixel counted exactly once across patches
+    assert(pat.map(_._3).sum == w * h)
+    // patch (0,0) checksum equals a direct crop+stride computation
+    val direct = {
+      var s = 0L
+      for (y <- 0 until 9; x <- 0 until 16)
+        s += math.floor(p(y * w + x) * 1e6).toLong * (y * 16 + x)
+      s
+    }
+    assert(pat.find(t => t._1 == 0 && t._2 == 0).get._4 == direct)
+  }
+
   test("addBand/renameBand enforce the reference's uniqueness rules") {
     intercept[IllegalArgumentException] {
       graft.ops.Bands.renameBand(null, "nir", "RED") // case-insensitive dup
