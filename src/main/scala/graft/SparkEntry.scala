@@ -1284,6 +1284,13 @@ object SparkEntry {
     "q_ngrams" -> ((s, dir) =>
       graft.text.TextOps.ngramCounts(docs(s, dir), 2, 50)),
 
+    // dictionary encoding (tokenizer apply): top-40 vocab ids, OOV→0,
+    // per-doc position-weighted id checksum — the id sequence checked
+    // without materializing it; vocab broadcast to the encode join
+    "q_encode_ids" -> ((s, dir) =>
+      graft.text.TextOps.encodeIds(docs(s, dir), 40)
+        .orderBy("doc_id")),
+
     // deterministic 10% val split: content-independent md5 bucket —
     // stable under reshuffles, exactly reproducible in SQL
     // keyword extraction: per-doc top-3 terms (tf desc, df asc, term
@@ -3164,6 +3171,29 @@ object SparkEntry {
          |      ELSE CAST([] AS VARCHAR[]) END) AS gram FROM tok)
          |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
          |FROM g GROUP BY gram ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+
+    // vocab rank replay + positional unnest + left join, OOV id 0
+    "q_encode_ids" ->
+      s"""WITH $TokCte,
+         |tv AS (SELECT unnest(ts) AS term, doc_id FROM tok),
+         |voc AS (SELECT term,
+         |    ROW_NUMBER() OVER (ORDER BY cf DESC, term) AS id
+         |  FROM (SELECT term, COUNT(DISTINCT doc_id) AS df,
+         |          COUNT(*) AS cf
+         |        FROM tv GROUP BY 1 ORDER BY cf DESC, term LIMIT 40)),
+         |tp AS (SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, CAST(len(ts) AS INT)),
+         |      i -> struct_pack(pos := i, t := ts[i]))) AS u
+         |  FROM tok),
+         |tp2 AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+         |         u.t AS term FROM tp)
+         |SELECT tp2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(SUM(COALESCE(v.id, 0) * tp2.pos) AS BIGINT)
+         |    AS ids_checksum
+         |FROM tp2 LEFT JOIN voc v ON v.term = tp2.term
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_doc_split" ->
       """WITH b AS (SELECT doc_id,

@@ -292,6 +292,34 @@ object TextOps {
         col("term"), col("tf"), col("df"))
   }
 
+  /** Dictionary ENCODING (tokenizer apply): map every token to its id
+    * in the induced top-`topN` [[vocab]] (rank by cf desc, term asc,
+    * 1-based; out-of-vocabulary → 0) and emit per doc the token
+    * count, OOV count and the position-weighted id checksum
+    * Σ id(pos)·pos — the id sequence itself verified without
+    * materializing it. The vocab is a bounded aggregate (top-N rows)
+    * broadcast to the encode join: at any corpus scale the encode
+    * pass is one explode + one broadcast hash probe + one
+    * map-side-combined aggregate; the only full shuffle is the
+    * vocab induction itself. */
+  def encodeIds(docs: DataFrame, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // row_number over the already-bounded topN rows (single
+    // partition by construction — constant-sized, not a data window)
+    val voc = vocab(docs, topN)
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("cf").desc, col("term"))))
+      .select("term", "id")
+    docs.select(col("doc_id"), posexplode(toks).as(Seq("pos0", "term")))
+      .withColumn("pos", (col("pos0") + 1).cast("long"))
+      .join(broadcast(voc), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("id").cast("long"), lit(0L)) * col("pos"))
+          .as("ids_checksum"))
+  }
+
   /** n-gram (token) counts — language-model count tables; same plan
     * shape as [[vocab]] over the n-gram explode. */
   def ngramCounts(docs: DataFrame, n: Int, topN: Int): DataFrame = {
