@@ -47,6 +47,13 @@ object SparkEntry {
            col("cix") * CellGrid.IxMul + col("ciy")).as("cell_id"))
         .orderBy("image_id", "cell_id")),
 
+    // hierarchical cell-density rollup: one image scan builds the
+    // res-10 summary; res-7 derives from it by parent-shift arithmetic
+    // alone (shuffle over ≤ #cells rows, corpus-size independent)
+    "q_cell_rollup" -> ((s, dir) =>
+      SpatialJoin.cellPyramid(imgs(s, dir), 10, JoinRes)
+        .orderBy("cell_id")),
+
     "q_spatial_join" -> ((s, dir) =>
       SpatialJoin.joinRects(imgs(s, dir), polys(s, dir), JoinRes)
         .select(col("image_id"), col("fid"), overlapArea.as("overlap_area"))
@@ -1849,6 +1856,29 @@ object SparkEntry {
          |CROSS JOIN LATERAL (SELECT unnest(generate_series(ix0, ix1)) AS cix) a
          |CROSS JOIN LATERAL (SELECT unnest(generate_series(iy0, iy1)) AS ciy) b
          |ORDER BY image_id, cell_id""".stripMargin,
+
+    // res-10 cover (cell edge 512 mdeg) → res-7 parent via //8: the
+    // nonneg-shifted grid makes >> and // agree
+    "q_cell_rollup" ->
+      s"""WITH $I,
+         |c AS (SELECT image_id, (x1m-x0m)*(y1m-y0m) AS area,
+         |  (x0m+180000)//512 AS ix0, (x1m-1+180000)//512 AS ix1,
+         |  (y0m+90000)//512 AS iy0, (y1m-1+90000)//512 AS iy1 FROM img2),
+         |f AS (SELECT cix, ciy, CAST(COUNT(*) AS BIGINT) AS n_images,
+         |    CAST(SUM(area) AS BIGINT) AS area_sum
+         |  FROM c
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(ix0, ix1))
+         |    AS cix) a
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(iy0, iy1))
+         |    AS ciy) b
+         |  GROUP BY 1, 2)
+         |SELECT 7*1125899906842624 + (cix//8)*33554432 + (ciy//8)
+         |    AS cell_id,
+         |  cix//8 AS cix, ciy//8 AS ciy,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(SUM(n_images) AS BIGINT) AS n_images,
+         |  CAST(SUM(area_sum) AS BIGINT) AS area_sum
+         |FROM f GROUP BY 1, 2, 3 ORDER BY cell_id""".stripMargin,
 
     "q_spatial_join" ->
       s"""WITH $I, $P, $joinCte

@@ -38,6 +38,41 @@ object SpatialJoin {
       .withColumn("ciy",
         explode(sequence(cellIy(col(y0), res), cellIy(col(y1) - 1, res))))
 
+  /** Hierarchical cell-density pyramid — the H3/S2-style drill-down
+    * rollup over the engine's grid (CellGrid's parent = child >> 1
+    * prefix property). Images are covered ONCE at `fineRes` and
+    * aggregated per fine cell (cell-weighted image count + footprint
+    * area sum); the `coarseRes` level is then derived from that fine
+    * SUMMARY alone via O(1) parent arithmetic (ix >> Δ, iy >> Δ) —
+    * a re-aggregation of a bounded per-cell table, never a second
+    * scan of the images. At 10¹² images the fine summary has at most
+    * min(N, 4^fineRes) rows, so every coarser level's shuffle is
+    * independent of corpus size — build the whole pyramid for the
+    * price of one image scan.
+    *
+    * Returns the coarse level: (cell_id, cix, ciy, n_cells — child
+    * cells present, n_images — cell-weighted, area_sum — mdeg²). */
+  def cellPyramid(images: DataFrame, fineRes: Int, coarseRes: Int): DataFrame = {
+    require(coarseRes < fineRes && coarseRes >= 0,
+      s"need 0 <= coarseRes < fineRes, got $coarseRes/$fineRes")
+    val d = fineRes - coarseRes
+    val fine = withCoverCells(images, fineRes, "x0m", "y0m", "x1m", "y1m")
+      .groupBy("cix", "ciy")
+      .agg(count(lit(1)).as("n_images"),
+        sum((col("x1m") - col("x0m")) * (col("y1m") - col("y0m")))
+          .as("area_sum"))
+    fine
+      .groupBy(shiftright(col("cix"), d).as("cix"),
+        shiftright(col("ciy"), d).as("ciy"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum("n_images").as("n_images"), sum("area_sum").as("area_sum"))
+      .select(
+        (lit(coarseRes.toLong * CellGrid.ResMul) +
+          col("cix") * CellGrid.IxMul + col("ciy")).as("cell_id"),
+        col("cix"), col("ciy"), col("n_cells"), col("n_images"),
+        col("area_sum"))
+  }
+
   /** Rect-layer spatial join. `images` needs (x0m,y0m,x1m,y1m), `polys`
     * needs (px0m,py0m,px1m,py1m). Returns all pairs with OPEN-interval
     * rectangle overlap, deduped, with all input columns.

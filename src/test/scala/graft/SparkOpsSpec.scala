@@ -521,4 +521,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lineage.read(spark, root).count() == 200)
   }
 
+  test("cellPyramid: rollup conserves fine-level totals and parent arithmetic") {
+    val im = images(2000).cache()
+    val fine = SpatialJoin
+      .withCoverCells(im, 10, "x0m", "y0m", "x1m", "y1m")
+      .groupBy("cix", "ciy").count()
+    val coarse = SpatialJoin.cellPyramid(im, 10, 7).cache()
+    // conservation: cell-weighted image count and child-cell count at
+    // res 7 must equal the res-10 summary's totals
+    val Array(nCells, nImages) = coarse
+      .agg(sum("n_cells"), sum("n_images")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(nCells == fine.count())
+    assert(nImages == fine.agg(sum("count")).collect()(0).getLong(0))
+    // parent arithmetic: every coarse cell is a res-7 pack of its ix/iy
+    val bad = coarse.filter(
+      col("cell_id") =!= lit(7L * graft.index.CellGrid.ResMul) +
+        col("cix") * graft.index.CellGrid.IxMul + col("ciy")).count()
+    assert(bad == 0)
+    // a coarse cell can hold at most 8×8 children
+    assert(coarse.agg(max("n_cells")).collect()(0).getLong(0) <= 64)
+  }
+
 }
