@@ -1287,6 +1287,18 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       graft.text.TextOps.vocab(docs(s, dir), 50)),
 
+    // HLL distinct-count sketch over the token stream: the register
+    // table is engine-portable (md5 bucket + leading-zero rho), pinned
+    // by three exact-integer aggregates next to the true distinct
+    "q_hll_distinct" -> ((s, dir) => {
+      import graft.sketch.Hll
+      val terms = docs(s, dir)
+        .select(explode(graft.text.TextOps.toks).as("term"))
+      Hll.summary(Hll.sketch(terms, col("term")))
+        .crossJoin(terms.agg(
+          countDistinct(col("term")).cast("long").as("exact_distinct")))
+    }),
+
     // bigram count table (language-model counts), top-50
     "q_ngrams" -> ((s, dir) =>
       graft.text.TextOps.ngramCounts(docs(s, dir), 2, 50)),
@@ -3002,6 +3014,37 @@ object SparkEntry {
          |  COALESCE(CAST(SUM(base + ax*x + ay*y) FILTER (WHERE x >= nw)
          |    AS BIGINT), 0) AS vsum
          |FROM vals GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full HLL register pipeline replayed: md5 bucket (first 2 hex
+    // chars), rho = 1 + leading-zero bits of the next 48, per-register
+    // MAX, then the three exact-integer invariants + true distinct
+    "q_hll_distinct" ->
+      s"""WITH $TokCte,
+         |tv AS (SELECT unnest(ts) AS term FROM tok),
+         |hh AS (SELECT md5(term) AS hx FROM tv),
+         |r0 AS (SELECT
+         |    (instr('0123456789abcdef', substring(hx, 1, 1))-1)*16 +
+         |    (instr('0123456789abcdef', substring(hx, 2, 1))-1)
+         |      AS register,
+         |    substring(hx, 3, 12) AS tail FROM hh),
+         |r1 AS (SELECT register,
+         |    length(regexp_extract(tail, '^0*')) AS z, tail FROM r0),
+         |r2 AS (SELECT register, z,
+         |    instr('0123456789abcdef', substring(tail, z + 1, 1)) - 1
+         |      AS v FROM r1),
+         |r3 AS (SELECT register, CASE WHEN z = 12 THEN 49
+         |    ELSE z*4 + (CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+         |                     WHEN v >= 2 THEN 2 ELSE 3 END) + 1 END
+         |      AS rho FROM r2),
+         |sk AS (SELECT register, MAX(rho) AS rho FROM r3 GROUP BY 1)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_nonempty,
+         |  CAST(SUM(CAST(1 AS BIGINT) << CAST(50 - rho AS INT)) +
+         |    (256 - COUNT(*)) * (CAST(1 AS BIGINT) << 50) AS BIGINT)
+         |    AS harmonic_num,
+         |  CAST(SUM((register + 1) * rho) AS BIGINT) AS reg_checksum,
+         |  (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) FROM tv)
+         |    AS exact_distinct
+         |FROM sk""".stripMargin,
 
     "q_doc_tokens" ->
       s"""WITH $TokCte
