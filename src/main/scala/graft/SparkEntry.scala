@@ -1287,6 +1287,12 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       graft.text.TextOps.vocab(docs(s, dir), 50)),
 
+    // BM25 top-10 retrieval for the 3 highest-df query terms —
+    // exact-rational scores (no float in the ranking key derivation)
+    "q_bm25" -> ((s, dir) =>
+      graft.text.TextOps.bm25(docs(s, dir), 3, 10)
+        .orderBy("term", "rank")),
+
     // HLL distinct-count sketch over the token stream: the register
     // table is engine-portable (md5 bucket + leading-zero rho), pinned
     // by three exact-integer aggregates next to the true distinct
@@ -3014,6 +3020,34 @@ object SparkEntry {
          |  COALESCE(CAST(SUM(base + ax*x + ay*y) FILTER (WHERE x >= nw)
          |    AS BIGINT), 0) AS vsum
          |FROM vals GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same cleared-denominator rationals; ranking divides the two
+    // exact BIGINTs once (IEEE-identical across engines)
+    "q_bm25" ->
+      s"""WITH $TokCte,
+         |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM tok),
+         |tv AS (SELECT doc_id, unnest(ts) AS term FROM tok),
+         |st AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM tv GROUP BY 1, 2),
+         |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+         |        FROM st GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         |q AS (SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT 3),
+         |sc AS (SELECT q.term, st.doc_id, st.tf, q.df, dl.dl,
+         |    (2*t.n_docs - 2*q.df + 1) * 22 * st.tf * t.total_len
+         |      AS score_num,
+         |    (2*q.df + 1) * (10*t.total_len*st.tf + 3*t.total_len +
+         |      9*dl.dl*t.n_docs) AS score_den
+         |  FROM st JOIN q USING (term) JOIN dl USING (doc_id)
+         |  CROSS JOIN tot t),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+         |    ORDER BY CAST(score_num AS DOUBLE)/CAST(score_den AS DOUBLE)
+         |      DESC, doc_id) AS rank FROM sc)
+         |SELECT term, CAST(rank AS BIGINT) AS rank, doc_id, tf, df, dl,
+         |  CAST(score_num AS BIGINT) AS score_num,
+         |  CAST(score_den AS BIGINT) AS score_den
+         |FROM rk WHERE rank <= 10 ORDER BY term, rank""".stripMargin,
 
     // full HLL register pipeline replayed: md5 bucket (first 2 hex
     // chars), rho = 1 + leading-zero bits of the next 48, per-register

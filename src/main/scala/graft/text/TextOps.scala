@@ -320,6 +320,53 @@ object TextOps {
           .as("ids_checksum"))
   }
 
+  /** BM25 retrieval scoring (Robertson–Spärck Jones probabilistic
+    * ranking, k1 = 1.2, b = 0.75) kept EXACT-RATIONAL so the ranking
+    * is oracle-checkable: with N docs, L total tokens, the term score
+    *   idf · tf·(k1+1) / (tf + k1·(1−b+b·dl·N/L)),
+    *   idf = (N−df+0.5)/(df+0.5)
+    * clears all denominators into two BIGINTs
+    *   score_num = (2N−2df+1)·22·tf·L
+    *   score_den = (2df+1)·(10·L·tf + 3·L + 9·dl·N)
+    * — no log/float in the score itself; ranking divides the two
+    * exact integers once (correctly-rounded IEEE division, identical
+    * across engines), ties broken by doc_id.
+    *
+    * Query terms = the `nQueryTerms` highest-df terms (deterministic).
+    * Plan shape at scale: one postings shuffle builds (term, doc, tf);
+    * the query-term set and the 1-row corpus totals broadcast to the
+    * probe, so scoring touches only the query terms' postings; the
+    * per-term top-`topK` window runs over that bounded candidate set. */
+  def bm25(docs: DataFrame, nQueryTerms: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("total_len"))
+    val postings = docs
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = dfs.orderBy(col("df").desc, col("term"))
+      .limit(nQueryTerms)
+    val num = (lit(2) * col("n_docs") - lit(2) * col("df") + 1) *
+      lit(22) * col("tf") * col("total_len")
+    val den = (lit(2) * col("df") + 1) *
+      (lit(10) * col("total_len") * col("tf") + lit(3) * col("total_len") +
+        lit(9) * col("dl") * col("n_docs"))
+    val rank = row_number().over(Window.partitionBy("term")
+      .orderBy((col("score_num").cast("double") /
+        col("score_den").cast("double")).desc, col("doc_id")))
+    postings
+      .join(broadcast(qterms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("score_num", num).withColumn("score_den", den)
+      .withColumn("rank", rank.cast("long"))
+      .filter(col("rank") <= topK)
+      .select("term", "rank", "doc_id", "tf", "df", "dl",
+        "score_num", "score_den")
+  }
+
   /** n-gram (token) counts — language-model count tables; same plan
     * shape as [[vocab]] over the n-gram explode. */
   def ngramCounts(docs: DataFrame, n: Int, topN: Int): DataFrame = {
