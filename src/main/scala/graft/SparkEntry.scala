@@ -156,6 +156,21 @@ object SparkEntry {
           col("rz._2").as("vsum"))
         .orderBy("image_id")),
 
+    // aspect-preserving letterbox to 16×16 (centre pad): per-image
+    // content window + exact content aggregates
+    "q_letterbox" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("lb", Bands.letterboxAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands), lit(16)))
+        .select(col("image_id"),
+          col("lb._1").cast("long").as("cw"),
+          col("lb._2").cast("long").as("ch"),
+          col("lb._3").cast("long").as("pad_top"),
+          col("lb._4").cast("long").as("pad_left"),
+          col("lb._5").as("n_valid"), col("lb._6").as("vsum"))
+        .orderBy("image_id")),
+
     "q_warp_grid" -> ((s, dir) => {
       val g = udf((x0: Long, y0: Long, x1: Long, y1: Long) => {
         val gr = Warp.outputGrid(
@@ -2375,6 +2390,34 @@ object SparkEntry {
          |  CAST(COALESCE(SUM(CASE WHEN xi >= nw
          |    THEN base + ax*xi + ay*yi END), 0) AS BIGINT) AS vsum
          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // aspect-preserving content dims (long axis → 16, floor scale,
+    // min 1) + the same pixel-center nearest index replay as q_resize
+    "q_letterbox" ->
+      s"""WITH $I, $B, $SimgCte,
+         |d AS (SELECT s.k, s.image_id, s.w, s.h, s.nw,
+         |        p.base, p.ax, p.ay,
+         |        CASE WHEN s.w >= s.h THEN 16
+         |             ELSE GREATEST(1, (s.w*16)//s.h) END AS cw,
+         |        CASE WHEN s.w >= s.h THEN GREATEST(1, (s.h*16)//s.w)
+         |             ELSE 16 END AS ch
+         |      FROM simg s JOIN bandp p ON p.k = s.k AND p.b = 0),
+         |t AS (SELECT d.*, ((2*xs.x+1)*w)//(2*cw) AS xi,
+         |        ((2*ys.y+1)*h)//(2*ch) AS yi
+         |      FROM d
+         |      CROSS JOIN LATERAL
+         |        (SELECT unnest(generate_series(0, cw-1)) AS x) xs
+         |      CROSS JOIN LATERAL
+         |        (SELECT unnest(generate_series(0, ch-1)) AS y) ys)
+         |SELECT image_id, CAST(cw AS BIGINT) AS cw,
+         |  CAST(ch AS BIGINT) AS ch,
+         |  CAST((16-ch)//2 AS BIGINT) AS pad_top,
+         |  CAST((16-cw)//2 AS BIGINT) AS pad_left,
+         |  CAST(COUNT(CASE WHEN xi >= nw THEN 1 END) AS BIGINT)
+         |    AS n_valid,
+         |  CAST(COALESCE(SUM(CASE WHEN xi >= nw
+         |    THEN base + ax*xi + ay*yi END), 0) AS BIGINT) AS vsum
+         |FROM t GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""".stripMargin,
 
     "q_warp_grid" ->
       s"""WITH $I

@@ -359,6 +359,39 @@ object Bands {
     (n, s)
   })
 
+  /** Letterbox content dims: aspect-preserving fit of w×h into s×s
+    * (integer floor scale, min content dim 1) — the long axis fills
+    * s, the short axis scales by the same ratio and is centre-padded. */
+  def letterboxDims(w: Int, h: Int, s: Int): (Int, Int) =
+    if (w >= h) (s, math.max(1, h * s / w))
+    else (math.max(1, w * s / h), s)
+
+  /** Letterbox to s×s: NEAREST resample of band 0 into the
+    * aspect-preserving content window, centre pad elsewhere (pad
+    * contributes nothing to the aggregates). Returns
+    * (cw, ch, pad_top, pad_left, n_valid, vsum) — the standard
+    * vision-training square-input prep, aggregate-pinned like
+    * [[resizeAgg]]. */
+  val letterboxAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
+                          nb: Int, s: Int) => {
+    val p = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)(0)
+    val (cw, ch) = letterboxDims(w, h, s)
+    var n = 0L; var vs = 0L
+    var y = 0
+    while (y < ch) {
+      val yi = ((2 * y + 1).toLong * h / (2 * ch)).toInt
+      var x = 0
+      while (x < cw) {
+        val xi = ((2 * x + 1).toLong * w / (2 * cw)).toInt
+        val v = p(yi * w + xi)
+        if (!v.isNaN) { n += 1; vs += v.toLong }
+        x += 1
+      }
+      y += 1
+    }
+    (cw, ch, (s - ch) / 2, (s - cw) / 2, n, vs)
+  })
+
   /** NEAREST 2:1 downsample of band 0 (overview level 2): out(x,y) =
     * src(2x,2y), out dims ceil(w/2)×ceil(h/2). Returns exact aggregate
     * (n_valid, vsum) of the overview plane. */
