@@ -430,6 +430,13 @@ object SparkEntry {
     }),
 
     // ---- vector-layer attribute ops (GeoVector.where analogs) ----
+    // exact shoelace measures of the concave L-ring layer (signed
+    // area2 + centroid numerators, integer mdeg)
+    "q_geom_measures" -> ((s, dir) =>
+      new graft.api.GippySpark(s)
+        .measures(Synth.polygonsL(s, dir))
+        .orderBy("fid")),
+
     "q_vector_where" -> ((s, dir) => {
       val g = new graft.api.GippySpark(s)
       g.where(g.openPolygons(dir), "pwm > 20000 AND fid % 2 = 0")
@@ -2626,6 +2633,30 @@ object SparkEntry {
          |  CAST(MIN(v) AS BIGINT) AS vmin,
          |  CAST(MAX(v) AS BIGINT) AS vmax
          |FROM zp GROUP BY fid ORDER BY fid""".stripMargin,
+
+    // the 6-vertex L-ring rebuilt from the layer params; shoelace +
+    // centroid numerators over the wrapped edge list
+    "q_geom_measures" ->
+      s"""WITH $P,
+         |lc AS (SELECT *, px0m + pwm//2 AS cutx, py0m + phm//2 AS cuty
+         |       FROM poly2),
+         |v AS (
+         |  SELECT fid, 0 AS i, px0m AS x, py0m AS y FROM lc
+         |  UNION ALL SELECT fid, 1, px1m, py0m FROM lc
+         |  UNION ALL SELECT fid, 2, px1m, cuty FROM lc
+         |  UNION ALL SELECT fid, 3, cutx, cuty FROM lc
+         |  UNION ALL SELECT fid, 4, cutx, py1m FROM lc
+         |  UNION ALL SELECT fid, 5, px0m, py1m FROM lc),
+         |e AS (SELECT a.fid,
+         |        CAST(a.x AS BIGINT) AS ax, CAST(a.y AS BIGINT) AS ay,
+         |        CAST(b.x AS BIGINT) AS bx, CAST(b.y AS BIGINT) AS by
+         |      FROM v a JOIN v b ON b.fid = a.fid
+         |        AND b.i = (a.i + 1) % 6)
+         |SELECT fid, CAST(6 AS BIGINT) AS nvert,
+         |  CAST(SUM(ax*by - bx*ay) AS BIGINT) AS area2_mdeg,
+         |  CAST(SUM((ax + bx) * (ax*by - bx*ay)) AS BIGINT) AS cx_num,
+         |  CAST(SUM((ay + by) * (ax*by - bx*ay)) AS BIGINT) AS cy_num
+         |FROM e GROUP BY fid ORDER BY fid""".stripMargin,
 
     "q_vector_where" ->
       s"""WITH $P

@@ -66,6 +66,19 @@ final class GippySpark(val spark: SparkSession) {
                              res: Int = 7): DataFrame =
     SpatialJoin.intersectionGeom(intersections(images, features, res))
 
+  /** Per-feature geometry measures — GeoFeature area/centroid parity
+    * (the reference exposes feature geometry via OGR on GeoVector
+    * features, /root/reference/GIP/gip/GeoVector.h:63-114): exact
+    * shoelace double-area and centroid numerators in integer mdeg,
+    * computed per row with no shuffle. */
+  def measures(features: DataFrame): DataFrame = {
+    val m = udf((w: String) => graft.core.Geom.ringMeasuresMdeg(w))
+    features.withColumn("m", m(col("geom_wkt")))
+      .select(col("fid"), col("m._1").as("nvert"),
+        col("m._2").as("area2_mdeg"),
+        col("m._3").as("cx_num"), col("m._4").as("cy_num"))
+  }
+
   /** Tile map (chunks() parity). */
   def tiles(images: Dataset[ImageMeta], chunkBytes: Long): Dataset[TileRef] =
     Tiling.tiles(images.toDF(), chunkBytes)

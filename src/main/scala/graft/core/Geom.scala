@@ -320,4 +320,29 @@ object Geom {
 
   def rectWkt(x0: Double, y0: Double, x1: Double, y1: Double): String =
     s"POLYGON (($x0 $y0, $x1 $y0, $x1 $y1, $x0 $y1, $x0 $y0))"
+
+  /** Exact-integer ring measures in milli-degrees: vertex count,
+    * signed shoelace double-area Σ(x_i·y_{i+1} − x_{i+1}·y_i), and the
+    * centroid NUMERATORS Σ(x_i+x_{i+1})·cross / Σ(y_i+y_{i+1})·cross
+    * (centroid = num / (3·area2)) — layer coordinates are degrees with
+    * ≤3 decimals, so ×1000 round-trips to exact longs and every
+    * cross-product term stays in BIGINT (≤ ~4·10¹⁶ for the mdeg
+    * domain). Ring orientation is preserved (signed results). */
+  def ringMeasuresMdeg(wkt: String): (Long, Long, Long, Long) = {
+    val (xs, ys) = parsePolygonWkt(wkt)
+    val n = xs.length
+    val xi = xs.map(v => math.round(v * 1000))
+    val yi = ys.map(v => math.round(v * 1000))
+    var a2 = 0L; var cx = 0L; var cy = 0L
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val cr = xi(i) * yi(j) - xi(j) * yi(i)
+      a2 += cr
+      cx += (xi(i) + xi(j)) * cr
+      cy += (yi(i) + yi(j)) * cr
+      i += 1
+    }
+    (n.toLong, a2, cx, cy)
+  }
 }

@@ -159,6 +159,32 @@ class GeomCellSpec extends AnyFunSuite {
     poly.contains(gf.createPoint(new Coordinate(px, py)))
   }
 
+  test("ringMeasuresMdeg matches JTS area and centroid") {
+    import org.locationtech.jts.geom._
+    val gf = new GeometryFactory()
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 50) {
+      // random concave "staircase" ring with exact 3-decimal coords
+      val cx = rnd.nextInt(200000) - 100000
+      val cy = rnd.nextInt(160000) - 80000
+      val w = 2000 + rnd.nextInt(30000); val h = 1500 + rnd.nextInt(20000)
+      val nx = cx + w / 3; val ny = cy + h / 3
+      val xs = Array(cx, cx + w, cx + w, nx, nx, cx).map(_ / 1000.0)
+      val ys = Array(cy, cy, ny, ny, cy + h, cy + h).map(_ / 1000.0)
+      val (nv, a2, cxn, cyn) =
+        graft.core.Geom.ringMeasuresMdeg(graft.core.Geom.ringWkt(xs, ys))
+      assert(nv == 6)
+      val ring = (xs.indices :+ 0)
+        .map(i => new Coordinate(xs(i), ys(i))).toArray
+      val poly = gf.createPolygon(ring)
+      // JTS area is unsigned degrees²; ours is signed mdeg² (×10⁶)
+      assert(math.abs(math.abs(a2 / 2.0 / 1e6) - poly.getArea) < 1e-9)
+      val c = poly.getCentroid
+      assert(math.abs(cxn.toDouble / (3.0 * a2) / 1000.0 - c.getX) < 1e-9)
+      assert(math.abs(cyn.toDouble / (3.0 * a2) / 1000.0 - c.getY) < 1e-9)
+    }
+  }
+
   test("ray-casting PIP matches JTS on random convex polygons") {
     val r = new scala.util.Random(42)
     for (_ <- 1 to 200) {
