@@ -117,6 +117,15 @@ object SparkEntry {
           Synth.NumBands)
         .orderBy("image_id", "band")),
 
+    // corpus per-channel normalization constants (dataset mean/std
+    // inputs): exact integer partials, nb-key map-side-combined reduce
+    "q_channel_norm" -> ((s, dir) =>
+      Stats.channelNorm(
+          Synth.imagesWithBytes(s, dir,
+            _.where(col("k") % 6 === 1 || col("k") % 6 === 2)),
+          Synth.NumBands)
+        .orderBy("band")),
+
     // ---- warp / mosaic grid math ----
     // FULL DTYPE LATTICE: transcode each small exact-codec payload into
     // the four new raw dtypes (u16/u32/i32/f64 — completing the
@@ -2016,6 +2025,34 @@ object SparkEntry {
          |  base*base*(w-nw)*h + ax*ax*sx2*h + ay*ay*sy2*(w-nw)
          |    + 2*base*ax*sx*h + 2*base*ay*sy*(w-nw) + 2*ax*ay*sx*sy AS vsumsq
          |FROM stat ORDER BY image_id, band""".stripMargin,
+
+    // same closed forms as q_band_stats, rolled up per band
+    "q_channel_norm" ->
+      s"""WITH $I, $B,
+         |stat AS (
+         |  SELECT i.image_id, p.b, i.w, i.h, i.nw, p.base, p.ax, p.ay,
+         |    ((i.w-1)*i.w)//2 - ((i.nw-1)*i.nw)//2 AS sx,
+         |    ((i.w-1)*i.w*(2*i.w-1))//6 - ((i.nw-1)*i.nw*(2*i.nw-1))//6
+         |      AS sx2,
+         |    (i.h*(i.h-1))//2 AS sy,
+         |    ((i.h-1)*i.h*(2*i.h-1))//6 AS sy2
+         |  FROM img2 i JOIN bandp p ON p.k = i.k
+         |  WHERE i.k % 6 IN (1,2)),
+         |pb AS (SELECT b AS band, (w-nw)*h AS cnt,
+         |  base*(w-nw)*h + ax*sx*h + ay*sy*(w-nw) AS vsum,
+         |  base + ax*nw AS vmin,
+         |  base + ax*(w-1) + ay*(h-1) AS vmax,
+         |  base*base*(w-nw)*h + ax*ax*sx2*h + ay*ay*sy2*(w-nw)
+         |    + 2*base*ax*sx*h + 2*base*ay*sy*(w-nw) + 2*ax*ay*sx*sy
+         |    AS vsumsq
+         |  FROM stat)
+         |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(SUM(cnt) AS BIGINT) AS cnt,
+         |  CAST(SUM(vsum) AS BIGINT) AS vsum,
+         |  CAST(SUM(vsumsq) AS BIGINT) AS vsumsq,
+         |  CAST(MIN(vmin) AS BIGINT) AS vmin,
+         |  CAST(MAX(vmax) AS BIGINT) AS vmax
+         |FROM pb GROUP BY band ORDER BY band""".stripMargin,
 
     // dtype-lattice transcode: the ramp values fit every new dtype
     // exactly, so the per-(image, band) closed forms are fmt-invariant

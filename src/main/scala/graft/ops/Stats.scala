@@ -37,6 +37,20 @@ object Stats {
         col("bs._3").as("vsum"), col("bs._4").as("vmin"),
         col("bs._5").as("vmax"), col("bs._6").as("vsumsq"))
 
+  /** Corpus-level per-CHANNEL normalization constants — the dataset
+    * mean/std inputs every vision-training pipeline precomputes. One
+    * decode pass per image emits the exact per-(image, band) partials;
+    * the cross-corpus reduce is a map-side-combined aggregate over a
+    * `nb`-key space, so at 10¹² images the shuffle carries ≤ nb rows
+    * per map partition. mean = vsum/cnt, var = vsumsq/cnt − mean² are
+    * derived from the exact integers by the caller. */
+  def channelNorm(imagesWithBytes: DataFrame, nb: Int): DataFrame =
+    bandStats(imagesWithBytes, nb)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_images"), sum("cnt").as("cnt"),
+        sum("vsum").as("vsum"), sum("vsumsq").as("vsumsq"),
+        min("vmin").as("vmin"), max("vmax").as("vmax"))
+
   /** Histogram kernel: fixed-width bins over the band's own [min,max]
     * (/root/reference/GIP/GeoRaster.cpp:141-176). Emits (bin, cnt)
     * rows; deterministic. */
