@@ -178,7 +178,12 @@ object Bench {
       "q_doc_sample", "q_pack_sequences", "q_decontaminate",
       "q_epoch_shuffle", "q_phash_clusters", "q_augment",
       "q_pack_shards", "q_curate", "q_augment_crop",
-      "q_validate", "q_dedup_incremental", "q_caption_dedup", "q_patchify")
+      "q_validate", "q_dedup_incremental", "q_caption_dedup", "q_patchify",
+      // final round-4 additions: tokenizer apply, spatial drill-down
+      // rollup, HLL sketch, BM25, letterbox, geometry measures,
+      // channel normalization constants
+      "q_encode_ids", "q_cell_rollup", "q_hll_distinct", "q_bm25",
+      "q_letterbox", "q_geom_measures", "q_channel_norm")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

@@ -333,9 +333,11 @@ object TextOps {
     * across engines), ties broken by doc_id.
     *
     * Query terms = the `nQueryTerms` highest-df terms (deterministic).
-    * Plan shape at scale: one postings shuffle builds (term, doc, tf);
-    * the query-term set and the 1-row corpus totals broadcast to the
-    * probe, so scoring touches only the query terms' postings; the
+    * Plan shape at scale: ONE data-sized shuffle builds the postings
+    * (term, doc, tf) — the doc length rides along inside the same
+    * aggregate (max of a per-doc constant), so no second docs-sized
+    * join; the query-term set and the 1-row corpus totals broadcast to
+    * the probe, so scoring touches only the query terms' postings; the
     * per-term top-`topK` window runs over that bounded candidate set. */
   def bm25(docs: DataFrame, nQueryTerms: Int, topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -343,8 +345,10 @@ object TextOps {
     val totals = dl.agg(count(lit(1)).as("n_docs"),
       sum("dl").as("total_len"))
     val postings = docs
-      .select(col("doc_id"), explode(toks).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
     val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val qterms = dfs.orderBy(col("df").desc, col("term"))
       .limit(nQueryTerms)
@@ -358,7 +362,6 @@ object TextOps {
         col("score_den").cast("double")).desc, col("doc_id")))
     postings
       .join(broadcast(qterms), "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(totals))
       .withColumn("score_num", num).withColumn("score_den", den)
       .withColumn("rank", rank.cast("long"))
