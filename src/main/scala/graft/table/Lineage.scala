@@ -621,9 +621,56 @@ object Lineage {
 
   /** Stage-level row/byte observation (`observe`): attach named metrics
     * to a DataFrame; read them from the returned observation after an
-    * action — the per-stage metrics feed for the commit log. */
-  def observed(df: DataFrame, name: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    * action — the per-stage metrics feed for the commit log. Metrics
+    * ride the job's own execution (AccumulatorV2 under the hood), so
+    * counting a stage costs NO extra pass over the data — the
+    * distributed-scale way to answer "how many rows survived each
+    * stage of the 10¹²-row pipeline". `bytesCol` (e.g. the payload
+    * column) adds a byte tally. */
+  def observed(df: DataFrame, name: String,
+               bytesCol: Option[String] = None)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = org.apache.spark.sql.Observation(name)
-    (df.observe(obs, count(lit(1)).as("rows")), obs)
+    val m = count(lit(1)).as("rows") +: bytesCol.toSeq.map(c =>
+      coalesce(sum(length(col(c)).cast("long")), lit(0L)).as("bytes"))
+    (df.observe(obs, m.head, m.tail: _*), obs)
+  }
+
+  def stagesPath(root: String): Path = Paths.get(root, "_stages.jsonl")
+
+  /** Persist observed stage metrics into the table's `_stages.jsonl`
+    * sidecar (append-only history, same torn-line discipline as the
+    * commit log) — the "every stage writes row-count/byte metrics to
+    * the metadata table" half of the resumability contract. Call
+    * AFTER the action that materialized the observed frames. */
+  def recordStages(root: String,
+                   obs: Seq[org.apache.spark.sql.Observation]): Unit = {
+    val ts = System.currentTimeMillis()
+    val lines = obs.map { o =>
+      val m = o.get
+      val bytes = m.getOrElse("bytes", 0L)
+      s"""{"stage":"${o.name}","rows":${m("rows")},"bytes":$bytes,"ts":$ts}"""
+    }
+    Files.write(stagesPath(root),
+      (lines.mkString("\n") + "\n").getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  private val StageRe =
+    """\{"stage":"([^"]*)","rows":(\d+),"bytes":(\d+),"ts":(\d+)\}""".r
+
+  /** Stage-metrics history as a DataFrame (torn lines skipped). */
+  def stageMetrics(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val p = stagesPath(root)
+    val rows =
+      if (!Files.exists(p)) Seq.empty
+      else Files.readAllLines(p).asScala.toSeq.flatMap {
+        _.trim match {
+          case StageRe(s, r, b, t) => Some((s, r.toLong, b.toLong, t.toLong))
+          case _ => None
+        }
+      }
+    rows.toDF("stage", "rows", "bytes", "ts")
   }
 }

@@ -521,6 +521,37 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lineage.read(spark, root).count() == 200)
   }
 
+  test("stage metrics: observed pipeline stages persist exact counts") {
+    val root = Files.createTempDirectory("graft-stages").toString
+    val im = images(2000); val po = polys(30)
+    val (joined, o1) = Lineage.observed(
+      SpatialJoin.joinRects(im, po, 7), "spatial_join")
+    val (cropped, o2) = Lineage.observed(
+      SpatialJoin.cropRects(joined), "crop")
+    val (tiles, o3) = Lineage.observed(
+      Tiling.tiles(cropped
+        .select(col("k"), col("fid"), col("cpx0"), col("cpy0"),
+          (col("cpx1") - col("cpx0")).as("w"),
+          (col("cpy1") - col("cpy0")).as("h"))
+        .withColumn("image_id",
+          concat(col("k").cast("string"), lit(":"), col("fid"))),
+        chunkBytes = 65536), "tiles")
+    // ONE action drives the whole pipeline; metrics ride along free
+    assert(Lineage.writeResumable(spark, tiles
+      .withColumnRenamed("image_id", "key"), root, "key", 4) == 4)
+    Lineage.recordStages(root, Seq(o1, o2, o3))
+    val m = Lineage.stageMetrics(spark, root)
+      .select("stage", "rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact counts vs independent recomputation
+    assert(m("spatial_join") == SpatialJoin.joinRects(im, po, 7).count())
+    assert(m("crop") == m("spatial_join")) // crop is 1:1
+    assert(m("tiles") == Lineage.read(spark, root).count())
+    // append-only history: a second run adds three more lines
+    Lineage.recordStages(root, Seq(o1, o2, o3))
+    assert(Lineage.stageMetrics(spark, root).count() == 6)
+  }
+
   test("cellPyramid: rollup conserves fine-level totals and parent arithmetic") {
     val im = images(2000).cache()
     val fine = SpatialJoin
