@@ -1318,6 +1318,12 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       graft.text.TextOps.vocab(docs(s, dir), 50)),
 
+    // deterministic weighted top-40 sample (A-ES shape, rational
+    // priority h/w — one IEEE division, engine-identical)
+    "q_doc_wsample" -> ((s, dir) =>
+      graft.text.TextOps.sampleWeighted(docs(s, dir),
+        size(graft.text.TextOps.toks), 40)),
+
     // BM25 top-10 retrieval for the 3 highest-df query terms —
     // exact-rational scores (no float in the ranking key derivation)
     "q_bm25" -> ((s, dir) =>
@@ -3131,6 +3137,16 @@ object SparkEntry {
          |  COALESCE(CAST(SUM(base + ax*x + ay*y) FILTER (WHERE x >= nw)
          |    AS BIGINT), 0) AS vsum
          |FROM vals GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_doc_wsample" ->
+      s"""WITH $TokCte,
+         |w AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS w FROM tok),
+         |hh AS (SELECT doc_id, w,
+         |  ${Md5BucketSql("CAST(doc_id AS VARCHAR) || ':0'")} AS h
+         |  FROM w)
+         |SELECT doc_id, w, h,
+         |  CAST(h AS DOUBLE)/CAST(w AS DOUBLE) AS priority
+         |FROM hh ORDER BY priority, doc_id LIMIT 40""".stripMargin,
 
     // same cleared-denominator rationals; ranking divides the two
     // exact BIGINTs once (IEEE-identical across engines)

@@ -410,6 +410,29 @@ object TextOps {
         lit(1L << (4 * (3 - i)))
     }.reduce(_ + _)
 
+  /** Deterministic WEIGHTED top-k sampling (the exp-keys / A-ES shape
+    * with a rational priority): each doc draws the content-independent
+    * uniform h = md5Bucket(doc_id:salt) ∈ [0, 65536) and is ranked by
+    * priority h/w ascending (w = the weight column, here token count)
+    * — heavier docs stochastically draw smaller priorities, so the
+    * k winners are weight-biased, reshuffle-stable, and redrawable by
+    * salt. The priority is ONE IEEE division of two exact integers
+    * (engine-identical, no ln), ties broken by doc_id.
+    *
+    * Scale: rank-by-priority top-k is a TakeOrdered (per-partition
+    * heap + k-row merge), never a global sort shuffle. */
+  def sampleWeighted(docs: DataFrame, weight: Column, k: Int,
+                     salt: Int = 0): DataFrame = {
+    val h = md5Bucket(concat(col("doc_id").cast("string"),
+      lit(":"), lit(salt)))
+    docs.select(col("doc_id"), weight.cast("long").as("w"),
+        h.cast("long").as("h"))
+      .withColumn("priority",
+        col("h").cast("double") / col("w").cast("double"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Deterministic STRATIFIED sampling — per-stratum keep rates (the
     * data-mixing stage of a training pipeline: e.g. keep 50% of en,
     * 10% of de). A doc survives iff md5(doc_id:salt) lands under its

@@ -282,4 +282,26 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     e2.foreach { case (id, sh, pos) => assert(e2b(id) == ((sh, pos))) }
   }
+
+  test("sampleWeighted: weight-biased, reshuffle-stable, salt redraws") {
+    import spark.implicits._
+    // 9000 docs of weight 1, 1000 of weight 10 (10% of docs, ~53% of
+    // total weight) — the heavy group must be strongly overrepresented
+    val many = spark.range(0, 10000)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 10 === 0, 10L).otherwise(1L).as("wt"))
+    val top = TextOps.sampleWeighted(many, col("wt"), 1000)
+    val heavy = top.filter(col("w") === 10).count()
+    assert(heavy > 300,
+      s"heavy docs are 10% of rows but got only $heavy/1000 slots")
+    // reshuffle-stable: identical winner set from any partitioning
+    val ids = top.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextOps.sampleWeighted(many.repartition(17), col("wt"), 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids2)
+    // a different salt redraws an independent sample
+    val ids3 = TextOps.sampleWeighted(many, col("wt"), 1000, salt = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((ids intersect ids3).size < 900)
+  }
 }
