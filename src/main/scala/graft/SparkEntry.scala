@@ -242,6 +242,13 @@ object SparkEntry {
         .where(col("cnt") > 0)
         .orderBy("image_id", "bin")),
 
+    // corpus-wide merged histogram over COMMON bins (the mergeable
+    // path to distributed quantiles) — band 2, 16 bins
+    "q_corpus_hist" -> ((s, dir) =>
+      Stats.corpusHistogram(Synth.imagesWithBytes(s, dir, smallRaw),
+          Synth.NumBands, 2, 16)
+        .orderBy("bin")),
+
     "q_percentile" -> ((s, dir) => {
       val im = Synth.imagesWithBytes(s, dir, smallRaw)
       def p(pct: Double) = floor(Stats.percentileUdf(col("bytes"),
@@ -2535,6 +2542,21 @@ object SparkEntry {
          |SELECT m2.image_id, hb.bin, CAST(COUNT(*) AS BIGINT) AS cnt
          |FROM hb JOIN mm m2 ON m2.k = hb.k
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // corpus bounds = min/max of the per-image closed forms; same
+    // FLOOR bin rule as q_histogram but into the shared bounds
+    "q_corpus_hist" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte,
+         |mm AS (SELECT MIN(p.base + p.ax*s.nw) AS vmin,
+         |         MAX(p.base + p.ax*(s.w-1) + p.ay*(s.h-1)) AS vmax
+         |       FROM simg s JOIN bandp p ON p.k = s.k AND p.b = 2),
+         |hb AS (SELECT
+         |         LEAST(15, CAST(FLOOR((CAST(px.v AS DOUBLE) - m.vmin) /
+         |           ((CAST(m.vmax AS DOUBLE) - m.vmin)/16.0)) AS BIGINT))
+         |           AS bin
+         |       FROM px CROSS JOIN mm m WHERE px.b = 2)
+         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM hb GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_percentile" ->
       s"""WITH $I, $B, $SimgCte, $PxCte,

@@ -203,22 +203,32 @@ object Pixels {
     val st = statsN(p, len)
     if (st.count == 0) return Double.NaN
     if (st.max == st.min) return st.min
-    val bins = 100
-    val hist = histogramInN(p, len, bins, st.min, st.max)
-    val target = pct / 100.0 * st.count
+    val hist = histogramInN(p, len, 100, st.min, st.max)
+    percentileFromHist(hist, st.count, st.min, st.max, pct)
+  }
+
+  /** The interpolation walk over a (possibly merged) histogram — the
+    * shared kernel behind the per-image percentile AND the distributed
+    * corpus percentile (same arithmetic in the same order, so merging
+    * per-image histograms into common bins reproduces the single-array
+    * result bit-for-bit). */
+  def percentileFromHist(hist: Array[Long], count: Long,
+                         mn: Double, mx: Double, pct: Double): Double = {
+    val bins = hist.length
+    val target = pct / 100.0 * count
     var cum = 0.0
     var i = 0
     while (i < bins) {
       val next = cum + hist(i)
       if (next >= target) {
         val frac = if (hist(i) == 0) 0.0 else (target - cum) / hist(i)
-        val step = (st.max - st.min) / bins
-        return st.min + step * (i + frac)
+        val step = (mx - mn) / bins
+        return mn + step * (i + frac)
       }
       cum = next
       i += 1
     }
-    st.max
+    mx
   }
 
   /** skeletonize (capability analog of

@@ -51,6 +51,57 @@ object Stats {
         sum("vsum").as("vsum"), sum("vsumsq").as("vsumsq"),
         min("vmin").as("vmin"), max("vmax").as("vmax"))
 
+  /** Distributed corpus-wide histogram over COMMON bins — the
+    * mergeable-summary path to corpus quantiles: pass 1 reduces the
+    * exact per-image stats to the corpus [min,max] (a `bins`-free
+    * metadata aggregate); pass 2 histograms every image into the same
+    * broadcast bounds and merges with a `bins`-key map-side-combined
+    * sum — per-partition traffic is ≤ `bins` rows no matter the corpus
+    * size. Same bin rule as the per-image kernel (floor into
+    * (mx−mn)/bins, top clamp). */
+  def corpusHistogram(imagesWithBytes: DataFrame, nb: Int, band: Int,
+                      bins: Int): DataFrame = {
+    val bounds = bandStats(imagesWithBytes, nb)
+      .filter(col("band") === band)
+      .agg(min("vmin").cast("double").as("mn"),
+        max("vmax").cast("double").as("mx"))
+    val histU = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
+                     nbb: Int, bd: Int, bn: Int, mn: Double, mx: Double) => {
+      val p = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nbb), fmt)(bd)
+      Pixels.histogramIn(p, bn, mn, mx).zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toSeq
+    })
+    imagesWithBytes.crossJoin(broadcast(bounds))
+      .withColumn("hb", explode(histU(col("bytes"),
+        col("w").cast("int"), col("h").cast("int"), col("fmt"),
+        lit(nb), lit(band), lit(bins), col("mn"), col("mx"))))
+      .groupBy(col("hb._1").as("bin"))
+      .agg(sum("hb._2").as("cnt"))
+      .filter(col("cnt") > 0)
+  }
+
+  /** Corpus percentile from the merged histogram (collects ≤ `bins`
+    * rows + the 1-row bounds): bit-identical to running the per-image
+    * interpolation kernel over the concatenated pixels, because the
+    * merged common-bin histogram IS that array's histogram and the
+    * walk is the shared [[Pixels.percentileFromHist]]. */
+  def corpusPercentile(imagesWithBytes: DataFrame, nb: Int, band: Int,
+                       pct: Double, bins: Int = 100): Double = {
+    val Array(mnR) = bandStats(imagesWithBytes, nb)
+      .filter(col("band") === band)
+      .agg(min("vmin").cast("double").as("mn"),
+        max("vmax").cast("double").as("mx"),
+        sum("cnt").as("count")).collect()
+    val (mn, mx, count) =
+      (mnR.getDouble(0), mnR.getDouble(1), mnR.getLong(2))
+    if (count == 0) return Double.NaN
+    if (mx == mn) return mn
+    val hist = new Array[Long](bins)
+    corpusHistogram(imagesWithBytes, nb, band, bins).collect()
+      .foreach(r => hist(r.getLong(0).toInt) = r.getLong(1))
+    Pixels.percentileFromHist(hist, count, mn, mx, pct)
+  }
+
   /** Histogram kernel: fixed-width bins over the band's own [min,max]
     * (/root/reference/GIP/GeoRaster.cpp:141-176). Emits (bin, cnt)
     * rows; deterministic. */

@@ -521,6 +521,25 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lineage.read(spark, root).count() == 200)
   }
 
+  test("corpusPercentile: merged common-bin histogram == concatenated-pixel walk") {
+    val im = Synth.imagesWithBytes(spark, "/root/testdata/sf0.001",
+      _.where(col("w") <= 64 && col("h") <= 64 &&
+        (col("k") % 6 === 1 || col("k") % 6 === 2))).cache()
+    // brute force: decode every band-2 plane and concatenate
+    val planes = im.select("bytes", "w", "h", "fmt").collect().flatMap { r =>
+      graft.core.Codec.decode(r.getAs[Array[Byte]](0), r.getLong(1).toInt,
+        r.getLong(2).toInt,
+        graft.core.Codec.bandsStored(r.getString(3), Synth.NumBands),
+        r.getString(3))(2)
+    }
+    assert(planes.nonEmpty)
+    for (pct <- Seq(10.0, 50.0, 90.0)) {
+      val dist = Stats.corpusPercentile(im, Synth.NumBands, 2, pct)
+      val brute = graft.core.Pixels.percentile(planes, pct)
+      assert(dist == brute, s"pct=$pct dist=$dist brute=$brute")
+    }
+  }
+
   test("stage metrics: observed pipeline stages persist exact counts") {
     val root = Files.createTempDirectory("graft-stages").toString
     val im = images(2000); val po = polys(30)
