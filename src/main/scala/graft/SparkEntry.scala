@@ -1054,6 +1054,28 @@ object SparkEntry {
         .orderBy("gid")
     }),
 
+    // per-pixel MAX composite (best-pixel temporal mosaic rule):
+    // the warp_into gather join with the order-insensitive NaN-ignoring
+    // max merge instead of overlay order. The small images re-anchor
+    // onto one dense 380×380 mdeg window (pure metadata remap) so
+    // every destination pixel genuinely merges several images — at
+    // sf0.01 all 2668 valid pixels are multi-hit and the max rule
+    // diverges from overlay on every one of them
+    "q_composite_max" -> ((s, dir) => {
+      import s.implicits._
+      val im = Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("x0m", (col("k") % 4) * 60 - 100)
+        .withColumn("y0m", ((col("k") * 3) % 4) * 60 - 100)
+        .withColumn("x1m", col("x0m") + col("w") * 4)
+        .withColumn("y1m", col("y0m") + col("h") * 4)
+      val grids = Seq((0L, -120L, -120L, 260L, 260L))
+        .toDF("gid", "gx0", "gy0", "gx1", "gy1")
+      Warp.warpInto(im, grids, mergeMode = 1)
+        .groupBy("gid")
+        .agg(sum(col("n_valid")).as("n_valid"), sum(col("vsum")).as("vsum"))
+        .orderBy("gid")
+    }),
+
     // CUTLINE mosaic: the q_mosaic_pixels pipeline with a global
     // rectangular cutline (mdeg, grid units) — destination pixels whose
     // CENTER ray-casts outside the ring become nodata before the merge
@@ -2341,6 +2363,37 @@ object SparkEntry {
          |SELECT c.gid, COALESCE(s.n_valid, 0) AS n_valid,
          |       COALESCE(s.vsum, 0) AS vsum
          |FROM cover c LEFT JOIN sums s USING (gid) ORDER BY gid""".stripMargin,
+
+    // best-pixel composite: per destination pixel MAX over all
+    // covering images' values (vs the overlay rule's MAX(k) winner);
+    // images re-anchored onto one dense window, single 95×95 grid
+    "q_composite_max" ->
+      s"""WITH $I,
+         |simg0 AS (SELECT * FROM img2
+         |          WHERE w <= 64 AND h <= 64 AND k % 6 IN (1,2)),
+         |simg AS (SELECT k, image_id, w, h, nw,
+         |           (k % 4)*60 - 100 AS x0m, ((k*3) % 4)*60 - 100 AS y0m,
+         |           (k % 4)*60 - 100 + w*4 AS x1m,
+         |           ((k*3) % 4)*60 - 100 + h*4 AS y1m
+         |         FROM simg0),
+         |pxc AS (
+         |  SELECT CAST(0 AS BIGINT) AS gid,
+         |         -120 + xs.i*4 + 2 AS gx, 260 - ys.j*4 - 2 AS gy
+         |  FROM (SELECT unnest(generate_series(0, 94)) AS i) xs
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 94)) AS j) ys),
+         |hit AS (
+         |  SELECT p.gid, p.gx, p.gy, i.k,
+         |         (p.gx - i.x0m)//4 AS xi, (i.y1m - p.gy)//4 AS yi
+         |  FROM pxc p JOIN simg i
+         |    ON p.gx >= i.x0m AND p.gy <= i.y1m
+         |   AND (p.gx - i.x0m)//4 BETWEEN i.nw AND i.w-1
+         |   AND (i.y1m - p.gy)//4 BETWEEN 0 AND i.h-1),
+         |val AS (SELECT gid, gx, gy,
+         |    MAX(200 + (k*3) % 800 + (k % 8)*xi + (k % 8)*yi) AS v
+         |  FROM hit GROUP BY 1, 2, 3)
+         |SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |       CAST(SUM(v) AS BIGINT) AS vsum
+         |FROM val GROUP BY gid ORDER BY gid""".stripMargin,
 
     // cutline mosaic: q_mosaic_pixels' winner-per-pixel restricted to
     // destination centers inside the half-open cut rect (the engine's

@@ -153,6 +153,23 @@ object Warp {
     out
   }
 
+  /** Per-pixel MAX composite (cloud-free / greenest-pixel compositing:
+    * the classic best-pixel temporal mosaic rule) — NaN-ignoring,
+    * order-INSENSITIVE, so no fragment sort is needed and the merge
+    * commutes with any shuffle order. */
+  def mergeFragmentsMax(frags: Seq[(Long, Array[Double])], len: Int): Array[Double] = {
+    val out = Array.fill(len)(Double.NaN)
+    frags.foreach { case (_, f) =>
+      var i = 0
+      while (i < len) {
+        val v = f(i)
+        if (!v.isNaN && (out(i).isNaN || v > out(i))) out(i) = v
+        i += 1
+      }
+    }
+    out
+  }
+
   /** Rasterized cutline (GeoRaster.cpp:261-285): pixels of `grid` whose
     * CENTER falls outside the polygon ring become NaN. */
   def cutlineMask(plane: Array[Double], grid: Grid, wkt: String): Array[Double] = {
@@ -218,7 +235,10 @@ object Warp {
                pairPredicate: Column = lit(true),
                cutWkt: Column = lit(null).cast("string"),
                broadcastTiles: Boolean = true,
-               cellRes: Int = 7, nbBands: Int = 1): DataFrame = {
+               cellRes: Int = 7, nbBands: Int = 1,
+               mergeMode: Int = 0): DataFrame = {
+    require(mergeMode == 0 || mergeMode == 1,
+      s"mergeMode=$mergeMode (0 = ascending-key overlay, 1 = per-pixel MAX)")
     require(tilePx > 0 && tilePx < 2048,
       s"tilePx=$tilePx out of range (packed into 11 bits: 1..2047)")
     val tpx = tilePx.toLong
@@ -290,7 +310,9 @@ object Warp {
       }
     })
     val mergeUdf = udf((frags: Seq[org.apache.spark.sql.Row], len: Int) => {
-      val merged = mergeFragments(
+      val merge: (Seq[(Long, Array[Double])], Int) => Array[Double] =
+        if (mergeMode == 1) mergeFragmentsMax else mergeFragments
+      val merged = merge(
         frags.map { r =>
           val fb = r.getAs[Array[Byte]](1)
           val out = new Array[Double](len)
