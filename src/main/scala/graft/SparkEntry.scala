@@ -1559,6 +1559,14 @@ object SparkEntry {
 
     // as-of join: every click attributed to the user's most recent
     // prior-or-equal view (single window pass, no join — ops.TimeJoins)
+    // funnel: view → click → purchase with a 1-day per-step gap;
+    // greedy-earliest matching (optimal under per-step gaps)
+    "q_events_funnel" -> ((s, dir) =>
+      graft.ops.TimeJoins.funnel(s.read.parquet(s"$dir/events.parquet"),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), 86400000000L)
+        .orderBy("user_id")),
+
     "q_events_asof" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
       // collapse equal-(user, ts) rights to max id: makes the as-of
@@ -4442,6 +4450,28 @@ object SparkEntry {
         |SELECT user_id, CAST(SUM(flag) AS BIGINT) AS n_sessions,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // greedy-earliest per-step funnel chain replayed stage by stage
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts
+        |           FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s2.t2 + 86400000000 GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |  CAST(1 + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the ground truth for the windowed
     // as-of implementation (greatest v.ts <= c.ts per user)

@@ -60,6 +60,46 @@ object TimeJoins {
     * (key, bucket), exact refine after. Each pair meets in EXACTLY one
     * bucket (left's), so no distinct is needed. Candidate volume is
     * O(pairs within ~2 gaps), never |L|×|R|. */
+  /** FUNNEL analysis: per entity, how deep into the ordered event
+    * sequence `steps` it progressed, with a per-step max gap —
+    * step d matches iff a step-d event lies in (t_{d-1}, t_{d-1}+gap]
+    * where t_{d-1} is the previous step's matched time. Matching is
+    * GREEDY-EARLIEST per step, which is optimal under per-step gaps
+    * (taking the earliest feasible event can only enlarge every later
+    * step's window), so the depth is exact, not heuristic.
+    *
+    * Plan: one conditional aggregate per step — each step filters to
+    * its own event type (corpus-sublinear), equi-joins the shrinking
+    * survivor set on the SAME entity key, and min-aggregates; steps
+    * are a constant, every shuffle keys on the entity, and no window
+    * spans more than one entity's events. Returns
+    * (entity, t1..tn epoch-micros nullable, depth). */
+  def funnel(events: DataFrame, entity: String, ts: String,
+             typeCol: String, steps: Seq[String], gapUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col(entity),
+      col(typeCol).as("_ft"), unix_micros(col(ts).cast("timestamp")).as("_fts"))
+    val stages = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    stages += ev.filter(col("_ft") === steps.head)
+      .groupBy(entity).agg(min("_fts").as("t1"))
+    for (i <- 2 to steps.length) {
+      stages += ev.filter(col("_ft") === steps(i - 1))
+        .join(stages.last.select(col(entity), col(s"t${i - 1}")), entity)
+        .where(col("_fts") > col(s"t${i - 1}") &&
+          col("_fts") <= col(s"t${i - 1}") + gapUs)
+        .groupBy(entity).agg(min("_fts").as(s"t$i"))
+    }
+    val joined = stages.zipWithIndex.drop(1).foldLeft(stages.head) {
+      case (acc, (s, i)) =>
+        acc.join(s.select(col(entity), col(s"t${i + 1}")),
+          Seq(entity), "left")
+    }
+    val depth = (2 to steps.length)
+      .map(i => when(col(s"t$i").isNotNull, 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    joined.withColumn("depth", depth)
+  }
+
   def rangeJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                 leftId: String, rightId: String, maxGapSec: Long): DataFrame = {
     val gapUs = maxGapSec * 1000000L

@@ -72,4 +72,44 @@ class TimeJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotSeq.toSet === want)
     assert(want.nonEmpty)
   }
+
+  test("funnel matches brute-force greedy-earliest chain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val types = Seq("a", "b", "c")
+    val evRows = (0 until 600).map { i =>
+      (i.toLong, rnd.nextInt(40).toLong,
+        ts(rnd.nextInt(1000000) * 1000L), types(rnd.nextInt(3)))
+    }
+    val ev = evRows.toDF("event_id", "user_id", "ts", "event_type")
+    val gap = 200000000L // 200 s in micros
+    val got = TimeJoins.funnel(ev, "user_id", "ts", "event_type",
+        Seq("a", "b", "c"), gap)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getLong(4))).toMap
+    // brute force per user
+    val byUser = evRows.groupBy(_._2)
+    val want = byUser.flatMap { case (u, rs) =>
+      def stepMin(t: String, lo: Long): Option[Long] = {
+        val c = rs.filter(r => r._4 == t &&
+          r._3.getTime * 1000L > lo && r._3.getTime * 1000L <= lo + gap)
+        if (c.isEmpty) None else Some(c.map(_._3.getTime * 1000L).min)
+      }
+      val t1 = {
+        val a = rs.filter(_._4 == "a").map(_._3.getTime * 1000L)
+        if (a.isEmpty) None else Some(a.min)
+      }
+      t1.map { v1 =>
+        val t2 = stepMin("b", v1)
+        val t3 = t2.flatMap(stepMin("c", _))
+        u -> ((Some(v1): Option[Any], t2: Option[Any], t3: Option[Any],
+          1L + t2.size + t3.size))
+      }
+    }
+    assert(got.keySet == want.keySet)
+    want.foreach { case (u, w) => assert(got(u) == w, s"user $u") }
+    // non-trivial: all three depths occur
+    assert(got.values.map(_._4).toSet == Set(1L, 2L, 3L))
+  }
 }
