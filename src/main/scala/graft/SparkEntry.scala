@@ -1076,6 +1076,23 @@ object SparkEntry {
         .orderBy("gid")
     }),
 
+    // per-pixel lower-MEDIAN composite (robust rule — rejects the
+    // outliers max/overlay keep) on the same dense multi-hit fixture
+    "q_composite_median" -> ((s, dir) => {
+      import s.implicits._
+      val im = Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("x0m", (col("k") % 4) * 60 - 100)
+        .withColumn("y0m", ((col("k") * 3) % 4) * 60 - 100)
+        .withColumn("x1m", col("x0m") + col("w") * 4)
+        .withColumn("y1m", col("y0m") + col("h") * 4)
+      val grids = Seq((0L, -120L, -120L, 260L, 260L))
+        .toDF("gid", "gx0", "gy0", "gx1", "gy1")
+      Warp.warpInto(im, grids, mergeMode = 2)
+        .groupBy("gid")
+        .agg(sum(col("n_valid")).as("n_valid"), sum(col("vsum")).as("vsum"))
+        .orderBy("gid")
+    }),
+
     // CUTLINE mosaic: the q_mosaic_pixels pipeline with a global
     // rectangular cutline (mdeg, grid units) — destination pixels whose
     // CENTER ray-casts outside the ring become nodata before the merge
@@ -2402,6 +2419,42 @@ object SparkEntry {
          |SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_valid,
          |       CAST(SUM(v) AS BIGINT) AS vsum
          |FROM val GROUP BY gid ORDER BY gid""".stripMargin,
+
+    // lower median = rank (cnt+1)//2 in ascending per-pixel value
+    // order — exact, no interpolating quantile
+    "q_composite_median" ->
+      s"""WITH $I,
+         |simg0 AS (SELECT * FROM img2
+         |          WHERE w <= 64 AND h <= 64 AND k % 6 IN (1,2)),
+         |simg AS (SELECT k, image_id, w, h, nw,
+         |           (k % 4)*60 - 100 AS x0m, ((k*3) % 4)*60 - 100 AS y0m,
+         |           (k % 4)*60 - 100 + w*4 AS x1m,
+         |           ((k*3) % 4)*60 - 100 + h*4 AS y1m
+         |         FROM simg0),
+         |pxc AS (
+         |  SELECT CAST(0 AS BIGINT) AS gid,
+         |         -120 + xs.i*4 + 2 AS gx, 260 - ys.j*4 - 2 AS gy
+         |  FROM (SELECT unnest(generate_series(0, 94)) AS i) xs
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 94)) AS j) ys),
+         |hit AS (
+         |  SELECT p.gid, p.gx, p.gy, i.k,
+         |         (p.gx - i.x0m)//4 AS xi, (i.y1m - p.gy)//4 AS yi
+         |  FROM pxc p JOIN simg i
+         |    ON p.gx >= i.x0m AND p.gy <= i.y1m
+         |   AND (p.gx - i.x0m)//4 BETWEEN i.nw AND i.w-1
+         |   AND (i.y1m - p.gy)//4 BETWEEN 0 AND i.h-1),
+         |hv AS (SELECT gid, gx, gy,
+         |    200 + (k*3) % 800 + (k % 8)*xi + (k % 8)*yi AS v
+         |  FROM hit),
+         |rk AS (SELECT gid, gx, gy, v,
+         |    ROW_NUMBER() OVER (PARTITION BY gid, gx, gy ORDER BY v)
+         |      AS rn,
+         |    COUNT(*) OVER (PARTITION BY gid, gx, gy) AS cnt
+         |  FROM hv)
+         |SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |       CAST(SUM(v) AS BIGINT) AS vsum
+         |FROM rk WHERE rn = (cnt + 1)//2
+         |GROUP BY gid ORDER BY gid""".stripMargin,
 
     // cutline mosaic: q_mosaic_pixels' winner-per-pixel restricted to
     // destination centers inside the half-open cut rect (the engine's

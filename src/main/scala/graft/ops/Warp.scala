@@ -170,6 +170,29 @@ object Warp {
     out
   }
 
+  /** Per-pixel LOWER-MEDIAN composite — the robust temporal-mosaic
+    * rule (rejects transient outliers like clouds/shadows that max/
+    * overlay keep). Lower median = sorted valid values at index
+    * (n−1)/2: deterministic for even counts, order-insensitive, and
+    * exactly replayable as a rank filter in SQL. */
+  def mergeFragmentsMedian(frags: Seq[(Long, Array[Double])], len: Int): Array[Double] = {
+    val out = Array.fill(len)(Double.NaN)
+    val buf = new Array[Double](frags.length)
+    var i = 0
+    while (i < len) {
+      var n = 0
+      frags.foreach { case (_, f) =>
+        if (!f(i).isNaN) { buf(n) = f(i); n += 1 }
+      }
+      if (n > 0) {
+        java.util.Arrays.sort(buf, 0, n)
+        out(i) = buf((n - 1) / 2)
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Rasterized cutline (GeoRaster.cpp:261-285): pixels of `grid` whose
     * CENTER falls outside the polygon ring become NaN. */
   def cutlineMask(plane: Array[Double], grid: Grid, wkt: String): Array[Double] = {
@@ -237,8 +260,9 @@ object Warp {
                broadcastTiles: Boolean = true,
                cellRes: Int = 7, nbBands: Int = 1,
                mergeMode: Int = 0): DataFrame = {
-    require(mergeMode == 0 || mergeMode == 1,
-      s"mergeMode=$mergeMode (0 = ascending-key overlay, 1 = per-pixel MAX)")
+    require(mergeMode >= 0 && mergeMode <= 2,
+      s"mergeMode=$mergeMode (0 = ascending-key overlay, " +
+        "1 = per-pixel MAX, 2 = per-pixel lower MEDIAN)")
     require(tilePx > 0 && tilePx < 2048,
       s"tilePx=$tilePx out of range (packed into 11 bits: 1..2047)")
     val tpx = tilePx.toLong
@@ -311,7 +335,9 @@ object Warp {
     })
     val mergeUdf = udf((frags: Seq[org.apache.spark.sql.Row], len: Int) => {
       val merge: (Seq[(Long, Array[Double])], Int) => Array[Double] =
-        if (mergeMode == 1) mergeFragmentsMax else mergeFragments
+        if (mergeMode == 1) mergeFragmentsMax
+        else if (mergeMode == 2) mergeFragmentsMedian
+        else mergeFragments
       val merged = merge(
         frags.map { r =>
           val fb = r.getAs[Array[Byte]](1)
