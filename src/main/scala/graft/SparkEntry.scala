@@ -47,6 +47,13 @@ object SparkEntry {
            col("cix") * CellGrid.IxMul + col("ciy")).as("cell_id"))
         .orderBy("image_id", "cell_id")),
 
+    // z-order layout keys at res 10 (Morton interleave of the
+    // min-corner cell) — the spatial-clustering write key
+    "q_zorder" -> ((s, dir) =>
+      SpatialJoin.zOrdered(imgs(s, dir), 10)
+        .select("image_id", "zix", "ziy", "z")
+        .orderBy("z", "image_id")),
+
     // hierarchical cell-density rollup: one image scan builds the
     // res-10 summary; res-7 derives from it by parent-shift arithmetic
     // alone (shuffle over ≤ #cells rows, corpus-size independent)
@@ -69,6 +76,13 @@ object SparkEntry {
     "q_spatial_join_salted" -> ((s, dir) =>
       SpatialJoin.joinRects(imgs(s, dir), polys(s, dir), JoinRes,
           broadcastPolys = false, salt = 8)
+        .select(col("image_id"), col("fid"), overlapArea.as("overlap_area"))
+        .orderBy("image_id", "fid")),
+
+    // bloom-prefiltered shuffled join: rows identical to
+    // q_spatial_join (same oracle), pruning spec-asserted
+    "q_spatial_join_bloom" -> ((s, dir) =>
+      SpatialJoin.joinRectsBloom(imgs(s, dir), polys(s, dir), JoinRes)
         .select(col("image_id"), col("fid"), overlapArea.as("overlap_area"))
         .orderBy("image_id", "fid")),
 
@@ -1966,6 +1980,19 @@ object SparkEntry {
          |CROSS JOIN LATERAL (SELECT unnest(generate_series(iy0, iy1)) AS ciy) b
          |ORDER BY image_id, cell_id""".stripMargin,
 
+    // identical 40-term interleave sum replayed in SQL
+    "q_zorder" -> {
+      val zTerms = (0 until 20).map(b =>
+        s"(((zix >> $b) & 1) << ${2 * b + 1}) + " +
+          s"(((ziy >> $b) & 1) << ${2 * b})").mkString(" + ")
+      s"""WITH $I,
+         |c AS (SELECT image_id,
+         |  CAST((x0m+180000)//512 AS BIGINT) AS zix,
+         |  CAST((y0m+90000)//512 AS BIGINT) AS ziy FROM img2)
+         |SELECT image_id, zix, ziy, CAST($zTerms AS BIGINT) AS z
+         |FROM c ORDER BY z, image_id""".stripMargin
+    },
+
     // res-10 cover (cell edge 512 mdeg) → res-7 parent via //8: the
     // nonneg-shifted grid makes >> and // agree
     "q_cell_rollup" ->
@@ -2001,6 +2028,11 @@ object SparkEntry {
          |FROM j GROUP BY fid ORDER BY fid""".stripMargin,
 
     "q_spatial_join_salted" ->
+      s"""WITH $I, $P, $joinCte
+         |SELECT image_id, fid, overlap_area FROM j
+         |ORDER BY image_id, fid""".stripMargin,
+
+    "q_spatial_join_bloom" ->
       s"""WITH $I, $P, $joinCte
          |SELECT image_id, fid, overlap_area FROM j
          |ORDER BY image_id, fid""".stripMargin,

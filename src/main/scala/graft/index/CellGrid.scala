@@ -96,4 +96,34 @@ object CellGrid {
     val y0 = iyOf(id) * s - OffY
     BBoxI(x0, y0, x0 + s, y0 + s)
   }
+
+  /** Morton/Z-ORDER interleave of two ≤20-bit cell coordinates
+    * (ix bit b → z bit 2b+1, iy bit b → z bit 2b): the space-filling
+    * curve key behind spatially-clustered table layout (Iceberg's
+    * z-ordering) — sorting rows by z co-locates spatial neighbors in
+    * the same files, so footprint-filtered scans prune whole files.
+    * Hierarchical like the grid itself: z >> 2 is the parent cell's z
+    * ([[zInterleave]](ix>>1, iy>>1)). Pure shift/mask integer
+    * arithmetic — the column mirror and the SQL oracle replay the
+    * identical 40-term sum. */
+  def zInterleave(ix: Long, iy: Long): Long = {
+    var z = 0L; var b = 0
+    while (b < 20) {
+      z |= ((ix >> b) & 1L) << (2 * b + 1)
+      z |= ((iy >> b) & 1L) << (2 * b)
+      b += 1
+    }
+    z
+  }
+
+  /** Inverse of [[zInterleave]]: z → (ix, iy). */
+  def zDeinterleave(z: Long): (Long, Long) = {
+    var ix = 0L; var iy = 0L; var b = 0
+    while (b < 20) {
+      ix |= ((z >> (2 * b + 1)) & 1L) << b
+      iy |= ((z >> (2 * b)) & 1L) << b
+      b += 1
+    }
+    (ix, iy)
+  }
 }

@@ -115,6 +115,59 @@ object SpatialJoin {
     }
   }
 
+  /** Z-order key column from two cell-coordinate columns — the
+    * codegen shift/mask mirror of [[CellGrid.zInterleave]] (no UDF). */
+  def zValue(ix: Column, iy: Column): Column =
+    (0 until 20).map { b =>
+      shiftleft(shiftright(ix, b).bitwiseAND(lit(1L)), 2 * b + 1) +
+        shiftleft(shiftright(iy, b).bitwiseAND(lit(1L)), 2 * b)
+    }.reduce(_ + _)
+
+  /** Spatially CLUSTERED layout key (Iceberg z-ordering): each image's
+    * min-corner cell at `res` on the Morton curve. Range-partitioning
+    * or sorting the write by `z` co-locates spatial neighbors in the
+    * same files, so a footprint-filtered scan prunes whole files via
+    * their [min,max] z ranges (the zone-map pruning Lineage already
+    * does on key ranges, now spatial). */
+  def zOrdered(images: DataFrame, res: Int): DataFrame =
+    images
+      .withColumn("zix", cellIx(col("x0m"), res))
+      .withColumn("ziy", cellIy(col("y0m"), res))
+      .withColumn("z", zValue(col("zix"), col("ziy")))
+
+  /** Shuffled spatial join with a BLOOM-FILTER runtime prefilter — the
+    * row-level pruning a 100 TB shuffled join needs when neither side
+    * broadcasts: a Bloom filter over the polygon side's covering cells
+    * is built distributed (`stat.bloomFilter` tree-reduces sketch
+    * partials; no row collect), broadcast (~1.2 MB at 10⁶ cells /
+    * 1% fpp), and applied to image cell rows BEFORE they enter the
+    * shuffle — images nowhere near any polygon never ship. False
+    * positives only cost shuffled bytes; the exact equi-join + refine
+    * keeps the result IDENTICAL to [[joinRects]] (oracle + spec
+    * asserted). The hand-rolled analog of AQE's runtime row-level
+    * filtering, usable on any Spark version and any plan shape. */
+  def joinRectsBloom(images: DataFrame, polys: DataFrame, res: Int = 7,
+                     expectedCells: Long = 1L << 20,
+                     fpp: Double = 0.01): DataFrame = {
+    val imgCells = withCoverCells(images, res, "x0m", "y0m", "x1m", "y1m")
+    val polCells = withCoverCells(polys, res, "px0m", "py0m", "px1m", "py1m")
+    val packed = col("cix") * CellGrid.IxMul + col("ciy")
+    val overlap =
+      col("x0m") < col("px1m") && col("px0m") < col("x1m") &&
+      col("y0m") < col("py1m") && col("py0m") < col("y1m")
+    val dedup =
+      cellIx(greatest(col("x0m"), col("px0m")), res) === col("cix") &&
+      cellIy(greatest(col("y0m"), col("py0m")), res) === col("ciy")
+    val polKeyed = polCells.withColumn("cell", packed).drop("cix", "ciy")
+    val bloom = polKeyed.stat.bloomFilter("cell", expectedCells, fpp)
+    val bc = images.sparkSession.sparkContext.broadcast(bloom)
+    val might = udf((c: Long) => bc.value.mightContainLong(c))
+    imgCells.withColumn("cell", packed)
+      .filter(might(col("cell")))
+      .join(polKeyed, Seq("cell"))
+      .where(overlap && dedup)
+  }
+
   /** Small-image fast path: when every image extent ≤ cellSize(res)
     * (true at res ≤ 7 for this engine's ≤1.02° footprints), an image's
     * MIN-CORNER cell alone suffices as the join key if the polygon

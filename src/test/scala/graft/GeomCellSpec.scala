@@ -159,6 +159,27 @@ class GeomCellSpec extends AnyFunSuite {
     poly.contains(gf.createPoint(new Coordinate(px, py)))
   }
 
+  test("z-order interleave: bijective, hierarchical, monotone on each axis") {
+    import graft.index.CellGrid._
+    val rnd = new scala.util.Random(3)
+    for (_ <- 0 until 1000) {
+      val ix = rnd.nextLong() & ((1L << 20) - 1)
+      val iy = rnd.nextLong() & ((1L << 20) - 1)
+      val z = zInterleave(ix, iy)
+      assert(zDeinterleave(z) == ((ix, iy)))
+      // hierarchy: dropping 2 z-bits is the parent cell's z
+      assert(z >> 2 == zInterleave(ix >> 1, iy >> 1))
+    }
+    // same-row (iy fixed) z is monotone in ix, and vice versa
+    assert(zInterleave(5, 9) < zInterleave(6, 9))
+    assert(zInterleave(5, 9) < zInterleave(5, 10))
+    // locality: the 4 children of a cell are contiguous in z
+    val base = zInterleave(10, 20)
+    val kids = for (dx <- 0 to 1; dy <- 0 to 1)
+      yield zInterleave(20 + dx, 40 + dy)
+    assert(kids.sorted == (base * 4 until base * 4 + 4))
+  }
+
   test("ringMeasuresMdeg matches JTS area and centroid") {
     import org.locationtech.jts.geom._
     val gf = new GeometryFactory()

@@ -521,6 +521,35 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Lineage.read(spark, root).count() == 200)
   }
 
+  test("joinRectsBloom: identical rows to joinRects, real pre-shuffle pruning") {
+    val im = images(5000).cache()
+    val po = polys(20).cache()
+    val want = SpatialJoin.joinRects(im, po, 7)
+      .select("image_id", "fid").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = SpatialJoin.joinRectsBloom(im, po, 7)
+      .select("image_id", "fid").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+    // effectiveness: the bloom drops image cell rows before the
+    // shuffle — survivors must be well under the full cover set
+    val total = SpatialJoin
+      .withCoverCells(im, 7, "x0m", "y0m", "x1m", "y1m").count()
+    val polKeyed = SpatialJoin
+      .withCoverCells(po, 7, "px0m", "py0m", "px1m", "py1m")
+      .select((col("cix") * graft.index.CellGrid.IxMul + col("ciy"))
+        .as("cell"))
+    val bloom = polKeyed.stat.bloomFilter("cell", 1L << 20, 0.01)
+    val survivors = SpatialJoin
+      .withCoverCells(im, 7, "x0m", "y0m", "x1m", "y1m")
+      .select((col("cix") * graft.index.CellGrid.IxMul + col("ciy"))
+        .as("cell")).collect()
+      .count(r => bloom.mightContainLong(r.getLong(0)))
+    assert(survivors < total / 2,
+      s"bloom pruned only ${total - survivors} of $total cell rows")
+  }
+
   test("corpusPercentile: merged common-bin histogram == concatenated-pixel walk") {
     val im = Synth.imagesWithBytes(spark, "/root/testdata/sf0.001",
       _.where(col("w") <= 64 && col("h") <= 64 &&
