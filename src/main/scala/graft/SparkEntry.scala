@@ -47,6 +47,16 @@ object SparkEntry {
            col("cix") * CellGrid.IxMul + col("ciy")).as("cell_id"))
         .orderBy("image_id", "cell_id")),
 
+    // multi-granularity OLAP CUBE over (fmt, nodata-width): all four
+    // grouping sets in one pass (Catalyst expands to a single
+    // shuffle with grouping-id)
+    "q_cube" -> ((s, dir) =>
+      imgs(s, dir)
+        .cube(col("fmt"), col("nw"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("w") * col("h")).as("px_sum"))
+        .orderBy(col("fmt").asc_nulls_first, col("nw").asc_nulls_first)),
+
     // z-order layout keys at res 10 (Morton interleave of the
     // min-corner cell) — the spatial-clustering write key
     "q_zorder" -> ((s, dir) =>
@@ -1979,6 +1989,13 @@ object SparkEntry {
          |CROSS JOIN LATERAL (SELECT unnest(generate_series(ix0, ix1)) AS cix) a
          |CROSS JOIN LATERAL (SELECT unnest(generate_series(iy0, iy1)) AS ciy) b
          |ORDER BY image_id, cell_id""".stripMargin,
+
+    "q_cube" ->
+      s"""WITH $I
+         |SELECT fmt, nw, CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(SUM(w*h) AS BIGINT) AS px_sum
+         |FROM img2 GROUP BY CUBE (fmt, nw)
+         |ORDER BY fmt NULLS FIRST, nw NULLS FIRST""".stripMargin,
 
     // identical 40-term interleave sum replayed in SQL
     "q_zorder" -> {
