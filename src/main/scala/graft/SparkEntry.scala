@@ -1560,6 +1560,35 @@ object SparkEntry {
       graft.vec.VectorOps.ivfTopK(emb(s, dir), col("vec_id") < 3, 10)
         .orderBy("qid", "rank")),
 
+    // PQ ANN top-k by ADC (8 subspaces × 16 sub-centroids, fixed-id
+    // codebook, exact-integer distances — the oracle replays encode +
+    // the full ADC table in SQL; recall vs brute in LshSpec)
+    "q_ann_pq_topk" -> ((s, dir) =>
+      graft.vec.VectorOps.pqTopK(emb(s, dir), col("vec_id") < 3, 10)
+        .orderBy("qid", "rank")),
+
+    // PQ encode digest: subspace-0 centroid id + position-weighted sum
+    // of all 8 code centroid ids per vector (codes mapped back to the
+    // source vec_ids of the fixed-id codebook so the oracle's labels
+    // and Spark's positional indices can't silently diverge)
+    "q_pq_codes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cb = graft.vec.VectorOps.pqCodebookFixed(e, 64, 8, 16)
+      val cbIds: Array[Long] = e.orderBy("vec_id").limit(16)
+        .select("vec_id").collect().map(_.getLong(0))
+      val cids = transform(col("codes"),
+        c => element_at(lit(cbIds), c.cast("int") + lit(1)))
+      graft.vec.VectorOps.pqCodes(e, cb, 8, 16)
+        .select(col("vec_id"),
+          element_at(cids, 1).as("code0"),
+          aggregate(
+            zip_with(cids,
+              transform(sequence(lit(1), lit(8)), x => x.cast("long")),
+              (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("csum"))
+        .orderBy("vec_id")
+    }),
+
     "q_vec_label_stats" -> ((s, dir) =>
       graft.vec.VectorOps.labelNormStats(emb(s, dir)).orderBy("label")),
 
@@ -3932,6 +3961,55 @@ object SparkEntry {
         |          ORDER BY sim DESC, vec_id) AS rank FROM cand)
         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id FROM r
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // PQ replay: quantize to the kmeans-exact integer grid, codebook =
+    // sub-vectors of the 16 lowest vec_ids (positional index c in
+    // vec_id order = the Spark kernel's centroid index), encode =
+    // per-(vector, subspace) argmin of exact integer squared distance
+    // (ties -> lowest c), ADC = sum of the query's per-subspace
+    // distances to each candidate's coded centroids. SUM(BIGINT) is
+    // HUGEINT in DuckDB -> cast the output columns back to BIGINT.
+    "q_ann_pq_topk" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |  x -> CAST(FLOOR(x*1048576.0) AS BIGINT)) AS qe FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, qe AS ce
+        |       FROM q ORDER BY vec_id LIMIT 16),
+        |dist AS (SELECT q.vec_id, CAST((d.i-1)//8 AS INT) AS sub, cb.c,
+        |           SUM((q.qe[d.i]-cb.ce[d.i])*(q.qe[d.i]-cb.ce[d.i])) AS dd
+        |         FROM q, cb, dims d GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, c FROM (SELECT vec_id, sub, c,
+        |            ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+        |              ORDER BY dd, c) AS rn FROM dist) WHERE rn = 1),
+        |qd AS (SELECT vec_id AS qid, sub, c, dd FROM dist WHERE vec_id < 3),
+        |ad AS (SELECT qd.qid, co.vec_id, SUM(qd.dd) AS adist
+        |       FROM codes co JOIN qd ON qd.sub = co.sub AND qd.c = co.c
+        |       WHERE co.vec_id != qd.qid GROUP BY 1, 2),
+        |r AS (SELECT qid, vec_id, adist,
+        |        ROW_NUMBER() OVER (PARTITION BY qid
+        |          ORDER BY adist, vec_id) AS rank FROM ad)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+        |       CAST(adist AS BIGINT) AS adist
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "q_pq_codes" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |  x -> CAST(FLOOR(x*1048576.0) AS BIGINT)) AS qe FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c,
+        |              vec_id AS cvid, qe AS ce
+        |       FROM q ORDER BY vec_id LIMIT 16),
+        |dist AS (SELECT q.vec_id, CAST((d.i-1)//8 AS INT) AS sub,
+        |           cb.c, cb.cvid,
+        |           SUM((q.qe[d.i]-cb.ce[d.i])*(q.qe[d.i]-cb.ce[d.i])) AS dd
+        |         FROM q, cb, dims d GROUP BY 1, 2, 3, 4),
+        |codes AS (SELECT vec_id, sub, cvid FROM (SELECT vec_id, sub, cvid,
+        |            ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+        |              ORDER BY dd, c) AS rn FROM dist) WHERE rn = 1)
+        |SELECT vec_id,
+        |  CAST(MAX(CASE WHEN sub = 0 THEN cvid END) AS BIGINT) AS code0,
+        |  CAST(SUM((sub + 1) * cvid) AS BIGINT) AS csum
+        |FROM codes GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_emb_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed

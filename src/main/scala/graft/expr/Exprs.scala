@@ -116,6 +116,16 @@ object GraftFunctions {
       s"$name expects a literal int, got $e")
   }
 
+  // data-derived constant (e.g. a PQ codebook): shipped through the
+  // function call as a foldable array<bigint>, extracted once at
+  // expression build time and embedded as a codegen reference object
+  private def longArrayLit(e: Expression, name: String): Array[Long] = e match {
+    case l @ Literal(_, ArrayType(LongType, _)) if l.value != null =>
+      l.value.asInstanceOf[ArrayData].toLongArray()
+    case _ => throw new IllegalArgumentException(
+      s"$name expects a literal array<bigint>, got $e")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cell_pack" -> (es => CellPack(es(0), es(1), es(2))),
     "graft_cell_cover" -> (es => CellCover(es)),
@@ -125,7 +135,16 @@ object GraftFunctions {
     "graft_cosine" -> (es => CosineSim(es(0), es(1))),
     "graft_minhash" -> (es => MinhashSig(es(0), intLit(es(1), "graft_minhash n"))),
     "graft_lsh_buckets" -> (es => LshBuckets(es(0),
-      intLit(es(1), "tables"), intLit(es(2), "nb"), intLit(es(3), "dim"))))
+      intLit(es(1), "tables"), intLit(es(2), "nb"), intLit(es(3), "dim"))),
+    // product quantization (round 4): exact-integer encode / distance
+    // table / ADC scoring — see VecExprs and Kernels.pq*
+    "graft_pq_codes" -> (es => PqCodes(es(0),
+      longArrayLit(es(1), "graft_pq_codes cb"),
+      intLit(es(2), "m"), intLit(es(3), "ks"))),
+    "graft_pq_dtab" -> (es => PqDtab(es(0),
+      longArrayLit(es(1), "graft_pq_dtab cb"),
+      intLit(es(2), "m"), intLit(es(3), "ks"))),
+    "graft_pq_adc" -> (es => PqAdc(es(0), es(1), intLit(es(2), "ks"))))
 
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b) =>

@@ -85,6 +85,113 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  // ---- product quantization (PQ) ----------------------------------
+  //
+  // Embedding components are quantized to exact integers
+  // qi = floor(double(x) * 2^20) — the same scale the kmeans-exact
+  // oracle gates use — so every PQ distance below is exact Long
+  // arithmetic that any SQL engine re-derives bit-for-bit (no float
+  // sums to mismatch). The flat codebook layout is
+  // cb[(sub*ks + c)*dsub + i] = quantized component i of sub-centroid
+  // c in subspace sub; dsub = cb.length / (m*ks).
+
+  /** The kmeans-exact quantizer: floor(double(x) * 2^20). */
+  def pqQuant(x: Float): Long =
+    math.floor(x.toDouble * 1048576.0).toLong
+
+  /** Quantize the leading m*dsub floats of an embedding; null on a
+    * too-short array or any null element (same contract as
+    * [[lshBuckets]] — unsafe reads past numElements / of null slots
+    * would be silently wrong codes). */
+  private def quantHead(e: ArrayData, dim: Int): Array[Long] = {
+    if (e.numElements() < dim) return null
+    var g = 0
+    while (g < dim) { if (e.isNullAt(g)) return null; g += 1 }
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) { q(i) = pqQuant(e.getFloat(i)); i += 1 }
+    q
+  }
+
+  /** PQ encode: per-subspace argmin of exact integer squared distance
+    * over the ks sub-centroids (ties → lowest centroid index).
+    * Returns the m codes as array<int>, or NULL per [[quantHead]]. */
+  def pqCodes(e: ArrayData, cb: Array[Long], m: Int, ks: Int): ArrayData = {
+    val dsub = cb.length / (m * ks)
+    val q = quantHead(e, m * dsub)
+    if (q == null) return null
+    val codes = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < ks) {
+        val off = (sub * ks + c) * dsub
+        var dd = 0L
+        var i = 0
+        while (i < dsub) {
+          val t = q(sub * dsub + i) - cb(off + i)
+          dd += t * t
+          i += 1
+        }
+        if (dd < bestD) { bestD = dd; best = c }
+        c += 1
+      }
+      codes(sub) = best
+      sub += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** ADC distance table of a query vector: dtab[sub*ks + c] = exact
+    * integer squared distance from the query's subvector `sub` to
+    * sub-centroid c. Computed ONCE per query; scoring a candidate is
+    * then m table lookups ([[pqAdc]]). NULL per [[quantHead]]. */
+  def pqDtab(e: ArrayData, cb: Array[Long], m: Int, ks: Int): ArrayData = {
+    val dsub = cb.length / (m * ks)
+    val q = quantHead(e, m * dsub)
+    if (q == null) return null
+    val dtab = new Array[Long](m * ks)
+    var sub = 0
+    while (sub < m) {
+      var c = 0
+      while (c < ks) {
+        val off = (sub * ks + c) * dsub
+        var dd = 0L
+        var i = 0
+        while (i < dsub) {
+          val t = q(sub * dsub + i) - cb(off + i)
+          dd += t * t
+          i += 1
+        }
+        dtab(sub * ks + c) = dd
+        c += 1
+      }
+      sub += 1
+    }
+    new GenericArrayData(dtab)
+  }
+
+  /** ADC score: Σ_sub dtab[sub*ks + codes[sub]] — the PQ hot loop, m
+    * array lookups and adds per candidate. NULL on null elements, a
+    * dtab/codes size mismatch, or an out-of-range code. */
+  def pqAdc(dtab: ArrayData, codes: ArrayData, ks: Int): java.lang.Long = {
+    val m = codes.numElements()
+    if (dtab.numElements() != m * ks) return null
+    var s = 0L
+    var sub = 0
+    while (sub < m) {
+      if (codes.isNullAt(sub)) return null
+      val c = codes.getInt(sub)
+      if (c < 0 || c >= ks) return null
+      if (dtab.isNullAt(sub * ks + c)) return null
+      s += dtab.getLong(sub * ks + c)
+      sub += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
   /** Cosine similarity, double accumulation in index order — identical
     * IEEE result to the `aggregate(zip_with(...))` expression and the
     * udf twin. Returns NULL (boxed) on length mismatch or any null

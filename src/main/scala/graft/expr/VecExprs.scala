@@ -74,6 +74,118 @@ case class MinhashSig(child: Expression, n: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** PQ encode of an array<float> embedding: the m sub-codes (array<int>)
+  * under a flat quantized codebook (shipped as a codegen reference
+  * object — it is data-derived, so the registered builder extracts it
+  * from a literal array<bigint> argument). Exact integer distances; see
+  * [[Kernels.pqCodes]]. */
+case class PqCodes(child: Expression, cb: Array[Long], m: Int, ks: Int)
+    extends UnaryExpression {
+  require(m > 0 && ks > 0 && cb.length % (m * ks) == 0 && cb.length > 0,
+    s"graft_pq_codes: codebook length ${cb.length} not a multiple of m*ks=${m * ks}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_codes(array<float>, ...), got $t")
+  }
+
+  override protected def nullSafeEval(e: Any): Any =
+    Kernels.pqCodes(e.asInstanceOf[ArrayData], cb, m, ks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqCb", cb, "long[]")
+    val r = ctx.freshName("graftPqCodes")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.expr.Kernels.pqCodes($c, $ref, $m, $ks);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** ADC distance table (flat array<bigint>, m*ks entries) of a query
+  * embedding under a flat quantized codebook — computed once per
+  * query row; see [[Kernels.pqDtab]]. */
+case class PqDtab(child: Expression, cb: Array[Long], m: Int, ks: Int)
+    extends UnaryExpression {
+  require(m > 0 && ks > 0 && cb.length % (m * ks) == 0 && cb.length > 0,
+    s"graft_pq_dtab: codebook length ${cb.length} not a multiple of m*ks=${m * ks}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_dtab(array<float>, ...), got $t")
+  }
+
+  override protected def nullSafeEval(e: Any): Any =
+    Kernels.pqDtab(e.asInstanceOf[ArrayData], cb, m, ks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqCb", cb, "long[]")
+    val r = ctx.freshName("graftPqDtab")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.expr.Kernels.pqDtab($c, $ref, $m, $ks);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r;
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** ADC score Σ_sub dtab[sub*ks + codes[sub]] — the per-candidate PQ
+  * scoring kernel (m lookups + adds inside whole-stage codegen). */
+case class PqAdc(left: Expression, right: Expression, ks: Int)
+    extends BinaryExpression {
+  require(ks > 0, s"graft_pq_adc ks=$ks must be positive")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_adc(array<bigint>, array<int>), got ($l, $r)")
+  }
+
+  override protected def nullSafeEval(dtab: Any, codes: Any): Any =
+    Kernels.pqAdc(dtab.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], ks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("graftPqAdc")
+    nullSafeCodeGen(ctx, ev, (d, c) =>
+      s"""
+         |java.lang.Long $r = graft.expr.Kernels.pqAdc($d, $c, $ks);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.longValue();
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** SRP-LSH bucket ids (one long per table) of an array<float>
   * embedding; the integer plane weights are derived once per instance
   * from (tables, nb, dim) and shipped as a codegen reference object. */

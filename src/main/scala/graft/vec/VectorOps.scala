@@ -275,6 +275,137 @@ object VectorOps {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"))
   }
 
+  // ---- product quantization (PQ) ANN -------------------------------
+  //
+  // The third ANN family next to SRP-LSH and IVF: each vector is
+  // compressed to m sub-codes (one per dim/m-dim subspace, ks
+  // sub-centroids each) and queries score candidates by ADC —
+  // asymmetric distance computation, a per-query distance TABLE of
+  // m×ks entries followed by m table lookups per candidate. At 10¹²
+  // rows the codes column is m ints (conceptually m·log2(ks) bits =
+  // 4 bytes at m=8, ks=16) against 256 bytes of f32: the scan becomes
+  // memory-bound on a 64× smaller index, and the same codes compose
+  // with the IVF cell join for a sub-linear probe. All distances run
+  // on kmeans-exact-quantized integers (floor(x·2^20)) so the oracle
+  // re-derives every code and every ADC score exactly in SQL.
+
+  /** Flat FIXED-ID codebook: sub-centroids = the quantized sub-vectors
+    * of the `ks` lowest vec_ids (deterministic — any SQL engine
+    * re-derives the same codebook; the oracle gate's quantizer, like
+    * [[ivfTopK]]'s fixed centroids). Layout
+    * cb[(sub*ks + c)*dsub + i]; centroid index c = rank of the source
+    * row in vec_id order. */
+  def pqCodebookFixed(emb: DataFrame, dim: Int, m: Int, ks: Int): Array[Long] = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val rows: Array[Array[Float]] = emb.orderBy(col("vec_id")).limit(ks)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(rows.length == ks, s"corpus has ${rows.length} < ks=$ks rows")
+    val cb = new Array[Long](m * ks * dsub)
+    for (sub <- 0 until m; c <- 0 until ks; i <- 0 until dsub)
+      cb((sub * ks + c) * dsub + i) =
+        graft.expr.Kernels.pqQuant(rows(c)(sub * dsub + i))
+    cb
+  }
+
+  /** DATA-ADAPTIVE flat codebook: per-subspace k-means (farthest-point
+    * seeds + `iters` Lloyd rounds, Euclidean on the raw subspace — the
+    * standard PQ training) over a bounded deterministic sample (the
+    * `sampleN` lowest vec_ids), trained on the driver exactly like
+    * [[ivfTopKSeeded]]'s coarse quantizer: one bounded collect, zero
+    * distributed iterations, centroids quantized to the exact-integer
+    * grid at the end so ADC stays engine-exact. Deployment path; the
+    * fixed-id codebook stays as the oracle gate. */
+  def pqCodebookTrained(emb: DataFrame, dim: Int, m: Int, ks: Int,
+                        iters: Int = 5, sampleN: Int = 1024): Array[Long] = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val sample: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val cb = new Array[Long](m * ks * dsub)
+    for (sub <- 0 until m) {
+      val subv = sample.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      var centers = graft.ops.Algorithms.farthestPointSeeds(subv, ks)
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(centers.length)(new Array[Double](dsub))
+        val cnts = new Array[Long](centers.length)
+        subv.foreach { e =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < centers.length) {
+            var d2 = 0.0; var i = 0
+            val cv = centers(c)
+            while (i < dsub) { val t = e(i) - cv(i); d2 += t * t; i += 1 }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          cnts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += e(i); i += 1 }
+        }
+        centers = Array.tabulate(centers.length)(c =>
+          if (cnts(c) == 0) centers(c) else sums(c).map(_ / cnts(c)))
+      }
+      for (c <- 0 until ks; i <- 0 until dsub)
+        cb((sub * ks + c) * dsub + i) =
+          math.floor(centers(c)(i) * 1048576.0).toLong
+    }
+    cb
+  }
+
+  /** (vec_id, codes array<int>) under a flat codebook — the compressed
+    * index. One broadcast constant (the codebook rides the codegen'd
+    * [[graft.expr.PqCodes]] expression as a reference object), zero
+    * shuffles: a pure projection over the corpus. */
+  def pqCodes(emb: DataFrame, cb: Array[Long], m: Int, ks: Int): DataFrame =
+    reg(emb).select(col("vec_id"),
+      call_function("graft_pq_codes", col("embedding"), lit(cb),
+        lit(m), lit(ks)).as("codes"))
+
+  /** PQ ANN top-k by ADC under the FIXED-ID codebook (the oracle-gated
+    * variant; [[pqTopKTrained]] is the deployment path). ADC ranks by
+    * compressed SQUARED L2 distance — for cosine retrieval feed
+    * L2-normalized embeddings (standard PQ practice: on the unit
+    * sphere ||a−b||² = 2−2·cos, so the orderings coincide). Plan shape:
+    * encode projection over the corpus (no shuffle) → broadcast of the
+    * few query rows carrying their m×ks distance tables → per-pair m
+    * table lookups → per-query top-k window. Returns
+    * (qid, rank, vec_id, adist) with adist the exact integer ADC
+    * score (ascending; ties → lowest vec_id). */
+  def pqTopK(emb: DataFrame, queryFilter: Column, k: Int,
+             dim: Int = 64, m: Int = 8, ks: Int = 16): DataFrame =
+    pqTopKWithCodebook(emb, pqCodebookFixed(emb, dim, m, ks),
+      queryFilter, k, m, ks)
+
+  /** PQ ANN top-k under the trained (per-subspace k-means) codebook. */
+  def pqTopKTrained(emb: DataFrame, queryFilter: Column, k: Int,
+                    dim: Int = 64, m: Int = 8, ks: Int = 16,
+                    iters: Int = 5, sampleN: Int = 1024): DataFrame =
+    pqTopKWithCodebook(emb, pqCodebookTrained(emb, dim, m, ks, iters, sampleN),
+      queryFilter, k, m, ks)
+
+  private def pqTopKWithCodebook(emb0: DataFrame, cb: Array[Long],
+                                 queryFilter: Column, k: Int,
+                                 m: Int, ks: Int): DataFrame = {
+    val emb = reg(emb0)
+    val codes = pqCodes(emb, cb, m, ks)
+    val q = emb.where(queryFilter)
+      .select(col("vec_id").as("qid"),
+        call_function("graft_pq_dtab", col("embedding"), lit(cb),
+          lit(m), lit(ks)).as("dtab"))
+    val cand = codes.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("adist",
+        call_function("graft_pq_adc", col("dtab"), col("codes"), lit(ks)))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adist"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the memory
     * move that makes a 10¹²-row ANN index feasible (4× smaller than
     * f32, SIMD-friendly dot products): per-vector scale = max |v|,
