@@ -1567,6 +1567,14 @@ object SparkEntry {
       graft.vec.VectorOps.pqTopK(emb(s, dir), col("vec_id") < 3, 10)
         .orderBy("qid", "rank")),
 
+    // IVF-PQ composed ANN: IVF cells prune (sub-linear probe), PQ ADC
+    // scores survivors on compressed codes — candidates never rejoin
+    // the embedding column (the 10^12-row architecture; nprobe=kc ==
+    // pqTopK asserted in LshSpec)
+    "q_ann_ivfpq_topk" -> ((s, dir) =>
+      graft.vec.VectorOps.ivfPqTopK(emb(s, dir), col("vec_id") < 3, 10)
+        .orderBy("qid", "rank")),
+
     // PQ encode digest: subspace-0 centroid id + position-weighted sum
     // of all 8 code centroid ids per vector (codes mapped back to the
     // source vec_ids of the fixed-id codebook so the oracle's labels
@@ -3984,6 +3992,51 @@ object SparkEntry {
         |qd AS (SELECT vec_id AS qid, sub, c, dd FROM dist WHERE vec_id < 3),
         |ad AS (SELECT qd.qid, co.vec_id, SUM(qd.dd) AS adist
         |       FROM codes co JOIN qd ON qd.sub = co.sub AND qd.c = co.c
+        |       WHERE co.vec_id != qd.qid GROUP BY 1, 2),
+        |r AS (SELECT qid, vec_id, adist,
+        |        ROW_NUMBER() OVER (PARTITION BY qid
+        |          ORDER BY adist, vec_id) AS rank FROM ad)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id,
+        |       CAST(adist AS BIGINT) AS adist
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // IVF-PQ replay: the IVF oracle's cosine cell assignment + probe
+    // CTEs composed with the PQ oracle's integer encode + ADC CTEs —
+    // candidates are the probed cells' members, scored by ADC
+    "q_ann_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id < 16),
+        |asg AS (SELECT e.vec_id, c.cid,
+        |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |            list_dot_product(e.ed, c.ce) /
+        |            (sqrt(list_dot_product(e.ed, e.ed)) *
+        |             sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cid) AS rk
+        |        FROM e CROSS JOIN cents c),
+        |cells AS (SELECT vec_id, cid FROM asg WHERE rk = 1),
+        |pr AS (SELECT q.vec_id AS qid, c.cid,
+        |         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |           list_dot_product(q.ed, c.ce) /
+        |           (sqrt(list_dot_product(q.ed, q.ed)) *
+        |            sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cid) AS rk
+        |       FROM e q CROSS JOIN cents c WHERE q.vec_id < 3),
+        |probes AS (SELECT qid, cid FROM pr WHERE rk <= 4),
+        |qz AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |  x -> CAST(FLOOR(x*1048576.0) AS BIGINT)) AS qe FROM embeddings),
+        |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, qe AS ce
+        |       FROM qz ORDER BY vec_id LIMIT 16),
+        |dist AS (SELECT qz.vec_id, CAST((d.i-1)//8 AS INT) AS sub, cb.c,
+        |           SUM((qz.qe[d.i]-cb.ce[d.i])*(qz.qe[d.i]-cb.ce[d.i])) AS dd
+        |         FROM qz, cb, dims d GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, c FROM (SELECT vec_id, sub, c,
+        |            ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+        |              ORDER BY dd, c) AS rn FROM dist) WHERE rn = 1),
+        |qd AS (SELECT vec_id AS qid, sub, c, dd FROM dist WHERE vec_id < 3),
+        |ad AS (SELECT qd.qid, co.vec_id, SUM(qd.dd) AS adist
+        |       FROM codes co
+        |       JOIN cells ce ON ce.vec_id = co.vec_id
+        |       JOIN probes p ON p.cid = ce.cid
+        |       JOIN qd ON qd.qid = p.qid AND qd.sub = co.sub AND qd.c = co.c
         |       WHERE co.vec_id != qd.qid GROUP BY 1, 2),
         |r AS (SELECT qid, vec_id, adist,
         |        ROW_NUMBER() OVER (PARTITION BY qid

@@ -406,6 +406,53 @@ object VectorOps {
         col("vec_id"), col("adist"))
   }
 
+  /** IVF-PQ: the composed 10¹²-row ANN architecture — IVF cells prune
+    * the candidate set to ~nprobe/kc of the corpus (sub-linear probe),
+    * PQ ADC scores the survivors on compressed codes. The candidate
+    * join ships (vec_id, cid, codes) — m ints, not the 256-byte f32
+    * embedding — so at scale the probe is both sub-linear AND
+    * memory-light; the embeddings column is never joined back at all.
+    * Fixed-id coarse centroids + fixed-id codebook (the oracle-gated
+    * variant, like [[ivfTopK]]/[[pqTopK]]); nprobe=kc degenerates to
+    * exactly [[pqTopK]]'s full-scan ADC ranking (asserted in LshSpec).
+    * Returns (qid, rank, vec_id, adist). */
+  def ivfPqTopK(emb0: DataFrame, queryFilter: Column, k: Int,
+                kc: Int = 16, nprobe: Int = 4,
+                dim: Int = 64, m: Int = 8, ks: Int = 16): DataFrame = {
+    val emb = reg(emb0)
+    val cents = emb.where(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val cb = pqCodebookFixed(emb, dim, m, ks)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val cells = emb.crossJoin(broadcast(cents))
+      .withColumn("csim", cosineFast(col("embedding"), col("ce")))
+      .withColumn("crank", row_number().over(wAssign))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("cid"))
+    val indexed = cells.join(pqCodes(emb, cb, m, ks), Seq("vec_id"))
+    val q = emb.where(queryFilter)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        call_function("graft_pq_dtab", col("embedding"), lit(cb),
+          lit(m), lit(ks)).as("dtab"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("qsim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("qsim", cosineFast(col("qe"), col("ce")))
+      .withColumn("prank", row_number().over(wProbe))
+      .where(col("prank") <= nprobe)
+      .select(col("qid"), col("dtab"), col("cid"))
+    val cand = indexed.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("adist",
+        call_function("graft_pq_adc", col("dtab"), col("codes"), lit(ks)))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adist"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the memory
     * move that makes a 10¹²-row ANN index feasible (4× smaller than
     * f32, SIMD-friendly dot products): per-vector scale = max |v|,

@@ -328,6 +328,28 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pq2 == pq)
   }
 
+  test("ivfPqTopK: nprobe=kc degenerates to pqTopK; measured recall at nprobe=4") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .cache()
+    val qf = col("vec_id") < 5
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // with every cell probed the candidate set is the whole corpus
+    // minus self — the composed operator must equal the full-scan ADC
+    val full = rows(VectorOps.ivfPqTopK(emb, qf, 10, kc = 16, nprobe = 16))
+    val pq = rows(VectorOps.pqTopK(emb, qf, 10))
+    assert(full == pq, "ivfPqTopK(nprobe=kc) must equal pqTopK exactly")
+    // pruned probe: recall vs the full ADC ranking (cell pruning is the
+    // only approximation added on top of PQ)
+    val pruned = rows(VectorOps.ivfPqTopK(emb, qf, 10, kc = 16, nprobe = 4))
+      .map(t => (t._1, t._3))
+    val fullIds = pq.map(t => (t._1, t._3))
+    val recall = pruned.intersect(fullIds).size.toDouble / fullIds.size
+    info(f"ivfPqTopK recall@10 vs full-scan ADC (kc=16, nprobe=4) = $recall%.3f")
+    assert(recall >= 0.5, f"ivfpq recall@10 vs ADC = $recall%.2f")
+  }
+
   test("pqCodebookTrained (per-subspace k-means) reconstructs better than fixed-id on a clustered corpus") {
     import spark.implicits._
     // same adversarial geometry as the IVF trained-quantizer test: 16
