@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, FloatType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.{SparkSessionExtensions, SparkSessionExtensionsProvider}
 import graft.core.Geom
@@ -116,14 +116,22 @@ object GraftFunctions {
       s"$name expects a literal int, got $e")
   }
 
-  // data-derived constant (e.g. a PQ codebook): shipped through the
-  // function call as a foldable array<bigint>, extracted once at
-  // expression build time and embedded as a codegen reference object
+  // data-derived constants (e.g. a PQ codebook / IVF centroid set):
+  // shipped through the function call as a foldable array literal,
+  // extracted once at expression build time and embedded as a codegen
+  // reference object
   private def longArrayLit(e: Expression, name: String): Array[Long] = e match {
     case l @ Literal(_, ArrayType(LongType, _)) if l.value != null =>
       l.value.asInstanceOf[ArrayData].toLongArray()
     case _ => throw new IllegalArgumentException(
       s"$name expects a literal array<bigint>, got $e")
+  }
+
+  private def floatArrayLit(e: Expression, name: String): Array[Float] = e match {
+    case l @ Literal(_, ArrayType(FloatType, _)) if l.value != null =>
+      l.value.asInstanceOf[ArrayData].toFloatArray()
+    case _ => throw new IllegalArgumentException(
+      s"$name expects a literal array<float>, got $e")
   }
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -144,7 +152,9 @@ object GraftFunctions {
     "graft_pq_dtab" -> (es => PqDtab(es(0),
       longArrayLit(es(1), "graft_pq_dtab cb"),
       intLit(es(2), "m"), intLit(es(3), "ks"))),
-    "graft_pq_adc" -> (es => PqAdc(es(0), es(1), intLit(es(2), "ks"))))
+    "graft_pq_adc" -> (es => PqAdc(es(0), es(1), intLit(es(2), "ks"))),
+    "graft_ivf_assign" -> (es => IvfAssign(es(0),
+      floatArrayLit(es(1), "graft_ivf_assign cents"), intLit(es(2), "kc"))))
 
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b) =>

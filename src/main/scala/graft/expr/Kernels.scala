@@ -192,6 +192,43 @@ object Kernels {
     java.lang.Long.valueOf(s)
   }
 
+  /** IVF cell assignment: positional index of the max-cosine centroid
+    * (flat float centroids, kc rows of dim = flat.length/kc). The
+    * cosine fold is [[cosineBoxed]]'s exact op order, and the argmax
+    * replicates Spark's `ROW_NUMBER OVER (ORDER BY csim DESC, cid)`
+    * semantics bit-for-bit: comparison via Double.compare (NaN sorts
+    * LARGEST, like Spark's descending order), strict `>` keeps the
+    * earliest (lowest) index on bit-equal ties. Returns null for an
+    * embedding with a null element or a length != dim (the windowed
+    * variant would keep such a row with a null csim; no gate data has
+    * either). This replaces the corpus-side crossJoin + window — cell
+    * assignment becomes one codegen call per row, no shuffle. */
+  def ivfAssign(e: ArrayData, flat: Array[Float], kc: Int): Integer = {
+    val dim = flat.length / kc
+    if (e.numElements() != dim) return null
+    var g = 0
+    while (g < dim) { if (e.isNullAt(g)) return null; g += 1 }
+    var best = -1
+    var bestSim = 0.0
+    var c = 0
+    while (c < kc) {
+      val off = c * dim
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = e.getFloat(i).toDouble; val y = flat(off + i).toDouble
+        d += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val sim = d / (math.sqrt(na) * math.sqrt(nb))
+      if (best < 0 || java.lang.Double.compare(sim, bestSim) > 0) {
+        best = c; bestSim = sim
+      }
+      c += 1
+    }
+    Integer.valueOf(best)
+  }
+
   /** Cosine similarity, double accumulation in index order — identical
     * IEEE result to the `aggregate(zip_with(...))` expression and the
     * udf twin. Returns NULL (boxed) on length mismatch or any null

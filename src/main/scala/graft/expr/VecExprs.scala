@@ -186,6 +186,46 @@ case class PqAdc(left: Expression, right: Expression, ks: Int)
       l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** IVF cell assignment of an array<float> embedding: positional index
+  * of the max-cosine centroid over a flat float centroid set (shipped
+  * as a codegen reference object, extracted from a literal
+  * array<float> argument — it is data-derived like the PQ codebook).
+  * Bit-identical to the crossJoin+window argmax it replaces; see
+  * [[Kernels.ivfAssign]]. */
+case class IvfAssign(child: Expression, flat: Array[Float], kc: Int)
+    extends UnaryExpression {
+  require(kc > 0 && flat.length % kc == 0 && flat.length > 0,
+    s"graft_ivf_assign: centroid array length ${flat.length} not a multiple of kc=$kc")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_ivf_assign(array<float>, ...), got $t")
+  }
+
+  override protected def nullSafeEval(e: Any): Any =
+    Kernels.ivfAssign(e.asInstanceOf[ArrayData], flat, kc)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftIvfCents", flat, "float[]")
+    val r = ctx.freshName("graftIvfAssign")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Integer $r = graft.expr.Kernels.ivfAssign($c, $ref, $kc);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.intValue();
+         |}
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** SRP-LSH bucket ids (one long per table) of an array<float>
   * embedding; the integer plane weights are derived once per instance
   * from (tables, nb, dim) and shipped as a codegen reference object. */

@@ -246,17 +246,32 @@ object VectorOps {
     ivfTopKWithCentroids(emb, cents, queryFilter, k, nprobe)
   }
 
+  /** Bounded collect of a kc-row centroid set, cid-ascending:
+    * (cid labels, flat float components) — the reference-object form
+    * the [[graft.expr.IvfAssign]] argmax kernel ships per task. */
+  private def collectCents(cents: DataFrame): (Array[Long], Array[Float]) = {
+    val rows = cents.orderBy(col("cid")).collect()
+    (rows.map(_.getLong(0)), rows.flatMap(_.getSeq[Float](1)))
+  }
+
+  /** Cell-id column: codegen argmax over the broadcast centroid set —
+    * assignment is ONE expression call per row (no crossJoin, no
+    * window, no shuffle on the corpus side; bit-identical to the
+    * windowed argmax it replaced — asserted in LshSpec). Positional
+    * argmax maps back to cid labels; cid-ascending order keeps the
+    * tie-break (bit-equal cosine → lowest cid) aligned. */
+  private def assignCol(cids: Array[Long], flat: Array[Float]): Column =
+    element_at(lit(cids),
+      call_function("graft_ivf_assign", col("embedding"), lit(flat),
+        lit(cids.length)) + lit(1))
+
   private def ivfTopKWithCentroids(emb0: DataFrame, cents: DataFrame,
                                    queryFilter: Column, k: Int,
                                    nprobe: Int): DataFrame = {
     val emb = reg(emb0)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    val cells = emb.crossJoin(broadcast(cents))
-      .withColumn("csim", cosineFast(col("embedding"), col("ce")))
-      .withColumn("crank", row_number().over(wAssign))
-      .where(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    val (cids, flat) = collectCents(cents)
+    val cells = emb.select(col("vec_id"), col("embedding"),
+      assignCol(cids, flat).as("cid"))
     val q = emb.where(queryFilter)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val wProbe = Window.partitionBy(col("qid"))
@@ -423,14 +438,14 @@ object VectorOps {
     val cents = emb.where(col("vec_id") < kc)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     val cb = pqCodebookFixed(emb, dim, m, ks)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    val cells = emb.crossJoin(broadcast(cents))
-      .withColumn("csim", cosineFast(col("embedding"), col("ce")))
-      .withColumn("crank", row_number().over(wAssign))
-      .where(col("crank") === 1)
-      .select(col("vec_id"), col("cid"))
-    val indexed = cells.join(pqCodes(emb, cb, m, ks), Seq("vec_id"))
+    val (cids, flat) = collectCents(cents)
+    // the whole index build is ONE projection over the corpus: cell id
+    // and codes are both per-row codegen calls — no crossJoin, no
+    // window shuffle, no codes self-join
+    val indexed = emb.select(col("vec_id"),
+      assignCol(cids, flat).as("cid"),
+      call_function("graft_pq_codes", col("embedding"), lit(cb),
+        lit(m), lit(ks)).as("codes"))
     val q = emb.where(queryFilter)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         call_function("graft_pq_dtab", col("embedding"), lit(cb),

@@ -328,6 +328,35 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pq2 == pq)
   }
 
+  test("ivfAssign kernel == crossJoin+window argmax (bit-identical cells)") {
+    import org.apache.spark.sql.expressions.Window
+    graft.expr.GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .cache()
+    val kc = 16
+    val cents = emb.where(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // the windowed argmax the kernel replaced (kept here as the spec
+    // reference): max cosine, ties -> lowest cid
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val windowed = emb.crossJoin(broadcast(cents))
+      .withColumn("csim", VectorOps.cosineFast(col("embedding"), col("ce")))
+      .withColumn("crank", row_number().over(wAssign))
+      .where(col("crank") === 1)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centRows = cents.orderBy("cid").collect()
+    val cids = centRows.map(_.getLong(0))
+    val flat = centRows.flatMap(_.getSeq[Float](1))
+    val kernel = emb.select(col("vec_id"),
+        element_at(lit(cids),
+          call_function("graft_ivf_assign", col("embedding"), lit(flat),
+            lit(kc)) + lit(1)).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel == windowed)
+  }
+
   test("ivfPqTopK: nprobe=kc degenerates to pqTopK; measured recall at nprobe=4") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .cache()
