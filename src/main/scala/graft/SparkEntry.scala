@@ -19,6 +19,11 @@ object SparkEntry {
 
   private def imgs(s: SparkSession, dir: String): DataFrame =
     Synth.images(s, dir)
+
+  /** AR-bucket lattice for q_ar_buckets (square, 4:3 pair, 16:9 pair,
+    * 3:2 pair, 2:1 pair — the usual multimodal-training ratio set). */
+  private val ArLattice = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16),
+    (3, 2), (2, 3), (2, 1), (1, 2))
   private def polys(s: SparkSession, dir: String): DataFrame =
     Synth.polygons(s, dir)
 
@@ -1005,6 +1010,14 @@ object SparkEntry {
           Synth.imagesWithBytes(s, dir, smallRaw), 65536L, 2)
         .orderBy("image_id")),
 
+    // ASPECT-RATIO bucketed batching (multimodal training batch
+    // assembly): nearest AR bucket from a 9-ratio lattice (exact
+    // integer numerator, one IEEE divide; ties → lowest bucket), md5
+    // writer sharding, fixed-size (8) batches per (writer, bucket)
+    "q_ar_buckets" -> ((s, dir) =>
+      graft.ops.Sharding.arBuckets(imgs(s, dir), ArLattice, 8, 4)
+        .orderBy("image_id")),
+
     // PER-PIXEL LAZY CHAIN (§2.3, the reference's queued-function
     // read path): sqrt → +5 → ×2 over band 0 with the nodata-restore
     // rule. Every step is a correctly-rounded IEEE op applied in the
@@ -1387,6 +1400,21 @@ object SparkEntry {
     // (deterministic term tie-break — the BPE-trainer input table)
     "q_vocab" -> ((s, dir) =>
       graft.text.TextOps.vocab(docs(s, dir), 50)),
+
+    // BPE merge TRAINING (tokenizer induction): 4 merge rounds on the
+    // word-frequency table — corpus touched once, each round is a
+    // vocab-sized pair aggregate + 1-row argmax collect + literal
+    // replace (delimited-symbol strings make greedy merge == string
+    // replace, identically in Spark and DuckDB)
+    "q_bpe_merges" -> ((s, dir) =>
+      graft.text.TextOps.bpeTrain(docs(s, dir), 4)._1
+        .orderBy("round")),
+
+    // BPE ENCODE (the tokenizer's apply half): per-doc word and
+    // post-merge token counts under the 4 trained merges
+    "q_bpe_encode" -> ((s, dir) =>
+      graft.text.TextOps.bpeEncodeStats(docs(s, dir), 4)
+        .orderBy("doc_id")),
 
     // deterministic weighted top-40 sample (A-ES shape, rational
     // priority h/w — one IEEE division, engine-identical)
@@ -3274,6 +3302,31 @@ object SparkEntry {
          |SELECT image_id, writer, nbytes, shard, off AS offset
          |FROM rec ORDER BY image_id""".stripMargin,
 
+    // AR bucketing replay: argmin over the 9-ratio lattice of the IEEE
+    // double |w*bh - h*bw| / bh (exact integer numerator, one
+    // correctly-rounded divide — bit-identical across engines), ties
+    // -> lowest bucket index; md5 writer; row_number batching
+    "q_ar_buckets" ->
+      s"""WITH $I,
+         |bks(i, bw, bh) AS (VALUES (0,1,1),(1,4,3),(2,3,4),(3,16,9),
+         |  (4,9,16),(5,3,2),(6,2,3),(7,2,1),(8,1,2)),
+         |sc AS (SELECT g.image_id, b.i, b.bw, b.bh,
+         |         ROW_NUMBER() OVER (PARTITION BY g.image_id ORDER BY
+         |           CAST(ABS(g.w*b.bh - g.h*b.bw) AS DOUBLE) / b.bh,
+         |           b.i) AS rk
+         |       FROM img2 g CROSS JOIN bks b),
+         |asg AS (SELECT image_id, i, bw, bh,
+         |          ${Md5BucketSql("image_id")} % 4 AS writer
+         |        FROM sc WHERE rk = 1),
+         |bt AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY writer, i
+         |         ORDER BY image_id) - 1 AS rn FROM asg)
+         |SELECT image_id, CAST(i AS BIGINT) AS bucket,
+         |  CAST(bw AS BIGINT) AS bw, CAST(bh AS BIGINT) AS bh,
+         |  CAST(writer AS BIGINT) AS writer,
+         |  CAST(rn // 8 AS BIGINT) AS batch_idx,
+         |  CAST(rn % 8 AS BIGINT) AS slot
+         |FROM bt ORDER BY image_id""".stripMargin,
+
     // the remapped output index is computed from the ORIGINAL (x,y):
     // hflip idx = y·w + (w−1−x), rot90 idx = x·h + (h−1−y); DN·10⁶
     // is integer-exact so the weighted sum replays exactly
@@ -3602,6 +3655,31 @@ object SparkEntry {
          |      FROM t GROUP BY term)
          |SELECT term, df, cf FROM a
          |ORDER BY cf DESC, term LIMIT 50""".stripMargin,
+
+    // BPE trainer replay: 4 unrolled rounds; the delimited-symbol
+    // representation makes greedy merge == plain replace (identical
+    // left-to-right non-overlap semantics in Spark and DuckDB)
+    "q_bpe_merges" ->
+      s"""WITH ${BpeCtes(4)}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, l AS "left", r AS "right",
+         |         CAST(c AS BIGINT) AS cnt FROM m1
+         |  UNION ALL SELECT 2, l, r, CAST(c AS BIGINT) FROM m2
+         |  UNION ALL SELECT 3, l, r, CAST(c AS BIGINT) FROM m3
+         |  UNION ALL SELECT 4, l, r, CAST(c AS BIGINT) FROM m4)
+         |ORDER BY round""".stripMargin,
+
+    "q_bpe_encode" ->
+      s"""WITH ${BpeCtes(4)},
+         |wt AS (SELECT word, CAST(len(string_split(trim(wstr, '$Pipe'),
+         |         '$Pipe$Pipe')) AS BIGINT) AS wt FROM w4),
+         |dw AS (SELECT d.doc_id, t.word FROM documents d
+         |       CROSS JOIN LATERAL (SELECT unnest(string_split(d.text,
+         |         ' ')) AS word) t
+         |       WHERE length(t.word) > 0)
+         |SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(wt.wt) AS BIGINT) AS n_tokens
+         |FROM dw JOIN wt USING (word) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-doc top-3 keywords: tf desc, df asc, term asc — integer +
     // lexicographic ordering only
@@ -4841,6 +4919,43 @@ object SparkEntry {
 
   /** SQL mirror of TextOps.md5Bucket: first 4 hex chars of md5(expr)
     * as an integer 0..65535 (the deterministic-selection hash). */
+  /** '|' as an interpolation value: oracle lines must never BEGIN with
+    * a literal pipe (stripMargin is applied twice — see the verify
+    * skill notes), so pipe-heavy expressions interpolate this. */
+  private val Pipe = "|"
+
+  /** BPE trainer CTE chain, `rounds` unrolled: w0 = word-frequency
+    * table with '|'-delimited symbol strings; per round r, p$r = pair
+    * counts, m$r = argmax merge (count desc, then lexicographic),
+    * w$r = words with the merge applied via plain `replace` (greedy
+    * left-to-right non-overlap — the Spark trainer's exact semantics).
+    * Generated without margin pipes: no line starts with '|'. */
+  private def BpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      "w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,\n" +
+      "    regexp_replace(word, '(.)', '|\\1|', 'g') AS wstr\n" +
+      "  FROM (SELECT unnest(string_split(text, ' ')) AS word\n" +
+      "        FROM documents) t\n" +
+      "  WHERE length(word) > 0 GROUP BY word)")
+    for (r <- 1 to rounds) {
+      sb.append(",\n" +
+        s"p$r AS (SELECT s.syms[i.i] AS l, s.syms[i.i+1] AS r,\n" +
+        s"    SUM(s.cnt) AS c\n" +
+        s"  FROM (SELECT cnt, string_split(trim(wstr, '|'), '||')\n" +
+        s"          AS syms FROM w${r - 1}) s\n" +
+        s"  CROSS JOIN LATERAL (SELECT\n" +
+        s"    unnest(generate_series(1, len(s.syms)-1)) AS i) i\n" +
+        s"  GROUP BY 1, 2),\n" +
+        s"m$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),\n" +
+        s"w$r AS (SELECT w.word, w.cnt,\n" +
+        s"    replace(w.wstr, '|' || m.l || '||' || m.r || '|',\n" +
+        s"      '|' || m.l || m.r || '|') AS wstr\n" +
+        s"  FROM w${r - 1} w CROSS JOIN m$r m)")
+    }
+    sb.toString
+  }
+
   private def Md5BucketSql(expr: String): String =
     s"""CAST((strpos('0123456789abcdef', substr(md5($expr), 1, 1)) - 1) * 4096
        |   + (strpos('0123456789abcdef', substr(md5($expr), 2, 1)) - 1) * 256

@@ -52,4 +52,50 @@ object Sharding {
       }
       .toDF("image_id", "writer", "nbytes", "shard", "offset")
   }
+
+  /** ASPECT-RATIO BUCKETED BATCHING — how multimodal training jobs
+    * batch variable-resolution images: every image is assigned to the
+    * nearest aspect-ratio bucket from a fixed lattice, then packed
+    * into fixed-size batches within its bucket so a batch shares one
+    * resize target (no mixed-AR padding waste).
+    *
+    * Nearest bucket = argmin over buckets of |w/h − bw/bh|, evaluated
+    * as the IEEE double |w·bh − h·bw| / bh (exact integer numerator,
+    * one correctly-rounded divide — bit-identical in any engine);
+    * ties → lowest bucket index. Batching: writer = md5(image_id) mod
+    * `nWriters` (content-independent, reshuffle-stable, same contract
+    * as [[packShards]]); within (writer, bucket), images order by
+    * image_id and fill batches of `batchSize` (batch_idx, slot).
+    *
+    * Scale posture: bucket assignment is a per-row projection;
+    * batching is one window per (writer, bucket) — parallelism =
+    * nWriters × |buckets|, so at 10¹² images you raise nWriters to
+    * the cluster's width exactly like shard packing; no global sort,
+    * no driver state. */
+  def arBuckets(imgs: DataFrame, buckets: Seq[(Int, Int)],
+                batchSize: Int, nWriters: Int): DataFrame = {
+    require(buckets.nonEmpty && batchSize > 0 && nWriters > 0)
+    val scored = buckets.zipWithIndex.map { case ((bw, bh), i) =>
+      struct(
+        (abs(col("w") * bh - col("h") * bw).cast("double") /
+          lit(bh.toDouble)).as("d"),
+        lit(i.toLong).as("i"), lit(bw.toLong).as("bw"), lit(bh.toLong).as("bh"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("writer"), col("bucket"))
+      .orderBy(col("image_id"))
+    imgs
+      // struct ordering is lexicographic (d, then i): array_min IS the
+      // argmin with the ties → lowest-index rule
+      .withColumn("bk", array_min(array(scored: _*)))
+      .select(col("image_id"),
+        col("bk.i").as("bucket"), col("bk.bw").as("bw"), col("bk.bh").as("bh"),
+        pmod(graft.text.TextOps.md5Bucket(col("image_id")),
+          lit(nWriters)).cast("long").as("writer"))
+      .withColumn("rn", row_number().over(w) - 1)
+      .select(col("image_id"), col("bucket"), col("bw"), col("bh"),
+        col("writer"),
+        floor(col("rn") / batchSize).cast("long").as("batch_idx"),
+        (col("rn") % batchSize).cast("long").as("slot"))
+  }
 }

@@ -671,4 +671,90 @@ object TextOps {
     })
     docs.select(col("doc_id"), sim(col("text")).as("simhash"))
   }
+
+  // ---- BPE merge training (distributed tokenizer induction) --------
+  //
+  // The classic byte-pair-encoding trainer (Sennrich et al., ACL 2016;
+  // public algorithm), shaped for Spark: the corpus is touched ONCE
+  // (the word-frequency shuffle); every merge round then runs on the
+  // DISTINCT-WORD table — vocabulary-sized, not corpus-sized — as one
+  // pair-explode + hash aggregate + a 1-ROW collect (the argmax pair),
+  // followed by a per-row literal `replace`. At 10¹² documents the
+  // rounds cost O(vocab), which is why real BPE trainers work off the
+  // word-count table.
+  //
+  // Words are represented as '|'-delimited symbol strings
+  // ('hello' → '|h||e||l||l||o|'): merging pair (l, r) is then the
+  // plain string replace '|l||r|' → '|lr|', whose left-to-right
+  // non-overlapping semantics are IDENTICAL in Java, Spark and DuckDB
+  // — greedy BPE merge application with zero recursion, so the oracle
+  // replays every round in plain SQL. Adjacent delimiters never share
+  // characters, so runs like 'aaa' merge correctly ('|a||a||a|' →
+  // '|aa||a|'). Symbols never contain '|' (they are concatenations of
+  // input characters).
+
+  /** (word, cnt, wstr) word-frequency table with delimited symbol
+    * strings — the trainer's working set. Empty tokens (split on
+    * trailing space) are dropped, mirrored in the oracle. */
+  def bpeWords(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("wstr", regexp_replace(col("word"), "(.)", "|$1|"))
+
+  /** Adjacent-symbol pair counts of a word table (overlaps counted,
+    * as the reference algorithm does): (l, r, c). */
+  def bpePairCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("cnt"),
+        split(trim(col("wstr"), "|"), "\\|\\|").as("syms"))
+      .where(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(0), size(col("syms")) - 2),
+        i => struct(element_at(col("syms"), i + 1).as("l"),
+                    element_at(col("syms"), i + 2).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+
+  /** Train `rounds` BPE merges: returns (merges, words) — the merge
+    * table (round, left, right, cnt) and the word table with final
+    * symbol strings. Argmax tie-break: highest count, then
+    * lexicographically smallest (left, right) — deterministic, and the
+    * oracle's ORDER BY c DESC, l, r replays it. Each round caches the
+    * (vocab-sized) word table so lineage stays one round deep. */
+  def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = bpeWords(docs).cache()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val top = bpePairCounts(words)
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, rr, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r.toLong, l, rr, c))
+        val prev = words
+        words = words.withColumn("wstr",
+          replace(col("wstr"), lit(s"|$l||$rr|"), lit(s"|$l$rr|"))).cache()
+        words.count()
+        prev.unpersist()
+      }
+    }
+    (merges.toSeq.toDF("round", "left", "right", "cnt"), words)
+  }
+
+  /** Apply trained merges: per-document token count after `rounds`
+    * BPE merges (explode words, join the trained word table, sum
+    * symbol counts) — the encoder half of the tokenizer. */
+  def bpeEncodeStats(docs: DataFrame, rounds: Int): DataFrame = {
+    val (_, words) = bpeTrain(docs, rounds)
+    val wtoks = words.select(col("word"),
+      size(split(trim(col("wstr"), "|"), "\\|\\|")).cast("long").as("wt"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .join(wtoks, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("wt")).as("n_tokens"))
+  }
 }

@@ -304,4 +304,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert((ids intersect ids3).size < 900)
   }
+
+  test("bpeTrain: hand-checked merges incl. the overlap (aaa) rule") {
+    import spark.implicits._
+    // corpus: 'low' ×3, 'lower' ×1, 'aaa' ×2.
+    // pair counts r1: (l,o)=4, (o,w)=4, (w,e)=1, (e,r)=1, (a,a)=4.
+    // ties at 4 -> lexicographically smallest pair: (a,a).
+    // greedy overlap rule: 'aaa' = |a||a||a| merges the FIRST two only
+    // -> |aa||a| (Sennrich semantics), so r2 counts (aa,a)=2 not 4.
+    val d = Seq((0L, "low low aaa"), (1L, "low lower aaa"))
+      .toDF("doc_id", "text")
+    val (merges, words) = TextOps.bpeTrain(d, 3)
+    val m = merges.orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) == ((1L, "a", "a", 4L)), s"round1 was ${m(0)}")
+    // r2: (l,o)=4, (o,w)=4, (w,e)=1, (e,r)=1, (aa,a)=2 -> tie (l,o) vs
+    // (o,w) at 4 -> (l,o)
+    assert(m(1) == ((2L, "l", "o", 4L)), s"round2 was ${m(1)}")
+    // r3: (lo,w)=4, (w,e)=1, (e,r)=1, (aa,a)=2 -> (lo,w)
+    assert(m(2) == ((3L, "lo", "w", 4L)), s"round3 was ${m(2)}")
+    val w = words.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(w("low") == "|low|")
+    assert(w("lower") == "|low||e||r|")
+    assert(w("aaa") == "|aa||a|")
+    // encoder: doc 0 = low(1) low(1) aaa(2) = 3 words, 4 tokens;
+    // doc 1 = low(1) lower(3) aaa(2) = 3 words, 6 tokens
+    val enc = TextOps.bpeEncodeStats(d, 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.toSeq == Seq((0L, 3L, 4L), (1L, 3L, 6L)))
+  }
 }
