@@ -1401,6 +1401,13 @@ object SparkEntry {
     "q_vocab" -> ((s, dir) =>
       graft.text.TextOps.vocab(docs(s, dir), 50)),
 
+    // temperature-balanced mixture sampling (data mixing): per-lang
+    // quota = min(cnt, floor(8·sqrt(cnt))) — keeps small domains
+    // whole, downsamples dominant ones; md5-ranked deterministic draw
+    "q_mix_balance" -> ((s, dir) =>
+      graft.text.TextOps.mixBalance(docs(s, dir), 8)
+        .orderBy("doc_id")),
+
     // BPE merge TRAINING (tokenizer induction): 4 merge rounds on the
     // word-frequency table — corpus touched once, each round is a
     // vocab-sized pair aggregate + 1-row argmax collect + literal
@@ -3655,6 +3662,24 @@ object SparkEntry {
          |      FROM t GROUP BY term)
          |SELECT term, df, cf FROM a
          |ORDER BY cf DESC, term LIMIT 50""".stripMargin,
+
+    // sqrt-temperature quotas: SQRT and the ×8 are single correctly-
+    // rounded IEEE ops — engine-identical; md5 rank is the shared
+    // cross-engine hash
+    "q_mix_balance" ->
+      s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+         |           FROM documents GROUP BY 1),
+         |q AS (SELECT lang, LEAST(cnt, CAST(FLOOR(SQRT(CAST(cnt AS
+         |        DOUBLE)) * 8) AS BIGINT)) AS quota FROM c),
+         |h AS (SELECT doc_id, lang,
+         |        ${Md5BucketSql("CAST(doc_id AS VARCHAR) || ':mix'")} AS h
+         |      FROM documents),
+         |r AS (SELECT h.doc_id, h.lang, q.quota,
+         |        ROW_NUMBER() OVER (PARTITION BY h.lang
+         |          ORDER BY h.h, h.doc_id) AS rn
+         |      FROM h JOIN q USING (lang))
+         |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank, quota
+         |FROM r WHERE rn <= quota ORDER BY doc_id""".stripMargin,
 
     // BPE trainer replay: 4 unrolled rounds; the delimited-symbol
     // representation makes greedy merge == plain replace (identical

@@ -672,6 +672,35 @@ object TextOps {
     docs.select(col("doc_id"), sim(col("text")).as("simhash"))
   }
 
+  /** TEMPERATURE-BALANCED mixture sampling — the corpus-assembly
+    * data-mixing stage: per-domain quota = min(cnt, floor(K·√cnt)),
+    * the α=0.5 temperature rule that keeps small domains whole and
+    * downsamples dominant ones (√ and the multiply are single
+    * correctly-rounded IEEE ops, so quotas are engine-exact), then a
+    * deterministic content-independent draw: documents rank within
+    * their domain by (md5(doc_id:mix), doc_id) and the lowest `quota`
+    * survive — reshuffle-stable, like [[splitAssign]].
+    *
+    * Scale: one hash aggregate for domain counts (broadcast back) +
+    * one window per domain. If a single domain dominates at 10¹² rows,
+    * shard its window by a salt on the rank key and take per-shard
+    * quotas (the spatial joins' salting pattern). */
+  def mixBalance(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("quota", least(col("cnt"),
+        floor(sqrt(col("cnt").cast("double")) * k).cast("long")))
+      .select("lang", "quota")
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"),
+        md5Bucket(concat(col("doc_id").cast("string"), lit(":mix"))).as("h"))
+      .join(broadcast(cnts), Seq("lang"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"),
+        col("rn").cast("long").as("rank"), col("quota"))
+  }
+
   // ---- BPE merge training (distributed tokenizer induction) --------
   //
   // The classic byte-pair-encoding trainer (Sennrich et al., ACL 2016;
