@@ -187,7 +187,8 @@ object Bench {
       "q_doc_wsample", "q_corpus_hist", "q_composite_max", "q_composite_median", "q_events_funnel",
       "q_spatial_join_bloom", "q_zorder", "q_cube",
       "q_ann_pq_topk", "q_pq_codes", "q_ann_ivfpq_topk",
-      "q_ar_buckets", "q_bpe_merges", "q_bpe_encode", "q_mix_balance")
+      "q_ar_buckets", "q_bpe_merges", "q_bpe_encode", "q_mix_balance",
+      "q_events_cohorts")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

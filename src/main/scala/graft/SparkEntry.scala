@@ -1680,6 +1680,16 @@ object SparkEntry {
           Seq("view", "click", "purchase"), 86400000000L)
         .orderBy("user_id")),
 
+    // cohort retention matrix: cohort = first-activity day per user,
+    // distinct active users per (cohort, day offset) — exact integer
+    // day math on UTC-pinned dates
+    "q_events_cohorts" -> ((s, dir) =>
+      graft.ops.TimeJoins.cohortRetention(
+          s.read.parquet(s"$dir/events.parquet"), "user_id", "ts")
+        .select(col("cohort").cast("string").as("cohort"),
+          col("day_offset"), col("users"))
+        .orderBy("cohort", "day_offset")),
+
     "q_events_asof" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
       // collapse equal-(user, ts) rights to max id: makes the as-of
@@ -4786,6 +4796,16 @@ object SparkEntry {
         |SELECT user_id, CAST(SUM(flag) AS BIGINT) AS n_sessions,
         |       CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // cohort = per-user MIN day; offsets are exact date subtraction
+    "q_events_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, MIN(d) AS cohort FROM e GROUP BY 1)
+        |SELECT CAST(f.cohort AS VARCHAR) AS cohort,
+        |       CAST(e.d - f.cohort AS BIGINT) AS day_offset,
+        |       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // greedy-earliest per-step funnel chain replayed stage by stage
     "q_events_funnel" ->

@@ -100,6 +100,28 @@ object TimeJoins {
     joined.withColumn("depth", depth)
   }
 
+  /** COHORT RETENTION — the classic product-analytics rollup: each
+    * entity's cohort = its first-activity day; the matrix counts
+    * distinct entities active at each day offset from their cohort.
+    * Dates come from one timezone-pinned cast (the session is UTC) and
+    * offsets are exact integer day differences — fully SQL-exact.
+    *
+    * Plan: one hash aggregate for first-activity (keyed on the
+    * entity), an equi-join back on the entity key, then a (cohort,
+    * offset) count-distinct — every shuffle keys on the entity or the
+    * bounded (cohort, offset) pair; no window over a global order. */
+  def cohortRetention(events: DataFrame, entity: String,
+                      ts: String): DataFrame = {
+    val d = to_date(col(ts).cast("timestamp"))
+    val first = events.groupBy(col(entity))
+      .agg(min(d).as("cohort"))
+    events.select(col(entity), d.as("_d"))
+      .join(first, entity)
+      .groupBy(col("cohort"),
+        datediff(col("_d"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count_distinct(col(entity)).as("users"))
+  }
+
   def rangeJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                 leftId: String, rightId: String, maxGapSec: Long): DataFrame = {
     val gapUs = maxGapSec * 1000000L
