@@ -1616,9 +1616,9 @@ object SparkEntry {
     // and Spark's positional indices can't silently diverge)
     "q_pq_codes" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cb = graft.vec.VectorOps.pqCodebookFixed(e, 64, 8, 16)
-      val cbIds: Array[Long] = e.orderBy("vec_id").limit(16)
-        .select("vec_id").collect().map(_.getLong(0))
+      // one bounded collect feeds both the codebook and the label map
+      val (cbIds, cbRows) = graft.vec.VectorOps.lowestRows(e, 16)
+      val cb = graft.vec.VectorOps.pqCodebookFromRows(cbRows, 64, 8, 16)
       val cids = transform(col("codes"),
         c => element_at(lit(cbIds), c.cast("int") + lit(1)))
       graft.vec.VectorOps.pqCodes(e, cb, 8, 16)
@@ -4962,8 +4962,6 @@ object SparkEntry {
     """tok AS (SELECT doc_id, lang, n_chars, text,
       |  string_split(text, ' ') AS ts FROM documents)""".stripMargin
 
-  /** SQL mirror of TextOps.md5Bucket: first 4 hex chars of md5(expr)
-    * as an integer 0..65535 (the deterministic-selection hash). */
   /** '|' as an interpolation value: oracle lines must never BEGIN with
     * a literal pipe (stripMargin is applied twice — see the verify
     * skill notes), so pipe-heavy expressions interpolate this. */
@@ -4978,8 +4976,12 @@ object SparkEntry {
   private def BpeCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb.append(
+      // char wrap without regex ('.' differs between Java and RE2 on
+      // \r and the U+0085/2028/2029 terminators — see TextOps.bpeWords)
       "w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,\n" +
-      "    regexp_replace(word, '(.)', '|\\1|', 'g') AS wstr\n" +
+      "    '|' || array_to_string(list_transform(\n" +
+      "      generate_series(1, length(word)), i -> word[i]),\n" +
+      "      '||') || '|' AS wstr\n" +
       "  FROM (SELECT unnest(string_split(text, ' ')) AS word\n" +
       "        FROM documents) t\n" +
       "  WHERE length(word) > 0 GROUP BY word)")
@@ -4993,14 +4995,21 @@ object SparkEntry {
         s"    unnest(generate_series(1, len(s.syms)-1)) AS i) i\n" +
         s"  GROUP BY 1, 2),\n" +
         s"m$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),\n" +
+        // LEFT JOIN ON TRUE, not CROSS JOIN: a round with no pairs
+        // (empty m$r) must keep the word table unchanged, mirroring
+        // bpeTrain's `if (top.nonEmpty)` skip — a cross join against
+        // an empty merge row would wipe every word
         s"w$r AS (SELECT w.word, w.cnt,\n" +
-        s"    replace(w.wstr, '|' || m.l || '||' || m.r || '|',\n" +
-        s"      '|' || m.l || m.r || '|') AS wstr\n" +
-        s"  FROM w${r - 1} w CROSS JOIN m$r m)")
+        s"    CASE WHEN m.l IS NULL THEN w.wstr\n" +
+        s"         ELSE replace(w.wstr, '|' || m.l || '||' || m.r || '|',\n" +
+        s"           '|' || m.l || m.r || '|') END AS wstr\n" +
+        s"  FROM w${r - 1} w LEFT JOIN m$r m ON TRUE)")
     }
     sb.toString
   }
 
+  /** SQL mirror of TextOps.md5Bucket: first 4 hex chars of md5(expr)
+    * as an integer 0..65535 (the deterministic-selection hash). */
   private def Md5BucketSql(expr: String): String =
     s"""CAST((strpos('0123456789abcdef', substr(md5($expr), 1, 1)) - 1) * 4096
        |   + (strpos('0123456789abcdef', substr(md5($expr), 2, 1)) - 1) * 256

@@ -1063,6 +1063,43 @@ object Algorithms {
     chosen.map(sample).toArray
   }
 
+  /** Driver-side Lloyd iterations over a bounded sample (the shared
+    * inner loop of the sample-trained quantizers — IVF's spherical
+    * k-means and PQ's per-subspace k-means): assign each point to its
+    * nearest center (squared L2, ties → lowest index), recompute
+    * means, keep an empty cluster's previous center. `post` maps each
+    * recomputed mean (e.g. L2-renormalization for spherical k-means,
+    * identity for Euclidean). Deterministic for fixed input. */
+  def lloyd(sample: Array[Array[Double]], seeds: Array[Array[Double]],
+            iters: Int,
+            post: Array[Double] => Array[Double] = identity)
+      : Array[Array[Double]] = {
+    var centers = seeds
+    val dim = sample.headOption.map(_.length).getOrElse(0)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(centers.length)(new Array[Double](dim))
+      val cnts = new Array[Long](centers.length)
+      sample.foreach { e =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centers.length) {
+          var d = 0.0; var i = 0
+          val cv = centers(c)
+          while (i < dim) { val t = e(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        cnts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += e(i); i += 1 }
+      }
+      centers = Array.tabulate(centers.length)(c =>
+        if (cnts(c) == 0) centers(c)
+        else post(sums(c).map(_ / cnts(c))))
+    }
+    centers
+  }
+
   /** PIXEL-SPECTRA k-means (GeoAlgorithms.cpp:556-638): cluster the
     * sampled spectra of the whole images table — farthest-point seeds
     * from a bounded driver-side sample, then broadcast-assign /

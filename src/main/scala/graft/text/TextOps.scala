@@ -724,12 +724,19 @@ object TextOps {
 
   /** (word, cnt, wstr) word-frequency table with delimited symbol
     * strings — the trainer's working set. Empty tokens (split on
-    * trailing space) are dropped, mirrored in the oracle. */
+    * trailing space) are dropped, mirrored in the oracle. The char
+    * wrap is built WITHOUT regex (per-index substr + array_join):
+    * Java's '.' excludes \r and the U+0085/2028/2029 terminators while
+    * DuckDB's RE2 '.' excludes only \n, so a regex wrap would break
+    * cross-engine bit-exactness on such text. */
   def bpeWords(docs: DataFrame): DataFrame =
     docs.select(explode(split(col("text"), " ")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .withColumn("wstr", regexp_replace(col("word"), "(.)", "|$1|"))
+      .withColumn("wstr", concat(lit("|"),
+        array_join(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))), "||"),
+        lit("|")))
 
   /** Adjacent-symbol pair counts of a word table (overlaps counted,
     * as the reference algorithm does): (l, r, c). */

@@ -218,28 +218,8 @@ object VectorOps {
       .orderBy(col("vec_id")).limit(sampleN)
       .select(col("embedding").cast("array<double>"))
       .as[Array[Double]].collect().map(unit)
-    var centers = graft.ops.Algorithms.farthestPointSeeds(sample, kc)
-    for (_ <- 1 to iters) {
-      val sums = Array.fill(centers.length)(new Array[Double](sample(0).length))
-      val cnts = new Array[Long](centers.length)
-      sample.foreach { e =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < centers.length) {
-          var d = 0.0; var i = 0
-          val cv = centers(c)
-          while (i < e.length) { val t = e(i) - cv(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        cnts(best) += 1
-        var i = 0
-        while (i < e.length) { sums(best)(i) += e(i); i += 1 }
-      }
-      centers = Array.tabulate(centers.length)(c =>
-        if (cnts(c) == 0) centers(c)
-        else unit(sums(c).map(_ / cnts(c))))
-    }
+    val centers = graft.ops.Algorithms.lloyd(sample,
+      graft.ops.Algorithms.farthestPointSeeds(sample, kc), iters, unit)
     val cents = centers.zipWithIndex
       .map { case (ce, i) => (i.toLong, ce.map(_.toFloat)) }
       .toSeq.toDF("cid", "ce")
@@ -310,19 +290,33 @@ object VectorOps {
     * [[ivfTopK]]'s fixed centroids). Layout
     * cb[(sub*ks + c)*dsub + i]; centroid index c = rank of the source
     * row in vec_id order. */
-  def pqCodebookFixed(emb: DataFrame, dim: Int, m: Int, ks: Int): Array[Long] = {
+  /** Bounded collect of the `n` lowest-vec_id rows, vec_id-ascending:
+    * (ids, embeddings) — the one driver job behind the fixed-id
+    * codebook, the fixed-id centroid set, AND the code→vec_id label
+    * map, so composed operators (ivfPqTopK, the q_pq_codes gate) don't
+    * re-scan the table per constant. */
+  private[graft] def lowestRows(emb: DataFrame, n: Int)
+      : (Array[Long], Array[Array[Float]]) = {
+    val rows = emb.orderBy(col("vec_id")).limit(n)
+      .select(col("vec_id"), col("embedding")).collect()
+    (rows.map(_.getLong(0)), rows.map(_.getSeq[Float](1).toArray))
+  }
+
+  private[graft] def pqCodebookFromRows(rows: Array[Array[Float]],
+                                        dim: Int, m: Int,
+                                        ks: Int): Array[Long] = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    require(rows.length >= ks, s"corpus has ${rows.length} < ks=$ks rows")
     val dsub = dim / m
-    val rows: Array[Array[Float]] = emb.orderBy(col("vec_id")).limit(ks)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray)
-    require(rows.length == ks, s"corpus has ${rows.length} < ks=$ks rows")
     val cb = new Array[Long](m * ks * dsub)
     for (sub <- 0 until m; c <- 0 until ks; i <- 0 until dsub)
       cb((sub * ks + c) * dsub + i) =
         graft.expr.Kernels.pqQuant(rows(c)(sub * dsub + i))
     cb
   }
+
+  def pqCodebookFixed(emb: DataFrame, dim: Int, m: Int, ks: Int): Array[Long] =
+    pqCodebookFromRows(lowestRows(emb, ks)._2, dim, m, ks)
 
   /** DATA-ADAPTIVE flat codebook: per-subspace k-means (farthest-point
     * seeds + `iters` Lloyd rounds, Euclidean on the raw subspace — the
@@ -339,30 +333,16 @@ object VectorOps {
     val sample: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(sampleN)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    // farthestPointSeeds returns min(ks, n) seeds — fail with a clear
+    // message rather than indexing past the center array below
+    require(sample.length >= ks,
+      s"pqCodebookTrained: sample has ${sample.length} < ks=$ks rows")
     val cb = new Array[Long](m * ks * dsub)
     for (sub <- 0 until m) {
-      val subv = sample.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
-      var centers = graft.ops.Algorithms.farthestPointSeeds(subv, ks)
-      for (_ <- 1 to iters) {
-        val sums = Array.fill(centers.length)(new Array[Double](dsub))
-        val cnts = new Array[Long](centers.length)
-        subv.foreach { e =>
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < centers.length) {
-            var d2 = 0.0; var i = 0
-            val cv = centers(c)
-            while (i < dsub) { val t = e(i) - cv(i); d2 += t * t; i += 1 }
-            if (d2 < bestD) { bestD = d2; best = c }
-            c += 1
-          }
-          cnts(best) += 1
-          var i = 0
-          while (i < dsub) { sums(best)(i) += e(i); i += 1 }
-        }
-        centers = Array.tabulate(centers.length)(c =>
-          if (cnts(c) == 0) centers(c) else sums(c).map(_ / cnts(c)))
-      }
+      val subv = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      val centers = graft.ops.Algorithms.lloyd(subv,
+        graft.ops.Algorithms.farthestPointSeeds(subv, ks), iters)
       for (c <- 0 until ks; i <- 0 until dsub)
         cb((sub * ks + c) * dsub + i) =
           math.floor(centers(c)(i) * 1048576.0).toLong
@@ -435,10 +415,16 @@ object VectorOps {
                 kc: Int = 16, nprobe: Int = 4,
                 dim: Int = 64, m: Int = 8, ks: Int = 16): DataFrame = {
     val emb = reg(emb0)
-    val cents = emb.where(col("vec_id") < kc)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val cb = pqCodebookFixed(emb, dim, m, ks)
-    val (cids, flat) = collectCents(cents)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // ONE bounded collect feeds the codebook, the centroid reference
+    // object, and the probe-side centroid rows (the kc and ks lowest
+    // vec_ids coincide on a contiguous id domain, like the oracle's)
+    val (ids, rows) = lowestRows(emb, math.max(kc, ks))
+    val cb = pqCodebookFromRows(rows.take(ks), dim, m, ks)
+    val cids = ids.take(kc)
+    val flat = rows.take(kc).flatten
+    val cents = cids.zip(rows.take(kc)).toSeq.toDF("cid", "ce")
     // the whole index build is ONE projection over the corpus: cell id
     // and codes are both per-row codegen calls — no crossJoin, no
     // window shuffle, no codes self-join

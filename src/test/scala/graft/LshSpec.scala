@@ -464,7 +464,10 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rFixed = recall(VectorOps.pqTopK(emb, qf, 10))
     val rTrained = recall(VectorOps.pqTopKTrained(emb, qf, 10, sampleN = 2048))
     info(f"clustered-corpus pq recall@10: fixed-id $rFixed%.3f, trained $rTrained%.3f")
-    assert(rFixed >= 0.0 && rTrained >= 0.0)
+    // m=8 codes can't resolve within-cluster ORDER (see above), but a
+    // working trained ranking must still land some of the true top-10
+    assert(rTrained > 0.0,
+      f"trained-codebook ADC ranking found nothing: recall $rTrained%.3f")
   }
 
   test("embNearDupLsh ⊆ exact near-dup pairs (cosine verify is exact)") {

@@ -333,4 +333,20 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(enc.toSeq == Seq((0L, 3L, 4L), (1L, 3L, 6L)))
   }
+
+  test("bpeTrain: pair-free corpus yields no merges, words unchanged") {
+    import spark.implicits._
+    // every word is a single character → no adjacent pairs in any
+    // round; the trainer must skip cleanly (no merges) and the encoder
+    // must still count 1 token per word — the degenerate case whose
+    // oracle replay needs LEFT JOIN (not CROSS JOIN) merge application
+    val d = Seq((0L, "a b c"), (1L, "b c a")).toDF("doc_id", "text")
+    val (merges, words) = TextOps.bpeTrain(d, 3)
+    assert(merges.count() == 0)
+    val w = words.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(w == Map("a" -> "|a|", "b" -> "|b|", "c" -> "|c|"))
+    val enc = TextOps.bpeEncodeStats(d, 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.toSeq == Seq((0L, 3L, 3L), (1L, 3L, 3L)))
+  }
 }
