@@ -1010,6 +1010,21 @@ object SparkEntry {
           Synth.imagesWithBytes(s, dir, smallRaw), 65536L, 2)
         .orderBy("image_id")),
 
+    // end-to-end IMAGE curation pipeline (the image-side q_curate):
+    // resolution guardrail → caption-exact keep-one → AR-bucket
+    // batching of survivors → shard packing of survivors' real
+    // payload bytes; dropped rows carry NULLs
+    "q_curate_images" -> ((s, dir) =>
+      graft.ops.Sharding.curateImages(
+          // wider than smallRaw (w,h ≤ 96, exact raw codecs): the
+          // ≤64 set shares caption congruences — only 2 captions —
+          // which would leave the survivor path a single row
+          Synth.imagesWithBytes(s, dir,
+            _.where(col("w") <= 96 && col("h") <= 96 &&
+              (col("k") % 6 === 1 || col("k") % 6 === 2))),
+          ArLattice, 8, 65536L, 2, 4000L)
+        .orderBy("image_id")),
+
     // ASPECT-RATIO bucketed batching (multimodal training batch
     // assembly): nearest AR bucket from a 9-ratio lattice (exact
     // integer numerator, one IEEE divide; ties → lowest bucket), md5
@@ -3318,6 +3333,71 @@ object SparkEntry {
          |  FROM rec r JOIN it i ON i.writer = r.writer AND i.rn = r.rn + 1)
          |SELECT image_id, writer, nbytes, shard, off AS offset
          |FROM rec ORDER BY image_id""".stripMargin,
+
+    // composed image-curation replay: resolution flag + caption
+    // keep-one pick the kept set, then the q_ar_buckets and
+    // q_pack_shards fragments run over ONLY the survivors (the
+    // pipeline coupling); dropped rows LEFT JOIN to NULLs
+    "q_curate_images" ->
+      s"""WITH RECURSIVE $I,
+         |cimg AS (SELECT * FROM img2
+         |  WHERE w <= 96 AND h <= 96 AND k % 6 IN (1, 2)),
+         |fl2 AS (SELECT s.image_id, s.w, s.h, s.fmt,
+         |    CASE WHEN s.w*s.h <= 4000 THEN 1 ELSE 0 END AS pass_meta,
+         |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY s.caption
+         |      ORDER BY s.image_id) = 1 THEN 1 ELSE 0 END AS is_canonical,
+         |    CASE WHEN s.w*s.h <= 4000 AND ROW_NUMBER() OVER (
+         |      PARTITION BY s.caption ORDER BY s.image_id) = 1
+         |      THEN 1 ELSE 0 END AS keep
+         |  FROM cimg s),
+         |kept AS (SELECT image_id, w, h, fmt FROM fl2 WHERE keep = 1),
+         |bks(i, bw, bh) AS (VALUES (0,1,1),(1,4,3),(2,3,4),(3,16,9),
+         |  (4,9,16),(5,3,2),(6,2,3),(7,2,1),(8,1,2)),
+         |sc2 AS (SELECT g.image_id, b.i,
+         |         ROW_NUMBER() OVER (PARTITION BY g.image_id ORDER BY
+         |           CAST(ABS(g.w*b.bh - g.h*b.bw) AS DOUBLE) / b.bh,
+         |           b.i) AS rk
+         |       FROM kept g CROSS JOIN bks b),
+         |asg AS (SELECT image_id, i,
+         |          ${Md5BucketSql("image_id")} % 2 AS wtr
+         |        FROM sc2 WHERE rk = 1),
+         |arb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY wtr, i
+         |         ORDER BY image_id) - 1 AS rn FROM asg),
+         |ar AS (SELECT image_id, CAST(i AS BIGINT) AS bucket,
+         |         CAST(rn // 8 AS BIGINT) AS batch_idx FROM arb),
+         |sized AS (SELECT image_id,
+         |    CAST(CASE fmt WHEN 'raw-i16le' THEN 12*w*h
+         |                  ELSE 24*w*h END AS BIGINT) AS nbytes,
+         |    ${Md5BucketSql("image_id")} % 2 AS writer
+         |  FROM kept),
+         |it2 AS (SELECT image_id, nbytes, writer,
+         |    ROW_NUMBER() OVER (PARTITION BY writer ORDER BY image_id)
+         |      AS rn FROM sized),
+         |rec2 AS (
+         |  SELECT image_id, nbytes, writer, rn,
+         |    CAST(0 AS BIGINT) AS shard, CAST(0 AS BIGINT) AS off,
+         |    nbytes AS used
+         |  FROM it2 WHERE rn = 1
+         |  UNION ALL
+         |  SELECT i.image_id, i.nbytes, i.writer, i.rn,
+         |    CASE WHEN r.used + i.nbytes <= 65536 THEN r.shard
+         |         ELSE r.shard + 1 END,
+         |    CASE WHEN r.used + i.nbytes <= 65536 THEN r.used
+         |         ELSE CAST(0 AS BIGINT) END,
+         |    CASE WHEN r.used + i.nbytes <= 65536 THEN r.used + i.nbytes
+         |         ELSE i.nbytes END
+         |  FROM rec2 r JOIN it2 i ON i.writer = r.writer AND i.rn = r.rn + 1)
+         |SELECT f.image_id,
+         |  CAST(f.pass_meta AS BIGINT) AS pass_meta,
+         |  CAST(f.is_canonical AS BIGINT) AS is_canonical,
+         |  CAST(f.keep AS BIGINT) AS keep,
+         |  ar.bucket, ar.batch_idx,
+         |  CAST(rec2.writer AS BIGINT) AS writer, rec2.shard,
+         |  rec2.off AS offset
+         |FROM fl2 f
+         |LEFT JOIN ar USING (image_id)
+         |LEFT JOIN rec2 USING (image_id)
+         |ORDER BY f.image_id""".stripMargin,
 
     // AR bucketing replay: argmin over the 9-ratio lattice of the IEEE
     // double |w*bh - h*bw| / bh (exact integer numerator, one

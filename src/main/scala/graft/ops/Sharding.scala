@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** WebDataset-style SHARD PACKING — the materialization stage of an
@@ -97,5 +97,55 @@ object Sharding {
         col("writer"),
         floor(col("rn") / batchSize).cast("long").as("batch_idx"),
         (col("rn") % batchSize).cast("long").as("slot"))
+  }
+
+  /** End-to-end IMAGE curation pipeline — the image-side sibling of
+    * `TextOps.curate`, composing four stages into one per-image
+    * decision row:
+    *
+    *   1. pass_meta — resolution guardrail (w·h ≤ maxPixels): a pure
+    *      per-row flag.
+    *   2. is_canonical — caption-exact keep-one: the lowest image_id
+    *      per caption survives (the text-dedup half of an image+
+    *      caption corpus; the PERCEPTUAL near-dup variant — banded
+    *      pHash + connected components — is the q_phash_clusters
+    *      machinery and composes the same way, but the synthetic
+    *      smallRaw fixture's linear-ramp aHashes collapse into two
+    *      clusters, which would leave this gate's survivor path
+    *      untested).
+    *   3. AR-bucket batch assembly of the SURVIVORS (keep =
+    *      pass_meta·is_canonical) — batches must be built after
+    *      filtering, which is what makes the composition a pipeline
+    *      and not five independent queries.
+    *   4. Shard packing of the survivors' real payload bytes.
+    *
+    * Dropped images carry NULL bucket/batch/writer/shard/offset.
+    * Scale: stages 1-2 are a projection + one caption-keyed window;
+    * stages 3-4 window per (writer[, bucket]) — nWriters is the
+    * parallelism knob. */
+  def curateImages(imgs: DataFrame, buckets: Seq[(Int, Int)],
+                   batchSize: Int, budget: Long, nWriters: Int,
+                   maxPixels: Long): DataFrame = {
+    val flag = (c: Column) => when(c, 1L).otherwise(0L)
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("caption")).orderBy(col("image_id"))
+    val flags = imgs.select(col("image_id"), col("caption"),
+        flag(col("w") * col("h") <= maxPixels).as("pass_meta"))
+      .withColumn("is_canonical",
+        flag(row_number().over(wCap) === 1))
+      .drop("caption")
+      .withColumn("keep", col("pass_meta") * col("is_canonical"))
+    val kept = imgs.join(flags.where(col("keep") === 1L)
+      .select("image_id"), Seq("image_id"))
+    val ab = arBuckets(kept, buckets, batchSize, nWriters)
+      .select(col("image_id"), col("bucket"), col("batch_idx"))
+    val sh = packShards(kept, budget, nWriters)
+      .select(col("image_id"), col("writer"), col("shard"), col("offset"))
+    flags
+      .join(ab, Seq("image_id"), "left")
+      .join(sh, Seq("image_id"), "left")
+      .select(col("image_id"), col("pass_meta"), col("is_canonical"),
+        col("keep"), col("bucket"), col("batch_idx"), col("writer"),
+        col("shard"), col("offset"))
   }
 }
