@@ -188,7 +188,7 @@ object Bench {
       "q_spatial_join_bloom", "q_zorder", "q_cube",
       "q_ann_pq_topk", "q_pq_codes", "q_ann_ivfpq_topk",
       "q_ar_buckets", "q_bpe_merges", "q_bpe_encode", "q_mix_balance",
-      "q_events_cohorts", "q_curate_images")
+      "q_events_cohorts", "q_curate_images", "q_mix_resample")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

@@ -1423,6 +1423,16 @@ object SparkEntry {
       graft.text.TextOps.mixBalance(docs(s, dir), 8)
         .orderBy("doc_id")),
 
+    // exact-count mixture resampling (domain recipe): per-lang copy
+    // counts summing EXACTLY to the target — integer full copies +
+    // md5-ranked extras; en downsamples (218→100), zh upsamples
+    // (75→150, 2 copies each), de mixes (70→100: 1 + 30 extras)
+    "q_mix_resample" -> ((s, dir) =>
+      graft.text.TextOps.mixResample(docs(s, dir),
+          Seq("en" -> 100L, "zh" -> 150L, "de" -> 100L,
+              "es" -> 73L, "fr" -> 40L))
+        .orderBy("doc_id")),
+
     // BPE merge TRAINING (tokenizer induction): 4 merge rounds on the
     // word-frequency table — corpus touched once, each round is a
     // vocab-sized pair aggregate + 1-row argmax collect + literal
@@ -3770,6 +3780,27 @@ object SparkEntry {
          |      FROM h JOIN q USING (lang))
          |SELECT doc_id, lang, CAST(rn AS BIGINT) AS rank, quota
          |FROM r WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    // copy counts: integer div/mod on exact counts + md5 rank
+    "q_mix_resample" ->
+      s"""WITH t(lang, target) AS (VALUES ('en', 100), ('zh', 150),
+         |  ('de', 100), ('es', 73), ('fr', 40)),
+         |c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM documents GROUP BY 1),
+         |q AS (SELECT c.lang, CAST(t.target // c.cnt AS BIGINT) AS f,
+         |        CAST(t.target % c.cnt AS BIGINT) AS rem
+         |      FROM c JOIN t USING (lang)),
+         |h AS (SELECT doc_id, lang,
+         |        ${Md5BucketSql("CAST(doc_id AS VARCHAR) || ':rs'")} AS h
+         |      FROM documents),
+         |r AS (SELECT h.doc_id, h.lang, q.f, q.rem,
+         |        ROW_NUMBER() OVER (PARTITION BY h.lang
+         |          ORDER BY h.h, h.doc_id) AS rn
+         |      FROM h JOIN q USING (lang))
+         |SELECT doc_id, lang,
+         |  CAST(f + CASE WHEN rn <= rem THEN 1 ELSE 0 END AS BIGINT)
+         |    AS n_copies
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // BPE trainer replay: 4 unrolled rounds; the delimited-symbol
     // representation makes greedy merge == plain replace (identical

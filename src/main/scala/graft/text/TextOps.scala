@@ -701,6 +701,43 @@ object TextOps {
         col("rn").cast("long").as("rank"), col("quota"))
   }
 
+  /** EXACT-COUNT mixture resampling — the domain-recipe stage (each
+    * domain gets a target row count, as in published LLM data
+    * recipes): every document receives an integer copy count such
+    * that Σ n_copies per domain == target EXACTLY. full = target/cnt
+    * copies for everyone; the remaining target%cnt extras go to the
+    * lowest (md5(doc_id:rs), doc_id) ranks — deterministic and
+    * reshuffle-stable. target < cnt degenerates to downsampling
+    * (full = 0: only the md5-chosen get their single copy);
+    * target > cnt upsamples (repeat factors). Materialize copies with
+    * explode(sequence(1, n_copies)) when the training layout needs
+    * physical rows.
+    *
+    * Scale: one count aggregate (broadcast back) + one window per
+    * domain — same posture as [[mixBalance]]. */
+  def mixResample(docs: DataFrame,
+                  targets: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = targets.toDF("lang", "target")
+    val cnts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .join(t, Seq("lang"))
+      .select(col("lang"),
+        // integer division (`div`), not `/`: the double quotient can
+        // round across an integer boundary; DuckDB's `//` is exact
+        expr("target div cnt").as("full"),
+        (col("target") % col("cnt")).as("rem"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"),
+        md5Bucket(concat(col("doc_id").cast("string"), lit(":rs"))).as("h"))
+      .join(broadcast(cnts), Seq("lang"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("lang"),
+        (col("full") + when(col("rn") <= col("rem"), 1L).otherwise(0L))
+          .as("n_copies"))
+  }
+
   // ---- BPE merge training (distributed tokenizer induction) --------
   //
   // The classic byte-pair-encoding trainer (Sennrich et al., ACL 2016;
