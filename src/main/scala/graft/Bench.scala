@@ -530,13 +530,14 @@ object Bench {
          || 8 (final r4 code, 143-gate suite) | 0.737 | 0.905 | 0.646 | 0.770 | 0.820 | 0.939 |
          || 9 (final r4 code; the round-4 shipped report) | **0.849** | 0.920 | 0.729 | 0.704 | 0.833 | 0.845 |
          || 10 (final r4 code; scaling legs of the verify smoke) | **0.886** | 0.876 | 0.740 | 0.681 | 0.670 | **1.000** |
+         || 11 (final r4 code; the round-4 shipped report) | **0.949** | 0.975 | 0.674 | 0.636 | 0.688 | 0.923 |
          || **this run** | **${f"$eff%.3f"}** | ${f"$effKern%.3f"} | ${f"$eff32%.3f"} | ${f"$effLc%.3f"} | ${f"$lcCeil%.3f"} | ${f"$effLcNorm%.3f"} |
          |
          |Every leg tracks its SAME-RUN measured kernel ceiling — the spread is
          |host placement (documented ±25% lottery at ≥24 active vCPUs), not the
-         |engine: the primary pair passes ≥0.8 raw OUTRIGHT in 6 of 10
-         |recorded runs — including runs 9 and 10 on the shipped final
-         |round-4 code (0.849 and 0.886 raw; max 0.938, run 7) — run 6's
+         |engine: the primary pair passes ≥0.8 raw OUTRIGHT in 7 of 11
+         |recorded runs — including runs 9–11 on the shipped final
+         |round-4 code (0.849, 0.886, 0.949 raw; max 0.949, run 11) — run 6's
          |8→32 pair passes at 0.910 raw, and the 1→4-executor pair reaches
          |0.770 raw / 0.755 median / 0.939 engine-normalized on the
          |shipped final code (run 8; best historical 0.773 raw / 1.000
@@ -544,7 +545,7 @@ object Bench {
          |the host cooperates. In every recorded run the primary pair's
          |Spark-job raw ratio lands within 19% of its same-run bare-kernel
          |hardware ceiling (primary engine-normalized ≥ 0.81 in all rows,
-         |≥ 0.95 in seven of ten — re-check this claim against fresh
+         |≥ 0.95 in eight of eleven — re-check this claim against fresh
          |rows): the plan adds no scaling loss of its own.
          |""".stripMargin)
 
