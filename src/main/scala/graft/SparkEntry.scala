@@ -1395,6 +1395,19 @@ object SparkEntry {
         .orderBy("phash")),
     "q_dedup_norm" -> ((s, dir) =>
       graft.text.TextOps.dedupNormalized(docs(s, dir)).orderBy("h")),
+
+    // exact duplicate-substring spans (Lee et al. 2022 suffix-dedup
+    // semantics, distributed seed-gram form): L=4 token windows,
+    // corpus frequency >= 2, gaps-and-islands maximal-span merge
+    "q_dup_spans" -> ((s, dir) =>
+      graft.text.TextOps.dupSpans(docs(s, dir), 4)
+        .orderBy("doc_id", "span_id")),
+
+    // duplicate-span EXCISION (keep the corpus-first occurrence,
+    // rebuild every doc's text from the surviving tokens)
+    "q_dup_scrub" -> ((s, dir) =>
+      graft.text.TextOps.dupSpanScrub(docs(s, dir), 4)
+        .orderBy("doc_id")),
     "q_minhash_sig" -> ((s, dir) =>
       graft.text.TextOps.minhash(docs(s, dir), 4).orderBy("doc_id")),
     "q_minhash_bands" -> ((s, dir) =>
@@ -3692,6 +3705,76 @@ object SparkEntry {
       """SELECT md5(lower(trim(text))) AS h, CAST(COUNT(*) AS BIGINT) AS cnt,
         |       MIN(doc_id) AS min_doc_id
         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "q_dup_spans" ->
+      s"""WITH $TokCte,
+         |dsg0 AS (SELECT doc_id,
+         |  CASE WHEN len(ts) >= 4 THEN list_transform(
+         |    generate_series(1, CAST(len(ts)-3 AS INT)),
+         |    i -> {'pos': i-1, 'gh': md5(array_to_string(ts[i:i+3], ' '))})
+         |  ELSE [] END AS gl FROM tok),
+         |dsg AS (SELECT doc_id, u.pos AS pos, u.gh AS gh
+         |  FROM (SELECT doc_id, unnest(gl) AS u FROM dsg0)),
+         |dsd AS (SELECT doc_id, pos FROM
+         |  (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gh) AS c
+         |   FROM dsg)
+         |  WHERE c >= 2),
+         |dsi AS (SELECT doc_id, pos,
+         |  CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 4
+         |       THEN 1 ELSE 0 END AS st
+         |  FROM dsd WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |dsi2 AS (SELECT doc_id, pos,
+         |  SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+         |                ROWS UNBOUNDED PRECEDING) AS island FROM dsi)
+         |SELECT doc_id, CAST(island AS BIGINT) AS span_id,
+         |  CAST(MIN(pos) AS BIGINT) AS start_tok,
+         |  CAST(MAX(pos)+3 AS BIGINT) AS end_tok,
+         |  CAST(MAX(pos)+3 - MIN(pos) + 1 AS BIGINT) AS span_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_windows
+         |FROM dsi2 GROUP BY doc_id, island
+         |ORDER BY doc_id, span_id""".stripMargin,
+
+    "q_dup_scrub" ->
+      s"""WITH $TokCte,
+         |scg0 AS (SELECT doc_id,
+         |  CASE WHEN len(ts) >= 4 THEN list_transform(
+         |    generate_series(1, CAST(len(ts)-3 AS INT)),
+         |    i -> {'pos': i-1, 'gh': md5(array_to_string(ts[i:i+3], ' '))})
+         |  ELSE [] END AS gl FROM tok),
+         |scg AS (SELECT doc_id, u.pos AS pos, u.gh AS gh
+         |  FROM (SELECT doc_id, unnest(gl) AS u FROM scg0)),
+         |scd AS (SELECT doc_id, pos, gh FROM
+         |  (SELECT doc_id, pos, gh, COUNT(*) OVER (PARTITION BY gh) AS c
+         |   FROM scg)
+         |  WHERE c >= 2),
+         |sci AS (SELECT doc_id, pos, gh,
+         |  CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 4
+         |       THEN 1 ELSE 0 END AS st
+         |  FROM scd WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |sci2 AS (SELECT doc_id, pos, gh,
+         |  SUM(st) OVER (PARTITION BY doc_id ORDER BY pos
+         |                ROWS UNBOUNDED PRECEDING) AS island FROM sci),
+         |scfo AS (SELECT gh, MIN({'d': doc_id, 'p': pos}) AS fo
+         |  FROM scd GROUP BY gh),
+         |scsp AS (SELECT doc_id, arg_min(gh, pos) AS gh,
+         |    MIN(pos) AS s, MAX(pos)+3 AS e
+         |  FROM sci2 GROUP BY doc_id, island),
+         |scrm AS (SELECT sp.doc_id AS doc_id, sp.s AS s, sp.e AS e
+         |  FROM scsp sp JOIN scfo f USING (gh)
+         |  WHERE NOT (sp.doc_id = f.fo.d AND sp.s = f.fo.p)),
+         |scrs AS (SELECT doc_id, list({'s': s, 'e': e}) AS rs,
+         |    COUNT(*) AS nsp, SUM(e-s+1) AS ntk
+         |  FROM scrm GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(array_to_string(list_filter(t.ts, (x, i) ->
+         |    len(list_filter(COALESCE(r.rs, []),
+         |      v -> i-1 >= v.s AND i-1 <= v.e)) = 0), ' '), '')
+         |    AS kept_text,
+         |  CAST(COALESCE(r.nsp, 0) AS BIGINT) AS n_spans_removed,
+         |  CAST(COALESCE(r.ntk, 0) AS BIGINT) AS n_tokens_removed
+         |FROM documents d JOIN tok t USING (doc_id)
+         |LEFT JOIN scrs r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_minhash_sig" ->
       s"""WITH $TokCte, $ShCte

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-pipeline operators over the `documents` table — the
@@ -134,6 +135,112 @@ object TextOps {
   def dedupNormalized(docs: DataFrame): DataFrame =
     docs.groupBy(md5(lower(trim(col("text")))).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc_id"))
+
+  /** Exact duplicate-SUBSTRING-span detection — the suffix-array-style
+    * "remove any substring repeated verbatim anywhere in the corpus"
+    * dedup of Lee et al. 2022 (Deduplicating Training Data Makes
+    * Language Models Better, arXiv:2107.06499), re-expressed for a
+    * distributed engine: instead of one global suffix array (which
+    * needs the whole corpus on one machine), every L-token window is a
+    * seed gram; a window is DUPLICATED iff its gram occurs at ≥ 2
+    * corpus positions (across or within docs — any repeated substring
+    * of length ≥ L contains at least one repeated L-window, so seed
+    * recall is exact); per doc, overlapping/adjacent duplicated
+    * windows (start-index gap ≤ L) merge into maximal token spans via
+    * gaps-and-islands. One row per maximal span: (doc_id, span_id,
+    * start_tok, end_tok inclusive, span_tokens, n_windows).
+    *
+    * Scale: the frequency pass is a count-over-window partitioned by
+    * the md5 gram key — ONE shuffle of the exploded grams on a
+    * uniformly distributed key (no join back: the window keeps the
+    * (doc, pos) payload attached), and gram-key partitions are
+    * occurrence counts (tiny) so the sort is local and spill-free;
+    * the island pass shuffles only the surviving duplicated windows
+    * by doc. At 10¹² docs both shuffles are equi-partitioned with no
+    * skew (md5 keys; per-doc window counts are bounded by doc length).
+    * Every step is plain SQL (md5 + window functions) — the DuckDB
+    * oracle re-derives spans exactly. */
+  def dupSpans(docs: DataFrame, L: Int = 4): DataFrame =
+    dupIslands(docs, L)
+      .groupBy(col("doc_id"), col("island").as("span_id"))
+      .agg(min("pos").cast("long").as("start_tok"),
+        (max("pos") + L - 1).cast("long").as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_id").cast("long").as("span_id"),
+        col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("span_tokens"),
+        col("n_windows"))
+
+  /** Shared core of [[dupSpans]]/[[dupSpanScrub]]: duplicated seed
+    * windows (gram corpus-frequency ≥ 2) tagged with their per-doc
+    * island number. Columns: doc_id, pos, gh, island. */
+  private def dupIslands(docs: DataFrame, L: Int): DataFrame = {
+    val g = docs.where(size(toks) >= L)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(toks) - (L - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(L)))))))
+      .toDF("doc_id", "pos", "gh")
+    val dup = g
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("gh")))
+      .where(col("c") >= 2)
+      .drop("c")
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("st",
+        when(lag("pos", 1).over(wd).isNull ||
+          col("pos") - lag("pos", 1).over(wd) > L, 1).otherwise(0))
+      .withColumn("island", sum("st")
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("st")
+  }
+
+  /** Duplicate-span EXCISION — the apply stage of [[dupSpans]], with
+    * Lee et al. 2022's keep-one-occurrence rule made deterministic for
+    * a distributed engine: a maximal span SURVIVES only in the doc
+    * that owns the corpus-first occurrence (lexicographic min
+    * (doc_id, pos) over ALL corpus positions) of the span's FIRST
+    * duplicated window gram; everywhere else the span's token range is
+    * excised and the doc's text is rebuilt from the surviving tokens.
+    * Per-doc spans are disjoint by construction (maximal islands are
+    * separated by start-gaps > L), so excised token counts are exact.
+    * Returns every input doc: (doc_id, kept_text, n_spans_removed,
+    * n_tokens_removed).
+    *
+    * Scale: adds to [[dupSpans]] one nb-bounded aggregate per gram key
+    * (the corpus-argmin, same md5-key shuffle) plus a per-doc
+    * collect_list of its removed spans — list length is bounded by
+    * doc length / L, so the rebuild stays a per-row projection. */
+  def dupSpanScrub(docs: DataFrame, L: Int = 4): DataFrame = {
+    val isl = dupIslands(docs, L)
+    // corpus-first occurrence per gram key (min struct = lexicographic)
+    val first = isl
+      .groupBy("gh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("fo"))
+    // span rows carrying their first window's gram key
+    val spans = isl
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(struct(col("pos"), col("gh"))).as("fw"),
+        min("pos").as("s"), (max("pos") + L - 1).as("e"))
+      .select(col("doc_id"), col("fw.gh").as("gh"),
+        col("s"), col("e"))
+    val removed = spans.join(first, "gh")
+      .where(!(col("doc_id") === col("fo.doc_id") &&
+        col("s") === col("fo.pos")))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("rs"))
+    docs.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", filter(toks, (_, i) =>
+          !exists(coalesce(col("rs"),
+              array().cast("array<struct<s:int,e:int>>")),
+            r => i >= r.getField("s") && i <= r.getField("e"))))
+          .as("kept_text"),
+        coalesce(size(col("rs")), lit(0)).cast("long")
+          .as("n_spans_removed"),
+        coalesce(aggregate(col("rs"), lit(0),
+            (acc, r) => acc + r.getField("e") - r.getField("s") + 1),
+          lit(0)).cast("long").as("n_tokens_removed"))
+  }
 
   /** MinHash signatures over 3-token shingles with `n` md5-salted hash
     * functions: sig_j = min over shingles of md5(j || shingle). Pure

@@ -334,6 +334,67 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(enc.toSeq == Seq((0L, 3L, 4L), (1L, 3L, 6L)))
   }
 
+  test("dupSpans: hand-checked islands incl. within-doc repeat split") {
+    import spark.implicits._
+    // L=2 grams: "x y" occurs 3× (doc0@0, doc1@1, doc1@5), "y z" 2×
+    // (doc0@1, doc1@2); everything else is unique. doc1's duplicated
+    // window starts {1,2,5} must split into TWO islands (gap 5-2=3 >
+    // L), exercising the maximal-span merge and the within-doc repeat
+    // path; doc2 has no duplicated window and must emit nothing.
+    val d = Seq(
+      (0L, "x y z w q"),
+      (1L, "a x y z b x y"),
+      (2L, "p q r s")).toDF("doc_id", "text")
+    val got = TextOps.dupSpans(d, 2).orderBy("doc_id", "span_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L, 2L, 3L, 2L),
+      (1L, 1L, 1L, 3L, 3L, 2L),
+      (1L, 2L, 5L, 6L, 2L, 1L)))
+  }
+
+  test("dupSpans: exact-duplicate docs are fully covered") {
+    import spark.implicits._
+    // two verbatim copies → every window duplicated → exactly one
+    // maximal span per doc spanning all tokens (seed-recall property:
+    // a repeated substring of length >= L is always found)
+    val d = Seq((0L, "m n o p q r"), (1L, "m n o p q r"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dupSpans(d, 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((0L, 0L, 5L, 6L), (1L, 0L, 5L, 6L)))
+  }
+
+  test("dupSpanScrub: corpus-first occurrence survives, others excised") {
+    import spark.implicits._
+    // same corpus as the dupSpans island test: doc0 owns the corpus-
+    // first "x y" (0,0) so its span is KEPT; both doc1 spans lead with
+    // "x y" occurrences (1,1)/(1,5) and are excised; doc2 untouched
+    val d = Seq(
+      (0L, "x y z w q"),
+      (1L, "a x y z b x y"),
+      (2L, "p q r s")).toDF("doc_id", "text")
+    val got = TextOps.dupSpanScrub(d, 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, "x y z w q", 0L, 0L),
+      (1L, "a b", 2L, 5L),
+      (2L, "p q r s", 0L, 0L)))
+  }
+
+  test("dupSpanScrub: verbatim copy fully excised, original intact") {
+    import spark.implicits._
+    val d = Seq((0L, "m n o p q r"), (1L, "m n o p q r"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dupSpanScrub(d, 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, "m n o p q r", 0L, 0L),
+      (1L, "", 1L, 6L)))
+  }
+
   test("bpeTrain: pair-free corpus yields no merges, words unchanged") {
     import spark.implicits._
     // every word is a single character → no adjacent pairs in any
