@@ -840,6 +840,43 @@ object SparkEntry {
         .orderBy("image_id")
     }),
 
+    // exact squared-EUCLIDEAN distance transform (Felzenszwalb
+    // two-pass lower envelope, outside-is-background) on the
+    // irregular half-plane mask (p3 > p2 within the valid rect):
+    // per-image exact-integer aggregates + positional checksum; the
+    // oracle recomputes d² brute-force against the boundary
+    // background set (any nearest background cell is 8-adjacent to
+    // some foreground cell) plus the closed-form axial edge term
+    "q_distance_transform" -> ((s, dir) => {
+      val dt = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.{Codec, Pixels}
+        val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, 6), fmt)
+        val fg = Array.tabulate(w * h) { i =>
+          val r = c(2)(i); val n = c(3)(i)
+          !r.isNaN && !n.isNaN && n - r > 0
+        }
+        val d2 = Pixels.edt2(fg, w, h)
+        var nfg = 0L; var sm = 0L; var mx = 0L; var chk = 0L
+        var i = 0
+        while (i < w * h) {
+          if (fg(i)) {
+            val v = d2(i).toLong
+            nfg += 1; sm += v; if (v > mx) mx = v
+            chk += v * ((i % w) + 131L * (i / w))
+          }
+          i += 1
+        }
+        (nfg, sm, mx, chk)
+      })
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("d", dt(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt")))
+        .select(col("image_id"), col("d._1").as("n_fg"),
+          col("d._2").as("d2sum"), col("d._3").as("d2max"),
+          col("d._4").as("d2chk"))
+        .orderBy("image_id")
+    }),
+
     // set_gain/offset column surface: band-0 stats AFTER the read-side
     // raw·gain + offset (bandattr carried as column metadata)
     "q_gain_offset" -> ((s, dir) => {
@@ -1125,6 +1162,28 @@ object SparkEntry {
       Warp.warpInto(im, grids, mergeMode = 1)
         .groupBy("gid")
         .agg(sum(col("n_valid")).as("n_valid"), sum(col("vsum")).as("vsum"))
+        .orderBy("gid")
+    }),
+
+    // distance-FEATHERED mosaic blend (the seamline-free warp merge:
+    // per pixel Σ w·v / Σ w with w = the source pixel's exact squared
+    // Euclidean distance to its image's nodata/outside — Pixels.edt2)
+    // on the dense multi-hit fixture; exact integer numerator and
+    // denominator so the oracle replays the blend with the rect-mask
+    // closed form w = min(x-nw+1, w-x, y+1, h-y)²
+    "q_mosaic_feather" -> ((s, dir) => {
+      import s.implicits._
+      val im = Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("x0m", (col("k") % 4) * 60 - 100)
+        .withColumn("y0m", ((col("k") * 3) % 4) * 60 - 100)
+        .withColumn("x1m", col("x0m") + col("w") * 4)
+        .withColumn("y1m", col("y0m") + col("h") * 4)
+      val grids = Seq((0L, -120L, -120L, 260L, 260L))
+        .toDF("gid", "gx0", "gy0", "gx1", "gy1")
+      Warp.warpInto(im, grids, mergeMode = 3)
+        .groupBy("gid")
+        .agg(sum(col("n_valid")).as("n_valid"),
+          sum(col("wvsum")).as("wvsum"), sum(col("wsum")).as("wsum"))
         .orderBy("gid")
     }),
 
@@ -2405,6 +2464,57 @@ object SparkEntry {
          |LEFT JOIN skel ON skel.k = s.k
          |ORDER BY 1""".stripMargin,
 
+    "q_distance_transform" ->
+      s"""WITH $I, $B, $SimgCte,
+         |dtoffs(dx, dy) AS (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),
+         |  (1,0),(-1,1),(0,1),(1,1)),
+         |dtm0 AS (
+         |  SELECT s.k, s.w, s.h, s.nw, xs.x, ys.y
+         |  FROM simg s
+         |  JOIN bandp p2 ON p2.k = s.k AND p2.b = 2
+         |  JOIN bandp p3 ON p3.k = s.k AND p3.b = 3
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.w-1 AS INT))) AS x) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.h-1 AS INT))) AS y) ys
+         |  WHERE xs.x >= s.nw
+         |    AND p3.base + p3.ax*xs.x + p3.ay*ys.y
+         |      > p2.base + p2.ax*xs.x + p2.ay*ys.y),
+         |dtcand AS (
+         |  SELECT DISTINCT m.k, m.x + o.dx AS bx, m.y + o.dy AS by
+         |  FROM dtm0 m CROSS JOIN dtoffs o),
+         |dtbgb AS (
+         |  SELECT c.k, c.bx, c.by
+         |  FROM dtcand c
+         |  JOIN simg s ON s.k = c.k
+         |  JOIN bandp p2 ON p2.k = c.k AND p2.b = 2
+         |  JOIN bandp p3 ON p3.k = c.k AND p3.b = 3
+         |  WHERE c.bx BETWEEN 0 AND s.w-1 AND c.by BETWEEN 0 AND s.h-1
+         |    AND NOT (c.bx >= s.nw
+         |      AND p3.base + p3.ax*c.bx + p3.ay*c.by
+         |        > p2.base + p2.ax*c.bx + p2.ay*c.by)),
+         |dtmin AS (
+         |  SELECT m.k, m.x, m.y,
+         |    LEAST(
+         |      CAST(LEAST(m.x+1, m.w-m.x, m.y+1, m.h-m.y) AS BIGINT)
+         |        * LEAST(m.x+1, m.w-m.x, m.y+1, m.h-m.y),
+         |      COALESCE(MIN(CAST(m.x-b.bx AS BIGINT)*(m.x-b.bx)
+         |        + CAST(m.y-b.by AS BIGINT)*(m.y-b.by)),
+         |        1099511627776)) AS d2
+         |  FROM dtm0 m LEFT JOIN dtbgb b ON b.k = m.k
+         |  GROUP BY m.k, m.x, m.y, m.w, m.h),
+         |dtagg AS (
+         |  SELECT k, COUNT(*) AS n_fg, SUM(d2) AS d2sum,
+         |    MAX(d2) AS d2max, SUM(d2 * (x + 131*y)) AS d2chk
+         |  FROM dtmin GROUP BY k)
+         |SELECT s.image_id,
+         |  CAST(COALESCE(a.n_fg, 0) AS BIGINT) AS n_fg,
+         |  CAST(COALESCE(a.d2sum, 0) AS BIGINT) AS d2sum,
+         |  CAST(COALESCE(a.d2max, 0) AS BIGINT) AS d2max,
+         |  CAST(COALESCE(a.d2chk, 0) AS BIGINT) AS d2chk
+         |FROM simg s LEFT JOIN dtagg a ON a.k = s.k
+         |ORDER BY s.image_id""".stripMargin,
+
     "q_gain_offset" ->
       s"""WITH $I, $B, $SimgCte, $PxCte
          |SELECT s.image_id, CAST(COUNT(*) AS BIGINT) AS n_valid,
@@ -2588,6 +2698,41 @@ object SparkEntry {
          |SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_valid,
          |       CAST(SUM(v) AS BIGINT) AS vsum
          |FROM val GROUP BY gid ORDER BY gid""".stripMargin,
+
+    "q_mosaic_feather" ->
+      s"""WITH $I,
+         |fsimg0 AS (SELECT * FROM img2
+         |           WHERE w <= 64 AND h <= 64 AND k % 6 IN (1,2)),
+         |fsimg AS (SELECT k, image_id, w, h, nw,
+         |            (k % 4)*60 - 100 AS x0m, ((k*3) % 4)*60 - 100 AS y0m,
+         |            (k % 4)*60 - 100 + w*4 AS x1m,
+         |            ((k*3) % 4)*60 - 100 + h*4 AS y1m
+         |          FROM fsimg0),
+         |fpxc AS (
+         |  SELECT CAST(0 AS BIGINT) AS gid,
+         |         -120 + xs.i*4 + 2 AS gx, 260 - ys.j*4 - 2 AS gy
+         |  FROM (SELECT unnest(generate_series(0, 94)) AS i) xs
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 94)) AS j) ys),
+         |fhit AS (
+         |  SELECT p.gid, p.gx, p.gy, i.k, i.w, i.h, i.nw,
+         |         (p.gx - i.x0m)//4 AS xi, (i.y1m - p.gy)//4 AS yi
+         |  FROM fpxc p JOIN fsimg i
+         |    ON p.gx >= i.x0m AND p.gy <= i.y1m
+         |   AND (p.gx - i.x0m)//4 BETWEEN i.nw AND i.w-1
+         |   AND (i.y1m - p.gy)//4 BETWEEN 0 AND i.h-1),
+         |fval AS (SELECT gid, gx, gy,
+         |    SUM(CAST(LEAST(xi - nw + 1, w - xi, yi + 1, h - yi)
+         |          AS BIGINT)
+         |      * LEAST(xi - nw + 1, w - xi, yi + 1, h - yi)
+         |      * (200 + (k*3) % 800 + (k % 8)*xi + (k % 8)*yi)) AS num,
+         |    SUM(CAST(LEAST(xi - nw + 1, w - xi, yi + 1, h - yi)
+         |          AS BIGINT)
+         |      * LEAST(xi - nw + 1, w - xi, yi + 1, h - yi)) AS den
+         |  FROM fhit GROUP BY 1, 2, 3)
+         |SELECT gid, CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |       CAST(SUM(num) AS BIGINT) AS wvsum,
+         |       CAST(SUM(den) AS BIGINT) AS wsum
+         |FROM fval GROUP BY gid ORDER BY gid""".stripMargin,
 
     // lower median = rank (cnt+1)//2 in ascending per-pixel value
     // order — exact, no interpolating quantile

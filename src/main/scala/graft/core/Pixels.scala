@@ -289,8 +289,14 @@ object Pixels {
     * BACKGROUND pixel (Felzenszwalb & Huttenlocher's two-pass
     * lower-envelope method, "Distance Transforms of Sampled
     * Functions", Theory of Computing 2012 — public algorithm).
-    * Background (and everything outside the image) is at distance 0. */
-  private def edt2(fg: Array[Boolean], w: Int, h: Int): Array[Double] = {
+    * Background (and everything outside the image) is at distance 0.
+    * On the integer grid every output is an exact integer (a sum of
+    * two squares) represented losslessly in the double — callers may
+    * `.toLong` without rounding concerns. Public surface: the flux
+    * skeleton builds on it, [[graft.ops.Warp.warpInto]] mergeMode 3
+    * feathers with it, and the q_distance_transform gate checks it
+    * against a brute-force boundary-background oracle. */
+  def edt2(fg: Array[Boolean], w: Int, h: Int): Array[Double] = {
     val INF = 1e18
     val d = new Array[Double](w * h)
     var i = 0

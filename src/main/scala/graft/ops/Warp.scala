@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.core.{Codec, Geom}
+import graft.core.{Codec, Geom, Pixels}
 import graft.core.Geom.BBoxD
 
 /** Warp/reproject: output-grid calculation (bit-exact re-derivation of
@@ -260,9 +260,10 @@ object Warp {
                broadcastTiles: Boolean = true,
                cellRes: Int = 7, nbBands: Int = 1,
                mergeMode: Int = 0): DataFrame = {
-    require(mergeMode >= 0 && mergeMode <= 2,
+    require(mergeMode >= 0 && mergeMode <= 3,
       s"mergeMode=$mergeMode (0 = ascending-key overlay, " +
-        "1 = per-pixel MAX, 2 = per-pixel lower MEDIAN)")
+        "1 = per-pixel MAX, 2 = per-pixel lower MEDIAN, " +
+        "3 = distance-FEATHERED blend)")
     require(tilePx > 0 && tilePx < 2048,
       s"tilePx=$tilePx out of range (packed into 11 bits: 1..2047)")
     val tpx = tilePx.toLong
@@ -323,36 +324,85 @@ object Warp {
       // array<double>: a Seq[Double] fragment boxes every pixel on the
       // way into the shuffle (pairs × bands × tile pixels of java.lang
       // .Double) — the byte image is the same 8 B/px with zero boxing
+      // mergeMode 3 (feathered blend): one squared-Euclidean distance
+      // plane per image — weight of a source pixel = its exact d² to
+      // the nearest nodata/outside cell (integer; Pixels.edt2) — is
+      // resampled NEAREST alongside the values (weights must stay
+      // exact integers whatever the value interp) and travels
+      // interleaved after the values (fragment = 2·len doubles)
+      val wFrag: Array[Double] =
+        if (mergeMode != 3) null
+        else {
+          val fg = Array.tabulate(w * h)(i => !planes(0)(i).isNaN)
+          val d2 = Pixels.edt2(fg, w, h)
+          val wr = resample(d2, w, h, x0m.toDouble, y1m.toDouble,
+            resM.toDouble, resM.toDouble, grid, 0)
+          if (cut == null) wr else cutlineMask(wr, grid, cut)
+        }
       (0 until math.min(nbBands, stored)).map { b =>
         val f = resample(planes(b), w, h, x0m.toDouble, y1m.toDouble,
           resM.toDouble, resM.toDouble, grid, interp)
         val fc = if (cut == null) f else cutlineMask(f, grid, cut)
-        val bb = java.nio.ByteBuffer.allocate(fc.length * 8)
+        val n = if (wFrag == null) fc.length else fc.length * 2
+        val bb = java.nio.ByteBuffer.allocate(n * 8)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        bb.asDoubleBuffer().put(fc)
+        val db = bb.asDoubleBuffer()
+        db.put(fc)
+        if (wFrag != null) db.put(wFrag)
         bb.array()
       }
     })
     val mergeUdf = udf((frags: Seq[org.apache.spark.sql.Row], len: Int) => {
-      val merge: (Seq[(Long, Array[Double])], Int) => Array[Double] =
-        if (mergeMode == 1) mergeFragmentsMax
-        else if (mergeMode == 2) mergeFragmentsMedian
-        else mergeFragments
-      val merged = merge(
-        frags.map { r =>
+      if (mergeMode == 3) {
+        // feathered blend: per output pixel num = Σ w·v, den = Σ w
+        // over contributing fragments (w = source d², exact integers;
+        // order-insensitive by construction). n_valid counts pixels
+        // with any positive-weight hit; consumers form v = num/den.
+        val num = new Array[Long](len)
+        val den = new Array[Long](len)
+        frags.foreach { r =>
           val fb = r.getAs[Array[Byte]](1)
-          val out = new Array[Double](len)
+          val out = new Array[Double](len * 2)
           java.nio.ByteBuffer.wrap(fb)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             .asDoubleBuffer().get(out)
-          (r.getLong(0), out)
-        }, len)
-      var n = 0L; var s = 0L; var i = 0
-      while (i < len) {
-        if (!merged(i).isNaN) { n += 1; s += merged(i).toLong }
-        i += 1
+          var i = 0
+          while (i < len) {
+            val v = out(i); val wt = out(len + i)
+            if (!v.isNaN && !wt.isNaN && wt > 0) {
+              num(i) += wt.toLong * v.toLong
+              den(i) += wt.toLong
+            }
+            i += 1
+          }
+        }
+        var n = 0L; var sn = 0L; var sd = 0L; var i = 0
+        while (i < len) {
+          if (den(i) > 0) { n += 1; sn += num(i); sd += den(i) }
+          i += 1
+        }
+        (n, sn, sd)
+      } else {
+        val merge: (Seq[(Long, Array[Double])], Int) => Array[Double] =
+          if (mergeMode == 1) mergeFragmentsMax
+          else if (mergeMode == 2) mergeFragmentsMedian
+          else mergeFragments
+        val merged = merge(
+          frags.map { r =>
+            val fb = r.getAs[Array[Byte]](1)
+            val out = new Array[Double](len)
+            java.nio.ByteBuffer.wrap(fb)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              .asDoubleBuffer().get(out)
+            (r.getLong(0), out)
+          }, len)
+        var n = 0L; var s = 0L; var i = 0
+        while (i < len) {
+          if (!merged(i).isNaN) { n += 1; s += merged(i).toLong }
+          i += 1
+        }
+        (n, s, 0L)
       }
-      (n, s)
     })
     pairs
       .withColumn("fr", fragUdf(
@@ -365,9 +415,11 @@ object Warp {
         col("band"))
       .agg(collect_list(struct(col("k"), col("frag"))).as("frags"))
       .withColumn("m", mergeUdf(col("frags"), (col("tw") * col("th")).cast("int")))
-      .select(col("gid"), col("tx"), col("ty"),
+      .select(Seq(col("gid"), col("tx"), col("ty"),
         col("band").cast("long").as("band"),
-        col("m._1").as("n_valid"), col("m._2").as("vsum"))
+        col("m._1").as("n_valid"),
+        col("m._2").as(if (mergeMode == 3) "wvsum" else "vsum")) ++
+        (if (mergeMode == 3) Seq(col("m._3").as("wsum")) else Nil): _*)
   }
 
   private def at(src: Array[Double], sw: Int, sh: Int, x: Int, y: Int): Double = {

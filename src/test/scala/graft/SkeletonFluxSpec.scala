@@ -85,6 +85,53 @@ class SkeletonFluxSpec extends AnyFunSuite {
     assert(comps(fgSet(a, w)) == 2)
   }
 
+  test("edt2: equals brute-force nearest background on random masks") {
+    // brute force: min squared distance over every background cell,
+    // where outside the image reduces to the 1-cell virtual ring
+    // (clamping any outside cell to the ring never increases distance)
+    def brute(fg: Array[Boolean], w: Int, h: Int): Array[Double] =
+      Array.tabulate(w * h) { i =>
+        if (!fg(i)) 0.0
+        else {
+          val x = i % w; val y = i / w
+          var best = Long.MaxValue
+          var by = -1
+          while (by <= h) {
+            var bx = -1
+            while (bx <= w) {
+              val inside = bx >= 0 && bx < w && by >= 0 && by < h
+              if (!inside || !fg(by * w + bx)) {
+                val d = (x - bx).toLong * (x - bx) + (y - by).toLong * (y - by)
+                if (d < best) best = d
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          best.toDouble
+        }
+      }
+    val rnd = new scala.util.Random(20260818L)
+    for (trial <- 0 until 6) {
+      val w = 5 + rnd.nextInt(12); val h = 5 + rnd.nextInt(9)
+      val density = 0.3 + 0.6 * rnd.nextDouble()
+      val fg = Array.fill(w * h)(rnd.nextDouble() < density)
+      val got = Pixels.edt2(fg, w, h)
+      val want = brute(fg, w, h)
+      assert(got.sameElements(want),
+        s"trial $trial (${w}x$h): edt2 != brute force")
+      // exact-integer representation claim
+      assert(got.forall(v => v == math.rint(v)))
+    }
+    // all-foreground: closed form = squared min axial edge distance
+    val (w, h) = (16, 11)
+    val all = Pixels.edt2(Array.fill(w * h)(true), w, h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val m = math.min(math.min(x + 1, w - x), math.min(y + 1, h - y))
+      assert(all(y * w + x) == (m.toLong * m).toDouble)
+    }
+  }
+
   test("nodata preserved; empty mask fixpoint; isolated pixel survives") {
     val (w, h) = (8, 8)
     val m = Array.tabulate(w * h) { i =>

@@ -185,6 +185,61 @@ class WarpIntoSpec extends AnyFunSuite with BeforeAndAfterAll {
       a == b || (a.isNaN && b.isNaN) })
   }
 
+  test("feathered blend (mergeMode 3): exact w·v/w sums on rect masks") {
+    import spark.implicits._
+    // A (value 100) covers the whole 20x20 grid; B (value 300) covers
+    // the left half. Rect-mask weights have the closed form
+    // min(x-nw+1, w-x, y+1, h-y)² — proven general by the edt2 spec —
+    // so the expected sums are recomputed per pixel here.
+    val rows = Seq(
+      img(1, 0, 0, 20, 20, 100, 0),
+      img(2, 0, 0, 10, 20, 300, 0))
+    val im = rows.toDF("k", "image_id", "bytes", "w", "h", "fmt",
+      "x0m", "y0m", "x1m", "y1m")
+    val grids = Seq(("g", 0L, 0L, 80L, 80L))
+      .toDF("gid", "gx0", "gy0", "gx1", "gy1")
+    val out = Warp.warpInto(im, grids, tilePx = 16, mergeMode = 3)
+      .groupBy("gid").agg(sum("n_valid").as("n"),
+        sum("wvsum").as("num"), sum("wsum").as("den"))
+      .collect()(0)
+    def w2(x: Int, y: Int, w: Int, h: Int): Long = {
+      val m = math.min(math.min(x + 1, w - x), math.min(y + 1, h - y))
+      m.toLong * m
+    }
+    var num = 0L; var den = 0L
+    for (y <- 0 until 20; x <- 0 until 20) {
+      val wa = w2(x, y, 20, 20)
+      num += wa * 100; den += wa
+      if (x < 10) { val wb = w2(x, y, 10, 20); num += wb * 300; den += wb }
+    }
+    assert(out.getLong(1) == 400L, "every grid pixel has a hit")
+    assert(out.getLong(2) == num, "weighted value sum")
+    assert(out.getLong(3) == den, "weight sum")
+  }
+
+  test("feathered blend: single image reduces to weight-scaled overlay") {
+    import spark.implicits._
+    // one image, nodata stripe nw=2: blend value num/den must equal
+    // the constant everywhere valid, and den = Σ d² over valid pixels
+    val im = Seq(img(7, 0, 0, 12, 8, 50, 2))
+      .toDF("k", "image_id", "bytes", "w", "h", "fmt",
+        "x0m", "y0m", "x1m", "y1m")
+    val grids = Seq(("g", 0L, 0L, 48L, 32L))
+      .toDF("gid", "gx0", "gy0", "gx1", "gy1")
+    val out = Warp.warpInto(im, grids, tilePx = 16, mergeMode = 3)
+      .groupBy("gid").agg(sum("n_valid").as("n"),
+        sum("wvsum").as("num"), sum("wsum").as("den"))
+      .collect()(0)
+    var den = 0L
+    for (y <- 0 until 8; x <- 2 until 12) {
+      val m = math.min(math.min(x - 2 + 1, 12 - x), math.min(y + 1, 8 - y))
+      den += m.toLong * m
+    }
+    assert(out.getLong(1) == 10L * 8L)
+    assert(out.getLong(2) == 50L * den)
+    assert(out.getLong(3) == den)
+  }
+
   test("mergeFragments: ascending-key overwrite, NaN transparent") {
     val a = Array(1.0, 1.0, Double.NaN)
     val b = Array(2.0, Double.NaN, Double.NaN)
