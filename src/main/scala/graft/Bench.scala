@@ -188,7 +188,11 @@ object Bench {
       "q_spatial_join_bloom", "q_zorder", "q_cube",
       "q_ann_pq_topk", "q_pq_codes", "q_ann_ivfpq_topk",
       "q_ar_buckets", "q_bpe_merges", "q_bpe_encode", "q_mix_balance",
-      "q_events_cohorts", "q_curate_images", "q_mix_resample")
+      "q_events_cohorts", "q_curate_images", "q_mix_resample",
+      // duplicate-substring span dedup + excision, exact EDT, and the
+      // distance-feathered mosaic blend
+      "q_dup_spans", "q_dup_scrub", "q_distance_transform",
+      "q_mosaic_feather", "q_equalize")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

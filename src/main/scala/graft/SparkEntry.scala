@@ -1108,6 +1108,18 @@ object SparkEntry {
           col("a._2").as("fsum"))
         .orderBy("image_id")),
 
+    // histogram EQUALIZATION (nonlinear stretch next to autoscale):
+    // classic discrete formula over band 2, L=256, exact integers
+    "q_equalize" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("e", Algorithms.equalizeAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands), lit(2)))
+        .select(col("image_id"), col("e._1").as("n_valid"),
+          col("e._2").as("eqsum"), col("e._3").as("eqmin"),
+          col("e._4").as("eqmax"), col("e._5").as("eqchk"))
+        .orderBy("image_id")),
+
     // ---- distributed warp_into / pixel-level mosaic merge ----
     // identity warp preserves every valid pixel (the reference's
     // sum-preservation golden, test_GeoImage.py:207-215): each image
@@ -2613,6 +2625,30 @@ object SparkEntry {
          |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_valid,
          |       CAST(SUM(FLOOR(outv * 1000)) AS BIGINT) AS fsum
          |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_equalize" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte,
+         |eqp AS (SELECT k, x, y, v FROM px WHERE b = 2),
+         |eqc AS (SELECT k, x, y, v,
+         |    COUNT(*) OVER (PARTITION BY k ORDER BY v
+         |                   RANGE UNBOUNDED PRECEDING) AS cdf,
+         |    COUNT(*) OVER (PARTITION BY k) AS n,
+         |    MIN(v) OVER (PARTITION BY k) AS vmin
+         |  FROM eqp),
+         |eq2 AS (SELECT k, x, y,
+         |    CASE WHEN n = cmin THEN 0
+         |         ELSE (CAST(cdf - cmin AS BIGINT) * 255) // (n - cmin)
+         |    END AS vp
+         |  FROM (SELECT *, SUM(CASE WHEN v = vmin THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY k) AS cmin
+         |        FROM eqc))
+         |SELECT s.image_id, CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |  CAST(SUM(vp) AS BIGINT) AS eqsum,
+         |  CAST(MIN(vp) AS BIGINT) AS eqmin,
+         |  CAST(MAX(vp) AS BIGINT) AS eqmax,
+         |  CAST(SUM(CAST(vp AS BIGINT) * (x + 131*y)) AS BIGINT) AS eqchk
+         |FROM eq2 JOIN simg s ON s.k = eq2.k
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identity warp = per-image band-0 valid-pixel sums (closed forms)
     "q_warp_into_identity" ->

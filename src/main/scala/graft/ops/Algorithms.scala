@@ -346,6 +346,53 @@ object Algorithms {
     (n, fs)
   })
 
+  /** Histogram EQUALIZATION over band `bd` — the nonlinear contrast
+    * stretch next to autoscale's linear one (the classic discrete
+    * formula): v' = (cdf(v) − cdf_min) · (L−1) / (n − cdf_min) with
+    * truncating integer division, where cdf(v) = #valid pixels ≤ v,
+    * cdf_min = the minimum value's count, L = 256; constant bands map
+    * to 0. Emits exact-integer per-image aggregates (n_valid, Σv',
+    * min/max v', positional checksum Σ v'·(x+131y)) so the DuckDB
+    * oracle replays the mapping with a ties-inclusive RANGE window
+    * over the regenerated pixel grid. */
+  val equalizeAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
+                         nb: Int, bd: Int) => {
+    val p = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)(bd)
+    val cnt = new java.util.TreeMap[java.lang.Long, Long]()
+    var n = 0L
+    var i = 0
+    while (i < p.length) {
+      if (!p(i).isNaN) {
+        val v = java.lang.Long.valueOf(p(i).toLong)
+        cnt.put(v, cnt.getOrDefault(v, 0L) + 1L)
+        n += 1
+      }
+      i += 1
+    }
+    if (n == 0L) (0L, 0L, 0L, 0L, 0L)
+    else {
+      val m = new java.util.HashMap[java.lang.Long, Long]()
+      val cmin = cnt.firstEntry().getValue
+      var run = 0L
+      val it = cnt.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); run += e.getValue
+        m.put(e.getKey, if (n == cmin) 0L else (run - cmin) * 255L / (n - cmin))
+      }
+      var s = 0L; var mn = Long.MaxValue; var mx = Long.MinValue; var chk = 0L
+      i = 0
+      while (i < p.length) {
+        if (!p(i).isNaN) {
+          val vp = m.get(java.lang.Long.valueOf(p(i).toLong))
+          s += vp; if (vp < mn) mn = vp; if (vp > mx) mx = vp
+          chk += vp * ((i % w) + 131L * (i / w))
+        }
+        i += 1
+      }
+      (n, s, mn, mx, chk)
+    }
+  })
+
   // ---- sun-geometry shadow smear (GeoAlgorithms.cpp:164-214) ----
   /** The reference's coarse shadow-covering smear: project the cloud
     * mask along the sun direction by OR-ing shifted copies, walking

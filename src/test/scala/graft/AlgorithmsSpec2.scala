@@ -115,4 +115,30 @@ class AlgorithmsSpec2 extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("equalizeAgg: hand-checked discrete CDF mapping; constant band → 0") {
+    import spark.implicits._
+    import graft.core.Codec
+    // band 2 = [10,10,10,20,20,30,40,40] on a 2x4 plane: n=8, cmin=3,
+    // v' = (cdf-3)*255/5 → {10:0, 20:102, 30:153, 40:255}
+    val vals = Array(10.0, 10.0, 10.0, 20.0, 20.0, 30.0, 40.0, 40.0)
+    val planes = Array.tabulate(6)(b =>
+      if (b == 2) vals else Array.fill(8)(1.0))
+    val bytes = Codec.encode(planes, 2, 4, "raw-i16le")
+    val flat = Seq((1L, bytes)).toDF("k", "bytes")
+      .withColumn("e", Algorithms.equalizeAgg(col("bytes"), lit(2),
+        lit(4), lit("raw-i16le"), lit(6), lit(2)))
+      .select("e._1", "e._2", "e._3", "e._4", "e._5")
+      .collect()(0)
+    assert((flat.getLong(0), flat.getLong(1), flat.getLong(2),
+      flat.getLong(3), flat.getLong(4)) == ((8L, 867L, 0L, 255L, 281112L)))
+    // constant band: n == cmin → every equalized value is 0
+    val cbytes = Codec.encode(Array.tabulate(6)(_ => Array.fill(8)(7.0)),
+      2, 4, "raw-i16le")
+    val c = Seq((1L, cbytes)).toDF("k", "bytes")
+      .withColumn("e", Algorithms.equalizeAgg(col("bytes"), lit(2),
+        lit(4), lit("raw-i16le"), lit(6), lit(2)))
+      .select("e._2", "e._4").collect()(0)
+    assert(c.getLong(0) == 0L && c.getLong(1) == 0L)
+  }
 }
