@@ -1479,6 +1479,12 @@ object SparkEntry {
     "q_dup_scrub" -> ((s, dir) =>
       graft.text.TextOps.dupSpanScrub(docs(s, dir), 4)
         .orderBy("doc_id")),
+
+    // winnowing fingerprints (SIGMOD 2003): k=3 grams, window w=4,
+    // rightmost-min selection, deduplicated
+    "q_winnow" -> ((s, dir) =>
+      graft.text.TextOps.winnow(docs(s, dir), 3, 4)
+        .orderBy("doc_id", "pos")),
     "q_minhash_sig" -> ((s, dir) =>
       graft.text.TextOps.minhash(docs(s, dir), 4).orderBy("doc_id")),
     "q_minhash_bands" -> ((s, dir) =>
@@ -3914,6 +3920,25 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_windows
          |FROM dsi2 GROUP BY doc_id, island
          |ORDER BY doc_id, span_id""".stripMargin,
+
+    "q_winnow" ->
+      s"""WITH $TokCte,
+         |wng0 AS (SELECT doc_id,
+         |  CASE WHEN len(ts) >= 3 THEN list_transform(
+         |    generate_series(1, CAST(len(ts)-2 AS INT)),
+         |    i -> {'pos': i-1, 'gh': md5(array_to_string(ts[i:i+2], ' '))})
+         |  ELSE [] END AS gl FROM tok),
+         |wng AS (SELECT doc_id, u.pos AS pos, u.gh AS gh
+         |  FROM (SELECT doc_id, unnest(gl) AS u FROM wng0)),
+         |wnw AS (SELECT doc_id, pos, gh,
+         |  COUNT(*) OVER fr AS nwin,
+         |  MIN({'h': gh, 'np': -pos}) OVER fr AS m
+         |  FROM wng WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+         |SELECT DISTINCT doc_id, CAST(-(m.np) AS BIGINT) AS pos,
+         |  m.h AS gh
+         |FROM wnw WHERE nwin = 4
+         |ORDER BY doc_id, pos""".stripMargin,
 
     "q_dup_scrub" ->
       s"""WITH $TokCte,

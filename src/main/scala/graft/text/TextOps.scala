@@ -194,6 +194,39 @@ object TextOps {
       .drop("st")
   }
 
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — public algorithm): hash every k-token gram (md5),
+    * slide a window of `w` consecutive hashes, record each window's
+    * MINIMUM hash with the RIGHTMOST position breaking ties, and
+    * deduplicate. Guarantee (the paper's correctness property): any
+    * substring match of ≥ w+k−1 tokens between two docs shares at
+    * least one selected fingerprint — so fingerprints support
+    * substring-level near-dup candidate generation at ~2/(w+1) the
+    * gram volume of [[dupSpans]]' full seed set. Docs shorter than
+    * w+k−1 tokens have no full window and emit nothing.
+    *
+    * One row per selected (doc_id, pos, gh). Scale: a per-row explode
+    * + two window passes partitioned by doc — no corpus-wide shuffle
+    * at all until a consumer groups by fingerprint; the rightmost
+    * argmin is the lexicographic min of (hash, −pos), identical in
+    * any SQL engine (min-of-struct over a row frame). */
+  def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val g = docs.where(size(toks) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(k)))))))
+      .toDF("doc_id", "pos", "gh")
+    val fr = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    g.withColumn("nwin", count(lit(1)).over(fr))
+      .withColumn("m", min(struct(col("gh"), (-col("pos")).as("np"))).over(fr))
+      .where(col("nwin") === w)
+      .select(col("doc_id"), (-col("m.np")).cast("long").as("pos"),
+        col("m.gh").as("gh"))
+      .distinct()
+  }
+
   /** Duplicate-span EXCISION — the apply stage of [[dupSpans]], with
     * Lee et al. 2022's keep-one-occurrence rule made deterministic for
     * a distributed engine: a maximal span SURVIVES only in the doc

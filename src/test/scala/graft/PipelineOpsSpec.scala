@@ -367,6 +367,34 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((0L, 0L, 5L, 6L), (1L, 0L, 5L, 6L)))
   }
 
+  test("winnow: every window covered; shared substring shares a print") {
+    import spark.implicits._
+    // d0 and d1 share the 7-token run "p q r s t u v" >= w+k-1 = 6,
+    // so the SIGMOD-2003 guarantee demands a shared fingerprint hash
+    val d = Seq(
+      (0L, "p q r s t u v w"),
+      (1L, "z z x p q r s t u v y"),
+      (2L, "a b")).toDF("doc_id", "text")
+    val fp = TextOps.winnow(d, 3, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // doc2 is shorter than w+k-1 → no full window → nothing emitted
+    assert(!fp.exists(_._1 == 2L))
+    // dedup: no repeated (doc, pos)
+    assert(fp.map(t => (t._1, t._2)).distinct.length == fp.length)
+    // coverage: every full window of w=4 gram positions contains a
+    // selected position (the winnowing density invariant)
+    val nPos = Map(0L -> 6, 1L -> 9) // tokens - k + 1
+    for ((doc, np) <- nPos; i <- 0 to np - 4) {
+      val sel = fp.filter(_._1 == doc).map(_._2)
+      assert(sel.exists(p => p >= i && p <= i + 3),
+        s"doc $doc window $i uncovered")
+    }
+    // guarantee: shared >= w+k-1 substring ⇒ shared fingerprint hash
+    val h0 = fp.filter(_._1 == 0L).map(_._3).toSet
+    val h1 = fp.filter(_._1 == 1L).map(_._3).toSet
+    assert((h0 & h1).nonEmpty, "shared run must share a fingerprint")
+  }
+
   test("dupSpanScrub: corpus-first occurrence survives, others excised") {
     import spark.implicits._
     // same corpus as the dupSpans island test: doc0 owns the corpus-
