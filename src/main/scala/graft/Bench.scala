@@ -192,7 +192,7 @@ object Bench {
       // duplicate-substring span dedup + excision, exact EDT, and the
       // distance-feathered mosaic blend
       "q_dup_spans", "q_dup_scrub", "q_distance_transform",
-      "q_mosaic_feather", "q_equalize", "q_winnow")
+      "q_mosaic_feather", "q_equalize", "q_winnow", "q_blob_labels")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

@@ -1108,6 +1108,49 @@ object SparkEntry {
           col("a._2").as("fsum"))
         .orderBy("image_id")),
 
+    // connected-component labeling (blob extraction, 8-connectivity)
+    // on the diagonal-stripe mask (p3-p2 > 0, (p3-p2) % 5 in {1,2}):
+    // canonical label = min linear pixel index per component; the
+    // oracle floods min-labels through a bounded recursive CTE
+    "q_blob_labels" -> ((s, dir) => {
+      val bl = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.{Codec, Pixels}
+        val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, 6), fmt)
+        val fg = Array.tabulate(w * h) { i =>
+          val r = c(2)(i); val n = c(3)(i)
+          if (r.isNaN || n.isNaN) false
+          else {
+            val d = (n - r).toLong
+            d > 0 && { val m = d % 5; m == 1 || m == 2 }
+          }
+        }
+        val lab = Pixels.labelComponents(fg, w, h)
+        val sizes = new java.util.HashMap[Int, Long]()
+        var i = 0
+        while (i < lab.length) {
+          if (lab(i) >= 0) sizes.merge(lab(i), 1L, _ + _)
+          i += 1
+        }
+        var nfg = 0L; var mxs = 0L; var lsum = 0L; var schk = 0L
+        val it = sizes.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          nfg += e.getValue
+          if (e.getValue > mxs) mxs = e.getValue
+          lsum += e.getKey.toLong
+          schk += e.getValue * e.getKey.toLong
+        }
+        (sizes.size.toLong, nfg, mxs, lsum, schk)
+      })
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("c", bl(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt")))
+        .select(col("image_id"), col("c._1").as("n_comp"),
+          col("c._2").as("n_fg"), col("c._3").as("max_size"),
+          col("c._4").as("labelsum"), col("c._5").as("sizechk"))
+        .orderBy("image_id")
+    }),
+
     // histogram EQUALIZATION (nonlinear stretch next to autoscale):
     // classic discrete formula over band 2, L=256, exact integers
     "q_equalize" -> ((s, dir) =>
@@ -2631,6 +2674,52 @@ object SparkEntry {
          |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_valid,
          |       CAST(SUM(FLOOR(outv * 1000)) AS BIGINT) AS fsum
          |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_blob_labels" ->
+      s"""WITH RECURSIVE $I, $B, $SimgCte,
+         |bloffs(dx, dy) AS (VALUES (0,0),(-1,-1),(0,-1),(1,-1),
+         |  (-1,0),(1,0),(-1,1),(0,1),(1,1)),
+         |blm0 AS (
+         |  SELECT s.k, s.w, s.h, xs.x, ys.y
+         |  FROM simg s
+         |  JOIN bandp p2 ON p2.k = s.k AND p2.b = 2
+         |  JOIN bandp p3 ON p3.k = s.k AND p3.b = 3
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.w-1 AS INT))) AS x) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.h-1 AS INT))) AS y) ys
+         |  WHERE xs.x >= s.nw
+         |    AND (p3.base - p2.base) + (p3.ax - p2.ax)*xs.x
+         |      + (p3.ay - p2.ay)*ys.y > 0
+         |    AND ((p3.base - p2.base) + (p3.ax - p2.ax)*xs.x
+         |      + (p3.ay - p2.ay)*ys.y) % 5 IN (1, 2)),
+         |blf(k, x, y, lab, it) AS (
+         |  SELECT k, x, y, y*w + x, 0 FROM blm0
+         |  UNION ALL
+         |  SELECT c.k, c.x, c.y, c.lab, c.it + 1
+         |  FROM (
+         |    SELECT t.k, t.x - o.dx AS x, t.y - o.dy AS y,
+         |           MIN(t.lab) AS lab, MAX(t.it) AS it
+         |    FROM blf t CROSS JOIN bloffs o
+         |    GROUP BY 1, 2, 3
+         |  ) c JOIN blm0 m ON m.k = c.k AND m.x = c.x AND m.y = c.y
+         |  WHERE c.it < 144),
+         |blfin AS (SELECT k, lab, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM blf WHERE it = 144 GROUP BY k, lab),
+         |blagg AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_comp,
+         |    CAST(SUM(sz) AS BIGINT) AS n_fg,
+         |    CAST(MAX(sz) AS BIGINT) AS max_size,
+         |    CAST(SUM(lab) AS BIGINT) AS labelsum,
+         |    CAST(SUM(sz * lab) AS BIGINT) AS sizechk
+         |  FROM blfin GROUP BY k)
+         |SELECT s.image_id,
+         |  COALESCE(a.n_comp, 0) AS n_comp,
+         |  COALESCE(a.n_fg, 0) AS n_fg,
+         |  COALESCE(a.max_size, 0) AS max_size,
+         |  COALESCE(a.labelsum, 0) AS labelsum,
+         |  COALESCE(a.sizechk, 0) AS sizechk
+         |FROM simg s LEFT JOIN blagg a ON a.k = s.k
+         |ORDER BY s.image_id""".stripMargin,
 
     "q_equalize" ->
       s"""WITH $I, $B, $SimgCte, $PxCte,

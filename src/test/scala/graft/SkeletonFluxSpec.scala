@@ -132,6 +132,44 @@ class SkeletonFluxSpec extends AnyFunSuite {
     }
   }
 
+  test("labelComponents: equals BFS labeling on random masks") {
+    def bfs(fg: Array[Boolean], w: Int, h: Int): Array[Int] = {
+      val lab = Array.fill(w * h)(-1)
+      for (start <- 0 until w * h if fg(start) && lab(start) == -1) {
+        // min-index canonical label: collect the whole component first
+        var comp = List(start); lab(start) = -2
+        var frontier = List(start)
+        while (frontier.nonEmpty) {
+          val nxt = for {
+            p <- frontier
+            dy <- -1 to 1; dx <- -1 to 1
+            x = p % w + dx; y = p / w + dy
+            if x >= 0 && x < w && y >= 0 && y < h
+            q = y * w + x if fg(q) && lab(q) == -1
+          } yield { lab(q) = -2; q }
+          comp = comp ++ nxt
+          frontier = nxt
+        }
+        val m = comp.min
+        comp.foreach(p => lab(p) = m)
+      }
+      lab
+    }
+    val rnd = new scala.util.Random(424242L)
+    for (trial <- 0 until 6) {
+      val w = 6 + rnd.nextInt(12); val h = 5 + rnd.nextInt(10)
+      val fg = Array.fill(w * h)(rnd.nextDouble() < 0.45)
+      val got = Pixels.labelComponents(fg, w, h)
+      val want = bfs(fg, w, h)
+      assert(got.sameElements(want), s"trial $trial (${w}x$h)")
+    }
+    // deterministic degenerate cases
+    assert(Pixels.labelComponents(Array.fill(6)(false), 3, 2)
+      .forall(_ == -1))
+    assert(Pixels.labelComponents(Array.fill(6)(true), 3, 2)
+      .forall(_ == 0))
+  }
+
   test("nodata preserved; empty mask fixpoint; isolated pixel survives") {
     val (w, h) = (8, 8)
     val m = Array.tabulate(w * h) { i =>
