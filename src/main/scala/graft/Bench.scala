@@ -192,7 +192,8 @@ object Bench {
       // duplicate-substring span dedup + excision, exact EDT, and the
       // distance-feathered mosaic blend
       "q_dup_spans", "q_dup_scrub", "q_distance_transform",
-      "q_mosaic_feather", "q_equalize", "q_winnow", "q_blob_labels")
+      "q_mosaic_feather", "q_equalize", "q_winnow", "q_blob_labels",
+      "q_polygonize")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

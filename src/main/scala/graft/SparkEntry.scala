@@ -1151,6 +1151,64 @@ object SparkEntry {
         .orderBy("image_id")
     }),
 
+    // polygonize-lite (the vector step over blob labels): one row per
+    // component with exact-integer bbox, size, and 4-neighborhood
+    // PERIMETER (pixel edges facing non-component cells, image border
+    // included) — what sieve/polygonize emits before ring tracing
+    "q_polygonize" -> ((s, dir) => {
+      val pg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.{Codec, Pixels}
+        val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, 6), fmt)
+        val fg = Array.tabulate(w * h) { i =>
+          val r = c(2)(i); val n = c(3)(i)
+          if (r.isNaN || n.isNaN) false
+          else {
+            val d = (n - r).toLong
+            d > 0 && { val m = d % 5; m == 1 || m == 2 }
+          }
+        }
+        val lab = Pixels.labelComponents(fg, w, h)
+        // per label: size, bbox, perimeter
+        val agg = new java.util.TreeMap[Int, Array[Long]]()
+        var i = 0
+        while (i < lab.length) {
+          val l = lab(i)
+          if (l >= 0) {
+            val x = i % w; val y = i / w
+            val a = agg.computeIfAbsent(l,
+              _ => Array(0L, x, y, x, y, 0L)) // size,x0,y0,x1,y1,perim
+            a(0) += 1
+            if (x < a(1)) a(1) = x
+            if (y < a(2)) a(2) = y
+            if (x > a(3)) a(3) = x
+            if (y > a(4)) a(4) = y
+            var p = 0L
+            if (x == 0 || lab(i - 1) != l) p += 1
+            if (x == w - 1 || lab(i + 1) != l) p += 1
+            if (y == 0 || lab(i - w) != l) p += 1
+            if (y == h - 1 || lab(i + w) != l) p += 1
+            a(5) += p
+          }
+          i += 1
+        }
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long, Long)]
+        val it = agg.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next(); val a = e.getValue
+          out += ((e.getKey.toLong, a(0), a(1), a(2), a(3), a(4), a(5)))
+        }
+        out.result()
+      })
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("pc", explode(pg(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt"))))
+        .select(col("image_id"), col("pc._1").as("label"),
+          col("pc._2").as("size"), col("pc._3").as("bx0"),
+          col("pc._4").as("by0"), col("pc._5").as("bx1"),
+          col("pc._6").as("by1"), col("pc._7").as("perimeter"))
+        .orderBy("image_id", "label")
+    }),
+
     // histogram EQUALIZATION (nonlinear stretch next to autoscale):
     // classic discrete formula over band 2, L=256, exact integers
     "q_equalize" -> ((s, dir) =>
@@ -2720,6 +2778,54 @@ object SparkEntry {
          |  COALESCE(a.sizechk, 0) AS sizechk
          |FROM simg s LEFT JOIN blagg a ON a.k = s.k
          |ORDER BY s.image_id""".stripMargin,
+
+    "q_polygonize" ->
+      s"""WITH RECURSIVE $I, $B, $SimgCte,
+         |pgoffs(dx, dy) AS (VALUES (0,0),(-1,-1),(0,-1),(1,-1),
+         |  (-1,0),(1,0),(-1,1),(0,1),(1,1)),
+         |pgm0 AS (
+         |  SELECT s.k, s.w, s.h, xs.x, ys.y
+         |  FROM simg s
+         |  JOIN bandp p2 ON p2.k = s.k AND p2.b = 2
+         |  JOIN bandp p3 ON p3.k = s.k AND p3.b = 3
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.w-1 AS INT))) AS x) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.h-1 AS INT))) AS y) ys
+         |  WHERE xs.x >= s.nw
+         |    AND (p3.base - p2.base) + (p3.ax - p2.ax)*xs.x
+         |      + (p3.ay - p2.ay)*ys.y > 0
+         |    AND ((p3.base - p2.base) + (p3.ax - p2.ax)*xs.x
+         |      + (p3.ay - p2.ay)*ys.y) % 5 IN (1, 2)),
+         |pgf(k, x, y, lab, it) AS (
+         |  SELECT k, x, y, y*w + x, 0 FROM pgm0
+         |  UNION ALL
+         |  SELECT c.k, c.x, c.y, c.lab, c.it + 1
+         |  FROM (
+         |    SELECT t.k, t.x - o.dx AS x, t.y - o.dy AS y,
+         |           MIN(t.lab) AS lab, MAX(t.it) AS it
+         |    FROM pgf t CROSS JOIN pgoffs o
+         |    GROUP BY 1, 2, 3
+         |  ) c JOIN pgm0 m ON m.k = c.k AND m.x = c.x AND m.y = c.y
+         |  WHERE c.it < 144),
+         |pgl AS (SELECT k, x, y, lab FROM pgf WHERE it = 144),
+         |pgnb AS (SELECT a.k, a.x, a.y, a.lab,
+         |    CAST(COUNT(b.lab) AS BIGINT) AS same
+         |  FROM pgl a
+         |  CROSS JOIN (VALUES (1,0),(-1,0),(0,1),(0,-1)) o(dx, dy)
+         |  LEFT JOIN pgl b ON b.k = a.k AND b.x = a.x + o.dx
+         |    AND b.y = a.y + o.dy AND b.lab = a.lab
+         |  GROUP BY a.k, a.x, a.y, a.lab)
+         |SELECT s.image_id, CAST(n.lab AS BIGINT) AS label,
+         |  CAST(COUNT(*) AS BIGINT) AS size,
+         |  CAST(MIN(n.x) AS BIGINT) AS bx0,
+         |  CAST(MIN(n.y) AS BIGINT) AS by0,
+         |  CAST(MAX(n.x) AS BIGINT) AS bx1,
+         |  CAST(MAX(n.y) AS BIGINT) AS by1,
+         |  CAST(SUM(4 - n.same) AS BIGINT) AS perimeter
+         |FROM pgnb n JOIN simg s ON s.k = n.k
+         |GROUP BY s.image_id, n.lab
+         |ORDER BY s.image_id, label""".stripMargin,
 
     "q_equalize" ->
       s"""WITH $I, $B, $SimgCte, $PxCte,
