@@ -1209,6 +1209,54 @@ object SparkEntry {
         .orderBy("image_id", "label")
     }),
 
+    // SIEVE filter (GDAL's classic small-blob removal): components
+    // under minPix=10 pixels drop to background; per-image before/
+    // after counts + positional checksum of the kept mask
+    "q_sieve" -> ((s, dir) => {
+      val sv = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.{Codec, Pixels}
+        val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, 6), fmt)
+        val fg = Array.tabulate(w * h) { i =>
+          val r = c(2)(i); val n = c(3)(i)
+          if (r.isNaN || n.isNaN) false
+          else {
+            val d = (n - r).toLong
+            d > 0 && { val m = d % 5; m == 1 || m == 2 }
+          }
+        }
+        val lab = Pixels.labelComponents(fg, w, h)
+        val sizes = new java.util.HashMap[Int, Long]()
+        var i = 0
+        while (i < lab.length) {
+          if (lab(i) >= 0) sizes.merge(lab(i), 1L, _ + _)
+          i += 1
+        }
+        var nb = 0L; var cb = sizes.size.toLong
+        var na = 0L; var chk = 0L
+        val kept = new java.util.HashSet[Int]()
+        val it = sizes.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next(); nb += e.getValue
+          if (e.getValue >= 10L) kept.add(e.getKey)
+        }
+        i = 0
+        while (i < lab.length) {
+          if (lab(i) >= 0 && kept.contains(lab(i))) {
+            na += 1; chk += (i % w) + 131L * (i / w)
+          }
+          i += 1
+        }
+        (nb, cb, na, kept.size.toLong, chk)
+      })
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("v", sv(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt")))
+        .select(col("image_id"), col("v._1").as("n_fg_before"),
+          col("v._2").as("n_comp_before"), col("v._3").as("n_fg_after"),
+          col("v._4").as("n_comp_after"), col("v._5").as("keptchk"))
+        .orderBy("image_id")
+    }),
+
     // histogram EQUALIZATION (nonlinear stretch next to autoscale):
     // classic discrete formula over band 2, L=256, exact integers
     "q_equalize" -> ((s, dir) =>
@@ -2826,6 +2874,59 @@ object SparkEntry {
          |FROM pgnb n JOIN simg s ON s.k = n.k
          |GROUP BY s.image_id, n.lab
          |ORDER BY s.image_id, label""".stripMargin,
+
+    "q_sieve" ->
+      s"""WITH RECURSIVE $I, $B, $SimgCte,
+         |svoffs(dx, dy) AS (VALUES (0,0),(-1,-1),(0,-1),(1,-1),
+         |  (-1,0),(1,0),(-1,1),(0,1),(1,1)),
+         |svm0 AS (
+         |  SELECT s.k, s.w, s.h, xs.x, ys.y
+         |  FROM simg s
+         |  JOIN bandp p2 ON p2.k = s.k AND p2.b = 2
+         |  JOIN bandp p3 ON p3.k = s.k AND p3.b = 3
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.w-1 AS INT))) AS x) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.h-1 AS INT))) AS y) ys
+         |  WHERE xs.x >= s.nw
+         |    AND (p3.base - p2.base) + (p3.ax - p2.ax)*xs.x
+         |      + (p3.ay - p2.ay)*ys.y > 0
+         |    AND ((p3.base - p2.base) + (p3.ax - p2.ax)*xs.x
+         |      + (p3.ay - p2.ay)*ys.y) % 5 IN (1, 2)),
+         |svf(k, x, y, lab, it) AS (
+         |  SELECT k, x, y, y*w + x, 0 FROM svm0
+         |  UNION ALL
+         |  SELECT c.k, c.x, c.y, c.lab, c.it + 1
+         |  FROM (
+         |    SELECT t.k, t.x - o.dx AS x, t.y - o.dy AS y,
+         |           MIN(t.lab) AS lab, MAX(t.it) AS it
+         |    FROM svf t CROSS JOIN svoffs o
+         |    GROUP BY 1, 2, 3
+         |  ) c JOIN svm0 m ON m.k = c.k AND m.x = c.x AND m.y = c.y
+         |  WHERE c.it < 144),
+         |svl AS (SELECT k, x, y, lab FROM svf WHERE it = 144),
+         |svsz AS (SELECT k, lab, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM svl GROUP BY k, lab),
+         |svagg AS (
+         |  SELECT l.k,
+         |    CAST(COUNT(*) AS BIGINT) AS n_fg_before,
+         |    CAST(COUNT(DISTINCT l.lab) AS BIGINT) AS n_comp_before,
+         |    CAST(SUM(CASE WHEN z.sz >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_fg_after,
+         |    CAST(COUNT(DISTINCT CASE WHEN z.sz >= 10 THEN l.lab END)
+         |      AS BIGINT) AS n_comp_after,
+         |    CAST(SUM(CASE WHEN z.sz >= 10 THEN l.x + 131*l.y
+         |             ELSE 0 END) AS BIGINT) AS keptchk
+         |  FROM svl l JOIN svsz z ON z.k = l.k AND z.lab = l.lab
+         |  GROUP BY l.k)
+         |SELECT s.image_id,
+         |  COALESCE(a.n_fg_before, 0) AS n_fg_before,
+         |  COALESCE(a.n_comp_before, 0) AS n_comp_before,
+         |  COALESCE(a.n_fg_after, 0) AS n_fg_after,
+         |  COALESCE(a.n_comp_after, 0) AS n_comp_after,
+         |  COALESCE(a.keptchk, 0) AS keptchk
+         |FROM simg s LEFT JOIN svagg a ON a.k = s.k
+         |ORDER BY s.image_id""".stripMargin,
 
     "q_equalize" ->
       s"""WITH $I, $B, $SimgCte, $PxCte,
