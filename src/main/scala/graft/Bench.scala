@@ -193,7 +193,7 @@ object Bench {
       // distance-feathered mosaic blend
       "q_dup_spans", "q_dup_scrub", "q_distance_transform",
       "q_mosaic_feather", "q_equalize", "q_winnow", "q_blob_labels",
-      "q_polygonize", "q_sieve")
+      "q_polygonize", "q_sieve", "q_majority")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

@@ -1257,6 +1257,63 @@ object SparkEntry {
         .orderBy("image_id")
     }),
 
+    // MAJORITY (mode) filter — classification smoothing: each valid
+    // pixel takes the modal class of its valid 3x3 neighborhood
+    // (lowest class on ties); nodata stays nodata and casts no vote.
+    // Classes = ((p3-p2) % 5 + 5) % 5 — the extract_classes-style
+    // derived classification over the valid rect
+    "q_majority" -> ((s, dir) => {
+      val mj = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.Codec
+        val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, 6), fmt)
+        val cls = Array.tabulate(w * h) { i =>
+          val r = c(2)(i); val n = c(3)(i)
+          if (r.isNaN || n.isNaN) -1
+          else (((n - r).toLong % 5 + 5) % 5).toInt
+        }
+        var nv = 0L; var sm = 0L; var chk = 0L; var chg = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = y * w + x
+            if (cls(p) >= 0) {
+              val cnt = new Array[Int](5)
+              var dy = -1
+              while (dy <= 1) {
+                var dx = -1
+                while (dx <= 1) {
+                  val xx = x + dx; val yy = y + dy
+                  if (xx >= 0 && xx < w && yy >= 0 && yy < h &&
+                      cls(yy * w + xx) >= 0) cnt(cls(yy * w + xx)) += 1
+                  dx += 1
+                }
+                dy += 1
+              }
+              var best = 0; var bi = 0; var j = 0
+              while (j < 5) {
+                if (cnt(j) > best) { best = cnt(j); bi = j }
+                j += 1
+              }
+              nv += 1; sm += bi
+              chk += bi.toLong * (x + 131L * y)
+              if (bi != cls(p)) chg += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (nv, sm, chk, chg)
+      })
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("m", mj(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt")))
+        .select(col("image_id"), col("m._1").as("n_valid"),
+          col("m._2").as("modesum"), col("m._3").as("modechk"),
+          col("m._4").as("n_changed"))
+        .orderBy("image_id")
+    }),
+
     // histogram EQUALIZATION (nonlinear stretch next to autoscale):
     // classic discrete formula over band 2, L=256, exact integers
     "q_equalize" -> ((s, dir) =>
@@ -2874,6 +2931,44 @@ object SparkEntry {
          |FROM pgnb n JOIN simg s ON s.k = n.k
          |GROUP BY s.image_id, n.lab
          |ORDER BY s.image_id, label""".stripMargin,
+
+    "q_majority" ->
+      s"""WITH $I, $B, $SimgCte,
+         |mjoffs(dx, dy) AS (VALUES (0,0),(-1,-1),(0,-1),(1,-1),
+         |  (-1,0),(1,0),(-1,1),(0,1),(1,1)),
+         |mjcls AS (
+         |  SELECT s.k, xs.x, ys.y,
+         |    (((p3.base - p2.base) + (p3.ax - p2.ax)*xs.x
+         |      + (p3.ay - p2.ay)*ys.y) % 5 + 5) % 5 AS cls
+         |  FROM simg s
+         |  JOIN bandp p2 ON p2.k = s.k AND p2.b = 2
+         |  JOIN bandp p3 ON p3.k = s.k AND p3.b = 3
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.w-1 AS INT))) AS x) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(s.h-1 AS INT))) AS y) ys
+         |  WHERE xs.x >= s.nw),
+         |mjvote AS (
+         |  SELECT c.k, c.x + o.dx AS x, c.y + o.dy AS y, c.cls,
+         |         COUNT(*) AS cnt
+         |  FROM mjcls c CROSS JOIN mjoffs o
+         |  GROUP BY 1, 2, 3, 4),
+         |mjsel AS (
+         |  SELECT v.k, v.x, v.y,
+         |         MIN({'nc': -v.cnt, 'c': v.cls}) AS m
+         |  FROM mjvote v
+         |  JOIN mjcls t ON t.k = v.k AND t.x = v.x AND t.y = v.y
+         |  GROUP BY v.k, v.x, v.y)
+         |SELECT s.image_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |  CAST(SUM(l.m.c) AS BIGINT) AS modesum,
+         |  CAST(SUM(l.m.c * (l.x + 131*l.y)) AS BIGINT) AS modechk,
+         |  CAST(SUM(CASE WHEN l.m.c <> t.cls THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_changed
+         |FROM mjsel l
+         |JOIN mjcls t ON t.k = l.k AND t.x = l.x AND t.y = l.y
+         |JOIN simg s ON s.k = l.k
+         |GROUP BY s.image_id ORDER BY s.image_id""".stripMargin,
 
     "q_sieve" ->
       s"""WITH RECURSIVE $I, $B, $SimgCte,
