@@ -4594,8 +4594,8 @@ object SparkEntry {
          |  ${Md5BucketSql("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
          |  CAST(len(ts) AS BIGINT) AS n_tokens FROM tok),
          |c AS (SELECT doc_id, shard, n_tokens,
-         |  COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
          |    AS tok_start FROM b)
          |SELECT doc_id, shard, n_tokens, tok_start,
          |  CAST(FLOOR(tok_start / 256.0) AS BIGINT) AS first_seq,
