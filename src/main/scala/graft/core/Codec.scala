@@ -21,6 +21,16 @@ import javax.imageio.ImageIO
   * storage sentinel (u8→0, i16→-32768, f32→-32768f), mirroring the
   * reference's per-dtype nodata table
   * (/root/reference/GIP/gip/DataType.h:122-133 — values our own).
+  *
+  * SENTINEL ALIASING (the codec contract's one asymmetry): the
+  * sentinel value is RESERVED per dtype — a legitimate pixel equal to
+  * the sentinel (a real u8 0, i16 -32768, u16 65535, u32 2^32-1,
+  * i32 Int.MinValue, f32/f64 -32768.0) encodes fine but decodes to
+  * NaN, so encode∘decode is the identity only on the value range
+  * MINUS the sentinel. This matches the reference semantics (a nodata
+  * value is by definition not representable as data); CodecPixelsSpec
+  * "nodata sentinels are reserved values" pins the behavior so callers
+  * can't assume full-range exactness.
   */
 object Codec {
 
@@ -268,7 +278,7 @@ object Codec {
   val memoCallCounter = new java.util.concurrent.atomic.LongAdder
 
   private val memoSlot =
-    new ThreadLocal[(Long, Int, Int, String, Array[Array[Double]])]
+    new ThreadLocal[(Long, Long, Int, String, Array[Array[Double]])]
 
   /** One-slot per-thread decode memo, keyed by image key `k` plus a
     * payload content hash.
@@ -280,15 +290,17 @@ object Codec {
     * — so a one-slot memo turns T decodes into 1 without any plan
     * change. Correctness never depends on row order (a miss just
     * decodes); the slot holds ONE image per thread, so memory stays
-    * bounded at task width. The `Arrays.hashCode(bytes)` guard (one
-    * cheap pass, orders of magnitude under a decode) protects against
-    * two tables reusing the same small integer keys inside one JVM —
-    * a hit requires key, format AND payload hash to match. Callers
+    * bounded at task width. The content guard (one cheap pass, orders
+    * of magnitude under a decode) protects against two tables reusing
+    * the same small integer keys inside one JVM — a hit requires key,
+    * format, payload LENGTH and a 64-bit FNV-1a payload hash to match
+    * (a 32-bit hash collides at ~2^16 distinct payloads per thread
+    * lifetime — too weak a guard for silently-wrong planes). Callers
     * must not mutate returned planes. */
   def decodeMemo(k: Long, bytes: Array[Byte], w: Int, h: Int, nb: Int,
                  fmt: String): Array[Array[Double]] = {
     memoCallCounter.increment()
-    val bh = java.util.Arrays.hashCode(bytes)
+    val bh = fnv64(bytes)
     val cur = memoSlot.get()
     // nb is part of the key: two kernels in one JVM may decode the same
     // payload with different plane counts (e.g. a 1-band zonal then a
@@ -301,6 +313,19 @@ object Codec {
       memoSlot.set((k, bh, nb, fmt, p))
       p
     }
+  }
+
+  /** 64-bit FNV-1a over the payload, length folded in — the memo's
+    * stale-hit guard. One multiply+xor per byte; a decode is ≥10×
+    * this per byte, so the guard stays noise. */
+  private def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L ^ bytes.length.toLong
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    h
   }
 
   /** PSNR (dB) between two planes over pixels valid in BOTH, for the

@@ -233,9 +233,23 @@ object Algorithms {
     * replay it digit-exactly in SQL (the float covariance divides by n
     * — partition-order-safe here since sums are per-image sequential,
     * but the integer form removes the engine-dependence question
-    * entirely). Emits one (ba, bb, m) row per pair. */
+    * entirely). Emits one (ba, bb, m) row per pair.
+    *
+    * EXACTNESS BOUNDS (Long accumulation): the Σv_a·v_b accumulator is
+    * exact iff n·max(v)² < 2^63, i.e. |v| ≤ 65535 (u8/i16/u16) up to
+    * ~2.1e9 pixels per image, or |v| ≤ 2^20 up to ~8.4e6 pixels —
+    * megapixel planes of every narrow codec are safe; f32 payloads are
+    * safe when they hold integers of that magnitude (the synth ramps
+    * do). Wide codecs are NOT: one u32-max product already exceeds
+    * Int64 (would silently wrap, like rxdExactAgg's BigInteger path
+    * avoids), so u32/i32/f64 are rejected up front rather than
+    * returning wrong integers under an "exact" contract. */
   val scatterAgg = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String,
                         nb: Int) => {
+    require(fmt != "raw-u32le" && fmt != "raw-i32le" && fmt != "raw-f64le",
+      s"scatterAgg: Long accumulation is not exact for $fmt " +
+        "(a single per-pixel product can exceed Int64); use a narrow " +
+        "integer codec or a BigInteger variant (rxdExactAgg pattern)")
     val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
     val nbs = c.length
     val s = new Array[Long](nbs)

@@ -188,13 +188,35 @@ object Lineage {
     val done = committedParts(root)
     val todo = (0 until nParts).filterNot(done)
     if (todo.isEmpty) return 0
-    // interior boundaries b_1..b_{n-1}: bucket i = (b_i, b_{i+1}]
-    val probs = (1 until nParts).map(_.toDouble / nParts).toArray
-    val bRow = df.select(
-      percentile_approx(col(keyCol).cast("long"), lit(probs),
-        lit(10000))).head()
+    // Bucket boundaries are computed ONCE per table and persisted to a
+    // `_bounds.jsonl` sidecar BEFORE any bucket commits: percentile_
+    // approx partial-summary merges are not order-deterministic across
+    // runs, so a post-crash rerun that recomputed them could assign a
+    // row to a different _part than the first run — rows landing in an
+    // already-committed bucket would be silently dropped by the
+    // `!_part.isin(done)` filter, others duplicated. Resume therefore
+    // reuses the persisted boundaries verbatim.
+    val boundsFile = Paths.get(root, "_bounds.jsonl")
     val bounds: Seq[Long] =
-      if (bRow.isNullAt(0)) Seq.empty else bRow.getSeq[Long](0)
+      if (Files.exists(boundsFile)) {
+        Files.readAllLines(boundsFile).asScala
+          .filter(_.trim.nonEmpty).map(_.trim.toLong).toSeq
+      } else {
+        // interior boundaries b_1..b_{n-1}: bucket i = (b_i, b_{i+1}]
+        val probs = (1 until nParts).map(_.toDouble / nParts).toArray
+        val bRow = df.select(
+          percentile_approx(col(keyCol).cast("long"), lit(probs),
+            lit(10000))).head()
+        val bs: Seq[Long] =
+          if (bRow.isNullAt(0)) Seq.empty else bRow.getSeq[Long](0)
+        // atomic publish (tmp + move): a crash mid-write leaves no
+        // torn sidecar, so the next run recomputes from scratch with
+        // zero commits in the log — still consistent
+        val tmp = Paths.get(root, "_bounds.jsonl.tmp")
+        Files.write(tmp, bs.map(_.toString).asJava)
+        Files.move(tmp, boundsFile, StandardCopyOption.ATOMIC_MOVE)
+        bs
+      }
     // nested when-chain, smallest boundary checked first:
     // _part = 0 for key ≤ b_1, 1 for key ≤ b_2, …, nParts-1 otherwise
     val asc = bounds.zipWithIndex.reverse.foldLeft(lit(nParts - 1)) {

@@ -64,6 +64,37 @@ class CodecPixelsSpec extends AnyFunSuite {
       assert(rt1(fmt, Double.NaN).isNaN, s"$fmt sentinel")
   }
 
+  test("nodata sentinels are reserved values (encode∘decode ≠ id there)") {
+    // the codec contract's one asymmetry (Codec.scala header): a
+    // LEGITIMATE pixel equal to the dtype's sentinel encodes fine but
+    // decodes to NaN — full-range exactness holds only off the
+    // sentinel. Pin it so callers can't silently assume otherwise.
+    def rt1(fmt: String, v: Double): Double = {
+      val p = Array.fill(4)(v)
+      Codec.decode(Codec.encode(Array(p), 2, 2, fmt), 2, 2, 1, fmt)(0)(0)
+    }
+    val sentinels = Seq(
+      "raw-u8" -> Codec.NodataU8.toDouble,
+      "raw-i16le" -> Codec.NodataI16.toDouble,
+      "raw-f32le" -> Codec.NodataF32.toDouble,
+      "raw-u16le" -> Codec.NodataU16.toDouble,
+      "raw-u32le" -> Codec.NodataU32.toDouble,
+      "raw-i32le" -> Codec.NodataI32.toDouble,
+      "raw-f64le" -> Codec.NodataF64)
+    for ((fmt, s) <- sentinels) {
+      assert(rt1(fmt, s).isNaN, s"$fmt: sentinel $s must decode as nodata")
+      // ...and the adjacent representable value survives exactly
+      val near = fmt match {
+        case "raw-u8"     => s + 1
+        case "raw-u16le"  => s - 1
+        case "raw-u32le"  => s - 1
+        case "raw-i32le"  => s + 1
+        case _            => s + 1 // i16/f32/f64: -32767 is representable
+      }
+      assert(rt1(fmt, near) == near, s"$fmt: $near must round-trip")
+    }
+  }
+
   test("resizeNearest: identity at same size; exact index map; NaN preserved") {
     import graft.ops.Bands
     val w = 7; val h = 5

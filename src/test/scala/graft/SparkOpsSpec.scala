@@ -307,6 +307,44 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("part=\\d+".r.findAllIn(scanned).toSet.size <= 1)
   }
 
+  test("lineage: range-bucket boundaries persist and resume reuses them verbatim") {
+    // percentile_approx is not guaranteed run-to-run identical (partial
+    // summary merge order), so a crash/resume that RECOMPUTED bucket
+    // boundaries could route rows into already-committed buckets (rows
+    // dropped) or duplicate them. The contract: boundaries are computed
+    // once, published atomically to _bounds.jsonl BEFORE any commit,
+    // and reused verbatim on resume.
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = JFiles.createTempDirectory("graft_lineage_bnd").toString
+    val df = images(1000).select("image_id", "k", "w", "h")
+    assert(Lineage.writeRangeResumable(spark, df, root, "k", 4) == 4)
+    val bf = Paths.get(root, "_bounds.jsonl")
+    assert(JFiles.exists(bf), "bounds sidecar must be published")
+    val b0 = JFiles.readAllLines(bf).asScala.map(_.toLong).toSeq
+    assert(b0.length == 3 && b0 == b0.sorted)
+    // simulate a crash that lost bucket 2: drop its commit line + dir,
+    // then TAMPER the sidecar — if resume recomputed boundaries the
+    // redone bucket would ignore the tampered values; if it reuses the
+    // sidecar (the contract) the redone bucket holds exactly the keys
+    // in the tampered range (b(1), b(2)]
+    val log = Paths.get(root, "_commits.jsonl")
+    val kept = JFiles.readAllLines(log).asScala
+      .filterNot(_.contains("\"part\":2")).toSeq
+    JFiles.write(log, kept.asJava)
+    val p2 = Paths.get(root, "part=2")
+    JFiles.walk(p2).iterator().asScala.toSeq.reverse
+      .foreach(JFiles.deleteIfExists(_))
+    val tampered = Seq(b0(0), b0(1), b0(2) + 37)
+    JFiles.write(bf, tampered.map(_.toString).asJava)
+    assert(Lineage.writeRangeResumable(spark, df, root, "k", 4) == 1)
+    val rows2 = Lineage.latestCommits(root)(2).rows
+    val want = df.where(col("k") > tampered(1) && col("k") <= tampered(2))
+      .count()
+    assert(rows2 == want,
+      s"resume must bucket by the persisted (tampered) bounds: $rows2 != $want")
+  }
+
   test("lineage: compaction swaps generations without losing a row") {
     val root = Files.createTempDirectory("graft_lineage_cmp").toString
     // many input partitions → many small files per bucket
