@@ -150,16 +150,18 @@ object TextOps {
     * gaps-and-islands. One row per maximal span: (doc_id, span_id,
     * start_tok, end_tok inclusive, span_tokens, n_windows).
     *
-    * Scale: the frequency pass is a count-over-window partitioned by
-    * the md5 gram key — ONE shuffle of the exploded grams on a
-    * uniformly distributed key (no join back: the window keeps the
-    * (doc, pos) payload attached), and gram-key partitions are
-    * occurrence counts (tiny) so the sort is local and spill-free;
-    * the island pass shuffles only the surviving duplicated windows
-    * by doc. At 10¹² docs both shuffles are equi-partitioned with no
-    * skew (md5 keys; per-doc window counts are bounded by doc length).
-    * Every step is plain SQL (md5 + window functions) — the DuckDB
-    * oracle re-derives spans exactly. */
+    * Scale: the frequency pass is a groupBy-count on the md5 gram key
+    * (HashAggregate with MAP-SIDE PARTIALS — a boilerplate gram with
+    * 10⁹ occurrences arrives at its reducer pre-combined to ≤ one row
+    * per map task, where the earlier count-over-window formulation put
+    * all 10⁹ rows in one window partition = one hot task), then a
+    * left-semi join of the gram rows against the c ≥ 2 keys; with AQE
+    * skew-join on, an oversized semi-join partition is split at
+    * runtime. The island pass shuffles only the surviving duplicated
+    * windows by doc (per-doc window counts bounded by doc length).
+    * Every step is plain SQL (md5 + aggregate + window) — the DuckDB
+    * oracle re-derives spans exactly (its count-over-window mirror is
+    * row-equivalent to count-groupBy + semi-join). */
   def dupSpans(docs: DataFrame, L: Int = 4): DataFrame =
     dupIslands(docs, L)
       .groupBy(col("doc_id"), col("island").as("span_id"))
@@ -180,10 +182,12 @@ object TextOps {
         posexplode(transform(sequence(lit(1), size(toks) - (L - 1)),
           i => md5(concat_ws(" ", slice(toks, i, lit(L)))))))
       .toDF("doc_id", "pos", "gh")
-    val dup = g
-      .withColumn("c", count(lit(1)).over(Window.partitionBy("gh")))
-      .where(col("c") >= 2)
-      .drop("c")
+    // duplicated gram keys via partial-aggregated count (skew-safe:
+    // map-side combine bounds any one gram's reducer input by the map
+    // task count), then keep only gram rows whose key survives
+    val dupKeys = g.groupBy("gh").agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2).select("gh")
+    val dup = g.join(dupKeys, Seq("gh"), "left_semi")
     val wd = Window.partitionBy("doc_id").orderBy("pos")
     dup
       .withColumn("st",
@@ -757,33 +761,72 @@ object TextOps {
       .select(col("r.rule").as("rule"), col("r.violations").as("violations"))
   }
 
+  /** LSH band-key table of a document set: one (doc_id, bj, bk) row
+    * per signature band, computed with the same [[minhashFast]] kernel
+    * the batch LSH uses. This is the table a continual-ingest pipeline
+    * MATERIALIZES ONCE for the corpus (e.g. Lineage-bucketed on
+    * (bj, bk)) and appends each accepted delta to — so per-batch dedup
+    * never recomputes or reshuffles corpus signatures. */
+  def bandTable(docs: DataFrame, nSigs: Int = 4): DataFrame = {
+    val sig = minhashFast(docs, nSigs)
+    sig.select(col("doc_id"),
+        explode(array((0 until nSigs).map(j =>
+          struct(lit(j).as("bj"), col(s"h$j").as("bk"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.bj").as("bj"), col("b.bk").as("bk"))
+  }
+
   /** INCREMENTAL near-dup — the continual-ingest pattern: verify a
     * small DELTA batch against the EXISTING corpus without ever
-    * pairing corpus×corpus. Band keys are computed on both sides
-    * with the same [[minhashFast]] kernel; candidates are only
-    * delta×corpus band collisions, then exact-Jaccard verified at
-    * `threshold`. At 10¹² corpus rows the corpus side is a static
-    * bucketed table the delta equi-joins into — per-batch cost scales
-    * with the delta, not the corpus. */
+    * pairing corpus×corpus. Convenience wrapper that derives the
+    * corpus band table inline; a real ingest loop materializes it once
+    * with [[bandTable]] and calls [[jaccardPairsIncrementalBands]]
+    * per batch so the per-batch plan touches the corpus exactly once
+    * (one scan, zero shuffles of it). */
   def jaccardPairsIncremental(corpus: DataFrame, delta: DataFrame,
                               threshold: Double,
-                              nSigs: Int = 4): DataFrame = {
-    def bands(df: DataFrame, idAs: String): DataFrame = {
-      val sig = minhashFast(df, nSigs)
-      sig.select(col("doc_id").as(idAs),
-          explode(array((0 until nSigs).map(j =>
-            struct(lit(j).as("bj"), col(s"h$j").as("bk"))): _*)).as("b"))
-        .select(col(idAs), col("b.bj").as("bj"), col("b.bk").as("bk"))
-    }
-    val cand = bands(delta, "id_new")
-      .join(bands(corpus, "id_old"), Seq("bj", "bk"))
+                              nSigs: Int = 4): DataFrame =
+    jaccardPairsIncrementalBands(bandTable(corpus, nSigs), corpus,
+      delta, threshold, nSigs)
+
+  /** The batch path proper: `corpusBands` is the PRECOMPUTED
+    * [[bandTable]] of the corpus. The delta's band table is tiny
+    * (one ingest batch), so it is BROADCAST: the probe is a
+    * broadcast-hash join that STREAMS the corpus bands with no
+    * exchange — per-batch cost is one corpus scan (or a bucket-pruned
+    * subset when corpusBands is Lineage-bucketed on the band key)
+    * plus work proportional to the delta. Candidates are
+    * delta×corpus band collisions, then exact-Jaccard verified at
+    * `threshold` over only the candidate doc ids. */
+  def jaccardPairsIncrementalBands(corpusBands: DataFrame,
+                                   corpus: DataFrame, delta: DataFrame,
+                                   threshold: Double,
+                                   nSigs: Int = 4): DataFrame = {
+    val deltaBands = bandTable(delta, nSigs)
+      .withColumnRenamed("doc_id", "id_new")
+    val cand = corpusBands.withColumnRenamed("doc_id", "id_old")
+      .join(broadcast(deltaBands), Seq("bj", "bk"))
       .where(col("id_new") =!= col("id_old"))
       .select("id_new", "id_old").distinct()
-    jaccardVerify(
-      cand.select(col("id_new").as("id_a"), col("id_old").as("id_b")),
-      corpus.unionByName(delta), threshold)
-      .select(col("id_a").as("id_new"), col("id_b").as("id_old"),
-        col("n_inter"), col("n_union"))
+    // verify WITHOUT a corpus shuffle: candidate ids are delta-bounded
+    // (≤ delta × collision fan-out), so broadcast-semi-join them into
+    // the corpus scan to fetch just the needed shingle sets, then the
+    // pair joins run over delta-sized inputs only
+    val candIds = cand.select(col("id_new").as("doc_id"))
+      .union(cand.select(col("id_old").as("doc_id"))).distinct()
+    val sets = corpus.unionByName(delta)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleSet.as("sh"))
+    cand
+      .join(broadcast(sets.select(col("doc_id").as("id_new"),
+        col("sh").as("sh_a"))), Seq("id_new"))
+      .join(broadcast(sets.select(col("doc_id").as("id_old"),
+        col("sh").as("sh_b"))), Seq("id_old"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union",
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .where(col("n_inter") / col("n_union") >= threshold)
+      .select(col("id_new"), col("id_old"), col("n_inter"), col("n_union"))
   }
 
   /** 64-bit SimHash over tokens: per token, the first 8 md5 bytes vote

@@ -540,4 +540,28 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cCorpus < quadratic / 4,
       s"corpus-sized nb=$nbCorpus left candidate generation near-quadratic")
   }
+
+  test("incremental dedup batch path: broadcast probe, no corpus shuffle join") {
+    import spark.implicits._
+    val docs = corpus
+    val corp = docs.where(col("doc_id") % 10 =!= 7)
+    val delta = docs.where(col("doc_id") % 10 === 7)
+    // the ingest-loop contract: corpus bands precomputed ONCE,
+    // per-batch plan broadcast-joins the delta side into them
+    val bands = TextOps.bandTable(corp).cache()
+    bands.count()
+    val inc = TextOps.jaccardPairsIncrementalBands(bands, corp, delta, 0.01)
+    val plan = inc.queryExecution.executedPlan.toString
+    // every join is broadcast (band probe + both verify fetches) —
+    // a SortMergeJoin would mean the corpus got exchanged per batch
+    assert(!plan.contains("SortMergeJoin"),
+      s"batch path must not sort-merge the corpus:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan)
+    // and it returns exactly what the inline (corpus-recomputing)
+    // wrapper returns
+    def rows(df: DataFrame) = df.orderBy("id_new", "id_old").collect().toSeq
+    assert(rows(inc) ==
+      rows(TextOps.jaccardPairsIncremental(corp, delta, 0.01)))
+    bands.unpersist()
+  }
 }

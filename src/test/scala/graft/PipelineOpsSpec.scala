@@ -355,6 +355,24 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 2L, 5L, 6L, 2L, 1L)))
   }
 
+  test("dupSpans: gram frequency is a partial aggregate + semi-join, not a per-gram window") {
+    import spark.implicits._
+    // the 100 TB skew case: a boilerplate gram with 10⁹ occurrences.
+    // count-over-window(PARTITION BY gh) puts them all in ONE window
+    // partition (one hot task); the contract plan is groupBy-count
+    // (map-side partials bound the reducer input) + a LeftSemi join,
+    // which AQE can skew-split. Assert the plan shape so a future
+    // "simplification" back to the window can't land silently.
+    val d = Seq((0L, "x y z w q"), (1L, "a x y z b x y"))
+      .toDF("doc_id", "text")
+    val plan = TextOps.dupSpans(d, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(gh"),
+      s"gram frequency must not be a per-gram window:\n$plan")
+    assert(plan.contains("LeftSemi"), plan)
+    // the per-doc island window is still there (bounded by doc length)
+    assert(plan.contains("windowspecdefinition(doc_id"), plan)
+  }
+
   test("dupSpans: exact-duplicate docs are fully covered") {
     import spark.implicits._
     // two verbatim copies → every window duplicated → exactly one
