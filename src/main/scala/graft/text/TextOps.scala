@@ -976,25 +976,63 @@ object TextOps {
     * table (round, left, right, cnt) and the word table with final
     * symbol strings. Argmax tie-break: highest count, then
     * lexicographically smallest (left, right) — deterministic, and the
-    * oracle's ORDER BY c DESC, l, r replays it. Each round caches the
-    * (vocab-sized) word table so lineage stays one round deep. */
+    * oracle's ORDER BY c DESC, l, r replays it.
+    *
+    * INCREMENTAL pair counts (the 32k-merge scale fix): a full
+    * per-round recount explodes every symbol of every vocab word each
+    * round (~2·rounds full-vocab jobs). Instead the pair-count table
+    * is maintained by DELTA: merging (l, r) changes pair counts ONLY
+    * inside words whose symbol string contains `|l||r|`, so each round
+    * recounts just that affected subset before and after the rewrite
+    * and applies (new − old) to the standing counts. Early rounds
+    * touch many words (frequent pairs), but the affected set shrinks
+    * with pair frequency — per-round cost tracks the merged pair's
+    * support, not the vocab (BASELINE.md carries the measured curve).
+    * Counts are integer sums, so the incremental table equals the full
+    * recount EXACTLY every round (PipelineOpsSpec asserts
+    * merge-sequence equality against an inline full-recount reference).
+    *
+    * Lineage is truncated per round with `localCheckpoint` (NOT
+    * `cache`: an InMemoryRelation still carries — and prints — its
+    * full child plan, and the word table's self-referencing union
+    * doubles that plan every round; a checkpoint is a true RDD leaf).
+    * Two jobs per round: the eager checkpoint of the (small) affected
+    * subset, and the argmax collect — which doubles as the
+    * materializing job of the previous round's lazy pc/words
+    * checkpoints, the ConnectedComponents.ckptFingerprint pattern. */
   def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = bpeWords(docs).cache()
+    var words = bpeWords(docs).localCheckpoint()
+    var pc = bpePairCounts(words).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     for (r <- 1 to rounds) {
-      val top = bpePairCounts(words)
-        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      val top = pc.orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
       if (top.nonEmpty) {
         val (l, rr, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         merges += ((r.toLong, l, rr, c))
-        val prev = words
-        words = words.withColumn("wstr",
-          replace(col("wstr"), lit(s"|$l||$rr|"), lit(s"|$l$rr|"))).cache()
-        words.count()
-        prev.unpersist()
+        val needle = s"|$l||$rr|"
+        val affected = words.where(col("wstr").contains(needle))
+          .localCheckpoint()
+        val rewritten = affected.withColumn("wstr",
+          replace(col("wstr"), lit(needle), lit(s"|$l$rr|")))
+        // pair-count delta over just the affected words (new − old)
+        val delta = bpePairCounts(rewritten).withColumnRenamed("c", "cn")
+          .join(bpePairCounts(affected).withColumnRenamed("c", "co"),
+            Seq("l", "r"), "full_outer")
+          .select(col("l"), col("r"),
+            (coalesce(col("cn"), lit(0L)) - coalesce(col("co"), lit(0L)))
+              .as("d"))
+          .where(col("d") =!= 0)
+        pc = pc.join(delta, Seq("l", "r"), "full_outer")
+          .select(col("l"), col("r"),
+            (coalesce(col("c"), lit(0L)) + coalesce(col("d"), lit(0L)))
+              .as("c"))
+          .where(col("c") > 0).localCheckpoint(false)
+        words = words.where(!col("wstr").contains(needle))
+          .unionByName(rewritten).localCheckpoint(false)
       }
     }
     (merges.toSeq.toDF("round", "left", "right", "cnt"), words)

@@ -441,6 +441,43 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "", 1L, 6L)))
   }
 
+  test("bpeTrain incremental pair counts == full recount (merge-sequence equality)") {
+    import spark.implicits._
+    // the delta-maintained pair-count table must equal a from-scratch
+    // recount EVERY round, or the argmax (and so the whole merge
+    // sequence) silently diverges. Reference: the pre-round-5
+    // full-recount loop, inlined here verbatim.
+    val d = (0L until 40L).map { i =>
+      (i, s"low lower lowest aaa banana bandana t${i % 7} t${(i * 3) % 11}")
+    }.toDF("doc_id", "text")
+    def fullRecount(rounds: Int): Seq[(Long, String, String, Long)] = {
+      var words = TextOps.bpeWords(d).cache()
+      val ms = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      for (r <- 1 to rounds) {
+        val top = TextOps.bpePairCounts(words)
+          .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+        if (top.nonEmpty) {
+          val (l, rr, c) = (top(0).getString(0), top(0).getString(1),
+            top(0).getLong(2))
+          ms += ((r.toLong, l, rr, c))
+          val prev = words
+          words = words.withColumn("wstr",
+            replace(col("wstr"), lit(s"|$l||$rr|"), lit(s"|$l$rr|"))).cache()
+          words.count(); prev.unpersist()
+        }
+      }
+      words.unpersist()
+      ms.toSeq
+    }
+    val rounds = 12
+    val want = fullRecount(rounds)
+    val (merges, _) = TextOps.bpeTrain(d, rounds)
+    val got = merges.orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"incremental merges diverged:\n got=$got\nwant=$want")
+  }
+
   test("bpeTrain: pair-free corpus yields no merges, words unchanged") {
     import spark.implicits._
     // every word is a single character → no adjacent pairs in any
