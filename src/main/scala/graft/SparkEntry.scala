@@ -146,6 +146,20 @@ object SparkEntry {
           Synth.NumBands)
         .orderBy("image_id", "band")),
 
+    // COMPRESSED-payload twin: the same stats kernel over real PNG
+    // bytes (javax.imageio encode in Synth.encodeImage, decode in
+    // Codec.decode) — png is lossless 8-bit gray, so the oracle can
+    // restate the pixel law (1 + ramp % 255, stored band 0 only) and
+    // the gate is value-exact THROUGH the compressed codec, closing
+    // the "every oracle gate runs on raw-* fmts" evidence gap
+    "q_band_stats_png" -> ((s, dir) =>
+      Stats.bandStats(
+          Synth.imagesWithBytes(s, dir,
+            _.where(col("fmt") === "png" &&
+                    col("w") <= 96 && col("h") <= 96)),
+          Synth.NumBands)
+        .orderBy("image_id", "band")),
+
     // corpus per-channel normalization constants (dataset mean/std
     // inputs): exact integer partials, nb-key map-side-combined reduce
     "q_channel_norm" -> ((s, dir) =>
@@ -837,6 +851,45 @@ object SparkEntry {
           col("h").cast("int"), col("fmt")))
         .select(col("image_id"), col("sk._1").as("n_mask"),
           col("sk._2").as("n_skel"))
+        .orderBy("image_id")
+    }),
+
+    // Hamilton–Jacobi FLUX skeleton (Pixels.skeletonizeFlux): the flux
+    // field has no SQL form, so this gate is an INVARIANT oracle — per
+    // image the skeleton must be a subset of the mask (subset_viol 0),
+    // preserve the 8-connected component count (comp_skel == comp_mask;
+    // the n>r half-plane mask has sign(n_mask) components, which the
+    // oracle states in closed form), and n_mask is replayed per-pixel.
+    // All exact integers; a violated invariant is a value mismatch,
+    // not a rows-only pass.
+    "q_skeleton_flux" -> ((s, dir) => {
+      val sk = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.{Codec, Pixels}
+        val c = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, 6), fmt)
+        val mask = Array.tabulate(w * h) { i =>
+          val r = c(2)(i); val n = c(3)(i)
+          if (r.isNaN || n.isNaN) Double.NaN
+          else if (n - r > 0) 1.0 else 0.0
+        }
+        val sf = Pixels.skeletonizeFlux(mask, w, h)
+        def comps(p: Array[Double]): Long = {
+          val fg = p.map(_ == 1.0)
+          val lab = Pixels.labelComponents(fg, w, h)
+          val roots = scala.collection.mutable.HashSet[Int]()
+          var i = 0
+          while (i < p.length) { if (fg(i)) roots += lab(i); i += 1 }
+          roots.size.toLong
+        }
+        val subsetViol = (0 until w * h)
+          .count(i => sf(i) == 1.0 && mask(i) != 1.0).toLong
+        (mask.count(_ == 1.0).toLong, comps(mask), comps(sf), subsetViol)
+      })
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("sk", sk(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt")))
+        .select(col("image_id"), col("sk._1").as("n_mask"),
+          col("sk._2").as("comp_mask"), col("sk._3").as("comp_skel"),
+          col("sk._4").as("subset_viol"))
         .orderBy("image_id")
     }),
 
@@ -2538,6 +2591,28 @@ object SparkEntry {
          |    + 2*base*ax*sx*h + 2*base*ay*sy*(w-nw) + 2*ax*ay*sx*sy AS vsumsq
          |FROM stat ORDER BY image_id, band""".stripMargin,
 
+    // png twin: 8-bit law v8 = 1 + ramp % 255 over VALID pixels of the
+    // single stored band — per-pixel lateral replay (no closed form
+    // for the mod), values exact through encode→PNG bytes→decode
+    "q_band_stats_png" ->
+      s"""WITH $I, $B,
+         |simgp AS (SELECT * FROM img2
+         |  WHERE fmt = 'png' AND w <= 96 AND h <= 96),
+         |pxp AS (
+         |  SELECT s.image_id, 1 + (p.base + p.ax*xs.x + p.ay*ys.y) % 255 AS v8
+         |  FROM simgp s
+         |  JOIN bandp p ON p.k = s.k AND p.b = 0
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.w-1 AS INT))) AS x) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.h-1 AS INT))) AS y) ys
+         |  WHERE xs.x >= s.nw)
+         |SELECT image_id, CAST(0 AS BIGINT) AS band,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(v8) AS BIGINT) AS vsum,
+         |  CAST(MIN(v8) AS BIGINT) AS vmin,
+         |  CAST(MAX(v8) AS BIGINT) AS vmax,
+         |  CAST(SUM(v8*v8) AS BIGINT) AS vsumsq
+         |FROM pxp GROUP BY image_id ORDER BY image_id""".stripMargin,
+
     // same closed forms as q_band_stats, rolled up per band
     "q_channel_norm" ->
       s"""WITH $I, $B,
@@ -2687,6 +2762,31 @@ object SparkEntry {
          |FROM simg s LEFT JOIN msk ON msk.k = s.k
          |LEFT JOIN skel ON skel.k = s.k
          |ORDER BY 1""".stripMargin,
+
+    // flux-skeleton invariant oracle: n_mask replayed per-pixel; the
+    // n>r half-plane ∩ valid-rect mask is CONVEX, so its 8-connected
+    // component count is sign(n_mask) — topology preservation and the
+    // subset property become closed-form columns (engine violations
+    // surface as value mismatches)
+    "q_skeleton_flux" ->
+      s"""WITH $I, $B, $SimgCte,
+         |mfx AS (
+         |  SELECT s.image_id,
+         |    CAST(COUNT(*) FILTER (WHERE
+         |      p3.base + p3.ax*xs.x + p3.ay*ys.y
+         |      > p2.base + p2.ax*xs.x + p2.ay*ys.y) AS BIGINT) AS n_mask
+         |  FROM simg s
+         |  JOIN bandp p2 ON p2.k = s.k AND p2.b = 2
+         |  JOIN bandp p3 ON p3.k = s.k AND p3.b = 3
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.w-1 AS INT))) AS x) xs
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.h-1 AS INT))) AS y) ys
+         |  WHERE xs.x >= s.nw
+         |  GROUP BY s.image_id)
+         |SELECT image_id, n_mask,
+         |  CAST(CASE WHEN n_mask > 0 THEN 1 ELSE 0 END AS BIGINT) AS comp_mask,
+         |  CAST(CASE WHEN n_mask > 0 THEN 1 ELSE 0 END AS BIGINT) AS comp_skel,
+         |  CAST(0 AS BIGINT) AS subset_viol
+         |FROM mfx ORDER BY image_id""".stripMargin,
 
     "q_distance_transform" ->
       s"""WITH $I, $B, $SimgCte,
