@@ -105,6 +105,48 @@ object CellStream {
         ()
     }
 
+  /** STREAMING near-dup — the continual-ingest composition of
+    * [[graft.text.TextOps.jaccardPairsIncrementalBands]]. Per
+    * micro-batch of (doc_id, text):
+    *   1. the batch is probed against the ACCUMULATED corpus — docs
+    *      and band rows from every epoch committed so far — with the
+    *      batch bands BROADCAST, so per-batch cost tracks the batch
+    *      plus one corpus-band stream (never a corpus re-band);
+    *   2. delta×corpus near-dup pairs land under `pairsRoot/epoch=id`;
+    *   3. the batch's docs and band rows are appended as their own
+    *      epoch, becoming corpus for later batches.
+    * All writes are idempotent Lineage epoch commits, so a replayed
+    * micro-batch is a no-op and the whole state (corpus, bands,
+    * pairs) lives in resumable on-disk tables — the Iceberg-sink
+    * pattern. In-batch duplicates are the BATCH dedup op's job
+    * ([[graft.text.TextOps.jaccardPairsLsh]] on the delta); this
+    * operator owns the delta-vs-history axis. */
+  def nearDupStream(stream: DataFrame, docsRoot: String,
+                    bandsRoot: String, pairsRoot: String,
+                    threshold: Double, nParts: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       id: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch.toDF().localCheckpoint()
+        val epochs = lineageEpochs(docsRoot)
+        if (epochs.nonEmpty) {
+          val corpusDocs = readLineageEpochs(spark, docsRoot)
+          val corpusBands = readLineageEpochs(spark, bandsRoot)
+          val pairs = graft.text.TextOps.jaccardPairsIncrementalBands(
+            corpusBands, corpusDocs, delta, threshold)
+          graft.table.Lineage.writeResumable(spark, pairs,
+            s"$pairsRoot/epoch=$id", "id_new", nParts)
+        }
+        graft.table.Lineage.writeResumable(spark, delta,
+          s"$docsRoot/epoch=$id", "doc_id", nParts)
+        graft.table.Lineage.writeResumable(spark,
+          graft.text.TextOps.bandTable(delta),
+          s"$bandsRoot/epoch=$id", "doc_id", nParts)
+        ()
+    }
+
   /** (epoch id, epoch root) pairs committed under `root`, ascending. */
   def lineageEpochs(root: String): Seq[(Long, String)] = {
     val dir = java.nio.file.Paths.get(root)

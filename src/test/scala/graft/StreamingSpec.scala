@@ -159,6 +159,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CellStream.readLineageEpochs(spark, root).count() == 4)
   }
 
+  test("nearDupStream: delta×history pairs per epoch, corpus accumulates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_neardup_stream").toString
+    val (docsR, bandsR, pairsR) =
+      (s"$base/docs", s"$base/bands", s"$base/pairs")
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = CellStream.nearDupStream(df, docsR, bandsR, pairsR,
+      threshold = 0.8).outputMode("append").start()
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    // epoch 0: two docs (one pair of near-dups WITHIN the batch — not
+    // this operator's axis, must emit nothing: no history yet)
+    input.addData((1L, txt), (2L, "completely different words here"))
+    q.processAllAvailable()
+    assert(CellStream.lineageEpochs(pairsR).isEmpty,
+      "first batch has no history - no pairs epoch")
+    // epoch 1: doc 3 duplicates doc 1 from history; doc 4 is novel
+    input.addData((3L, txt), (4L, "yet another unrelated document text"))
+    q.processAllAvailable()
+    // epoch 2: doc 5 duplicates both 1 (epoch 0) and 3 (epoch 1)
+    input.addData((5L, txt))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = CellStream.readLineageEpochs(spark, pairsR)
+      .select("id_new", "id_old").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 1L), (5L, 1L), (5L, 3L)), s"got $pairs")
+    // corpus accumulated: every doc + its bands are on disk as epochs
+    assert(CellStream.readLineageEpochs(spark, docsR).count() == 5)
+    assert(CellStream.readLineageEpochs(spark, bandsR)
+      .select("doc_id").distinct().count() == 5)
+  }
+
   test("streaming dedup: first arrival emits, replays within watermark suppressed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
