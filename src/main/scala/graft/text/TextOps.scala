@@ -978,32 +978,40 @@ object TextOps {
     * lexicographically smallest (left, right) — deterministic, and the
     * oracle's ORDER BY c DESC, l, r replays it.
     *
-    * INCREMENTAL pair counts (the 32k-merge scale fix): a full
-    * per-round recount explodes every symbol of every vocab word each
-    * round (~2·rounds full-vocab jobs). Instead the pair-count table
-    * is maintained by DELTA: merging (l, r) changes pair counts ONLY
-    * inside words whose symbol string contains `|l||r|`, so each round
-    * recounts just that affected subset before and after the rewrite
-    * and applies (new − old) to the standing counts. Early rounds
-    * touch many words (frequent pairs), but the affected set shrinks
-    * with pair frequency — per-round cost tracks the merged pair's
-    * support, not the vocab (BASELINE.md carries the measured curve).
-    * Counts are integer sums, so the incremental table equals the full
-    * recount EXACTLY every round (PipelineOpsSpec asserts
-    * merge-sequence equality against an inline full-recount reference).
+    * HYBRID per-round pair-count maintenance (the 32k-merge scale
+    * fix): a full per-round recount explodes every symbol of every
+    * vocab word each round (~2·rounds full-vocab jobs), but a pure
+    * delta update is WORSE when the merged pair is dense (it recounts
+    * the affected set twice plus two full_outer joins, and early BPE
+    * merges touch most of the vocab). So each round picks by the
+    * argmax's own support `c` (already in hand, no extra job):
+    *   - DENSE (c ≥ vocab/3): plain full rewrite + recount — one pass,
+    *     partition count constant;
+    *   - SPARSE: merging (l, r) changes pair counts ONLY inside words
+    *     whose symbol string contains `|l||r|`, so recount just that
+    *     affected subset before and after the rewrite and apply
+    *     (new − old) to the standing counts.
+    * Real vocabularies hit the sparse branch for all but the first
+    * few hundred merges, so per-round cost tracks the merged pair's
+    * support, not the vocab (BASELINE.md carries the measured curve,
+    * incl. the full-recount baseline). Counts are integer sums, so
+    * both branches produce EXACTLY the recount table every round
+    * (PipelineOpsSpec asserts merge-sequence equality against an
+    * inline full-recount reference).
     *
     * Lineage is truncated per round with `localCheckpoint` (NOT
     * `cache`: an InMemoryRelation still carries — and prints — its
     * full child plan, and the word table's self-referencing union
-    * doubles that plan every round; a checkpoint is a true RDD leaf).
-    * Two jobs per round: the eager checkpoint of the (small) affected
-    * subset, and the argmax collect — which doubles as the
-    * materializing job of the previous round's lazy pc/words
-    * checkpoints, the ConnectedComponents.ckptFingerprint pattern. */
+    * doubles that plan every round; a checkpoint is a true RDD leaf),
+    * and the sparse branch's union is re-coalesced to the session
+    * parallelism (union CONCATENATES partition lists — unbounded,
+    * that's 2^rounds empty tasks by round ~25). */
   def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val np = spark.sparkContext.defaultParallelism
     var words = bpeWords(docs).localCheckpoint()
+    val totalWords = words.count()
     var pc = bpePairCounts(words).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     for (r <- 1 to rounds) {
@@ -1014,25 +1022,34 @@ object TextOps {
           top(0).getLong(2))
         merges += ((r.toLong, l, rr, c))
         val needle = s"|$l||$rr|"
-        val affected = words.where(col("wstr").contains(needle))
-          .localCheckpoint()
-        val rewritten = affected.withColumn("wstr",
-          replace(col("wstr"), lit(needle), lit(s"|$l$rr|")))
-        // pair-count delta over just the affected words (new − old)
-        val delta = bpePairCounts(rewritten).withColumnRenamed("c", "cn")
-          .join(bpePairCounts(affected).withColumnRenamed("c", "co"),
-            Seq("l", "r"), "full_outer")
-          .select(col("l"), col("r"),
-            (coalesce(col("cn"), lit(0L)) - coalesce(col("co"), lit(0L)))
-              .as("d"))
-          .where(col("d") =!= 0)
-        pc = pc.join(delta, Seq("l", "r"), "full_outer")
-          .select(col("l"), col("r"),
-            (coalesce(col("c"), lit(0L)) + coalesce(col("d"), lit(0L)))
-              .as("c"))
-          .where(col("c") > 0).localCheckpoint(false)
-        words = words.where(!col("wstr").contains(needle))
-          .unionByName(rewritten).localCheckpoint(false)
+        if (c >= totalWords / 3) {
+          // dense merge: one full rewrite + recount beats two
+          // affected-set recounts that would cover most of the vocab
+          words = words.withColumn("wstr",
+            replace(col("wstr"), lit(needle), lit(s"|$l$rr|")))
+            .localCheckpoint(false)
+          pc = bpePairCounts(words).localCheckpoint(false)
+        } else {
+          val affected = words.where(col("wstr").contains(needle))
+            .localCheckpoint()
+          val rewritten = affected.withColumn("wstr",
+            replace(col("wstr"), lit(needle), lit(s"|$l$rr|")))
+          // pair-count delta over just the affected words (new − old)
+          val delta = bpePairCounts(rewritten).withColumnRenamed("c", "cn")
+            .join(bpePairCounts(affected).withColumnRenamed("c", "co"),
+              Seq("l", "r"), "full_outer")
+            .select(col("l"), col("r"),
+              (coalesce(col("cn"), lit(0L)) - coalesce(col("co"), lit(0L)))
+                .as("d"))
+            .where(col("d") =!= 0)
+          pc = pc.join(delta, Seq("l", "r"), "full_outer")
+            .select(col("l"), col("r"),
+              (coalesce(col("c"), lit(0L)) + coalesce(col("d"), lit(0L)))
+                .as("c"))
+            .where(col("c") > 0).localCheckpoint(false)
+          words = words.where(!col("wstr").contains(needle))
+            .unionByName(rewritten).coalesce(np).localCheckpoint(false)
+        }
       }
     }
     (merges.toSeq.toDF("round", "left", "right", "cnt"), words)
