@@ -1,6 +1,6 @@
 package graft.vec
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -488,5 +488,45 @@ object VectorOps {
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), Seq("id_b"))
       .where(cosineFast(col("ea"), col("eb")) > threshold)
       .select(col("id_a"), col("id_b"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication" — public method):
+    * k-means-cluster the embeddings, then prune near-duplicates
+    * WITHIN each cluster, keeping the lowest vec_id of every
+    * near-dup pair. Clustering is the bit-reproducible exact-integer
+    * k-means (oracle-replayable); similarity is the bit-identical
+    * [[cosine]] expression. `pairs` picks the within-cluster pairing:
+    * exact all-pairs for oracle-bounded slices (default), or the
+    * LSH-candidate path for corpus scale — cluster equality is then
+    * one more equi-join key on the candidate pairs, so the plan stays
+    * bucket-join + broadcast, never quadratic. Returns the SURVIVORS
+    * (vec_id, cluster). */
+  def semDeDup(spark: SparkSession, emb: DataFrame, k: Int, iters: Int,
+               threshold: Double, exactPairs: Boolean = true,
+               nb: Int = 4): DataFrame = {
+    val asg = graft.ops.Algorithms.kmeansEmbeddingsExact(spark, emb, k, iters)
+    val dupIds =
+      if (exactPairs) {
+        val wEmb = asg.join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+        val a = wEmb.select(col("cluster"), col("vec_id").as("id_a"),
+          col("embedding").as("ea"))
+        val b = wEmb.select(col("cluster"), col("vec_id").as("id_b"),
+          col("embedding").as("eb"))
+        a.join(b, Seq("cluster"))
+          .where(col("id_a") < col("id_b"))
+          .where(cosine(col("ea"), col("eb")) > threshold)
+          .select(col("id_b").as("vec_id")).distinct()
+      } else {
+        embNearDupLsh(emb, 64, threshold, nb, tables = 16)
+          .join(asg.select(col("vec_id").as("id_a"),
+            col("cluster").as("ca")), Seq("id_a"))
+          .join(asg.select(col("vec_id").as("id_b"),
+            col("cluster").as("cb")), Seq("id_b"))
+          .where(col("ca") === col("cb"))
+          .select(col("id_b").as("vec_id")).distinct()
+      }
+    asg.join(dupIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
   }
 }

@@ -541,6 +541,36 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus-sized nb=$nbCorpus left candidate generation near-quadratic")
   }
 
+  test("semDeDup: exact path prunes planted near-dups; LSH path survivors are a superset") {
+    import spark.implicits._
+    import graft.vec.VectorOps
+    // 3 well-separated clusters of 6 vectors each; within each
+    // cluster, vectors are tiny perturbations of the same direction →
+    // cosine ≈ 1 within, ≈ 0 across. SemDeDup must keep exactly the
+    // lowest id per cluster on the exact path.
+    def v(c: Int, j: Int): Array[Float] = {
+      val base = Array.tabulate(64)(i => if (i % 3 == c) 1.0f else 0.0f)
+      base(60 + c) = 0.001f * j // perturbation, keeps cosine ≈ 1
+      val n = math.sqrt(base.map(x => x.toDouble * x).sum)
+      base.map(x => (x / n).toFloat)
+    }
+    // id = j*3 + c so the 3 seed ids (0,1,2) span the 3 directions —
+    // Lloyd then converges to the true clusters deterministically
+    val rows = for (c <- 0 until 3; j <- 0 until 6)
+      yield ((j * 3 + c).toLong, v(c, j))
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = VectorOps.semDeDup(spark, emb, 3, 3, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    // survivors: one per near-dup group; groups here == clusters, and
+    // the keep rule is lowest id
+    assert(exact == Set(0L, 1L, 2L), s"exact survivors: $exact")
+    // the LSH candidate path can only MISS dup pairs (recall < 1), so
+    // its survivor set must be a superset of the exact one
+    val lsh = VectorOps.semDeDup(spark, emb, 3, 3, 0.9,
+      exactPairs = false).collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(lsh), s"lsh=$lsh must contain exact=$exact")
+  }
+
   test("incremental dedup batch path: broadcast probe, no corpus shuffle join") {
     import spark.implicits._
     val docs = corpus
