@@ -893,6 +893,62 @@ object SparkEntry {
         .orderBy("image_id")
     }),
 
+    // ---- terrain & time-series pack over the quadratic-mod DEM band
+    // (Synth.demImages — the linear ramps have constant gradient, so
+    // terrain ops on them are degenerate). All integer / single-IEEE
+    // math; oracles replay the surfaces with generate_series. ----
+
+    // Horn-kernel slope (Horn 1981, the gdaldem convention): interior
+    // pixels, dzdx/dzdy as integer stencils, slope = sqrt of exact
+    // power-of-two-scaled squares
+    "q_dem_slope" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("sl", graft.ops.Terrain.slopeAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("sl._1").as("n_int"),
+          col("sl._2").as("adx_sum"), col("sl._3").as("ady_sum"),
+          col("sl._4").as("slope_fsum"))
+        .orderBy("image_id")),
+
+    // D8 flow direction histogram: steepest-positive-drop neighbor
+    // (ties → lowest code, pits → −1), stated as an integer argmin
+    // the oracle replays with the same key encoding
+    "q_flow_d8" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("dc", explode(graft.ops.Terrain.flowDirCounts(
+          col("dem_bytes"), col("w").cast("int"), col("h").cast("int"))))
+        .select(col("image_id"), col("dc._1").cast("long").as("dir"),
+          col("dc._2").as("cnt"))
+        .orderBy("image_id", "dir")),
+
+    // D8 flow accumulation (upstream cell count): frontier
+    // propagation over the flow DAG — per round only the LIVE
+    // frontier shuffles, all images advance in the same job. The
+    // oracle walks every cell's flow path with a recursive CTE and
+    // counts visits.
+    "q_flow_accum" -> ((s, dir) =>
+      graft.ops.Terrain.flowAccum(Synth.demImages(s, dir, smallRaw))
+        .groupBy("image_id")
+        .agg(count(lit(1)).as("n_px"), sum("acc").as("acc_sum"),
+          max("acc").as("acc_max"),
+          sum(col("acc") * col("acc")).as("acc_sq_sum"))
+        .orderBy("image_id")),
+
+    // per-pixel OLS trend over a 4-epoch DEM stack: integer slope
+    // numerator num = T·Σ(t·v) − Σt·Σv per pixel; per-image rising/
+    // falling counts + checksum. The stack arrives as one payload row
+    // per epoch (the multi-file time-series model).
+    "q_trend" -> ((s, dir) =>
+      Synth.demEpochImages(s, dir, 4, smallRaw)
+        .groupBy("k", "image_id", "w", "h")
+        .agg(collect_list(struct(col("t").cast("int").as("t"),
+          col("bytes"))).as("eps"))
+        .withColumn("tr", graft.ops.Terrain.trendAgg(
+          col("w").cast("int"), col("h").cast("int"), col("eps")))
+        .select(col("image_id"), col("tr._1").as("n_pos"),
+          col("tr._2").as("n_neg"), col("tr._3").as("num_sum"))
+        .orderBy("image_id")),
+
     // exact squared-EUCLIDEAN distance transform (Felzenszwalb
     // two-pass lower envelope, outside-is-background) on the
     // irregular half-plane mask (p3 > p2 within the valid rect):
@@ -1956,6 +2012,25 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("comp").as("cluster_id"))
         .orderBy("vec_id")),
 
+    // SemDeDup (Abbas et al. 2023): exact-integer k-means clustering +
+    // within-cluster cosine near-dup pruning, keep-lowest-id. The
+    // oracle replays the Lloyd rounds (q_kmeans_exact pattern) and the
+    // bit-identical double cosine, then the same anti-join — the whole
+    // composed pipeline is value-exact
+    "q_semdedup" -> ((s, dir) =>
+      graft.vec.VectorOps.semDeDup(s,
+          emb(s, dir).where(col("vec_id") < 200), 4, 3, 0.35)
+        .orderBy("vec_id")),
+
+    // SemDeDup at CORPUS scale: same clustering + keep rule, but the
+    // within-cluster pairing comes from the LSH candidate path (16
+    // SRP tables; cluster equality is one more equi-key) — no cross
+    // join anywhere; the oracle replays the buckets bit-exactly
+    "q_semdedup_lsh" -> ((s, dir) =>
+      graft.vec.VectorOps.semDeDup(s, emb(s, dir), 4, 3, 0.35,
+          exactPairs = false, nb = 4)
+        .orderBy("vec_id")),
+
     // LSH-bucketed ANN top-k (recall@10 = 0.84 vs brute force, measured
     // in LshSpec on honestly-decorrelated planes)
     "q_ann_lsh_topk" -> ((s, dir) =>
@@ -2838,6 +2913,104 @@ object SparkEntry {
          |  CAST(COALESCE(a.d2chk, 0) AS BIGINT) AS d2chk
          |FROM simg s LEFT JOIN dtagg a ON a.k = s.k
          |ORDER BY s.image_id""".stripMargin,
+
+    // Horn stencil stated multiplicatively: dzdx = Σ z·dx·(2−|dy|),
+    // dzdy = Σ z·dy·(2−|dx|) over the 3×3 window; /32.0 is a
+    // power-of-two divide so gx/gy and their squares are exact, and
+    // sqrt / ×1e6 are one correctly-rounded IEEE op each
+    "q_dem_slope" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |soff AS (SELECT a.dx, b.dy
+         |         FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |              (SELECT unnest([-1,0,1]) AS dy) b),
+         |sg AS (SELECT d.k, d.image_id, d.x, d.y,
+         |         SUM(n.z * o.dx * (2-abs(o.dy))) AS dzdx,
+         |         SUM(n.z * o.dy * (2-abs(o.dx))) AS dzdy
+         |       FROM demp d JOIN soff o ON TRUE
+         |       JOIN demp n ON n.k = d.k AND n.x = d.x + o.dx
+         |         AND n.y = d.y + o.dy
+         |       WHERE d.x >= 1 AND d.x <= d.w-2
+         |         AND d.y >= 1 AND d.y <= d.h-2
+         |       GROUP BY 1, 2, 3, 4)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_int,
+         |  CAST(SUM(abs(dzdx)) AS BIGINT) AS adx_sum,
+         |  CAST(SUM(abs(dzdy)) AS BIGINT) AS ady_sum,
+         |  CAST(SUM(CAST(FLOOR(sqrt((dzdx/32.0)*(dzdx/32.0)
+         |    + (dzdy/32.0)*(dzdy/32.0)) * 1e6) AS BIGINT)) AS BIGINT)
+         |    AS slope_fsum
+         |FROM sg GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    // integer argmin key (2048 − drop)·16 + code: minimizing it picks
+    // the steepest positive drop with lowest-code ties; key//16
+    // recovers the drop for the pit test — the exact encoding the
+    // engine kernel uses
+    "q_flow_d8" ->
+      s"""WITH $I, $SimgCte, $DemCte, $D8Cte,
+         |fcand AS (SELECT c.k, c.image_id, c.x, c.y,
+         |            MIN((2048 - (c.z - n.z))*16 + d.code) AS key
+         |          FROM demp c JOIN d8 d ON TRUE
+         |          JOIN demp n ON n.k = c.k AND n.x = c.x + d.dx
+         |            AND n.y = c.y + d.dy
+         |          GROUP BY 1, 2, 3, 4),
+         |fdir AS (SELECT image_id,
+         |           CASE WHEN 2048 - key//16 <= 0 THEN -1
+         |                ELSE key%16 END AS dir
+         |         FROM fcand)
+         |SELECT image_id, CAST(dir AS BIGINT) AS dir,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM fdir GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // every cell's flow path walked to its pit (strictly-decreasing z
+    // ⇒ a DAG ⇒ the recursion terminates); acc(c) = visits of c
+    "q_flow_accum" ->
+      s"""WITH RECURSIVE $I, $SimgCte, $DemCte, $D8Cte,
+         |acand AS (SELECT c.k, c.x, c.y,
+         |            MIN((2048 - (c.z - n.z))*16 + d.code) AS key
+         |          FROM demp c JOIN d8 d ON TRUE
+         |          JOIN demp n ON n.k = c.k AND n.x = c.x + d.dx
+         |            AND n.y = c.y + d.dy
+         |          GROUP BY 1, 2, 3),
+         |aedge AS (SELECT c.k, c.x, c.y,
+         |            c.x + d.dx AS tx, c.y + d.dy AS ty
+         |          FROM acand c JOIN d8 d ON d.code = c.key % 16
+         |          WHERE 2048 - c.key//16 > 0),
+         |walk AS (
+         |  SELECT g.k, g.x, g.y, g.x AS cx, g.y AS cy FROM demp g
+         |  UNION ALL
+         |  SELECT w2.k, w2.x, w2.y, e.tx, e.ty
+         |  FROM walk w2 JOIN aedge e ON e.k = w2.k AND e.x = w2.cx
+         |    AND e.y = w2.cy),
+         |aacc AS (SELECT k, cx AS x, cy AS y, COUNT(*) AS acc
+         |         FROM walk GROUP BY 1, 2, 3)
+         |SELECT s.image_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+         |  CAST(SUM(a.acc) AS BIGINT) AS acc_sum,
+         |  CAST(MAX(a.acc) AS BIGINT) AS acc_max,
+         |  CAST(SUM(a.acc*a.acc) AS BIGINT) AS acc_sq_sum
+         |FROM aacc a JOIN simg s ON s.k = a.k
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-pixel OLS numerator over the 4-epoch stack: num =
+    // 4·Σ(t·v) − 6·Σv (T=4, Σt=6) — all integer
+    "q_trend" ->
+      s"""WITH $I, $SimgCte,
+         |tep AS (SELECT unnest(generate_series(0, 3)) AS t),
+         |ttv AS (SELECT s.k, s.image_id, xs.x, ys.y, e.t,
+         |          100 + ((s.k%7+1)*xs.x*xs.x + (s.k%5+1)*ys.y*ys.y
+         |               + (s.k%3+1)*xs.x*ys.y
+         |               + ((s.k*3)%11)*xs.x + ((s.k*7)%13)*ys.y) % 1900
+         |          + e.t * ((xs.x + ys.y + s.k) % 7 - 3)
+         |          + (e.t*e.t*(xs.x+1)*(s.k%11+1)) % 5 AS v
+         |        FROM simg s CROSS JOIN tep e
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.w-1 AS INT))) AS x) xs
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.h-1 AS INT))) AS y) ys),
+         |tnum AS (SELECT k, image_id, x, y,
+         |           4*SUM(t*v) - 6*SUM(v) AS num
+         |         FROM ttv GROUP BY 1, 2, 3, 4)
+         |SELECT image_id,
+         |  CAST(SUM(CASE WHEN num > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(SUM(CASE WHEN num < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         |  CAST(SUM(num) AS BIGINT) AS num_sum
+         |FROM tnum GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_gain_offset" ->
       s"""WITH $I, $B, $SimgCte, $PxCte
@@ -5140,6 +5313,108 @@ object SparkEntry {
         s"\nFROM a$Iters ORDER BY vec_id"
     },
 
+    // SemDeDup: the kmeans-exact Lloyd replay on the vec_id<200 slice
+    // (fresh sq/sc/sd/sa/ss CTE names), then within-cluster double
+    // cosine > 0.35 marks higher-id members as duplicates; survivors
+    // = anti-join. Same quantization, distance, tie and truncated-mean
+    // rules as q_kmeans_exact.
+    "q_semdedup" -> {
+      val K = 4; val Iters = 3; val Dim = 64
+      val ctes = scala.collection.mutable.ArrayBuffer[String](
+        s"""sq AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+           |  x -> CAST(FLOOR(x*1048576.0) AS BIGINT)) AS qe,
+           |  embedding::DOUBLE[] AS ed
+           |  FROM embeddings WHERE vec_id < 200)""".stripMargin,
+        s"sdims AS (SELECT unnest(generate_series(1, $Dim)) AS i)",
+        s"sc1 AS (SELECT vec_id AS cid, qe AS ce FROM sq WHERE vec_id < $K)")
+      for (r <- 1 to Iters) {
+        ctes += s"""sd$r AS (SELECT q.vec_id, c.cid,
+                   |  SUM((q.qe[d.i]-c.ce[d.i])*(q.qe[d.i]-c.ce[d.i])) AS dist
+                   |  FROM sq q, sc$r c, sdims d GROUP BY 1, 2)""".stripMargin
+        ctes += s"""sa$r AS (SELECT vec_id, cid AS cluster FROM
+                   |  (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY
+                   |     vec_id ORDER BY dist, cid) AS rn FROM sd$r)
+                   |  WHERE rn = 1)""".stripMargin
+        if (r < Iters) {
+          ctes += s"""ss$r AS (SELECT a.cluster, d.i,
+                     |  SUM(q.qe[d.i]) // COUNT(*) AS m
+                     |  FROM sa$r a JOIN sq q ON q.vec_id = a.vec_id, sdims d
+                     |  GROUP BY 1, 2)""".stripMargin
+          ctes += s"""sc${r + 1} AS (SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
+                     |  FROM sc$r p LEFT JOIN (SELECT cluster AS cid,
+                     |    list(m ORDER BY i) AS ce FROM ss$r GROUP BY 1) n
+                     |  USING (cid))""".stripMargin
+        }
+      }
+      ctes += s"""sdup AS (SELECT DISTINCT y.vec_id
+                 |  FROM sa$Iters x JOIN sq a ON a.vec_id = x.vec_id
+                 |  JOIN sa$Iters y ON y.cluster = x.cluster
+                 |  JOIN sq b ON b.vec_id = y.vec_id
+                 |  WHERE a.vec_id < b.vec_id
+                 |    AND list_dot_product(a.ed, b.ed) /
+                 |        (sqrt(list_dot_product(a.ed, a.ed)) *
+                 |         sqrt(list_dot_product(b.ed, b.ed))) > 0.35)""".stripMargin
+      "WITH " + ctes.mkString(",\n") +
+        s"\nSELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster" +
+        s"\nFROM sa$Iters s WHERE s.vec_id NOT IN (SELECT vec_id FROM sdup)" +
+        s"\nORDER BY s.vec_id"
+    },
+
+    // corpus-scale SemDeDup: Lloyd replay on the FULL table + the
+    // 16-table SRP bucket replay (q_emb_neardup_lsh pattern) as the
+    // candidate source; dup = same-cluster verified-cosine candidate
+    // with a lower id
+    "q_semdedup_lsh" -> {
+      val K = 4; val Iters = 3; val Dim = 64
+      val buckets = (0 until 16).map(t =>
+        s"SELECT vec_id, $t AS tj, ${graft.gen.OracleCte.lshBucketSql("ed", 64, 4, t)} AS bk FROM zq")
+        .mkString("\nUNION ALL ")
+      val ctes = scala.collection.mutable.ArrayBuffer[String](
+        s"""zq AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+           |  x -> CAST(FLOOR(x*1048576.0) AS BIGINT)) AS qe,
+           |  embedding::DOUBLE[] AS ed
+           |  FROM embeddings)""".stripMargin,
+        s"zdims AS (SELECT unnest(generate_series(1, $Dim)) AS i)",
+        s"zc1 AS (SELECT vec_id AS cid, qe AS ce FROM zq WHERE vec_id < $K)")
+      for (r <- 1 to Iters) {
+        ctes += s"""zd$r AS (SELECT q.vec_id, c.cid,
+                   |  SUM((q.qe[d.i]-c.ce[d.i])*(q.qe[d.i]-c.ce[d.i])) AS dist
+                   |  FROM zq q, zc$r c, zdims d GROUP BY 1, 2)""".stripMargin
+        ctes += s"""za$r AS (SELECT vec_id, cid AS cluster FROM
+                   |  (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY
+                   |     vec_id ORDER BY dist, cid) AS rn FROM zd$r)
+                   |  WHERE rn = 1)""".stripMargin
+        if (r < Iters) {
+          ctes += s"""zs$r AS (SELECT a.cluster, d.i,
+                     |  SUM(q.qe[d.i]) // COUNT(*) AS m
+                     |  FROM za$r a JOIN zq q ON q.vec_id = a.vec_id, zdims d
+                     |  GROUP BY 1, 2)""".stripMargin
+          ctes += s"""zc${r + 1} AS (SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
+                     |  FROM zc$r p LEFT JOIN (SELECT cluster AS cid,
+                     |    list(m ORDER BY i) AS ce FROM zs$r GROUP BY 1) n
+                     |  USING (cid))""".stripMargin
+        }
+      }
+      ctes += s"zb AS ($buckets)"
+      ctes += s"""zcand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                 |  FROM zb x JOIN zb y ON x.tj = y.tj AND x.bk = y.bk
+                 |  WHERE x.vec_id < y.vec_id)""".stripMargin
+      ctes += s"""zdup AS (SELECT DISTINCT c.id_b AS vec_id
+                 |  FROM zcand c
+                 |  JOIN za$Iters xa ON xa.vec_id = c.id_a
+                 |  JOIN za$Iters yb ON yb.vec_id = c.id_b
+                 |    AND yb.cluster = xa.cluster
+                 |  JOIN zq a ON a.vec_id = c.id_a
+                 |  JOIN zq b ON b.vec_id = c.id_b
+                 |  WHERE list_dot_product(a.ed, b.ed) /
+                 |        (sqrt(list_dot_product(a.ed, a.ed)) *
+                 |         sqrt(list_dot_product(b.ed, b.ed))) > 0.35)""".stripMargin
+      "WITH " + ctes.mkString(",\n") +
+        s"\nSELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster" +
+        s"\nFROM za$Iters s WHERE s.vec_id NOT IN (SELECT vec_id FROM zdup)" +
+        s"\nORDER BY s.vec_id"
+    },
+
     // LINEAGE bucketing ground truth — Spark's Murmur3_x86_32 (seed
     // 42, word pass + per-byte tail, fmix) replayed in SQL with
     // HUGEINT modular 32-bit arithmetic: per-bucket row counts are
@@ -5767,6 +6042,25 @@ object SparkEntry {
   private val SimgCte =
     """simg AS (SELECT * FROM img2
       |  WHERE w <= 64 AND h <= 64 AND k % 6 IN (1, 2))""".stripMargin
+
+  /** SQL mirror of Synth.demValue over the small-image grid (requires
+    * simg): demp(k, image_id, w, h, x, y, z) — quadratic-mod DEM,
+    * full-valid, all BIGINT. */
+  private val DemCte =
+    """demp AS (
+      |  SELECT s.k, s.image_id, s.w, s.h, xs.x, ys.y,
+      |    100 + ((s.k%7+1)*xs.x*xs.x + (s.k%5+1)*ys.y*ys.y
+      |         + (s.k%3+1)*xs.x*ys.y
+      |         + ((s.k*3)%11)*xs.x + ((s.k*7)%13)*ys.y) % 1900 AS z
+      |  FROM simg s
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.w-1 AS INT))) AS x) xs
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.h-1 AS INT))) AS y) ys)""".stripMargin
+
+  /** D8 neighbor table (requires nothing): d8(code, dx, dy) in the
+    * Terrain.Dx/Dy order — E,SE,S,SW,W,NW,N,NE. */
+  private val D8Cte =
+    """d8 AS (SELECT * FROM (VALUES (0,1,0),(1,1,1),(2,0,1),(3,-1,1),
+      |  (4,-1,0),(5,-1,-1),(6,0,-1),(7,1,-1)) AS t(code, dx, dy))""".stripMargin
 
   /** SQL mirror of Codec.aHash over the px pixel grid (requires simg +
     * px): 8×8 block partition x0=(bx·w)//8, x1=((bx+1)·w)//8 (exact for

@@ -148,6 +148,65 @@ object Synth {
       .withColumn("lwir_bytes", enc(col("k")))
   }
 
+  // ---- DEM (terrain) band: the linear reflectance ramps have a
+  // CONSTANT gradient, so slope/flow on them is degenerate. The DEM is
+  // an independent single-band file per image (the lwir multi-file
+  // pattern) with a QUADRATIC-mod surface — nonlinear, full-valid (no
+  // nodata stripe: terrain rasters model ground, not SLC gaps), still
+  // pure integer arithmetic the oracle replays with generate_series.
+  def demValue(k: Long, x: Int, y: Int): Long =
+    100 + ((k % 7 + 1) * x * x + (k % 5 + 1) * y * y +
+      (k % 3 + 1) * x * y + ((k * 3) % 11) * x + ((k * 7) % 13) * y) % 1900
+
+  /** Per-epoch trend surface: dem + t·g + curvature term, where
+    * g = (x+y+k)%7 − 3 gives rising AND falling cells and the
+    * (t²·(x+1)·(k%11+1))%5 term keeps the OLS numerator from
+    * collapsing to a closed form. Range [91, 2012] — i16-exact. */
+  def trendValue(k: Long, t: Int, x: Int, y: Int): Long =
+    demValue(k, x, y) + t * ((x + y + k) % 7 - 3) +
+      (t.toLong * t * (x + 1) * (k % 11 + 1)) % 5
+
+  /** Independent single-band DEM file per image (columns: k, image_id,
+    * w, h, dem_bytes; raw-i16le, values [100, 1999]). */
+  def demImages(spark: SparkSession, sfDir: String,
+                keyFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val enc = udf((k: Long) => {
+      val w = wOf(k); val h = hOf(k)
+      val p = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { p(y * w + x) = demValue(k, x, y).toDouble; x += 1 }
+        y += 1
+      }
+      Codec.encode(Array(p), w, h, "raw-i16le")
+    })
+    keyFilter(images(spark, sfDir))
+      .select(col("k"), col("image_id"), col("w"), col("h"))
+      .withColumn("dem_bytes", enc(col("k")))
+  }
+
+  /** T-epoch DEM stack (k, image_id, w, h, t, bytes) — one payload row
+    * per epoch, the raster time-series input for trend analysis. */
+  def demEpochImages(spark: SparkSession, sfDir: String, epochs: Int,
+                     keyFilter: DataFrame => DataFrame = identity): DataFrame = {
+    val enc = udf((k: Long, t: Int) => {
+      val w = wOf(k); val h = hOf(k)
+      val p = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { p(y * w + x) = trendValue(k, t, x, y).toDouble; x += 1 }
+        y += 1
+      }
+      Codec.encode(Array(p), w, h, "raw-i16le")
+    })
+    keyFilter(images(spark, sfDir))
+      .select(col("k"), col("image_id"), col("w"), col("h"))
+      .withColumn("t", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("bytes", enc(col("k"), col("t")))
+  }
+
   /** Polygon layer derived from `nation`: axis-aligned AOI rectangles in
     * mdeg (the oracle-checkable layer; convex/concave test layers live
     * in the ScalaTest fixtures). Schema mirrors the reference's feature

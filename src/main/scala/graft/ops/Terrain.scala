@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Codec
+
+/** Terrain & raster time-series analytics over single-band DEM
+  * payloads — the classic geospatial derivative stack (slope, D8 flow
+  * direction, D8 flow accumulation, per-pixel temporal trend) a user
+  * of the reference would run right after the per-band algebra of
+  * `GeoRaster` (/root/reference/GIP/GeoRaster.h:225-233 gives the
+  * kernel machinery; the derivatives themselves are public method:
+  * Horn 1981 "Hill shading and the reflectance map" for the gradient,
+  * the ESRI/GRASS D8 convention for flow, ordinary least squares for
+  * the trend).
+  *
+  * All per-pixel math is integer (or single-IEEE-op double), so every
+  * operator is DuckDB-oracle value-exact. Scale posture: slope/trend
+  * are decode-once per-image map work (no shuffle at all); flow
+  * accumulation is the one genuinely iterative op — per round it
+  * shuffles only the ACTIVE frontier (cells whose contribution is
+  * still moving downstream), which shrinks monotonically, and all
+  * images advance in the same job, so rounds = the corpus-wide
+  * longest flow path, not a per-image loop.
+  */
+object Terrain {
+
+  /** Horn-kernel neighbor weights: dzdx = Σ z(x+dx,y+dy)·dx·(2−|dy|),
+    * dzdy = Σ z(x+dx,y+dy)·dy·(2−|dx|) over the 3×3 window — the
+    * ±1/±2 stencil stated multiplicatively (what the oracle SQL
+    * replays). Interior pixels only (Horn's window is undefined on
+    * the border; GDAL's `gdaldem` emits nodata there too). */
+  val SlopeDenom = 32.0 // 8 · cell size (4 mdeg/px)
+
+  /** Per-image slope aggregate over interior pixels:
+    * (n_int, Σ|dzdx|, Σ|dzdy|, Σ floor(1e6·slope)) where
+    * slope = sqrt((dzdx/32)² + (dzdy/32)²). /32 is a power-of-two
+    * divide and dzdx ≤ 4·zmax, so gx/gy and their squares are EXACT
+    * doubles; sqrt and the final ×1e6 are one correctly-rounded IEEE
+    * op each — bit-identical across engines. */
+  val slopeAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    var n = 0L; var sax = 0L; var say = 0L; var fs = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        def p(dx: Int, dy: Int): Long = z((y + dy) * w + (x + dx)).toLong
+        val dzdx = (p(1, -1) + 2 * p(1, 0) + p(1, 1)) -
+          (p(-1, -1) + 2 * p(-1, 0) + p(-1, 1))
+        val dzdy = (p(-1, 1) + 2 * p(0, 1) + p(1, 1)) -
+          (p(-1, -1) + 2 * p(0, -1) + p(1, -1))
+        val gx = dzdx / SlopeDenom; val gy = dzdy / SlopeDenom
+        n += 1; sax += math.abs(dzdx); say += math.abs(dzdy)
+        fs += math.floor(math.sqrt(gx * gx + gy * gy) * 1e6).toLong
+        x += 1
+      }
+      y += 1
+    }
+    (n, sax, say, fs)
+  })
+
+  /** D8 neighbor order: code 0=E,1=SE,2=S,3=SW,4=W,5=NW,6=N,7=NE. */
+  private val Dx = Array(1, 1, 0, -1, -1, -1, 0, 1)
+  private val Dy = Array(0, 1, 1, 1, 0, -1, -1, -1)
+
+  /** Flow direction of one cell: the in-grid neighbor with the
+    * STEEPEST POSITIVE DROP z(c) − z(n) (unweighted-drop D8 variant;
+    * ties → lowest code; no positive drop → −1, a pit/flat). Stated
+    * as an integer argmin — key = (2048 − drop)·16 + code, minimize —
+    * which is exactly the form the oracle replays (|drop| < 2048 for
+    * the synth DEM's value range). */
+  def flowDir(z: Array[Double], w: Int, h: Int, x: Int, y: Int): Int = {
+    val zc = z(y * w + x).toLong
+    var best = Long.MaxValue; var d = 0
+    while (d < 8) {
+      val nx = x + Dx(d); val ny = y + Dy(d)
+      if (nx >= 0 && nx < w && ny >= 0 && ny < h) {
+        val drop = zc - z(ny * w + nx).toLong
+        val key = (2048L - drop) * 16 + d
+        if (key < best) best = key
+      }
+      d += 1
+    }
+    if (2048L - best / 16 <= 0) -1 else (best % 16).toInt
+  }
+
+  /** Per-image histogram of D8 directions: Array[(dir, cnt)] rows
+    * dir ∈ −1..7 (−1 = pit), explode-ready. */
+  val flowDirCounts = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val cnt = new Array[Long](9) // index = dir + 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { cnt(flowDir(z, w, h, x, y) + 1) += 1; x += 1 }
+      y += 1
+    }
+    cnt.toSeq.zipWithIndex.collect { case (c, i) if c > 0 => (i - 1, c) }
+  })
+
+  /** Per-image flow edges (x, y, tx, ty): one row per NON-pit cell,
+    * target = the D8 downstream neighbor. Pits emit no edge. */
+  val flowEdgesUdf = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Int)]()
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = flowDir(z, w, h, x, y)
+        if (d >= 0) out += ((x, y, x + Dx(d), y + Dy(d)))
+        x += 1
+      }
+      y += 1
+    }
+    out.toSeq
+  })
+
+  /** D8 flow ACCUMULATION: acc(c) = number of cells whose flow path
+    * passes through c (including c itself) — the upstream-area
+    * operator behind stream extraction / watershed sizing.
+    *
+    * Distributed as frontier propagation over the edge table: round i
+    * moves every cell's unit contribution one step downstream
+    * (groupBy the target key, SUM), and `acc` accumulates the counts
+    * that arrived at each cell. The flow graph is a DAG (z strictly
+    * drops along every edge), so the frontier SHRINKS as paths hit
+    * pits; the loop ends when it is empty. Each round shuffles only
+    * the live frontier — all images advance in the same job, so the
+    * round count is the corpus-wide longest flow path (≤ the DEM's
+    * value range, in practice ≈ the path to the nearest local min) —
+    * the ConnectedComponents checkpoint discipline bounds lineage.
+    *
+    * Input: dem table (k, image_id, w, h, dem_bytes). Output: one row
+    * per CELL (k, image_id, x, y, acc). */
+  def flowAccum(dem: DataFrame): DataFrame = {
+    val edges = dem
+      .withColumn("e", explode(flowEdgesUdf(col("dem_bytes"),
+        col("w").cast("int"), col("h").cast("int"))))
+      .select(col("k"), col("e._1").as("x"), col("e._2").as("y"),
+        col("e._3").as("tx"), col("e._4").as("ty"))
+      .localCheckpoint()
+    // flowEdgesUdf omits pits, so the full grid is generated
+    // separately: one row per cell
+    val grid = dem.select(col("k"), col("image_id"), col("w"), col("h"))
+      .withColumn("x", explode(sequence(lit(0), col("w").cast("int") - 1)))
+      .withColumn("y", explode(sequence(lit(0), col("h").cast("int") - 1)))
+      .select(col("k"), col("image_id"), col("x"), col("y"))
+      .localCheckpoint()
+    var frontier = grid.select(col("k"), col("x"), col("y"),
+      lit(1L).as("cnt")).localCheckpoint()
+    var acc = frontier // arrivals so far (self counts as arrival 0)
+    var n = frontier.count()
+    while (n > 0) {
+      frontier = frontier.join(edges, Seq("k", "x", "y"))
+        .groupBy(col("k"), col("tx").as("x"), col("ty").as("y"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .select(col("k"), col("x"), col("y"), col("cnt"))
+        .localCheckpoint()
+      n = frontier.count()
+      if (n > 0)
+        acc = acc.unionByName(frontier)
+          .groupBy("k", "x", "y").agg(sum(col("cnt")).as("cnt"))
+          .localCheckpoint()
+    }
+    grid.join(acc, Seq("k", "x", "y"))
+      .select(col("k"), col("image_id"), col("x"), col("y"),
+        col("cnt").as("acc"))
+  }
+
+  /** Per-pixel OLS trend over a T-epoch stack, aggregated per image.
+    * For each pixel, num = T·Σ(t·v_t) − (Σt)·(Σ v_t) — the integer
+    * numerator of the least-squares slope (the constant denominator
+    * T·Σt²−(Σt)² only scales it, so sign/zero tests need no divide).
+    * Output: (n_pos, n_neg, num_sum) — rising cells, falling cells,
+    * integer checksum. Epochs arrive as (t, bytes) structs in any
+    * order; the kernel indexes by t. */
+  val trendAgg = udf((w: Int, h: Int,
+                      epochs: Seq[org.apache.spark.sql.Row]) => {
+    val byT = epochs.map(r => (r.getInt(0),
+      Codec.decode(r.getAs[Array[Byte]](1), w, h, 1, "raw-i16le")(0))).sortBy(_._1)
+    val tN = byT.size.toLong
+    val tSum = byT.map(_._1.toLong).sum
+    var nPos = 0L; var nNeg = 0L; var s = 0L
+    var i = 0
+    while (i < w * h) {
+      var sv = 0L; var stv = 0L
+      byT.foreach { case (t, p) =>
+        val v = p(i).toLong; sv += v; stv += t * v
+      }
+      val num = tN * stv - tSum * sv
+      if (num > 0) nPos += 1 else if (num < 0) nNeg += 1
+      s += num
+      i += 1
+    }
+    (nPos, nNeg, s)
+  })
+}

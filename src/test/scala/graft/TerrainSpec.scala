@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.core.Codec
+import graft.gen.Synth
+import graft.ops.Terrain
+
+/** Terrain pack: Horn slope golden values, D8 direction semantics
+  * (steepest drop, tie rule, pits), flow accumulation vs an inline
+  * path-walk reference, and trend-sign recovery on a linear-in-t
+  * stack. */
+class TerrainSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-terrain-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def enc(z: Array[Double], w: Int, h: Int): Array[Byte] =
+    Codec.encode(Array(z), w, h, "raw-i16le")
+
+  test("slopeAgg: Horn golden on a hand DEM") {
+    // 3×3 plane z = 2x + 3y → the single interior pixel has
+    // dzdx = 8·2 = 16, dzdy = 8·3 = 24, slope = sqrt(0.5² + 0.75²)
+    val z = Array.tabulate(9)(i => (2 * (i % 3) + 3 * (i / 3)).toDouble)
+    import spark.implicits._
+    val df = Seq((enc(z, 3, 3), 3, 3)).toDF("b", "w", "h")
+      .select(Terrain.slopeAgg(col("b"), col("w"), col("h")).as("s"))
+    val r = df.collect()(0).getStruct(0)
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 16L && r.getLong(2) == 24L)
+    val exp = math.floor(math.sqrt(0.5 * 0.5 + 0.75 * 0.75) * 1e6).toLong
+    assert(r.getLong(3) == exp)
+  }
+
+  test("flowDir: steepest drop, lowest-code ties, pit") {
+    // center 10; E neighbor 5 (drop 5), SE 5 (drop 5, higher code),
+    // others 10 → steepest tie E/SE resolved to E (code 0)
+    val z = Array(10.0, 10, 10, 10, 10, 5, 10, 10, 5)
+    assert(Terrain.flowDir(z, 3, 3, 1, 1) == 0)
+    // uniform plateau → no positive drop → pit
+    val flat = Array.fill(9)(7.0)
+    assert(Terrain.flowDir(flat, 3, 3, 1, 1) == -1)
+    // border cell only sees in-grid neighbors
+    val corner = Array(9.0, 8, 7, 6, 5, 4, 3, 2, 1)
+    assert(Terrain.flowDir(corner, 3, 3, 0, 0) == 1) // SE diagonal is steepest
+  }
+
+  test("flowAccum == inline path-walk reference on synth DEMs") {
+    import spark.implicits._
+    val ks = Seq(7L, 13L) // small synth images (w,h < 64 not required here)
+    val rows = ks.map { k =>
+      val w = 20; val h = 16
+      val z = Array.tabulate(w * h)(i =>
+        Synth.demValue(k, i % w, i / w).toDouble)
+      (k, s"img-$k", w, h, enc(z, w, h))
+    }
+    val dem = rows.toDF("k", "image_id", "w", "h", "dem_bytes")
+    val got = Terrain.flowAccum(dem).collect()
+      .map(r => ((r.getLong(0), r.getInt(2), r.getInt(3)), r.getLong(4)))
+      .toMap
+    // reference: walk every cell's path, count visits
+    for ((k, _, w, h, _) <- rows) {
+      val z = Array.tabulate(w * h)(i =>
+        Synth.demValue(k, i % w, i / w).toDouble)
+      val ref = scala.collection.mutable.Map[(Int, Int), Long]()
+        .withDefaultValue(0L)
+      val dx = Array(1, 1, 0, -1, -1, -1, 0, 1)
+      val dy = Array(0, 1, 1, 1, 0, -1, -1, -1)
+      for (y0 <- 0 until h; x0 <- 0 until w) {
+        var x = x0; var y = y0; var going = true
+        while (going) {
+          ref((x, y)) += 1
+          val d = Terrain.flowDir(z, w, h, x, y)
+          if (d < 0) going = false
+          else { x += dx(d); y += dy(d) }
+        }
+      }
+      for (y <- 0 until h; x <- 0 until w)
+        assert(got((k, x, y)) == ref((x, y)), s"k=$k ($x,$y)")
+    }
+  }
+
+  test("trendAgg: recovers the sign field of a linear-in-t stack") {
+    import spark.implicits._
+    // v(t) = 100 + t·g with g = x − 1 ∈ {−1, 0, 1} on a 3×1 image →
+    // exactly one rising and one falling pixel, num = 20·g
+    val w = 3; val h = 1
+    val eps = (0 until 4).map { t =>
+      (t, enc(Array.tabulate(3)(x => (100 + t * (x - 1)).toDouble), w, h))
+    }
+    val df = Seq((w, h, eps)).toDF("w", "h", "eps")
+      .select(Terrain.trendAgg(col("w"), col("h"), col("eps")).as("tr"))
+    val r = df.collect()(0).getStruct(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L) // one up, one down
+    assert(r.getLong(2) == 0L) // +20 and −20 cancel
+  }
+}
