@@ -148,16 +148,24 @@ object Bench {
       catch { case _: Throwable => }
     }
     // a query that throws records -1.0, not its (short) elapsed wall
-    // time — a broken query must be visible in the JSON, not plausible
+    // time — a broken query must be visible in the JSON, not plausible.
+    // Each gate reports the MEDIAN of 3 back-to-back trials (round-4
+    // driver draws for single-shot gate timings ran 3–7× the clean-run
+    // walls on host-noise windows — the scaling legs already use the
+    // trials discipline, the gate suites now match it).
     def timeQueries(qNames: Seq[String]): Seq[(String, Double)] =
       qNames.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).count(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"$name FAILED: $e"); false }
-          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          val walls = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            val ok =
+              try { fn(spark, sfDir).count(); true }
+              catch { case e: Throwable =>
+                System.err.println(s"$name FAILED: $e"); false }
+            if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          }
+          name -> (if (walls.contains(-1.0)) -1.0
+                   else walls.sorted.apply(1))
         }
       }
     val qTimes = timeQueries(names)
@@ -193,7 +201,11 @@ object Bench {
       // distance-feathered mosaic blend
       "q_dup_spans", "q_dup_scrub", "q_distance_transform",
       "q_mosaic_feather", "q_equalize", "q_winnow", "q_blob_labels",
-      "q_polygonize", "q_sieve", "q_majority")
+      "q_polygonize", "q_sieve", "q_majority",
+      // round-5 additions: compressed-codec stats, flux skeleton,
+      // SemDeDup, terrain & time-series pack
+      "q_band_stats_png", "q_skeleton_flux", "q_semdedup", "q_semdedup_lsh",
+      "q_dem_slope", "q_flow_d8", "q_flow_accum", "q_trend")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel
@@ -208,6 +220,63 @@ object Bench {
        graft.core.Codec.decodeCounter.sum())
     }
 
+    // ---- incremental-op scaling evidence (round 5): the two r4
+    // scale-liability rewrites must show their cost model, not just
+    // stay correct. ----
+    def wall[T](f: => T): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val docsTbl = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // BPE: delta-maintained pair counts make per-round cost track the
+    // merged pair's support, not the vocab. The synth captions have a
+    // 31-word vocab (any loop is pure job overhead there), so the cost
+    // model is measured on a morphology-rich corpus: 1M distinct
+    // ~16-symbol words (base-36 ids + shared affixes) — every
+    // full-recount round re-explodes all ~16M symbol pairs, while the
+    // delta recount touches only words containing the merged pair.
+    // Baseline = the pre-round-5 full-recount loop.
+    val bpeN = sys.env.getOrElse("SPARK_GRAFT_BPE_N", "1000000").toLong
+    val bpeCorpus = spark.range(0, bpeN, 1, cpus)
+      .select(col("id").as("doc_id"),
+        concat(conv(col("id").cast("string"), 10, 36), lit("ings"),
+          conv(((col("id") * 7919) % 1000000).cast("string"), 10, 36),
+          lit("ation")).as("text"))
+      .localCheckpoint()
+    def bpeFullRecount(rounds: Int): Unit = {
+      var words = graft.text.TextOps.bpeWords(bpeCorpus).localCheckpoint()
+      for (_ <- 1 to rounds) {
+        val top = graft.text.TextOps.bpePairCounts(words)
+          .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+        if (top.nonEmpty) {
+          val (l, rr) = (top(0).getString(0), top(0).getString(1))
+          words = words.withColumn("wstr",
+            replace(col("wstr"), lit(s"|$l||$rr|"), lit(s"|$l$rr|")))
+            .localCheckpoint()
+        }
+      }
+    }
+    val bpeFull16Sec = wall(bpeFullRecount(16))
+    val bpe16Sec = wall(graft.text.TextOps.bpeTrain(bpeCorpus, 16)._1.count())
+    val bpe64Sec = wall(graft.text.TextOps.bpeTrain(bpeCorpus, 64)._1.count())
+    // Incremental near-dup: corpus band table materialized ONCE; each
+    // ingest batch broadcast-probes it. Batch wall must track the
+    // delta (and the fixed corpus-band stream), never a corpus
+    // reshuffle — delta×10 should NOT cost ×10.
+    val corpusBands = {
+      val b = graft.text.TextOps.bandTable(docsTbl).localCheckpoint(false)
+      b.count(); b
+    }
+    val bandsSec = wall { val b2 = graft.text.TextOps.bandTable(docsTbl)
+      .localCheckpoint(false); b2.count() }
+    def deltaOf(n: Int) = docsTbl.orderBy("doc_id").limit(n)
+    wall(graft.text.TextOps.jaccardPairsIncrementalBands(
+      corpusBands, docsTbl, deltaOf(100), 0.5).count()) // warm
+    val inc100Sec = wall(graft.text.TextOps.jaccardPairsIncrementalBands(
+      corpusBands, docsTbl, deltaOf(100), 0.5).count())
+    val inc1000Sec = wall(graft.text.TextOps.jaccardPairsIncrementalBands(
+      corpusBands, docsTbl, deltaOf(1000), 0.5).count())
+
     // ---- headline throughput at full parallelism (best of 2, like
     // every other measurement in this file — a single shot is hostage
     // to host placement noise) ----
@@ -221,12 +290,17 @@ object Bench {
     // ---- skew demonstration (SURVEY §7.4): all images + polygons in
     // ONE res-7 cell, shuffled (non-broadcast) join → one hot reducer;
     // salting spreads the hot key. Same result rows, measured speedup.
+    // The fixture is sized so the hot reducer runs ~10 s (round-4's
+    // 1M-row / 1.8 s demo flipped sign run-to-run on host noise) and
+    // each variant reports the MEDIAN of 3 interleaved trials — the
+    // salting claim must not rest on one draw.
+    val skewN = sys.env.getOrElse("SPARK_GRAFT_SKEW_N", "6000000").toLong
     def skewRun(salt: Int, aqe: Boolean): (Long, Double) = {
       // force the shuffled sort-merge path: without this, runtime
       // broadcast makes the demo vacuous (no shuffle to skew)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
-      val n = 1000000L
+      val n = skewN
       val im = spark.range(0, n, 1, cpus * 4)
         .select(col("id").as("k"),
           concat(lit("s-"), col("id")).as("image_id"),
@@ -249,11 +323,22 @@ object Bench {
       (c, sec)
     }
     skewRun(16, aqe = false) // warm
-    val (skewRows0, skewSec0) = skewRun(0, aqe = false)  // hot reducer
-    val (skewRows1, skewSec1) = skewRun(16, aqe = false) // explicit salt
-    val (skewRows2, skewSec2) = skewRun(0, aqe = true)   // AQE skew-split
-    require(skewRows0 == skewRows1 && skewRows1 == skewRows2,
-      "salting/AQE changed join result!")
+    // 3 interleaved trials per variant (hot, salt, aqe, hot, salt, ...)
+    // so slow-host windows hit all variants symmetrically
+    val skewT = (1 to 3).map { _ =>
+      (skewRun(0, aqe = false),   // hot reducer
+       skewRun(16, aqe = false),  // explicit salt
+       skewRun(0, aqe = true))    // AQE skew-split
+    }
+    def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val skewRows0 = skewT.head._1._1
+    val skewHotT = skewT.map(_._1._2); val skewSaltT = skewT.map(_._2._2)
+    val skewAqeT = skewT.map(_._3._2)
+    val skewSec0 = med(skewHotT)
+    val skewSec1 = med(skewSaltT)
+    val skewSec2 = med(skewAqeT)
+    require(skewT.flatMap(t => Seq(t._1._1, t._2._1, t._3._1))
+      .forall(_ == skewRows0), "salting/AQE changed join result!")
     spark.stop()
 
     // ---- scaling evidence: identical job at N vs 4N cores ----
@@ -486,18 +571,25 @@ object Bench {
          |JIT/codegen/reader init (16.2 s cold vs 2.1 s steady for the
          |same q_spatial_join at sf0.1 — also the explanation for the
          |r1→r2 q_spatial_join_agg delta: ordering noise, both queries
-         |share the join subtree and steady-state is ~2 s).
+         |share the join subtree and steady-state is ~2 s). As of round 5
+         |every gate wall is the MEDIAN of 3 back-to-back trials (same
+         |discipline as the scaling legs — single-shot draws ran 3–7×
+         |the clean-run walls on host-noise windows in the r4 driver run;
+         |round≤4 tables are single-shot, so cross-round diffs vs r4 and
+         |earlier compare a draw against a median).
          |
          |Output rows (tiles over matched crops): $outRows
          |
-         |Skew (1M images + 50 polygons ALL in one res-7 cell; shuffled
-         |SMJ forced, broadcast disabled — identical $skewRows0 rows each):
-         || variant | wall (s) |
-         ||---|---|
-         || unsalted, AQE off (one hot reducer) | ${f"$skewSec0%.2f"} |
-         || salt=16, AQE off (explicit spreading) | ${f"$skewSec1%.2f"} |
-         || unsalted, AQE skew-split | ${f"$skewSec2%.2f"} |
-         |Explicit salting speedup over hot reducer: ${f"${skewSec0 / skewSec1}%.2f"}×.
+         |Skew ($skewN images + 50 polygons ALL in one res-7 cell; shuffled
+         |SMJ forced, broadcast disabled — identical $skewRows0 rows each;
+         |MEDIAN of 3 interleaved trials per variant, per-trial walls shown):
+         || variant | median (s) | trials (s) |
+         ||---|---|---|
+         || unsalted, AQE off (one hot reducer) | ${f"$skewSec0%.2f"} | ${skewHotT.map(t => f"$t%.2f").mkString(", ")} |
+         || salt=16, AQE off (explicit spreading) | ${f"$skewSec1%.2f"} | ${skewSaltT.map(t => f"$t%.2f").mkString(", ")} |
+         || unsalted, AQE skew-split | ${f"$skewSec2%.2f"} | ${skewAqeT.map(t => f"$t%.2f").mkString(", ")} |
+         |Explicit salting speedup over hot reducer (median/median):
+         |${f"${skewSec0 / skewSec1}%.2f"}×.
          |
          |## Decode amplification (pair kernels)
          |
@@ -506,6 +598,27 @@ object Bench {
          |decodes (${f"${if (mosaicDecodes == 0) 0.0 else mosaicPairs.toDouble / mosaicDecodes}%.1f"}×
          |amplification absorbed by the one-slot per-thread decode memo —
          |pre-memo this was 1 decode per pair).
+         |
+         |## Incremental-op scaling evidence (round 5)
+         |
+         |BPE hybrid pair-count maintenance (synthetic ${bpeN}-distinct-
+         |word corpus of ~16-symbol words — caption vocab is 31 words,
+         |pure job overhead): full-recount baseline (pre-round-5 loop)
+         |16 rounds ${f"$bpeFull16Sec%.1f"} s; hybrid 16 rounds
+         |${f"$bpe16Sec%.1f"} s (${f"${bpeFull16Sec / bpe16Sec}%.1f"}×),
+         |64 rounds ${f"$bpe64Sec%.1f"} s —
+         |64/16 ratio ${f"${bpe64Sec / bpe16Sec}%.2f"}× vs 4.00× for a
+         |per-round-linear loop. Dense early merges take the one-pass
+         |full-rewrite branch; once the argmax support drops under
+         |vocab/3 the delta branch touches only words containing the
+         |merged pair, so late rounds amortize toward job overhead.
+         |
+         |Incremental near-dup (corpus band table materialized once in
+         |${f"$bandsSec%.1f"} s, then broadcast-probed per batch):
+         |delta=100 docs ${f"$inc100Sec%.1f"} s, delta=1000 docs
+         |${f"$inc1000Sec%.1f"} s (${f"${inc1000Sec / inc100Sec}%.1f"}× for
+         |10× the delta) — batch cost = delta work + one corpus-band
+         |stream, never a corpus re-band/reshuffle.
          |
          |## Round-3/4 operator additions (timed separately, steady-state JVM)
          |
@@ -536,22 +649,24 @@ object Bench {
          || 9 (final r4 code; the round-4 shipped report) | **0.849** | 0.920 | 0.729 | 0.704 | 0.833 | 0.845 |
          || 10 (final r4 code; scaling legs of the verify smoke) | **0.886** | 0.876 | 0.740 | 0.681 | 0.670 | **1.000** |
          || 11 (final r4 code; the round-4 shipped report) | **0.949** | 0.975 | 0.674 | 0.636 | 0.688 | 0.923 |
+         || 12 (r4 close-out; 2×-data startup-amortized cluster legs) | **0.825** | 0.781 | 0.796 | **1.301** | 0.900 | **1.000** |
          || **this run** | **${f"$eff%.3f"}** | ${f"$effKern%.3f"} | ${f"$eff32%.3f"} | ${f"$effLc%.3f"} | ${f"$lcCeil%.3f"} | ${f"$effLcNorm%.3f"} |
          |
          |Every leg tracks its SAME-RUN measured kernel ceiling — the spread is
          |host placement (documented ±25% lottery at ≥24 active vCPUs), not the
-         |engine: the primary pair passes ≥0.8 raw OUTRIGHT in 7 of 11
-         |recorded runs — including runs 9–11 on the shipped final
-         |round-4 code (0.849, 0.886, 0.949 raw; max 0.949, run 11) — run 6's
-         |8→32 pair passes at 0.910 raw, and the 1→4-executor pair reaches
-         |0.770 raw / 0.755 median / 0.939 engine-normalized on the
-         |shipped final code (run 8; best historical 0.773 raw / 1.000
-         |normalized) — the multi-executor plan itself loses nothing when
-         |the host cooperates. In every recorded run the primary pair's
-         |Spark-job raw ratio lands within 19% of its same-run bare-kernel
-         |hardware ceiling (primary engine-normalized ≥ 0.81 in all rows,
-         |≥ 0.95 in eight of eleven — re-check this claim against fresh
-         |rows): the plan adds no scaling loss of its own.
+         |engine: the primary pair passes ≥0.8 raw OUTRIGHT in 8 of 12
+         |recorded runs — including runs 9–12 on the shipped final
+         |round-4 code (0.849, 0.886, 0.949, 0.825 raw; max 0.949, run 11) —
+         |run 6's 8→32 pair passes at 0.910 raw, and the 1→4-executor pair
+         |reaches 1.301 raw / 1.528 median on the shipped r4 close-out
+         |(run 12, 2×-data protocol; best in-process-era 0.773 raw /
+         |1.000 normalized) — the multi-executor plan itself loses
+         |nothing when the host cooperates. In every recorded run the
+         |primary pair's Spark-job raw ratio lands within 19% of its
+         |same-run bare-kernel hardware ceiling (primary
+         |engine-normalized ≥ 0.81 in all rows, ≥ 0.95 in nine of
+         |twelve — re-check this claim against fresh rows): the plan
+         |adds no scaling loss of its own.
          |""".stripMargin)
 
     val qs = qTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -559,6 +674,12 @@ object Bench {
     val qsNew = newTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = qTimes.map(_._2).sum + headSec
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"queries_new":$qsNew,"sf":"$sfDir","throughput_images_per_sec":${f"$rate%.0f"},"headline_images":$benchN,"headline_sec":${f"$headSec%.3f"},"scaling":{"n_images":$nPrim,"rate_local4":${f"$r4%.0f"},"rate_local16":${f"$r16%.0f"},"rate_local8":${f"$r8%.0f"},"rate_local32":${f"$r32s%.0f"},"rate_cluster1x8":${g(lc1, "SCALE_RATE")},"rate_cluster4x8":${g(lc4, "SCALE_RATE")},"efficiency":${f"$eff%.3f"},"efficiency_8_32":${f"$eff32%.3f"},"efficiency_cluster":${f"$effLc%.3f"},"efficiency_cluster_median":${f"$lcEffMed%.3f"},"hw_ceiling":${f"$effKern%.3f"},"hw_ceiling_8_32":${f"$effKern32%.3f"},"hw_ceiling_cluster":${f"$lcCeil%.3f"},"efficiency_normalized":${f"$effNorm%.3f"},"efficiency_normalized_8_32":${f"$effNorm32%.3f"},"efficiency_normalized_cluster":${f"$effLcNorm%.3f"}},"mosaic_pairs":$mosaicPairs,"mosaic_decodes":$mosaicDecodes,"skew":{"hot_sec":${f"$skewSec0%.3f"},"salted16_sec":${f"$skewSec1%.3f"},"aqe_sec":${f"$skewSec2%.3f"},"salt_speedup":${f"${skewSec0 / skewSec1}%.2f"}}}""")
+    // The driver records only the LAST ~2 KB of stdout: round 4's
+    // single 3.3 KB line got its head (the comparable core-suite
+    // timings) cut off and failed to parse. Emit the long detail map
+    // on its own EARLIER line (BASELINE.md carries it too) and keep
+    // the final contract line compact so it always parses.
+    println(s"""{"detail":"new-op timings + decode memo","queries_new":$qsNew,"mosaic_pairs":$mosaicPairs,"mosaic_decodes":$mosaicDecodes,"skew_trials":{"hot":[${skewHotT.map(t => f"$t%.2f").mkString(",")}],"salt16":[${skewSaltT.map(t => f"$t%.2f").mkString(",")}],"aqe":[${skewAqeT.map(t => f"$t%.2f").mkString(",")}]},"incremental":{"bpe_full16_sec":${f"$bpeFull16Sec%.2f"},"bpe16_sec":${f"$bpe16Sec%.2f"},"bpe64_sec":${f"$bpe64Sec%.2f"},"bands_sec":${f"$bandsSec%.2f"},"dedup_delta100_sec":${f"$inc100Sec%.2f"},"dedup_delta1000_sec":${f"$inc1000Sec%.2f"}}}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","throughput_images_per_sec":${f"$rate%.0f"},"headline_images":$benchN,"headline_sec":${f"$headSec%.3f"},"scaling":{"n_images":$nPrim,"rate_local4":${f"$r4%.0f"},"rate_local16":${f"$r16%.0f"},"rate_local8":${f"$r8%.0f"},"rate_local32":${f"$r32s%.0f"},"rate_cluster1x8":${g(lc1, "SCALE_RATE")},"rate_cluster4x8":${g(lc4, "SCALE_RATE")},"efficiency":${f"$eff%.3f"},"efficiency_8_32":${f"$eff32%.3f"},"efficiency_cluster":${f"$effLc%.3f"},"efficiency_cluster_median":${f"$lcEffMed%.3f"},"hw_ceiling":${f"$effKern%.3f"},"hw_ceiling_8_32":${f"$effKern32%.3f"},"hw_ceiling_cluster":${f"$lcCeil%.3f"},"efficiency_normalized":${f"$effNorm%.3f"},"efficiency_normalized_8_32":${f"$effNorm32%.3f"},"efficiency_normalized_cluster":${f"$effLcNorm%.3f"}},"skew":{"n":$skewN,"hot_sec":${f"$skewSec0%.3f"},"salted16_sec":${f"$skewSec1%.3f"},"aqe_sec":${f"$skewSec2%.3f"},"salt_speedup":${f"${skewSec0 / skewSec1}%.2f"}}}""")
   }
 }
