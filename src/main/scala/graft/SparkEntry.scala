@@ -934,6 +934,19 @@ object SparkEntry {
           sum(col("acc") * col("acc")).as("acc_sq_sum"))
         .orderBy("image_id")),
 
+    // watershed basins: every cell labeled by its terminal pit via
+    // POINTER DOUBLING (log-round convergence — ~10 shuffles for
+    // 1000-cell flow paths where frontier propagation needs ~1000);
+    // per-image basin count / max size / size² checksum
+    "q_watershed" -> ((s, dir) =>
+      graft.ops.Terrain.watershed(Synth.demImages(s, dir, smallRaw))
+        .groupBy(col("image_id"), col("px"), col("py"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy("image_id")
+        .agg(count(lit(1)).as("n_basins"), max("sz").as("max_basin"),
+          sum(col("sz") * col("sz")).as("basin_sq_sum"))
+        .orderBy("image_id")),
+
     // per-pixel OLS trend over a 4-epoch DEM stack: integer slope
     // numerator num = T·Σ(t·v) − Σt·Σv per pixel; per-image rising/
     // falling counts + checksum. The stack arrives as one payload row
@@ -2987,6 +3000,37 @@ object SparkEntry {
          |  CAST(MAX(a.acc) AS BIGINT) AS acc_max,
          |  CAST(SUM(a.acc*a.acc) AS BIGINT) AS acc_sq_sum
          |FROM aacc a JOIN simg s ON s.k = a.k
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // basin of each cell = the walk row whose cursor has no outgoing
+    // edge (the terminal pit); one such row per source cell
+    "q_watershed" ->
+      s"""WITH RECURSIVE $I, $SimgCte, $DemCte, $D8Cte,
+         |acand AS (SELECT c.k, c.x, c.y,
+         |            MIN((2048 - (c.z - n.z))*16 + d.code) AS key
+         |          FROM demp c JOIN d8 d ON TRUE
+         |          JOIN demp n ON n.k = c.k AND n.x = c.x + d.dx
+         |            AND n.y = c.y + d.dy
+         |          GROUP BY 1, 2, 3),
+         |aedge AS (SELECT c.k, c.x, c.y,
+         |            c.x + d.dx AS tx, c.y + d.dy AS ty
+         |          FROM acand c JOIN d8 d ON d.code = c.key % 16
+         |          WHERE 2048 - c.key//16 > 0),
+         |walk AS (
+         |  SELECT g.k, g.x, g.y, g.x AS cx, g.y AS cy FROM demp g
+         |  UNION ALL
+         |  SELECT w2.k, w2.x, w2.y, e.tx, e.ty
+         |  FROM walk w2 JOIN aedge e ON e.k = w2.k AND e.x = w2.cx
+         |    AND e.y = w2.cy),
+         |wterm AS (SELECT w.k, w.cx, w.cy FROM walk w
+         |          WHERE NOT EXISTS (SELECT 1 FROM aedge e
+         |            WHERE e.k = w.k AND e.x = w.cx AND e.y = w.cy)),
+         |wb AS (SELECT k, cx, cy, COUNT(*) AS sz
+         |       FROM wterm GROUP BY 1, 2, 3)
+         |SELECT s.image_id, CAST(COUNT(*) AS BIGINT) AS n_basins,
+         |  CAST(MAX(b.sz) AS BIGINT) AS max_basin,
+         |  CAST(SUM(b.sz*b.sz) AS BIGINT) AS basin_sq_sum
+         |FROM wb b JOIN simg s ON s.k = b.k
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // per-pixel OLS numerator over the 4-epoch stack: num =

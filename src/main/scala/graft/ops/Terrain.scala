@@ -169,6 +169,56 @@ object Terrain {
         col("cnt").as("acc"))
   }
 
+  /** WATERSHED basin labeling: every cell labeled by the PIT its flow
+    * path terminates at (pits label themselves) — the D8 drainage
+    * partition of the grid.
+    *
+    * Distributed as POINTER DOUBLING over the flow pointers: round i
+    * replaces every cell's pointer with its pointer's pointer, so the
+    * followed distance doubles each round and the loop converges in
+    * ceil(log2 longest-path) rounds (vs the linear round count of
+    * frontier propagation — at a 100 TB raster with flow paths of
+    * ~10³ cells that is ~10 shuffles instead of ~10³). Pits point to
+    * themselves, so converged pointers are exactly the terminal pits;
+    * convergence = a round that changes no pointer.
+    *
+    * Output: one row per cell (k, image_id, x, y, px, py). */
+  def watershed(dem: DataFrame): DataFrame = {
+    val grid = dem.select(col("k"), col("image_id"), col("w"), col("h"))
+      .withColumn("x", explode(sequence(lit(0), col("w").cast("int") - 1)))
+      .withColumn("y", explode(sequence(lit(0), col("h").cast("int") - 1)))
+      .select(col("k"), col("image_id"), col("x"), col("y"))
+      .localCheckpoint()
+    val edges = dem
+      .withColumn("e", explode(flowEdgesUdf(col("dem_bytes"),
+        col("w").cast("int"), col("h").cast("int"))))
+      .select(col("k"), col("e._1").as("x"), col("e._2").as("y"),
+        col("e._3").as("tx"), col("e._4").as("ty"))
+    // initial pointer: flow target, or self for pits
+    var ptr = grid.join(edges, Seq("k", "x", "y"), "left")
+      .select(col("k"), col("x"), col("y"),
+        coalesce(col("tx"), col("x")).as("px"),
+        coalesce(col("ty"), col("y")).as("py"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val hop = ptr.select(col("k"), col("x").as("px"), col("y").as("py"),
+        col("px").as("qx"), col("py").as("qy"))
+      val next = ptr.join(hop, Seq("k", "px", "py"))
+        .select(col("k"), col("x"), col("y"),
+          col("qx").as("px"), col("qy").as("py"))
+        .localCheckpoint()
+      changed = next.join(ptr.withColumnRenamed("px", "ox")
+          .withColumnRenamed("py", "oy"), Seq("k", "x", "y"))
+        .where(col("px") =!= col("ox") || col("py") =!= col("oy"))
+        .count()
+      ptr = next
+    }
+    grid.join(ptr, Seq("k", "x", "y"))
+      .select(col("k"), col("image_id"), col("x"), col("y"),
+        col("px"), col("py"))
+  }
+
   /** Per-pixel OLS trend over a T-epoch stack, aggregated per image.
     * For each pixel, num = T·Σ(t·v_t) − (Σt)·(Σ v_t) — the integer
     * numerator of the least-squares slope (the constant denominator

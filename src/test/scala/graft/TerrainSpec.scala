@@ -89,6 +89,32 @@ class TerrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("watershed == terminal of the inline path walk") {
+    import spark.implicits._
+    val ks = Seq(7L, 13L)
+    val rows = ks.map { k =>
+      val w = 20; val h = 16
+      val z = Array.tabulate(w * h)(i =>
+        Synth.demValue(k, i % w, i / w).toDouble)
+      (k, s"img-$k", w, h, enc(z, w, h))
+    }
+    val dem = rows.toDF("k", "image_id", "w", "h", "dem_bytes")
+    val got = Terrain.watershed(dem).collect()
+      .map(r => ((r.getLong(0), r.getInt(2), r.getInt(3)),
+        (r.getInt(4), r.getInt(5)))).toMap
+    val dx = Array(1, 1, 0, -1, -1, -1, 0, 1)
+    val dy = Array(0, 1, 1, 1, 0, -1, -1, -1)
+    for ((k, _, w, h, _) <- rows) {
+      val z = Array.tabulate(w * h)(i =>
+        Synth.demValue(k, i % w, i / w).toDouble)
+      for (y0 <- 0 until h; x0 <- 0 until w) {
+        var x = x0; var y = y0; var d = Terrain.flowDir(z, w, h, x, y)
+        while (d >= 0) { x += dx(d); y += dy(d); d = Terrain.flowDir(z, w, h, x, y) }
+        assert(got((k, x0, y0)) == ((x, y)), s"k=$k ($x0,$y0)")
+      }
+    }
+  }
+
   test("trendAgg: recovers the sign field of a linear-in-t stack") {
     import spark.implicits._
     // v(t) = 100 + t·g with g = x − 1 ∈ {−1, 0, 1} on a 3×1 image →
