@@ -205,7 +205,8 @@ object Bench {
       // round-5 additions: compressed-codec stats, flux skeleton,
       // SemDeDup, terrain & time-series pack
       "q_band_stats_png", "q_skeleton_flux", "q_semdedup", "q_semdedup_lsh",
-      "q_dem_slope", "q_flow_d8", "q_flow_accum", "q_watershed", "q_trend")
+      "q_dem_slope", "q_hillshade", "q_flow_d8", "q_flow_accum",
+      "q_watershed", "q_trend")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

@@ -910,6 +910,18 @@ object SparkEntry {
           col("sl._4").as("slope_fsum"))
         .orderBy("image_id")),
 
+    // hillshade (Horn normals, gdaldem-default sun az 315° alt 45°):
+    // shade = max(0, n·s); the 315/45 sun vector is exact halves plus
+    // one correctly-rounded sqrt, so the whole pixel formula is a
+    // fixed sequence of identical IEEE roundings in both engines
+    "q_hillshade" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("hs", graft.ops.Terrain.hillshadeAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("hs._1").as("n_int"),
+          col("hs._2").as("shade_fsum"), col("hs._3").as("n_shadow"))
+        .orderBy("image_id")),
+
     // D8 flow direction histogram: steepest-positive-drop neighbor
     // (ties → lowest code, pits → −1), stated as an integer argmin
     // the oracle replays with the same key encoding
@@ -2952,6 +2964,36 @@ object SparkEntry {
          |    + (dzdy/32.0)*(dzdy/32.0)) * 1e6) AS BIGINT)) AS BIGINT)
          |    AS slope_fsum
          |FROM sg GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    // same Horn stencil as q_dem_slope; shade = (gx/2 − gy/2 + √2/2)
+    // / sqrt(1 + gx² + gy²) with gx/gy exact multiples of 1/32 —
+    // every op is one identically-rounded IEEE step in both engines
+    "q_hillshade" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |hoff AS (SELECT a.dx, b.dy
+         |         FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |              (SELECT unnest([-1,0,1]) AS dy) b),
+         |hg AS (SELECT d.k, d.image_id, d.x, d.y,
+         |         SUM(n.z * o.dx * (2-abs(o.dy))) AS dzdx,
+         |         SUM(n.z * o.dy * (2-abs(o.dx))) AS dzdy
+         |       FROM demp d JOIN hoff o ON TRUE
+         |       JOIN demp n ON n.k = d.k AND n.x = d.x + o.dx
+         |         AND n.y = d.y + o.dy
+         |       WHERE d.x >= 1 AND d.x <= d.w-2
+         |         AND d.y >= 1 AND d.y <= d.h-2
+         |       GROUP BY 1, 2, 3, 4),
+         |hs AS (SELECT image_id,
+         |         ((dzdx/32.0)/2 - (dzdy/32.0)/2 + sqrt(2.0)/2) /
+         |         sqrt(1.0 + ((dzdx/32.0)*(dzdx/32.0)
+         |           + (dzdy/32.0)*(dzdy/32.0))) AS shade
+         |       FROM hg)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_int,
+         |  CAST(SUM(CASE WHEN shade > 0
+         |    THEN CAST(FLOOR(shade * 1e6) AS BIGINT) ELSE 0 END)
+         |    AS BIGINT) AS shade_fsum,
+         |  CAST(SUM(CASE WHEN shade <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shadow
+         |FROM hs GROUP BY image_id ORDER BY image_id""".stripMargin,
 
     // integer argmin key (2048 − drop)·16 + code: minimizing it picks
     // the steepest positive drop with lowest-code ties; key//16

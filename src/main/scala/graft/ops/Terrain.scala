@@ -60,6 +60,41 @@ object Terrain {
     (n, sax, say, fs)
   })
 
+  /** Hillshade (Horn normals, fixed sun az 315° / alt 45° — the
+    * gdaldem default): shade = max(0, n·s) with unit surface normal
+    * n = (−gx, −gy, 1)/√(1+gx²+gy²) and sun vector
+    * s = (−1/2, 1/2, √2/2) (the 315/45 constants are exact halves and
+    * one correctly-rounded sqrt, so both engines hold the identical
+    * double). gx/gy are exact multiples of 1/32; every remaining op
+    * is a single IEEE rounding in a fixed order — bit-identical.
+    * Aggregate per image over interior pixels:
+    * (n_int, Σ floor(1e6·shade), n_shadow). */
+  val hillshadeAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val sz = math.sqrt(2.0) / 2
+    var n = 0L; var fs = 0L; var nsh = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        def p(dx: Int, dy: Int): Long = z((y + dy) * w + (x + dx)).toLong
+        val dzdx = (p(1, -1) + 2 * p(1, 0) + p(1, 1)) -
+          (p(-1, -1) + 2 * p(-1, 0) + p(-1, 1))
+        val dzdy = (p(-1, 1) + 2 * p(0, 1) + p(1, 1)) -
+          (p(-1, -1) + 2 * p(0, -1) + p(1, -1))
+        val gx = dzdx / SlopeDenom; val gy = dzdy / SlopeDenom
+        val num = gx / 2 - gy / 2 + sz
+        val shade = num / math.sqrt(1.0 + (gx * gx + gy * gy))
+        n += 1
+        if (shade <= 0) nsh += 1
+        else fs += math.floor(shade * 1e6).toLong
+        x += 1
+      }
+      y += 1
+    }
+    (n, fs, nsh)
+  })
+
   /** D8 neighbor order: code 0=E,1=SE,2=S,3=SW,4=W,5=NW,6=N,7=NE. */
   private val Dx = Array(1, 1, 0, -1, -1, -1, 0, 1)
   private val Dy = Array(0, 1, 1, 1, 0, -1, -1, -1)
@@ -150,7 +185,12 @@ object Terrain {
       .localCheckpoint()
     var frontier = grid.select(col("k"), col("x"), col("y"),
       lit(1L).as("cnt")).localCheckpoint()
-    var acc = frontier // arrivals so far (self counts as arrival 0)
+    // arrivals are BUFFERED (each round's frontier is a checkpoint
+    // leaf) and aggregated ONCE at the end: total shuffle volume is
+    // Σ frontier sizes (= the total flow-path length, the work
+    // itself), not rounds × cells as a per-round acc re-aggregation
+    // would cost
+    val arrivals = scala.collection.mutable.ArrayBuffer(frontier)
     var n = frontier.count()
     while (n > 0) {
       frontier = frontier.join(edges, Seq("k", "x", "y"))
@@ -159,11 +199,10 @@ object Terrain {
         .select(col("k"), col("x"), col("y"), col("cnt"))
         .localCheckpoint()
       n = frontier.count()
-      if (n > 0)
-        acc = acc.unionByName(frontier)
-          .groupBy("k", "x", "y").agg(sum(col("cnt")).as("cnt"))
-          .localCheckpoint()
+      if (n > 0) arrivals += frontier
     }
+    val acc = arrivals.reduce(_.unionByName(_))
+      .groupBy("k", "x", "y").agg(sum(col("cnt")).as("cnt"))
     grid.join(acc, Seq("k", "x", "y"))
       .select(col("k"), col("image_id"), col("x"), col("y"),
         col("cnt").as("acc"))
