@@ -946,6 +946,30 @@ object SparkEntry {
           sum(col("acc") * col("acc")).as("acc_sq_sum"))
         .orderBy("image_id")),
 
+    // contour crossings (marching-squares primitive): per iso level,
+    // grid edges with exactly one endpoint below the level + integer
+    // positional checksum
+    "q_contours" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("c", explode(graft.ops.Terrain.contourAgg(
+          col("dem_bytes"), col("w").cast("int"), col("h").cast("int"),
+          array(lit(500L), lit(1000L), lit(1500L)))))
+        .select(col("image_id"), col("c._1").as("level"),
+          col("c._2").as("n_h"), col("c._3").as("n_v"),
+          col("c._4").as("chk"))
+        .orderBy("image_id", "level")),
+
+    // Harris corner response with k = 1/25 stated in pure integers
+    // (R·25 = 25·det − tr²) over central-difference gradients — corner
+    // counts + clamped checksum
+    "q_harris" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("hr", graft.ops.Terrain.harrisAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("hr._1").as("n_eval"),
+          col("hr._2").as("n_corner"), col("hr._3").as("chk"))
+        .orderBy("image_id")),
+
     // watershed basins: every cell labeled by its terminal pit via
     // POINTER DOUBLING (log-round convergence — ~10 shuffles for
     // 1000-cell flow paths where frontier propagation needs ~1000);
@@ -3043,6 +3067,65 @@ object SparkEntry {
          |  CAST(SUM(a.acc*a.acc) AS BIGINT) AS acc_sq_sum
          |FROM aacc a JOIN simg s ON s.k = a.k
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // an edge crosses a level iff (z1 < L) ≠ (z2 < L); zero-crossing
+    // (image, level) pairs still emit a row, hence the left join
+    "q_contours" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |cl AS (SELECT unnest([500, 1000, 1500]) AS level),
+         |ccr AS (
+         |  SELECT a.k, l.level, 1 AS ish, a.x, a.y
+         |  FROM demp a JOIN demp b ON b.k = a.k AND b.x = a.x + 1
+         |    AND b.y = a.y
+         |  CROSS JOIN cl l WHERE (a.z < l.level) <> (b.z < l.level)
+         |  UNION ALL
+         |  SELECT a.k, l.level, 0 AS ish, a.x, a.y
+         |  FROM demp a JOIN demp b ON b.k = a.k AND b.x = a.x
+         |    AND b.y = a.y + 1
+         |  CROSS JOIN cl l WHERE (a.z < l.level) <> (b.z < l.level)),
+         |cagg AS (SELECT k, level, SUM(ish) AS n_h, SUM(1 - ish) AS n_v,
+         |           SUM(x + 131*y) AS chk
+         |         FROM ccr GROUP BY 1, 2)
+         |SELECT s.image_id, CAST(l.level AS BIGINT) AS level,
+         |  CAST(COALESCE(a.n_h, 0) AS BIGINT) AS n_h,
+         |  CAST(COALESCE(a.n_v, 0) AS BIGINT) AS n_v,
+         |  CAST(COALESCE(a.chk, 0) AS BIGINT) AS chk
+         |FROM simg s CROSS JOIN cl l
+         |LEFT JOIN cagg a ON a.k = s.k AND a.level = l.level
+         |ORDER BY s.image_id, l.level""".stripMargin,
+
+    // central-difference gradients (the 4 neighbor joins enforce the
+    // interior), 3×3 structure tensor, then the all-integer response
+    "q_harris" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |hgx AS (SELECT a.k, a.image_id, a.w, a.h, a.x, a.y,
+         |          b.z - c.z AS gx, d.z - e.z AS gy
+         |        FROM demp a
+         |        JOIN demp b ON b.k = a.k AND b.x = a.x + 1 AND b.y = a.y
+         |        JOIN demp c ON c.k = a.k AND c.x = a.x - 1 AND c.y = a.y
+         |        JOIN demp d ON d.k = a.k AND d.x = a.x AND d.y = a.y + 1
+         |        JOIN demp e ON e.k = a.k AND e.x = a.x AND e.y = a.y - 1),
+         |hto AS (SELECT a.dx, b.dy
+         |        FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |             (SELECT unnest([-1,0,1]) AS dy) b),
+         |htn AS (SELECT p.k, p.image_id, p.x, p.y,
+         |          SUM(g.gx*g.gx) AS sxx, SUM(g.gy*g.gy) AS syy,
+         |          SUM(g.gx*g.gy) AS sxy
+         |        FROM demp p JOIN hto o ON TRUE
+         |        JOIN hgx g ON g.k = p.k AND g.x = p.x + o.dx
+         |          AND g.y = p.y + o.dy
+         |        WHERE p.x >= 2 AND p.x <= p.w-3
+         |          AND p.y >= 2 AND p.y <= p.h-3
+         |        GROUP BY 1, 2, 3, 4),
+         |hrr AS (SELECT k, image_id,
+         |          25*(sxx*syy - sxy*sxy) - (sxx+syy)*(sxx+syy) AS r25
+         |        FROM htn)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |  CAST(SUM(CASE WHEN r25 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_corner,
+         |  CAST(SUM(LEAST(GREATEST(r25, -1000000), 1000000)) AS BIGINT)
+         |    AS chk
+         |FROM hrr GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // basin of each cell = the walk row whose cursor has no outgoing
     // edge (the terminal pit); one such row per source cell

@@ -258,6 +258,77 @@ object Terrain {
         col("px"), col("py"))
   }
 
+  /** CONTOUR crossings (the marching-squares primitive): for each iso
+    * level, a grid edge is crossed iff exactly one endpoint sits below
+    * the level ((z1 < L) ≠ (z2 < L)). Per (image, level):
+    * horizontal-edge crossings, vertical-edge crossings, and an
+    * integer positional checksum Σ (x + 131·y) over crossing edges
+    * (left/top endpoint). Pure integer — value-exact. */
+  val contourAgg = udf((bytes: Array[Byte], w: Int, h: Int,
+                        levels: Seq[Long]) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    levels.map { l =>
+      var nh = 0L; var nv = 0L; var chk = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val zc = z(y * w + x) < l
+          if (x + 1 < w && zc != (z(y * w + x + 1) < l)) {
+            nh += 1; chk += x + 131L * y
+          }
+          if (y + 1 < h && zc != (z((y + 1) * w + x) < l)) {
+            nv += 1; chk += x + 131L * y
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (l, nh, nv, chk)
+    }
+  })
+
+  /** HARRIS corner response with k = 1/25 stated in integers:
+    * R·25 = 25·(Sxx·Syy − Sxy²) − (Sxx+Syy)², where the structure
+    * tensor S is the 3×3 window sum of central-difference gradient
+    * products. Evaluated where the full 5×5 support exists
+    * (x,y ∈ [2, w−3]×[2, h−3]). Per image: (n_eval, n_corner with
+    * R·25 > 0, Σ clamp(R·25, ±10⁶)) — the clamp keeps the checksum
+    * in BIGINT range without losing sign structure. */
+  val harrisAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    def gx(x: Int, y: Int): Long =
+      z(y * w + x + 1).toLong - z(y * w + x - 1).toLong
+    def gy(x: Int, y: Int): Long =
+      z((y + 1) * w + x).toLong - z((y - 1) * w + x).toLong
+    var n = 0L; var nc = 0L; var chk = 0L
+    var y = 2
+    while (y < h - 2) {
+      var x = 2
+      while (x < w - 2) {
+        var sxx = 0L; var syy = 0L; var sxy = 0L
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val a = gx(x + dx, y + dy); val b = gy(x + dx, y + dy)
+            sxx += a * a; syy += b * b; sxy += a * b
+            dx += 1
+          }
+          dy += 1
+        }
+        val r25 = 25L * (sxx * syy - sxy * sxy) -
+          (sxx + syy) * (sxx + syy)
+        n += 1
+        if (r25 > 0) nc += 1
+        chk += math.max(-1000000L, math.min(1000000L, r25))
+        x += 1
+      }
+      y += 1
+    }
+    (n, nc, chk)
+  })
+
   /** Per-pixel OLS trend over a T-epoch stack, aggregated per image.
     * For each pixel, num = T·Σ(t·v_t) − (Σt)·(Σ v_t) — the integer
     * numerator of the least-squares slope (the constant denominator

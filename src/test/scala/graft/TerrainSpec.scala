@@ -115,6 +115,32 @@ class TerrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("contourAgg: hand golden on a 2×2 checker column") {
+    import spark.implicits._
+    // z = (0,1 / 0,1), level 1: both horizontal edges cross, neither
+    // vertical does; chk = (0+131·0) + (0+131·1)
+    val z = Array(0.0, 1, 0, 1)
+    val df = Seq((enc(z, 2, 2), 2, 2)).toDF("b", "w", "h")
+      .select(explode(Terrain.contourAgg(col("b"), col("w"), col("h"),
+        array(lit(1L)))).as("c"))
+    val r = df.collect()(0).getStruct(0)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L)
+    assert(r.getLong(3) == 131L)
+  }
+
+  test("harrisAgg: rank-1 structure tensor on a plane → zero corners, golden checksum") {
+    import spark.implicits._
+    // z = 2x + 3y on 7×7: gx = 4, gy = 6 everywhere → det = 0,
+    // r25 = −(Sxx+Syy)² = −468² at all 9 interior evals
+    val w = 7; val h = 7
+    val z = Array.tabulate(w * h)(i => (2 * (i % w) + 3 * (i / w)).toDouble)
+    val df = Seq((enc(z, w, h), w, h)).toDF("b", "w", "h")
+      .select(Terrain.harrisAgg(col("b"), col("w"), col("h")).as("r"))
+    val r = df.collect()(0).getStruct(0)
+    assert(r.getLong(0) == 9L && r.getLong(1) == 0L)
+    assert(r.getLong(2) == 9L * -(468L * 468L))
+  }
+
   test("trendAgg: recovers the sign field of a linear-in-t stack") {
     import spark.implicits._
     // v(t) = 100 + t·g with g = x − 1 ∈ {−1, 0, 1} on a 3×1 image →
