@@ -25,6 +25,12 @@ import graft.core.Codec
   */
 object Terrain {
 
+  /** Instrumentation: shuffle-round counts of the last flowAccum /
+    * watershed call on this JVM (read by the bench to evidence the
+    * linear-vs-log round scaling claim; not part of any result). */
+  @volatile var lastAccumRounds: Int = 0
+  @volatile var lastWatershedRounds: Int = 0
+
   /** Horn-kernel neighbor weights: dzdx = Σ z(x+dx,y+dy)·dx·(2−|dy|),
     * dzdy = Σ z(x+dx,y+dy)·dy·(2−|dx|) over the 3×3 window — the
     * ±1/±2 stencil stated multiplicatively (what the oracle SQL
@@ -192,7 +198,9 @@ object Terrain {
     // would cost
     val arrivals = scala.collection.mutable.ArrayBuffer(frontier)
     var n = frontier.count()
+    lastAccumRounds = 0
     while (n > 0) {
+      lastAccumRounds += 1
       frontier = frontier.join(edges, Seq("k", "x", "y"))
         .groupBy(col("k"), col("tx").as("x"), col("ty").as("y"))
         .agg(sum(col("cnt")).as("cnt"))
@@ -240,7 +248,9 @@ object Terrain {
         coalesce(col("ty"), col("y")).as("py"))
       .localCheckpoint()
     var changed = 1L
+    lastWatershedRounds = 0
     while (changed > 0) {
+      lastWatershedRounds += 1
       val hop = ptr.select(col("k"), col("x").as("px"), col("y").as("py"),
         col("px").as("qx"), col("py").as("qy"))
       val next = ptr.join(hop, Seq("k", "px", "py"))
