@@ -2093,6 +2093,19 @@ object SparkEntry {
       graft.vec.VectorOps.ivfTopK(emb(s, dir), col("vec_id") < 3, 10)
         .orderBy("qid", "rank")),
 
+    // PERSISTED IVF index: build once (resumable Lineage tables,
+    // postings hash-bucketed by cell), probe via bucket-pruned reads —
+    // must return exactly the direct-path rows (shared oracle)
+    "q_ann_index" -> ((s, dir) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_ivf_v1_${math.abs(dir.hashCode)}"
+      graft.vec.VectorOps.buildIvfIndex(s, emb(s, dir), root)
+      graft.vec.VectorOps.probeIvfIndex(s, root,
+        emb(s, dir).where(col("vec_id") < 3)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")), 10)
+        .orderBy("qid", "rank")
+    }),
+
     // PQ ANN top-k by ADC (8 subspaces × 16 sub-centroids, fixed-id
     // codebook, exact-integer distances — the oracle replays encode +
     // the full ADC table in SQL; recall vs brute in LshSpec)
@@ -5286,35 +5299,11 @@ object SparkEntry {
          |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
     },
 
-    "q_ann_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
-        |cents AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id < 16),
-        |asg AS (SELECT e.vec_id, e.ed, c.cid,
-        |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-        |            list_dot_product(e.ed, c.ce) /
-        |            (sqrt(list_dot_product(e.ed, e.ed)) *
-        |             sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cid) AS rk
-        |        FROM e CROSS JOIN cents c),
-        |cells AS (SELECT vec_id, ed, cid FROM asg WHERE rk = 1),
-        |q AS (SELECT vec_id AS qid, ed AS qe FROM e WHERE vec_id < 3),
-        |pr AS (SELECT q.qid, q.qe, c.cid,
-        |         ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-        |           list_dot_product(q.qe, c.ce) /
-        |           (sqrt(list_dot_product(q.qe, q.qe)) *
-        |            sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cid) AS rk
-        |       FROM q CROSS JOIN cents c),
-        |probes AS (SELECT qid, qe, cid FROM pr WHERE rk <= 4),
-        |cand AS (SELECT p.qid, v.vec_id,
-        |           list_dot_product(p.qe, v.ed) /
-        |           (sqrt(list_dot_product(p.qe, p.qe)) *
-        |            sqrt(list_dot_product(v.ed, v.ed))) AS sim
-        |         FROM cells v JOIN probes p ON p.cid = v.cid
-        |         WHERE v.vec_id != p.qid),
-        |r AS (SELECT qid, vec_id,
-        |        ROW_NUMBER() OVER (PARTITION BY qid
-        |          ORDER BY sim DESC, vec_id) AS rank FROM cand)
-        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id FROM r
-        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_ann_ivf_topk" -> IvfOracleSql,
+
+    // the persisted-index probe must return EXACTLY what the direct
+    // IVF path returns — same oracle
+    "q_ann_index" -> IvfOracleSql,
 
     // PQ replay: quantize to the kmeans-exact integer grid, codebook =
     // sub-vectors of the 16 lowest vec_ids (positional index c in
@@ -6211,6 +6200,39 @@ object SparkEntry {
   private val SimgCte =
     """simg AS (SELECT * FROM img2
       |  WHERE w <= 64 AND h <= 64 AND k % 6 IN (1, 2))""".stripMargin
+
+  /** IVF ANN ground truth — shared verbatim by q_ann_ivf_topk (direct
+    * path) and q_ann_index (persisted-index probe): the index is a
+    * materialization, so both paths must return identical rows. */
+  private val IvfOracleSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings),
+      |cents AS (SELECT vec_id AS cid, ed AS ce FROM e WHERE vec_id < 16),
+      |asg AS (SELECT e.vec_id, e.ed, c.cid,
+      |          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |            list_dot_product(e.ed, c.ce) /
+      |            (sqrt(list_dot_product(e.ed, e.ed)) *
+      |             sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cid) AS rk
+      |        FROM e CROSS JOIN cents c),
+      |cells AS (SELECT vec_id, ed, cid FROM asg WHERE rk = 1),
+      |q AS (SELECT vec_id AS qid, ed AS qe FROM e WHERE vec_id < 3),
+      |pr AS (SELECT q.qid, q.qe, c.cid,
+      |         ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+      |           list_dot_product(q.qe, c.ce) /
+      |           (sqrt(list_dot_product(q.qe, q.qe)) *
+      |            sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cid) AS rk
+      |       FROM q CROSS JOIN cents c),
+      |probes AS (SELECT qid, qe, cid FROM pr WHERE rk <= 4),
+      |cand AS (SELECT p.qid, v.vec_id,
+      |           list_dot_product(p.qe, v.ed) /
+      |           (sqrt(list_dot_product(p.qe, p.qe)) *
+      |            sqrt(list_dot_product(v.ed, v.ed))) AS sim
+      |         FROM cells v JOIN probes p ON p.cid = v.cid
+      |         WHERE v.vec_id != p.qid),
+      |r AS (SELECT qid, vec_id,
+      |        ROW_NUMBER() OVER (PARTITION BY qid
+      |          ORDER BY sim DESC, vec_id) AS rank FROM cand)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id FROM r
+      |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   /** SQL mirror of Synth.demValue over the small-image grid (requires
     * simg): demp(k, image_id, w, h, x, y, z) — quadratic-mod DEM,

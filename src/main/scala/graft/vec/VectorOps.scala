@@ -270,6 +270,66 @@ object VectorOps {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"))
   }
 
+  /** PERSISTENT IVF index (build once, probe many): writes under
+    * `root` a `centroids` table (cid, ce) and a `postings` table
+    * (vec_id, embedding, cid) hash-BUCKETED BY CID via the resumable
+    * Lineage writer — the index build is itself crash-resumable, and
+    * a probe later reads ONLY the committed buckets of its nprobe
+    * cells (metadata bucket pruning, no corpus scan, no re-assignment
+    * job per query batch). Idempotent: a root that is already fully
+    * committed is left untouched, so repeated "ensure index" calls
+    * cost one commit-log read. */
+  def buildIvfIndex(spark: SparkSession, emb0: DataFrame, root: String,
+                    kc: Int = 16, nParts: Int = 8): Unit = {
+    val emb = reg(emb0)
+    val cents = emb.where(col("vec_id") < kc)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    graft.table.Lineage.writeResumable(spark, cents,
+      s"$root/centroids", "cid", 1)
+    val (cids, flat) = collectCents(cents)
+    val postings = emb.select(col("vec_id"), col("embedding"),
+      assignCol(cids, flat).as("cid"))
+    graft.table.Lineage.writeResumable(spark, postings,
+      s"$root/postings", "cid", nParts)
+  }
+
+  /** Probe a [[buildIvfIndex]] index: queries (qid, qe) rank the
+    * persisted centroids (broadcast), then ONLY the postings buckets
+    * of the probed cells are opened (≤ kc `readForKey` bucket reads —
+    * each prunes by the commit log, never a full-table scan). Ranking
+    * is bit-identical to [[ivfTopK]] on the source table (the
+    * q_ann_index gate shares q_ann_ivf_topk's oracle SQL). */
+  def probeIvfIndex(spark: SparkSession, root: String,
+                    queries: DataFrame, k: Int, nprobe: Int = 4,
+                    nParts: Int = 8): DataFrame = {
+    graft.expr.GraftFunctions.register(spark)
+    val cents = graft.table.Lineage.read(spark, s"$root/centroids")
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("qsim").desc, col("cid"))
+    val probes = queries.select(col("qid"), col("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qsim", cosineFast(col("qe"), col("ce")))
+      .withColumn("prank", row_number().over(wProbe))
+      .where(col("prank") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid"))
+    val probed = probes.select("cid").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    require(probed.nonEmpty, "no probe cells - empty query set?")
+    val posts = probed.map(c => graft.table.Lineage.readForKey(
+        spark, s"$root/postings", "cid", c, nParts))
+      .filter(_.columns.nonEmpty)
+      .reduce(_.unionByName(_))
+    val cand = posts.join(broadcast(probes), Seq("cid"))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("sim", cosineFast(col("qe"), col("embedding")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id"))
+  }
+
   // ---- product quantization (PQ) ANN -------------------------------
   //
   // The third ANN family next to SRP-LSH and IVF: each vector is

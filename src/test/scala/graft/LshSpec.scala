@@ -571,6 +571,25 @@ class LshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.subsetOf(lsh), s"lsh=$lsh must contain exact=$exact")
   }
 
+  test("persisted IVF index: probe == direct ivfTopK; rebuild is a no-op") {
+    import graft.vec.VectorOps
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toString
+    VectorOps.buildIvfIndex(spark, emb, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = rows(VectorOps.ivfTopK(emb, col("vec_id") < 3, 10))
+    val probed = rows(VectorOps.probeIvfIndex(spark, root,
+      emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")), 10))
+    assert(probed == direct, "index probe diverged from direct IVF")
+    // fully-committed index: rebuild writes zero new buckets
+    assert(graft.table.Lineage.writeResumable(spark,
+      emb.limit(0).select(col("vec_id"), col("embedding"),
+        lit(0L).as("cid")), s"$root/postings", "cid", 8) == 0)
+  }
+
   test("incremental dedup batch path: broadcast probe, no corpus shuffle join") {
     import spark.implicits._
     val docs = corpus
