@@ -206,7 +206,8 @@ object Bench {
       // SemDeDup, terrain & time-series pack
       "q_band_stats_png", "q_skeleton_flux", "q_semdedup", "q_semdedup_lsh",
       "q_dem_slope", "q_hillshade", "q_flow_d8", "q_flow_accum",
-      "q_watershed", "q_trend", "q_contours", "q_harris", "q_ann_index")
+      "q_watershed", "q_trend", "q_contours", "q_harris", "q_ann_index",
+      "q_lbp", "q_events_gapfill")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

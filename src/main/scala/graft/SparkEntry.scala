@@ -970,6 +970,43 @@ object SparkEntry {
           col("hr._2").as("n_corner"), col("hr._3").as("chk"))
         .orderBy("image_id")),
 
+    // LBP texture descriptor: 8-neighbor ≥-center bit pattern (D8 bit
+    // order), per-image 256-bin histogram — pure integer
+    "q_lbp" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("lb", explode(graft.ops.Terrain.lbpHistogram(
+          col("dem_bytes"), col("w").cast("int"), col("h").cast("int"))))
+        .select(col("image_id"), col("lb._1").as("lbp"),
+          col("lb._2").as("cnt"))
+        .orderBy("image_id", "lbp")),
+
+    // per-user hourly gap-fill: bucket events by hour, generate the
+    // DENSE hour series per user, carry the last seen event_type
+    // forward across empty hours (ignore-nulls last over the ordered
+    // window) — the telemetry resample/ffill pattern
+    "q_events_gapfill" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 40)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 3600).cast("long").as("hr"),
+          col("ts"), col("event_id"), col("event_type"))
+      val hourly = ev.groupBy("user_id", "hr")
+        .agg(count(lit(1)).as("n"),
+          max_by(col("event_type"), struct(col("ts"), col("event_id")))
+            .as("et"))
+      val dense = hourly.groupBy("user_id")
+        .agg(min("hr").as("h0"), max("hr").as("h1"))
+        .withColumn("hr", explode(sequence(col("h0"), col("h1"))))
+        .select("user_id", "hr")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("hr")
+      dense.join(hourly, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          last(col("et"), ignoreNulls = true).over(w).as("etype_filled"))
+        .orderBy("user_id", "hr")
+    }),
+
     // watershed basins: every cell labeled by its terminal pit via
     // POINTER DOUBLING (log-round convergence — ~10 shuffles for
     // 1000-cell flow paths where frontier propagation needs ~1000);
@@ -3139,6 +3176,47 @@ object SparkEntry {
          |  CAST(SUM(LEAST(GREATEST(r25, -1000000), 1000000)) AS BIGINT)
          |    AS chk
          |FROM hrr GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bit d set iff neighbor_d ≥ center, D8 code order
+    "q_lbp" ->
+      s"""WITH $I, $SimgCte, $DemCte, $D8Cte,
+         |lbc AS (SELECT c.k, c.image_id, c.x, c.y,
+         |          SUM(CASE WHEN n.z >= c.z
+         |            THEN (CAST(1 AS BIGINT) << d.code) ELSE 0 END) AS lbp
+         |        FROM demp c JOIN d8 d ON TRUE
+         |        JOIN demp n ON n.k = c.k AND n.x = c.x + d.dx
+         |          AND n.y = c.y + d.dy
+         |        WHERE c.x >= 1 AND c.x <= c.w-2
+         |          AND c.y >= 1 AND c.y <= c.h-2
+         |        GROUP BY 1, 2, 3, 4)
+         |SELECT image_id, CAST(lbp AS BIGINT) AS lbp,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM lbc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // hour = floor(epoch/3600) (sub-second truncation can never cross
+    // an hour boundary); latest-in-hour via arg_max on (ts, event_id);
+    // dense hours via generate_series; ffill = last_value IGNORE NULLS
+    "q_events_gapfill" ->
+      """WITH gev AS (SELECT user_id,
+        |         CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS hr,
+        |         ts, event_id, event_type
+        |       FROM events WHERE user_id < 40),
+        |ghr AS (SELECT user_id, hr, COUNT(*) AS n,
+        |          (MAX(struct_pack(ts := ts, eid := event_id,
+        |            et := event_type))).et AS et
+        |        FROM gev GROUP BY 1, 2),
+        |gsp AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1
+        |        FROM ghr GROUP BY 1),
+        |gdn AS (SELECT s.user_id, u.hr
+        |        FROM gsp s CROSS JOIN LATERAL (SELECT
+        |          unnest(generate_series(s.h0, s.h1)) AS hr) u)
+        |SELECT d.user_id, d.hr,
+        |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+        |  LAST_VALUE(h.et IGNORE NULLS) OVER (PARTITION BY d.user_id
+        |    ORDER BY d.hr) AS etype_filled
+        |FROM gdn d LEFT JOIN ghr h ON h.user_id = d.user_id
+        |  AND h.hr = d.hr
+        |ORDER BY d.user_id, d.hr""".stripMargin,
 
     // basin of each cell = the walk row whose cursor has no outgoing
     // edge (the terminal pit); one such row per source cell

@@ -339,6 +339,33 @@ object Terrain {
     (n, nc, chk)
   })
 
+  /** LBP (local binary pattern, Ojala et al. — the classic texture
+    * descriptor): per interior pixel, bit d (D8 code order) is set iff
+    * z(neighbor_d) ≥ z(center); returns the per-image 256-bin
+    * histogram as (lbp, cnt) rows. Pure integer — value-exact. Runs
+    * on the DEM band (the linear reflectance ramps produce a
+    * degenerate two-pattern histogram). */
+  val lbpHistogram = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val cnt = new Array[Long](256)
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val zc = z(y * w + x)
+        var code = 0; var d = 0
+        while (d < 8) {
+          if (z((y + Dy(d)) * w + (x + Dx(d))) >= zc) code |= 1 << d
+          d += 1
+        }
+        cnt(code) += 1
+        x += 1
+      }
+      y += 1
+    }
+    cnt.toSeq.zipWithIndex.collect { case (c, i) if c > 0 => (i.toLong, c) }
+  })
+
   /** Per-pixel OLS trend over a T-epoch stack, aggregated per image.
     * For each pixel, num = T·Σ(t·v_t) − (Σt)·(Σ v_t) — the integer
     * numerator of the least-squares slope (the constant denominator

@@ -141,6 +141,20 @@ class TerrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(2) == 9L * -(468L * 468L))
   }
 
+  test("lbpHistogram: hand goldens (all-above and none-above)") {
+    import spark.implicits._
+    // center 1 among 9s → every neighbor ≥ center → lbp 255;
+    // center 9 among 1s → no bit set → lbp 0
+    def hist(z: Array[Double]) =
+      Seq((enc(z, 3, 3), 3, 3)).toDF("b", "w", "h")
+        .select(explode(Terrain.lbpHistogram(col("b"), col("w"),
+          col("h"))).as("e"))
+        .collect().map(r => (r.getStruct(0).getLong(0),
+          r.getStruct(0).getLong(1))).toList
+    assert(hist(Array(9.0, 9, 9, 9, 1, 9, 9, 9, 9)) == List((255L, 1L)))
+    assert(hist(Array(1.0, 1, 1, 1, 9, 1, 1, 1, 1)) == List((0L, 1L)))
+  }
+
   test("trendAgg: recovers the sign field of a linear-in-t stack") {
     import spark.implicits._
     // v(t) = 100 + t·g with g = x − 1 ∈ {−1, 0, 1} on a 3×1 image →
