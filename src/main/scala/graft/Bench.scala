@@ -296,6 +296,16 @@ object Bench {
        graft.ops.Terrain.lastWatershedRounds, rw)
     }
 
+    // The incremental legs above leave ~100 localCheckpoint block sets
+    // pinned in the block manager (BPE rewrites one per round); they
+    // compete with the headline's shuffle/execution memory — the first
+    // two r5 full runs measured the headline at 2.1–2.7 s vs ~1.0 s in
+    // a clean JVM purely from this. Drop them before timing anything
+    // else.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
+
     // ---- headline throughput at full parallelism (best of 2, like
     // every other measurement in this file — a single shot is hostage
     // to host placement noise) ----
@@ -676,13 +686,16 @@ object Bench {
          || 10 (final r4 code; scaling legs of the verify smoke) | **0.886** | 0.876 | 0.740 | 0.681 | 0.670 | **1.000** |
          || 11 (final r4 code; the round-4 shipped report) | **0.949** | 0.975 | 0.674 | 0.636 | 0.688 | 0.923 |
          || 12 (r4 close-out; 2×-data startup-amortized cluster legs) | **0.825** | 0.781 | 0.796 | **1.301** | 0.900 | **1.000** |
+         || 13 (r5 code, first full run) | **0.899** | 0.935 | 0.699 | 0.752 | 0.696 | **1.000** |
+         || 14 (r5 code, second full run) | **0.891** | 0.953 | 0.661 | 0.731 | 0.755 | 0.968 |
          || **this run** | **${f"$eff%.3f"}** | ${f"$effKern%.3f"} | ${f"$eff32%.3f"} | ${f"$effLc%.3f"} | ${f"$lcCeil%.3f"} | ${f"$effLcNorm%.3f"} |
          |
          |Every leg tracks its SAME-RUN measured kernel ceiling — the spread is
          |host placement (documented ±25% lottery at ≥24 active vCPUs), not the
-         |engine: the primary pair passes ≥0.8 raw OUTRIGHT in 8 of 12
-         |recorded runs — including runs 9–12 on the shipped final
-         |round-4 code (0.849, 0.886, 0.949, 0.825 raw; max 0.949, run 11) —
+         |engine: the primary pair passes ≥0.8 raw OUTRIGHT in 10 of 14
+         |recorded runs — including every run (9–14) on the shipped r4
+         |and r5 code (0.849, 0.886, 0.949, 0.825, 0.899, 0.891 raw;
+         |max 0.949, run 11) —
          |run 6's 8→32 pair passes at 0.910 raw, and the 1→4-executor pair
          |reaches 1.301 raw / 1.528 median on the shipped r4 close-out
          |(run 12, 2×-data protocol; best in-process-era 0.773 raw /
@@ -690,8 +703,8 @@ object Bench {
          |nothing when the host cooperates. In every recorded run the
          |primary pair's Spark-job raw ratio lands within 19% of its
          |same-run bare-kernel hardware ceiling (primary
-         |engine-normalized ≥ 0.81 in all rows, ≥ 0.95 in nine of
-         |twelve — re-check this claim against fresh rows): the plan
+         |engine-normalized ≥ 0.81 in all rows, ≥ 0.95 in ten of
+         |fourteen — re-check this claim against fresh rows): the plan
          |adds no scaling loss of its own.
          |""".stripMargin)
 

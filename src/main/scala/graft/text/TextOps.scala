@@ -1009,10 +1009,28 @@ object TextOps {
   def bpeTrain(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val np = spark.sparkContext.defaultParallelism
+    val sc = spark.sparkContext
+    val np = sc.defaultParallelism
+    // Checkpoint-block hygiene: each round replaces the words/pc vars,
+    // but the superseded rounds' localCheckpoint blocks stay pinned in
+    // the block manager — at a real 32k-merge vocab that is 32k leaked
+    // block sets (an executor-memory OOM, and it measurably depressed
+    // unrelated queries in the same JVM). Each round's checkpoints are
+    // EAGER, so by the end of the round its generation is fully
+    // materialized with truncated lineage and the previous generation
+    // is provably unreferenced — freed on the spot, bounding residency
+    // at one generation for any `rounds`. (Lazy checkpoints can NOT be
+    // freed a fixed number of rounds behind: in the sparse branch the
+    // new words table is not an ancestor of the argmax collect, so its
+    // checkpoint may stay unmaterialized with live lineage into
+    // arbitrarily old generations.) The final generation stays
+    // persisted for the caller.
+    def persistedIds = sc.getPersistentRDDs.keySet.toSet
+    val foreign = persistedIds
     var words = bpeWords(docs).localCheckpoint()
     val totalWords = words.count()
     var pc = bpePairCounts(words).localCheckpoint()
+    var live = persistedIds -- foreign
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     for (r <- 1 to rounds) {
       val top = pc.orderBy(col("c").desc, col("l"), col("r"))
@@ -1022,13 +1040,14 @@ object TextOps {
           top(0).getLong(2))
         merges += ((r.toLong, l, rr, c))
         val needle = s"|$l||$rr|"
+        val preRound = persistedIds
         if (c >= totalWords / 3) {
           // dense merge: one full rewrite + recount beats two
           // affected-set recounts that would cover most of the vocab
           words = words.withColumn("wstr",
             replace(col("wstr"), lit(needle), lit(s"|$l$rr|")))
-            .localCheckpoint(false)
-          pc = bpePairCounts(words).localCheckpoint(false)
+            .localCheckpoint()
+          pc = bpePairCounts(words).localCheckpoint()
         } else {
           val affected = words.where(col("wstr").contains(needle))
             .localCheckpoint()
@@ -1046,10 +1065,14 @@ object TextOps {
             .select(col("l"), col("r"),
               (coalesce(col("c"), lit(0L)) + coalesce(col("d"), lit(0L)))
                 .as("c"))
-            .where(col("c") > 0).localCheckpoint(false)
+            .where(col("c") > 0).localCheckpoint()
           words = words.where(!col("wstr").contains(needle))
-            .unionByName(rewritten).coalesce(np).localCheckpoint(false)
+            .unionByName(rewritten).coalesce(np).localCheckpoint()
         }
+        val fresh = persistedIds -- preRound
+        for (id <- live; rdd <- sc.getPersistentRDDs.get(id))
+          rdd.unpersist(blocking = false)
+        live = fresh
       }
     }
     (merges.toSeq.toDF("round", "left", "right", "cnt"), words)

@@ -478,6 +478,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"incremental merges diverged:\n got=$got\nwant=$want")
   }
 
+  test("bpeTrain checkpoint residency is bounded, not O(rounds)") {
+    import spark.implicits._
+    // every round replaces the words/pc checkpoints; the superseded
+    // generations must actually LEAVE the block manager (at 32k merges
+    // an O(rounds) leak is an executor OOM — and it measurably slowed
+    // unrelated queries sharing the JVM in the r5 bench runs). The
+    // trainer checkpoints each generation eagerly and frees the
+    // previous one on the spot, so residency must stay O(1): the final
+    // generation only (≤ ~4 RDDs: words, pc, the sparse branch's
+    // affected set), never ~2 per round.
+    val d = (0L until 40L).map { i =>
+      (i, s"low lower lowest aaa banana bandana t${i % 7} t${(i * 3) % 11}")
+    }.toDF("doc_id", "text")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val rounds = 12
+    val (merges, words) = TextOps.bpeTrain(d, rounds)
+    assert(merges.count() == rounds)
+    words.count()
+    val leaked = sc.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.size <= 8,
+      s"bpeTrain left ${leaked.size} checkpointed RDDs after $rounds rounds " +
+        "(expected ≤ 2 generations)")
+    for (id <- leaked; rdd <- sc.getPersistentRDDs.get(id))
+      rdd.unpersist(blocking = false)
+  }
+
   test("bpeTrain: pair-free corpus yields no merges, words unchanged") {
     import spark.implicits._
     // every word is a single character → no adjacent pairs in any
