@@ -980,6 +980,83 @@ object SparkEntry {
           col("lb._2").as("cnt"))
         .orderBy("image_id", "lbp")),
 
+    // 3×3 median (rank) filter: per-image sum/changed-count/checksum
+    // of the 5th-smallest of each interior 3×3 window — pure integer
+    "q_median_filter" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("m", graft.ops.Vision.medianAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("m._1").as("n_int"),
+          col("m._2").as("med_sum"), col("m._3").as("n_changed"),
+          col("m._4").as("chk"))
+        .orderBy("image_id")),
+
+    // morphological gradient (Beucher): dilate3×3 − erode3×3 =
+    // window max − min — the morphology edge-strength operator
+    "q_morph_gradient" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("g", graft.ops.Vision.morphGradAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("g._1").as("n_int"),
+          col("g._2").as("grad_sum"), col("g._3").as("grad_max"),
+          col("g._4").as("chk"))
+        .orderBy("image_id")),
+
+    // white top-hat: z − opening(z) (dilate of the erode plane) on the
+    // 5×5 support — bright-small-feature residue, ≥ 0 by construction
+    "q_tophat" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("t", graft.ops.Vision.topHatAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("t._1").as("n_eval"),
+          col("t._2").as("th_sum"), col("t._3").as("n_pos"),
+          col("t._4").as("chk"))
+        .orderBy("image_id")),
+
+    // TPI (8·z − Σ neighbors, the divide-free integer form) + TRI
+    // ruggedness (Σ |z − neighbor|) over the 8-neighborhood
+    "q_tpi" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("t", graft.ops.Vision.tpiAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("t._1").as("n_int"),
+          col("t._2").as("n_ridge"), col("t._3").as("n_valley"),
+          col("t._4").as("tpi_sum"), col("t._5").as("tri_sum"))
+        .orderBy("image_id")),
+
+    // NCC template match vs the broadcast 8×8 k=911 DEM patch:
+    // integer num/den per window, score = floor(num/√den·10⁶) (three
+    // identically-ordered IEEE roundings), argmax with (y,x) ties
+    "q_template_match" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("m", graft.ops.Vision.templateMatchAgg(
+          col("dem_bytes"), col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("m._1").as("best_x"),
+          col("m._2").as("best_y"), col("m._3").as("score"),
+          col("m._4").as("n_cand"))
+        .orderBy("image_id")),
+
+    // line-of-sight viewshed from cell (0,0), antenna height 2:
+    // integer-DDA ray sampling + cross-multiplied slope test — no
+    // division, value-exact
+    "q_viewshed" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("v", graft.ops.Terrain.viewshedAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("v._1").as("n_vis"),
+          col("v._2").as("n_blocked"), col("v._3").as("chk"))
+        .orderBy("image_id")),
+
+    // Hough line accumulator at the four exact angles over
+    // morph-gradient edges (≥ 300): winning ρ-bin + votes per θ
+    "q_hough" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("hh", explode(graft.ops.Vision.houghAgg(
+          col("dem_bytes"), col("w").cast("int"), col("h").cast("int"))))
+        .select(col("image_id"), col("hh._1").as("theta"),
+          col("hh._2").as("best_bin"), col("hh._3").as("votes"))
+        .orderBy("image_id", "theta")),
+
     // per-user hourly gap-fill: bucket events by hour, generate the
     // DENSE hour series per user, carry the last seen event_type
     // forward across empty hours (ignore-nulls last over the ordered
@@ -3192,6 +3269,223 @@ object SparkEntry {
          |SELECT image_id, CAST(lbp AS BIGINT) AS lbp,
          |  CAST(COUNT(*) AS BIGINT) AS cnt
          |FROM lbc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // median of 9 integers = the discrete 0.5-quantile (odd count, no
+    // interpolation) — QUANTILE_DISC mirrors the kernel's 5th-smallest
+    "q_median_filter" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |mfo AS (SELECT a.dx, b.dy
+         |        FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |             (SELECT unnest([-1,0,1]) AS dy) b),
+         |mfm AS (SELECT d.k, d.image_id, d.x, d.y, d.z,
+         |          QUANTILE_DISC(n.z, 0.5) AS med
+         |        FROM demp d JOIN mfo o ON TRUE
+         |        JOIN demp n ON n.k = d.k AND n.x = d.x + o.dx
+         |          AND n.y = d.y + o.dy
+         |        WHERE d.x >= 1 AND d.x <= d.w-2
+         |          AND d.y >= 1 AND d.y <= d.h-2
+         |        GROUP BY 1, 2, 3, 4, 5)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_int,
+         |  CAST(SUM(med) AS BIGINT) AS med_sum,
+         |  CAST(SUM(CASE WHEN med <> z THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_changed,
+         |  CAST(SUM(med*(x + 131*y)) AS BIGINT) AS chk
+         |FROM mfm GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    // dilate − erode = window max − min, interior pixels
+    "q_morph_gradient" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |mgo AS (SELECT a.dx, b.dy
+         |        FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |             (SELECT unnest([-1,0,1]) AS dy) b),
+         |mgg AS (SELECT d.k, d.image_id, d.x, d.y,
+         |          MAX(n.z) - MIN(n.z) AS grad
+         |        FROM demp d JOIN mgo o ON TRUE
+         |        JOIN demp n ON n.k = d.k AND n.x = d.x + o.dx
+         |          AND n.y = d.y + o.dy
+         |        WHERE d.x >= 1 AND d.x <= d.w-2
+         |          AND d.y >= 1 AND d.y <= d.h-2
+         |        GROUP BY 1, 2, 3, 4)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_int,
+         |  CAST(SUM(grad) AS BIGINT) AS grad_sum,
+         |  CAST(MAX(grad) AS BIGINT) AS grad_max,
+         |  CAST(SUM(grad*(x + 131*y)) AS BIGINT) AS chk
+         |FROM mgg GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    // opening = dilate3×3 of the erode3×3 plane; top-hat = z − opening
+    // on the 5×5 support (x,y ∈ [2, w−3]) — every erode cell a dilate
+    // window touches is itself interior, so the two levels compose
+    "q_tophat" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |tho AS (SELECT a.dx, b.dy
+         |        FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |             (SELECT unnest([-1,0,1]) AS dy) b),
+         |the AS (SELECT d.k, d.x, d.y, MIN(n.z) AS e
+         |        FROM demp d JOIN tho o ON TRUE
+         |        JOIN demp n ON n.k = d.k AND n.x = d.x + o.dx
+         |          AND n.y = d.y + o.dy
+         |        WHERE d.x >= 1 AND d.x <= d.w-2
+         |          AND d.y >= 1 AND d.y <= d.h-2
+         |        GROUP BY 1, 2, 3),
+         |thp AS (SELECT d.k, d.image_id, d.x, d.y,
+         |          d.z - MAX(e.e) AS th
+         |        FROM demp d JOIN tho o ON TRUE
+         |        JOIN the e ON e.k = d.k AND e.x = d.x + o.dx
+         |          AND e.y = d.y + o.dy
+         |        WHERE d.x >= 2 AND d.x <= d.w-3
+         |          AND d.y >= 2 AND d.y <= d.h-3
+         |        GROUP BY d.k, d.image_id, d.x, d.y, d.z)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |  CAST(SUM(th) AS BIGINT) AS th_sum,
+         |  CAST(SUM(CASE WHEN th > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pos,
+         |  CAST(SUM(th*(x + 131*y)) AS BIGINT) AS chk
+         |FROM thp GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    // tpi8 = 8·z − Σ neighbors (divide-free), tri = Σ |z − neighbor|
+    "q_tpi" ->
+      s"""WITH $I, $SimgCte, $DemCte, $D8Cte,
+         |tpn AS (SELECT c.k, c.image_id, c.x, c.y,
+         |          8*c.z - SUM(n.z) AS tpi, SUM(ABS(c.z - n.z)) AS tri
+         |        FROM demp c JOIN d8 d ON TRUE
+         |        JOIN demp n ON n.k = c.k AND n.x = c.x + d.dx
+         |          AND n.y = c.y + d.dy
+         |        WHERE c.x >= 1 AND c.x <= c.w-2
+         |          AND c.y >= 1 AND c.y <= c.h-2
+         |        GROUP BY c.k, c.image_id, c.x, c.y, c.z)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_int,
+         |  CAST(SUM(CASE WHEN tpi > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ridge,
+         |  CAST(SUM(CASE WHEN tpi < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_valley,
+         |  CAST(SUM(tpi) AS BIGINT) AS tpi_sum,
+         |  CAST(SUM(tri) AS BIGINT) AS tri_sum
+         |FROM tpn GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    // the 8×8 template is the k=911 DEM patch (same closed form);
+    // num/den are exact integers, score = floor(num/√den·10⁶) is
+    // three identically-ordered IEEE roundings; argmax via struct MAX
+    // (lexicographic in both engines), ties → lowest y then x
+    "q_template_match" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |tmt AS (SELECT i.i, j.j,
+         |          100 + ((911%7+1)*i.i*i.i + (911%5+1)*j.j*j.j
+         |               + (911%3+1)*i.i*j.j
+         |               + ((911*3)%11)*i.i + ((911*7)%13)*j.j) % 1900 AS t
+         |        FROM (SELECT unnest(generate_series(0, 7)) AS i) i,
+         |             (SELECT unnest(generate_series(0, 7)) AS j) j),
+         |tms AS (SELECT SUM(t) AS st FROM tmt),
+         |tmp0 AS (SELECT s.k, s.image_id, xs.x0, ys.y0
+         |         FROM simg s
+         |         CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |           CAST(s.w-8 AS INT))) AS x0) xs
+         |         CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |           CAST(s.h-8 AS INT))) AS y0) ys),
+         |tmw AS (SELECT p.k, p.image_id, p.x0, p.y0,
+         |          SUM(n.z) AS sz, SUM(n.z*n.z) AS szz,
+         |          SUM(t.t*n.z) AS stz
+         |        FROM tmp0 p JOIN tmt t ON TRUE
+         |        JOIN demp n ON n.k = p.k AND n.x = p.x0 + t.i
+         |          AND n.y = p.y0 + t.j
+         |        GROUP BY 1, 2, 3, 4),
+         |tmc AS (SELECT w.k, w.image_id, w.x0, w.y0,
+         |          64*w.stz - s.st*w.sz AS num,
+         |          64*w.szz - w.sz*w.sz AS den
+         |        FROM tmw w CROSS JOIN tms s),
+         |tmsc AS (SELECT k, image_id, x0, y0,
+         |           CAST(FLOOR(num / sqrt(CAST(den AS DOUBLE)) * 1e6)
+         |             AS BIGINT) AS s
+         |         FROM tmc WHERE den > 0),
+         |tmb AS (SELECT image_id,
+         |          (MAX(struct_pack(s := s, ny := -y0, nx := -x0))).s
+         |            AS score,
+         |          -(MAX(struct_pack(s := s, ny := -y0, nx := -x0))).nx
+         |            AS best_x,
+         |          -(MAX(struct_pack(s := s, ny := -y0, nx := -x0))).ny
+         |            AS best_y,
+         |          COUNT(*) AS n_cand
+         |        FROM tmsc GROUP BY 1)
+         |SELECT image_id, CAST(best_x AS BIGINT) AS best_x,
+         |  CAST(best_y AS BIGINT) AS best_y,
+         |  CAST(score AS BIGINT) AS score,
+         |  CAST(n_cand AS BIGINT) AS n_cand
+         |FROM tmb ORDER BY image_id""".stripMargin,
+
+    // integer-DDA sample cell (⌊(2·s·t+m)/(2m)⌋ = round-half-up on the
+    // ideal line, all coords ≥ 0) + cross-multiplied slope test — no
+    // division anywhere; m=1 targets have no samples (LEFT JOIN)
+    "q_viewshed" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |vo AS (SELECT k, z + 2 AS zo FROM demp WHERE x = 0 AND y = 0),
+         |vt AS (SELECT d.k, d.image_id, d.x AS tx, d.y AS ty,
+         |         d.z AS zt, GREATEST(d.x, d.y) AS m
+         |       FROM demp d WHERE NOT (d.x = 0 AND d.y = 0)),
+         |vs AS (SELECT t.k, t.tx, t.ty, t.zt, t.m, o.zo, ss.s,
+         |         (2*ss.s*t.tx + t.m) // (2*t.m) AS sx,
+         |         (2*ss.s*t.ty + t.m) // (2*t.m) AS sy
+         |       FROM vt t JOIN vo o ON o.k = t.k
+         |       CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+         |         CAST(t.m-1 AS INT))) AS s) ss),
+         |vb AS (SELECT v.k, v.tx, v.ty,
+         |         BOOL_OR((n.z - v.zo)*v.m > (v.zt - v.zo)*v.s)
+         |           AS blocked
+         |       FROM vs v JOIN demp n ON n.k = v.k AND n.x = v.sx
+         |         AND n.y = v.sy
+         |       GROUP BY 1, 2, 3),
+         |vr AS (SELECT t.k, t.image_id, t.tx, t.ty,
+         |         COALESCE(b.blocked, FALSE) AS blocked
+         |       FROM vt t LEFT JOIN vb b ON b.k = t.k AND b.tx = t.tx
+         |         AND b.ty = t.ty)
+         |SELECT image_id,
+         |  CAST(SUM(CASE WHEN NOT blocked THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_vis,
+         |  CAST(SUM(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_blocked,
+         |  CAST(SUM(CASE WHEN NOT blocked THEN tx + 131*ty ELSE 0 END)
+         |    AS BIGINT) AS chk
+         |FROM vr GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    // edges = morph gradient ≥ 300 (the DEM's %1900 wrap curves);
+    // ρ-bins: x/8, (x+y)·(√2/2)/8, y/8, (y−x)·(√2/2)/8 — √2/2 is one
+    // correctly-rounded literal, the multiply the only further
+    // rounding (/8 exact); winner per θ via struct MAX, ties → lowest
+    // bin; a θ with zero edges emits no row (both sides)
+    "q_hough" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |hgo AS (SELECT a.dx, b.dy
+         |        FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |             (SELECT unnest([-1,0,1]) AS dy) b),
+         |hgg AS (SELECT d.k, d.image_id, d.x, d.y,
+         |          MAX(n.z) - MIN(n.z) AS grad
+         |        FROM demp d JOIN hgo o ON TRUE
+         |        JOIN demp n ON n.k = d.k AND n.x = d.x + o.dx
+         |          AND n.y = d.y + o.dy
+         |        WHERE d.x >= 1 AND d.x <= d.w-2
+         |          AND d.y >= 1 AND d.y <= d.h-2
+         |        GROUP BY 1, 2, 3, 4),
+         |hge AS (SELECT k, image_id, x, y FROM hgg WHERE grad >= 300),
+         |hgr AS (SELECT k, image_id, th.theta,
+         |          CASE th.theta
+         |            WHEN 0 THEN CAST(FLOOR(x / 8.0) AS BIGINT)
+         |            WHEN 1 THEN CAST(FLOOR((x + y) * (sqrt(2.0)/2)
+         |              / 8.0) AS BIGINT)
+         |            WHEN 2 THEN CAST(FLOOR(y / 8.0) AS BIGINT)
+         |            ELSE CAST(FLOOR((y - x) * (sqrt(2.0)/2) / 8.0)
+         |              AS BIGINT)
+         |          END AS bin
+         |        FROM hge CROSS JOIN (SELECT unnest([0,1,2,3])
+         |          AS theta) th),
+         |hga AS (SELECT k, image_id, theta, bin, COUNT(*) AS cnt
+         |        FROM hgr GROUP BY 1, 2, 3, 4),
+         |hgb AS (SELECT image_id, theta,
+         |          (MAX(struct_pack(c := cnt, nb := -bin))).c AS votes,
+         |          -(MAX(struct_pack(c := cnt, nb := -bin))).nb
+         |            AS best_bin
+         |        FROM hga GROUP BY 1, 2)
+         |SELECT image_id, CAST(theta AS BIGINT) AS theta,
+         |  CAST(best_bin AS BIGINT) AS best_bin,
+         |  CAST(votes AS BIGINT) AS votes
+         |FROM hgb ORDER BY image_id, theta""".stripMargin,
 
     // hour = floor(epoch/3600) (sub-second truncation can never cross
     // an hour boundary); latest-in-hour via arg_max on (ts, event_id);

@@ -366,6 +366,46 @@ object Terrain {
     cnt.toSeq.zipWithIndex.collect { case (c, i) if c > 0 => (i.toLong, c) }
   })
 
+  /** VIEWSHED from an observer at cell (0,0) with antenna height 2:
+    * target (tx,ty) is visible iff no sampled cell along the
+    * observer→target line blocks the sight line. Line sampling is the
+    * integer DDA both engines state identically: at major-axis step
+    * s ∈ [1, m−1] (m = max(tx,ty); all coordinates non-negative) the
+    * sample cell is (⌊(2·s·tx+m)/(2m)⌋, ⌊(2·s·ty+m)/(2m)⌋) — the
+    * round-half-up lattice point on the ideal line. Blocking is the
+    * cross-multiplied slope test (z_s − z_o)·m > (z_t − z_o)·s — pure
+    * integer, no division anywhere. Adjacent targets (m = 1) have no
+    * intermediate samples and are always visible. Per image:
+    * (n_vis, n_blocked, Σ (x+131·y) over visible targets). */
+  val viewshedAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val zo = z(0).toLong + 2
+    var nv = 0L; var nb = 0L; var chk = 0L
+    var ty = 0
+    while (ty < h) {
+      var tx = 0
+      while (tx < w) {
+        if (tx != 0 || ty != 0) {
+          val m = math.max(tx, ty).toLong
+          val zt = z(ty * w + tx).toLong
+          var blocked = false
+          var s = 1L
+          while (s < m && !blocked) {
+            val sx = (2 * s * tx + m) / (2 * m)
+            val sy = (2 * s * ty + m) / (2 * m)
+            if ((z(sy.toInt * w + sx.toInt).toLong - zo) * m >
+                (zt - zo) * s) blocked = true
+            s += 1
+          }
+          if (blocked) nb += 1 else { nv += 1; chk += tx + 131L * ty }
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    (nv, nb, chk)
+  })
+
   /** Per-pixel OLS trend over a T-epoch stack, aggregated per image.
     * For each pixel, num = T·Σ(t·v_t) − (Σt)·(Σ v_t) — the integer
     * numerator of the least-squares slope (the constant denominator

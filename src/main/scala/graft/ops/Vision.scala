@@ -1,0 +1,303 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.core.Codec
+import graft.gen.Synth
+
+/** Classic vision window kernels over single-band rasters — the
+  * filtering/feature layer a user of the reference would stack on the
+  * per-pixel algebra of `GeoRaster` (the reference ships the kernel
+  * machinery in /root/reference/GIP/GeoRaster.h:225-233 and the
+  * convolve/laplacian family; these are the standard published
+  * neighbors: rank filtering, mathematical morphology (Serra), the
+  * topographic position/ruggedness indices (Weiss 2001, Riley 1999),
+  * normalized cross-correlation template matching (Lewis 1995), and
+  * the Hough line transform (Duda-Hart 1972)).
+  *
+  * Every kernel decodes its payload ONCE and emits a per-image
+  * aggregate (or a ≤bins-size histogram) — embarrassingly parallel
+  * map work with no cross-image shuffle, so the 100 TB plan is scan →
+  * kernel → tiny per-image agg. All math is integer or a fixed
+  * sequence of correctly-rounded IEEE ops, so every operator is
+  * DuckDB-oracle value-exact.
+  */
+object Vision {
+
+  /** 3×3 median (rank) filter over interior pixels — the classic
+    * salt-and-pepper denoiser. The median of 9 integers is the 5th
+    * smallest (computed by insertion sort into a 9-slot buffer, no
+    * floating point anywhere). Per image:
+    * (n_int, Σ med, n_changed where med ≠ center, Σ med·(x+131·y)). */
+  val medianAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val buf = new Array[Long](9)
+    var n = 0L; var ms = 0L; var nc = 0L; var chk = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        var i = 0
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val v = z((y + dy) * w + (x + dx)).toLong
+            var j = i
+            while (j > 0 && buf(j - 1) > v) { buf(j) = buf(j - 1); j -= 1 }
+            buf(j) = v; i += 1
+            dx += 1
+          }
+          dy += 1
+        }
+        val med = buf(4)
+        n += 1; ms += med; chk += med * (x + 131L * y)
+        if (med != z(y * w + x).toLong) nc += 1
+        x += 1
+      }
+      y += 1
+    }
+    (n, ms, nc, chk)
+  })
+
+  /** Morphological gradient (Beucher): dilate3×3 − erode3×3 =
+    * max − min over the 3×3 window, the standard edge-strength
+    * operator of mathematical morphology. Interior pixels. Per image:
+    * (n_int, Σ grad, max grad, Σ grad·(x+131·y)). */
+  val morphGradAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    var n = 0L; var gs = 0L; var gm = 0L; var chk = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val v = z((y + dy) * w + (x + dx)).toLong
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            dx += 1
+          }
+          dy += 1
+        }
+        val g = mx - mn
+        n += 1; gs += g; chk += g * (x + 131L * y)
+        if (g > gm) gm = g
+        x += 1
+      }
+      y += 1
+    }
+    (n, gs, gm, chk)
+  })
+
+  /** White top-hat: z − opening(z), where opening = dilate3×3 of the
+    * erode3×3 plane — isolates bright features smaller than the
+    * structuring element (the morphology residue behind bright-spot /
+    * small-target extraction). Evaluated where the full 5×5 support
+    * exists (x,y ∈ [2, w−3]×[2, h−3]); top-hat ≥ 0 by construction.
+    * Per image: (n_eval, Σ th, n_pos with th > 0, Σ th·(x+131·y)). */
+  val topHatAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    // erosion plane over interior (border cells stay MaxValue and the
+    // 5×5 support bound keeps them out of every dilate window below)
+    val ero = Array.fill((w * h).toInt)(Long.MaxValue)
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        var mn = Long.MaxValue
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val v = z((y + dy) * w + (x + dx)).toLong
+            if (v < mn) mn = v
+            dx += 1
+          }
+          dy += 1
+        }
+        ero(y * w + x) = mn
+        x += 1
+      }
+      y += 1
+    }
+    var n = 0L; var ts = 0L; var np = 0L; var chk = 0L
+    y = 2
+    while (y < h - 2) {
+      var x = 2
+      while (x < w - 2) {
+        var mx = Long.MinValue
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val v = ero((y + dy) * w + (x + dx))
+            if (v > mx) mx = v
+            dx += 1
+          }
+          dy += 1
+        }
+        val th = z(y * w + x).toLong - mx
+        n += 1; ts += th; chk += th * (x + 131L * y)
+        if (th > 0) np += 1
+        x += 1
+      }
+      y += 1
+    }
+    (n, ts, np, chk)
+  })
+
+  /** TPI (topographic position index, Weiss 2001) and TRI (terrain
+    * ruggedness index, Riley 1999) over the 8-neighborhood, stated in
+    * pure integers: tpi8 = 8·z_c − Σ z_n (8× the usual z_c − mean, so
+    * no division) and tri = Σ |z_c − z_n|. Interior pixels. Per image:
+    * (n_int, n_ridge with tpi8 > 0, n_valley with tpi8 < 0,
+    * Σ tpi8, Σ tri). */
+  val tpiAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    var n = 0L; var nr = 0L; var nv = 0L; var ts = 0L; var trs = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val zc = z(y * w + x).toLong
+        var sn = 0L; var tri = 0L
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            if (dx != 0 || dy != 0) {
+              val v = z((y + dy) * w + (x + dx)).toLong
+              sn += v; tri += math.abs(zc - v)
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        val tpi = 8 * zc - sn
+        n += 1; ts += tpi; trs += tri
+        if (tpi > 0) nr += 1 else if (tpi < 0) nv += 1
+        x += 1
+      }
+      y += 1
+    }
+    (n, nr, nv, ts, trs)
+  })
+
+  /** The fixed 8×8 template: the k=911 DEM surface's top-left patch —
+    * deterministic, broadcast-by-value into the kernel (at 100 TB the
+    * template is driver-side constant state; only the corpus scans). */
+  val TemplateKey = 911L
+  private lazy val template: Array[Long] = {
+    val t = new Array[Long](64)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) { t(j * 8 + i) = Synth.demValue(TemplateKey, i, j); i += 1 }
+      j += 1
+    }
+    t
+  }
+
+  /** Normalized cross-correlation template match (Lewis 1995),
+    * exact-scored: for each 8×8 window position, num = 64·Σ(T·Z) −
+    * ΣT·ΣZ and den = 64·ΣZ² − (ΣZ)² are exact integers; the reported
+    * score floor(num/√den · 10⁶) is three correctly-rounded IEEE ops
+    * in a fixed order (both operands < 2⁵³, so the int→double casts
+    * are exact) — bit-identical across engines. Zero-variance windows
+    * (den = 0, NCC undefined) are skipped. Best position = max score,
+    * ties → lowest y then x. Per image: (bx, by, best score, n_cand).
+    */
+  val templateMatchAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val t = template
+    val st = t.sum
+    var bx = -1L; var by = -1L; var bs = Long.MinValue; var nc = 0L
+    var y0 = 0
+    while (y0 <= h - 8) {
+      var x0 = 0
+      while (x0 <= w - 8) {
+        var sz = 0L; var szz = 0L; var stz = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 8) {
+            val v = z((y0 + j) * w + (x0 + i)).toLong
+            sz += v; szz += v * v; stz += t(j * 8 + i) * v
+            i += 1
+          }
+          j += 1
+        }
+        val num = 64L * stz - st * sz
+        val den = 64L * szz - sz * sz
+        if (den > 0) {
+          nc += 1
+          val s = math.floor(num.toDouble / math.sqrt(den.toDouble) * 1e6)
+            .toLong
+          if (s > bs) { bs = s; bx = x0; by = y0 }
+        }
+        x0 += 1
+      }
+      y0 += 1
+    }
+    (bx, by, bs, nc)
+  })
+
+  /** Hough line transform at the four exact angles θ ∈ {0°, 45°, 90°,
+    * 135°}: edge pixels (morphological gradient ≥ 300 — the quadratic-
+    * mod DEM's wrap discontinuities form curves) vote for
+    * bin = floor(ρ/8) with ρ = x, (x+y)·√2/2, y, (y−x)·√2/2
+    * respectively (√2/2 is one correctly-rounded literal; the multiply
+    * is the only further rounding — /8 is exact). Returns the winning
+    * bin per θ (max votes, ties → lowest bin) as (θ, bin, votes) rows;
+    * a θ with zero edge pixels emits no row. */
+  val houghAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val s22 = math.sqrt(2.0) / 2
+    // (theta, bin) -> votes
+    val acc = scala.collection.mutable.HashMap[(Int, Long), Long]()
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        var mn = Long.MaxValue; var mx = Long.MinValue
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val v = z((y + dy) * w + (x + dx)).toLong
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            dx += 1
+          }
+          dy += 1
+        }
+        if (mx - mn >= 300) {
+          val bins = Array(
+            math.floor(x / 8.0).toLong,
+            math.floor((x + y) * s22 / 8.0).toLong,
+            math.floor(y / 8.0).toLong,
+            math.floor((y - x) * s22 / 8.0).toLong)
+          var th = 0
+          while (th < 4) {
+            val k = (th, bins(th))
+            acc(k) = acc.getOrElse(k, 0L) + 1L
+            th += 1
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (0 until 4).flatMap { th =>
+      val cands = acc.collect { case ((t, b), c) if t == th => (b, c) }
+      if (cands.isEmpty) None
+      else {
+        val (b, c) = cands.minBy { case (b, c) => (-c, b) }
+        Some((th.toLong, b, c))
+      }
+    }
+  })
+}
