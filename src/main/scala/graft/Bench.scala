@@ -207,7 +207,12 @@ object Bench {
       "q_band_stats_png", "q_skeleton_flux", "q_semdedup", "q_semdedup_lsh",
       "q_dem_slope", "q_hillshade", "q_flow_d8", "q_flow_accum",
       "q_watershed", "q_trend", "q_contours", "q_harris", "q_ann_index",
-      "q_lbp", "q_events_gapfill")
+      "q_lbp", "q_events_gapfill",
+      // vision pack: rank/morphology/TPI/NCC/Hough + viewshed
+      "q_median_filter", "q_morph_gradient", "q_tophat", "q_tpi",
+      "q_template_match", "q_hough", "q_viewshed",
+      // texture/shape pack: GLCM, moments, Otsu, census, HOG-lite
+      "q_glcm", "q_moments", "q_otsu", "q_census", "q_grad_octants")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

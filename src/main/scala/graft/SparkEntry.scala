@@ -1057,6 +1057,59 @@ object SparkEntry {
           col("hh._2").as("best_bin"), col("hh._3").as("votes"))
         .orderBy("image_id", "theta")),
 
+    // GLCM texture at offset (1,0), 8 levels (z div 256): n_pairs,
+    // contrast, dissimilarity, energy — all exact integers
+    "q_glcm" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("g", graft.ops.Vision.glcmAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("g._1").as("n_pairs"),
+          col("g._2").as("contrast"), col("g._3").as("dissim"),
+          col("g._4").as("energy"))
+        .orderBy("image_id")),
+
+    // divide-free central moments: mu20s = m00·Σzx² − m10², mu02s,
+    // mu11s, + principal-axis quadrant code (signs, no atan2)
+    "q_moments" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("m", graft.ops.Vision.momentsAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("m._1").as("mu20s"),
+          col("m._2").as("mu02s"), col("m._3").as("mu11s"),
+          col("m._4").as("orient_code"))
+        .orderBy("image_id")),
+
+    // Otsu threshold over 32 levels (z div 64), argmax of num²/den
+    // decided by exact cross-multiplication, ties → lowest t
+    "q_otsu" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("o", graft.ops.Vision.otsuAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("o._1").as("t_best"),
+          col("o._2").as("w0"), col("o._3").as("num"),
+          col("o._4").as("den"))
+        .orderBy("image_id")),
+
+    // census transform popcount histogram (8-bit neighbor>center
+    // codes over interior pixels)
+    "q_census" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("c", explode(graft.ops.Vision.censusAgg(
+          col("dem_bytes"), col("w").cast("int"), col("h").cast("int"))))
+        .select(col("image_id"), col("c._1").as("popcount"),
+          col("c._2").as("cnt"))
+        .orderBy("image_id", "popcount")),
+
+    // HOG-lite: Horn-gradient octant histogram (8 × 45° sectors via
+    // sign/comparison ladder + flat), counts and integer gx²+gy²
+    "q_grad_octants" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("g", explode(graft.ops.Vision.gradOctAgg(
+          col("dem_bytes"), col("w").cast("int"), col("h").cast("int"))))
+        .select(col("image_id"), col("g._1").as("octant"),
+          col("g._2").as("cnt"), col("g._3").as("mag2_sum"))
+        .orderBy("image_id", "octant")),
+
     // per-user hourly gap-fill: bucket events by hour, generate the
     // DENSE hour series per user, carry the last seen event_type
     // forward across empty hours (ignore-nulls last over the ordered
@@ -3486,6 +3539,132 @@ object SparkEntry {
          |  CAST(best_bin AS BIGINT) AS best_bin,
          |  CAST(votes AS BIGINT) AS votes
          |FROM hgb ORDER BY image_id, theta""".stripMargin,
+
+    // horizontal co-occurrence pairs (x, x+1); levels z//256 ∈ 0..7;
+    // energy Σc² in HUGEINT then cast back
+    "q_glcm" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |glv AS (SELECT k, image_id, w, x, y, z // 256 AS l FROM demp),
+         |glp AS (SELECT a.k, a.image_id, a.l AS li, b.l AS lj
+         |        FROM glv a JOIN glv b ON b.k = a.k AND b.y = a.y
+         |          AND b.x = a.x + 1
+         |        WHERE a.x <= a.w - 2),
+         |glc AS (SELECT k, image_id, li, lj, COUNT(*) AS c
+         |        FROM glp GROUP BY 1, 2, 3, 4)
+         |SELECT image_id, CAST(SUM(c) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(c*(li-lj)*(li-lj)) AS BIGINT) AS contrast,
+         |  CAST(SUM(c*ABS(li-lj)) AS BIGINT) AS dissim,
+         |  CAST(SUM(CAST(c AS HUGEINT)*c) AS BIGINT) AS energy
+         |FROM glc GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    // raw moments in HUGEINT (m00·mxx ≈ 9e16 would overflow a strict
+    // BIGINT product check), scaled central moments cast back; the
+    // quadrant code is (sign(mu11)+1)·3 + (sign(mu20−mu02)+1)
+    "q_moments" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |mmr AS (SELECT k, image_id,
+         |          CAST(SUM(z) AS HUGEINT) AS m00,
+         |          CAST(SUM(z*x) AS HUGEINT) AS m10,
+         |          CAST(SUM(z*y) AS HUGEINT) AS m01,
+         |          CAST(SUM(z*x*x) AS HUGEINT) AS mxx,
+         |          CAST(SUM(z*y*y) AS HUGEINT) AS myy,
+         |          CAST(SUM(z*x*y) AS HUGEINT) AS mxy
+         |        FROM demp GROUP BY 1, 2),
+         |mmu AS (SELECT image_id,
+         |          m00*mxx - m10*m10 AS mu20,
+         |          m00*myy - m01*m01 AS mu02,
+         |          m00*mxy - m10*m01 AS mu11
+         |        FROM mmr)
+         |SELECT image_id, CAST(mu20 AS BIGINT) AS mu20s,
+         |  CAST(mu02 AS BIGINT) AS mu02s,
+         |  CAST(mu11 AS BIGINT) AS mu11s,
+         |  CAST((CASE WHEN mu11 > 0 THEN 2 WHEN mu11 = 0 THEN 1
+         |         ELSE 0 END) * 3
+         |    + (CASE WHEN mu20 > mu02 THEN 2 WHEN mu20 = mu02 THEN 1
+         |       ELSE 0 END) AS BIGINT) AS orient_code
+         |FROM mmu ORDER BY image_id""".stripMargin,
+
+    // per-threshold (w0, S0) prefix sums; best t = the one no rival
+    // beats on the exact cross-product num²·den' > num'²·den (HUGEINT),
+    // ties → lowest t (NOT EXISTS anti-join over ≤31 rivals)
+    "q_otsu" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |olv AS (SELECT k, image_id, z // 64 AS l FROM demp),
+         |ohc AS (SELECT k, image_id, l, COUNT(*) AS c
+         |        FROM olv GROUP BY 1, 2, 3),
+         |otw AS (SELECT k, image_id, SUM(c) AS wt, SUM(l*c) AS st
+         |        FROM ohc GROUP BY 1, 2),
+         |oth AS (SELECT w.k, w.image_id, tt.t, w.wt, w.st,
+         |          (SELECT COALESCE(SUM(h.c), 0) FROM ohc h
+         |           WHERE h.k = w.k AND h.l <= tt.t) AS w0,
+         |          (SELECT COALESCE(SUM(h.l*h.c), 0) FROM ohc h
+         |           WHERE h.k = w.k AND h.l <= tt.t) AS s0
+         |        FROM otw w CROSS JOIN (SELECT unnest(
+         |          generate_series(0, 30)) AS t) tt),
+         |osc AS (SELECT k, image_id, t, w0,
+         |          CAST(w0*st - wt*s0 AS HUGEINT) AS num,
+         |          CAST(w0*(wt - w0) AS HUGEINT) AS den
+         |        FROM oth WHERE w0 > 0 AND w0 < wt),
+         |obt AS (SELECT s1.k, s1.image_id, s1.t, s1.w0, s1.num, s1.den
+         |        FROM osc s1 WHERE NOT EXISTS (
+         |          SELECT 1 FROM osc s2 WHERE s2.k = s1.k AND (
+         |            s2.num*s2.num*s1.den > s1.num*s1.num*s2.den
+         |            OR (s2.num*s2.num*s1.den = s1.num*s1.num*s2.den
+         |                AND s2.t < s1.t))))
+         |SELECT image_id, CAST(t AS BIGINT) AS t_best,
+         |  CAST(w0 AS BIGINT) AS w0, CAST(num AS BIGINT) AS num,
+         |  CAST(den AS BIGINT) AS den
+         |FROM obt ORDER BY image_id""".stripMargin,
+
+    // 8-neighbor greater-than-center popcount per interior pixel,
+    // histogrammed; empty popcount bins emit no row (both sides)
+    "q_census" ->
+      s"""WITH $I, $SimgCte, $DemCte, $D8Cte,
+         |cpc AS (SELECT c.k, c.image_id, c.x, c.y,
+         |          SUM(CASE WHEN n.z > c.z THEN 1 ELSE 0 END) AS pc
+         |        FROM demp c JOIN d8 d ON TRUE
+         |        JOIN demp n ON n.k = c.k AND n.x = c.x + d.dx
+         |          AND n.y = c.y + d.dy
+         |        WHERE c.x >= 1 AND c.x <= c.w-2
+         |          AND c.y >= 1 AND c.y <= c.h-2
+         |        GROUP BY c.k, c.image_id, c.x, c.y, c.z)
+         |SELECT image_id, CAST(pc AS BIGINT) AS popcount,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt
+         |FROM cpc GROUP BY 1, 2 ORDER BY image_id, popcount""".stripMargin,
+
+    // Horn gx/gy per interior pixel → the 45°-sector ladder (verbatim
+    // sign/comparison CASE, octant 8 = flat), counts + Σ gx²+gy²
+    "q_grad_octants" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |goo AS (SELECT a.dx, b.dy
+         |        FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |             (SELECT unnest([-1,0,1]) AS dy) b),
+         |gog AS (SELECT d.k, d.image_id, d.x, d.y,
+         |          SUM(n.z * o.dx * (2-abs(o.dy))) AS gx,
+         |          SUM(n.z * o.dy * (2-abs(o.dx))) AS gy
+         |        FROM demp d JOIN goo o ON TRUE
+         |        JOIN demp n ON n.k = d.k AND n.x = d.x + o.dx
+         |          AND n.y = d.y + o.dy
+         |        WHERE d.x >= 1 AND d.x <= d.w-2
+         |          AND d.y >= 1 AND d.y <= d.h-2
+         |        GROUP BY 1, 2, 3, 4),
+         |goc AS (SELECT k, image_id, gx, gy,
+         |          CASE
+         |            WHEN gx = 0 AND gy = 0 THEN 8
+         |            WHEN gx > 0 AND gy >= 0 AND gy < gx THEN 0
+         |            WHEN gx > 0 AND gy >= gx THEN 1
+         |            WHEN gy > 0 AND gx <= 0 AND gy > -gx THEN 2
+         |            WHEN gx < 0 AND gy > 0 AND gy <= -gx THEN 3
+         |            WHEN gx < 0 AND gy <= 0 AND gy > gx THEN 4
+         |            WHEN gx < 0 AND gy <= gx THEN 5
+         |            WHEN gy < 0 AND gx >= 0 AND gx < -gy THEN 6
+         |            ELSE 7
+         |          END AS oct
+         |        FROM gog)
+         |SELECT image_id, CAST(oct AS BIGINT) AS octant,
+         |  CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(gx*gx + gy*gy) AS BIGINT) AS mag2_sum
+         |FROM goc GROUP BY 1, 2 ORDER BY image_id, octant""".stripMargin,
 
     // hour = floor(epoch/3600) (sub-second truncation can never cross
     // an hour boundary); latest-in-hour via arg_max on (ts, event_id);

@@ -245,6 +245,188 @@ object Vision {
     (bx, by, bs, nc)
   })
 
+  /** GLCM (gray-level co-occurrence, Haralick 1973) at offset (1,0)
+    * over 8 levels (level = z div 256): n_pairs, contrast
+    * Σ c·(i−j)², dissimilarity Σ c·|i−j|, energy Σ c² — the classic
+    * texture features, all exact integers. */
+  val glcmAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val c = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w - 1) {
+        val i = (z(y * w + x).toLong / 256).toInt
+        val j = (z(y * w + x + 1).toLong / 256).toInt
+        c(i * 8 + j) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var np = 0L; var con = 0L; var dis = 0L; var en = 0L
+    var i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        val cc = c(i * 8 + j)
+        np += cc; con += cc * (i - j) * (i - j)
+        dis += cc * math.abs(i - j); en += cc * cc
+        j += 1
+      }
+      i += 1
+    }
+    (np, con, dis, en)
+  })
+
+  /** Intensity-weighted image moments (Hu 1962 raw/central family),
+    * divide-free: the scaled central moments mu20s = m00·Σz·x² − m10²
+    * (= m00²·Var_x up to the weight normalization), mu02s, mu11s are
+    * exact integers (< 2⁶² for 64×64 i16 planes). Orientation class =
+    * (sign(mu11s)+1)·3 + (sign(mu20s−mu02s)+1) — the principal-axis
+    * quadrant without the inexact ½·atan2. */
+  val momentsAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    var m00 = 0L; var m10 = 0L; var m01 = 0L
+    var mxx = 0L; var myy = 0L; var mxy = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = z(y * w + x).toLong
+        m00 += v; m10 += v * x; m01 += v * y
+        mxx += v * x * x; myy += v * y * y; mxy += v * x * y
+        x += 1
+      }
+      y += 1
+    }
+    val mu20 = m00 * mxx - m10 * m10
+    val mu02 = m00 * myy - m01 * m01
+    val mu11 = m00 * mxy - m10 * m01
+    val code = (java.lang.Long.signum(mu11) + 1) * 3 +
+      (java.lang.Long.signum(mu20 - mu02) + 1)
+    (mu20, mu02, mu11, code.toLong)
+  })
+
+  /** Otsu threshold (1979) over 32 levels (level = z div 64), decided
+    * in exact integer arithmetic: maximize the between-class variance
+    * BCV(t) = num²/den with num = w0·S − W·S0 and den = w0·(W−w0)
+    * (both exact Longs), comparing candidates by the cross product
+    * num²·den' ≷ num'²·den in BigInt — no floating point, ties → the
+    * lowest threshold. Returns (t_best, w0, num, den). */
+  val otsuAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val hist = new Array[Long](32)
+    var i = 0
+    val n = w * h
+    while (i < n) { hist((z(i).toLong / 64).toInt) += 1; i += 1 }
+    var wT = 0L; var sT = 0L
+    i = 0
+    while (i < 32) { wT += hist(i); sT += i * hist(i); i += 1 }
+    var bt = -1L; var bw0 = 0L; var bnum = 0L; var bden = 1L
+    var bKey = BigInt(-1)
+    var w0 = 0L; var s0 = 0L
+    var t = 0
+    while (t < 31) {
+      w0 += hist(t); s0 += t * hist(t)
+      if (w0 > 0 && w0 < wT) {
+        val num = w0 * sT - wT * s0
+        val den = w0 * (wT - w0)
+        val key = BigInt(num) * num * bden
+        val ref = bKey * den
+        if (bt < 0 || key > ref) {
+          bt = t; bw0 = w0; bnum = num; bden = den
+          bKey = BigInt(num) * num
+        }
+      }
+      t += 1
+    }
+    (bt, bw0, bnum, bden)
+  })
+
+  /** Census transform (Zabih-Woodfill 1994): per interior pixel the
+    * 8-bit neighbor-greater-than-center code; reported as the
+    * popcount histogram — rows (popcount, cnt) for non-empty counts.
+    * The popcount distribution is the texture signature stereo
+    * matchers rank by. */
+  val censusAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val cnt = new Array[Long](9)
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val zc = z(y * w + x)
+        var pc = 0
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            if ((dx != 0 || dy != 0) && z((y + dy) * w + (x + dx)) > zc)
+              pc += 1
+            dx += 1
+          }
+          dy += 1
+        }
+        cnt(pc) += 1
+        x += 1
+      }
+      y += 1
+    }
+    cnt.toSeq.zipWithIndex.collect { case (c, i) if c > 0 =>
+      (i.toLong, c) }
+  })
+
+  /** Gradient-orientation octant histogram (HOG-lite): Horn gradient
+    * (gx, gy) per interior pixel classified into the eight 45° sectors
+    * [k·45°, (k+1)·45°) by pure sign/magnitude comparisons (no atan2),
+    * octant 8 = flat (gx = gy = 0). Rows (octant, cnt, Σ gx²+gy²) —
+    * counts AND integer energy per direction. Screen-y axis: gy grows
+    * downward, octants are in atan2(gy,gx) order. */
+  val gradOctAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val cnt = new Array[Long](9)
+    val mag = new Array[Long](9)
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        var gx = 0L; var gy = 0L
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val v = z((y + dy) * w + (x + dx)).toLong
+            gx += v * dx * (2 - math.abs(dy))
+            gy += v * dy * (2 - math.abs(dx))
+            dx += 1
+          }
+          dy += 1
+        }
+        val o = octant(gx, gy)
+        cnt(o) += 1; mag(o) += gx * gx + gy * gy
+        x += 1
+      }
+      y += 1
+    }
+    (0 to 8).flatMap { o =>
+      if (cnt(o) > 0) Some((o.toLong, cnt(o), mag(o))) else None
+    }
+  })
+
+  /** Octant of (a,b) with boundaries on the 45° lines: octant k covers
+    * angle [k·45°, (k+1)·45°); (0,0) → 8 (flat). Stated as the exact
+    * sign/comparison ladder both engines replay verbatim. */
+  def octant(a: Long, b: Long): Int =
+    if (a == 0 && b == 0) 8
+    else if (a > 0 && b >= 0 && b < a) 0
+    else if (a > 0 && b >= a) 1
+    else if (b > 0 && a <= 0 && b > -a) 2
+    else if (a < 0 && b > 0 && b <= -a) 3
+    else if (a < 0 && b <= 0 && b > a) 4
+    else if (a < 0 && b <= a) 5
+    else if (b < 0 && a >= 0 && a < -b) 6
+    else 7
+
   /** Hough line transform at the four exact angles θ ∈ {0°, 45°, 90°,
     * 135°}: edge pixels (morphological gradient ≥ 300 — the quadratic-
     * mod DEM's wrap discontinuities form curves) vote for

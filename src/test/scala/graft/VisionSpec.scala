@@ -108,6 +108,65 @@ class VisionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(2L) == ((0L, 12L))) // ρ=y: same
   }
 
+  test("glcmAgg: two-level checker row pairs") {
+    // levels 0,1 / 1,0 → c(0,1)=c(1,0)=1: contrast 2, dissim 2, energy 2
+    val z = Array(100.0, 400, 400, 100)
+    val r = one(Vision.glcmAgg, z, 2, 2)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L)
+  }
+
+  test("momentsAgg: 1×2 golden") {
+    // z=[1,3]: m00=4, m10=3, mxx=3 → mu20 = 4·3−9 = 3; mu02=mu11=0;
+    // code = (0+1)·3 + (1+1) = 5
+    val z = Array(1.0, 3)
+    val r = one(Vision.momentsAgg, z, 2, 1)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.getLong(3) == 5L)
+  }
+
+  test("otsuAgg: all thresholds tie → lowest t wins") {
+    // levels {0,0,0,31}: every t∈[0,30] splits 3|1 with identical BCV
+    val z = Array(0.0, 0, 0, 1999)
+    val r = one(Vision.otsuAgg, z, 4, 1)
+    assert(r.getLong(0) == 0L)  // t_best
+    assert(r.getLong(1) == 3L)  // w0
+    assert(r.getLong(2) == 93L) // num = 3·31 − 4·0
+    assert(r.getLong(3) == 3L)  // den = 3·1
+  }
+
+  test("censusAgg: ascending ramp center has popcount 4") {
+    val z = Array.tabulate(9)(i => (i + 1).toDouble)
+    import spark.implicits._
+    val rows = Seq((enc(z, 3, 3), 3, 3)).toDF("b", "w", "h")
+      .select(explode(Vision.censusAgg(col("b"), col("w"), col("h")))
+        .as("r"))
+      .select(col("r._1"), col("r._2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((4L, 1L)))
+  }
+
+  test("octant ladder: the 8 unit directions + flat + interior points") {
+    val exp = Seq((1, 0) -> 0, (1, 1) -> 1, (0, 1) -> 2, (-1, 1) -> 3,
+      (-1, 0) -> 4, (-1, -1) -> 5, (0, -1) -> 6, (1, -1) -> 7,
+      (0, 0) -> 8, (2, 1) -> 0, (1, 2) -> 1, (-1, 2) -> 2, (-2, 1) -> 3,
+      (-2, -1) -> 4, (-1, -2) -> 5, (1, -2) -> 6, (2, -1) -> 7)
+    for (((a, b), o) <- exp)
+      assert(Vision.octant(a.toLong, b.toLong) == o, s"octant($a,$b)")
+  }
+
+  test("gradOctAgg: x-ramp plane is pure east gradient") {
+    // z = 2x → Horn gx = 16, gy = 0 at the single interior pixel
+    val z = Array.tabulate(9)(i => (2 * (i % 3)).toDouble)
+    import spark.implicits._
+    val rows = Seq((enc(z, 3, 3), 3, 3)).toDF("b", "w", "h")
+      .select(explode(Vision.gradOctAgg(col("b"), col("w"), col("h")))
+        .as("r"))
+      .select(col("r._1"), col("r._2"), col("r._3")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((0L, 1L, 256L)))
+  }
+
   test("viewshedAgg: one-row ridge blocks the far cell") {
     // z = [0, 10, 0], observer height 2 → (1,0) adjacent-visible,
     // (2,0) blocked by the ridge: (10−2)·2 > (0−2)·1
