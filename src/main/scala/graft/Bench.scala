@@ -212,7 +212,10 @@ object Bench {
       "q_median_filter", "q_morph_gradient", "q_tophat", "q_tpi",
       "q_template_match", "q_hough", "q_viewshed",
       // texture/shape pack: GLCM, moments, Otsu, census, HOG-lite
-      "q_glcm", "q_moments", "q_otsu", "q_census", "q_grad_octants")
+      "q_glcm", "q_moments", "q_otsu", "q_census", "q_grad_octants",
+      // raster time-series pack round 2: CUSUM changepoint scan +
+      // max-value composite over the 6-epoch stack
+      "q_changepoint", "q_temporal_composite")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

@@ -1165,6 +1165,36 @@ object SparkEntry {
           col("tr._2").as("n_neg"), col("tr._3").as("num_sum"))
         .orderBy("image_id")),
 
+    // per-pixel CUSUM changepoint over a 6-epoch stack: s* =
+    // argmax_s |T·prefix_s − s·total| (ties → smallest s); per-image
+    // changepoint-location histogram + scan-statistic checksum
+    "q_changepoint" -> ((s, dir) =>
+      Synth.demEpochImages(s, dir, 6, smallRaw)
+        .groupBy("k", "image_id", "w", "h")
+        .agg(collect_list(struct(col("t").cast("int").as("t"),
+          col("bytes"))).as("eps"))
+        .withColumn("r", explode(graft.ops.Terrain.changepointAgg(
+          col("w").cast("int"), col("h").cast("int"), col("eps"))))
+        .select(col("image_id"), col("r._1").cast("long").as("t_star"),
+          col("r._2").as("n_px"), col("r._3").as("dsum"))
+        .where(col("n_px") > 0)
+        .orderBy("image_id", "t_star")),
+
+    // temporal max-value composite (Holben 1986) over a 6-epoch
+    // stack: winning epoch = argmax v (ties → earliest t); per-image
+    // composite provenance histogram + winner checksum
+    "q_temporal_composite" -> ((s, dir) =>
+      Synth.demEpochImages(s, dir, 6, smallRaw)
+        .groupBy("k", "image_id", "w", "h")
+        .agg(collect_list(struct(col("t").cast("int").as("t"),
+          col("bytes"))).as("eps"))
+        .withColumn("r", explode(graft.ops.Terrain.compositeAgg(
+          col("w").cast("int"), col("h").cast("int"), col("eps"))))
+        .select(col("image_id"), col("r._1").cast("long").as("t_win"),
+          col("r._2").as("n_px"), col("r._3").as("v_sum"))
+        .where(col("n_px") > 0)
+        .orderBy("image_id", "t_win")),
+
     // exact squared-EUCLIDEAN distance transform (Felzenszwalb
     // two-pass lower envelope, outside-is-background) on the
     // irregular half-plane mask (p3 > p2 within the valid rect):
@@ -3744,6 +3774,58 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN num < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
          |  CAST(SUM(num) AS BIGINT) AS num_sum
          |FROM tnum GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // CUSUM scan over the 6-epoch stack: D_s = 6·cumsum_{s} − s·total,
+    // s* = argmax |D_s| with smallest-s tie via MAX(struct(|D|, −s))
+    "q_changepoint" ->
+      s"""WITH $I, $SimgCte,
+         |tep AS (SELECT unnest(generate_series(0, 5)) AS t),
+         |ttv AS (SELECT s.k, s.image_id, xs.x, ys.y, e.t,
+         |          100 + ((s.k%7+1)*xs.x*xs.x + (s.k%5+1)*ys.y*ys.y
+         |               + (s.k%3+1)*xs.x*ys.y
+         |               + ((s.k*3)%11)*xs.x + ((s.k*7)%13)*ys.y) % 1900
+         |          + e.t * ((xs.x + ys.y + s.k) % 7 - 3)
+         |          + (e.t*e.t*(xs.x+1)*(s.k%11+1)) % 5 AS v
+         |        FROM simg s CROSS JOIN tep e
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.w-1 AS INT))) AS x) xs
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.h-1 AS INT))) AS y) ys),
+         |tcum AS (SELECT k, image_id, x, y, t,
+         |           SUM(v) OVER (PARTITION BY k, x, y ORDER BY t) AS cm,
+         |           SUM(v) OVER (PARTITION BY k, x, y) AS tot
+         |         FROM ttv),
+         |tds AS (SELECT k, image_id, x, y, t + 1 AS s,
+         |          ABS(6*cm - (t+1)*tot) AS ad
+         |        FROM tcum WHERE t < 5),
+         |tbest AS (SELECT k, image_id, x, y,
+         |            (MAX(struct_pack(a := ad, b := -s))).b AS nb,
+         |            (MAX(struct_pack(a := ad, b := -s))).a AS ad
+         |          FROM tds GROUP BY 1, 2, 3, 4)
+         |SELECT image_id, CAST(-nb AS BIGINT) AS t_star,
+         |  CAST(COUNT(*) AS BIGINT) AS n_px,
+         |  CAST(SUM(ad) AS BIGINT) AS dsum
+         |FROM tbest GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // max-value composite: winner = MAX(struct(v, −t)) per pixel
+    "q_temporal_composite" ->
+      s"""WITH $I, $SimgCte,
+         |tep AS (SELECT unnest(generate_series(0, 5)) AS t),
+         |ttv AS (SELECT s.k, s.image_id, xs.x, ys.y, e.t,
+         |          100 + ((s.k%7+1)*xs.x*xs.x + (s.k%5+1)*ys.y*ys.y
+         |               + (s.k%3+1)*xs.x*ys.y
+         |               + ((s.k*3)%11)*xs.x + ((s.k*7)%13)*ys.y) % 1900
+         |          + e.t * ((xs.x + ys.y + s.k) % 7 - 3)
+         |          + (e.t*e.t*(xs.x+1)*(s.k%11+1)) % 5 AS v
+         |        FROM simg s CROSS JOIN tep e
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.w-1 AS INT))) AS x) xs
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.h-1 AS INT))) AS y) ys),
+         |twin AS (SELECT k, image_id, x, y,
+         |           (MAX(struct_pack(v := v, tn := -t))).v AS wv,
+         |           (MAX(struct_pack(v := v, tn := -t))).tn AS tn
+         |         FROM ttv GROUP BY 1, 2, 3, 4)
+         |SELECT image_id, CAST(-tn AS BIGINT) AS t_win,
+         |  CAST(COUNT(*) AS BIGINT) AS n_px,
+         |  CAST(SUM(wv) AS BIGINT) AS v_sum
+         |FROM twin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_gain_offset" ->
       s"""WITH $I, $B, $SimgCte, $PxCte

@@ -433,4 +433,71 @@ object Terrain {
     }
     (nPos, nNeg, s)
   })
+
+  /** Per-pixel CUSUM changepoint over a T-epoch stack (Page 1954 /
+    * the standard mean-shift scan statistic, stated in integers so
+    * the oracle is value-exact): for each split s ∈ [1, T−1] the
+    * scaled deviation is D_s = T·Σ_{t<s} v_t − s·Σ_t v_t (= T·s·
+    * (mean(prefix) − mean(all)) — the constant 1/(T·s) factor only
+    * scales, so the argmax is unchanged and no divide is needed).
+    * The pixel's changepoint is s* = argmax |D_s|, ties → smallest
+    * s. Returns per-split rows (s*, n_px, Σ|D_s*|) for the per-image
+    * changepoint histogram. Decode-once map work — no shuffle. */
+  val changepointAgg = udf((w: Int, h: Int,
+                            epochs: Seq[org.apache.spark.sql.Row]) => {
+    val byT = epochs.map(r => (r.getInt(0),
+      Codec.decode(r.getAs[Array[Byte]](1), w, h, 1, "raw-i16le")(0)))
+      .sortBy(_._1)
+    val T = byT.size
+    val n = new Array[Long](T)
+    val d = new Array[Long](T)
+    val vt = new Array[Long](T)
+    var i = 0
+    while (i < w * h) {
+      var tot = 0L
+      var t = 0
+      while (t < T) { vt(t) = byT(t)._2(i).toLong; tot += vt(t); t += 1 }
+      var pre = 0L
+      var bestAbs = -1L; var bestS = 0
+      var s = 1
+      while (s < T) {
+        pre += vt(s - 1)
+        val ds = T * pre - s * tot
+        val a = math.abs(ds)
+        if (a > bestAbs) { bestAbs = a; bestS = s }
+        s += 1
+      }
+      n(bestS) += 1; d(bestS) += bestAbs
+      i += 1
+    }
+    (1 until T).map(s => (s, n(s), d(s)))
+  })
+
+  /** Temporal best-pixel composite (the max-value-composite rule of
+    * Holben 1986, the standard cloud-free compositing recipe): per
+    * pixel the winning epoch is argmax v_t, ties → earliest t.
+    * Returns per-epoch rows (t_win, n_px, Σ v_win) — the per-image
+    * composite provenance histogram plus winner checksum. */
+  val compositeAgg = udf((w: Int, h: Int,
+                          epochs: Seq[org.apache.spark.sql.Row]) => {
+    val byT = epochs.map(r => (r.getInt(0),
+      Codec.decode(r.getAs[Array[Byte]](1), w, h, 1, "raw-i16le")(0)))
+      .sortBy(_._1)
+    val T = byT.size
+    val n = new Array[Long](T)
+    val sv = new Array[Long](T)
+    var i = 0
+    while (i < w * h) {
+      var bestV = Long.MinValue; var bestT = 0
+      var t = 0
+      while (t < T) {
+        val v = byT(t)._2(i).toLong
+        if (v > bestV) { bestV = v; bestT = t }
+        t += 1
+      }
+      n(bestT) += 1; sv(bestT) += bestV
+      i += 1
+    }
+    (0 until T).map(t => (t, n(t), sv(t)))
+  })
 }
