@@ -215,7 +215,9 @@ object Bench {
       "q_glcm", "q_moments", "q_otsu", "q_census", "q_grad_octants",
       // raster time-series pack round 2: CUSUM changepoint scan +
       // max-value composite over the 6-epoch stack
-      "q_changepoint", "q_temporal_composite")
+      "q_changepoint", "q_temporal_composite",
+      // integral-image box filter + Canny-lite edge chain
+      "q_integral_box", "q_canny")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

@@ -1110,6 +1110,32 @@ object SparkEntry {
           col("g._2").as("cnt"), col("g._3").as("mag2_sum"))
         .orderBy("image_id", "octant")),
 
+    // 7×7 box filter via a summed-area table: O(1) per pixel vs the
+    // oracle's naive O(k²) window scan — identical integers
+    "q_integral_box" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("ib", graft.ops.Vision.integralBoxAgg(
+          col("dem_bytes"), col("w").cast("int"), col("h").cast("int"),
+          lit(3)))
+        .select(col("image_id"), col("ib._1").as("n_eval"),
+          col("ib._2").as("box_sum"), col("ib._3").as("box_max"),
+          col("ib._4").as("chk"))
+        .where(col("n_eval") > 0)
+        .orderBy("image_id")),
+
+    // Canny-lite edge chain: integer central-diff gradient →
+    // octant-quantized NMS → double threshold → hysteresis BFS
+    "q_canny" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("c", graft.ops.Vision.cannyAgg(
+          col("dem_bytes"), col("w").cast("int"), col("h").cast("int"),
+          lit(250000L), lit(1000000L)))
+        .select(col("image_id"), col("c._1").as("n_nms"),
+          col("c._2").as("n_strong"), col("c._3").as("n_edge"),
+          col("c._4").as("chk"))
+        .where(col("n_nms") > 0)
+        .orderBy("image_id")),
+
     // per-user hourly gap-fill: bucket events by hour, generate the
     // DENSE hour series per user, carry the last seen event_type
     // forward across empty hours (ignore-nulls last over the ordered
@@ -3695,6 +3721,79 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS cnt,
          |  CAST(SUM(gx*gx + gy*gy) AS BIGINT) AS mag2_sum
          |FROM goc GROUP BY 1, 2 ORDER BY image_id, octant""".stripMargin,
+
+    // naive O(k²) 7×7 window scan — the engine's summed-area table
+    // must produce the identical integers in O(1) per pixel
+    "q_integral_box" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |ibo AS (SELECT a.dx, b.dy
+         |        FROM (SELECT unnest(generate_series(-3, 3)) AS dx) a,
+         |             (SELECT unnest(generate_series(-3, 3)) AS dy) b),
+         |ibs AS (SELECT c.k, c.image_id, c.x, c.y, SUM(n.z) AS bs
+         |        FROM demp c JOIN ibo o ON TRUE
+         |        JOIN demp n ON n.k = c.k AND n.x = c.x + o.dx
+         |          AND n.y = c.y + o.dy
+         |        WHERE c.x >= 3 AND c.x <= c.w-4
+         |          AND c.y >= 3 AND c.y <= c.h-4
+         |        GROUP BY 1, 2, 3, 4)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |  CAST(SUM(bs) AS BIGINT) AS box_sum,
+         |  CAST(MAX(bs) AS BIGINT) AS box_max,
+         |  CAST(SUM(bs*(x + 131*y)) AS BIGINT) AS chk
+         |FROM ibs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Canny-lite: central-diff gradient, octant-axis NMS (the
+    // q_grad_octants CASE ladder mod 4), double threshold, hysteresis
+    // as recursive reachability from strong through the survivor set
+    "q_canny" ->
+      s"""WITH RECURSIVE $I, $SimgCte, $DemCte, $D8Cte,
+         |cg AS (SELECT c.k, c.image_id, c.x, c.y,
+         |         e.z - w2.z AS gx, s2.z - n2.z AS gy
+         |       FROM demp c
+         |       JOIN demp e  ON e.k = c.k  AND e.x = c.x+1 AND e.y = c.y
+         |       JOIN demp w2 ON w2.k = c.k AND w2.x = c.x-1 AND w2.y = c.y
+         |       JOIN demp s2 ON s2.k = c.k AND s2.x = c.x AND s2.y = c.y+1
+         |       JOIN demp n2 ON n2.k = c.k AND n2.x = c.x AND n2.y = c.y-1),
+         |cmg AS (SELECT k, image_id, x, y, gx*gx + gy*gy AS m2,
+         |         (CASE
+         |            WHEN gx = 0 AND gy = 0 THEN 0
+         |            WHEN gx > 0 AND gy >= 0 AND gy < gx THEN 0
+         |            WHEN gx > 0 AND gy >= gx THEN 1
+         |            WHEN gy > 0 AND gx <= 0 AND gy > -gx THEN 2
+         |            WHEN gx < 0 AND gy > 0 AND gy <= -gx THEN 3
+         |            WHEN gx < 0 AND gy <= 0 AND gy > gx THEN 4
+         |            WHEN gx < 0 AND gy <= gx THEN 5
+         |            WHEN gy < 0 AND gx >= 0 AND gx < -gy THEN 6
+         |            ELSE 7
+         |          END) % 4 AS axis
+         |        FROM cg),
+         |csur AS (SELECT c.k, c.image_id, c.x, c.y, c.m2,
+         |           CASE WHEN c.m2 >= 1000000 THEN 1 ELSE 0 END AS strong
+         |         FROM cmg c JOIN d8 d ON d.code = c.axis
+         |         LEFT JOIN cmg nn ON nn.k = c.k AND nn.x = c.x + d.dx
+         |           AND nn.y = c.y + d.dy
+         |         LEFT JOIN cmg pp ON pp.k = c.k AND pp.x = c.x - d.dx
+         |           AND pp.y = c.y - d.dy
+         |         WHERE c.m2 >= 250000
+         |           AND c.m2 > COALESCE(nn.m2, -1)
+         |           AND c.m2 >= COALESCE(pp.m2, -1)),
+         |creach AS (
+         |  SELECT k, x, y FROM csur WHERE strong = 1
+         |  UNION
+         |  SELECT sv.k, sv.x, sv.y
+         |  FROM creach r JOIN d8 d ON TRUE
+         |  JOIN csur sv ON sv.k = r.k AND sv.x = r.x + d.dx
+         |    AND sv.y = r.y + d.dy),
+         |cstat AS (SELECT k, image_id, COUNT(*) AS n_nms,
+         |            SUM(strong) AS n_strong FROM csur GROUP BY 1, 2),
+         |cedge AS (SELECT k, COUNT(*) AS n_edge, SUM(x + 131*y) AS chk
+         |          FROM creach GROUP BY 1)
+         |SELECT t.image_id, CAST(t.n_nms AS BIGINT) AS n_nms,
+         |  CAST(t.n_strong AS BIGINT) AS n_strong,
+         |  CAST(COALESCE(e.n_edge, 0) AS BIGINT) AS n_edge,
+         |  CAST(COALESCE(e.chk, 0) AS BIGINT) AS chk
+         |FROM cstat t LEFT JOIN cedge e ON e.k = t.k
+         |ORDER BY t.image_id""".stripMargin,
 
     // hour = floor(epoch/3600) (sub-second truncation can never cross
     // an hour boundary); latest-in-hour via arg_max on (ts, event_id);

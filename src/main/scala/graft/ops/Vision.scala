@@ -413,6 +413,131 @@ object Vision {
     }
   })
 
+  /** Box filter via a summed-area table (Crow 1984 integral image):
+    * one O(w·h) pass builds the SAT, then every (2r+1)² window sum is
+    * 4 lookups — O(1) per pixel independent of r, where the naive
+    * window scan (what the DuckDB oracle replays) is O(r²) per pixel.
+    * Full-support interior only (x,y ∈ [r, w−1−r]×[r, h−1−r]). All
+    * integer. Per image: (n_eval, Σ box, max box, Σ box·(x+131·y)). */
+  val integralBoxAgg = udf((bytes: Array[Byte], w: Int, h: Int, r: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    // sat(y)(x) = Σ z over [0,x)×[0,y) — (w+1)·(h+1), built in one pass
+    val sat = new Array[Long]((w + 1) * (h + 1))
+    var y = 0
+    while (y < h) {
+      var rowSum = 0L
+      var x = 0
+      while (x < w) {
+        rowSum += z(y * w + x).toLong
+        sat((y + 1) * (w + 1) + (x + 1)) = sat(y * (w + 1) + (x + 1)) + rowSum
+        x += 1
+      }
+      y += 1
+    }
+    var n = 0L; var bs = 0L; var bmax = Long.MinValue; var chk = 0L
+    y = r
+    while (y < h - r) {
+      val y0 = y - r; val y1 = y + r + 1
+      var x = r
+      while (x < w - r) {
+        val x0 = x - r; val x1 = x + r + 1
+        val box = sat(y1 * (w + 1) + x1) - sat(y0 * (w + 1) + x1) -
+          sat(y1 * (w + 1) + x0) + sat(y0 * (w + 1) + x0)
+        n += 1; bs += box; if (box > bmax) bmax = box
+        chk += box * (x + 131L * y)
+        x += 1
+      }
+      y += 1
+    }
+    (n, bs, if (n == 0) 0L else bmax, chk)
+  })
+
+  /** Canny-lite edge chain (Canny 1986 restated in exact integers):
+    * central-difference gradient gx = z(x+1)−z(x−1), gy = z(y+1)−
+    * z(y−1) on the interior; direction floor-quantized to one of 4
+    * axes via the 45°-boundary [[octant]] ladder (axis = octant mod
+    * 4 — the same exact comparison ladder q_grad_octants gates);
+    * non-max suppression keeps mag² > next-along-axis and ≥
+    * prev-along-axis (out-of-support neighbors never suppress);
+    * double threshold mag² ≥ th2 (strong) / ≥ tl2 (weak); hysteresis
+    * promotes weak survivors 8-connected to a strong through the
+    * survivor set (per-image BFS — O(edges), decode-once, no
+    * shuffle; the oracle replays it as a recursive reachability
+    * CTE). Per image: (n_nms, n_strong, n_edge, Σ (x+131·y) over
+    * final edges). */
+  val cannyAgg = udf((bytes: Array[Byte], w: Int, h: Int,
+                      tl2: Long, th2: Long) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val DX = Array(1, 1, 0, -1, -1, -1, 0, 1)
+    val DY = Array(0, 1, 1, 1, 0, -1, -1, -1)
+    val m2 = new Array[Long](w * h) // -1 = outside gradient support
+    val ax = new Array[Byte](w * h)
+    java.util.Arrays.fill(m2, -1L)
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val gx = z(y * w + x + 1).toLong - z(y * w + x - 1).toLong
+        val gy = z((y + 1) * w + x).toLong - z((y - 1) * w + x).toLong
+        m2(y * w + x) = gx * gx + gy * gy
+        val o = octant(gx, gy)
+        ax(y * w + x) = (if (o == 8) 0 else o % 4).toByte
+        x += 1
+      }
+      y += 1
+    }
+    // NMS + double threshold: state 0 none, 1 weak, 2 strong
+    val st = new Array[Byte](w * h)
+    var nSur = 0L; var nStrong = 0L
+    y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val i = y * w + x
+        val v = m2(i)
+        if (v >= tl2) {
+          val a = ax(i)
+          val nx = x + DX(a); val ny = y + DY(a)
+          val px = x - DX(a); val py = y - DY(a)
+          val nm = m2(ny * w + nx) // border ring is -1 (never suppresses)
+          val pm = m2(py * w + px)
+          if (v > nm && v >= pm) {
+            nSur += 1
+            if (v >= th2) { st(i) = 2; nStrong += 1 } else st(i) = 1
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    // hysteresis BFS from strong through the survivor set
+    val queue = new java.util.ArrayDeque[Int]()
+    val edge = new Array[Boolean](w * h)
+    var i = 0
+    while (i < w * h) {
+      if (st(i) == 2) { edge(i) = true; queue.add(i) }
+      i += 1
+    }
+    while (!queue.isEmpty) {
+      val c = queue.poll()
+      val cx = c % w; val cy = c / w
+      var d = 0
+      while (d < 8) {
+        val j = (cy + DY(d)) * w + (cx + DX(d))
+        // survivors only exist on the interior, so j is in range
+        if (st(j) != 0 && !edge(j)) { edge(j) = true; queue.add(j) }
+        d += 1
+      }
+    }
+    var nEdge = 0L; var chk = 0L
+    i = 0
+    while (i < w * h) {
+      if (edge(i)) { nEdge += 1; chk += (i % w) + 131L * (i / w) }
+      i += 1
+    }
+    (nSur, nStrong, nEdge, chk)
+  })
+
   /** Octant of (a,b) with boundaries on the 45° lines: octant k covers
     * angle [k·45°, (k+1)·45°); (0,0) → 8 (flat). Stated as the exact
     * sign/comparison ladder both engines replay verbatim. */
