@@ -217,7 +217,9 @@ object Bench {
       // max-value composite over the 6-epoch stack
       "q_changepoint", "q_temporal_composite",
       // integral-image box filter + Canny-lite edge chain
-      "q_integral_box", "q_canny")
+      "q_integral_box", "q_canny",
+      // SAD block motion (planted-shift recovery) + seam-carving DP
+      "q_block_motion", "q_seam")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

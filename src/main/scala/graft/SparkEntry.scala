@@ -1136,6 +1136,35 @@ object SparkEntry {
         .where(col("n_nms") > 0)
         .orderBy("image_id")),
 
+    // exhaustive-search SAD block motion between epochs 0 and 3,
+    // with a per-image planted shift (k%5−2, k%3−1) the search must
+    // recover: per-image winning-displacement histogram + SAD sums
+    "q_block_motion" -> ((s, dir) =>
+      Synth.demEpochImages(s, dir, 4, smallRaw)
+        .where(col("t").isin(0, 3))
+        .groupBy("k", "image_id", "w", "h")
+        .agg(collect_list(struct(col("t").cast("int").as("t"),
+          col("bytes"))).as("eps"))
+        .withColumn("r", explode(graft.ops.Vision.blockMotionAgg(
+          col("w").cast("int"), col("h").cast("int"),
+          (col("k") % 5 - 2).cast("int"), (col("k") % 3 - 1).cast("int"),
+          col("eps"))))
+        .select(col("image_id"), col("r._1").cast("long").as("dx"),
+          col("r._2").cast("long").as("dy"), col("r._3").as("n_blocks"),
+          col("r._4").as("sad_sum"))
+        .orderBy("image_id", "dx", "dy")),
+
+    // vertical min-energy seam DP (seam carving): per-image seam
+    // cost, seam-exit column, bottom-DP-row checksum
+    "q_seam" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("r", graft.ops.Vision.seamAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("r._1").as("n_cols"),
+          col("r._2").as("seam_cost"), col("r._3").as("seam_x"),
+          col("r._4").as("dp_sum"))
+        .orderBy("image_id")),
+
     // per-user hourly gap-fill: bucket events by hour, generate the
     // DENSE hour series per user, carry the last seen event_type
     // forward across empty hours (ignore-nulls last over the ordered
@@ -3794,6 +3823,89 @@ object SparkEntry {
          |  CAST(COALESCE(e.chk, 0) AS BIGINT) AS chk
          |FROM cstat t LEFT JOIN cedge e ON e.k = t.k
          |ORDER BY t.image_id""".stripMargin,
+
+    // exhaustive 8×8-block SAD over d ∈ [−2,2]²; winner via
+    // MIN(struct(sad, code)) — smallest-code tie like the kernel
+    "q_block_motion" ->
+      s"""WITH $I, $SimgCte,
+         |mep AS (SELECT unnest([0, 3]) AS t),
+         |mtv AS (SELECT s.k, s.image_id, xs.x, ys.y, e.t,
+         |          100 + ((s.k%7+1)*xs.x*xs.x + (s.k%5+1)*ys.y*ys.y
+         |               + (s.k%3+1)*xs.x*ys.y
+         |               + ((s.k*3)%11)*xs.x + ((s.k*7)%13)*ys.y) % 1900
+         |          + e.t * ((xs.x + ys.y + s.k) % 7 - 3)
+         |          + (e.t*e.t*(xs.x+1)*(s.k%11+1)) % 5 AS v
+         |        FROM simg s CROSS JOIN mep e
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.w-1 AS INT))) AS x) xs
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.h-1 AS INT))) AS y) ys),
+         |mv0 AS (SELECT k, x, y, v FROM mtv WHERE t = 0),
+         |mv3 AS (SELECT k, x, y, v FROM mtv WHERE t = 3),
+         |mblk AS (SELECT s.k, bx.v AS x0, by2.v AS y0
+         |         FROM simg s
+         |         CROSS JOIN LATERAL (SELECT unnest(generate_series(2,
+         |           CAST(s.w-10 AS INT), 8)) AS v) bx
+         |         CROSS JOIN LATERAL (SELECT unnest(generate_series(2,
+         |           CAST(s.h-10 AS INT), 8)) AS v) by2),
+         |mdis AS (SELECT a.dx, b.dy
+         |         FROM (SELECT unnest(generate_series(-2, 2)) AS dx) a,
+         |              (SELECT unnest(generate_series(-2, 2)) AS dy) b),
+         |msad AS (SELECT b.k, b.x0, b.y0, d.dx, d.dy,
+         |           SUM(ABS(r.v - c.v)) AS sad
+         |         FROM mblk b JOIN mdis d ON TRUE
+         |         JOIN mv3 r ON r.k = b.k
+         |           AND r.x >= b.x0 + (b.k%5 - 2)
+         |           AND r.x < b.x0 + 8 + (b.k%5 - 2)
+         |           AND r.y >= b.y0 + (b.k%3 - 1)
+         |           AND r.y < b.y0 + 8 + (b.k%3 - 1)
+         |         JOIN mv0 c ON c.k = r.k
+         |           AND c.x = r.x - (b.k%5 - 2) + d.dx
+         |           AND c.y = r.y - (b.k%3 - 1) + d.dy
+         |         GROUP BY 1, 2, 3, 4, 5),
+         |mwin AS (SELECT k, x0, y0,
+         |           (MIN(struct_pack(s := sad, c := (dy+2)*5 + (dx+2)))).s AS ws,
+         |           (MIN(struct_pack(s := sad, c := (dy+2)*5 + (dx+2)))).c AS wc
+         |         FROM msad GROUP BY 1, 2, 3)
+         |SELECT s.image_id, CAST(wc % 5 - 2 AS BIGINT) AS dx,
+         |  CAST(wc // 5 - 2 AS BIGINT) AS dy,
+         |  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |  CAST(SUM(ws) AS BIGINT) AS sad_sum
+         |FROM mwin m JOIN simg s ON s.k = m.k
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // seam DP as a strictly-increasing-y recursive CTE: row y+1's
+    // min-parent via scatter + GROUP BY in the derived table
+    "q_seam" ->
+      s"""WITH RECURSIVE $I, $SimgCte, $DemCte,
+         |sen AS (SELECT c.k, c.image_id, c.h, c.x, c.y,
+         |          ABS(se.z - sw2.z) + ABS(ss2.z - sn2.z) AS en
+         |        FROM demp c
+         |        JOIN demp se  ON se.k = c.k AND se.x = c.x+1
+         |          AND se.y = c.y
+         |        JOIN demp sw2 ON sw2.k = c.k AND sw2.x = c.x-1
+         |          AND sw2.y = c.y
+         |        JOIN demp ss2 ON ss2.k = c.k AND ss2.x = c.x
+         |          AND ss2.y = c.y+1
+         |        JOIN demp sn2 ON sn2.k = c.k AND sn2.x = c.x
+         |          AND sn2.y = c.y-1),
+         |sdp AS (
+         |  SELECT k, image_id, h, x, y, en AS m FROM sen WHERE y = 1
+         |  UNION ALL
+         |  SELECT c.k, c.image_id, c.h, c.x, c.y, c.en + c.pm AS m
+         |  FROM (
+         |    SELECT n.k, n.image_id, n.h, n.x, n.y, n.en, MIN(p.m) AS pm
+         |    FROM sdp p JOIN sen n ON n.k = p.k AND n.y = p.y + 1
+         |      AND n.x BETWEEN p.x - 1 AND p.x + 1
+         |    GROUP BY 1, 2, 3, 4, 5, 6
+         |  ) c),
+         |sbot AS (SELECT k, x, m FROM sdp WHERE y = h - 2)
+         |SELECT s.image_id, CAST(s.w - 2 AS BIGINT) AS n_cols,
+         |  CAST((MIN(struct_pack(m := b.m, x := b.x))).m AS BIGINT)
+         |    AS seam_cost,
+         |  CAST((MIN(struct_pack(m := b.m, x := b.x))).x AS BIGINT)
+         |    AS seam_x,
+         |  CAST(SUM(b.m) AS BIGINT) AS dp_sum
+         |FROM sbot b JOIN simg s ON s.k = b.k
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     // hour = floor(epoch/3600) (sub-second truncation can never cross
     // an hour boundary); latest-in-hour via arg_max on (ts, event_id);

@@ -538,6 +538,102 @@ object Vision {
     (nSur, nStrong, nEdge, chk)
   })
 
+  /** Block-matching motion estimation (the exhaustive-search SAD
+    * kernel of MPEG/H.26x motion compensation, Jain & Jain 1981):
+    * 8×8 reference blocks from the LATER frame, displacement search
+    * d ∈ [−2,2]² in the earlier frame, winner = argmin SAD with ties
+    * → smallest code (dy+2)·5+(dx+2). Blocks are placed on a margin-2
+    * grid (x0,y0 ≡ 2 mod 8, block+displacement always in-bounds) so
+    * every candidate window exists. Integer SAD — value-exact.
+    * Input: the (t, bytes) epoch structs for t = 0 and t = 3 of the
+    * DEM stack, plus a per-image true shift (sx, sy): the reference
+    * block is read from epoch 3 at (x+sx, y+sy), so the search must
+    * RECOVER the shift against epoch 0 through the trend noise —
+    * the winning displacement varies per image instead of collapsing
+    * to (0,0). Returns per-winning-displacement rows
+    * (dx, dy, n_blocks, Σ best-SAD). */
+  val blockMotionAgg = udf((w: Int, h: Int, sx: Int, sy: Int,
+                            epochs: Seq[org.apache.spark.sql.Row]) => {
+    val byT = epochs.map(r => (r.getInt(0),
+      Codec.decode(r.getAs[Array[Byte]](1), w, h, 1, "raw-i16le")(0))).toMap
+    val v0 = byT(0); val v3 = byT(3)
+    // (dy+2)*5+(dx+2) -> (n, sadSum)
+    val n = new Array[Long](25); val ss = new Array[Long](25)
+    var y0 = 2
+    while (y0 + 8 <= h - 2) {
+      var x0 = 2
+      while (x0 + 8 <= w - 2) {
+        var bestSad = Long.MaxValue; var bestC = 0
+        var dy = -2
+        while (dy <= 2) {
+          var dx = -2
+          while (dx <= 2) {
+            var sad = 0L
+            var y = y0
+            while (y < y0 + 8) {
+              var x = x0
+              while (x < x0 + 8) {
+                sad += math.abs(v3((y + sy) * w + (x + sx)).toLong -
+                  v0((y + dy) * w + (x + dx)).toLong)
+                x += 1
+              }
+              y += 1
+            }
+            val c = (dy + 2) * 5 + (dx + 2)
+            if (sad < bestSad) { bestSad = sad; bestC = c }
+            dx += 1
+          }
+          dy += 1
+        }
+        n(bestC) += 1; ss(bestC) += bestSad
+        x0 += 8
+      }
+      y0 += 8
+    }
+    (0 until 25).flatMap { c =>
+      if (n(c) > 0) Some((c % 5 - 2, c / 5 - 2, n(c), ss(c))) else None
+    }
+  })
+
+  /** Vertical minimum-energy seam (Avidan & Shamir 2007 seam
+    * carving): energy e = |z(x+1,y)−z(x−1,y)| + |z(x,y+1)−z(x,y−1)|
+    * on the interior, then the classic DP M(y,x) = e(y,x) +
+    * min(M(y−1, x−1..x+1)) down the interior rows (column range
+    * [1, w−2], parents clamped to it). Per image: (n_cols, min seam
+    * cost over the bottom DP row, its argmin x with smallest-x tie,
+    * Σ M over the bottom row). O(w·h) decode-once map work; the
+    * oracle replays the DP as a strictly-increasing-y recursive CTE
+    * (terminates naturally — no fixed round bound needed). */
+  val seamAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    def e(x: Int, y: Int): Long =
+      math.abs(z(y * w + x + 1).toLong - z(y * w + x - 1).toLong) +
+        math.abs(z((y + 1) * w + x).toLong - z((y - 1) * w + x).toLong)
+    var prev = Array.tabulate(w - 2)(i => e(i + 1, 1))
+    var y = 2
+    while (y < h - 1) {
+      val cur = new Array[Long](w - 2)
+      var i = 0
+      while (i < w - 2) {
+        var m = prev(i)
+        if (i > 0 && prev(i - 1) < m) m = prev(i - 1)
+        if (i < w - 3 && prev(i + 1) < m) m = prev(i + 1)
+        cur(i) = e(i + 1, y) + m
+        i += 1
+      }
+      prev = cur
+      y += 1
+    }
+    var best = Long.MaxValue; var bestX = 0L; var tot = 0L
+    var i = 0
+    while (i < w - 2) {
+      tot += prev(i)
+      if (prev(i) < best) { best = prev(i); bestX = i + 1 }
+      i += 1
+    }
+    (w - 2L, best, bestX, tot)
+  })
+
   /** Octant of (a,b) with boundaries on the 45° lines: octant k covers
     * angle [k·45°, (k+1)·45°); (0,0) → 8 (flat). Stated as the exact
     * sign/comparison ladder both engines replay verbatim. */
