@@ -219,7 +219,9 @@ object Bench {
       // integral-image box filter + Canny-lite edge chain
       "q_integral_box", "q_canny",
       // SAD block motion (planted-shift recovery) + seam-carving DP
-      "q_block_motion", "q_seam")
+      "q_block_motion", "q_seam",
+      // mask codecs/topology: RLE, hole filling, quadtree census
+      "q_rle", "q_fill_holes", "q_quadtree")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

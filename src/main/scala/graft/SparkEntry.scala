@@ -1165,6 +1165,55 @@ object SparkEntry {
           col("r._4").as("dp_sum"))
         .orderBy("image_id")),
 
+    // per-scanline RLE of the DEM z%7<3 mask: run count / max run /
+    // Σ len² / placement checksum
+    "q_rle" -> ((s, dir) => {
+      val f = udf((bytes: Array[Byte], w: Int, h: Int) => {
+        val z = graft.core.Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+        val m = Array.tabulate(w * h)(i => z(i).toLong % 7 < 3)
+        graft.ops.Vision.rleRuns(m, w, h)
+      })
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("r", f(col("dem_bytes"), col("w").cast("int"),
+          col("h").cast("int")))
+        .select(col("image_id"), col("r._1").as("n_runs"),
+          col("r._2").as("max_run"), col("r._3").as("len_sq_sum"),
+          col("r._4").as("chk"))
+        .orderBy("image_id")
+    }),
+
+    // hole filling by border flood (background reconstruction):
+    // background 4-connected to the frame stays open, the rest are
+    // holes — per-image hole/open counts + hole checksum
+    "q_fill_holes" -> ((s, dir) => {
+      val f = udf((bytes: Array[Byte], w: Int, h: Int) => {
+        val z = graft.core.Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+        val m = Array.tabulate(w * h)(i => z(i).toLong % 7 < 3)
+        graft.ops.Vision.fillHoles(m, w, h)
+      })
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("r", f(col("dem_bytes"), col("w").cast("int"),
+          col("h").cast("int")))
+        .select(col("image_id"), col("r._1").as("n_hole_px"),
+          col("r._2").as("n_bg_open"), col("r._3").as("chk"))
+        .orderBy("image_id")
+    }),
+
+    // region-quadtree leaf census of the z%7<3 mask padded to 64×64
+    "q_quadtree" -> ((s, dir) => {
+      val f = udf((bytes: Array[Byte], w: Int, h: Int) => {
+        val z = graft.core.Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+        val m = Array.tabulate(w * h)(i => z(i).toLong % 7 < 3)
+        graft.ops.Vision.quadtreeLeaves(m, w, h, 64)
+      })
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("r", f(col("dem_bytes"), col("w").cast("int"),
+          col("h").cast("int")))
+        .select(col("image_id"), col("r._1").as("n_leaves"),
+          col("r._2").as("n_fg_leaves"), col("r._3").as("chk"))
+        .orderBy("image_id")
+    }),
+
     // per-user hourly gap-fill: bucket events by hour, generate the
     // DENSE hour series per user, carry the last seen event_type
     // forward across empty hours (ignore-nulls last over the ordered
@@ -3906,6 +3955,81 @@ object SparkEntry {
          |  CAST(SUM(b.m) AS BIGINT) AS dp_sum
          |FROM sbot b JOIN simg s ON s.k = b.k
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // islands pattern: run = group of consecutive x per (k, y)
+    "q_rle" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |rlm AS (SELECT k, image_id, x, y FROM demp WHERE z % 7 < 3),
+         |rlg AS (SELECT k, image_id, y, x,
+         |          x - ROW_NUMBER() OVER (PARTITION BY k, y ORDER BY x)
+         |            AS grp
+         |        FROM rlm),
+         |rlr AS (SELECT k, image_id, y, MIN(x) AS x0, COUNT(*) AS len
+         |        FROM rlg GROUP BY k, image_id, y, grp)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+         |  CAST(MAX(len) AS BIGINT) AS max_run,
+         |  CAST(SUM(len*len) AS BIGINT) AS len_sq_sum,
+         |  CAST(SUM(len*(x0 + 131*y)) AS BIGINT) AS chk
+         |FROM rlr GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // border-background reachability via recursive 4-adjacency;
+    // holes = background minus the reachable set (anti-join)
+    "q_fill_holes" ->
+      s"""WITH RECURSIVE $I, $SimgCte, $DemCte,
+         |d4 AS (SELECT * FROM (VALUES (1,0),(-1,0),(0,1),(0,-1))
+         |  AS t(dx, dy)),
+         |hbg AS (SELECT k, image_id, w, h, x, y FROM demp
+         |        WHERE z % 7 >= 3),
+         |hreach AS (
+         |  SELECT k, x, y FROM hbg
+         |  WHERE x = 0 OR y = 0 OR x = w-1 OR y = h-1
+         |  UNION
+         |  SELECT b.k, b.x, b.y
+         |  FROM hreach r JOIN d4 d ON TRUE
+         |  JOIN hbg b ON b.k = r.k AND b.x = r.x + d.dx
+         |    AND b.y = r.y + d.dy),
+         |hstat AS (SELECT k, image_id FROM hbg GROUP BY 1, 2),
+         |hop AS (SELECT k, COUNT(*) AS n_open FROM hreach GROUP BY 1),
+         |hho AS (SELECT b.k, COUNT(*) AS n_hole,
+         |          SUM(b.x + 131*b.y) AS chk
+         |        FROM hbg b LEFT JOIN hreach r ON r.k = b.k
+         |          AND r.x = b.x AND r.y = b.y
+         |        WHERE r.x IS NULL GROUP BY 1)
+         |SELECT t.image_id,
+         |  CAST(COALESCE(h2.n_hole, 0) AS BIGINT) AS n_hole_px,
+         |  CAST(COALESCE(o.n_open, 0) AS BIGINT) AS n_bg_open,
+         |  CAST(COALESCE(h2.chk, 0) AS BIGINT) AS chk
+         |FROM hstat t LEFT JOIN hop o ON o.k = t.k
+         |LEFT JOIN hho h2 ON h2.k = t.k
+         |ORDER BY t.image_id""".stripMargin,
+
+    // region quadtree: per level m the node is uniform iff min=max
+    // over the padded 64×64 grid; leaf = uniform with mixed parent
+    "q_quadtree" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |qg64 AS (SELECT unnest(generate_series(0, 63)) AS i),
+         |qgrid AS (SELECT s.k, s.image_id, gx.i AS x, gy.i AS y,
+         |            CASE WHEN d.z % 7 < 3 THEN 1 ELSE 0 END AS v
+         |          FROM simg s CROSS JOIN qg64 gx CROSS JOIN qg64 gy
+         |          LEFT JOIN demp d ON d.k = s.k AND d.x = gx.i
+         |            AND d.y = gy.i),
+         |qlv AS (SELECT unnest(generate_series(0, 6)) AS m),
+         |qnode AS (SELECT g.k, g.image_id, l.m,
+         |            g.x // (CAST(1 AS BIGINT) << l.m) AS nx,
+         |            g.y // (CAST(1 AS BIGINT) << l.m) AS ny,
+         |            MIN(g.v) AS mn, MAX(g.v) AS mx
+         |          FROM qgrid g JOIN qlv l ON TRUE
+         |          GROUP BY 1, 2, 3, 4, 5),
+         |qleaf AS (SELECT c.k, c.image_id, c.m, c.nx, c.ny, c.mn AS v
+         |          FROM qnode c
+         |          LEFT JOIN qnode p ON p.k = c.k AND p.m = c.m + 1
+         |            AND p.nx = c.nx // 2 AND p.ny = c.ny // 2
+         |          WHERE c.mn = c.mx
+         |            AND (c.m = 6 OR p.mn <> p.mx))
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_leaves,
+         |  CAST(SUM(v) AS BIGINT) AS n_fg_leaves,
+         |  CAST(SUM((m+1)*(nx + 131*ny + 7)) AS BIGINT) AS chk
+         |FROM qleaf GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // hour = floor(epoch/3600) (sub-second truncation can never cross
     // an hour boundary); latest-in-hour via arg_max on (ts, event_id);

@@ -634,6 +634,132 @@ object Vision {
     (w - 2L, best, bestX, tot)
   })
 
+  /** Per-scanline run-length encoding of a binary mask: runs of
+    * consecutive foreground cells along each row. Returns (n_runs,
+    * max_run, Σ len², Σ len·(x_start + 131·y)) — the RLE compression
+    * statistics plus a placement checksum. O(w·h) single pass. */
+  def rleRuns(mask: Array[Boolean], w: Int, h: Int): (Long, Long, Long, Long) = {
+    var nRuns = 0L; var maxRun = 0L; var sq = 0L; var chk = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (mask(y * w + x)) {
+          val x0 = x
+          while (x < w && mask(y * w + x)) x += 1
+          val len = (x - x0).toLong
+          nRuns += 1; if (len > maxRun) maxRun = len
+          sq += len * len; chk += len * (x0 + 131L * y)
+        } else x += 1
+      }
+      y += 1
+    }
+    (nRuns, maxRun, sq, chk)
+  }
+
+  /** Hole filling by border flood (morphological reconstruction of
+    * the background from the frame, Soille ch. 6): background cells
+    * 4-connected to the image border stay background; every other
+    * background cell is a hole. Returns (n_hole_px, n_bg_open,
+    * Σ (x+131·y) over hole cells). O(w·h) BFS — decode-once map
+    * work; the oracle replays reachability as a recursive CTE. */
+  def fillHoles(mask: Array[Boolean], w: Int, h: Int): (Long, Long, Long) = {
+    val open = new Array[Boolean](w * h)
+    val queue = new java.util.ArrayDeque[Int]()
+    var i = 0
+    while (i < w * h) {
+      val x = i % w; val y = i / w
+      if (!mask(i) && (x == 0 || y == 0 || x == w - 1 || y == h - 1)) {
+        open(i) = true; queue.add(i)
+      }
+      i += 1
+    }
+    while (!queue.isEmpty) {
+      val c = queue.poll()
+      val cx = c % w; val cy = c / w
+      var d = 0
+      while (d < 4) {
+        val nx = cx + (if (d == 0) 1 else if (d == 1) -1 else 0)
+        val ny = cy + (if (d == 2) 1 else if (d == 3) -1 else 0)
+        if (nx >= 0 && nx < w && ny >= 0 && ny < h) {
+          val j = ny * w + nx
+          if (!mask(j) && !open(j)) { open(j) = true; queue.add(j) }
+        }
+        d += 1
+      }
+    }
+    var nHole = 0L; var nOpen = 0L; var chk = 0L
+    i = 0
+    while (i < w * h) {
+      if (!mask(i)) {
+        if (open(i)) nOpen += 1
+        else { nHole += 1; chk += (i % w) + 131L * (i / w) }
+      }
+      i += 1
+    }
+    (nHole, nOpen, chk)
+  }
+
+  /** Region-quadtree leaf count (Samet 1984) of a binary mask padded
+    * to size×size (pad cells = background): a node at level L covers
+    * a 2^L-cell square; a LEAF is a uniform node whose parent is not
+    * uniform (the root is a leaf if uniform). Bottom-up uniformity
+    * merge — O(size²) total. Returns (n_leaves, n_fg_leaves,
+    * Σ (L+1)·(cx + 131·cy + 7) over leaves). */
+  def quadtreeLeaves(mask: Array[Boolean], w: Int, h: Int,
+                     size: Int): (Long, Long, Long) = {
+    val levels = java.lang.Integer.numberOfTrailingZeros(size)
+    // state per node: 0 = uniform bg, 1 = uniform fg, 2 = mixed
+    var cur = Array.tabulate(size * size) { i =>
+      val x = i % size; val y = i / size
+      if (x < w && y < h && mask(y * w + x)) 1 else 0
+    }
+    var nLeaves = 0L; var nFg = 0L; var chk = 0L
+    var l = 0
+    var n = size
+    while (l < levels) {
+      val half = n / 2
+      val next = new Array[Int](half * half)
+      var cy = 0
+      while (cy < half) {
+        var cx = 0
+        while (cx < half) {
+          val a = cur(2 * cy * n + 2 * cx)
+          val b = cur(2 * cy * n + 2 * cx + 1)
+          val c = cur((2 * cy + 1) * n + 2 * cx)
+          val d = cur((2 * cy + 1) * n + 2 * cx + 1)
+          val merged =
+            if (a == b && b == c && c == d && a != 2) a else 2
+          next(cy * half + cx) = merged
+          // children that are uniform under a mixed parent are leaves
+          if (merged == 2) {
+            var ci = 0
+            val vals = Array(a, b, c, d)
+            val xs = Array(2 * cx, 2 * cx + 1, 2 * cx, 2 * cx + 1)
+            val ys = Array(2 * cy, 2 * cy, 2 * cy + 1, 2 * cy + 1)
+            while (ci < 4) {
+              if (vals(ci) != 2) {
+                nLeaves += 1
+                if (vals(ci) == 1) nFg += 1
+                chk += (l + 1L) * (xs(ci) + 131L * ys(ci) + 7)
+              }
+              ci += 1
+            }
+          }
+          cx += 1
+        }
+        cy += 1
+      }
+      cur = next; n = half; l += 1
+    }
+    if (cur(0) != 2) { // uniform root
+      nLeaves += 1
+      if (cur(0) == 1) nFg += 1
+      chk += (levels + 1L) * 7
+    }
+    (nLeaves, nFg, chk)
+  }
+
   /** Octant of (a,b) with boundaries on the 45° lines: octant k covers
     * angle [k·45°, (k+1)·45°); (0,0) → 8 (flat). Stated as the exact
     * sign/comparison ladder both engines replay verbatim. */
