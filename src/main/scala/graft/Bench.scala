@@ -221,7 +221,9 @@ object Bench {
       // SAD block motion (planted-shift recovery) + seam-carving DP
       "q_block_motion", "q_seam",
       // mask codecs/topology: RLE, hole filling, quadtree census
-      "q_rle", "q_fill_holes", "q_quadtree")
+      "q_rle", "q_fill_holes", "q_quadtree",
+      // proximity-graph triangles, hex binning, KMV sketch
+      "q_triangles", "q_hex_rollup", "q_kmv_distinct")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

@@ -1214,6 +1214,31 @@ object SparkEntry {
         .orderBy("image_id")
     }),
 
+    // triangle census of the within-distance proximity graph over
+    // ALL image footprints (cell-gridded edge join + degree-ordered
+    // orientation — never all-pairs; the oracle IS all-pairs)
+    "q_triangles" -> ((s, dir) =>
+      graft.ops.SpatialJoin.triangleCensus(Synth.images(s, dir), 3000L)),
+
+    // hex-lattice binning of footprint centroids (doubled-coordinate
+    // integer lattice, nearest-center by exact squared distance)
+    "q_hex_rollup" -> ((s, dir) =>
+      graft.ops.SpatialJoin.hexBin(Synth.images(s, dir), 9000L, 14000L)
+        .orderBy("hi", "hj")),
+
+    // KMV distinct sketch per source: k-th smallest distinct md5 —
+    // bounded mergeable state, map-side partial aggregation
+    "q_kmv_distinct" -> ((s, dir) => {
+      val kmv = udaf(new graft.text.KmvSketch(8),
+        org.apache.spark.sql.Encoders.STRING)
+      docs(s, dir).select(col("source"), md5(col("text")).as("h"))
+        .distinct()
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_distinct"), kmv(col("h")).as("kth_hash"))
+        .where(col("kth_hash").isNotNull)
+        .orderBy("source")
+    }),
+
     // per-user hourly gap-fill: bucket events by hour, generate the
     // DENSE hour series per user, carry the last seen event_type
     // forward across empty hours (ignore-nulls last over the ordered
@@ -4030,6 +4055,65 @@ object SparkEntry {
          |  CAST(SUM(v) AS BIGINT) AS n_fg_leaves,
          |  CAST(SUM((m+1)*(nx + 131*ny + 7)) AS BIGINT) AS chk
          |FROM qleaf GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // all-pairs proximity edges + 3-way join triangles (the oracle
+    // may be quadratic; the engine may not)
+    "q_triangles" ->
+      s"""WITH $I,
+         |tre AS (SELECT a.k AS ka, b.k AS kb FROM img2 a JOIN img2 b
+         |        ON b.k > a.k
+         |        AND a.x0m - 3000 < b.x1m + 3000
+         |        AND b.x0m - 3000 < a.x1m + 3000
+         |        AND a.y0m - 3000 < b.y1m + 3000
+         |        AND b.y0m - 3000 < a.y1m + 3000),
+         |ttr AS (SELECT e1.ka AS a, e1.kb AS b, e2.kb AS c
+         |        FROM tre e1 JOIN tre e2 ON e2.ka = e1.ka
+         |          AND e2.kb > e1.kb
+         |        JOIN tre e3 ON e3.ka = e1.kb AND e3.kb = e2.kb)
+         |SELECT CAST((SELECT COUNT(*) FROM tre) AS BIGINT) AS n_edges,
+         |  CAST(COUNT(*) AS BIGINT) AS n_triangles,
+         |  CAST(COALESCE(SUM(a + b + c), 0) AS BIGINT) AS chk
+         |FROM ttr""".stripMargin,
+
+    // nearest hex-lattice center by integer squared distance in
+    // doubled centroid space; ties → lexicographic (i, j)
+    "q_hex_rollup" ->
+      s"""WITH $I,
+         |hxc AS (SELECT k, x0m + x1m + 360000 AS qx,
+         |          y0m + y1m + 180000 AS qy FROM img2),
+         |hxi AS (SELECT k, qx, qy, qx // 18000 AS i0, qy // 28000 AS j0
+         |        FROM hxc),
+         |hxn AS (SELECT h.k, h.qx, h.qy, h.i0 + di.v AS i, h.j0 + dj.v AS j
+         |        FROM hxi h
+         |        CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) di
+         |        CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS v) dj),
+         |hxd AS (SELECT k, i, j,
+         |          (qx - i*18000)*(qx - i*18000) +
+         |          (qy - (j*28000 + 14000*(i % 2)))
+         |            *(qy - (j*28000 + 14000*(i % 2))) AS d2
+         |        FROM hxn),
+         |hxa AS (SELECT k,
+         |          (MIN(struct_pack(d := d2, i := i, j := j))).i AS hi,
+         |          (MIN(struct_pack(d := d2, i := i, j := j))).j AS hj
+         |        FROM hxd GROUP BY 1)
+         |SELECT CAST(hi AS BIGINT) AS hi, CAST(hj AS BIGINT) AS hj,
+         |  CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(SUM(k) AS BIGINT) AS k_sum
+         |FROM hxa GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // KMV: k-th smallest distinct md5 per source (k = 8) + exact
+    // distinct count; md5 hex order == numeric order in both engines
+    "q_kmv_distinct" ->
+      s"""WITH dh AS (SELECT DISTINCT source, md5(text) AS h
+         |            FROM documents),
+         |rk AS (SELECT source, h,
+         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+         |       FROM dh),
+         |nd AS (SELECT source, COUNT(*) AS n_distinct FROM dh GROUP BY 1)
+         |SELECT n.source, CAST(n.n_distinct AS BIGINT) AS n_distinct,
+         |  r.h AS kth_hash
+         |FROM nd n JOIN rk r ON r.source = n.source AND r.rn = 8
+         |ORDER BY 1""".stripMargin,
 
     // hour = floor(epoch/3600) (sub-second truncation can never cross
     // an hour boundary); latest-in-hour via arg_max on (ts, event_id);

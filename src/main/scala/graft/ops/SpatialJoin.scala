@@ -299,4 +299,97 @@ object SpatialJoin {
       .withColumn("cpy0", Tiling.idiv(col("y1m") - col("iy1m"), lit(resM)))
       .withColumn("cpy1", Tiling.idiv(col("y1m") - col("iy0m") + resM - 1, lit(resM)))
   }
+
+  /** Proximity ("within distance") graph over image footprints: an
+    * edge (ka < kb) whenever the two rects padded by `pad` mdeg on
+    * every side overlap strictly (L∞ gap < 2·pad). Edges are found
+    * with the covering-cell equi-join — NEVER all-pairs — and each
+    * pair is reported only by the top-left cell of the padded
+    * intersection, so no post-join distinct is needed. At 10⁹ images
+    * the shuffle key count is bounded by cells, and per-cell work by
+    * local density, not corpus size. */
+  def proximityEdges(images: DataFrame, pad: Long, res: Int = 7): DataFrame = {
+    val base = images.select(col("k"), (col("x0m") - pad).as("bx0"),
+      (col("y0m") - pad).as("by0"), (col("x1m") + pad).as("bx1"),
+      (col("y1m") + pad).as("by1"))
+    val packed = col("cix") * CellGrid.IxMul + col("ciy")
+    val a = withCoverCells(base.toDF("ka", "ax0", "ay0", "ax1", "ay1"),
+        res, "ax0", "ay0", "ax1", "ay1")
+      .withColumn("cell", packed)
+    val b = withCoverCells(base.toDF("kb", "bx0", "by0", "bx1", "by1"),
+        res, "bx0", "by0", "bx1", "by1")
+      .withColumn("cell", packed).drop("cix", "ciy")
+    a.join(b, Seq("cell"))
+      .where(col("ka") < col("kb") &&
+        col("ax0") < col("bx1") && col("bx0") < col("ax1") &&
+        col("ay0") < col("by1") && col("by0") < col("ay1") &&
+        cellIx(greatest(col("ax0"), col("bx0")), res) === col("cix") &&
+        cellIy(greatest(col("ay0"), col("by0")), res) === col("ciy"))
+      .select("ka", "kb")
+  }
+
+  /** Triangle census of the proximity graph via degree-ordered
+    * orientation (Cohen 2009 / the standard MapReduce triangle
+    * recipe): each edge points from the lower (degree, id) endpoint
+    * to the higher, every wedge is generated at its lowest apex
+    * only, and a hash join against the oriented edge list closes
+    * triangles — work is bounded by Σ out-deg² with out-degrees
+    * capped near the arboricity, not by the max hub degree. Returns
+    * one row: (n_edges, n_triangles, chk = Σ a+b+c over triangles). */
+  def triangleCensus(images: DataFrame, pad: Long, res: Int = 7): DataFrame = {
+    val edges = proximityEdges(images, pad, res)
+    val deg = edges.select(col("ka").as("v"))
+      .unionAll(edges.select(col("kb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    // total order: ord = deg·2^40 + id (ids < 2^40; unique by id)
+    val withOrd = edges
+      .join(deg.select(col("v").as("ka"), col("dg").as("da")), Seq("ka"))
+      .join(deg.select(col("v").as("kb"), col("dg").as("db")), Seq("kb"))
+      .select(col("ka"), col("kb"),
+        (col("da") * (1L << 40) + col("ka")).as("orda"),
+        (col("db") * (1L << 40) + col("kb")).as("ordb"))
+    val oriented = withOrd.select(
+      when(col("orda") < col("ordb"), col("ka")).otherwise(col("kb")).as("u"),
+      when(col("orda") < col("ordb"), col("kb")).otherwise(col("ka")).as("v"),
+      when(col("orda") < col("ordb"), col("ordb")).otherwise(col("orda"))
+        .as("ordv"))
+    val e1 = oriented.select(col("u"), col("v").as("v1"), col("ordv").as("o1"))
+    val e2 = oriented.select(col("u"), col("v").as("v2"), col("ordv").as("o2"))
+    val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
+    val tris = e1.join(e2, Seq("u")).where(col("o1") < col("o2"))
+      .join(closing, Seq("v1", "v2"))
+      .agg(count(lit(1)).as("n_triangles"),
+        coalesce(sum(col("u") + col("v1") + col("v2")), lit(0L)).as("chk"))
+    edges.agg(count(lit(1)).as("n_edges")).crossJoin(tris)
+      .select(col("n_edges"), col("n_triangles"), col("chk"))
+  }
+
+  /** Hexagonal-lattice binning of footprint centroids — the H3-style
+    * hex rollup stated in pure integers so the oracle replays it
+    * exactly: centers form a hex lattice in DOUBLED centroid space
+    * (cx = i·2sx, cy = j·2sy + sy·(i mod 2) — odd columns offset by
+    * half a pitch; the Voronoi cells of such a lattice are
+    * hexagons), each centroid is assigned to the nearest center by
+    * exact integer squared distance over the 3×3 candidate
+    * neighborhood, ties → lexicographic (i, j). Working in doubled
+    * space (qx = x0m+x1m) avoids the /2 centroid divide entirely.
+    * Returns (hi, hj, n_images, k_sum) per non-empty bin. */
+  def hexBin(images: DataFrame, sx: Long, sy: Long): DataFrame = {
+    val qx = (col("x0m") + col("x1m") + lit(2L * CellGrid.OffX)).as("qx")
+    val qy = (col("y0m") + col("y1m") + lit(2L * CellGrid.OffY)).as("qy")
+    val cand = images.select(col("k"), qx, qy)
+      .withColumn("i", explode(sequence(
+        expr(s"qx div ${2 * sx}") - 1, expr(s"qx div ${2 * sx}") + 1)))
+      .withColumn("j", explode(sequence(
+        expr(s"qy div ${2 * sy}") - 1, expr(s"qy div ${2 * sy}") + 1)))
+      .withColumn("cx", col("i") * (2 * sx))
+      .withColumn("cy", col("j") * (2 * sy) + lit(sy) * (col("i") % 2))
+      .withColumn("d2", (col("qx") - col("cx")) * (col("qx") - col("cx")) +
+        (col("qy") - col("cy")) * (col("qy") - col("cy")))
+    cand.groupBy("k")
+      .agg(min(struct(col("d2"), col("i"), col("j"))).as("b"))
+      .select(col("k"), col("b.i").as("hi"), col("b.j").as("hj"))
+      .groupBy("hi", "hj")
+      .agg(count(lit(1)).as("n_images"), sum(col("k")).as("k_sum"))
+  }
 }

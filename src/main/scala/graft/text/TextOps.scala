@@ -1092,3 +1092,29 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"), sum(col("wt")).as("n_tokens"))
   }
 }
+
+/** KMV (k-minimum-values) distinct sketch (Bar-Yossef et al. 2002):
+  * keeps the k lexicographically smallest DISTINCT hash strings seen
+  * (md5 hex is fixed-width lowercase, so string order == numeric
+  * order) and yields the k-th smallest — the sketch value from which
+  * the distinct-count estimate derives. State is a bounded sorted
+  * array, `merge` is union-and-trim, so Spark runs it with map-side
+  * partial aggregation: per-partition sketches of size ≤ k shuffle,
+  * never the rows — the mergeable-sketch contract HLL already
+  * follows (sketch/Hll.scala), here in exact-oracle-checkable form.
+  * Returns null until k distinct values have been seen. */
+class KmvSketch(k: Int)
+  extends org.apache.spark.sql.expressions.Aggregator[String, Array[String], String] {
+  private def trim(s: Array[String]): Array[String] =
+    if (s.length <= k) s else s.take(k)
+  def zero: Array[String] = Array.empty[String]
+  def reduce(b: Array[String], a: String): Array[String] =
+    if (a == null || (b.length == k && b(k - 1) <= a)) b
+    else trim((b :+ a).distinct.sorted)
+  def merge(x: Array[String], y: Array[String]): Array[String] =
+    trim((x ++ y).distinct.sorted)
+  def finish(r: Array[String]): String =
+    if (r.length == k) r(k - 1) else null
+  def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[String]]
+  def outputEncoder = org.apache.spark.sql.Encoders.STRING
+}
