@@ -223,7 +223,9 @@ object Bench {
       // mask codecs/topology: RLE, hole filling, quadtree census
       "q_rle", "q_fill_holes", "q_quadtree",
       // proximity-graph triangles, hex binning, KMV sketch
-      "q_triangles", "q_hex_rollup", "q_kmv_distinct")
+      "q_triangles", "q_hex_rollup", "q_kmv_distinct",
+      // joint change matrix + count-min sketch
+      "q_joint_hist", "q_cms_topk")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

@@ -1226,6 +1226,35 @@ object SparkEntry {
       graft.ops.SpatialJoin.hexBin(Synth.images(s, dir), 9000L, 14000L)
         .orderBy("hi", "hj")),
 
+    // joint histogram between epochs 0 and 3 (the change matrix /
+    // MI registration building block): 256-wide bins, exact counts
+    "q_joint_hist" -> ((s, dir) =>
+      Synth.demEpochImages(s, dir, 4, smallRaw)
+        .where(col("t").isin(0, 3))
+        .groupBy("k", "image_id", "w", "h")
+        .agg(collect_list(struct(col("t").cast("int").as("t"),
+          col("bytes"))).as("eps"))
+        .withColumn("r", explode(graft.ops.Terrain.jointHistAgg(
+          col("w").cast("int"), col("h").cast("int"),
+          lit(0), lit(3), col("eps"))))
+        .select(col("image_id"), col("r._1").as("b0"),
+          col("r._2").as("b3"), col("r._3").as("n_px"),
+          col("r._4").as("dsum"))
+        .orderBy("image_id", "b0", "b3")),
+
+    // count-min sketch over corpus tokens with md5-derived row
+    // hashes: top-5 true terms vs their overestimate-only estimates
+    "q_cms_topk" -> ((s, dir) => {
+      val terms = docs(s, dir)
+        .select(explode(graft.text.TextOps.toks).as("term"))
+      val sk = graft.sketch.Cms.sketch(terms, col("term"), 4, 64)
+      val truth = terms.groupBy("term")
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(desc("true_cnt"), col("term")).limit(5)
+      graft.sketch.Cms.estimate(sk, truth, col("term"), 4, 64)
+        .orderBy(desc("true_cnt"), col("term"))
+    }),
+
     // KMV distinct sketch per source: k-th smallest distinct md5 —
     // bounded mergeable state, map-side partial aggregation
     "q_kmv_distinct" -> ((s, dir) => {
@@ -4114,6 +4143,58 @@ object SparkEntry {
          |  r.h AS kth_hash
          |FROM nd n JOIN rk r ON r.source = n.source AND r.rn = 8
          |ORDER BY 1""".stripMargin,
+
+    // joint change matrix: pivot epochs 0/3 per pixel, bin div 256
+    "q_joint_hist" ->
+      s"""WITH $I, $SimgCte,
+         |jep AS (SELECT unnest([0, 3]) AS t),
+         |jtv AS (SELECT s.k, s.image_id, xs.x, ys.y, e.t,
+         |          100 + ((s.k%7+1)*xs.x*xs.x + (s.k%5+1)*ys.y*ys.y
+         |               + (s.k%3+1)*xs.x*ys.y
+         |               + ((s.k*3)%11)*xs.x + ((s.k*7)%13)*ys.y) % 1900
+         |          + e.t * ((xs.x + ys.y + s.k) % 7 - 3)
+         |          + (e.t*e.t*(xs.x+1)*(s.k%11+1)) % 5 AS v
+         |        FROM simg s CROSS JOIN jep e
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.w-1 AS INT))) AS x) xs
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.h-1 AS INT))) AS y) ys),
+         |jp AS (SELECT k, image_id, x, y,
+         |         MAX(CASE WHEN t = 0 THEN v END) AS v0,
+         |         MAX(CASE WHEN t = 3 THEN v END) AS v3
+         |       FROM jtv GROUP BY 1, 2, 3, 4)
+         |SELECT image_id, CAST(v0 // 256 AS BIGINT) AS b0,
+         |  CAST(v3 // 256 AS BIGINT) AS b3,
+         |  CAST(COUNT(*) AS BIGINT) AS n_px,
+         |  CAST(SUM(v3 - v0) AS BIGINT) AS dsum
+         |FROM jp GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // CMS rows from disjoint md5 hex pairs (ascii arithmetic);
+    // estimate = min over the 4 row counters — overestimate-only
+    "q_cms_topk" ->
+      s"""WITH $TokCte,
+         |cmt AS (SELECT unnest(ts) AS term FROM tok),
+         |cmh AS (SELECT term, md5(term) AS h FROM cmt),
+         |cmr AS (SELECT unnest(generate_series(0, 3)) AS r),
+         |cmb AS (SELECT c.term, r.r,
+         |          ((CASE WHEN ascii(substr(c.h, CAST(2*r.r+1 AS INT), 1)) <= 57
+         |                 THEN ascii(substr(c.h, CAST(2*r.r+1 AS INT), 1)) - 48
+         |                 ELSE ascii(substr(c.h, CAST(2*r.r+1 AS INT), 1)) - 87 END) * 16
+         |           + (CASE WHEN ascii(substr(c.h, CAST(2*r.r+2 AS INT), 1)) <= 57
+         |                   THEN ascii(substr(c.h, CAST(2*r.r+2 AS INT), 1)) - 48
+         |                   ELSE ascii(substr(c.h, CAST(2*r.r+2 AS INT), 1)) - 87 END)) % 64
+         |            AS b
+         |        FROM cmh c CROSS JOIN cmr r),
+         |cms2 AS (SELECT r, b, COUNT(*) AS cnt FROM cmb GROUP BY 1, 2),
+         |ctr AS (SELECT term, COUNT(*) AS true_cnt FROM cmt GROUP BY 1
+         |        ORDER BY true_cnt DESC, term LIMIT 5),
+         |cqb AS (SELECT DISTINCT b2.term, b2.r, b2.b
+         |        FROM cmb b2 JOIN ctr t2 ON t2.term = b2.term),
+         |cest AS (SELECT q.term, MIN(s.cnt) AS cms_est
+         |         FROM cqb q JOIN cms2 s ON s.r = q.r AND s.b = q.b
+         |         GROUP BY 1)
+         |SELECT t3.term, CAST(t3.true_cnt AS BIGINT) AS true_cnt,
+         |  CAST(e.cms_est AS BIGINT) AS cms_est
+         |FROM ctr t3 JOIN cest e ON e.term = t3.term
+         |ORDER BY true_cnt DESC, t3.term""".stripMargin,
 
     // hour = floor(epoch/3600) (sub-second truncation can never cross
     // an hour boundary); latest-in-hour via arg_max on (ts, event_id);

@@ -473,6 +473,28 @@ object Terrain {
     (1 until T).map(s => (s, n(s), d(s)))
   })
 
+  /** Joint histogram between two epochs — the co-occurrence table
+    * mutual-information / change-matrix registration metrics build
+    * on (Viola & Wells 1997 uses its MI; the gate checks the exact
+    * integer table itself). Bins are value div 256 on each axis;
+    * returns per-bin rows (b0, b3, n_px, Σ(v_b − v_a)). */
+  val jointHistAgg = udf((w: Int, h: Int, ta: Int, tb: Int,
+                          epochs: Seq[org.apache.spark.sql.Row]) => {
+    val byT = epochs.map(r => (r.getInt(0),
+      Codec.decode(r.getAs[Array[Byte]](1), w, h, 1, "raw-i16le")(0))).toMap
+    val va = byT(ta); val vb = byT(tb)
+    val acc = scala.collection.mutable.LinkedHashMap[(Long, Long), (Long, Long)]()
+    var i = 0
+    while (i < w * h) {
+      val a = va(i).toLong; val b = vb(i).toLong
+      val key = (a / 256, b / 256)
+      val cur = acc.getOrElse(key, (0L, 0L))
+      acc(key) = (cur._1 + 1, cur._2 + (b - a))
+      i += 1
+    }
+    acc.toSeq.map { case ((ba, bb), (n, ds)) => (ba, bb, n, ds) }
+  })
+
   /** Temporal best-pixel composite (the max-value-composite rule of
     * Holben 1986, the standard cloud-free compositing recipe): per
     * pixel the winning epoch is argmax v_t, ties → earliest t.
