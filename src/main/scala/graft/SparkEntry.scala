@@ -1226,6 +1226,16 @@ object SparkEntry {
       graft.ops.SpatialJoin.hexBin(Synth.images(s, dir), 9000L, 14000L)
         .orderBy("hi", "hj")),
 
+    // zonal temporal trend: the zonal covering-cell join composed
+    // with the per-pixel OLS trend kernel — rising/falling cells and
+    // the integer numerator sum per polygon zone
+    "q_zonal_trend" -> ((s, dir) =>
+      graft.ops.Terrain.zonalTrend(
+        Synth.demEpochImages(s, dir, 4, smallRaw),
+        smallRaw(Synth.images(s, dir)),
+        Synth.polygons(s, dir))
+        .orderBy("fid")),
+
     // joint histogram between epochs 0 and 3 (the change matrix /
     // MI registration building block): 256-wide bins, exact counts
     "q_joint_hist" -> ((s, dir) =>
@@ -4143,6 +4153,36 @@ object SparkEntry {
          |  r.h AS kth_hash
          |FROM nd n JOIN rk r ON r.source = n.source AND r.rn = 8
          |ORDER BY 1""".stripMargin,
+
+    // zonal trend: per-pixel OLS numerator (T=4) filtered by pixel
+    // centers inside each polygon rect, aggregated per fid
+    "q_zonal_trend" ->
+      s"""WITH $I, $P, $SimgCte,
+         |tep AS (SELECT unnest(generate_series(0, 3)) AS t),
+         |ttv AS (SELECT s.k, xs.x, ys.y, e.t,
+         |          100 + ((s.k%7+1)*xs.x*xs.x + (s.k%5+1)*ys.y*ys.y
+         |               + (s.k%3+1)*xs.x*ys.y
+         |               + ((s.k*3)%11)*xs.x + ((s.k*7)%13)*ys.y) % 1900
+         |          + e.t * ((xs.x + ys.y + s.k) % 7 - 3)
+         |          + (e.t*e.t*(xs.x+1)*(s.k%11+1)) % 5 AS v
+         |        FROM simg s CROSS JOIN tep e
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.w-1 AS INT))) AS x) xs
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.h-1 AS INT))) AS y) ys),
+         |ztn AS (SELECT k, x, y, 4*SUM(t*v) - 6*SUM(v) AS num
+         |        FROM ttv GROUP BY 1, 2, 3),
+         |zpx AS (SELECT p.fid, t.num
+         |        FROM ztn t JOIN img2 i ON i.k = t.k
+         |        JOIN poly2 p ON i.x0m + 4*t.x + 2 >= p.px0m
+         |          AND i.x0m + 4*t.x + 2 < p.px1m
+         |          AND i.y1m - 4*t.y - 2 >= p.py0m
+         |          AND i.y1m - 4*t.y - 2 < p.py1m)
+         |SELECT fid, CAST(COUNT(*) AS BIGINT) AS n_px,
+         |  CAST(SUM(CASE WHEN num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pos,
+         |  CAST(SUM(CASE WHEN num < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_neg,
+         |  CAST(SUM(num) AS BIGINT) AS num_sum
+         |FROM zpx GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // joint change matrix: pivot epochs 0/3 per pixel, bin div 256
     "q_joint_hist" ->

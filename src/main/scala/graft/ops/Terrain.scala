@@ -473,6 +473,67 @@ object Terrain {
     (1 until T).map(s => (s, n(s), d(s)))
   })
 
+  /** Zonal temporal trend — the composition showcase: the zonal
+    * covering-cell join of [[Stats.zonalStats]] wrapped around the
+    * per-pixel OLS numerator of [[trendAgg]]. Epoch payloads are
+    * pre-grouped per image BEFORE the polygon join, so the pair
+    * kernel receives the whole stack in its row and window-clamps to
+    * the zone exactly like the single-band zonal kernel (pixel
+    * center cx = x0m + resM·x + resM/2 ∈ [px0, px1)). Per zone:
+    * (n_px, n_pos rising, n_neg falling, Σ num). Shuffle budget: one
+    * broadcast join + one fid-keyed 4-field aggregate — pixels never
+    * shuffle. */
+  def zonalTrend(epochImages: DataFrame, footprints: DataFrame,
+                 polys: DataFrame, resM: Long = 4L): DataFrame = {
+    val eps = epochImages.groupBy("k", "w", "h")
+      .agg(collect_list(struct(col("t").cast("int").as("t"),
+        col("bytes"))).as("eps"))
+    val imgs = footprints
+      .select("k", "x0m", "y0m", "x1m", "y1m").join(eps, "k")
+    val joined = SpatialJoin.joinRects(imgs, polys)
+    def ceilDiv(a: Long, b: Long): Long = Math.floorDiv(a + b - 1, b)
+    val zt = udf((w: Int, h: Int, x0m: Long, y1m: Long,
+                  eps: Seq[org.apache.spark.sql.Row],
+                  px0: Long, py0: Long, px1: Long, py1: Long) => {
+      val byT = eps.map(r => (r.getInt(0),
+        Codec.decode(r.getAs[Array[Byte]](1), w, h, 1, "raw-i16le")(0)))
+        .sortBy(_._1)
+      val tN = byT.size.toLong
+      val tSum = byT.map(_._1.toLong).sum
+      val half = resM / 2
+      val xLo = math.max(0L, ceilDiv(px0 - x0m - half, resM)).toInt
+      val xHi = math.min(w.toLong, ceilDiv(px1 - x0m - half, resM)).toInt
+      val yLo = math.max(0L, Math.floorDiv(y1m - half - py1, resM) + 1).toInt
+      val yHi = math.min(h.toLong, Math.floorDiv(y1m - half - py0, resM) + 1).toInt
+      var n = 0L; var nPos = 0L; var nNeg = 0L; var ns = 0L
+      var y = yLo
+      while (y < yHi) {
+        var x = xLo
+        while (x < xHi) {
+          val i = y * w + x
+          var sv = 0L; var stv = 0L
+          byT.foreach { case (t, p) =>
+            val v = p(i).toLong; sv += v; stv += t * v
+          }
+          val num = tN * stv - tSum * sv
+          if (num > 0) nPos += 1 else if (num < 0) nNeg += 1
+          n += 1; ns += num
+          x += 1
+        }
+        y += 1
+      }
+      (n, nPos, nNeg, ns)
+    })
+    joined
+      .withColumn("z", zt(col("w").cast("int"), col("h").cast("int"),
+        col("x0m"), col("y1m"), col("eps"),
+        col("px0m"), col("py0m"), col("px1m"), col("py1m")))
+      .groupBy("fid")
+      .agg(sum(col("z._1")).as("n_px"), sum(col("z._2")).as("n_pos"),
+        sum(col("z._3")).as("n_neg"), sum(col("z._4")).as("num_sum"))
+      .where(col("n_px") > 0)
+  }
+
   /** Joint histogram between two epochs — the co-occurrence table
     * mutual-information / change-matrix registration metrics build
     * on (Viola & Wells 1997 uses its MI; the gate checks the exact
