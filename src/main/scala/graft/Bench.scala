@@ -224,8 +224,8 @@ object Bench {
       "q_rle", "q_fill_holes", "q_quadtree",
       // proximity-graph triangles, hex binning, KMV sketch
       "q_triangles", "q_hex_rollup", "q_kmv_distinct",
-      // joint change matrix + count-min sketch + zonal trend
-      "q_joint_hist", "q_cms_topk", "q_zonal_trend")
+      // joint change matrix + count-min sketch + zonal trend + demosaic
+      "q_joint_hist", "q_cms_topk", "q_zonal_trend", "q_demosaic")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

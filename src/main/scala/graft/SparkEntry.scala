@@ -1226,6 +1226,17 @@ object SparkEntry {
       graft.ops.SpatialJoin.hexBin(Synth.images(s, dir), 9000L, 14000L)
         .orderBy("hi", "hj")),
 
+    // bilinear Bayer demosaic (RGGB, ×4 integer scale): per-image
+    // reconstructed-plane sums + placement checksum
+    "q_demosaic" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("r", graft.ops.Vision.demosaicAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("r._1").as("n_int"),
+          col("r._2").as("r4_sum"), col("r._3").as("g4_sum"),
+          col("r._4").as("b4_sum"), col("r._5").as("chk"))
+        .orderBy("image_id")),
+
     // zonal temporal trend: the zonal covering-cell join composed
     // with the per-pixel OLS trend kernel — rising/falling cells and
     // the integer numerator sum per polygon zone
@@ -4153,6 +4164,43 @@ object SparkEntry {
          |  r.h AS kth_hash
          |FROM nd n JOIN rk r ON r.source = n.source AND r.rn = 8
          |ORDER BY 1""".stripMargin,
+
+    // RGGB parity CASE over the 8-neighbor sums
+    "q_demosaic" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |dmo AS (SELECT a.dx, b.dy
+         |        FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |             (SELECT unnest([-1,0,1]) AS dy) b
+         |        WHERE NOT (a.dx = 0 AND b.dy = 0)),
+         |dmn AS (SELECT c.k, c.image_id, c.x, c.y, c.z,
+         |          SUM(CASE WHEN o.dy = 0 THEN n.z ELSE 0 END) AS horiz,
+         |          SUM(CASE WHEN o.dx = 0 THEN n.z ELSE 0 END) AS vert,
+         |          SUM(CASE WHEN o.dx != 0 AND o.dy != 0 THEN n.z
+         |              ELSE 0 END) AS diag
+         |        FROM demp c JOIN dmo o ON TRUE
+         |        JOIN demp n ON n.k = c.k AND n.x = c.x + o.dx
+         |          AND n.y = c.y + o.dy
+         |        WHERE c.x >= 1 AND c.x <= c.w-2
+         |          AND c.y >= 1 AND c.y <= c.h-2
+         |        GROUP BY 1, 2, 3, 4, 5),
+         |dmc AS (SELECT k, image_id, x, y,
+         |          CASE WHEN x%2 = 0 AND y%2 = 0 THEN 4*z
+         |               WHEN x%2 = 1 AND y%2 = 0 THEN 2*horiz
+         |               WHEN x%2 = 0 AND y%2 = 1 THEN 2*vert
+         |               ELSE diag END AS r4,
+         |          CASE WHEN (x+y)%2 = 1 THEN 4*z
+         |               ELSE horiz + vert END AS g4,
+         |          CASE WHEN x%2 = 1 AND y%2 = 1 THEN 4*z
+         |               WHEN x%2 = 0 AND y%2 = 1 THEN 2*horiz
+         |               WHEN x%2 = 1 AND y%2 = 0 THEN 2*vert
+         |               ELSE diag END AS b4
+         |        FROM dmn)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_int,
+         |  CAST(SUM(r4) AS BIGINT) AS r4_sum,
+         |  CAST(SUM(g4) AS BIGINT) AS g4_sum,
+         |  CAST(SUM(b4) AS BIGINT) AS b4_sum,
+         |  CAST(SUM((r4 + 2*g4 + 3*b4)*(x + 131*y)) AS BIGINT) AS chk
+         |FROM dmc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // zonal trend: per-pixel OLS numerator (T=4) filtered by pixel
     // centers inside each polygon rect, aggregated per fid

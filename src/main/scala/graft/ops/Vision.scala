@@ -634,6 +634,48 @@ object Vision {
     (w - 2L, best, bestX, tot)
   })
 
+  /** Bilinear Bayer demosaic (RGGB CFA), stated ×4 so every bilinear
+    * average is integer: R sites at (even x, even y), B at (odd,
+    * odd), G where x+y is odd. Per interior pixel the missing
+    * channels come from the 2- or 4-sample neighbor means of the
+    * matching color class — R4/G4/B4 are the reconstructed planes
+    * ×4. Per image: (n_int, ΣR4, ΣG4, ΣB4, Σ(R4+2·G4+3·B4)·
+    * (x+131·y)). Decode-once map work. */
+  val demosaicAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    def p(x: Int, y: Int): Long = z(y * w + x).toLong
+    var n = 0L; var rs = 0L; var gs = 0L; var bs = 0L; var chk = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val c4 = 4 * p(x, y)
+        val horiz = p(x - 1, y) + p(x + 1, y)
+        val vert = p(x, y - 1) + p(x, y + 1)
+        val diag = p(x - 1, y - 1) + p(x + 1, y - 1) +
+          p(x - 1, y + 1) + p(x + 1, y + 1)
+        val orth = horiz + vert
+        val ex = x % 2 == 0; val ey = y % 2 == 0
+        val r4 =
+          if (ex && ey) c4
+          else if (!ex && ey) 2 * horiz
+          else if (ex) 2 * vert
+          else diag
+        val b4 =
+          if (!ex && !ey) c4
+          else if (ex && !ey) 2 * horiz
+          else if (!ex) 2 * vert
+          else diag
+        val g4 = if ((x + y) % 2 == 1) c4 else orth
+        n += 1; rs += r4; gs += g4; bs += b4
+        chk += (r4 + 2 * g4 + 3 * b4) * (x + 131L * y)
+        x += 1
+      }
+      y += 1
+    }
+    (n, rs, gs, bs, chk)
+  })
+
   /** Per-scanline run-length encoding of a binary mask: runs of
     * consecutive foreground cells along each row. Returns (n_runs,
     * max_run, Σ len², Σ len·(x_start + 131·y)) — the RLE compression
