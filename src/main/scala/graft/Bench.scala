@@ -225,7 +225,8 @@ object Bench {
       // proximity-graph triangles, hex binning, KMV sketch
       "q_triangles", "q_hex_rollup", "q_kmv_distinct",
       // joint change matrix + count-min sketch + zonal trend + demosaic
-      "q_joint_hist", "q_cms_topk", "q_zonal_trend", "q_demosaic")
+      "q_joint_hist", "q_cms_topk", "q_zonal_trend", "q_demosaic",
+      "q_fast")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

@@ -1226,6 +1226,16 @@ object SparkEntry {
       graft.ops.SpatialJoin.hexBin(Synth.images(s, dir), 9000L, 14000L)
         .orderBy("hi", "hj")),
 
+    // FAST-16 segment-test corners (≥9 contiguous bright/dark on
+    // the radius-3 circle, t = 100)
+    "q_fast" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("r", graft.ops.Vision.fastAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int"), lit(100L)))
+        .select(col("image_id"), col("r._1").as("n_eval"),
+          col("r._2").as("n_corners"), col("r._3").as("chk"))
+        .orderBy("image_id")),
+
     // bilinear Bayer demosaic (RGGB, ×4 integer scale): per-image
     // reconstructed-plane sums + placement checksum
     "q_demosaic" -> ((s, dir) =>
@@ -4164,6 +4174,40 @@ object SparkEntry {
          |  r.h AS kth_hash
          |FROM nd n JOIN rk r ON r.source = n.source AND r.rn = 8
          |ORDER BY 1""".stripMargin,
+
+    // circular contiguity via doubled bitstring LIKE; the circle is
+    // the same 16-offset table as the kernel
+    "q_fast" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |fco AS (SELECT * FROM (VALUES
+         |  (0,0,-3),(1,1,-3),(2,2,-2),(3,3,-1),(4,3,0),(5,3,1),
+         |  (6,2,2),(7,1,3),(8,0,3),(9,-1,3),(10,-2,2),(11,-3,1),
+         |  (12,-3,0),(13,-3,-1),(14,-2,-2),(15,-1,-3))
+         |  AS t(i, dx, dy)),
+         |fcb AS (SELECT c.k, c.image_id, c.x, c.y, o.i,
+         |          CASE WHEN n.z >= c.z + 100 THEN '1' ELSE '0' END AS bb,
+         |          CASE WHEN n.z <= c.z - 100 THEN '1' ELSE '0' END AS db
+         |        FROM demp c JOIN fco o ON TRUE
+         |        JOIN demp n ON n.k = c.k AND n.x = c.x + o.dx
+         |          AND n.y = c.y + o.dy
+         |        WHERE c.x >= 3 AND c.x <= c.w-4
+         |          AND c.y >= 3 AND c.y <= c.h-4),
+         |fcs AS (SELECT k, image_id, x, y,
+         |          string_agg(bb, '' ORDER BY i) AS bstr,
+         |          string_agg(db, '' ORDER BY i) AS dstr
+         |        FROM fcb GROUP BY 1, 2, 3, 4),
+         |fcc AS (SELECT k, image_id, x, y FROM fcs
+         |        WHERE (bstr || bstr) LIKE '%111111111%'
+         |           OR (dstr || dstr) LIKE '%111111111%'),
+         |fne AS (SELECT k, image_id, COUNT(*) AS n_eval
+         |        FROM fcs GROUP BY 1, 2),
+         |fnc AS (SELECT k, COUNT(*) AS n_corners,
+         |          SUM(x + 131*y) AS chk FROM fcc GROUP BY 1)
+         |SELECT e.image_id, CAST(e.n_eval AS BIGINT) AS n_eval,
+         |  CAST(COALESCE(c.n_corners, 0) AS BIGINT) AS n_corners,
+         |  CAST(COALESCE(c.chk, 0) AS BIGINT) AS chk
+         |FROM fne e LEFT JOIN fnc c ON c.k = e.k
+         |ORDER BY e.image_id""".stripMargin,
 
     // RGGB parity CASE over the 8-neighbor sums
     "q_demosaic" ->

@@ -634,6 +634,54 @@ object Vision {
     (w - 2L, best, bestX, tot)
   })
 
+  /** FAST-16 segment-test corner detector (Rosten & Drummond 2006):
+    * a pixel is a corner when ≥ 9 CONTIGUOUS samples of the radius-3
+    * Bresenham circle are all brighter than center+t or all darker
+    * than center−t (circular contiguity — the oracle replays it as
+    * a doubled-bitstring LIKE). Pure integer comparisons. Per image:
+    * (n_eval, n_corners, Σ (x+131·y) over corners). */
+  val FastDx = Array(0, 1, 2, 3, 3, 3, 2, 1, 0, -1, -2, -3, -3, -3, -2, -1)
+  val FastDy = Array(-3, -3, -2, -1, 0, 1, 2, 3, 3, 3, 2, 1, 0, -1, -2, -3)
+
+  val fastAgg = udf((bytes: Array[Byte], w: Int, h: Int, t: Long) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    def maxCircularRun(f: Array[Boolean]): Int = {
+      if (f.forall(identity)) return 16
+      var best = 0; var run = 0
+      var i = 0
+      while (i < 32) {
+        if (f(i % 16)) { run += 1; if (run > best) best = run }
+        else run = 0
+        i += 1
+      }
+      best
+    }
+    val bright = new Array[Boolean](16)
+    val dark = new Array[Boolean](16)
+    var n = 0L; var nc = 0L; var chk = 0L
+    var y = 3
+    while (y < h - 3) {
+      var x = 3
+      while (x < w - 3) {
+        val c = z(y * w + x).toLong
+        var i = 0
+        while (i < 16) {
+          val v = z((y + FastDy(i)) * w + (x + FastDx(i))).toLong
+          bright(i) = v >= c + t
+          dark(i) = v <= c - t
+          i += 1
+        }
+        n += 1
+        if (maxCircularRun(bright) >= 9 || maxCircularRun(dark) >= 9) {
+          nc += 1; chk += x + 131L * y
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (n, nc, chk)
+  })
+
   /** Bilinear Bayer demosaic (RGGB CFA), stated ×4 so every bilinear
     * average is integer: R sites at (even x, even y), B at (odd,
     * odd), G where x+y is odd. Per interior pixel the missing
