@@ -1226,6 +1226,17 @@ object SparkEntry {
       graft.ops.SpatialJoin.hexBin(Synth.images(s, dir), 9000L, 14000L)
         .orderBy("hi", "hj")),
 
+    // local mean/variance via twin summed-area tables (adaptive-
+    // threshold building block, divide-free): 5×5 windows
+    "q_local_stats" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("r", graft.ops.Vision.localStatsAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int"), lit(2)))
+        .select(col("image_id"), col("r._1").as("n_eval"),
+          col("r._2").as("n_above"), col("r._3").as("var_sum"),
+          col("r._4").as("var_max"), col("r._5").as("chk"))
+        .orderBy("image_id")),
+
     // FAST-16 segment-test corners (≥9 contiguous bright/dark on
     // the radius-3 circle, t = 100)
     "q_fast" -> ((s, dir) =>
@@ -4174,6 +4185,30 @@ object SparkEntry {
          |  r.h AS kth_hash
          |FROM nd n JOIN rk r ON r.source = n.source AND r.rn = 8
          |ORDER BY 1""".stripMargin,
+
+    // naive 5×5 window sums of z and z²; V = 25·Σz² − (Σz)²
+    "q_local_stats" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |lso AS (SELECT a.dx, b.dy
+         |        FROM (SELECT unnest(generate_series(-2, 2)) AS dx) a,
+         |             (SELECT unnest(generate_series(-2, 2)) AS dy) b),
+         |lsb AS (SELECT c.k, c.image_id, c.x, c.y, c.z,
+         |          SUM(n.z) AS s1, SUM(n.z*n.z) AS s2
+         |        FROM demp c JOIN lso o ON TRUE
+         |        JOIN demp n ON n.k = c.k AND n.x = c.x + o.dx
+         |          AND n.y = c.y + o.dy
+         |        WHERE c.x >= 2 AND c.x <= c.w-3
+         |          AND c.y >= 2 AND c.y <= c.h-3
+         |        GROUP BY 1, 2, 3, 4, 5),
+         |lsv AS (SELECT k, image_id, x, y, 25*s2 - s1*s1 AS v,
+         |          CASE WHEN 25*z > s1 THEN 1 ELSE 0 END AS ab
+         |        FROM lsb)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |  CAST(SUM(ab) AS BIGINT) AS n_above,
+         |  CAST(SUM(v) AS BIGINT) AS var_sum,
+         |  CAST(MAX(v) AS BIGINT) AS var_max,
+         |  CAST(SUM(v*(x + 131*y)) % 1099511627776 AS BIGINT) AS chk
+         |FROM lsv GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // circular contiguity via doubled bitstring LIKE; the circle is
     // the same 16-offset table as the kernel

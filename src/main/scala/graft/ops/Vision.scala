@@ -452,6 +452,56 @@ object Vision {
     (n, bs, if (n == 0) 0L else bmax, chk)
   })
 
+  /** Windowed local statistics from TWO summed-area tables (z and
+    * z²) — the adaptive-threshold / texture-energy building block
+    * (Niblack 1986 family, stated divide-free): with q = (2r+1)²,
+    * a pixel is "above local mean" iff q·z > Σz, and the scaled
+    * local variance is V = q·Σz² − (Σz)² — both exact integers.
+    * O(1) per pixel at ANY radius (the oracle pays O(r²)). Per
+    * image: (n_eval, n_above, ΣV, max V, Σ V·(x+131·y) mod 2^40
+    * — the modulus keeps the positional checksum in range). */
+  val localStatsAgg = udf((bytes: Array[Byte], w: Int, h: Int, r: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val sat = new Array[Long]((w + 1) * (h + 1))
+    val sat2 = new Array[Long]((w + 1) * (h + 1))
+    var y = 0
+    while (y < h) {
+      var rowSum = 0L; var rowSum2 = 0L
+      var x = 0
+      while (x < w) {
+        val v = z(y * w + x).toLong
+        rowSum += v; rowSum2 += v * v
+        sat((y + 1) * (w + 1) + (x + 1)) = sat(y * (w + 1) + (x + 1)) + rowSum
+        sat2((y + 1) * (w + 1) + (x + 1)) = sat2(y * (w + 1) + (x + 1)) + rowSum2
+        x += 1
+      }
+      y += 1
+    }
+    def box(s: Array[Long], x0: Int, y0: Int, x1: Int, y1: Int): Long =
+      s(y1 * (w + 1) + x1) - s(y0 * (w + 1) + x1) -
+        s(y1 * (w + 1) + x0) + s(y0 * (w + 1) + x0)
+    val q = (2L * r + 1) * (2L * r + 1)
+    val m = 1L << 40
+    var n = 0L; var nAbove = 0L; var vs = 0L; var vmax = Long.MinValue
+    var chk = 0L
+    y = r
+    while (y < h - r) {
+      var x = r
+      while (x < w - r) {
+        val s1 = box(sat, x - r, y - r, x + r + 1, y + r + 1)
+        val s2 = box(sat2, x - r, y - r, x + r + 1, y + r + 1)
+        val v = q * s2 - s1 * s1
+        n += 1
+        if (q * z(y * w + x).toLong > s1) nAbove += 1
+        vs += v; if (v > vmax) vmax = v
+        chk = (chk + (v % m) * ((x + 131L * y) % m)) % m
+        x += 1
+      }
+      y += 1
+    }
+    (n, nAbove, vs, if (n == 0) 0L else vmax, chk)
+  })
+
   /** Canny-lite edge chain (Canny 1986 restated in exact integers):
     * central-difference gradient gx = z(x+1)−z(x−1), gy = z(y+1)−
     * z(y−1) on the interior; direction floor-quantized to one of 4
