@@ -1268,6 +1268,22 @@ object SparkEntry {
         Synth.polygons(s, dir))
         .orderBy("fid")),
 
+    // histogram matching epoch 0 → epoch 3 (radiometric
+    // normalization LUT): per-image shift mass + mapped checksums
+    "q_hist_match" -> ((s, dir) =>
+      Synth.demEpochImages(s, dir, 4, smallRaw)
+        .where(col("t").isin(0, 3))
+        .groupBy("k", "image_id", "w", "h")
+        .agg(collect_list(struct(col("t").cast("int").as("t"),
+          col("bytes"))).as("eps"))
+        .withColumn("r", graft.ops.Terrain.histMatchAgg(
+          col("w").cast("int"), col("h").cast("int"),
+          lit(0), lit(3), col("eps")))
+        .select(col("image_id"), col("r._1").as("n_px"),
+          col("r._2").as("shift_sum"), col("r._3").as("lut_sum"),
+          col("r._4").as("chk"))
+        .orderBy("image_id")),
+
     // joint histogram between epochs 0 and 3 (the change matrix /
     // MI registration building block): 256-wide bins, exact counts
     "q_joint_hist" -> ((s, dir) =>
@@ -4310,6 +4326,42 @@ object SparkEntry {
          |    AS n_neg,
          |  CAST(SUM(num) AS BIGINT) AS num_sum
          |FROM zpx GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // LUT(v) = min ref value with cdf_ref ≥ cdf_src, via a per-image
+    // cdf-inequality join + MIN over the distinct-value tables
+    "q_hist_match" ->
+      s"""WITH $I, $SimgCte,
+         |hep AS (SELECT unnest([0, 3]) AS t),
+         |htv AS (SELECT s.k, s.image_id, xs.x, ys.y, e.t,
+         |          100 + ((s.k%7+1)*xs.x*xs.x + (s.k%5+1)*ys.y*ys.y
+         |               + (s.k%3+1)*xs.x*ys.y
+         |               + ((s.k*3)%11)*xs.x + ((s.k*7)%13)*ys.y) % 1900
+         |          + e.t * ((xs.x + ys.y + s.k) % 7 - 3)
+         |          + (e.t*e.t*(xs.x+1)*(s.k%11+1)) % 5 AS v
+         |        FROM simg s CROSS JOIN hep e
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.w-1 AS INT))) AS x) xs
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.h-1 AS INT))) AS y) ys),
+         |hsrc AS (SELECT k, image_id, x, y, v FROM htv WHERE t = 0),
+         |href AS (SELECT k, v FROM htv WHERE t = 3),
+         |hsc AS (SELECT k, v, COUNT(*) AS c FROM hsrc GROUP BY 1, 2),
+         |hscc AS (SELECT k, v,
+         |           SUM(c) OVER (PARTITION BY k ORDER BY v) AS cdf
+         |         FROM hsc),
+         |hrc AS (SELECT k, v, COUNT(*) AS c FROM href GROUP BY 1, 2),
+         |hrcc AS (SELECT k, v,
+         |           SUM(c) OVER (PARTITION BY k ORDER BY v) AS cdf
+         |         FROM hrc),
+         |hlut AS (SELECT s.k, s.v, MIN(r.v) AS u
+         |         FROM hscc s JOIN hrcc r ON r.k = s.k
+         |           AND r.cdf >= s.cdf
+         |         GROUP BY 1, 2),
+         |hmap AS (SELECT p.k, p.image_id, p.x, p.y, p.v, l.u
+         |         FROM hsrc p JOIN hlut l ON l.k = p.k AND l.v = p.v)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+         |  CAST(SUM(ABS(u - v)) AS BIGINT) AS shift_sum,
+         |  CAST(SUM(u) AS BIGINT) AS lut_sum,
+         |  CAST(SUM(u*(x + 131*y)) AS BIGINT) AS chk
+         |FROM hmap GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // joint change matrix: pivot epochs 0/3 per pixel, bin div 256
     "q_joint_hist" ->

@@ -534,6 +534,63 @@ object Terrain {
       .where(col("n_px") > 0)
   }
 
+  /** Histogram matching (the classic radiometric-normalization LUT,
+    * Gonzalez & Woods §3.3): map epoch `ta`'s values so their CDF
+    * matches epoch `tb`'s — LUT(v) = min{ u present in ref :
+    * cdf_ref(u) ≥ cdf_src(v) }, all integer comparisons (equal pixel
+    * counts make the LUT total). Per image: (n_px, Σ|LUT(v)−v|,
+    * Σ LUT(v), Σ LUT(v)·(x+131·y)). Decode-once map work; the
+    * oracle replays the LUT as a cdf-inequality join + MIN. */
+  val histMatchAgg = udf((w: Int, h: Int, ta: Int, tb: Int,
+                          epochs: Seq[org.apache.spark.sql.Row]) => {
+    val byT = epochs.map(r => (r.getInt(0),
+      Codec.decode(r.getAs[Array[Byte]](1), w, h, 1, "raw-i16le")(0))).toMap
+    val va = byT(ta); val vb = byT(tb)
+    val n = w * h
+    var vmax = 0
+    var i = 0
+    while (i < n) {
+      val a = va(i).toInt; val b = vb(i).toInt
+      if (a > vmax) vmax = a
+      if (b > vmax) vmax = b
+      i += 1
+    }
+    val ha = new Array[Long](vmax + 1)
+    val hb = new Array[Long](vmax + 1)
+    i = 0
+    while (i < n) { ha(va(i).toInt) += 1; hb(vb(i).toInt) += 1; i += 1 }
+    // two-pointer CDF walk: lut(v) = min ref value u with
+    // cdfB(u) >= cdfA(v), over values actually present
+    val lut = new Array[Int](vmax + 1)
+    var cdfA = 0L; var cdfB = 0L
+    var u = 0
+    while (u <= vmax && hb(u) == 0) u += 1
+    if (u <= vmax) cdfB = hb(u)
+    var v = 0
+    while (v <= vmax) {
+      if (ha(v) > 0) {
+        cdfA += ha(v)
+        while (cdfB < cdfA && u < vmax) {
+          u += 1
+          while (u < vmax && hb(u) == 0) u += 1
+          cdfB += hb(u)
+        }
+        lut(v) = u
+      }
+      v += 1
+    }
+    var shift = 0L; var ls = 0L; var chk = 0L
+    i = 0
+    while (i < n) {
+      val a = va(i).toInt
+      val m = lut(a).toLong
+      shift += math.abs(m - a); ls += m
+      chk += m * ((i % w) + 131L * (i / w))
+      i += 1
+    }
+    (n.toLong, shift, ls, chk)
+  })
+
   /** Joint histogram between two epochs — the co-occurrence table
     * mutual-information / change-matrix registration metrics build
     * on (Viola & Wells 1997 uses its MI; the gate checks the exact
