@@ -1268,6 +1268,33 @@ object SparkEntry {
         Synth.polygons(s, dir))
         .orderBy("fid")),
 
+    // Douglas-Peucker track simplification: per-user event tracks
+    // with md5-derived integer coordinates, ε² = 1048576 (ε = 1024)
+    "q_track_simplify" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 40)
+      val hm = md5(col("event_id").cast("string"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      import graft.sketch.Cms.hexVal
+      val pts = ev.select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("idx", row_number().over(win).cast("long") - 1)
+        .withColumn("px", (hexVal(hm, 1) * 256 + hexVal(hm, 2) * 16 +
+          hexVal(hm, 3)).cast("long"))
+        .withColumn("py", (hexVal(hm, 4) * 256 + hexVal(hm, 5) * 16 +
+          hexVal(hm, 6)).cast("long"))
+      pts.groupBy("user_id")
+        .agg(collect_list(struct(col("idx"), col("px"), col("py")))
+          .as("pts"))
+        .withColumn("r", graft.ops.Tracks.dpAgg(col("pts"),
+          lit(1048576L)))
+        .select(col("user_id"), col("r._1").as("n_pts"),
+          col("r._2").as("n_kept"), col("r._3").as("idx_sum"),
+          col("r._4").as("chk"))
+        .where(col("n_pts") >= 2)
+        .orderBy("user_id")
+    }),
+
     // histogram matching epoch 0 → epoch 3 (radiometric
     // normalization LUT): per-image shift mass + mapped checksums
     "q_hist_match" -> ((s, dir) =>
@@ -4326,6 +4353,64 @@ object SparkEntry {
          |    AS n_neg,
          |  CAST(SUM(num) AS BIGINT) AS num_sum
          |FROM zpx GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DP recursion as a segment-splitting recursive CTE: per active
+    // chord the argmax-cross² interior point via scatter + GROUP BY;
+    // split iff cross² > ε²·|AB|²; kept = all chord endpoints
+    "q_track_simplify" ->
+      s"""WITH RECURSIVE
+         |dpe AS (SELECT user_id, ts, event_id,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 40),
+         |dpp AS (SELECT user_id,
+         |          ROW_NUMBER() OVER (PARTITION BY user_id
+         |            ORDER BY ts, event_id) - 1 AS idx,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT) AS px,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT) AS py
+         |        FROM dpe),
+         |dpn AS (SELECT user_id, COUNT(*) AS n FROM dpp GROUP BY 1),
+         |dps AS (
+         |  SELECT user_id, CAST(0 AS BIGINT) AS a, n - 1 AS b
+         |  FROM dpn WHERE n >= 2
+         |  UNION ALL
+         |  SELECT q.user_id,
+         |    CASE WHEN sd.s = 0 THEN q.a ELSE q.m END AS a,
+         |    CASE WHEN sd.s = 0 THEN q.m ELSE q.b END AS b
+         |  FROM (
+         |    SELECT t.user_id, t.a, t.b,
+         |      -(MAX(struct_pack(c2 := t.c2, ni := -t.i))).ni AS m,
+         |      (MAX(struct_pack(c2 := t.c2, ni := -t.i))).c2 AS bc2,
+         |      MIN(t.ab2) AS ab2
+         |    FROM (
+         |      SELECT g.user_id, g.a, g.b, p.idx AS i,
+         |        ((pb.px - pa.px)*(p.py - pa.py)
+         |          - (pb.py - pa.py)*(p.px - pa.px))
+         |        * ((pb.px - pa.px)*(p.py - pa.py)
+         |          - (pb.py - pa.py)*(p.px - pa.px)) AS c2,
+         |        (pb.px - pa.px)*(pb.px - pa.px)
+         |          + (pb.py - pa.py)*(pb.py - pa.py) AS ab2
+         |      FROM dps g
+         |      JOIN dpp pa ON pa.user_id = g.user_id AND pa.idx = g.a
+         |      JOIN dpp pb ON pb.user_id = g.user_id AND pb.idx = g.b
+         |      JOIN dpp p ON p.user_id = g.user_id AND p.idx > g.a
+         |        AND p.idx < g.b
+         |    ) t GROUP BY 1, 2, 3
+         |  ) q CROSS JOIN (SELECT unnest([0, 1]) AS s) sd
+         |  WHERE q.bc2 > 1048576 * q.ab2),
+         |dpk AS (SELECT DISTINCT user_id, idx FROM (
+         |          SELECT user_id, a AS idx FROM dps
+         |          UNION ALL SELECT user_id, b AS idx FROM dps) du)
+         |SELECT d.user_id, CAST(n.n AS BIGINT) AS n_pts,
+         |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  CAST(SUM(d.idx) AS BIGINT) AS idx_sum,
+         |  CAST(SUM(p.px + 131*p.py) AS BIGINT) AS chk
+         |FROM dpk d
+         |JOIN dpp p ON p.user_id = d.user_id AND p.idx = d.idx
+         |JOIN dpn n ON n.user_id = d.user_id
+         |WHERE n.n >= 2
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     // LUT(v) = min ref value with cdf_ref ≥ cdf_src, via a per-image
     // cdf-inequality join + MIN over the distinct-value tables
@@ -7694,6 +7779,13 @@ object SparkEntry {
     * a literal pipe (stripMargin is applied twice — see the verify
     * skill notes), so pipe-heavy expressions interpolate this. */
   private val Pipe = "|"
+
+  /** SQL for the value of the `pos`-th (1-based) hex digit of a
+    * lowercase md5 column — the DuckDB mirror of Cms.hexVal. */
+  private def hx(c: String, pos: Int): String =
+    s"(CASE WHEN ascii(substr($c, $pos, 1)) <= 57 " +
+      s"THEN ascii(substr($c, $pos, 1)) - 48 " +
+      s"ELSE ascii(substr($c, $pos, 1)) - 87 END)"
 
   /** BPE trainer CTE chain, `rounds` unrolled: w0 = word-frequency
     * table with '|'-delimited symbol strings; per round r, p$r = pair

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Trajectory operators. Douglas-Peucker polyline simplification
+  * (Douglas & Peucker 1973) stated divide-free so the DuckDB oracle
+  * replays it exactly: a point P deviates more than ε from chord AB
+  * iff cross(AB, AP)² > ε²·|AB|² (both sides exact integers for
+  * integer coordinates), the split vertex is the max-cross² interior
+  * point with ties → smallest index, and the kept set is the chord
+  * endpoints plus every split vertex.
+  *
+  * Scale posture: tracks group by entity (one shuffle on the track
+  * key), each track simplifies independently inside its kernel call
+  * — the classic "per-key sequential algorithm, corpus-parallel"
+  * shape. The oracle replays the recursion as a segment-splitting
+  * recursive CTE (argmax via scatter + GROUP BY in the derived
+  * table; segments strictly shrink, so it terminates naturally). */
+object Tracks {
+
+  /** Kept FLAGS for one track (points in index order). */
+  def dpKeep(xs: Array[Long], ys: Array[Long], eps2: Long): Array[Boolean] = {
+    val n = xs.length
+    val keep = new Array[Boolean](n)
+    if (n == 0) return keep
+    keep(0) = true; keep(n - 1) = true
+    val stack = scala.collection.mutable.Stack[(Int, Int)]()
+    if (n > 2) stack.push((0, n - 1))
+    while (stack.nonEmpty) {
+      val (a, b) = stack.pop()
+      if (b - a > 1) {
+        val dx = xs(b) - xs(a); val dy = ys(b) - ys(a)
+        val ab2 = dx * dx + dy * dy
+        var best = -1L; var bestI = -1
+        var i = a + 1
+        while (i < b) {
+          val cr = dx * (ys(i) - ys(a)) - dy * (xs(i) - xs(a))
+          val c2 = cr * cr
+          if (c2 > best) { best = c2; bestI = i }
+          i += 1
+        }
+        if (best > eps2 * ab2) {
+          keep(bestI) = true
+          stack.push((a, bestI)); stack.push((bestI, b))
+        }
+      }
+    }
+    keep
+  }
+
+  /** Per-track aggregate: input (idx, x, y) structs in any order,
+    * output (n_pts, n_kept, Σ kept idx, Σ kept (x + 131·y)). */
+  val dpAgg = udf((pts: Seq[org.apache.spark.sql.Row], eps2: Long) => {
+    val sorted = pts.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toArray
+    val xs = sorted.map(_._2); val ys = sorted.map(_._3)
+    val keep = dpKeep(xs, ys, eps2)
+    var nk = 0L; var is = 0L; var chk = 0L
+    var i = 0
+    while (i < keep.length) {
+      if (keep(i)) {
+        nk += 1; is += sorted(i)._1
+        chk += xs(i) + 131L * ys(i)
+      }
+      i += 1
+    }
+    (sorted.length.toLong, nk, is, chk)
+  })
+}
