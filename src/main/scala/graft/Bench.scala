@@ -315,6 +315,45 @@ object Bench {
        graft.ops.Terrain.lastWatershedRounds, rw)
     }
 
+    // Integral-image cost model: the SAT box kernel must be radius-
+    // INDEPENDENT while the naive window scan is O(k²). Single-thread
+    // driver-side timing of the kernel arithmetic itself (this is an
+    // ALU property, not a cluster property) on one 1024² plane,
+    // best of 3.
+    val (sat3Sec, sat15Sec, naive3Sec, naive15Sec) = {
+      val w = 1024; val h = 1024
+      val z = Array.tabulate(w * h)(i => ((i * 31 + i / w * 7) % 2000).toDouble)
+      def naiveBox(r: Int): Long = {
+        var bs = 0L
+        var y = r
+        while (y < h - r) {
+          var x = r
+          while (x < w - r) {
+            var s = 0L
+            var dy = -r
+            while (dy <= r) {
+              var dx = -r
+              while (dx <= r) { s += z((y + dy) * w + (x + dx)).toLong; dx += 1 }
+              dy += 1
+            }
+            bs += s
+            x += 1
+          }
+          y += 1
+        }
+        bs
+      }
+      def best(f: => Unit): Double =
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }.min
+      graft.ops.Vision.integralBox(z, w, h, 3) // warm/JIT
+      naiveBox(3)
+      (best(graft.ops.Vision.integralBox(z, w, h, 3)),
+       best(graft.ops.Vision.integralBox(z, w, h, 15)),
+       best(naiveBox(3)), best(naiveBox(15)))
+    }
+
     // The incremental legs above leave ~100 localCheckpoint block sets
     // pinned in the block manager (BPE rewrites one per round); they
     // compete with the headline's shuffle/execution memory — the first
@@ -668,6 +707,15 @@ object Bench {
          |10× the delta) — batch cost = delta work + one corpus-band
          |stream, never a corpus re-band/reshuffle.
          |
+         |Integral-image cost model (1024² plane, single thread, best
+         |of 3): SAT box r=3 ${f"$sat3Sec%.3f"} s vs r=15
+         |${f"$sat15Sec%.3f"} s (${f"${sat15Sec / sat3Sec}%.2f"}× —
+         |radius-independent); naive window scan r=3
+         |${f"$naive3Sec%.3f"} s vs r=15 ${f"$naive15Sec%.3f"} s
+         |(${f"${naive15Sec / naive3Sec}%.1f"}× — tracks (2r+1)²:
+         |961/49 = 19.6×). q_integral_box / q_local_stats ride the SAT
+         |path; the DuckDB oracle replays the naive scan.
+         |
          |Terrain iteration counts on a ${rampLen}-cell-path ramp DEM
          |(measured shuffle rounds): flow ACCUMULATION (frontier
          |propagation, inherently path-length-bound) $accRounds rounds;
@@ -737,7 +785,7 @@ object Bench {
     // timings) cut off and failed to parse. Emit the long detail map
     // on its own EARLIER line (BASELINE.md carries it too) and keep
     // the final contract line compact so it always parses.
-    println(s"""{"detail":"new-op timings + decode memo","queries_new":$qsNew,"mosaic_pairs":$mosaicPairs,"mosaic_decodes":$mosaicDecodes,"skew_trials":{"hot":[${skewHotT.map(t => f"$t%.2f").mkString(",")}],"salt16":[${skewSaltT.map(t => f"$t%.2f").mkString(",")}],"aqe":[${skewAqeT.map(t => f"$t%.2f").mkString(",")}]},"incremental":{"bpe_full16_sec":${f"$bpeFull16Sec%.2f"},"bpe16_sec":${f"$bpe16Sec%.2f"},"bpe64_sec":${f"$bpe64Sec%.2f"},"bands_sec":${f"$bandsSec%.2f"},"dedup_delta100_sec":${f"$inc100Sec%.2f"},"dedup_delta1000_sec":${f"$inc1000Sec%.2f"}}}""")
+    println(s"""{"detail":"new-op timings + decode memo","queries_new":$qsNew,"mosaic_pairs":$mosaicPairs,"mosaic_decodes":$mosaicDecodes,"skew_trials":{"hot":[${skewHotT.map(t => f"$t%.2f").mkString(",")}],"salt16":[${skewSaltT.map(t => f"$t%.2f").mkString(",")}],"aqe":[${skewAqeT.map(t => f"$t%.2f").mkString(",")}]},"sat":{"sat_r3_sec":${f"$sat3Sec%.4f"},"sat_r15_sec":${f"$sat15Sec%.4f"},"naive_r3_sec":${f"$naive3Sec%.4f"},"naive_r15_sec":${f"$naive15Sec%.4f"}},"incremental":{"bpe_full16_sec":${f"$bpeFull16Sec%.2f"},"bpe16_sec":${f"$bpe16Sec%.2f"},"bpe64_sec":${f"$bpe64Sec%.2f"},"bands_sec":${f"$bandsSec%.2f"},"dedup_delta100_sec":${f"$inc100Sec%.2f"},"dedup_delta1000_sec":${f"$inc1000Sec%.2f"}}}""")
     println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","throughput_images_per_sec":${f"$rate%.0f"},"headline_images":$benchN,"headline_sec":${f"$headSec%.3f"},"scaling":{"n_images":$nPrim,"rate_local4":${f"$r4%.0f"},"rate_local16":${f"$r16%.0f"},"rate_local8":${f"$r8%.0f"},"rate_local32":${f"$r32s%.0f"},"rate_cluster1x8":${g(lc1, "SCALE_RATE")},"rate_cluster4x8":${g(lc4, "SCALE_RATE")},"efficiency":${f"$eff%.3f"},"efficiency_8_32":${f"$eff32%.3f"},"efficiency_cluster":${f"$effLc%.3f"},"efficiency_cluster_median":${f"$lcEffMed%.3f"},"hw_ceiling":${f"$effKern%.3f"},"hw_ceiling_8_32":${f"$effKern32%.3f"},"hw_ceiling_cluster":${f"$lcCeil%.3f"},"efficiency_normalized":${f"$effNorm%.3f"},"efficiency_normalized_8_32":${f"$effNorm32%.3f"},"efficiency_normalized_cluster":${f"$effLcNorm%.3f"}},"skew":{"n":$skewN,"hot_sec":${f"$skewSec0%.3f"},"salted16_sec":${f"$skewSec1%.3f"},"aqe_sec":${f"$skewSec2%.3f"},"salt_speedup":${f"${skewSec0 / skewSec1}%.2f"}}}""")
   }
 }

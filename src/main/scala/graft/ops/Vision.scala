@@ -421,6 +421,13 @@ object Vision {
     * integer. Per image: (n_eval, Σ box, max box, Σ box·(x+131·y)). */
   val integralBoxAgg = udf((bytes: Array[Byte], w: Int, h: Int, r: Int) => {
     val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    integralBox(z, w, h, r)
+  })
+
+  /** The SAT box kernel on a decoded plane (exposed for the bench's
+    * cost-model evidence: O(1)/pixel at any radius). */
+  def integralBox(z: Array[Double], w: Int, h: Int,
+                  r: Int): (Long, Long, Long, Long) = {
     // sat(y)(x) = Σ z over [0,x)×[0,y) — (w+1)·(h+1), built in one pass
     val sat = new Array[Long]((w + 1) * (h + 1))
     var y = 0
@@ -450,7 +457,7 @@ object Vision {
       y += 1
     }
     (n, bs, if (n == 0) 0L else bmax, chk)
-  })
+  }
 
   /** Windowed local statistics from TWO summed-area tables (z and
     * z²) — the adaptive-threshold / texture-energy building block
