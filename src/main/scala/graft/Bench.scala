@@ -226,7 +226,8 @@ object Bench {
       "q_triangles", "q_hex_rollup", "q_kmv_distinct",
       // joint change matrix + count-min sketch + zonal trend + demosaic
       "q_joint_hist", "q_cms_topk", "q_zonal_trend", "q_demosaic",
-      "q_fast", "q_local_stats", "q_hist_match", "q_track_simplify")
+      "q_fast", "q_local_stats", "q_hist_match", "q_track_simplify",
+      "q_staypoints")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

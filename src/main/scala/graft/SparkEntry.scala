@@ -1295,6 +1295,33 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // stay-point detection (anchor walk, r² = 1048576, ≥3 points):
+    // per-user stay count, anchor/span sums, anchor checksum
+    "q_staypoints" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 40)
+      val hm = md5(col("event_id").cast("string"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      import graft.sketch.Cms.hexVal
+      val pts = ev.select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("idx", row_number().over(win).cast("long") - 1)
+        .withColumn("px", (hexVal(hm, 1) * 256 + hexVal(hm, 2) * 16 +
+          hexVal(hm, 3)).cast("long"))
+        .withColumn("py", (hexVal(hm, 4) * 256 + hexVal(hm, 5) * 16 +
+          hexVal(hm, 6)).cast("long"))
+      pts.groupBy("user_id")
+        .agg(collect_list(struct(col("idx"), col("px"), col("py")))
+          .as("pts"))
+        .withColumn("r", graft.ops.Tracks.stayAgg(col("pts"),
+          lit(1048576L), lit(3)))
+        .select(col("user_id"), col("r._1").as("n_stays"),
+          col("r._2").as("a_sum"), col("r._3").as("span_sum"),
+          col("r._4").as("chk"))
+        .where(col("n_stays") > 0)
+        .orderBy("user_id")
+    }),
+
     // histogram matching epoch 0 → epoch 3 (radiometric
     // normalization LUT): per-image shift mass + mapped checksums
     "q_hist_match" -> ((s, dir) =>
@@ -4411,6 +4438,56 @@ object SparkEntry {
          |JOIN dpn n ON n.user_id = d.user_id
          |WHERE n.n >= 2
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // anchor-chain walk as a strictly-advancing recursive CTE;
+    // breakout = first index beyond r² of the anchor
+    "q_staypoints" ->
+      s"""WITH RECURSIVE
+         |dpe AS (SELECT user_id, ts, event_id,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 40),
+         |dpp AS (SELECT user_id,
+         |          ROW_NUMBER() OVER (PARTITION BY user_id
+         |            ORDER BY ts, event_id) - 1 AS idx,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT) AS px,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT) AS py
+         |        FROM dpe),
+         |dpn AS (SELECT user_id, COUNT(*) AS n FROM dpp GROUP BY 1),
+         |spw AS (
+         |  SELECT user_id, CAST(0 AS BIGINT) AS a FROM dpn
+         |  UNION ALL
+         |  SELECT q.user_id, q.j AS a FROM (
+         |    SELECT w.user_id, w.a, MIN(p.idx) AS j
+         |    FROM spw w
+         |    JOIN dpp pa ON pa.user_id = w.user_id AND pa.idx = w.a
+         |    JOIN dpp p ON p.user_id = w.user_id AND p.idx > w.a
+         |      AND (p.px - pa.px)*(p.px - pa.px)
+         |        + (p.py - pa.py)*(p.py - pa.py) > 1048576
+         |    GROUP BY w.user_id, w.a
+         |  ) q),
+         |spb AS (SELECT w.user_id, w.a,
+         |          COALESCE(MIN(CASE WHEN
+         |            (p.px - pa.px)*(p.px - pa.px)
+         |              + (p.py - pa.py)*(p.py - pa.py) > 1048576
+         |            THEN p.idx END), n.n) AS j
+         |        FROM spw w
+         |        JOIN dpn n ON n.user_id = w.user_id
+         |        JOIN dpp pa ON pa.user_id = w.user_id AND pa.idx = w.a
+         |        LEFT JOIN dpp p ON p.user_id = w.user_id
+         |          AND p.idx > w.a
+         |        GROUP BY w.user_id, w.a, n.n),
+         |sps AS (SELECT b.user_id, b.a, b.j - b.a AS span,
+         |          pa.px, pa.py
+         |        FROM spb b JOIN dpp pa ON pa.user_id = b.user_id
+         |          AND pa.idx = b.a
+         |        WHERE b.j - b.a >= 3)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_stays,
+         |  CAST(SUM(a) AS BIGINT) AS a_sum,
+         |  CAST(SUM(span) AS BIGINT) AS span_sum,
+         |  CAST(SUM(px + 131*py) AS BIGINT) AS chk
+         |FROM sps GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // LUT(v) = min ref value with cdf_ref ≥ cdf_src, via a per-image
     // cdf-inequality join + MIN over the distinct-value tables

@@ -48,6 +48,37 @@ object Tracks {
     keep
   }
 
+  /** Stay-point detection (Li et al. 2008 GeoLife, stated in point
+    * counts so both engines agree exactly): anchor walk — from
+    * anchor a, the breakout j is the first index with
+    * dist²(p_a, p_j) > r²; the span [a, j) is a STAY iff it holds ≥
+    * minPts points; the next anchor is j. Returns per-track
+    * (n_stays, Σ anchor idx, Σ span length, Σ (x_a + 131·y_a)).
+    * The oracle replays the walk as a strictly-advancing recursive
+    * CTE (anchor chain; argmin breakout via scatter + GROUP BY). */
+  val stayAgg = udf((pts: Seq[org.apache.spark.sql.Row], r2: Long,
+                     minPts: Int) => {
+    val sorted = pts.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toArray
+    val n = sorted.length
+    var nStays = 0L; var aSum = 0L; var spanSum = 0L; var chk = 0L
+    var a = 0
+    while (a < n) {
+      var j = a + 1
+      while (j < n && {
+        val dx = sorted(j)._2 - sorted(a)._2
+        val dy = sorted(j)._3 - sorted(a)._3
+        dx * dx + dy * dy <= r2
+      }) j += 1
+      if (j - a >= minPts) {
+        nStays += 1; aSum += sorted(a)._1; spanSum += j - a
+        chk += sorted(a)._2 + 131L * sorted(a)._3
+      }
+      a = j
+    }
+    (nStays, aSum, spanSum, chk)
+  })
+
   /** Per-track aggregate: input (idx, x, y) structs in any order,
     * output (n_pts, n_kept, Σ kept idx, Σ kept (x + 131·y)). */
   val dpAgg = udf((pts: Seq[org.apache.spark.sql.Row], eps2: Long) => {
