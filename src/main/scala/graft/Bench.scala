@@ -227,7 +227,7 @@ object Bench {
       // joint change matrix + count-min sketch + zonal trend + demosaic
       "q_joint_hist", "q_cms_topk", "q_zonal_trend", "q_demosaic",
       "q_fast", "q_local_stats", "q_hist_match", "q_track_simplify",
-      "q_staypoints")
+      "q_staypoints", "q_convex_hull")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

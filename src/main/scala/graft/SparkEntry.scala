@@ -1295,6 +1295,32 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // convex hull per user point set (monotone chain, strict
+    // vertices): hull size, doubled shoelace area, vertex checksum
+    "q_convex_hull" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 40)
+      val hm = md5(col("event_id").cast("string"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      import graft.sketch.Cms.hexVal
+      val pts = ev.select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("idx", row_number().over(win).cast("long") - 1)
+        .withColumn("px", (hexVal(hm, 1) * 256 + hexVal(hm, 2) * 16 +
+          hexVal(hm, 3)).cast("long"))
+        .withColumn("py", (hexVal(hm, 4) * 256 + hexVal(hm, 5) * 16 +
+          hexVal(hm, 6)).cast("long"))
+      pts.groupBy("user_id")
+        .agg(collect_list(struct(col("idx"), col("px"), col("py")))
+          .as("pts"))
+        .withColumn("r", graft.ops.Tracks.hullAgg(col("pts")))
+        .select(col("user_id"), col("r._1").as("n_distinct"),
+          col("r._2").as("n_hull"), col("r._3").as("area2"),
+          col("r._4").as("chk"))
+        .where(col("n_distinct") >= 3)
+        .orderBy("user_id")
+    }),
+
     // stay-point detection (anchor walk, r² = 1048576, ≥3 points):
     // per-user stay count, anchor/span sums, anchor checksum
     "q_staypoints" -> ((s, dir) => {
@@ -4438,6 +4464,48 @@ object SparkEntry {
          |JOIN dpn n ON n.user_id = d.user_id
          |WHERE n.n >= 2
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    // hull edge (a→b) iff every other point is strictly left
+    // (cross > 0) or collinear strictly between; vertices = edge
+    // sources; doubled area = Σ(xa·yb − xb·ya) over directed edges
+    "q_convex_hull" ->
+      s"""WITH
+         |dpe AS (SELECT user_id, event_id,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 40),
+         |dpq AS (SELECT user_id,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT) AS px,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT) AS py
+         |        FROM dpe),
+         |chp AS (SELECT DISTINCT user_id, px, py FROM dpq),
+         |chn AS (SELECT user_id, COUNT(*) AS nd FROM chp GROUP BY 1),
+         |che AS (SELECT a.user_id, a.px AS ax, a.py AS ay,
+         |          b.px AS bx, b.py AS by2
+         |        FROM chp a JOIN chp b ON b.user_id = a.user_id
+         |          AND (a.px != b.px OR a.py != b.py)
+         |        WHERE NOT EXISTS (
+         |          SELECT 1 FROM chp p
+         |          WHERE p.user_id = a.user_id
+         |            AND (p.px != a.px OR p.py != a.py)
+         |            AND (p.px != b.px OR p.py != b.py)
+         |            AND NOT (
+         |              (b.px - a.px)*(p.py - a.py)
+         |                - (b.py - a.py)*(p.px - a.px) > 0
+         |              OR ((b.px - a.px)*(p.py - a.py)
+         |                    - (b.py - a.py)*(p.px - a.px) = 0
+         |                  AND p.px >= LEAST(a.px, b.px)
+         |                  AND p.px <= GREATEST(a.px, b.px)
+         |                  AND p.py >= LEAST(a.py, b.py)
+         |                  AND p.py <= GREATEST(a.py, b.py)))))
+         |SELECT e.user_id, CAST(MIN(n.nd) AS BIGINT) AS n_distinct,
+         |  CAST(COUNT(*) AS BIGINT) AS n_hull,
+         |  CAST(SUM(e.ax*e.by2 - e.bx*e.ay) AS BIGINT) AS area2,
+         |  CAST(SUM(e.ax + 131*e.ay) AS BIGINT) AS chk
+         |FROM che e JOIN chn n ON n.user_id = e.user_id
+         |WHERE n.nd >= 3
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // anchor-chain walk as a strictly-advancing recursive CTE;
     // breakout = first index beyond r² of the anchor

@@ -79,6 +79,53 @@ object Tracks {
     (nStays, aSum, spanSum, chk)
   })
 
+  /** Convex hull of a point set (Andrew 1979 monotone chain, STRICT
+    * vertices — collinear boundary points are dropped, matching the
+    * oracle's edge rule "every other point strictly left OR
+    * collinear strictly between the endpoints"). Returns the hull in
+    * counterclockwise order. */
+  def convexHull(pts: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val s = pts.distinct.sortBy(p => (p._1, p._2))
+    val n = s.length
+    if (n <= 2) return s
+    def cross(o: (Long, Long), a: (Long, Long), b: (Long, Long)): Long =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val h = new Array[(Long, Long)](2 * n)
+    var k = 0
+    var i = 0
+    while (i < n) { // lower hull
+      while (k >= 2 && cross(h(k - 2), h(k - 1), s(i)) <= 0) k -= 1
+      h(k) = s(i); k += 1
+      i += 1
+    }
+    val lower = k + 1
+    i = n - 2
+    while (i >= 0) { // upper hull
+      while (k >= lower && cross(h(k - 2), h(k - 1), s(i)) <= 0) k -= 1
+      h(k) = s(i); k += 1
+      i -= 1
+    }
+    h.take(k - 1)
+  }
+
+  /** Per-user hull aggregate: (n_distinct, n_hull, doubled shoelace
+    * area, Σ hull (x + 131·y)). */
+  val hullAgg = udf((pts: Seq[org.apache.spark.sql.Row]) => {
+    val ps = pts.map(r => (r.getLong(1), r.getLong(2))).toArray
+    val nd = ps.distinct.length.toLong
+    val hull = convexHull(ps)
+    val m = hull.length
+    var area2 = 0L; var chk = 0L
+    var i = 0
+    while (i < m) {
+      val a = hull(i); val b = hull((i + 1) % m)
+      area2 += a._1 * b._2 - b._1 * a._2
+      chk += a._1 + 131L * a._2
+      i += 1
+    }
+    (nd, m.toLong, area2, chk)
+  })
+
   /** Per-track aggregate: input (idx, x, y) structs in any order,
     * output (n_pts, n_kept, Σ kept idx, Σ kept (x + 131·y)). */
   val dpAgg = udf((pts: Seq[org.apache.spark.sql.Row], eps2: Long) => {
