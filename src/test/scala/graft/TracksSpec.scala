@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Tracks
+
+/** Invariant checks for the trajectory kernels on deterministic LCG
+  * point sets: Douglas-Peucker's ε-guarantee (every dropped point is
+  * within ε of its enclosing simplified chord), convex-hull
+  * containment + strict convexity, and the stay-point walk's radius/
+  * size contracts. */
+class TracksSpec extends AnyFunSuite {
+
+  private def lcg(seed: Long, n: Int, mod: Int): Array[Long] =
+    Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L)
+      .map(s => (s >>> 33) % mod).take(n).toArray
+
+  private val xs = lcg(3, 80, 4096)
+  private val ys = lcg(11, 80, 4096)
+
+  test("dpKeep: every dropped point is within eps of its chord") {
+    val eps2 = 1048576L
+    val keep = Tracks.dpKeep(xs, ys, eps2)
+    assert(keep.head && keep.last)
+    val kept = keep.indices.filter(keep)
+    kept.sliding(2).foreach { case Seq(a, b) =>
+      val dx = xs(b) - xs(a); val dy = ys(b) - ys(a)
+      val ab2 = dx * dx + dy * dy
+      ((a + 1) until b).foreach { i =>
+        val cr = dx * (ys(i) - ys(a)) - dy * (xs(i) - xs(a))
+        assert(cr * cr <= eps2 * ab2,
+          s"dropped point $i deviates more than eps from chord ($a,$b)")
+      }
+    }
+    // and the simplification is non-trivial on random points
+    assert(kept.size < xs.length && kept.size > 2)
+  }
+
+  test("convexHull: containment, strict turns, positive area") {
+    val pts = xs.zip(ys)
+    val hull = Tracks.convexHull(pts)
+    def cross(o: (Long, Long), a: (Long, Long), b: (Long, Long)): Long =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val m = hull.length
+    assert(m >= 3)
+    // every input point on or left of every directed hull edge
+    for (i <- 0 until m; p <- pts) {
+      val a = hull(i); val b = hull((i + 1) % m)
+      assert(cross(a, b, p) >= 0, s"point $p outside edge ($a,$b)")
+    }
+    // strict convexity at every vertex (no collinear vertices kept)
+    for (i <- 0 until m)
+      assert(cross(hull(i), hull((i + 1) % m), hull((i + 2) % m)) > 0)
+    // CCW shoelace area is positive
+    val area2 = (0 until m).map { i =>
+      val a = hull(i); val b = hull((i + 1) % m)
+      a._1 * b._2 - b._1 * a._2
+    }.sum
+    assert(area2 > 0)
+  }
+
+  test("stay-point walk: spans within radius, breakouts beyond") {
+    val r2 = 1048576L; val minPts = 3
+    // reference walk, written independently of the kernel's loop shape
+    var a = 0; var stays = 0L; var spanSum = 0L
+    while (a < xs.length) {
+      val j = ((a + 1) until xs.length).find { i =>
+        val dx = xs(i) - xs(a); val dy = ys(i) - ys(a)
+        dx * dx + dy * dy > r2
+      }.getOrElse(xs.length)
+      if (j - a >= minPts) { stays += 1; spanSum += j - a }
+      a = j
+    }
+    // drive the udf through a local session for the packaging path
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("tracks-test")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val df = xs.indices.map(i => (1L, i.toLong, xs(i), ys(i)))
+        .toDF("user_id", "idx", "px", "py")
+        .groupBy("user_id")
+        .agg(collect_list(struct(col("idx"), col("px"), col("py")))
+          .as("pts"))
+        .select(Tracks.stayAgg(col("pts"), lit(r2), lit(minPts)).as("r"))
+      val row = df.collect()(0).getStruct(0)
+      assert(row.getLong(0) === stays)
+      assert(row.getLong(2) === spanSum)
+    } finally spark.stop()
+  }
+}
