@@ -1226,6 +1226,15 @@ object SparkEntry {
       graft.ops.SpatialJoin.hexBin(Synth.images(s, dir), 9000L, 14000L)
         .orderBy("hi", "hj")),
 
+    // grid-partitioned DBSCAN over footprint centroids (eps-pitch
+    // grid, 3x3-cell probe equi-join for neighbor pairs, CC over
+    // core-core edges, deterministic min-cluster border attachment;
+    // the oracle replays it all-pairs + transitive-closure reach)
+    "q_dbscan" -> ((s, dir) =>
+      graft.ops.SpatialJoin.dbscanGrid(
+          Synth.images(s, dir).where(col("k") <= 2000), 6000L, 4)
+        .orderBy("k")),
+
     // local mean/variance via twin summed-area tables (adaptive-
     // threshold building block, divide-free): 5×5 windows
     "q_local_stats" -> ((s, dir) =>
@@ -1345,6 +1354,34 @@ object SparkEntry {
           col("r._2").as("a_sum"), col("r._3").as("span_sum"),
           col("r._4").as("chk"))
         .where(col("n_stays") > 0)
+        .orderBy("user_id")
+    }),
+
+    // DTW distance of each user's first-24-point track to a fixed
+    // 6-point reference path (per-key O(n·m) DP kernel, reference
+    // broadcast as a literal; min-plus scatter-CTE oracle)
+    "q_dtw" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 30)
+      val hm = md5(col("event_id").cast("string"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      import graft.sketch.Cms.hexVal
+      val pts = ev.select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("idx", row_number().over(win).cast("long") - 1)
+        .where(col("idx") < 24)
+        .withColumn("px", (hexVal(hm, 1) * 256 + hexVal(hm, 2) * 16 +
+          hexVal(hm, 3)).cast("long"))
+        .withColumn("py", (hexVal(hm, 4) * 256 + hexVal(hm, 5) * 16 +
+          hexVal(hm, 6)).cast("long"))
+      val rx = DtwRefX.map(lit(_)); val ry = DtwRefY.map(lit(_))
+      pts.groupBy("user_id")
+        .agg(collect_list(struct(col("idx"), col("px"), col("py")))
+          .as("pts"))
+        .withColumn("r", graft.ops.Tracks.dtwAgg(col("pts"),
+          array(rx: _*), array(ry: _*)))
+        .select(col("user_id"), col("r._1").as("n_pts"),
+          col("r._2").as("dtw"))
         .orderBy("user_id")
     }),
 
@@ -2542,6 +2579,25 @@ object SparkEntry {
       graft.vec.VectorOps.embNearDupLsh(emb(s, dir), 64, 0.35,
           nb = 4, tables = 16)
         .orderBy("id_a", "id_b")),
+
+    // edit-distance near-dup join (PassJoin segment prefilter +
+    // exact levenshtein verify, k=2) over 32-char doc titles plus a
+    // planted single-char mutation per doc_id%5==0 — the oracle is
+    // the all-pairs levenshtein join, so it checks the prefilter's
+    // COMPLETENESS, not just soundness
+    "q_edit_neardup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("doc_id") < 500)
+      val base = docs.selectExpr("CAST(doc_id AS LONG) AS id",
+        "substr(text, 1, 32) AS t")
+      val mut = docs.where(col("doc_id") % 5 === 0)
+        .selectExpr("CAST(doc_id + 1000000 AS LONG) AS id",
+          "concat(substr(substr(text,1,32), 1, CAST(doc_id % 32 AS INT)), " +
+          "'q', substr(substr(text,1,32), CAST(doc_id % 32 AS INT) + 2, " +
+          "31 - CAST(doc_id % 32 AS INT))) AS t")
+      graft.text.TextOps.editNearDupPairs(base.unionAll(mut), 2)
+        .orderBy("id_a", "id_b")
+    }),
 
     // embedding near-dup CLUSTERS: the same large-star/small-star
     // components over the LSH-verified cosine edges — keep-one-per-
@@ -4268,6 +4324,45 @@ object SparkEntry {
          |  CAST(SUM(k) AS BIGINT) AS k_sum
          |FROM hxa GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // DBSCAN ground truth: all-pairs eps-ball neighbors, core test
+    // |N| + 1 >= minPts, transitive-closure reach over core-core
+    // edges (cluster = min core id), border = min cluster among
+    // core neighbors, else noise (-1)
+    "q_dbscan" ->
+      s"""WITH RECURSIVE $I,
+         |dbp AS (SELECT k, x0m + x1m + 360000 AS qx,
+         |          y0m + y1m + 180000 AS qy FROM img2
+         |        WHERE k <= 2000),
+         |dbe AS (SELECT a.k AS ka, b.k AS kb FROM dbp a JOIN dbp b
+         |        ON a.k <> b.k
+         |       AND (a.qx-b.qx)*(a.qx-b.qx) + (a.qy-b.qy)*(a.qy-b.qy)
+         |           <= ${6000L * 6000L}),
+         |dbn AS (SELECT ka, COUNT(*) AS nn FROM dbe GROUP BY 1),
+         |dbc AS (SELECT p.k FROM dbp p LEFT JOIN dbn n ON n.ka = p.k
+         |        WHERE COALESCE(n.nn, 0) + 1 >= 4),
+         |dce AS (SELECT e.ka AS u, e.kb AS v FROM dbe e
+         |        JOIN dbc x ON x.k = e.ka JOIN dbc y ON y.k = e.kb),
+         |dbreach AS (SELECT k AS v, k AS l FROM dbc
+         |            UNION
+         |            SELECT e.v, r.l FROM dbreach r JOIN dce e
+         |              ON e.u = r.v),
+         |dbclu AS (SELECT v AS k, MIN(l) AS cluster FROM dbreach
+         |          GROUP BY 1),
+         |dbbord AS (SELECT e.ka AS k, MIN(c.cluster) AS cluster
+         |           FROM dbe e JOIN dbclu c ON c.k = e.kb
+         |           WHERE e.ka NOT IN (SELECT k FROM dbc)
+         |           GROUP BY 1)
+         |SELECT CAST(p.k AS BIGINT) AS k,
+         |  CAST(CASE WHEN c2.k IS NOT NULL THEN 2
+         |            WHEN b.k IS NOT NULL THEN 1 ELSE 0 END
+         |    AS BIGINT) AS role,
+         |  CAST(COALESCE(c2.cluster, b.cluster, -1) AS BIGINT)
+         |    AS cluster
+         |FROM dbp p
+         |LEFT JOIN dbclu c2 ON c2.k = p.k
+         |LEFT JOIN dbbord b ON b.k = p.k
+         |ORDER BY p.k""".stripMargin,
+
     // KMV: k-th smallest distinct md5 per source (k = 8) + exact
     // distinct count; md5 hex order == numeric order in both engines
     "q_kmv_distinct" ->
@@ -4556,6 +4651,59 @@ object SparkEntry {
          |  CAST(SUM(span) AS BIGINT) AS span_sum,
          |  CAST(SUM(px + 131*py) AS BIGINT) AS chk
          |FROM sps GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DTW ground truth: synchronous min-plus relaxation over the
+    // n×6 DP grid (every cell re-emits each round via the self-match
+    // arm, so after max(i+j)-2 rounds each cell holds its exact DP
+    // value; INF never inflates past its seed because of the min)
+    "q_dtw" -> {
+      val refRows = DtwRefX.zip(DtwRefY).zipWithIndex
+        .map { case ((x, y), j) => s"(${j + 1}, $x, $y)" }.mkString(", ")
+      s"""WITH RECURSIVE
+         |dwe AS (SELECT user_id, ts, event_id,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 30),
+         |dwp AS (SELECT * FROM (
+         |          SELECT user_id,
+         |            ROW_NUMBER() OVER (PARTITION BY user_id
+         |              ORDER BY ts, event_id) AS i,
+         |            CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |              + ${hx("hm", 3)} AS BIGINT) AS px,
+         |            CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |              + ${hx("hm", 6)} AS BIGINT) AS py
+         |          FROM dwe) t WHERE i <= 24),
+         |dwr AS (SELECT * FROM (VALUES $refRows) AS t(j, rx, ry)),
+         |dwc AS (SELECT p.user_id, p.i, r.j,
+         |          (p.px - r.rx)*(p.px - r.rx)
+         |            + (p.py - r.ry)*(p.py - r.ry) AS c
+         |        FROM dwp p CROSS JOIN dwr r),
+         |dwn AS (SELECT user_id, MAX(i) AS n FROM dwp GROUP BY 1),
+         |dwv AS (
+         |  SELECT user_id, i, j,
+         |    CASE WHEN i = 1 AND j = 1 THEN c
+         |         ELSE 2305843009213693952 END AS v,
+         |    0 AS it
+         |  FROM dwc
+         |  UNION ALL
+         |  SELECT * FROM (
+         |    SELECT c.user_id, c.i, c.j,
+         |      MIN(CASE WHEN p.i = c.i AND p.j = c.j THEN p.v
+         |               ELSE c.c + p.v END) AS v,
+         |      MIN(p.it) + 1 AS it
+         |    FROM dwv p
+         |    JOIN dwc c ON c.user_id = p.user_id
+         |      AND ((c.i = p.i AND c.j = p.j)
+         |        OR (c.i = p.i + 1 AND c.j = p.j)
+         |        OR (c.i = p.i AND c.j = p.j + 1)
+         |        OR (c.i = p.i + 1 AND c.j = p.j + 1))
+         |    GROUP BY 1, 2, 3
+         |  ) s WHERE s.it <= 29)
+         |SELECT v.user_id, CAST(n.n AS BIGINT) AS n_pts,
+         |  CAST(v.v AS BIGINT) AS dtw
+         |FROM dwv v JOIN dwn n ON n.user_id = v.user_id
+         |WHERE v.it = 29 AND v.i = n.n AND v.j = 6
+         |ORDER BY 1""".stripMargin
+    },
 
     // LUT(v) = min ref value with cdf_ref ≥ cdf_src, via a per-image
     // cdf-inequality join + MIN over the distinct-value tables
@@ -6831,6 +6979,26 @@ object SparkEntry {
          |ORDER BY 1, 2""".stripMargin
     },
 
+    // edit-distance near-dup ground truth: ALL-PAIRS levenshtein
+    // over the same title+mutation set — verifies the PassJoin
+    // prefilter dropped nothing
+    "q_edit_neardup" ->
+      s"""WITH ebase AS (SELECT doc_id AS id, substr(text, 1, 32) AS t
+         |               FROM documents WHERE doc_id < 500),
+         |emut AS (SELECT doc_id + 1000000 AS id,
+         |    substr(t0, 1, CAST(doc_id % 32 AS INT)) || 'q' ||
+         |    substr(t0, CAST(doc_id % 32 AS INT) + 2,
+         |           31 - CAST(doc_id % 32 AS INT)) AS t
+         |  FROM (SELECT doc_id, substr(text, 1, 32) AS t0
+         |        FROM documents WHERE doc_id < 500)
+         |  WHERE doc_id % 5 = 0),
+         |eall AS (SELECT * FROM ebase UNION ALL SELECT * FROM emut)
+         |SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+         |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+         |FROM eall a JOIN eall b
+         |  ON a.id < b.id AND levenshtein(a.t, b.t) <= 2
+         |ORDER BY 1, 2""".stripMargin,
+
     // transitive closure over the SAME verified cosine edge set — the
     // ground truth for the embedding-side components
     "q_emb_clusters" -> {
@@ -7931,6 +8099,11 @@ object SparkEntry {
     s"(CASE WHEN ascii(substr($c, $pos, 1)) <= 57 " +
       s"THEN ascii(substr($c, $pos, 1)) - 48 " +
       s"ELSE ascii(substr($c, $pos, 1)) - 87 END)"
+
+  /** Fixed DTW reference path (q_dtw): 6 points spanning the
+    * 12-bit md5 coordinate space, identical literals both engines. */
+  private val DtwRefX = Seq(512L, 1024L, 2048L, 2560L, 3072L, 3584L)
+  private val DtwRefY = Seq(3584L, 2560L, 2048L, 1024L, 768L, 256L)
 
   /** BPE trainer CTE chain, `rounds` unrolled: w0 = word-frequency
     * table with '|'-delimited symbol strings; per round r, p$r = pair

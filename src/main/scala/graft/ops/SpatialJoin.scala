@@ -392,4 +392,69 @@ object SpatialJoin {
       .groupBy("hi", "hj")
       .agg(count(lit(1)).as("n_images"), sum(col("k")).as("k_sum"))
   }
+
+  /** Grid-partitioned DBSCAN (Ester et al. 1996) over footprint
+    * centroids, stated in exact integers (doubled-coordinate space
+    * avoids the /2 centroid divide; `eps` is given in doubled
+    * units). The classic scale-out decomposition: points land in an
+    * eps-pitch grid, every eps-ball is contained in the 3x3 cell
+    * neighborhood, so neighbor pairs come from ONE equi-join of the
+    * 9-cell probe expansion against home cells (never all-pairs;
+    * each ordered pair is produced exactly once because the
+    * neighbor's home cell is unique). Core points (|N_eps| >= minPts
+    * counting self) cluster via the large-star/small-star connected
+    * components over core-core edges (cluster id = min core id);
+    * border points attach to the MIN cluster among their core
+    * neighbors (deterministic where classic DBSCAN is
+    * order-dependent); the rest is noise.
+    *
+    * Scale posture: the probe side fans out 9x before one hash
+    * shuffle on the grid key; neighbor counts partial-aggregate
+    * map-side; CC converges in log rounds (one checkpointed job per
+    * round). Dense-cell skew lands on single grid keys — the same
+    * AQE skew-split + salting story as the covering-cell joins.
+    * Returns one row per point: (k, role 2=core/1=border/0=noise,
+    * cluster = min core id of the component, -1 for noise). */
+  def dbscanGrid(images: DataFrame, eps: Long, minPts: Int): DataFrame = {
+    val pts = images.select(col("k"),
+      (col("x0m") + col("x1m") + lit(2L * CellGrid.OffX)).as("qx"),
+      (col("y0m") + col("y1m") + lit(2L * CellGrid.OffY)).as("qy"))
+    val home = pts.select(col("k").as("kb"), col("qx").as("bx"),
+        col("qy").as("by"))
+      .withColumn("gi", expr(s"bx div $eps"))
+      .withColumn("gj", expr(s"by div $eps"))
+    val probe = pts.select(col("k").as("ka"), col("qx").as("ax"),
+        col("qy").as("ay"))
+      .withColumn("gi", explode(sequence(
+        expr(s"ax div $eps") - 1, expr(s"ax div $eps") + 1)))
+      .withColumn("gj", explode(sequence(
+        expr(s"ay div $eps") - 1, expr(s"ay div $eps") + 1)))
+    val pairs = probe.join(home, Seq("gi", "gj"))
+      .where(col("ka") =!= col("kb") &&
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by")) <=
+          lit(eps * eps))
+      .select("ka", "kb")
+    val nbrs = pairs.groupBy("ka").agg(count(lit(1)).as("nn"))
+    val cores = pts.select(col("k"))
+      .join(nbrs.select(col("ka").as("k"), col("nn")), Seq("k"), "left")
+      .where(coalesce(col("nn"), lit(0L)) + 1 >= minPts)
+      .select("k")
+    val ccPairs = pairs.where(col("ka") < col("kb"))
+      .join(cores.select(col("k").as("ka")), Seq("ka"))
+      .join(cores.select(col("k").as("kb")), Seq("kb"))
+      .select(col("ka").as("id_a"), col("kb").as("id_b"))
+    val comp = graft.graph.ConnectedComponents.components(cores, ccPairs)
+    val borderClu = pairs
+      .join(comp.select(col("id").as("kb"), col("comp")), Seq("kb"))
+      .join(comp.select(col("id").as("ka")), Seq("ka"), "left_anti")
+      .groupBy("ka").agg(min(col("comp")).as("cluster"))
+    val labeled = comp.select(col("id").as("k"), lit(2L).as("role"),
+        col("comp").as("cluster"))
+      .unionAll(borderClu.select(col("ka").as("k"), lit(1L).as("role"),
+        col("cluster")))
+    pts.select("k").join(labeled, Seq("k"), "left")
+      .select(col("k"), coalesce(col("role"), lit(0L)).as("role"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"))
+  }
 }

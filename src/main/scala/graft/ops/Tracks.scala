@@ -144,4 +144,47 @@ object Tracks {
     }
     (sorted.length.toLong, nk, is, chk)
   })
+
+  /** Dynamic time warping distance (Sakoe & Chiba 1978) from one
+    * track to a fixed reference path, exact integers: cost of a cell
+    * is the squared euclidean distance between the aligned points,
+    * dtw(i,j) = c(i,j) + min(dtw(i-1,j), dtw(i,j-1), dtw(i-1,j-1))
+    * with dtw(0,0) = 0 and out-of-grid = +inf. Same corpus shape as
+    * the other track kernels: one shuffle on the track key, the
+    * O(n·m) DP runs per key, the (small) reference path is a literal
+    * broadcast to every task. The oracle replays the DP as a
+    * synchronous min-plus relaxation (the scatter recursive-CTE
+    * pattern): after max(i+j) rounds every cell holds its exact DP
+    * value. Returns (n_pts, dtw_cost). */
+  def dtw(xs: Array[Long], ys: Array[Long],
+          rx: Array[Long], ry: Array[Long]): Long = {
+    val n = xs.length; val m = rx.length
+    val Inf = Long.MaxValue / 4
+    val prev = Array.fill(m + 1)(Inf)
+    val cur = new Array[Long](m + 1)
+    prev(0) = 0L
+    var i = 1
+    while (i <= n) {
+      cur(0) = Inf
+      var j = 1
+      while (j <= m) {
+        val dx = xs(i - 1) - rx(j - 1); val dy = ys(i - 1) - ry(j - 1)
+        val c = dx * dx + dy * dy
+        val best = math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+        cur(j) = if (best >= Inf) Inf else c + best
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i = i + 1
+    }
+    prev(m)
+  }
+
+  val dtwAgg = udf((pts: Seq[org.apache.spark.sql.Row],
+                    rx: Seq[Long], ry: Seq[Long]) => {
+    val sorted = pts.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toArray
+    (sorted.length.toLong,
+      dtw(sorted.map(_._2), sorted.map(_._3), rx.toArray, ry.toArray))
+  })
 }

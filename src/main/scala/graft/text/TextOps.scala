@@ -1091,6 +1091,72 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("wt")).as("n_tokens"))
   }
+
+  /** Edit-distance self-join (PassJoin segment prefilter, Li et al.
+    * PVLDB 2011): all pairs with Levenshtein distance <= maxDist.
+    * Pigeonhole over the index side's k+1 even segments — <= k edits
+    * touch <= k segments, so at least one survives verbatim with a
+    * positional shift bounded by the net insert/delete count (<= k);
+    * the probe side therefore emits, for every candidate partner
+    * length lb in [la-k, la+k], each of lb's segment windows slid by
+    * delta in [-k, k], and candidates meet on the exact
+    * (lb, seg_index, content) equi-key. Exact `levenshtein` verifies
+    * — the prefilter is completeness-preserving, never lossy.
+    *
+    * Scale posture: one hash shuffle on the segment key ((2k+1)²·
+    * (k+1) bounded probe fanout per row, 75 at k=2, vs the O(n²)
+    * all-pairs the oracle replays); candidate verification is
+    * codegen'd `levenshtein` on the pair, no second shuffle past the
+    * dedup. Input: (id, t); output (id_a < id_b, dist). */
+  def editNearDupPairs(strs: DataFrame, maxDist: Int): DataFrame = {
+    val k = maxDist
+    val segs = udf((t: String) => {
+      val kk = k + 1; val l = t.length
+      val out = Seq.newBuilder[(Int, String)]
+      var start = 0; var j = 0
+      while (j < kk) {
+        val len = l / kk + (if (j < kk - l % kk) 0 else 1)
+        if (len > 0) out += ((j, t.substring(start, start + len)))
+        start += len; j += 1
+      }
+      out.result()
+    })
+    val probes = udf((t: String) => {
+      val kk = k + 1; val l = t.length
+      val out = Seq.newBuilder[(Int, Int, String)]
+      var lb = math.max(1, l - k)
+      while (lb <= l + k) {
+        var start = 0; var j = 0
+        while (j < kk) {
+          val len = lb / kk + (if (j < kk - lb % kk) 0 else 1)
+          var d = -k
+          while (d <= k) {
+            val s = start + d
+            if (len > 0 && s >= 0 && s + len <= l)
+              out += ((lb, j, t.substring(s, s + len)))
+            d += 1
+          }
+          start += len; j += 1
+        }
+        lb += 1
+      }
+      out.result().distinct
+    })
+    val idx = strs.select(col("id").as("id_b"), col("t").as("tb"))
+      .withColumn("e", explode(segs(col("tb"))))
+      .select(col("id_b"), col("tb"), length(col("tb")).as("lb"),
+        col("e._1").as("j"), col("e._2").as("seg"))
+    val prb = strs.select(col("id").as("id_a"), col("t").as("ta"))
+      .withColumn("e", explode(probes(col("ta"))))
+      .select(col("id_a"), col("ta"), col("e._1").as("lb"),
+        col("e._2").as("j"), col("e._3").as("seg"))
+    prb.join(idx, Seq("lb", "j", "seg"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ta", "tb").distinct()
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .where(col("dist") <= k)
+      .select("id_a", "id_b", "dist")
+  }
 }
 
 /** KMV (k-minimum-values) distinct sketch (Bar-Yossef et al. 2002):

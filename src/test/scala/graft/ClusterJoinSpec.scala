@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Grid-DBSCAN and edit-distance-join contracts, both checked
+  * against in-process brute force on deterministic fixtures: the
+  * banded/gridded production paths must return EXACTLY the
+  * quadratic reference answer (the prefilters are completeness-
+  * preserving, not approximate). */
+class ClusterJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-clusterjoin-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def lcg(seed: Long, n: Int, mod: Int): Array[Long] =
+    Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L)
+      .map(s => (s >>> 33) % mod).take(n).toArray
+
+  test("dbscanGrid == brute-force DBSCAN (roles and min-id clusters)") {
+    import spark.implicits._
+    val n = 120
+    val xs = lcg(7, n, 3000)
+    val ys = lcg(19, n, 3000)
+    val eps = 260L; val minPts = 3
+    // brute force: neighbors within eps (euclidean, exact integers)
+    val nbr = Array.tabulate(n)(i => (0 until n).filter { j =>
+      j != i && {
+        val dx = xs(i) - xs(j); val dy = ys(i) - ys(j)
+        dx * dx + dy * dy <= eps * eps
+      }
+    })
+    val core = (0 until n).filter(i => nbr(i).size + 1 >= minPts).toSet
+    // components over core-core edges (min core id label)
+    val label = scala.collection.mutable.Map[Int, Int]()
+    core.toSeq.sorted.foreach { s =>
+      if (!label.contains(s)) {
+        var frontier = List(s)
+        while (frontier.nonEmpty) {
+          val v = frontier.head; frontier = frontier.tail
+          if (!label.contains(v)) {
+            label(v) = s
+            frontier = nbr(v).filter(core).filterNot(label.contains).toList ++ frontier
+          }
+        }
+      }
+    }
+    val expect = (0 until n).map { i =>
+      if (core(i)) (i.toLong, 2L, label(i).toLong)
+      else {
+        val cs = nbr(i).filter(core)
+        if (cs.nonEmpty) (i.toLong, 1L, cs.map(label(_)).min.toLong)
+        else (i.toLong, 0L, -1L)
+      }
+    }
+    // dbscanGrid expects footprint columns; feed degenerate boxes so
+    // the doubled centroid (x0m+x1m+2Off, ...) equals 2*(pt - Off/..)
+    // — just shift inputs so qx = 2*x, qy = 2*y
+    val df = (0 until n).map(i => (i.toLong,
+        xs(i) - graft.index.CellGrid.OffX, ys(i) - graft.index.CellGrid.OffY))
+      .toDF("k", "x0m", "y0m")
+      .withColumn("x1m", col("x0m")).withColumn("y1m", col("y0m"))
+    val got = graft.ops.SpatialJoin.dbscanGrid(df, 2 * eps, minPts)
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    // fixture is non-degenerate: all three roles appear
+    assert(expect.map(_._2).distinct.sorted === Seq(0L, 1L, 2L))
+  }
+
+  test("editNearDupPairs == all-pairs levenshtein (k=2, mixed lengths)") {
+    import spark.implicits._
+    val vocab = Array("kite", "kites", "kitten", "sitting", "sitting",
+      "mitten", "mittens", "bat", "cat", "cart", "smart", "start",
+      "crate", "carte", "aaaaaaaaaa", "aaaaaaaaab", "baaaaaaaaa",
+      "zzzz", "zzzzz", "yzzzz")
+    val strs = vocab.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (ia, a) <- strs; (ib, b) <- strs
+      if ia < ib && lev(a, b) <= 2
+    } yield (ia, ib, lev(a, b).toLong)).sortBy(p => (p._1, p._2))
+    val got = graft.text.TextOps
+      .editNearDupPairs(strs.toSeq.toDF("id", "t"), 2)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    // non-degenerate: distances 0, 1 and 2 all occur
+    assert(expect.map(_._3).distinct.sorted === Seq(0L, 1L, 2L))
+  }
+}

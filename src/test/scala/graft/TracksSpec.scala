@@ -88,4 +88,27 @@ class TracksSpec extends AnyFunSuite {
       assert(row.getLong(2) === spanSum)
     } finally spark.stop()
   }
+
+  test("dtw: rolling-array kernel == memoized recursive definition") {
+    val rx = Array(512L, 1024L, 2048L, 2560L, 3072L, 3584L)
+    val ry = Array(3584L, 2560L, 2048L, 1024L, 768L, 256L)
+    val n = 24
+    val txs = xs.take(n); val tys = ys.take(n)
+    val Inf = Long.MaxValue / 4
+    val memo = scala.collection.mutable.Map[(Int, Int), Long]()
+    def ref(i: Int, j: Int): Long =
+      if (i == 0 && j == 0) 0L
+      else if (i == 0 || j == 0) Inf
+      else memo.getOrElseUpdate((i, j), {
+        val dx = txs(i - 1) - rx(j - 1); val dy = tys(i - 1) - ry(j - 1)
+        val best = Seq(ref(i - 1, j), ref(i, j - 1), ref(i - 1, j - 1)).min
+        if (best >= Inf) Inf
+        else dx * dx + dy * dy + best
+      })
+    val expect = ref(n, rx.length)
+    assert(expect > 0 && expect < Inf)
+    assert(Tracks.dtw(txs, tys, rx, ry) === expect)
+    // degenerate identical paths cost 0
+    assert(Tracks.dtw(rx, ry, rx, ry) === 0L)
+  }
 }
