@@ -229,7 +229,10 @@ object Bench {
       "q_fast", "q_local_stats", "q_hist_match", "q_track_simplify",
       "q_staypoints", "q_convex_hull",
       // DTW to a reference path; grid DBSCAN; PassJoin edit distance
-      "q_dtw", "q_dbscan", "q_edit_neardup")
+      "q_dtw", "q_dbscan", "q_edit_neardup",
+      // Fréchet/Hausdorff track distances; integer PageRank; Moran /
+      // join-count autocorrelation; frequent itemsets
+      "q_frechet", "q_hausdorff", "q_pagerank", "q_moran", "q_itemsets")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

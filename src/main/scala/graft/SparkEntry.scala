@@ -1220,6 +1220,22 @@ object SparkEntry {
     "q_triangles" -> ((s, dir) =>
       graft.ops.SpatialJoin.triangleCensus(Synth.images(s, dir), 3000L)),
 
+    // exact-integer PageRank (3 rounds, scale 10^6, damping as
+    // 15/85-div-100 integer ops) over the SAME proximity graph —
+    // per-round: one edge⋈rank equi-join + one map-side-combined
+    // destination sum; the oracle unrolls the rounds as CTEs
+    "q_pagerank" -> ((s, dir) =>
+      graft.graph.PageRank.pagerankInt(
+          graft.ops.SpatialJoin.proximityEdges(Synth.images(s, dir), 3000L),
+          3)
+        .orderBy("v")),
+
+    // spatial autocorrelation over the proximity graph: Moran's I
+    // numerator/denominator in exact n-scaled-deviation integers +
+    // Cliff-Ord BB/WW/BW join counts on a binary attribute
+    "q_moran" -> ((s, dir) =>
+      graft.ops.SpatialJoin.moranStats(Synth.images(s, dir), 3000L)),
+
     // hex-lattice binning of footprint centroids (doubled-coordinate
     // integer lattice, nearest-center by exact squared distance)
     "q_hex_rollup" -> ((s, dir) =>
@@ -1361,21 +1377,8 @@ object SparkEntry {
     // 6-point reference path (per-key O(n·m) DP kernel, reference
     // broadcast as a literal; min-plus scatter-CTE oracle)
     "q_dtw" -> ((s, dir) => {
-      val ev = s.read.parquet(s"$dir/events.parquet")
-        .where(col("user_id") < 30)
-      val hm = md5(col("event_id").cast("string"))
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      import graft.sketch.Cms.hexVal
-      val pts = ev.select(col("user_id"), col("ts"), col("event_id"))
-        .withColumn("idx", row_number().over(win).cast("long") - 1)
-        .where(col("idx") < 24)
-        .withColumn("px", (hexVal(hm, 1) * 256 + hexVal(hm, 2) * 16 +
-          hexVal(hm, 3)).cast("long"))
-        .withColumn("py", (hexVal(hm, 4) * 256 + hexVal(hm, 5) * 16 +
-          hexVal(hm, 6)).cast("long"))
       val rx = DtwRefX.map(lit(_)); val ry = DtwRefY.map(lit(_))
-      pts.groupBy("user_id")
+      dtwTrackPts(s, dir).groupBy("user_id")
         .agg(collect_list(struct(col("idx"), col("px"), col("py")))
           .as("pts"))
         .withColumn("r", graft.ops.Tracks.dtwAgg(col("pts"),
@@ -1384,6 +1387,32 @@ object SparkEntry {
           col("r._2").as("dtw"))
         .orderBy("user_id")
     }),
+
+    // discrete Fréchet distance of the SAME tracks to the SAME
+    // reference path — the min-max DP twin of q_dtw (smallest leash
+    // over monotone walks; GREATEST replaces + in the scatter-CTE
+    // relax arm, so the oracle carries no overflow risk at INF)
+    "q_frechet" -> ((s, dir) => {
+      val rx = DtwRefX.map(lit(_)); val ry = DtwRefY.map(lit(_))
+      dtwTrackPts(s, dir).groupBy("user_id")
+        .agg(collect_list(struct(col("idx"), col("px"), col("py")))
+          .as("pts"))
+        .withColumn("r", graft.ops.Tracks.frechetAgg(col("pts"),
+          array(rx: _*), array(ry: _*)))
+        .select(col("user_id"), col("r._1").as("n_pts"),
+          col("r._2").as("frechet"))
+        .orderBy("user_id")
+    }),
+
+    // symmetric Hausdorff distance (squared) between each track's
+    // point SET and the reference path — order-free max-of-min
+    // aggregation, no DP kernel: cross join against the 6-row
+    // broadcast reference, min per point, max per track, both ways
+    "q_hausdorff" -> ((s, dir) =>
+      graft.ops.Tracks.hausdorff(
+          dtwTrackPts(s, dir).select("user_id", "idx", "px", "py"),
+          DtwRefX, DtwRefY)
+        .orderBy("user_id")),
 
     // histogram matching epoch 0 → epoch 3 (radiometric
     // normalization LUT): per-image shift mass + mapped checksums
@@ -1442,6 +1471,15 @@ object SparkEntry {
         .where(col("kth_hash").isNotNull)
         .orderBy("source")
     }),
+
+    // frequent-itemset mining (a-priori L1+L2 as one level): baskets
+    // = (user, hour), items = event_type#(props.k div 50); pairs
+    // with support >= 10 — within-basket self-join (constant fanout,
+    // bounded by the item vocabulary), map-side-combined pair counts
+    "q_itemsets" -> ((s, dir) =>
+      graft.ops.Itemsets.frequentPairs(
+          s.read.parquet(s"$dir/events.parquet"), 10L)
+        .orderBy("item_a", "item_b")),
 
     // per-user hourly gap-fill: bucket events by hour, generate the
     // DENSE hour series per user, carry the last seen event_type
@@ -4298,6 +4336,77 @@ object SparkEntry {
          |  CAST(COALESCE(SUM(a + b + c), 0) AS BIGINT) AS chk
          |FROM ttr""".stripMargin,
 
+    // integer PageRank ground truth: the same rect-overlap edge set,
+    // both directions, 3 unrolled rounds of
+    // pr' = 150000 + (85 · Σ (pr // deg)) // 100 at scale 10^6
+    "q_pagerank" ->
+      s"""WITH $I,
+         |pg0 AS (SELECT a.k AS ka, b.k AS kb FROM img2 a JOIN img2 b
+         |        ON b.k > a.k
+         |        AND a.x0m - 3000 < b.x1m + 3000
+         |        AND b.x0m - 3000 < a.x1m + 3000
+         |        AND a.y0m - 3000 < b.y1m + 3000
+         |        AND b.y0m - 3000 < a.y1m + 3000),
+         |pge AS (SELECT ka AS src, kb AS dst FROM pg0
+         |        UNION ALL SELECT kb, ka FROM pg0),
+         |pgd AS (SELECT src, COUNT(*) AS deg FROM pge GROUP BY 1),
+         |pr0 AS (SELECT src AS nd, CAST(1000000 AS BIGINT) AS pr
+         |        FROM pgd),
+         |pc1 AS (SELECT e.dst AS nd, SUM(p.pr // d.deg) AS s
+         |        FROM pge e JOIN pr0 p ON p.nd = e.src
+         |        JOIN pgd d ON d.src = e.src GROUP BY 1),
+         |pr1 AS (SELECT p.nd,
+         |          CAST(150000 + (85 * COALESCE(c.s, 0)) // 100
+         |            AS BIGINT) AS pr
+         |        FROM pr0 p LEFT JOIN pc1 c ON c.nd = p.nd),
+         |pc2 AS (SELECT e.dst AS nd, SUM(p.pr // d.deg) AS s
+         |        FROM pge e JOIN pr1 p ON p.nd = e.src
+         |        JOIN pgd d ON d.src = e.src GROUP BY 1),
+         |pr2 AS (SELECT p.nd,
+         |          CAST(150000 + (85 * COALESCE(c.s, 0)) // 100
+         |            AS BIGINT) AS pr
+         |        FROM pr1 p LEFT JOIN pc2 c ON c.nd = p.nd),
+         |pc3 AS (SELECT e.dst AS nd, SUM(p.pr // d.deg) AS s
+         |        FROM pge e JOIN pr2 p ON p.nd = e.src
+         |        JOIN pgd d ON d.src = e.src GROUP BY 1),
+         |pr3 AS (SELECT p.nd,
+         |          CAST(150000 + (85 * COALESCE(c.s, 0)) // 100
+         |            AS BIGINT) AS pr
+         |        FROM pr2 p LEFT JOIN pc3 c ON c.nd = p.nd)
+         |SELECT CAST(nd AS BIGINT) AS v, pr FROM pr3
+         |ORDER BY 1""".stripMargin,
+
+    // Moran / join-count ground truth: n-scaled deviations d = n·x−Σx
+    // over the same rect-overlap edges; num = Σ d_a·d_b per edge,
+    // den = Σ d², BB/WW/BW tallies on the binary attribute
+    "q_moran" ->
+      s"""WITH $I,
+         |mre AS (SELECT a.k AS ka, b.k AS kb FROM img2 a JOIN img2 b
+         |        ON b.k > a.k
+         |        AND a.x0m - 3000 < b.x1m + 3000
+         |        AND b.x0m - 3000 < a.x1m + 3000
+         |        AND a.y0m - 3000 < b.y1m + 3000
+         |        AND b.y0m - 3000 < a.y1m + 3000),
+         |mat AS (SELECT k, k % 7 AS x, k % 2 AS b FROM img2),
+         |mtt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |          CAST(SUM(x) AS BIGINT) AS sx FROM mat),
+         |mdv AS (SELECT k, CAST(t.n * x - t.sx AS BIGINT) AS d, b
+         |        FROM mat, mtt t),
+         |mej AS (SELECT a.d AS da, a.b AS ba, c.d AS db, c.b AS bb
+         |        FROM mre e JOIN mdv a ON a.k = e.ka
+         |        JOIN mdv c ON c.k = e.kb)
+         |SELECT (SELECT n FROM mtt) AS n_nodes,
+         |  CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |  CAST(COALESCE(SUM(da * db), 0) AS BIGINT) AS num,
+         |  (SELECT CAST(SUM(d * d) AS BIGINT) FROM mdv) AS den,
+         |  CAST(COALESCE(SUM(CASE WHEN ba = 1 AND bb = 1 THEN 1
+         |    ELSE 0 END), 0) AS BIGINT) AS jbb,
+         |  CAST(COALESCE(SUM(CASE WHEN ba = 0 AND bb = 0 THEN 1
+         |    ELSE 0 END), 0) AS BIGINT) AS jww,
+         |  CAST(COALESCE(SUM(CASE WHEN ba <> bb THEN 1
+         |    ELSE 0 END), 0) AS BIGINT) AS jbw
+         |FROM mej""".stripMargin,
+
     // nearest hex-lattice center by integer squared distance in
     // doubled centroid space; ties → lexicographic (i, j)
     "q_hex_rollup" ->
@@ -4705,6 +4814,94 @@ object SparkEntry {
          |ORDER BY 1""".stripMargin
     },
 
+    // discrete Fréchet ground truth: the q_dtw min-plus scatter with
+    // GREATEST in the relax arm (min-MAX semiring) — same grid, same
+    // round bound, no addition so INF never overflows
+    "q_frechet" -> {
+      val refRows = DtwRefX.zip(DtwRefY).zipWithIndex
+        .map { case ((x, y), j) => s"(${j + 1}, $x, $y)" }.mkString(", ")
+      s"""WITH RECURSIVE
+         |fre AS (SELECT user_id, ts, event_id,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 30),
+         |frp AS (SELECT * FROM (
+         |          SELECT user_id,
+         |            ROW_NUMBER() OVER (PARTITION BY user_id
+         |              ORDER BY ts, event_id) AS i,
+         |            CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |              + ${hx("hm", 3)} AS BIGINT) AS px,
+         |            CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |              + ${hx("hm", 6)} AS BIGINT) AS py
+         |          FROM fre) t WHERE i <= 24),
+         |frr AS (SELECT * FROM (VALUES $refRows) AS t(j, rx, ry)),
+         |frc AS (SELECT p.user_id, p.i, r.j,
+         |          (p.px - r.rx)*(p.px - r.rx)
+         |            + (p.py - r.ry)*(p.py - r.ry) AS c
+         |        FROM frp p CROSS JOIN frr r),
+         |frn AS (SELECT user_id, MAX(i) AS n FROM frp GROUP BY 1),
+         |frv AS (
+         |  SELECT user_id, i, j,
+         |    CASE WHEN i = 1 AND j = 1 THEN c
+         |         ELSE 2305843009213693952 END AS v,
+         |    0 AS it
+         |  FROM frc
+         |  UNION ALL
+         |  SELECT * FROM (
+         |    SELECT c.user_id, c.i, c.j,
+         |      MIN(CASE WHEN p.i = c.i AND p.j = c.j THEN p.v
+         |               ELSE GREATEST(c.c, p.v) END) AS v,
+         |      MIN(p.it) + 1 AS it
+         |    FROM frv p
+         |    JOIN frc c ON c.user_id = p.user_id
+         |      AND ((c.i = p.i AND c.j = p.j)
+         |        OR (c.i = p.i + 1 AND c.j = p.j)
+         |        OR (c.i = p.i AND c.j = p.j + 1)
+         |        OR (c.i = p.i + 1 AND c.j = p.j + 1))
+         |    GROUP BY 1, 2, 3
+         |  ) s WHERE s.it <= 29)
+         |SELECT v.user_id, CAST(n.n AS BIGINT) AS n_pts,
+         |  CAST(v.v AS BIGINT) AS frechet
+         |FROM frv v JOIN frn n ON n.user_id = v.user_id
+         |WHERE v.it = 29 AND v.i = n.n AND v.j = 6
+         |ORDER BY 1""".stripMargin
+    },
+
+    // symmetric Hausdorff ground truth: max-of-min squared distances
+    // in both directions over the same points and reference
+    "q_hausdorff" -> {
+      val refRows = DtwRefX.zip(DtwRefY).zipWithIndex
+        .map { case ((x, y), j) => s"(${j + 1}, $x, $y)" }.mkString(", ")
+      s"""WITH
+         |hde AS (SELECT user_id, ts, event_id,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 30),
+         |hdp AS (SELECT * FROM (
+         |          SELECT user_id,
+         |            ROW_NUMBER() OVER (PARTITION BY user_id
+         |              ORDER BY ts, event_id) AS i,
+         |            CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |              + ${hx("hm", 3)} AS BIGINT) AS px,
+         |            CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |              + ${hx("hm", 6)} AS BIGINT) AS py
+         |          FROM hde) t WHERE i <= 24),
+         |hdr AS (SELECT * FROM (VALUES $refRows) AS t(j, rx, ry)),
+         |hdd AS (SELECT p.user_id, p.i, r.j,
+         |          (p.px - r.rx)*(p.px - r.rx)
+         |            + (p.py - r.ry)*(p.py - r.ry) AS d2
+         |        FROM hdp p CROSS JOIN hdr r),
+         |hdf AS (SELECT user_id, MAX(md) AS h_fwd FROM (
+         |          SELECT user_id, i, MIN(d2) AS md FROM hdd
+         |          GROUP BY 1, 2) GROUP BY 1),
+         |hdb AS (SELECT user_id, MAX(md) AS h_bwd FROM (
+         |          SELECT user_id, j, MIN(d2) AS md FROM hdd
+         |          GROUP BY 1, 2) GROUP BY 1)
+         |SELECT f.user_id, CAST(f.h_fwd AS BIGINT) AS h_fwd,
+         |  CAST(b.h_bwd AS BIGINT) AS h_bwd,
+         |  CAST(GREATEST(f.h_fwd, b.h_bwd) AS BIGINT) AS h_sym
+         |FROM hdf f JOIN hdb b ON b.user_id = f.user_id
+         |ORDER BY 1""".stripMargin
+    },
+
     // LUT(v) = min ref value with cdf_ref ≥ cdf_src, via a per-image
     // cdf-inequality join + MIN over the distinct-value tables
     "q_hist_match" ->
@@ -4792,6 +4989,23 @@ object SparkEntry {
          |  CAST(e.cms_est AS BIGINT) AS cms_est
          |FROM ctr t3 JOIN cest e ON e.term = t3.term
          |ORDER BY true_cnt DESC, t3.term""".stripMargin,
+
+    // frequent-pair ground truth: distinct (user, hour, item) baskets
+    // with item = type#(k div 50), within-basket self-join, HAVING on
+    // the support threshold
+    "q_itemsets" ->
+      """WITH itb AS (SELECT DISTINCT user_id,
+        |         CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS hr,
+        |         event_type || '#' ||
+        |           CAST(CAST(substr(props, 7, length(props)-7) AS INT)
+        |             // 50 AS VARCHAR) AS item
+        |       FROM events)
+        |SELECT a.item AS item_a, b.item AS item_b,
+        |  CAST(COUNT(*) AS BIGINT) AS support
+        |FROM itb a JOIN itb b
+        |  ON a.user_id = b.user_id AND a.hr = b.hr AND a.item < b.item
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 10
+        |ORDER BY 1, 2""".stripMargin,
 
     // hour = floor(epoch/3600) (sub-second truncation can never cross
     // an hour boundary); latest-in-hour via arg_max on (ts, event_id);
@@ -8100,10 +8314,30 @@ object SparkEntry {
       s"THEN ascii(substr($c, $pos, 1)) - 48 " +
       s"ELSE ascii(substr($c, $pos, 1)) - 87 END)"
 
-  /** Fixed DTW reference path (q_dtw): 6 points spanning the
-    * 12-bit md5 coordinate space, identical literals both engines. */
+  /** Fixed DTW reference path (q_dtw / q_frechet / q_hausdorff): 6
+    * points spanning the 12-bit md5 coordinate space, identical
+    * literals both engines. */
   private val DtwRefX = Seq(512L, 1024L, 2048L, 2560L, 3072L, 3584L)
   private val DtwRefY = Seq(3584L, 2560L, 2048L, 1024L, 768L, 256L)
+
+  /** Shared track fixture for the DTW-family gates: each user's
+    * first 24 events in (ts, event_id) order, with 12-bit md5-derived
+    * integer coordinates (px, py) per point. */
+  private def dtwTrackPts(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .where(col("user_id") < 30)
+    val hm = md5(col("event_id").cast("string"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    import graft.sketch.Cms.hexVal
+    ev.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("idx", row_number().over(win).cast("long") - 1)
+      .where(col("idx") < 24)
+      .withColumn("px", (hexVal(hm, 1) * 256 + hexVal(hm, 2) * 16 +
+        hexVal(hm, 3)).cast("long"))
+      .withColumn("py", (hexVal(hm, 4) * 256 + hexVal(hm, 5) * 16 +
+        hexVal(hm, 6)).cast("long"))
+  }
 
   /** BPE trainer CTE chain, `rounds` unrolled: w0 = word-frequency
     * table with '|'-delimited symbol strings; per round r, p$r = pair

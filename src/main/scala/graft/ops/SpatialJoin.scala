@@ -393,6 +393,49 @@ object SpatialJoin {
       .agg(count(lit(1)).as("n_images"), sum(col("k")).as("k_sum"))
   }
 
+  /** Spatial autocorrelation over the proximity graph (Moran 1950 /
+    * Cliff & Ord join-count statistics), stated in EXACT integers:
+    * with attribute x_i per image, n images and S = Σx, the n-scaled
+    * deviation d_i = n·x_i − S is an integer, so Moran's I numerator
+    * Σ_{edges} d_a·d_b and denominator Σ d_i² are exact (the float
+    * I = (n/W)·num/den is the caller's one divide). Join counts use
+    * the binary attribute b_i: BB / WW / BW edge tallies — the
+    * classic test for spatial clustering of a categorical variable.
+    *
+    * Scale posture: the edge list comes from the covering-cell
+    * proximity join (never all-pairs); the attribute join is two
+    * hash joins on the node key; everything after is one global
+    * aggregate with map-side partials. Returns one row:
+    * (n_nodes, n_edges, num, den, jbb, jww, jbw). */
+  def moranStats(images: DataFrame, pad: Long, res: Int = 7): DataFrame = {
+    val attr = images.select(col("k"),
+      (col("k") % 7).as("x"), (col("k") % 2).as("b"))
+    val tot = attr.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val dev = attr.crossJoin(broadcast(tot))
+      .select(col("k"), (col("n") * col("x") - col("sx")).as("d"),
+        col("b"), col("n"))
+    val edges = proximityEdges(images, pad, res)
+    val ej = edges
+      .join(dev.select(col("k").as("ka"), col("d").as("da"),
+        col("b").as("ba")), Seq("ka"))
+      .join(dev.select(col("k").as("kb"), col("d").as("db"),
+        col("b").as("bb")), Seq("kb"))
+    val edgeAgg = ej.agg(
+      count(lit(1)).as("n_edges"),
+      coalesce(sum(col("da") * col("db")), lit(0L)).as("num"),
+      coalesce(sum(when(col("ba") === 1 && col("bb") === 1, 1L)
+        .otherwise(0L)), lit(0L)).as("jbb"),
+      coalesce(sum(when(col("ba") === 0 && col("bb") === 0, 1L)
+        .otherwise(0L)), lit(0L)).as("jww"),
+      coalesce(sum(when(col("ba") =!= col("bb"), 1L)
+        .otherwise(0L)), lit(0L)).as("jbw"))
+    val nodeAgg = dev.agg(max(col("n")).as("n_nodes"),
+      sum(col("d") * col("d")).as("den"))
+    nodeAgg.crossJoin(edgeAgg)
+      .select(col("n_nodes"), col("n_edges"), col("num"), col("den"),
+        col("jbb"), col("jww"), col("jbw"))
+  }
+
   /** Grid-partitioned DBSCAN (Ester et al. 1996) over footprint
     * centroids, stated in exact integers (doubled-coordinate space
     * avoids the /2 centroid divide; `eps` is given in doubled

@@ -187,4 +187,71 @@ object Tracks {
     (sorted.length.toLong,
       dtw(sorted.map(_._2), sorted.map(_._3), rx.toArray, ry.toArray))
   })
+
+  /** Discrete Fréchet distance (Eiter & Mannila 1994) from one track
+    * to a fixed reference path — the min-MAX twin of [[dtw]]: the
+    * cell cost is the exact squared euclidean distance, and
+    * f(i,j) = max(c(i,j), min(f(i-1,j), f(i,j-1), f(i-1,j-1))) with
+    * f(0,0) = 0 and out-of-grid = +inf (so f(1,1) = c(1,1)). The
+    * "dog-leash" semantics: both walkers advance monotonically and
+    * the answer is the smallest leash that suffices. Same per-key
+    * DP kernel shape and the same min-max scatter recursive-CTE
+    * oracle as DTW (GREATEST replaces + in the relax arm; no
+    * addition means no overflow concern at the INF sentinel). */
+  def frechet(xs: Array[Long], ys: Array[Long],
+              rx: Array[Long], ry: Array[Long]): Long = {
+    val n = xs.length; val m = rx.length
+    val Inf = Long.MaxValue / 4
+    val prev = Array.fill(m + 1)(Inf)
+    val cur = new Array[Long](m + 1)
+    prev(0) = 0L
+    var i = 1
+    while (i <= n) {
+      cur(0) = Inf
+      var j = 1
+      while (j <= m) {
+        val dx = xs(i - 1) - rx(j - 1); val dy = ys(i - 1) - ry(j - 1)
+        val c = dx * dx + dy * dy
+        val best = math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+        cur(j) = if (best >= Inf) Inf else math.max(c, best)
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i = i + 1
+    }
+    prev(m)
+  }
+
+  val frechetAgg = udf((pts: Seq[org.apache.spark.sql.Row],
+                        rx: Seq[Long], ry: Seq[Long]) => {
+    val sorted = pts.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toArray
+    (sorted.length.toLong,
+      frechet(sorted.map(_._2), sorted.map(_._3), rx.toArray, ry.toArray))
+  })
+
+  /** Symmetric Hausdorff distance (squared, exact integers) between
+    * each track's point SET and a fixed reference path: h_fwd =
+    * max over track points of the min squared distance to any
+    * reference point, h_bwd the reverse direction, h_sym their max.
+    * Order-free, so no DP kernel is needed — the whole thing is a
+    * codegen'd aggregation: cross join against the 6-row broadcast
+    * reference (constant fanout), min per (track, point), max per
+    * track. Input columns: (user_id, idx, px, py). */
+  def hausdorff(pts: org.apache.spark.sql.DataFrame,
+                rx: Seq[Long], ry: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    import pts.sparkSession.implicits._
+    val ref = broadcast(rx.zip(ry).zipWithIndex
+      .map { case ((x, y), j) => (j.toLong, x, y) }.toDF("j", "rx", "ry"))
+    val d = pts.crossJoin(ref).select(col("user_id"), col("idx"), col("j"),
+      ((col("px") - col("rx")) * (col("px") - col("rx")) +
+       (col("py") - col("ry")) * (col("py") - col("ry"))).as("d2"))
+    val fwd = d.groupBy("user_id", "idx").agg(min(col("d2")).as("md"))
+      .groupBy("user_id").agg(max(col("md")).as("h_fwd"))
+    val bwd = d.groupBy("user_id", "j").agg(min(col("d2")).as("md"))
+      .groupBy("user_id").agg(max(col("md")).as("h_bwd"))
+    fwd.join(bwd, Seq("user_id"))
+      .select(col("user_id"), col("h_fwd"), col("h_bwd"),
+        greatest(col("h_fwd"), col("h_bwd")).as("h_sym"))
+  }
 }

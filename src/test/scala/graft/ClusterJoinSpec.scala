@@ -103,4 +103,43 @@ class ClusterJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-degenerate: distances 0, 1 and 2 all occur
     assert(expect.map(_._3).distinct.sorted === Seq(0L, 1L, 2L))
   }
+
+  test("moranStats == brute-force deviations and join counts") {
+    import spark.implicits._
+    val n = 60
+    val xs = lcg(23, n, 40000)
+    val ys = lcg(41, n, 40000)
+    val pad = 3000L
+    // brute: degenerate boxes overlap (after both-side pad) iff the
+    // coordinate gaps are under 2*pad on both axes
+    val edges = for {
+      i <- 0 until n; j <- (i + 1) until n
+      if math.abs(xs(i) - xs(j)) < 2 * pad &&
+         math.abs(ys(i) - ys(j)) < 2 * pad
+    } yield (i.toLong, j.toLong)
+    val xAttr = (0 until n).map(i => i.toLong % 7)
+    val bAttr = (0 until n).map(i => i.toLong % 2)
+    val sx = xAttr.sum
+    val d = xAttr.map(x => n * x - sx)
+    val num = edges.map { case (a, b) => d(a.toInt) * d(b.toInt) }.sum
+    val den = d.map(v => v * v).sum
+    val jbb = edges.count { case (a, b) =>
+      bAttr(a.toInt) == 1 && bAttr(b.toInt) == 1 }
+    val jww = edges.count { case (a, b) =>
+      bAttr(a.toInt) == 0 && bAttr(b.toInt) == 0 }
+    val jbw = edges.size - jbb - jww
+    val df = (0 until n).map(i => (i.toLong,
+        xs(i) - graft.index.CellGrid.OffX, ys(i) - graft.index.CellGrid.OffY))
+      .toDF("k", "x0m", "y0m")
+      .withColumn("x1m", col("x0m")).withColumn("y1m", col("y0m"))
+    val row = graft.ops.SpatialJoin.moranStats(df, pad).collect()(0)
+    assert(row.getLong(0) === n.toLong)
+    assert(row.getLong(1) === edges.size.toLong)
+    assert(row.getLong(2) === num)
+    assert(row.getLong(3) === den)
+    assert((row.getLong(4), row.getLong(5), row.getLong(6)) ===
+      ((jbb.toLong, jww.toLong, jbw.toLong)))
+    // non-degenerate: edges exist and all three join-count classes hit
+    assert(edges.nonEmpty && jbb > 0 && jww > 0 && jbw > 0)
+  }
 }

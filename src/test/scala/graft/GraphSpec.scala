@@ -146,4 +146,37 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows.find(_._3).get._1 === cid)
     }
   }
+
+  test("pagerankInt == driver power iteration with identical integer ops") {
+    import spark.implicits._
+    // deterministic random graph: 40 nodes, LCG edge picks (dupes and
+    // both orientations included on purpose — canonicalized inside)
+    val seeds = Iterator.iterate(99L)(s =>
+      s * 6364136223846793005L + 1442695040888963407L)
+      .map(s => (s >>> 33)).take(120).toArray
+    val edges = seeds.grouped(2).map(a => (a(0) % 40, a(1) % 40))
+      .filter(p => p._1 != p._2).toSeq
+    val scale = 1000000L
+    // driver reference with the same truncating-div semantics
+    val und = edges.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    var pr = adj.keys.map(_ -> scale).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      adj.foreach { case (u, ns) =>
+        val share = pr(u) / ns.length
+        ns.foreach(v => contrib(v) += share)
+      }
+      pr = pr.keys.map(v => v -> (150000L + 85L * contrib(v) / 100L)).toMap
+    }
+    val got = graft.graph.PageRank
+      .pagerankInt(edges.toDF("a", "b"), 3, scale)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === pr)
+    // ranks differ across nodes (non-degenerate fixture)
+    assert(got.values.toSet.size > 1)
+  }
 }

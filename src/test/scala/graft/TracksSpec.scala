@@ -111,4 +111,63 @@ class TracksSpec extends AnyFunSuite {
     // degenerate identical paths cost 0
     assert(Tracks.dtw(rx, ry, rx, ry) === 0L)
   }
+
+  test("frechet: rolling-array kernel == memoized recursive definition") {
+    val rx = Array(512L, 1024L, 2048L, 2560L, 3072L, 3584L)
+    val ry = Array(3584L, 2560L, 2048L, 1024L, 768L, 256L)
+    val n = 24
+    val txs = xs.take(n); val tys = ys.take(n)
+    val Inf = Long.MaxValue / 4
+    val memo = scala.collection.mutable.Map[(Int, Int), Long]()
+    def ref(i: Int, j: Int): Long =
+      if (i == 0 && j == 0) 0L
+      else if (i == 0 || j == 0) Inf
+      else memo.getOrElseUpdate((i, j), {
+        val dx = txs(i - 1) - rx(j - 1); val dy = tys(i - 1) - ry(j - 1)
+        val best = Seq(ref(i - 1, j), ref(i, j - 1), ref(i - 1, j - 1)).min
+        if (best >= Inf) Inf
+        else math.max(dx * dx + dy * dy, best)
+      })
+    val expect = ref(n, rx.length)
+    assert(expect > 0 && expect < Inf)
+    assert(Tracks.frechet(txs, tys, rx, ry) === expect)
+    // identical paths: leash 0; and Fréchet never exceeds DTW
+    assert(Tracks.frechet(rx, ry, rx, ry) === 0L)
+    assert(Tracks.frechet(txs, tys, rx, ry) <=
+      Tracks.dtw(txs, tys, rx, ry))
+    // lower bound: any complete monotone walk aligns the LAST track
+    // point with the LAST reference point, so that cell's cost is
+    // unavoidable
+    val dN = {
+      val dx = txs(n - 1) - rx(rx.length - 1)
+      val dy = tys(n - 1) - ry(ry.length - 1)
+      dx * dx + dy * dy
+    }
+    assert(Tracks.frechet(txs, tys, rx, ry) >= dN)
+  }
+
+  test("hausdorff: DataFrame op == brute max-of-min both directions") {
+    val rx = Seq(512L, 1024L, 2048L, 2560L, 3072L, 3584L)
+    val ry = Seq(3584L, 2560L, 2048L, 1024L, 768L, 256L)
+    val n = 24
+    val txs = xs.take(n); val tys = ys.take(n)
+    def d2(ax: Long, ay: Long, bx: Long, by: Long) =
+      (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+    val fwd = (0 until n).map(i =>
+      rx.indices.map(j => d2(txs(i), tys(i), rx(j), ry(j))).min).max
+    val bwd = rx.indices.map(j =>
+      (0 until n).map(i => d2(txs(i), tys(i), rx(j), ry(j))).min).max
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("tracks-hausdorff-test")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      val pts = (0 until n).map(i => (1L, i.toLong, txs(i), tys(i)))
+        .toDF("user_id", "idx", "px", "py")
+      val row = Tracks.hausdorff(pts, rx, ry).collect()(0)
+      assert(row.getLong(1) === fwd)
+      assert(row.getLong(2) === bwd)
+      assert(row.getLong(3) === math.max(fwd, bwd))
+    } finally spark.stop()
+  }
 }
