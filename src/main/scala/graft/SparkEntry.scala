@@ -1236,6 +1236,21 @@ object SparkEntry {
     "q_moran" -> ((s, dir) =>
       graft.ops.SpatialJoin.moranStats(Synth.images(s, dir), 3000L)),
 
+    // Getis-Ord Gi* hotspot pieces over an eps-pitch centroid grid:
+    // per non-empty bin the image count x and the 3x3 binary-
+    // contiguity neighborhood sum (self included) — the exact-
+    // integer inputs of the Gi* z-score
+    "q_hotspot" -> ((s, dir) =>
+      graft.ops.SpatialJoin.hotspotBins(Synth.images(s, dir), 9000L)
+        .orderBy("gi", "gj")),
+
+    // 2-hop reach census over the proximity graph: per node the
+    // direct degree n1 and the count of DISTINCT nodes reachable
+    // in <=2 hops (self excluded) — one middle-vertex self-join
+    "q_two_hop" -> ((s, dir) =>
+      graft.ops.SpatialJoin.twoHopCensus(Synth.images(s, dir), 3000L)
+        .orderBy("v")),
+
     // hex-lattice binning of footprint centroids (doubled-coordinate
     // integer lattice, nearest-center by exact squared distance)
     "q_hex_rollup" -> ((s, dir) =>
@@ -1413,6 +1428,30 @@ object SparkEntry {
           dtwTrackPts(s, dir).select("user_id", "idx", "px", "py"),
           DtwRefX, DtwRefY)
         .orderBy("user_id")),
+
+    // origin-destination trip matrix: per (user, day) the first→last
+    // md5-coordinate point (argmin/argmax by in-day index as struct
+    // MIN/MAX), both snapped to a 512-pitch cell grid, counted per
+    // (origin cell, destination cell)
+    "q_od_flows" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 200)
+      val hm = md5(col("event_id").cast("string"))
+      import graft.sketch.Cms.hexVal
+      val base = ev.select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("day",
+          floor(unix_timestamp(col("ts")) / 86400).cast("long"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "day").orderBy(col("ts"), col("event_id"))
+      val pts = base
+        .withColumn("idx", row_number().over(win).cast("long") - 1)
+        .withColumn("px", (hexVal(hm, 1) * 256 + hexVal(hm, 2) * 16 +
+          hexVal(hm, 3)).cast("long"))
+        .withColumn("py", (hexVal(hm, 4) * 256 + hexVal(hm, 5) * 16 +
+          hexVal(hm, 6)).cast("long"))
+      graft.ops.Tracks.odFlows(pts, 512L)
+        .orderBy("o_cx", "o_cy", "d_cx", "d_cy")
+    }),
 
     // histogram matching epoch 0 → epoch 3 (radiometric
     // normalization LUT): per-image shift mass + mapped checksums
@@ -4407,6 +4446,51 @@ object SparkEntry {
          |    ELSE 0 END), 0) AS BIGINT) AS jbw
          |FROM mej""".stripMargin,
 
+    // Gi* pieces: bin counts on the doubled-centroid eps grid, then
+    // a 3x3 bin-key band join for the neighborhood sum (empty bins
+    // contribute 0, so summing non-empty neighbors is exact)
+    "q_hotspot" ->
+      s"""WITH $I,
+         |hsg AS (SELECT (x0m + x1m + 360000) // 9000 AS gi,
+         |          (y0m + y1m + 180000) // 9000 AS gj FROM img2),
+         |hsb AS (SELECT gi, gj, CAST(COUNT(*) AS BIGINT) AS x
+         |        FROM hsg GROUP BY 1, 2),
+         |hsn AS (SELECT a.gi, a.gj, CAST(SUM(b.x) AS BIGINT) AS nsum
+         |        FROM hsb a JOIN hsb b
+         |          ON b.gi BETWEEN a.gi - 1 AND a.gi + 1
+         |         AND b.gj BETWEEN a.gj - 1 AND a.gj + 1
+         |        GROUP BY 1, 2)
+         |SELECT CAST(a.gi AS BIGINT) AS gi, CAST(a.gj AS BIGINT) AS gj,
+         |  a.x, n.nsum
+         |FROM hsb a JOIN hsn n ON n.gi = a.gi AND n.gj = a.gj
+         |ORDER BY 1, 2""".stripMargin,
+
+    // 2-hop reach ground truth: all-pairs padded-bbox edges (same
+    // fixture as q_moran), symmetrized, one middle-vertex self-join,
+    // distinct union with the direct edges, self excluded
+    "q_two_hop" ->
+      s"""WITH $I,
+         |the AS (SELECT a.k AS ka, b.k AS kb FROM img2 a JOIN img2 b
+         |        ON b.k > a.k
+         |        AND a.x0m - 3000 < b.x1m + 3000
+         |        AND b.x0m - 3000 < a.x1m + 3000
+         |        AND a.y0m - 3000 < b.y1m + 3000
+         |        AND b.y0m - 3000 < a.y1m + 3000),
+         |thd AS (SELECT ka AS src, kb AS dst FROM the
+         |        UNION ALL SELECT kb AS src, ka AS dst FROM the),
+         |th1 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n1
+         |        FROM thd GROUP BY 1),
+         |th2 AS (SELECT DISTINCT src, dst FROM (
+         |          SELECT a.src AS src, b.dst AS dst
+         |          FROM thd a JOIN thd b ON b.src = a.dst
+         |          WHERE a.src <> b.dst
+         |          UNION ALL SELECT src, dst FROM thd) thu),
+         |thc AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n2
+         |        FROM th2 GROUP BY 1)
+         |SELECT t.src AS v, t.n1, c.n2
+         |FROM th1 t JOIN thc c ON c.src = t.src
+         |ORDER BY v""".stripMargin,
+
     // nearest hex-lattice center by integer squared distance in
     // doubled centroid space; ties → lexicographic (i, j)
     "q_hex_rollup" ->
@@ -4901,6 +4985,35 @@ object SparkEntry {
          |FROM hdf f JOIN hdb b ON b.user_id = f.user_id
          |ORDER BY 1""".stripMargin
     },
+
+    // OD trip matrix: per (user, day) the first/last point by in-day
+    // index via lexicographic struct MIN/MAX (exact in both engines),
+    // snapped to 512-pitch cells; day = floor(epoch/86400) is safe
+    // against unix_timestamp's sub-second truncation
+    "q_od_flows" ->
+      s"""WITH ode AS (SELECT user_id,
+         |          CAST(FLOOR(epoch(ts)/86400) AS BIGINT) AS day,
+         |          ts, event_id,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 200),
+         |odp AS (SELECT user_id, day,
+         |          ROW_NUMBER() OVER (PARTITION BY user_id, day
+         |            ORDER BY ts, event_id) - 1 AS idx,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT) AS px,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT) AS py
+         |        FROM ode),
+         |odt AS (SELECT user_id, day,
+         |          (MIN(struct_pack(i := idx, x := px, y := py))).x AS ox,
+         |          (MIN(struct_pack(i := idx, x := px, y := py))).y AS oy,
+         |          (MAX(struct_pack(i := idx, x := px, y := py))).x AS dx,
+         |          (MAX(struct_pack(i := idx, x := px, y := py))).y AS dy
+         |        FROM odp GROUP BY 1, 2)
+         |SELECT ox // 512 AS o_cx, oy // 512 AS o_cy,
+         |  dx // 512 AS d_cx, dy // 512 AS d_cy,
+         |  CAST(COUNT(*) AS BIGINT) AS n_trips
+         |FROM odt GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
 
     // LUT(v) = min ref value with cdf_ref ≥ cdf_src, via a per-image
     // cdf-inequality join + MIN over the distinct-value tables

@@ -393,6 +393,63 @@ object SpatialJoin {
       .agg(count(lit(1)).as("n_images"), sum(col("k")).as("k_sum"))
   }
 
+  /** Getis-Ord Gi* hotspot pieces (Getis & Ord 1992) over an
+    * eps-pitch grid of footprint centroids, exact integers: the bin
+    * value x is the image count, the Gi* numerator for a bin is the
+    * 3×3-neighborhood sum Σ_j w_ij·x_j with binary contiguity
+    * weights INCLUDING self — empty bins contribute 0, so summing
+    * over the non-empty neighbors is exact. The float z-score is
+    * (nsum − x̄·W)/σ·…, all derivable from (x, nsum) plus the global
+    * count/Σx/Σx² the caller already has; the gate pins the integer
+    * pieces. Doubled-coordinate space avoids the centroid divide.
+    *
+    * Scale posture: one hash shuffle to the bin key builds the bin
+    * table; the neighborhood sum is a 9-way explode of bin keys
+    * joined back to bins — constant fanout on the SMALL bin table,
+    * never touching the raw rows again. Returns one row per
+    * non-empty bin: (gi, gj, x, nsum). */
+  def hotspotBins(images: DataFrame, eps: Long): DataFrame = {
+    val pts = images.select(
+      (col("x0m") + col("x1m") + lit(2L * CellGrid.OffX)).as("qx"),
+      (col("y0m") + col("y1m") + lit(2L * CellGrid.OffY)).as("qy"))
+    val bins = pts
+      .select(expr(s"qx div $eps").as("gi"), expr(s"qy div $eps").as("gj"))
+      .groupBy("gi", "gj").agg(count(lit(1)).as("x"))
+    val probe = bins
+      .withColumn("ni", explode(sequence(col("gi") - 1, col("gi") + 1)))
+      .withColumn("nj", explode(sequence(col("gj") - 1, col("gj") + 1)))
+      .select(col("gi"), col("gj"), col("ni"), col("nj"))
+    val nsum = probe
+      .join(bins.select(col("gi").as("ni"), col("gj").as("nj"),
+        col("x").as("xn")), Seq("ni", "nj"))
+      .groupBy("gi", "gj").agg(sum(col("xn")).as("nsum"))
+    bins.join(nsum, Seq("gi", "gj"))
+      .select(col("gi"), col("gj"), col("x"), col("nsum"))
+  }
+
+  /** 2-hop neighborhood census over the proximity graph: per node,
+    * the count of DISTINCT nodes reachable in ≤ 2 hops (self
+    * excluded) — the local reach statistic. One self-join of the
+    * directed edge list on the middle vertex (work Σ deg², the same
+    * bound as the triangle wedge step), then a distinct + count on
+    * the source key. Returns (v, n1 = direct neighbors, n2 =
+    * distinct ≤2-hop neighbors). */
+  def twoHopCensus(images: DataFrame, pad: Long, res: Int = 7): DataFrame = {
+    val e = proximityEdges(images, pad, res)
+    val dir = e.select(col("ka").as("src"), col("kb").as("dst"))
+      .unionAll(e.select(col("kb").as("src"), col("ka").as("dst")))
+    val n1 = dir.groupBy("src").agg(count(lit(1)).as("n1"))
+    val hop2 = dir.select(col("src"), col("dst").as("mid"))
+      .join(dir.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .unionAll(dir)
+      .distinct()
+      .groupBy("src").agg(count(lit(1)).as("n2"))
+    n1.join(hop2, Seq("src"))
+      .select(col("src").as("v"), col("n1"), col("n2"))
+  }
+
   /** Spatial autocorrelation over the proximity graph (Moran 1950 /
     * Cliff & Ord join-count statistics), stated in EXACT integers:
     * with attribute x_i per image, n images and S = Σx, the n-scaled

@@ -230,6 +230,28 @@ object Tracks {
       frechet(sorted.map(_._2), sorted.map(_._3), rx.toArray, ry.toArray))
   })
 
+  /** Origin-destination flow matrix — the trip-table rollup of
+    * trajectory analytics: per (track key, day) the trip is the
+    * FIRST point → LAST point (by the in-track index), both snapped
+    * to an integer cell grid, and the matrix counts trips per
+    * (origin cell, destination cell). First/last are argmin/argmax
+    * as struct MIN/MAX (lexicographic — exact in both engines, the
+    * arg_max-free pattern). One shuffle to the (key, day) trip
+    * grain, one map-side-combined count on the OD key.
+    * Input columns: (user_id, day, idx, px, py); `cell` is the
+    * grid pitch. Returns (o_cx, o_cy, d_cx, d_cy, n_trips). */
+  def odFlows(pts: org.apache.spark.sql.DataFrame,
+              cell: Long): org.apache.spark.sql.DataFrame = {
+    val trips = pts.groupBy("user_id", "day").agg(
+      min(struct(col("idx"), col("px"), col("py"))).as("o"),
+      max(struct(col("idx"), col("px"), col("py"))).as("d"))
+    trips.select(
+        expr(s"o.px div $cell").as("o_cx"), expr(s"o.py div $cell").as("o_cy"),
+        expr(s"d.px div $cell").as("d_cx"), expr(s"d.py div $cell").as("d_cy"))
+      .groupBy("o_cx", "o_cy", "d_cx", "d_cy")
+      .agg(count(lit(1)).as("n_trips"))
+  }
+
   /** Symmetric Hausdorff distance (squared, exact integers) between
     * each track's point SET and a fixed reference path: h_fwd =
     * max over track points of the min squared distance to any

@@ -142,4 +142,61 @@ class ClusterJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-degenerate: edges exist and all three join-count classes hit
     assert(edges.nonEmpty && jbb > 0 && jww > 0 && jbw > 0)
   }
+
+  test("hotspotBins == brute 3x3 neighborhood sums over the eps grid") {
+    import spark.implicits._
+    import graft.index.CellGrid.{OffX, OffY}
+    val n = 90
+    val xs = lcg(5, n, 50000)
+    val ys = lcg(37, n, 50000)
+    val eps = 4000L
+    // degenerate boxes anchored so the doubled centroid is 2*coord
+    val keys = (0 until n).map(i => (2 * xs(i) / eps, 2 * ys(i) / eps))
+    val cnt = keys.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val expect = cnt.toSeq.map { case ((gi, gj), x) =>
+      val ns = (for { di <- -1 to 1; dj <- -1 to 1 }
+        yield cnt.getOrElse((gi + di, gj + dj), 0L)).sum
+      (gi, gj, x, ns)
+    }.sortBy(p => (p._1, p._2))
+    val df = (0 until n).map(i => (i.toLong, xs(i) - OffX, ys(i) - OffY))
+      .toDF("k", "x0m", "y0m")
+      .withColumn("x1m", col("x0m")).withColumn("y1m", col("y0m"))
+    val got = graft.ops.SpatialJoin.hotspotBins(df, eps)
+      .orderBy("gi", "gj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expect)
+    // non-degenerate: some bin's neighborhood strictly exceeds itself
+    assert(expect.exists(p => p._4 > p._3))
+  }
+
+  test("twoHopCensus == brute distinct <=2-hop reach") {
+    import spark.implicits._
+    import graft.index.CellGrid.{OffX, OffY}
+    val n = 60
+    val xs = lcg(29, n, 40000)
+    val ys = lcg(31, n, 40000)
+    val pad = 3000L
+    val edges = for {
+      i <- 0 until n; j <- (i + 1) until n
+      if math.abs(xs(i) - xs(j)) < 2 * pad &&
+         math.abs(ys(i) - ys(j)) < 2 * pad
+    } yield (i, j)
+    val adj = Array.fill(n)(scala.collection.mutable.Set.empty[Int])
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val expect = (0 until n).filter(adj(_).nonEmpty).map { v =>
+      val h1 = adj(v).toSet
+      val h2 = h1.flatMap(adj) ++ h1 - v
+      (v.toLong, h1.size.toLong, h2.size.toLong)
+    }.sortBy(_._1)
+    val df = (0 until n).map(i => (i.toLong, xs(i) - OffX, ys(i) - OffY))
+      .toDF("k", "x0m", "y0m")
+      .withColumn("x1m", col("x0m")).withColumn("y1m", col("y0m"))
+    val got = graft.ops.SpatialJoin.twoHopCensus(df, pad)
+      .orderBy("v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    // non-degenerate: some node reaches strictly more in 2 hops
+    assert(expect.exists(p => p._3 > p._2))
+  }
 }

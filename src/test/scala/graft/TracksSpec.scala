@@ -170,4 +170,34 @@ class TracksSpec extends AnyFunSuite {
       assert(row.getLong(3) === math.max(fwd, bwd))
     } finally spark.stop()
   }
+
+  test("odFlows: DataFrame op == brute first/last trip matrix") {
+    val cell = 512L
+    val groups = 6; val per = 10; val n = groups * per
+    val pxs = lcg(17, n, 4096); val pys = lcg(23, n, 4096)
+    val trips = (0 until groups).map { g =>
+      val b = g * per
+      (pxs(b) / cell, pys(b) / cell,
+        pxs(b + per - 1) / cell, pys(b + per - 1) / cell)
+    }
+    val expect = trips.groupBy(identity).map { case (od, v) =>
+      (od._1, od._2, od._3, od._4, v.size.toLong) }.toSeq.sorted
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("tracks-odflows-test")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      val pts = (for (g <- 0 until groups; i <- 0 until per) yield
+        ((g % 3).toLong, (g / 3).toLong, i.toLong,
+          pxs(g * per + i), pys(g * per + i)))
+        .toDF("user_id", "day", "idx", "px", "py")
+      val got = Tracks.odFlows(pts, cell)
+        .orderBy("o_cx", "o_cy", "d_cx", "d_cy").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(got === expect)
+      // non-degenerate: at least one trip crosses cells
+      assert(expect.exists(p => p._1 != p._3 || p._2 != p._4))
+    } finally spark.stop()
+  }
 }
