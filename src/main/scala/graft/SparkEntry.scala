@@ -946,6 +946,20 @@ object SparkEntry {
           sum(col("acc") * col("acc")).as("acc_sq_sum"))
         .orderBy("image_id")),
 
+    // accumulated-cost surface (distributed Dijkstra/label
+    // correction) from z%19==0 seed cells under the (2,3)-chamfer
+    // metric over cost 1+z%2: per image the source/reached census
+    // plus exact-integer distance checksums
+    "q_cost_distance" -> ((s, dir) =>
+      graft.ops.Terrain.costDistance(Synth.demImages(s, dir, smallRaw))
+        .groupBy("image_id")
+        .agg(sum(when(col("dist") === 0, 1L).otherwise(0L)).as("n_src"),
+          count(lit(1)).as("n_reached"),
+          sum(col("dist")).as("dist_sum"),
+          max(col("dist")).as("dist_max"),
+          sum(col("dist") * col("dist")).as("dist_sq_sum"))
+        .orderBy("image_id")),
+
     // contour crossings (marching-squares primitive): per iso level,
     // grid edges with exactly one endpoint below the level + integer
     // positional checksum
@@ -1250,6 +1264,12 @@ object SparkEntry {
     "q_two_hop" -> ((s, dir) =>
       graft.ops.SpatialJoin.twoHopCensus(Synth.images(s, dir), 3000L)
         .orderBy("v")),
+
+    // union (coverage) area of pad-3000 footprints per 30000-pitch
+    // coarse cell: grid-partitioned slab decomposition, exact mdeg^2
+    "q_union_area" -> ((s, dir) =>
+      graft.ops.SpatialJoin.coverageArea(Synth.images(s, dir), 3000L, 30000L)
+        .orderBy("ci", "cj")),
 
     // hex-lattice binning of footprint centroids (doubled-coordinate
     // integer lattice, nearest-center by exact squared distance)
@@ -3707,6 +3727,44 @@ object SparkEntry {
          |FROM aacc a JOIN simg s ON s.k = a.k
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // min-plus scatter flood of the chamfer cost distance: each round
+    // re-emits every reached cell with MIN(stay, neighbor + step);
+    // the bound (96) exceeds the measured convergence round count of
+    // the label correction (Terrain.lastCostRounds, spec-pinned) —
+    // extra rounds are no-ops once converged
+    "q_cost_distance" ->
+      s"""WITH RECURSIVE $I, $SimgCte, $DemCte,
+         |cdo(dx, dy, wm) AS (VALUES (0,0,0),(1,0,2),(0,1,2),(-1,0,2),
+         |  (0,-1,2),(1,1,3),(1,-1,3),(-1,1,3),(-1,-1,3)),
+         |cdl AS (SELECT k, x, y, 1 + z % 2 AS c, z % 19 = 0 AS src
+         |        FROM demp),
+         |cdf(k, x, y, c, dist, it) AS (
+         |  SELECT k, x, y, c, CAST(0 AS BIGINT), 0 FROM cdl WHERE src
+         |  UNION ALL
+         |  SELECT u.k, u.x, u.y, u.c, u.dist, u.it + 1 FROM (
+         |    SELECT t.k, t.x + o.dx AS x, t.y + o.dy AS y, m.c AS c,
+         |      MIN(t.dist + CASE WHEN o.wm = 0 THEN 0
+         |          ELSE o.wm * (t.c + m.c) END) AS dist,
+         |      MAX(t.it) AS it
+         |    FROM cdf t JOIN cdo o ON TRUE
+         |    JOIN cdl m ON m.k = t.k AND m.x = t.x + o.dx
+         |      AND m.y = t.y + o.dy
+         |    GROUP BY 1, 2, 3, 4
+         |  ) u WHERE u.it < 96),
+         |cdr AS (SELECT k, x, y, dist FROM cdf WHERE it = 96),
+         |cda AS (SELECT k,
+         |    CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_src,
+         |    CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |    CAST(SUM(dist) AS BIGINT) AS dist_sum,
+         |    CAST(MAX(dist) AS BIGINT) AS dist_max,
+         |    CAST(SUM(dist*dist) AS BIGINT) AS dist_sq_sum
+         |  FROM cdr GROUP BY 1)
+         |SELECT s.image_id, a.n_src, a.n_reached, a.dist_sum,
+         |  a.dist_max, a.dist_sq_sum
+         |FROM cda a JOIN simg s ON s.k = a.k
+         |ORDER BY 1""".stripMargin,
+
     // an edge crosses a level iff (z1 < L) ≠ (z2 < L); zero-crossing
     // (image, level) pairs still emit a row, hence the left join
     "q_contours" ->
@@ -4490,6 +4548,60 @@ object SparkEntry {
          |SELECT t.src AS v, t.n1, c.n2
          |FROM th1 t JOIN thc c ON c.src = t.src
          |ORDER BY v""".stripMargin,
+
+    // union area ground truth: same slab decomposition in SQL —
+    // clip to cells, LEAD slabs, running-max island walk per slab;
+    // half-open boxes so area = Σ ylen·(sx1−sx0) exactly
+    "q_union_area" ->
+      s"""WITH $I,
+         |uar AS (SELECT k, x0m - 3000 + 180000 AS gx0,
+         |          x1m + 3000 + 180000 AS gx1,
+         |          y0m - 3000 + 90000 AS gy0, y1m + 3000 + 90000 AS gy1
+         |        FROM img2),
+         |uac AS (SELECT k, a.ci, b.cj,
+         |          GREATEST(gx0, a.ci*30000) AS cx0,
+         |          LEAST(gx1, (a.ci+1)*30000) AS cx1,
+         |          GREATEST(gy0, b.cj*30000) AS cy0,
+         |          LEAST(gy1, (b.cj+1)*30000) AS cy1
+         |        FROM uar
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(
+         |          gx0//30000, (gx1-1)//30000)) AS ci) a
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(
+         |          gy0//30000, (gy1-1)//30000)) AS cj) b),
+         |uab AS (SELECT DISTINCT ci, cj, bx FROM (
+         |          SELECT ci, cj, cx0 AS bx FROM uac
+         |          UNION ALL SELECT ci, cj, cx1 FROM uac) u),
+         |uas AS (SELECT ci, cj, bx AS sx0,
+         |          LEAD(bx) OVER (PARTITION BY ci, cj ORDER BY bx) AS sx1
+         |        FROM uab),
+         |uaj AS (SELECT s.ci, s.cj, s.sx0, s.sx1, r.cy0, r.cy1, r.k
+         |        FROM uas s JOIN uac r ON r.ci = s.ci AND r.cj = s.cj
+         |          AND r.cx0 <= s.sx0 AND r.cx1 >= s.sx1
+         |        WHERE s.sx1 IS NOT NULL),
+         |uaw AS (SELECT ci, cj, sx0, sx1, cy0, cy1, k,
+         |          CASE WHEN cy0 > COALESCE(MAX(cy1) OVER (
+         |            PARTITION BY ci, cj, sx0 ORDER BY cy0, cy1, k
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |            -1) THEN 1 ELSE 0 END AS isn
+         |        FROM uaj),
+         |uai AS (SELECT ci, cj, sx0, sx1, cy0, cy1,
+         |          SUM(isn) OVER (PARTITION BY ci, cj, sx0
+         |            ORDER BY cy0, cy1, k
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS island
+         |        FROM uaw),
+         |uag AS (SELECT ci, cj, sx0, island, MAX(sx1) AS sx1,
+         |          MAX(cy1) - MIN(cy0) AS ylen
+         |        FROM uai GROUP BY 1, 2, 3, 4),
+         |uaa AS (SELECT ci, cj,
+         |          CAST(SUM(ylen * (sx1 - sx0)) AS BIGINT) AS area
+         |        FROM uag GROUP BY 1, 2),
+         |uan AS (SELECT ci, cj, CAST(COUNT(*) AS BIGINT) AS n_rects
+         |        FROM uac GROUP BY 1, 2)
+         |SELECT CAST(n.ci AS BIGINT) AS ci, CAST(n.cj AS BIGINT) AS cj,
+         |  n.n_rects, a.area
+         |FROM uan n JOIN uaa a ON a.ci = n.ci AND a.cj = n.cj
+         |ORDER BY 1, 2""".stripMargin,
 
     // nearest hex-lattice center by integer squared distance in
     // doubled centroid space; ties → lexicographic (i, j)

@@ -450,6 +450,67 @@ object SpatialJoin {
       .select(col("src").as("v"), col("n1"), col("n2"))
   }
 
+  /** COVERAGE (union) AREA of pad-buffered footprints per coarse grid
+    * cell — Bentley's slab-decomposition union-area (Bentley 1977),
+    * grid-partitioned: because the coarse cells PARTITION the plane,
+    * the union area of the rect set equals the sum over cells of the
+    * union area of the rects CLIPPED to that cell, so the whole
+    * computation is embarrassingly parallel on the cell key with no
+    * global sweep. Within a cell: x-slabs from the distinct clipped
+    * x-bounds (LEAD window), rects joined to the slabs they span
+    * (cell equi-join + range filter — never a BNLJ), and per slab the
+    * union of y-intervals via the classic running-max island walk
+    * (an interval starts a new island iff its y0 clears every prior
+    * y1; island length = max(y1) − min(y0)). Boxes are half-open
+    * [x0,x1)×[y0,y1), all arithmetic integer (mdeg²). Returns one row
+    * per non-empty coarse cell: (ci, cj, n_rects, area). */
+  def coverageArea(images: DataFrame, pad: Long, cell: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = images.select(col("k"),
+      (col("x0m") - pad + CellGrid.OffX).as("gx0"),
+      (col("x1m") + pad + CellGrid.OffX).as("gx1"),
+      (col("y0m") - pad + CellGrid.OffY).as("gy0"),
+      (col("y1m") + pad + CellGrid.OffY).as("gy1"))
+    val clipped = r
+      .withColumn("ci", explode(sequence(expr(s"gx0 div $cell"),
+        expr(s"(gx1 - 1) div $cell"))))
+      .withColumn("cj", explode(sequence(expr(s"gy0 div $cell"),
+        expr(s"(gy1 - 1) div $cell"))))
+      .select(col("k"), col("ci"), col("cj"),
+        greatest(col("gx0"), col("ci") * cell).as("cx0"),
+        least(col("gx1"), (col("ci") + 1) * cell).as("cx1"),
+        greatest(col("gy0"), col("cj") * cell).as("cy0"),
+        least(col("gy1"), (col("cj") + 1) * cell).as("cy1"))
+    val bounds = clipped.select(col("ci"), col("cj"), col("cx0").as("bx"))
+      .unionAll(clipped.select(col("ci"), col("cj"), col("cx1").as("bx")))
+      .distinct()
+    val slabs = bounds
+      .withColumn("sx1", lead(col("bx"), 1)
+        .over(Window.partitionBy("ci", "cj").orderBy("bx")))
+      .where(col("sx1").isNotNull)
+      .select(col("ci"), col("cj"), col("bx").as("sx0"), col("sx1"))
+    val j = slabs.join(clipped, Seq("ci", "cj"))
+      .where(col("cx0") <= col("sx0") && col("cx1") >= col("sx1"))
+      .select(col("ci"), col("cj"), col("sx0"), col("sx1"),
+        col("cy0"), col("cy1"), col("k"))
+    val ord = Window.partitionBy("ci", "cj", "sx0")
+      .orderBy(col("cy0"), col("cy1"), col("k"))
+    val isl = j
+      .withColumn("isn", when(col("cy0") > coalesce(
+        max(col("cy1")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("isn"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val grp = isl.groupBy("ci", "cj", "sx0", "island")
+      .agg(max(col("sx1")).as("sx1"),
+        (max(col("cy1")) - min(col("cy0"))).as("ylen"))
+    val area = grp.groupBy("ci", "cj")
+      .agg(sum(col("ylen") * (col("sx1") - col("sx0"))).as("area"))
+    clipped.groupBy("ci", "cj").agg(count(lit(1)).as("n_rects"))
+      .join(area, Seq("ci", "cj"))
+      .select(col("ci"), col("cj"), col("n_rects"), col("area"))
+  }
+
   /** Spatial autocorrelation over the proximity graph (Moran 1950 /
     * Cliff & Ord join-count statistics), stated in EXACT integers:
     * with attribute x_i per image, n images and S = Σx, the n-scaled

@@ -268,6 +268,101 @@ object Terrain {
         col("px"), col("py"))
   }
 
+  /** Instrumentation: label-correction rounds of the last
+    * costDistance call on this JVM (bench evidence; not a result). */
+  @volatile var lastCostRounds: Int = 0
+
+  /** Per-cell (x, y, cost, is_source) extraction for costDistance:
+    * cost c = 1 + z%2 ∈ {1,2}, source iff z % 19 == 0 (≈5% of
+    * cells — the seed set a user would load as roads/stations). */
+  private[ops] val costCellsUdf = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val out = new Array[(Int, Int, Int, Boolean)](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = z(y * w + x).toLong
+        out(y * w + x) = (x, y, (1 + v % 2).toInt, v % 19 == 0)
+        x += 1
+      }
+      y += 1
+    }
+    out.toSeq
+  })
+
+  /** COST-DISTANCE (accumulated-cost surface — Dijkstra 1959 stated
+    * as distributed label correction): dist(v) = min over paths from
+    * any source cell of Σ step costs, with the integer chamfer metric
+    * of Borgefors 1986 lifted to per-cell costs — step(a→b) =
+    * 2·(c(a)+c(b)) axial, 3·(c(a)+c(b)) diagonal. All integer, so the
+    * oracle is value-exact; source dist = 0, every step ≥ 4.
+    *
+    * Distributed as Bellman-Ford label correction: each round relaxes
+    * only the FRONTIER (cells whose label improved last round) into
+    * its 8 neighbors, min-merges against the best-label table, and
+    * the improved set becomes the next frontier. Rounds = the hop
+    * count of the longest optimal path — bounded by source density,
+    * not grid diameter — and every round shuffles frontier×8
+    * candidates plus one min-merge; ALL images advance in the same
+    * job (corpus-wide rounds, not a per-image loop). The upgrade path
+    * at petabyte scale is delta-stepping (bucketed label correction):
+    * identical candidate join, bucketed merge order.
+    *
+    * Input: dem table (k, image_id, w, h, dem_bytes). Output: one row
+    * per REACHED cell (k, image_id, x, y, c, dist); images without a
+    * source cell emit nothing. */
+  def costDistance(dem: DataFrame): DataFrame = {
+    val cells = dem
+      .withColumn("e", explode(costCellsUdf(col("dem_bytes"),
+        col("w").cast("int"), col("h").cast("int"))))
+      .select(col("k"), col("image_id"), col("e._1").as("x"),
+        col("e._2").as("y"), col("e._3").as("c"), col("e._4").as("src"))
+      .localCheckpoint()
+    val targets = cells.select(col("k"), col("x"), col("y"),
+      col("c").as("cb"))
+    val offs = Seq((1, 0, 2), (0, 1, 2), (-1, 0, 2), (0, -1, 2),
+      (1, 1, 3), (1, -1, 3), (-1, 1, 3), (-1, -1, 3))
+    var best = cells.where(col("src"))
+      .select(col("k"), col("x"), col("y"), col("c"),
+        lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = best
+    lastCostRounds = 0
+    var n = frontier.count()
+    while (n > 0) {
+      lastCostRounds += 1
+      val cand = frontier
+        .withColumn("o", explode(typedLit(offs)))
+        .select(col("k"), (col("x") + col("o._1")).as("x"),
+          (col("y") + col("o._2")).as("y"), col("c").as("ca"),
+          col("dist"), col("o._3").as("wm"))
+        .join(targets, Seq("k", "x", "y"))
+        .select(col("k"), col("x"), col("y"), col("cb"),
+          (col("dist") +
+            col("wm").cast("long") * (col("ca") + col("cb"))).as("nd"))
+        .groupBy("k", "x", "y", "cb").agg(min(col("nd")).as("nd"))
+      val improved = cand
+        .join(best.select(col("k"), col("x"), col("y"),
+          col("dist").as("od")), Seq("k", "x", "y"), "left")
+        .where(col("od").isNull || col("nd") < col("od"))
+        .select(col("k"), col("x"), col("y"), col("cb").as("c"),
+          col("nd").as("dist"))
+        .localCheckpoint()
+      n = improved.count()
+      if (n > 0) {
+        best = best.unionByName(improved)
+          .groupBy("k", "x", "y", "c").agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+        frontier = improved
+      }
+    }
+    best.join(cells.select(col("k"), col("x"), col("y"),
+        col("image_id")), Seq("k", "x", "y"))
+      .select(col("k"), col("image_id"), col("x"), col("y"), col("c"),
+        col("dist"))
+  }
+
   /** CONTOUR crossings (the marching-squares primitive): for each iso
     * level, a grid edge is crossed iff exactly one endpoint sits below
     * the level ((z1 < L) ≠ (z2 < L)). Per (image, level):

@@ -170,6 +170,47 @@ class ClusterJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expect.exists(p => p._4 > p._3))
   }
 
+  test("coverageArea == brute rasterized union per coarse cell") {
+    import spark.implicits._
+    import graft.index.CellGrid.{OffX, OffY}
+    val n = 70
+    val xs = lcg(41, n, 400).map(_ + 100)
+    val ys = lcg(43, n, 400).map(_ + 100)
+    val ws = lcg(47, n, 36).map(_ + 5)
+    val hs = lcg(53, n, 36).map(_ + 5)
+    val pad = 10L; val cell = 128L
+    // brute: rasterize half-open padded boxes in raw coord space
+    // (shifted cell index = raw coord div 128 because the op's
+    // OffX/OffY shifts cancel the -OffX anchoring below)
+    val cov = scala.collection.mutable.Set.empty[(Long, Long)]
+    val boxes = (0 until n).map { i =>
+      (xs(i) - pad, xs(i) + ws(i) + pad, ys(i) - pad, ys(i) + hs(i) + pad)
+    }
+    for ((bx0, bx1, by0, by1) <- boxes; px <- bx0 until bx1;
+         py <- by0 until by1) cov += ((px, py))
+    val nr = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    for ((bx0, bx1, by0, by1) <- boxes;
+         ci <- bx0 / cell to (bx1 - 1) / cell;
+         cj <- by0 / cell to (by1 - 1) / cell) nr((ci, cj)) += 1
+    val expect = nr.keys.toSeq.sorted.map { case (ci, cj) =>
+      val a = cov.count { case (px, py) =>
+        px / cell == ci && py / cell == cj }
+      (ci, cj, nr((ci, cj)), a.toLong)
+    }
+    val df = (0 until n).map(i => (i.toLong, xs(i) - OffX, ys(i) - OffY,
+        xs(i) + ws(i) - OffX, ys(i) + hs(i) - OffY))
+      .toDF("k", "x0m", "y0m", "x1m", "y1m")
+    val got = graft.ops.SpatialJoin.coverageArea(df, pad, cell)
+      .orderBy("ci", "cj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expect)
+    // non-degenerate: some cell's union is smaller than Σ box areas
+    val sumArea = boxes.map(b => (b._2 - b._1) * (b._4 - b._3)).sum
+    assert(cov.size < sumArea)
+  }
+
   test("twoHopCensus == brute distinct <=2-hop reach") {
     import spark.implicits._
     import graft.index.CellGrid.{OffX, OffY}

@@ -169,4 +169,59 @@ class TerrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 1L && r.getLong(1) == 1L) // one up, one down
     assert(r.getLong(2) == 0L) // +20 and −20 cancel
   }
+
+  test("costDistance == inline Dijkstra; rounds well under the bound") {
+    import spark.implicits._
+    val ks = Seq(7L, 13L, 25L)
+    val rows = ks.map { k =>
+      val w = 24; val h = 18
+      val z = Array.tabulate(w * h)(i =>
+        Synth.demValue(k, i % w, i / w).toDouble)
+      (k, s"img-$k", w, h, enc(z, w, h))
+    }
+    val dem = rows.toDF("k", "image_id", "w", "h", "dem_bytes")
+    val got = Terrain.costDistance(dem).collect()
+      .map(r => ((r.getLong(0), r.getInt(2), r.getInt(3)), r.getLong(5)))
+      .toMap
+    val dx = Array(1, 0, -1, 0, 1, 1, -1, -1)
+    val dy = Array(0, 1, 0, -1, 1, -1, 1, -1)
+    for ((k, _, w, h, _) <- rows) {
+      val zv = Array.tabulate(w * h)(i => Synth.demValue(k, i % w, i / w))
+      val c = zv.map(v => 1 + (v % 2).toInt)
+      val dist = Array.fill(w * h)(Long.MaxValue)
+      val pq = scala.collection.mutable.PriorityQueue
+        .empty[(Long, Int)](Ordering.by(-_._1))
+      for (i <- 0 until w * h if zv(i) % 19 == 0) {
+        dist(i) = 0L; pq.enqueue((0L, i))
+      }
+      while (pq.nonEmpty) {
+        val (d, i) = pq.dequeue()
+        if (d == dist(i)) {
+          val x = i % w; val y = i / w
+          var j = 0
+          while (j < 8) {
+            val nx = x + dx(j); val ny = y + dy(j)
+            if (nx >= 0 && nx < w && ny >= 0 && ny < h) {
+              val wm = if (j < 4) 2L else 3L
+              val nd = d + wm * (c(i) + c(ny * w + nx))
+              if (nd < dist(ny * w + nx)) {
+                dist(ny * w + nx) = nd; pq.enqueue((nd, ny * w + nx))
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      for (y <- 0 until h; x <- 0 until w) {
+        val exp = dist(y * w + x)
+        if (exp == Long.MaxValue)
+          assert(!got.contains((k, x, y)), s"k=$k ($x,$y) reached")
+        else assert(got((k, x, y)) == exp, s"k=$k ($x,$y)")
+      }
+    }
+    // the oracle floods 96 bounded rounds; the label correction must
+    // converge well inside that on the synth source density
+    assert(Terrain.lastCostRounds > 0 && Terrain.lastCostRounds < 48,
+      s"rounds=${Terrain.lastCostRounds}")
+  }
 }
