@@ -1473,6 +1473,79 @@ object SparkEntry {
         .orderBy("o_cx", "o_cy", "d_cx", "d_cy")
     }),
 
+    // per-user mobility statistics: divide-free radius of gyration
+    // (gyr_num = n²·r_g² = n·Σ|p|² − |Σp|²) plus the squared
+    // jump-length sum/max in track order
+    "q_mobility" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 150)
+      val hm = md5(col("event_id").cast("string"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      import graft.sketch.Cms.hexVal
+      val pts = ev.select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("idx", row_number().over(win).cast("long") - 1)
+        .withColumn("px", (hexVal(hm, 1) * 256 + hexVal(hm, 2) * 16 +
+          hexVal(hm, 3)).cast("long"))
+        .withColumn("py", (hexVal(hm, 4) * 256 + hexVal(hm, 5) * 16 +
+          hexVal(hm, 6)).cast("long"))
+      graft.ops.Tracks.mobilityStats(pts).orderBy("user_id")
+    }),
+
+    // Knox space-time interaction: 2x2 contingency pieces (pairs
+    // close in space s=64, in time tau=3600, and in both) via
+    // cell- and bucket-banded pair joins — no all-pairs
+    "q_knox" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 150)
+      val hm = md5(col("event_id").cast("string"))
+      import graft.sketch.Cms.hexVal
+      val pts = ev
+        .withColumn("px", (hexVal(hm, 1) * 256 + hexVal(hm, 2) * 16 +
+          hexVal(hm, 3)).cast("long"))
+        .withColumn("py", (hexVal(hm, 4) * 256 + hexVal(hm, 5) * 16 +
+          hexVal(hm, 6)).cast("long"))
+        .select(col("event_id").as("id"), col("px"), col("py"),
+          unix_timestamp(col("ts")).as("t"))
+      graft.ops.SpatialJoin.knoxCounts(pts, 64L, 3600L)
+    }),
+
+    // Ripley's K pair counts at radii {32,64,128,256}: one banded
+    // pair join at the coarsest pitch, all radii counted from the
+    // same candidate set
+    "q_ripley" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 150)
+      val hm = md5(col("event_id").cast("string"))
+      import graft.sketch.Cms.hexVal
+      val pts = ev
+        .withColumn("px", (hexVal(hm, 1) * 256 + hexVal(hm, 2) * 16 +
+          hexVal(hm, 3)).cast("long"))
+        .withColumn("py", (hexVal(hm, 4) * 256 + hexVal(hm, 5) * 16 +
+          hexVal(hm, 6)).cast("long"))
+        .select(col("event_id").as("id"), col("px"), col("py"))
+      graft.ops.SpatialJoin.ripleyCounts(pts,
+        Seq(32L, 64L, 128L, 256L)).orderBy("r")
+    }),
+
+    // step-bearing octant histogram per user: trig-free integer
+    // sector classification of every nonzero step, with Σd² checksum
+    "q_bearings" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 150)
+      val hm = md5(col("event_id").cast("string"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      import graft.sketch.Cms.hexVal
+      val pts = ev.select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("idx", row_number().over(win).cast("long") - 1)
+        .withColumn("px", (hexVal(hm, 1) * 256 + hexVal(hm, 2) * 16 +
+          hexVal(hm, 3)).cast("long"))
+        .withColumn("py", (hexVal(hm, 4) * 256 + hexVal(hm, 5) * 16 +
+          hexVal(hm, 6)).cast("long"))
+      graft.ops.Tracks.bearingOctants(pts).orderBy("user_id", "oct")
+    }),
+
     // histogram matching epoch 0 → epoch 3 (radiometric
     // normalization LUT): per-image shift mass + mapped checksums
     "q_hist_match" -> ((s, dir) =>
@@ -5126,6 +5199,134 @@ object SparkEntry {
          |  dx // 512 AS d_cx, dy // 512 AS d_cy,
          |  CAST(COUNT(*) AS BIGINT) AS n_trips
          |FROM odt GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    // radius of gyration divide-free (n·Σ|p|² − |Σp|², all BIGINT)
+    // + lagged squared jumps; single-point users hit the COALESCEs
+    "q_mobility" ->
+      s"""WITH moe AS (SELECT user_id, ts, event_id,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 150),
+         |mop AS (SELECT user_id,
+         |          ROW_NUMBER() OVER (PARTITION BY user_id
+         |            ORDER BY ts, event_id) - 1 AS idx,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT) AS px,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT) AS py
+         |        FROM moe),
+         |mol AS (SELECT user_id, px, py,
+         |          LAG(px) OVER (PARTITION BY user_id ORDER BY idx) AS lx,
+         |          LAG(py) OVER (PARTITION BY user_id ORDER BY idx) AS ly
+         |        FROM mop)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pts,
+         |  CAST(COUNT(*)*(SUM(px*px) + SUM(py*py))
+         |    - (SUM(px)*SUM(px) + SUM(py)*SUM(py)) AS BIGINT) AS gyr_num,
+         |  CAST(COALESCE(SUM(CASE WHEN lx IS NOT NULL THEN
+         |    (px-lx)*(px-lx) + (py-ly)*(py-ly) END), 0) AS BIGINT)
+         |    AS jump_sq_sum,
+         |  CAST(COALESCE(MAX((px-lx)*(px-lx) + (py-ly)*(py-ly)), 0)
+         |    AS BIGINT) AS jump_sq_max
+         |FROM mol GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Knox pieces ground truth: the same banded pair joins (3x3
+    // cells in space, ±1 buckets in time), each i<j pair met once
+    "q_knox" ->
+      s"""WITH kne AS (SELECT event_id,
+         |          CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 150),
+         |knp AS (SELECT event_id AS id, t,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT) AS px,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT) AS py
+         |        FROM kne),
+         |knb AS (SELECT id, px, py, t, px//64 AS cx, py//64 AS cy,
+         |          t//3600 AS tb FROM knp),
+         |kns AS (SELECT a.id AS ia, a.t AS ta, b.t AS tbs
+         |        FROM knb a JOIN knb b
+         |          ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         |         AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+         |         AND a.id < b.id
+         |         AND (a.px-b.px)*(a.px-b.px)
+         |           + (a.py-b.py)*(a.py-b.py) <= 4096),
+         |knt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_time
+         |        FROM knb a JOIN knb b
+         |          ON b.tb BETWEEN a.tb - 1 AND a.tb + 1
+         |         AND a.id < b.id AND ABS(a.t - b.t) <= 3600),
+         |kna AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_space,
+         |          CAST(COALESCE(SUM(CASE WHEN ABS(ta - tbs) <= 3600
+         |            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_st
+         |        FROM kns),
+         |knc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pts FROM knb)
+         |SELECT n.n_pts, a.n_space, t.n_time, a.n_st
+         |FROM knc n, kna a, knt t""".stripMargin,
+
+    // Ripley ground truth: banded pair join at pitch 256, per-radius
+    // conditional counts over the one candidate set
+    "q_ripley" ->
+      s"""WITH rke AS (SELECT event_id,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 150),
+         |rkp AS (SELECT event_id AS id,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT) AS px,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT) AS py
+         |        FROM rke),
+         |rkb AS (SELECT id, px, py, px//256 AS cx, py//256 AS cy
+         |        FROM rkp),
+         |rkd AS (SELECT (a.px-b.px)*(a.px-b.px)
+         |            + (a.py-b.py)*(a.py-b.py) AS d2
+         |        FROM rkb a JOIN rkb b
+         |          ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+         |         AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+         |         AND a.id < b.id
+         |         AND (a.px-b.px)*(a.px-b.px)
+         |           + (a.py-b.py)*(a.py-b.py) <= 65536),
+         |rkr AS (SELECT unnest([32, 64, 128, 256]) AS r)
+         |SELECT CAST(r.r AS BIGINT) AS r,
+         |  CAST(SUM(CASE WHEN d.d2 <= r.r*r.r THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_pairs
+         |FROM rkd d CROSS JOIN rkr r
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // octant = floor(8·angle/360) via the sign/|dx|-vs-|dy| CASE
+    // tree (identical literal tree on the Spark side) — no trig
+    "q_bearings" ->
+      s"""WITH boe AS (SELECT user_id, ts, event_id,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 150),
+         |bop AS (SELECT user_id,
+         |          ROW_NUMBER() OVER (PARTITION BY user_id
+         |            ORDER BY ts, event_id) - 1 AS idx,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT) AS px,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT) AS py
+         |        FROM boe),
+         |bod AS (SELECT user_id,
+         |          px - LAG(px) OVER (PARTITION BY user_id
+         |            ORDER BY idx) AS dx,
+         |          py - LAG(py) OVER (PARTITION BY user_id
+         |            ORDER BY idx) AS dy
+         |        FROM bop),
+         |boo AS (SELECT user_id, dx, dy,
+         |          CASE
+         |            WHEN dy >= 0 AND dx > 0 AND dy < dx THEN 0
+         |            WHEN dy > 0 AND dx > 0 AND dy >= dx THEN 1
+         |            WHEN dy > 0 AND dx <= 0 AND dy > -dx THEN 2
+         |            WHEN dy > 0 AND dx < 0 AND dy <= -dx THEN 3
+         |            WHEN dy <= 0 AND dx < 0 AND -dy < -dx THEN 4
+         |            WHEN dy < 0 AND dx < 0 AND -dy >= -dx THEN 5
+         |            WHEN dy < 0 AND dx >= 0 AND -dy > dx THEN 6
+         |            ELSE 7 END AS oct
+         |        FROM bod
+         |        WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0))
+         |SELECT user_id, CAST(oct AS BIGINT) AS oct,
+         |  CAST(COUNT(*) AS BIGINT) AS n_steps,
+         |  CAST(SUM(dx*dx + dy*dy) AS BIGINT) AS d2_sum
+         |FROM boo GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // LUT(v) = min ref value with cdf_ref ≥ cdf_src, via a per-image
     // cdf-inequality join + MIN over the distinct-value tables

@@ -450,6 +450,85 @@ object SpatialJoin {
       .select(col("src").as("v"), col("n1"), col("n2"))
   }
 
+  /** RIPLEY'S K pair counts (Ripley 1976) — the multi-scale
+    * point-pattern statistic: for each radius r in `radii`, the
+    * number of unordered point pairs with d² ≤ r² (exact integers;
+    * K̂(r) follows by the analyst's edge-correction and n/area
+    * normalization, which keeps the gate integer). ONE banded pair
+    * join at the coarsest pitch (rmax cells, 3×3 probe — each i<j
+    * pair met exactly once), then every radius counts from the same
+    * candidate set: cost is the rmax join, not |radii| joins.
+    * Input: (id, px, py). Returns (r, n_pairs) per radius. */
+  def ripleyCounts(pts: DataFrame, radii: Seq[Long]): DataFrame = {
+    val rmax = radii.max
+    val base = pts.select(col("id"), col("px"), col("py"),
+      expr(s"px div $rmax").as("cx"), expr(s"py div $rmax").as("cy"))
+    val probe = base
+      .withColumn("ncx", explode(sequence(col("cx") - 1, col("cx") + 1)))
+      .withColumn("ncy", explode(sequence(col("cy") - 1, col("cy") + 1)))
+      .select(col("id").as("ia"), col("px").as("xa"), col("py").as("ya"),
+        col("ncx").as("cx"), col("ncy").as("cy"))
+    val d2 = (col("xa") - col("px")) * (col("xa") - col("px")) +
+      (col("ya") - col("py")) * (col("ya") - col("py"))
+    val pairs = probe.join(base.select(col("id").as("ib"), col("px"),
+        col("py"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .where(col("ia") < col("ib") && d2 <= lit(rmax * rmax))
+      .select(d2.as("d2"))
+    val sp = pts.sparkSession
+    import sp.implicits._
+    pairs.crossJoin(broadcast(radii.toDF("r")))
+      .groupBy("r")
+      .agg(sum(when(col("d2") <= col("r") * col("r"), 1L)
+        .otherwise(0L)).as("n_pairs"))
+  }
+
+  /** KNOX space-time interaction counts (Knox 1964, the classic
+    * epidemiology cluster statistic): over all unordered point pairs,
+    * n_s = pairs within distance s (d² ≤ s², exact integers), n_t =
+    * pairs within time window τ (|Δt| ≤ τ), n_st = pairs close in
+    * BOTH — the 2×2 contingency pieces of the Knox test (the z-score
+    * follows from these plus n·(n−1)/2, all integers).
+    *
+    * Sub-quadratic on both axes: space pairs come from an s-pitch
+    * cell equi-join (probe side explodes its 3×3 neighborhood, the
+    * base side keys its own cell, so each i<j pair meets exactly
+    * once); time pairs from a τ-pitch bucket equi-join (probe
+    * explodes buckets b−1,b,b+1). No all-pairs anywhere. Input:
+    * (id, px, py, t). Returns one row
+    * (n_pts, n_space, n_time, n_st). */
+  def knoxCounts(pts: DataFrame, s: Long, tau: Long): DataFrame = {
+    val base = pts.select(col("id"), col("px"), col("py"), col("t"),
+      expr(s"px div $s").as("cx"), expr(s"py div $s").as("cy"),
+      expr(s"t div $tau").as("tb"))
+    val probe = base
+      .withColumn("ncx", explode(sequence(col("cx") - 1, col("cx") + 1)))
+      .withColumn("ncy", explode(sequence(col("cy") - 1, col("cy") + 1)))
+      .select(col("id").as("ia"), col("px").as("xa"), col("py").as("ya"),
+        col("t").as("ta"), col("ncx").as("cx"), col("ncy").as("cy"))
+    val spacePairs = probe.join(base.select(col("id").as("ib"),
+        col("px").as("xb"), col("py").as("yb"), col("t").as("tbs"),
+        col("cx"), col("cy")), Seq("cx", "cy"))
+      .where(col("ia") < col("ib") &&
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+        (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(s * s))
+      .select(col("ia"), col("ib"), col("ta"), col("tbs"))
+    val timeProbe = base
+      .withColumn("ntb", explode(sequence(col("tb") - 1, col("tb") + 1)))
+      .select(col("id").as("ia"), col("t").as("ta"), col("ntb").as("tb"))
+    val timePairs = timeProbe.join(base.select(col("id").as("ib"),
+        col("t").as("tbs"), col("tb")), Seq("tb"))
+      .where(col("ia") < col("ib") &&
+        abs(col("ta") - col("tbs")) <= lit(tau))
+    val nS = spacePairs.agg(
+      count(lit(1)).as("n_space"),
+      sum(when(abs(col("ta") - col("tbs")) <= lit(tau), 1L)
+        .otherwise(0L)).as("n_st"))
+    val nT = timePairs.agg(count(lit(1)).as("n_time"))
+    val nP = base.agg(count(lit(1)).as("n_pts"))
+    nP.crossJoin(nS).crossJoin(nT)
+      .select(col("n_pts"), col("n_space"), col("n_time"), col("n_st"))
+  }
+
   /** COVERAGE (union) AREA of pad-buffered footprints per coarse grid
     * cell — Bentley's slab-decomposition union-area (Bentley 1977),
     * grid-partitioned: because the coarse cells PARTITION the plane,

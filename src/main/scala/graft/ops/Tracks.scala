@@ -252,6 +252,65 @@ object Tracks {
       .agg(count(lit(1)).as("n_trips"))
   }
 
+  /** Human-mobility statistics per track (González, Hidalgo &
+    * Barabási 2008): the radius of gyration stated divide-free —
+    * gyr_num = n²·r_g² = n·Σ|p|² − |Σp|² (exact integers, no
+    * centroid divide) — plus the jump-length distribution pieces
+    * (Σ and max of squared step distance in index order). One
+    * window pass for the lagged steps, one map-side-combined
+    * aggregate on the track key. Input: (user_id, idx, px, py).
+    * Returns (user_id, n_pts, gyr_num, jump_sq_sum, jump_sq_max). */
+  def mobilityStats(pts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("idx")
+    val sq = (col("px") - col("lx")) * (col("px") - col("lx")) +
+      (col("py") - col("ly")) * (col("py") - col("ly"))
+    pts
+      .withColumn("lx", lag(col("px"), 1).over(w))
+      .withColumn("ly", lag(col("py"), 1).over(w))
+      .groupBy("user_id").agg(
+        count(lit(1)).as("n_pts"),
+        (count(lit(1)) *
+          (sum(col("px") * col("px")) + sum(col("py") * col("py"))) -
+          (sum(col("px")) * sum(col("px")) +
+           sum(col("py")) * sum(col("py")))).as("gyr_num"),
+        coalesce(sum(when(col("lx").isNotNull, sq)), lit(0L))
+          .as("jump_sq_sum"),
+        coalesce(max(sq), lit(0L)).as("jump_sq_max"))
+  }
+
+  /** Step-bearing OCTANT histogram per track — the integer-exact
+    * form of the turning/bearing distribution: each nonzero step
+    * (dx, dy) falls in octant floor(8·angle/360°) (E=0 CCW to SE=7),
+    * classified purely by sign and |dx| vs |dy| comparisons (no
+    * trigonometry, so the oracle replays it verbatim). Sector
+    * convention: [0°,45°) → 0, [45°,90°) → 1, …; zero steps carry no
+    * bearing and are excluded. Returns per (user_id, oct):
+    * n_steps and the squared-length checksum Σd². */
+  def bearingOctants(pts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("idx")
+    val dx = col("px") - lag(col("px"), 1).over(w)
+    val dy = col("py") - lag(col("py"), 1).over(w)
+    val oct = when(col("dy") >= 0 && col("dx") > 0 &&
+        col("dy") < col("dx"), 0L)
+      .when(col("dy") > 0 && col("dx") > 0 && col("dy") >= col("dx"), 1L)
+      .when(col("dy") > 0 && col("dx") <= 0 && col("dy") > -col("dx"), 2L)
+      .when(col("dy") > 0 && col("dx") < 0 && col("dy") <= -col("dx"), 3L)
+      .when(col("dy") <= 0 && col("dx") < 0 && -col("dy") < -col("dx"), 4L)
+      .when(col("dy") < 0 && col("dx") < 0 && -col("dy") >= -col("dx"), 5L)
+      .when(col("dy") < 0 && col("dx") >= 0 && -col("dy") > col("dx"), 6L)
+      .otherwise(7L)
+    pts.select(col("user_id"), dx.as("dx"), dy.as("dy"))
+      .where(col("dx").isNotNull && (col("dx") =!= 0 || col("dy") =!= 0))
+      .withColumn("oct", oct)
+      .groupBy("user_id", "oct")
+      .agg(count(lit(1)).as("n_steps"),
+        sum(col("dx") * col("dx") + col("dy") * col("dy")).as("d2_sum"))
+  }
+
   /** Symmetric Hausdorff distance (squared, exact integers) between
     * each track's point SET and a fixed reference path: h_fwd =
     * max over track points of the min squared distance to any

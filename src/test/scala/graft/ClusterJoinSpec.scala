@@ -170,6 +170,109 @@ class ClusterJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expect.exists(p => p._4 > p._3))
   }
 
+  test("knoxCounts == brute all-pairs contingency") {
+    import spark.implicits._
+    val n = 150
+    val xs = lcg(61, n, 900)
+    val ys = lcg(67, n, 900)
+    val ts = lcg(71, n, 40000)
+    val s = 64L; val tau = 900L
+    var nS = 0L; var nT = 0L; var nST = 0L
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      val d2 = (xs(i) - xs(j)) * (xs(i) - xs(j)) +
+        (ys(i) - ys(j)) * (ys(i) - ys(j))
+      val dt = math.abs(ts(i) - ts(j))
+      if (d2 <= s * s) nS += 1
+      if (dt <= tau) nT += 1
+      if (d2 <= s * s && dt <= tau) nST += 1
+    }
+    val pts = (0 until n).map(i => (i.toLong, xs(i), ys(i), ts(i)))
+      .toDF("id", "px", "py", "t")
+    val r = graft.ops.SpatialJoin.knoxCounts(pts, s, tau).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((n.toLong, nS, nT, nST)))
+    // non-degenerate: every cell of the contingency is populated
+    assert(nS > 0 && nT > 0 && nST > 0 && nST < nS && nST < nT)
+  }
+
+  test("mobilityStats == brute gyration and jumps") {
+    import spark.implicits._
+    val n = 40
+    val xs = lcg(73, n, 2048)
+    val ys = lcg(79, n, 2048)
+    val users = 4
+    val pts = (0 until n).map(i =>
+      ((i % users).toLong, (i / users).toLong, xs(i), ys(i)))
+      .toDF("user_id", "idx", "px", "py")
+    val got = graft.ops.Tracks.mobilityStats(pts)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    for (u <- 0 until users) {
+      val idxs = (0 until n).filter(_ % users == u)
+      val px = idxs.map(xs(_)); val py = idxs.map(ys(_))
+      val m = idxs.size.toLong
+      val gyr = m * (px.map(v => v * v).sum + py.map(v => v * v).sum) -
+        (px.sum * px.sum + py.sum * py.sum)
+      val jumps = (1 until idxs.size).map { i =>
+        val dx = px(i) - px(i - 1); val dy = py(i) - py(i - 1)
+        dx * dx + dy * dy
+      }
+      assert(got(u) === ((u.toLong, m, gyr, jumps.sum, jumps.max)))
+    }
+  }
+
+  test("ripleyCounts == brute all-pairs at every radius") {
+    import spark.implicits._
+    val n = 160
+    val xs = lcg(83, n, 1200)
+    val ys = lcg(89, n, 1200)
+    val radii = Seq(24L, 48L, 96L, 192L)
+    val expect = radii.map { r =>
+      var c = 0L
+      for (i <- 0 until n; j <- (i + 1) until n) {
+        val d2 = (xs(i) - xs(j)) * (xs(i) - xs(j)) +
+          (ys(i) - ys(j)) * (ys(i) - ys(j))
+        if (d2 <= r * r) c += 1
+      }
+      (r, c)
+    }
+    val pts = (0 until n).map(i => (i.toLong, xs(i), ys(i)))
+      .toDF("id", "px", "py")
+    val got = graft.ops.SpatialJoin.ripleyCounts(pts, radii)
+      .orderBy("r").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expect)
+    // non-degenerate: strictly increasing counts across radii
+    assert(expect.map(_._2).distinct.size == radii.size &&
+      expect.head._2 > 0)
+  }
+
+  test("bearingOctants: CASE tree == independent atan2 sectors") {
+    import spark.implicits._
+    // every nonzero (dx,dy) in a grid, incl. all 8 boundary rays
+    val deltas = for {
+      dx <- -5 to 5; dy <- -5 to 5 if dx != 0 || dy != 0
+    } yield (dx.toLong, dy.toLong)
+    def octRef(dx: Long, dy: Long): Long = {
+      val a = math.atan2(dy.toDouble, dx.toDouble)
+      val deg = (math.toDegrees(a) + 360.0) % 360.0
+      (deg / 45.0).toLong % 8
+    }
+    // one user per delta, each a 2-point track (origin, origin+delta)
+    val pts = deltas.zipWithIndex.flatMap { case ((dx, dy), u) =>
+      Seq((u.toLong, 0L, 100L, 100L), (u.toLong, 1L, 100L + dx, 100L + dy))
+    }.toDF("user_id", "idx", "px", "py")
+    val got = graft.ops.Tracks.bearingOctants(pts).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.length == deltas.size)
+    deltas.zipWithIndex.foreach { case ((dx, dy), u) =>
+      val (_, oct, n, d2) = got(u)
+      assert(n == 1L && d2 == dx * dx + dy * dy, s"($dx,$dy)")
+      assert(oct == octRef(dx, dy), s"($dx,$dy): got $oct")
+    }
+  }
+
   test("coverageArea == brute rasterized union per coarse cell") {
     import spark.implicits._
     import graft.index.CellGrid.{OffX, OffY}
