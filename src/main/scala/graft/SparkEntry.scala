@@ -1546,6 +1546,25 @@ object SparkEntry {
       graft.ops.Tracks.bearingOctants(pts).orderBy("user_id", "oct")
     }),
 
+    // cross-user segment crossings (encounter detection): one short
+    // md5-derived segment per event, banded by bbox cover cells at
+    // pitch 256 with reporter-cell dedupe, exact integer orientation
+    // tests — no all-pairs, no floats
+    "q_crossings" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 150)
+      val hm = md5(col("event_id").cast("string"))
+      import graft.sketch.Cms.hexVal
+      def hv(i: Int) = hexVal(hm, i).cast("long")
+      val ax = hv(1) * 256 + hv(2) * 16 + hv(3) + 128
+      val ay = hv(4) * 256 + hv(5) * 16 + hv(6) + 128
+      val segs = ev.select(col("event_id").as("sid"),
+        col("user_id").as("u"), ax.as("ax"), ay.as("ay"),
+        (ax + hv(7) * 16 + hv(8) - 128).as("bx"),
+        (ay + hv(9) * 16 + hv(10) - 128).as("by"))
+      graft.ops.SpatialJoin.segmentCrossings(segs, 256L)
+    }),
+
     // histogram matching epoch 0 → epoch 3 (radiometric
     // normalization LUT): per-image shift mass + mapped checksums
     "q_hist_match" -> ((s, dir) =>
@@ -5327,6 +5346,55 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_steps,
          |  CAST(SUM(dx*dx + dy*dy) AS BIGINT) AS d2_sum
          |FROM boo GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same banded cover-cell join + reporter-cell dedupe as the
+    // Spark side; segment intersect = bbox overlap AND d1*d2<=0 AND
+    // d3*d4<=0 (orientation cross products, exact integers)
+    "q_crossings" ->
+      s"""WITH sge AS (SELECT event_id, user_id,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 150),
+         |sgs AS (SELECT event_id AS sid, user_id AS u,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} + 128 AS BIGINT) AS ax,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} + 128 AS BIGINT) AS ay,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} + ${hx("hm", 7)}*16
+         |            + ${hx("hm", 8)} AS BIGINT) AS bx,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} + ${hx("hm", 9)}*16
+         |            + ${hx("hm", 10)} AS BIGINT) AS by
+         |        FROM sge),
+         |sgb AS (SELECT *, LEAST(ax, bx) AS x0, GREATEST(ax, bx) AS x1,
+         |          LEAST(ay, by) AS y0, GREATEST(ay, by) AS y1
+         |        FROM sgs),
+         |sgx AS (SELECT *, unnest(generate_series(x0//256, x1//256))
+         |          AS ccx FROM sgb),
+         |sgc AS (SELECT *, unnest(generate_series(y0//256, y1//256))
+         |          AS ccy FROM sgx),
+         |sgp AS (SELECT
+         |          a.ax AS axa, a.ay AS aya, a.bx AS bxa, a.by AS bya,
+         |          b.ax AS axb, b.ay AS ayb, b.bx AS bxb, b.by AS byb
+         |        FROM sgc a JOIN sgc b
+         |          ON a.ccx = b.ccx AND a.ccy = b.ccy AND a.u < b.u
+         |         AND a.x0 <= b.x1 AND b.x0 <= a.x1
+         |         AND a.y0 <= b.y1 AND b.y0 <= a.y1
+         |         AND a.ccx = GREATEST(a.x0, b.x0)//256
+         |         AND a.ccy = GREATEST(a.y0, b.y0)//256),
+         |sgd AS (SELECT
+         |          (bxb-axb)*(aya-ayb) - (byb-ayb)*(axa-axb) AS d1,
+         |          (bxb-axb)*(bya-ayb) - (byb-ayb)*(bxa-axb) AS d2,
+         |          (bxa-axa)*(ayb-aya) - (bya-aya)*(axb-axa) AS d3,
+         |          (bxa-axa)*(byb-aya) - (bya-aya)*(bxb-axa) AS d4
+         |        FROM sgp),
+         |sgn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_segs FROM sgs),
+         |sgt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+         |          CAST(COALESCE(SUM(CASE WHEN d1*d2 <= 0
+         |            AND d3*d4 <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |            AS n_cross
+         |        FROM sgd)
+         |SELECT n.n_segs, t.n_cand, t.n_cross FROM sgn n, sgt t""".stripMargin,
 
     // LUT(v) = min ref value with cdf_ref ≥ cdf_src, via a per-image
     // cdf-inequality join + MIN over the distinct-value tables

@@ -450,6 +450,64 @@ object SpatialJoin {
       .select(col("src").as("v"), col("n1"), col("n2"))
   }
 
+  /** SEGMENT CROSSINGS between tracks of different users — encounter
+    * detection stated in exact integers: segments AB and CD intersect
+    * (touching included) iff their bboxes overlap AND d1·d2 ≤ 0 AND
+    * d3·d4 ≤ 0 where d1..d4 are the four orientation cross products
+    * (d1 = cross(D−C, A−C), …). The bbox conjunct both enforces the
+    * collinear-overlap case and is free — the banded join already
+    * requires it. No divides, no floats: the predicate is the
+    * textbook orientation test (Cormen et al., segment-intersection).
+    *
+    * Banding: each segment explodes the cover cells of its bbox at
+    * `pitch` (callers bound segment length by pitch, so ≤ 4 cells);
+    * pairs meet on the cell key and are DEDUPED without a distinct
+    * shuffle by the reporter-cell rule — a pair counts only in the
+    * cell holding the top-left corner of the bbox intersection.
+    * Input: (sid, u, ax, ay, bx, by). Returns one row
+    * (n_segs, n_cand, n_cross) — candidates = bbox-overlap pairs. */
+  def segmentCrossings(segs: DataFrame, pitch: Long): DataFrame = {
+    val s2 = segs.select(col("sid"), col("u"),
+      col("ax"), col("ay"), col("bx"), col("by"),
+      least(col("ax"), col("bx")).as("x0"),
+      greatest(col("ax"), col("bx")).as("x1"),
+      least(col("ay"), col("by")).as("y0"),
+      greatest(col("ay"), col("by")).as("y1"))
+    def cover(suffix: String) = s2
+      .withColumn("ccx", explode(sequence(expr(s"x0 div $pitch"),
+        expr(s"x1 div $pitch"))))
+      .withColumn("ccy", explode(sequence(expr(s"y0 div $pitch"),
+        expr(s"y1 div $pitch"))))
+      .select(col("ccx"), col("ccy"),
+        col("sid").as(s"sid$suffix"), col("u").as(s"u$suffix"),
+        col("ax").as(s"ax$suffix"), col("ay").as(s"ay$suffix"),
+        col("bx").as(s"bx$suffix"), col("by").as(s"by$suffix"),
+        col("x0").as(s"x0$suffix"), col("x1").as(s"x1$suffix"),
+        col("y0").as(s"y0$suffix"), col("y1").as(s"y1$suffix"))
+    val cand = cover("a").join(cover("b"), Seq("ccx", "ccy"))
+      .where(col("ua") < col("ub") &&
+        col("x0a") <= col("x1b") && col("x0b") <= col("x1a") &&
+        col("y0a") <= col("y1b") && col("y0b") <= col("y1a") &&
+        // reporter cell: top-left corner of the bbox intersection
+        col("ccx") === expr(s"greatest(x0a, x0b) div $pitch") &&
+        col("ccy") === expr(s"greatest(y0a, y0b) div $pitch"))
+    val d1 = (col("bxb") - col("axb")) * (col("aya") - col("ayb")) -
+      (col("byb") - col("ayb")) * (col("axa") - col("axb"))
+    val d2 = (col("bxb") - col("axb")) * (col("bya") - col("ayb")) -
+      (col("byb") - col("ayb")) * (col("bxa") - col("axb"))
+    val d3 = (col("bxa") - col("axa")) * (col("ayb") - col("aya")) -
+      (col("bya") - col("aya")) * (col("axb") - col("axa"))
+    val d4 = (col("bxa") - col("axa")) * (col("byb") - col("aya")) -
+      (col("bya") - col("aya")) * (col("bxb") - col("axa"))
+    val n = segs.agg(count(lit(1)).as("n_segs"))
+    n.crossJoin(cand.agg(
+      count(lit(1)).as("n_cand"),
+      sum(when(d1 * d2 <= 0 && d3 * d4 <= 0, 1L).otherwise(0L))
+        .as("n_cross")))
+      .select(col("n_segs"), col("n_cand"),
+        coalesce(col("n_cross"), lit(0L)).as("n_cross"))
+  }
+
   /** RIPLEY'S K pair counts (Ripley 1976) — the multi-scale
     * point-pattern statistic: for each radius r in `radii`, the
     * number of unordered point pairs with d² ≤ r² (exact integers;

@@ -343,4 +343,74 @@ class ClusterJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-degenerate: some node reaches strictly more in 2 hops
     assert(expect.exists(p => p._3 > p._2))
   }
+
+  test("segmentCrossings == brute CLRS intersect over cross-user pairs") {
+    import spark.implicits._
+    val n = 120
+    val ax = lcg(101, n, 4000)
+    val ay = lcg(103, n, 4000)
+    val dx = lcg(107, n, 511).map(_ - 255)
+    val dy = lcg(109, n, 511).map(_ - 255)
+    // independent reference: the textbook direction/on-segment test
+    // (CLRS 33.1), NOT the production bbox+product predicate
+    def dir(px: Long, py: Long, qx: Long, qy: Long,
+            rx: Long, ry: Long): Long =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    def onSeg(px: Long, py: Long, qx: Long, qy: Long,
+              rx: Long, ry: Long): Boolean =
+      math.min(px, qx) <= rx && rx <= math.max(px, qx) &&
+        math.min(py, qy) <= ry && ry <= math.max(py, qy)
+    def intersects(a: (Long, Long, Long, Long),
+                   b: (Long, Long, Long, Long)): Boolean = {
+      val (p1x, p1y, p2x, p2y) = a
+      val (p3x, p3y, p4x, p4y) = b
+      val d1 = dir(p3x, p3y, p4x, p4y, p1x, p1y)
+      val d2 = dir(p3x, p3y, p4x, p4y, p2x, p2y)
+      val d3 = dir(p1x, p1y, p2x, p2y, p3x, p3y)
+      val d4 = dir(p1x, p1y, p2x, p2y, p4x, p4y)
+      if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+          ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) true
+      else if (d1 == 0 && onSeg(p3x, p3y, p4x, p4y, p1x, p1y)) true
+      else if (d2 == 0 && onSeg(p3x, p3y, p4x, p4y, p2x, p2y)) true
+      else if (d3 == 0 && onSeg(p1x, p1y, p2x, p2y, p3x, p3y)) true
+      else if (d4 == 0 && onSeg(p1x, p1y, p2x, p2y, p4x, p4y)) true
+      else false
+    }
+    // planted extras exercising every degenerate family: T-touch,
+    // endpoint-touch, collinear overlap, collinear disjoint (same
+    // line, bboxes apart), and parallel near-miss
+    val extra = Seq(
+      (9001L, 0L, 100L, 500L, 300L, 500L),  // base for T-touch
+      (9002L, 1L, 200L, 500L, 200L, 700L),  // T-touches 9001 at (200,500)
+      (9003L, 2L, 300L, 500L, 300L, 900L),  // endpoint-touches 9001
+      (9004L, 3L, 1000L, 1000L, 1200L, 1000L), // collinear pair base
+      (9005L, 4L, 1100L, 1000L, 1300L, 1000L), // overlaps 9004 on the line
+      (9006L, 5L, 1400L, 1000L, 1500L, 1000L), // same line, disjoint
+      (9007L, 6L, 1000L, 1001L, 1200L, 1001L)) // parallel near-miss
+    val segs = (0 until n).map { i =>
+      (i.toLong, (i % 10).toLong, ax(i), ay(i),
+        ax(i) + dx(i), ay(i) + dy(i))
+    } ++ extra
+    var nCand = 0L; var nCross = 0L
+    for (i <- segs.indices; j <- segs.indices
+         if segs(i)._2 < segs(j)._2) {
+      val (_, _, x1, y1, x2, y2) = segs(i)
+      val (_, _, x3, y3, x4, y4) = segs(j)
+      val bbox = math.min(x1, x2) <= math.max(x3, x4) &&
+        math.min(x3, x4) <= math.max(x1, x2) &&
+        math.min(y1, y2) <= math.max(y3, y4) &&
+        math.min(y3, y4) <= math.max(y1, y2)
+      if (bbox) nCand += 1
+      if (intersects((x1, y1, x2, y2), (x3, y3, x4, y4))) {
+        assert(bbox) // sanity: intersecting pairs always bbox-overlap
+        nCross += 1
+      }
+    }
+    val df = segs.toDF("sid", "u", "ax", "ay", "bx", "by")
+    val r = graft.ops.SpatialJoin.segmentCrossings(df, 256L).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+      ((segs.size.toLong, nCand, nCross)))
+    // non-degenerate: real crossings exist and candidates exceed them
+    assert(nCross >= 5 && nCand > nCross)
+  }
 }
