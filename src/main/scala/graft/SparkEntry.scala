@@ -1565,6 +1565,68 @@ object SparkEntry {
       graft.ops.SpatialJoin.segmentCrossings(segs, 256L)
     }),
 
+    // Mann-Kendall trend per 512-cell over daily event counts (the
+    // emerging-hotspot space-time-cube statistic): S = sum of
+    // pairwise count-comparison signs, exact integers
+    "q_mk_trend" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 150)
+      val hm = md5(col("event_id").cast("string"))
+      import graft.sketch.Cms.hexVal
+      def hv(i: Int) = hexVal(hm, i).cast("long")
+      val pts = ev.select(
+        (hv(1) * 256 + hv(2) * 16 + hv(3)).as("px"),
+        (hv(4) * 256 + hv(5) * 16 + hv(6)).as("py"),
+        unix_timestamp(col("ts")).as("t"))
+      graft.ops.SpatialJoin.mannKendallCells(pts, 512L, 86400L)
+        .orderBy("gi", "gj")
+    }),
+
+    // bivariate colocation (cross-K pieces) between error and
+    // purchase events: pair + participation counts at 3 radii from
+    // ONE banded candidate set
+    "q_colocate" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 150)
+      val hm = md5(col("event_id").cast("string"))
+      import graft.sketch.Cms.hexVal
+      def hv(i: Int) = hexVal(hm, i).cast("long")
+      def pts(ty: String) = ev.where(col("event_type") === ty)
+        .select(col("event_id").as("id"),
+          (hv(1) * 256 + hv(2) * 16 + hv(3)).as("px"),
+          (hv(4) * 256 + hv(5) * 16 + hv(6)).as("py"))
+      graft.ops.SpatialJoin.colocationCounts(
+        pts("error"), pts("purchase"), Seq(32L, 64L, 128L)).orderBy("r")
+    }),
+
+    // map-matching snap: every event point to its nearest md5-derived
+    // road segment within r=128 (exact rational point-to-segment
+    // distance, anti-join argmin) → per-road match census
+    "q_snap_roads" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 150)
+      val hm = md5(col("event_id").cast("string"))
+      import graft.sketch.Cms.hexVal
+      def hv(i: Int) = hexVal(hm, i).cast("long")
+      val pts = ev.select(col("event_id").as("id"),
+        (hv(1) * 256 + hv(2) * 16 + hv(3)).as("px"),
+        (hv(4) * 256 + hv(5) * 16 + hv(6)).as("py"))
+      val rh = md5(col("rid").cast("string"))
+      def rv(i: Int) = hexVal(rh, i).cast("long")
+      val segs = s.range(200).select(col("id").as("rid"))
+        .select(col("rid").as("sid"),
+          (rv(1) * 256 + rv(2) * 16 + rv(3) + 384).as("ax"),
+          (rv(4) * 256 + rv(5) * 16 + rv(6) + 384).as("ay"),
+          (rv(1) * 256 + rv(2) * 16 + rv(3) + 384 +
+            rv(7) * 32 + rv(8) * 2 - 255).as("bx"),
+          (rv(4) * 256 + rv(5) * 16 + rv(6) + 384 +
+            rv(9) * 32 + rv(10) * 2 - 255).as("by"))
+      graft.ops.SpatialJoin.snapToSegments(pts, segs, 256L, 128L)
+        .groupBy("sid").agg(count(lit(1)).as("n_matched"),
+          sum(expr("(num * 4096) div den")).as("d2q_sum"))
+        .orderBy("sid")
+    }),
+
     // histogram matching epoch 0 → epoch 3 (radiometric
     // normalization LUT): per-image shift mass + mapped checksums
     "q_hist_match" -> ((s, dir) =>
@@ -5395,6 +5457,128 @@ object SparkEntry {
          |            AS n_cross
          |        FROM sgd)
          |SELECT n.n_segs, t.n_cand, t.n_cross FROM sgn n, sgt t""".stripMargin,
+
+    // Mann-Kendall S per cell: pairwise count-comparison signs over
+    // observed daily buckets; LEFT JOIN keeps single-bucket cells
+    "q_mk_trend" ->
+      s"""WITH mke AS (SELECT event_id,
+         |          CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 150),
+         |mkp AS (SELECT t,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT) AS px,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT) AS py
+         |        FROM mke),
+         |mkb AS (SELECT px//512 AS gi, py//512 AS gj,
+         |          t//86400 AS tb, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM mkp GROUP BY 1, 2, 3),
+         |mks AS (SELECT a.gi, a.gj,
+         |          CAST(SUM(CASE WHEN b.c > a.c THEN 1
+         |            WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+         |            AS s_stat
+         |        FROM mkb a JOIN mkb b
+         |          ON a.gi = b.gi AND a.gj = b.gj AND a.tb < b.tb
+         |        GROUP BY 1, 2),
+         |mkt AS (SELECT gi, gj, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |          CAST(SUM(c) AS BIGINT) AS n_events
+         |        FROM mkb GROUP BY 1, 2)
+         |SELECT t.gi, t.gj, t.n_buckets, t.n_events,
+         |  CAST(COALESCE(s.s_stat, 0) AS BIGINT) AS s_stat
+         |FROM mkt t LEFT JOIN mks s ON t.gi = s.gi AND t.gj = s.gj
+         |ORDER BY 1, 2""".stripMargin,
+
+    // colocation ground truth: all error×purchase pairs within the
+    // coarsest radius, then per-radius pair + distinct-participant
+    // counts from the one candidate set
+    "q_colocate" ->
+      s"""WITH cle AS (SELECT event_id, event_type,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 150
+         |          AND event_type IN ('error', 'purchase')),
+         |clp AS (SELECT event_id AS id, event_type,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT) AS px,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT) AS py
+         |        FROM cle),
+         |clc AS (SELECT a.id AS ia, b.id AS ib,
+         |          (a.px-b.px)*(a.px-b.px)
+         |            + (a.py-b.py)*(a.py-b.py) AS d2
+         |        FROM clp a JOIN clp b
+         |          ON a.event_type = 'error'
+         |         AND b.event_type = 'purchase'
+         |         AND (a.px-b.px)*(a.px-b.px)
+         |           + (a.py-b.py)*(a.py-b.py) <= 16384),
+         |clr AS (SELECT unnest([32, 64, 128]) AS r)
+         |SELECT CAST(r.r AS BIGINT) AS r,
+         |  CAST(COALESCE(SUM(CASE WHEN c.d2 <= r.r*r.r THEN 1
+         |    ELSE 0 END), 0) AS BIGINT) AS n_pairs,
+         |  CAST(COUNT(DISTINCT CASE WHEN c.d2 <= r.r*r.r
+         |    THEN c.ia END) AS BIGINT) AS n_a,
+         |  CAST(COUNT(DISTINCT CASE WHEN c.d2 <= r.r*r.r
+         |    THEN c.ib END) AS BIGINT) AS n_b
+         |FROM clc c CROSS JOIN clr r
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // map-matching ground truth: all point×road pairs, exact rational
+    // point-to-segment distance (num/den), radius filter, argmin by
+    // cross-multiplied rational order via NOT EXISTS
+    "q_snap_roads" ->
+      s"""WITH sre AS (SELECT event_id,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 150),
+         |srp AS (SELECT event_id AS id,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT) AS px,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT) AS py
+         |        FROM sre),
+         |srr AS (SELECT CAST(rid AS BIGINT) AS sid,
+         |          md5(CAST(rid AS VARCHAR)) AS rh
+         |        FROM (SELECT unnest(range(200)) AS rid)),
+         |srs AS (SELECT sid,
+         |          CAST(${hx("rh", 1)}*256 + ${hx("rh", 2)}*16
+         |            + ${hx("rh", 3)} + 384 AS BIGINT) AS ax,
+         |          CAST(${hx("rh", 4)}*256 + ${hx("rh", 5)}*16
+         |            + ${hx("rh", 6)} + 384 AS BIGINT) AS ay,
+         |          CAST(${hx("rh", 1)}*256 + ${hx("rh", 2)}*16
+         |            + ${hx("rh", 3)} + 384 + ${hx("rh", 7)}*32
+         |            + ${hx("rh", 8)}*2 - 255 AS BIGINT) AS bx,
+         |          CAST(${hx("rh", 4)}*256 + ${hx("rh", 5)}*16
+         |            + ${hx("rh", 6)} + 384 + ${hx("rh", 9)}*32
+         |            + ${hx("rh", 10)}*2 - 255 AS BIGINT) AS by
+         |        FROM srr),
+         |srd AS (SELECT p.id, s.sid,
+         |          (s.bx-s.ax)*(s.bx-s.ax)
+         |            + (s.by-s.ay)*(s.by-s.ay) AS dd,
+         |          (p.px-s.ax)*(s.bx-s.ax)
+         |            + (p.py-s.ay)*(s.by-s.ay) AS tnum,
+         |          (p.px-s.ax)*(p.px-s.ax)
+         |            + (p.py-s.ay)*(p.py-s.ay) AS apd,
+         |          (p.px-s.bx)*(p.px-s.bx)
+         |            + (p.py-s.by)*(p.py-s.by) AS bpd,
+         |          (p.px-s.ax)*(s.by-s.ay)
+         |            - (p.py-s.ay)*(s.bx-s.ax) AS crs
+         |        FROM srp p CROSS JOIN srs s),
+         |src AS (SELECT id, sid,
+         |          CASE WHEN tnum <= 0 THEN apd
+         |            WHEN tnum >= dd THEN bpd
+         |            ELSE crs*crs END AS num,
+         |          CASE WHEN tnum <= 0 OR tnum >= dd THEN 1
+         |            ELSE dd END AS den
+         |        FROM srd),
+         |srf AS (SELECT * FROM src WHERE num <= 16384 * den),
+         |srw AS (SELECT id, sid, num, den FROM srf c
+         |        WHERE NOT EXISTS (SELECT 1 FROM srf c2
+         |          WHERE c2.id = c.id
+         |            AND (c2.num * c.den < c.num * c2.den
+         |              OR (c2.num * c.den = c.num * c2.den
+         |                AND c2.sid < c.sid))))
+         |SELECT sid, CAST(COUNT(*) AS BIGINT) AS n_matched,
+         |  CAST(SUM((num * 4096) // den) AS BIGINT) AS d2q_sum
+         |FROM srw GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // LUT(v) = min ref value with cdf_ref ≥ cdf_src, via a per-image
     // cdf-inequality join + MIN over the distinct-value tables

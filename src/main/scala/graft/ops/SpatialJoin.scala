@@ -540,6 +540,138 @@ object SpatialJoin {
         .otherwise(0L)).as("n_pairs"))
   }
 
+  /** MANN-KENDALL trend statistic per grid cell (Mann 1945; the
+    * "emerging hot spot" space-time-cube primitive): bucket events
+    * into (cell, time-bucket) counts, then per cell
+    * S = Σ_{i<j} sign(c_j − c_i) over the OBSERVED buckets — pure
+    * integers, no trend-line fit. The variance term of the MK z-test
+    * needs only n_buckets (and tie groups), so the gate stays exact.
+    *
+    * Scale shape: one count aggregation (map-side combined), then a
+    * self-join KEYED ON THE CELL — per-cell work is bounded by the
+    * time-bucket count T (calendar-bounded, e.g. ≤31 days), so the
+    * join fanout is ≤T² per cell with no all-pairs across cells.
+    * Input: (px, py, t). Returns
+    * (gi, gj, n_buckets, n_events, s_stat). */
+  def mannKendallCells(pts: DataFrame, pitch: Long,
+                       tbSize: Long): DataFrame = {
+    val binned = pts.select(expr(s"px div $pitch").as("gi"),
+        expr(s"py div $pitch").as("gj"),
+        expr(s"t div $tbSize").as("tb"))
+      .groupBy("gi", "gj", "tb").agg(count(lit(1)).as("c"))
+    val pairs = binned.select(col("gi"), col("gj"), col("tb").as("ta"),
+        col("c").as("ca"))
+      .join(binned.select(col("gi"), col("gj"), col("tb").as("tz"),
+        col("c").as("cz")), Seq("gi", "gj"))
+      .where(col("ta") < col("tz"))
+    val s = pairs.groupBy("gi", "gj").agg(
+      sum(when(col("cz") > col("ca"), 1L)
+        .when(col("cz") < col("ca"), -1L).otherwise(0L)).as("s_stat"))
+    binned.groupBy("gi", "gj")
+      .agg(count(lit(1)).as("n_buckets"), sum("c").as("n_events"))
+      .join(s, Seq("gi", "gj"), "left")
+      .select(col("gi"), col("gj"), col("n_buckets"), col("n_events"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"))
+  }
+
+  /** BIVARIATE COLOCATION counts (cross-K / colocation-rule pieces,
+    * Shekhar & Huang SSTD 2001): between point sets A and B, for each
+    * radius r: n_pairs = |{(a,b): d²(a,b) ≤ r²}| and the PARTICIPATION
+    * counts n_a / n_b = how many distinct A- (B-) points have a
+    * partner within r — the numerators of the participation ratios
+    * that define colocation prevalence. Exact integers.
+    *
+    * One banded A×B join at the coarsest radius (A explodes its 3×3
+    * cell ring at pitch rmax, B keys its own cell — each (a,b) pair
+    * meets exactly once, never all-pairs); every radius counts from
+    * that one candidate set. Input: both (id, px, py). Returns
+    * (r, n_pairs, n_a, n_b) per radius. */
+  def colocationCounts(ptsA: DataFrame, ptsB: DataFrame,
+                       radii: Seq[Long]): DataFrame = {
+    val rmax = radii.max
+    val a = ptsA.select(col("id").as("ia"), col("px").as("xa"),
+        col("py").as("ya"), expr(s"px div $rmax").as("cx"),
+        expr(s"py div $rmax").as("cy"))
+      .withColumn("ncx", explode(sequence(col("cx") - 1, col("cx") + 1)))
+      .withColumn("ncy", explode(sequence(col("cy") - 1, col("cy") + 1)))
+      .select(col("ia"), col("xa"), col("ya"),
+        col("ncx").as("cx"), col("ncy").as("cy"))
+    val b = ptsB.select(col("id").as("ib"), col("px").as("xb"),
+      col("py").as("yb"), expr(s"px div $rmax").as("cx"),
+      expr(s"py div $rmax").as("cy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    val cand = a.join(b, Seq("cx", "cy"))
+      .where(d2 <= lit(rmax * rmax))
+      .select(col("ia"), col("ib"), d2.as("d2"))
+    val sp = ptsA.sparkSession
+    import sp.implicits._
+    cand.crossJoin(broadcast(radii.toDF("r")))
+      .groupBy("r").agg(
+        sum(when(col("d2") <= col("r") * col("r"), 1L)
+          .otherwise(0L)).as("n_pairs"),
+        countDistinct(when(col("d2") <= col("r") * col("r"),
+          col("ia"))).as("n_a"),
+        countDistinct(when(col("d2") <= col("r") * col("r"),
+          col("ib"))).as("n_b"))
+  }
+
+  /** MAP-MATCHING SNAP: assign each point to its NEAREST segment
+    * within radius r — the nearest-road primitive of trajectory map
+    * matching. Point-to-segment squared distance is kept as the EXACT
+    * RATIONAL num/den (interior case: cross²/|AB|²; endpoint cases:
+    * integer d² over den=1 — Long-safe given r, |AB| ≤ 2¹⁰ and
+    * coords < 2¹³: num·den' < 2⁶³ for every comparison below).
+    * The argmin is a LEFT ANTI self-join on the candidate set — keep
+    * a candidate iff NO candidate for the same point is strictly
+    * nearer by the cross-multiplied rational order (num'·den <
+    * num·den'), ties broken to the smallest sid. No floats anywhere.
+    *
+    * Banding: segments explode the cover cells of their r-PADDED bbox
+    * at `pitch` (bounded: ≤⌈(|AB|+2r)/pitch+1⌉² cells); points join
+    * on their own cell, so every (point, segment) pair within r meets
+    * exactly once — the candidate set per point is road-density-
+    * bounded, and the anti-join is quadratic only in that small
+    * per-point candidate count. Input pts (id, px, py), segs
+    * (sid, ax, ay, bx, by), all coords ≥ 0.
+    * Returns (id, sid, num, den) — one row per MATCHED point. */
+  def snapToSegments(pts: DataFrame, segs: DataFrame, pitch: Long,
+                     r: Long): DataFrame = {
+    val roads = segs
+      .withColumn("x0", least(col("ax"), col("bx")) - r)
+      .withColumn("x1", greatest(col("ax"), col("bx")) + r)
+      .withColumn("y0", least(col("ay"), col("by")) - r)
+      .withColumn("y1", greatest(col("ay"), col("by")) + r)
+      .withColumn("cx", explode(sequence(expr(s"x0 div $pitch"),
+        expr(s"x1 div $pitch"))))
+      .withColumn("cy", explode(sequence(expr(s"y0 div $pitch"),
+        expr(s"y1 div $pitch"))))
+      .select(col("cx"), col("cy"), col("sid"),
+        col("ax"), col("ay"), col("bx"), col("by"))
+    val p = pts.select(col("id"), col("px"), col("py"),
+      expr(s"px div $pitch").as("cx"), expr(s"py div $pitch").as("cy"))
+    val abx = col("bx") - col("ax"); val aby = col("by") - col("ay")
+    val apx = col("px") - col("ax"); val apy = col("py") - col("ay")
+    val bpx = col("px") - col("bx"); val bpy = col("py") - col("by")
+    val dd = abx * abx + aby * aby
+    val tnum = apx * abx + apy * aby
+    val cross = apx * aby - apy * abx
+    val num = when(tnum <= 0, apx * apx + apy * apy)
+      .when(tnum >= dd, bpx * bpx + bpy * bpy)
+      .otherwise(cross * cross)
+    val den = when(tnum <= 0 || tnum >= dd, lit(1L)).otherwise(dd)
+    val cand = p.join(roads, Seq("cx", "cy"))
+      .select(col("id"), col("sid"), num.as("num"), den.as("den"))
+      .where(col("num") <= lit(r * r) * col("den"))
+    val rival = cand.select(col("id").as("id2"), col("sid").as("sid2"),
+      col("num").as("num2"), col("den").as("den2"))
+    cand.join(rival,
+      col("id") === col("id2") &&
+        (col("num2") * col("den") < col("num") * col("den2") ||
+          (col("num2") * col("den") === col("num") * col("den2") &&
+            col("sid2") < col("sid"))), "left_anti")
+  }
+
   /** KNOX space-time interaction counts (Knox 1964, the classic
     * epidemiology cluster statistic): over all unordered point pairs,
     * n_s = pairs within distance s (d² ≤ s², exact integers), n_t =

@@ -413,4 +413,124 @@ class ClusterJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-degenerate: real crossings exist and candidates exceed them
     assert(nCross >= 5 && nCand > nCross)
   }
+
+  test("mannKendallCells == brute pairwise-sign S per cell") {
+    import spark.implicits._
+    val n = 400
+    val xs = lcg(113, n, 2048)
+    val ys = lcg(127, n, 2048)
+    val ts = lcg(131, n, 86400 * 10) // 10 day buckets
+    val pitch = 512L; val tb = 86400L
+    val counts = scala.collection.mutable.Map
+      .empty[(Long, Long, Long), Long].withDefaultValue(0L)
+    for (i <- 0 until n)
+      counts((xs(i) / pitch, ys(i) / pitch, ts(i) / tb)) += 1
+    val expect = counts.keys.map(k => (k._1, k._2)).toSeq.distinct.map {
+      case (gi, gj) =>
+        val series = counts.collect {
+          case ((g, h, t), c) if g == gi && h == gj => (t, c)
+        }.toSeq.sortBy(_._1)
+        var s = 0L
+        for (i <- series.indices; j <- (i + 1) until series.size)
+          s += java.lang.Long.signum(series(j)._2 - series(i)._2)
+        (gi, gj, series.size.toLong, series.map(_._2).sum, s)
+    }.sortBy(p => (p._1, p._2))
+    val pts = (0 until n).map(i => (xs(i), ys(i), ts(i)))
+      .toDF("px", "py", "t")
+    val got = graft.ops.SpatialJoin.mannKendallCells(pts, pitch, tb)
+      .orderBy("gi", "gj").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expect)
+    // non-degenerate: both trend signs occur
+    assert(expect.exists(_._5 > 0) && expect.exists(_._5 < 0))
+  }
+
+  test("colocationCounts == brute cross-pair and participation counts") {
+    import spark.implicits._
+    val na = 90; val nb = 110
+    val ax = lcg(137, na, 1500); val ay = lcg(139, na, 1500)
+    val bx = lcg(149, nb, 1500); val by = lcg(151, nb, 1500)
+    val radii = Seq(40L, 90L, 180L)
+    val expect = radii.map { r =>
+      var pairs = 0L
+      val pa = scala.collection.mutable.Set.empty[Int]
+      val pb = scala.collection.mutable.Set.empty[Int]
+      for (i <- 0 until na; j <- 0 until nb) {
+        val d2 = (ax(i) - bx(j)) * (ax(i) - bx(j)) +
+          (ay(i) - by(j)) * (ay(i) - by(j))
+        if (d2 <= r * r) { pairs += 1; pa += i; pb += j }
+      }
+      (r, pairs, pa.size.toLong, pb.size.toLong)
+    }
+    val dfa = (0 until na).map(i => (i.toLong, ax(i), ay(i)))
+      .toDF("id", "px", "py")
+    val dfb = (0 until nb).map(j => (j.toLong, bx(j), by(j)))
+      .toDF("id", "px", "py")
+    val got = graft.ops.SpatialJoin.colocationCounts(dfa, dfb, radii)
+      .orderBy("r").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === expect)
+    // non-degenerate: partial participation at the middle radius
+    assert(expect(1)._3 > 0 && expect(1)._3 < na)
+  }
+
+  test("snapToSegments == brute rational argmin over all segments") {
+    import spark.implicits._
+    val np = 300; val ns = 25
+    val px = lcg(157, np, 3000); val py = lcg(163, np, 3000)
+    val ax = lcg(167, ns, 3000).map(_ + 200)
+    val ay = lcg(173, ns, 3000).map(_ + 200)
+    val dx = lcg(179, ns, 256).map(_ * 2 - 255)
+    val dy = lcg(181, ns, 256).map(_ * 2 - 255)
+    val r = 160L
+    // brute: exact rational point-to-segment distance, min by
+    // cross-multiplied compare, tie to smallest sid (BigInt — no
+    // overflow concern in the reference)
+    def d2(i: Int, s: Int): (BigInt, BigInt) = {
+      val abx = BigInt(dx(s)); val aby = BigInt(dy(s))
+      val apx = BigInt(px(i) - ax(s)); val apy = BigInt(py(i) - ay(s))
+      val dd = abx * abx + aby * aby
+      val t = apx * abx + apy * aby
+      if (t <= 0) (apx * apx + apy * apy, BigInt(1))
+      else if (t >= dd) {
+        val bpx = apx - abx; val bpy = apy - aby
+        (bpx * bpx + bpy * bpy, BigInt(1))
+      } else { val c = apx * aby - apy * abx; (c * c, dd) }
+    }
+    val expect = (0 until np).flatMap { i =>
+      val cands = (0 until ns).map(s => (s, d2(i, s)))
+        .filter { case (_, (num, den)) => num <= BigInt(r * r) * den }
+      if (cands.isEmpty) None
+      else Some {
+        val best = cands.minBy { case (s, (num, den)) =>
+          // total order: rational value, then sid
+          (num * cands.map(_._2._2).product / den, BigInt(s))
+        }
+        // recompute the true min pairwise to avoid the common-product
+        // shortcut above being the load-bearing comparison
+        val win = cands.reduceLeft { (u, v) =>
+          val cmp = u._2._1 * v._2._2 - v._2._1 * u._2._2
+          if (cmp < 0 || (cmp == 0 && u._1 < v._1)) u else v
+        }
+        assert(win == best)
+        (i.toLong, win._1.toLong,
+          win._2._1.toLong, win._2._2.toLong)
+      }
+    }.sortBy(_._1)
+    val pts = (0 until np).map(i => (i.toLong, px(i), py(i)))
+      .toDF("id", "px", "py")
+    val segs = (0 until ns).map(s => (s.toLong, ax(s), ay(s),
+      ax(s) + dx(s), ay(s) + dy(s))).toDF("sid", "ax", "ay", "bx", "by")
+    val got = graft.ops.SpatialJoin.snapToSegments(pts, segs, 256L, r)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    assert(got === expect)
+    // non-degenerate: some points matched, some not, and both the
+    // endpoint (den=1) and interior (den=|AB|²) cases occur
+    assert(expect.nonEmpty && expect.size < np &&
+      expect.exists(_._4 == 1L) && expect.exists(_._4 > 1L))
+  }
 }
