@@ -1627,6 +1627,57 @@ object SparkEntry {
         .orderBy("sid")
     }),
 
+    // discrete Voronoi / nearest-facility census: every event point
+    // assigned to its nearest of 50 md5-derived sites (broadcast
+    // argmin via lexicographic struct MIN, ties to smallest sid)
+    "q_voronoi" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 150)
+      val hm = md5(col("event_id").cast("string"))
+      import graft.sketch.Cms.hexVal
+      def hv(i: Int) = hexVal(hm, i).cast("long")
+      val pts = ev.select(col("event_id").as("id"),
+        (hv(1) * 256 + hv(2) * 16 + hv(3)).as("px"),
+        (hv(4) * 256 + hv(5) * 16 + hv(6)).as("py"))
+      val sh = md5(col("fid").cast("string"))
+      def sv(i: Int) = hexVal(sh, i).cast("long")
+      val sites = s.range(50).select(col("id").as("fid"))
+        .select(col("fid").as("sid"),
+          (sv(1) * 256 + sv(2) * 16 + sv(3)).as("sx"),
+          (sv(4) * 256 + sv(5) * 16 + sv(6)).as("sy"))
+      graft.ops.SpatialJoin.nearestFacility(pts, sites).orderBy("sid")
+    }),
+
+    // Epanechnikov KDE heatmap at r=256: integer kernel weights
+    // r^2 - d^2 summed per cell center, explode-9 + one aggregate
+    "q_kde" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 150)
+      val hm = md5(col("event_id").cast("string"))
+      import graft.sketch.Cms.hexVal
+      def hv(i: Int) = hexVal(hm, i).cast("long")
+      val pts = ev.select(
+        (hv(1) * 256 + hv(2) * 16 + hv(3)).as("px"),
+        (hv(4) * 256 + hv(5) * 16 + hv(6)).as("py"))
+      graft.ops.SpatialJoin.kdeHeatmap(pts, 256L).orderBy("gi", "gj")
+    }),
+
+    // convoy pairs: users co-located (d <= 256) in >= 3 consecutive
+    // day buckets — per-day banded pair join + island-trick runs
+    "q_convoy" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 150)
+      val hm = md5(col("event_id").cast("string"))
+      import graft.sketch.Cms.hexVal
+      def hv(i: Int) = hexVal(hm, i).cast("long")
+      val pts = ev.select(col("user_id").as("u"),
+        (hv(1) * 256 + hv(2) * 16 + hv(3)).as("px"),
+        (hv(4) * 256 + hv(5) * 16 + hv(6)).as("py"),
+        unix_timestamp(col("ts")).as("t"))
+      graft.ops.Tracks.convoyPairs(pts, 256L, 86400L, 3)
+        .orderBy("ua", "ub")
+    }),
+
     // histogram matching epoch 0 → epoch 3 (radiometric
     // normalization LUT): per-image shift mass + mapped checksums
     "q_hist_match" -> ((s, dir) =>
@@ -5579,6 +5630,96 @@ object SparkEntry {
          |SELECT sid, CAST(COUNT(*) AS BIGINT) AS n_matched,
          |  CAST(SUM((num * 4096) // den) AS BIGINT) AS d2q_sum
          |FROM srw GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Voronoi census ground truth: cross join points x 50 sites,
+    // per-point argmin by lexicographic struct MIN (d2, sid)
+    "q_voronoi" ->
+      s"""WITH vne AS (SELECT event_id,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 150),
+         |vnp AS (SELECT event_id AS id,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT) AS px,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT) AS py
+         |        FROM vne),
+         |vnf AS (SELECT CAST(fid AS BIGINT) AS sid,
+         |          md5(CAST(fid AS VARCHAR)) AS sh
+         |        FROM (SELECT unnest(range(50)) AS fid)),
+         |vns AS (SELECT sid,
+         |          CAST(${hx("sh", 1)}*256 + ${hx("sh", 2)}*16
+         |            + ${hx("sh", 3)} AS BIGINT) AS sx,
+         |          CAST(${hx("sh", 4)}*256 + ${hx("sh", 5)}*16
+         |            + ${hx("sh", 6)} AS BIGINT) AS sy
+         |        FROM vnf),
+         |vna AS (SELECT p.id,
+         |          MIN(struct_pack(d2 := (p.px-s.sx)*(p.px-s.sx)
+         |              + (p.py-s.sy)*(p.py-s.sy), sid := s.sid)) AS c
+         |        FROM vnp p CROSS JOIN vns s GROUP BY 1)
+         |SELECT (c).sid AS sid, CAST(COUNT(*) AS BIGINT) AS n_pts,
+         |  CAST(SUM((c).d2) AS BIGINT) AS d2_sum
+         |FROM vna GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // KDE ground truth: each point contributes r^2-d^2 to the 3x3
+    // ring centers within r (identical explode + filter + aggregate)
+    "q_kde" ->
+      s"""WITH kde AS (SELECT event_id,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 150),
+         |kdp AS (SELECT
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT) AS px,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT) AS py
+         |        FROM kde),
+         |kdx AS (SELECT px, py,
+         |          unnest(generate_series(px//256 - 1, px//256 + 1))
+         |            AS gi
+         |        FROM kdp),
+         |kdc AS (SELECT px, py, gi,
+         |          unnest(generate_series(py//256 - 1, py//256 + 1))
+         |            AS gj
+         |        FROM kdx),
+         |kdd AS (SELECT gi, gj,
+         |          (px - (gi*256 + 128))*(px - (gi*256 + 128))
+         |            + (py - (gj*256 + 128))*(py - (gj*256 + 128)) AS d2
+         |        FROM kdc)
+         |SELECT gi, gj, CAST(COUNT(*) AS BIGINT) AS n_pts,
+         |  CAST(SUM(65536 - d2) AS BIGINT) AS density
+         |FROM kdd WHERE d2 <= 65536
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // convoy ground truth: per-day co-location pairs (distinct), then
+    // consecutive-run islands via tb - ROW_NUMBER
+    "q_convoy" ->
+      s"""WITH cve AS (SELECT event_id, user_id,
+         |          CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 150),
+         |cvp AS (SELECT user_id AS u, t//86400 AS tb,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT) AS px,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT) AS py
+         |        FROM cve),
+         |cvm AS (SELECT DISTINCT a.u AS ua, b.u AS ub, a.tb
+         |        FROM cvp a JOIN cvp b
+         |          ON a.tb = b.tb AND a.u < b.u
+         |         AND b.px//256 BETWEEN a.px//256 - 1 AND a.px//256 + 1
+         |         AND b.py//256 BETWEEN a.py//256 - 1 AND a.py//256 + 1
+         |         AND (a.px-b.px)*(a.px-b.px)
+         |           + (a.py-b.py)*(a.py-b.py) <= 65536),
+         |cvr AS (SELECT ua, ub, tb,
+         |          tb - ROW_NUMBER() OVER (PARTITION BY ua, ub
+         |            ORDER BY tb) AS grp
+         |        FROM cvm),
+         |cvg AS (SELECT ua, ub, grp,
+         |          CAST(COUNT(*) AS BIGINT) AS run
+         |        FROM cvr GROUP BY 1, 2, 3)
+         |SELECT ua, ub, CAST(SUM(run) AS BIGINT) AS n_buckets,
+         |  CAST(MAX(run) AS BIGINT) AS max_run
+         |FROM cvg GROUP BY 1, 2 HAVING MAX(run) >= 3
+         |ORDER BY 1, 2""".stripMargin,
 
     // LUT(v) = min ref value with cdf_ref ≥ cdf_src, via a per-image
     // cdf-inequality join + MIN over the distinct-value tables

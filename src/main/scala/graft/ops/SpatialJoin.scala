@@ -616,6 +616,52 @@ object SpatialJoin {
           col("ib"))).as("n_b"))
   }
 
+  /** NEAREST-FACILITY (Voronoi) assignment census: every point is
+    * assigned to its nearest site by exact integer d², ties to the
+    * smallest site id — the discrete Voronoi partition / service-area
+    * primitive. The site table is small by construction (facilities,
+    * not points), so it BROADCASTS: the per-point argmin is a
+    * map-side `min(struct(d2, sid))` (lexicographic struct order ==
+    * (distance, id) tie rule), partially aggregated before the only
+    * shuffle, which carries one row per point. Returns per-site
+    * (sid, n_pts, d2_sum). Input pts (id, px, py), sites
+    * (sid, sx, sy). */
+  def nearestFacility(pts: DataFrame, sites: DataFrame): DataFrame = {
+    val d2 = (col("px") - col("sx")) * (col("px") - col("sx")) +
+      (col("py") - col("sy")) * (col("py") - col("sy"))
+    pts.crossJoin(broadcast(sites))
+      .select(col("id"),
+        struct(d2.as("d2"), col("sid").as("sid")).as("c"))
+      .groupBy("id").agg(min("c").as("c"))
+      .groupBy(col("c.sid").as("sid"))
+      .agg(count(lit(1)).as("n_pts"), sum("c.d2").as("d2_sum"))
+  }
+
+  /** KERNEL-DENSITY HEATMAP with the Epanechnikov kernel stated in
+    * pure integers: each point contributes weight r² − d² to every
+    * cell CENTER within distance r (cells at pitch r, centers at
+    * gi·r + r/2) — the unnormalized KDE surface (the analyst's
+    * 1/(n·r²·c) normalization is one divide away and keeps the gate
+    * integer). A point's reachable centers all lie in its 3×3 cell
+    * ring (|px − center| ≤ r ⇒ |gi − cx| ≤ 1 for in-cell offset
+    * f ∈ [0,r)), so the op is explode-9 → filter → one
+    * map-side-combined aggregate on ≤ 9·n rows. No pair join at all.
+    * Input (px, py). Returns (gi, gj, n_pts, density). */
+  def kdeHeatmap(pts: DataFrame, r: Long): DataFrame = {
+    val half = r / 2
+    val p = pts.select(col("px"), col("py"),
+        expr(s"px div $r").as("cx"), expr(s"py div $r").as("cy"))
+      .withColumn("gi", explode(sequence(col("cx") - 1, col("cx") + 1)))
+      .withColumn("gj", explode(sequence(col("cy") - 1, col("cy") + 1)))
+    val dxc = col("px") - (col("gi") * r + half)
+    val dyc = col("py") - (col("gj") * r + half)
+    val d2 = dxc * dxc + dyc * dyc
+    p.where(d2 <= lit(r * r))
+      .groupBy("gi", "gj")
+      .agg(count(lit(1)).as("n_pts"),
+        sum(lit(r * r) - d2).as("density"))
+  }
+
   /** MAP-MATCHING SNAP: assign each point to its NEAREST segment
     * within radius r — the nearest-road primitive of trajectory map
     * matching. Point-to-segment squared distance is kept as the EXACT

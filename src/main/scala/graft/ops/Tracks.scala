@@ -252,6 +252,44 @@ object Tracks {
       .agg(count(lit(1)).as("n_trips"))
   }
 
+  /** CONVOY / co-movement pair detection (the pair core of Jeung et
+    * al. PVLDB 2008): users a < b are CO-LOCATED in time bucket tb
+    * iff some event pair of theirs in that bucket has d² ≤ s² (exact
+    * integers); a convoy pair is one co-located in ≥ minRun
+    * CONSECUTIVE buckets. Per-bucket co-location comes from a
+    * (bucket, cell)-banded pair join at pitch s (3×3 probe ring —
+    * never all-pairs, and the band key includes the bucket so
+    * distinct days never meet); runs use the classic island trick
+    * (tb − row_number is constant on a consecutive run) over the
+    * per-pair distinct bucket set. Input (u, px, py, t). Returns
+    * (ua, ub, n_buckets, max_run) for pairs with max_run ≥ minRun. */
+  def convoyPairs(pts: org.apache.spark.sql.DataFrame, s: Long,
+                  tbSize: Long, minRun: Int):
+      org.apache.spark.sql.DataFrame = {
+    val base = pts.select(col("u"), col("px"), col("py"),
+      expr(s"t div $tbSize").as("tb"),
+      expr(s"px div $s").as("cx"), expr(s"py div $s").as("cy"))
+    val probe = base
+      .withColumn("ncx", explode(sequence(col("cx") - 1, col("cx") + 1)))
+      .withColumn("ncy", explode(sequence(col("cy") - 1, col("cy") + 1)))
+      .select(col("u").as("ua"), col("px").as("xa"), col("py").as("ya"),
+        col("tb"), col("ncx").as("cx"), col("ncy").as("cy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    val meet = probe.join(base.select(col("u").as("ub"),
+        col("px").as("xb"), col("py").as("yb"),
+        col("tb"), col("cx"), col("cy")), Seq("tb", "cx", "cy"))
+      .where(col("ua") < col("ub") && d2 <= lit(s * s))
+      .select("ua", "ub", "tb").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ua", "ub").orderBy("tb")
+    meet.withColumn("grp", col("tb") - row_number().over(w))
+      .groupBy("ua", "ub", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("ua", "ub")
+      .agg(sum("run").as("n_buckets"), max("run").as("max_run"))
+      .where(col("max_run") >= minRun)
+  }
+
   /** Human-mobility statistics per track (González, Hidalgo &
     * Barabási 2008): the radius of gyration stated divide-free —
     * gyr_num = n²·r_g² = n·Σ|p|² − |Σp|² (exact integers, no

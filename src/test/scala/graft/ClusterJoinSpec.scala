@@ -533,4 +533,91 @@ class ClusterJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expect.nonEmpty && expect.size < np &&
       expect.exists(_._4 == 1L) && expect.exists(_._4 > 1L))
   }
+
+  test("nearestFacility == brute argmin census with tie rule") {
+    import spark.implicits._
+    val np = 200; val ns = 12
+    val px = lcg(191, np, 2000); val py = lcg(193, np, 2000)
+    val sx = lcg(197, ns, 2000); val sy = lcg(199, ns, 2000)
+    val best = (0 until np).map { i =>
+      (0 until ns).map { s =>
+        val d2 = (px(i) - sx(s)) * (px(i) - sx(s)) +
+          (py(i) - sy(s)) * (py(i) - sy(s))
+        (d2, s.toLong)
+      }.min // (d2, sid) lexicographic == distance then smallest id
+    }
+    val expect = best.groupBy(_._2).map { case (sid, v) =>
+      (sid, v.size.toLong, v.map(_._1).sum)
+    }.toSeq.sortBy(_._1)
+    val pts = (0 until np).map(i => (i.toLong, px(i), py(i)))
+      .toDF("id", "px", "py")
+    val sites = (0 until ns).map(s => (s.toLong, sx(s), sy(s)))
+      .toDF("sid", "sx", "sy")
+    val got = graft.ops.SpatialJoin.nearestFacility(pts, sites)
+      .orderBy("sid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    // non-degenerate: at least one site unused or counts uneven
+    assert(expect.map(_._2).max > np.toLong / ns)
+  }
+
+  test("kdeHeatmap == brute per-center Epanechnikov sums") {
+    import spark.implicits._
+    val n = 250; val r = 200L
+    val px = lcg(211, n, 2400); val py = lcg(223, n, 2400)
+    val acc = scala.collection.mutable.Map
+      .empty[(Long, Long), (Long, Long)].withDefaultValue((0L, 0L))
+    // brute: every center in a wide window, not just the 3x3 ring
+    for (i <- 0 until n; gi <- -2L to 13L; gj <- -2L to 13L) {
+      val dx = px(i) - (gi * r + r / 2); val dy = py(i) - (gj * r + r / 2)
+      val d2 = dx * dx + dy * dy
+      if (d2 <= r * r) {
+        val (c, w) = acc((gi, gj)); acc((gi, gj)) = (c + 1, w + (r * r - d2))
+      }
+    }
+    val expect = acc.toSeq.map { case ((gi, gj), (c, w)) => (gi, gj, c, w) }
+      .sortBy(p => (p._1, p._2))
+    val pts = (0 until n).map(i => (px(i), py(i))).toDF("px", "py")
+    val got = graft.ops.SpatialJoin.kdeHeatmap(pts, r)
+      .orderBy("gi", "gj").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    assert(got === expect)
+    // non-degenerate: a point contributes to multiple centers
+    assert(expect.map(_._3).sum > n)
+  }
+
+  test("convoyPairs == brute per-bucket colocation runs") {
+    import spark.implicits._
+    val n = 300; val users = 8; val s = 300L; val tb = 1000L
+    val px = lcg(227, n, 1500); val py = lcg(229, n, 1500)
+    val ts = lcg(233, n, 8000) // 8 buckets
+    val rows = (0 until n).map(i =>
+      ((i % users).toLong, px(i), py(i), ts(i)))
+    val meets = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for (i <- 0 until n; j <- 0 until n
+         if rows(i)._1 < rows(j)._1 && rows(i)._4 / tb == rows(j)._4 / tb) {
+      val dx = rows(i)._2 - rows(j)._2; val dy = rows(i)._3 - rows(j)._3
+      if (dx * dx + dy * dy <= s * s)
+        meets += ((rows(i)._1, rows(j)._1, rows(i)._4 / tb))
+    }
+    val minRun = 3
+    val expect = meets.groupBy(m => (m._1, m._2)).flatMap {
+      case ((ua, ub), ms) =>
+        val tbs = ms.map(_._3).toSeq.sorted
+        val runs = tbs.zipWithIndex
+          .groupBy { case (t, i) => t - i }.values.map(_.size.toLong)
+        val mx = runs.max
+        if (mx >= minRun) Some((ua, ub, tbs.size.toLong, mx)) else None
+    }.toSeq.sortBy(p => (p._1, p._2))
+    val df = rows.toDF("u", "px", "py", "t")
+    val got = graft.ops.Tracks.convoyPairs(df, s, tb, minRun)
+      .orderBy("ua", "ub").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    assert(got === expect)
+    // non-degenerate: some qualifying pair has a GAP (n_buckets >
+    // max_run) so the island logic is load-bearing
+    assert(expect.nonEmpty && expect.exists(p => p._3 > p._4))
+  }
 }
