@@ -232,7 +232,12 @@ object Bench {
       "q_dtw", "q_dbscan", "q_edit_neardup",
       // Fréchet/Hausdorff track distances; integer PageRank; Moran /
       // join-count autocorrelation; frequent itemsets
-      "q_frechet", "q_hausdorff", "q_pagerank", "q_moran", "q_itemsets")
+      "q_frechet", "q_hausdorff", "q_pagerank", "q_moran", "q_itemsets",
+      // round-5 point-pattern / mobility / map-matching wave
+      "q_hotspot", "q_two_hop", "q_od_flows", "q_cost_distance",
+      "q_union_area", "q_mobility", "q_knox", "q_ripley", "q_bearings",
+      "q_crossings", "q_mk_trend", "q_colocate", "q_snap_roads",
+      "q_voronoi", "q_kde", "q_convoy")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel
