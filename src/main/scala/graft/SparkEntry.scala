@@ -933,6 +933,29 @@ object SparkEntry {
           col("dc._2").as("cnt"))
         .orderBy("image_id", "dir")),
 
+    // TRI (Σ|z_c − z_n| over 8 neighbors, ×8 unscaled) + roughness
+    // (3×3 max − min) per interior pixel — the remaining gdaldem
+    // products, exact integers
+    "q_tri_rough" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("tr", graft.ops.Terrain.triRoughAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("tr._1").as("n_int"),
+          col("tr._2").as("tri_sum"), col("tr._3").as("tri_max"),
+          col("tr._4").as("rough_sum"), col("tr._5").as("rough_max"))
+        .orderBy("image_id")),
+
+    // Strahler stream order over the D8 flow forest: one topological
+    // pass per image (corpus-parallel), per-order cell histogram;
+    // oracle = monotone fixpoint scatter-CTE, 48-round bound
+    "q_strahler" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("sc", explode(graft.ops.Terrain.strahlerCounts(
+          col("dem_bytes"), col("w").cast("int"), col("h").cast("int"))))
+        .select(col("image_id"), col("sc._1").cast("long").as("ord"),
+          col("sc._2").as("n_cells"))
+        .orderBy("image_id", "ord")),
+
     // D8 flow accumulation (upstream cell count): frontier
     // propagation over the flow DAG — per round only the LIVE
     // frontier shuffles, all images advance in the same job. The
@@ -3931,6 +3954,77 @@ object SparkEntry {
          |  CAST(SUM(a.acc*a.acc) AS BIGINT) AS acc_sq_sum
          |FROM aacc a JOIN simg s ON s.k = a.k
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TRI = Σ|z_c − z_n| over the 8-neighborhood, roughness = 3×3
+    // max − min; interior pixels, pure integers
+    "q_tri_rough" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |troff AS (SELECT a.dx, b.dy
+         |          FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |               (SELECT unnest([-1,0,1]) AS dy) b
+         |          WHERE a.dx <> 0 OR b.dy <> 0),
+         |trp AS (SELECT d.k, d.image_id, d.x, d.y,
+         |          SUM(ABS(d.z - n.z)) AS tri,
+         |          GREATEST(MAX(n.z), d.z) - LEAST(MIN(n.z), d.z)
+         |            AS rough
+         |        FROM demp d JOIN troff o ON TRUE
+         |        JOIN demp n ON n.k = d.k AND n.x = d.x + o.dx
+         |          AND n.y = d.y + o.dy
+         |        WHERE d.x >= 1 AND d.x <= d.w-2
+         |          AND d.y >= 1 AND d.y <= d.h-2
+         |        GROUP BY 1, 2, 3, 4, d.z)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_int,
+         |  CAST(SUM(tri) AS BIGINT) AS tri_sum,
+         |  CAST(MAX(tri) AS BIGINT) AS tri_max,
+         |  CAST(SUM(rough) AS BIGINT) AS rough_sum,
+         |  CAST(MAX(rough) AS BIGINT) AS rough_max
+         |FROM trp GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    // Strahler fixpoint: all cells start at order 1; each round every
+    // cell re-derives ord from its upstream orders (max, +1 on a >=2
+    // tie at the max, found via lexicographic struct MAX over
+    // per-value counts). Monotone from below, never overshoots,
+    // converges within the flow-DAG depth (measured <= 41; bound 48)
+    "q_strahler" ->
+      s"""WITH RECURSIVE $I, $SimgCte, $DemCte, $D8Cte,
+         |shcand AS (SELECT c.k, c.x, c.y,
+         |            MIN((2048 - (c.z - n.z))*16 + d.code) AS key
+         |          FROM demp c JOIN d8 d ON TRUE
+         |          JOIN demp n ON n.k = c.k AND n.x = c.x + d.dx
+         |            AND n.y = c.y + d.dy
+         |          GROUP BY 1, 2, 3),
+         |shedge AS (SELECT c.k, c.x, c.y,
+         |            c.x + d.dx AS tx, c.y + d.dy AS ty
+         |          FROM shcand c JOIN d8 d ON d.code = c.key % 16
+         |          WHERE 2048 - c.key//16 > 0),
+         |shed2 AS (SELECT k, x, y, tx, ty, FALSE AS self FROM shedge
+         |          UNION ALL
+         |          SELECT k, x, y, x, y, TRUE FROM demp),
+         |shfix(k, x, y, ord, it) AS (
+         |  SELECT k, x, y, CAST(1 AS BIGINT), 0 FROM demp
+         |  UNION ALL
+         |  SELECT g.k, g.x, g.y,
+         |    CASE WHEN (g.ms).v = 0 THEN 1
+         |      ELSE (g.ms).v + CASE WHEN (g.ms).c >= 2 THEN 1
+         |        ELSE 0 END END,
+         |    g.it + 1
+         |  FROM (
+         |    SELECT cg.k, cg.x, cg.y, cg.it,
+         |      MAX(struct_pack(v := cg.v, c := cg.cnt)) AS ms
+         |    FROM (
+         |      SELECT t.k, e.tx AS x, e.ty AS y, t.it,
+         |        CASE WHEN e.self THEN 0 ELSE t.ord END AS v,
+         |        COUNT(*) AS cnt
+         |      FROM shfix t JOIN shed2 e
+         |        ON e.k = t.k AND e.x = t.x AND e.y = t.y
+         |      WHERE t.it < 48
+         |      GROUP BY 1, 2, 3, 4, 5) cg
+         |    GROUP BY 1, 2, 3, 4) g),
+         |shfin AS (SELECT k, x, y, ord FROM shfix WHERE it = 48)
+         |SELECT s.image_id, CAST(f.ord AS BIGINT) AS ord,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cells
+         |FROM shfin f JOIN simg s ON s.k = f.k
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // min-plus scatter flood of the chamfer cost distance: each round
     // re-emits every reached cell with MIN(stay, neighbor + step);

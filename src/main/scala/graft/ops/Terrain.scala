@@ -140,6 +140,97 @@ object Terrain {
     cnt.toSeq.zipWithIndex.collect { case (c, i) if c > 0 => (i - 1, c) }
   })
 
+  /** TERRAIN RUGGEDNESS INDEX + ROUGHNESS per interior pixel (the two
+    * remaining gdaldem products next to slope/hillshade/TPI): TRI is
+    * the Wilson/gdaldem form Σ|z_c − z_n| over the 8 neighbors (kept
+    * ×8 unscaled so it stays integer; gdaldem's mean is one /8 away),
+    * roughness is max − min over the full 3×3 window. Aggregate per
+    * image: (n_int, tri_sum, tri_max, rough_sum, rough_max) — all
+    * exact integers. */
+  val triRoughAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    var n = 0L; var ts = 0L; var tm = 0L; var rs = 0L; var rm = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val c = z(y * w + x).toLong
+        var tri = 0L
+        var mx = c; var mn = c
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            if (dx != 0 || dy != 0) {
+              val v = z((y + dy) * w + (x + dx)).toLong
+              tri += math.abs(c - v)
+              if (v > mx) mx = v
+              if (v < mn) mn = v
+            }
+            dx += 1
+          }
+          dy += 1
+        }
+        val rough = mx - mn
+        n += 1; ts += tri; rs += rough
+        if (tri > tm) tm = tri
+        if (rough > rm) rm = rough
+        x += 1
+      }
+      y += 1
+    }
+    (n, ts, tm, rs, rm)
+  })
+
+  /** STRAHLER STREAM ORDER over the D8 flow forest (Strahler 1957):
+    * cells with no upstream inflow have order 1; a cell's order is
+    * the max of its upstream orders, +1 when ≥2 upstream cells attain
+    * that max. Computed per image in ONE topological pass (in-degree
+    * queue — the per-key-sequential kernel shape: images parallelize
+    * across the corpus, the per-image pass is linear). Returns the
+    * per-order cell histogram [(ord, count)]. The oracle replays it
+    * as a monotone fixpoint scatter-CTE (all-1 start; the iterate
+    * never overshoots and converges within the flow-DAG depth —
+    * measured ≤ 41 on the fixture, bound 48). */
+  val strahlerCounts = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val n = w * h
+    val target = new Array[Int](n)
+    val indeg = new Array[Int](n)
+    val ord = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val x = i % w; val y = i / w
+      val d = flowDir(z, w, h, x, y)
+      target(i) = if (d < 0) -1 else (y + Dy(d)) * w + (x + Dx(d))
+      i += 1
+    }
+    i = 0
+    while (i < n) { if (target(i) >= 0) indeg(target(i)) += 1; i += 1 }
+    // topological queue; track per-cell (max upstream ord, count at max)
+    val mx = new Array[Int](n); val cm = new Array[Int](n)
+    val queue = new Array[Int](n)
+    var qh = 0; var qt = 0
+    i = 0
+    while (i < n) { if (indeg(i) == 0) { queue(qt) = i; qt += 1 }; i += 1 }
+    while (qh < qt) {
+      val c = queue(qh); qh += 1
+      ord(c) = if (mx(c) == 0) 1 else mx(c) + (if (cm(c) >= 2) 1 else 0)
+      val t = target(c)
+      if (t >= 0) {
+        if (ord(c) > mx(t)) { mx(t) = ord(c); cm(t) = 1 }
+        else if (ord(c) == mx(t)) cm(t) += 1
+        indeg(t) -= 1
+        if (indeg(t) == 0) { queue(qt) = t; qt += 1 }
+      }
+    }
+    val hist = scala.collection.mutable.Map.empty[Int, Long]
+      .withDefaultValue(0L)
+    i = 0
+    while (i < n) { hist(ord(i)) += 1; i += 1 }
+    hist.toSeq.sortBy(_._1)
+  })
+
   /** Per-image flow edges (x, y, tx, ty): one row per NON-pit cell,
     * target = the D8 downstream neighbor. Pits emit no edge. */
   val flowEdgesUdf = udf((bytes: Array[Byte], w: Int, h: Int) => {

@@ -224,4 +224,64 @@ class TerrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Terrain.lastCostRounds > 0 && Terrain.lastCostRounds < 48,
       s"rounds=${Terrain.lastCostRounds}")
   }
+
+  test("triRoughAgg: hand golden on a 3×3 DEM") {
+    // z = [1 2 3 / 4 9 6 / 7 8 5]: center 9; TRI = |9-1|+|9-2|+|9-3|
+    // +|9-4|+|9-6|+|9-7|+|9-8|+|9-5| = 8+7+6+5+3+2+1+4 = 36;
+    // roughness = 9 − 1 = 8
+    val z = Array(1d, 2d, 3d, 4d, 9d, 6d, 7d, 8d, 5d)
+    import spark.implicits._
+    val df = Seq((enc(z, 3, 3), 3, 3)).toDF("b", "w", "h")
+      .select(Terrain.triRoughAgg(col("b"), col("w"), col("h")).as("t"))
+    val r = df.collect()(0).getStruct(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((1L, 36L, 36L, 8L, 8L)))
+  }
+
+  test("strahlerCounts == memoized-recursion reference on synth DEMs") {
+    import spark.implicits._
+    val ks = Seq(7L, 13L, 31L, 44L)
+    def zs(k: Long, w: Int, h: Int): Array[Double] =
+      Array.tabulate(w * h)(i =>
+        Synth.demValue(k, i % w, i / w).toDouble)
+    // independent reference: direct recursive definition over the
+    // upstream sets (memoized), not a topological queue
+    def refHist(k: Long): Map[Int, Long] = {
+      val w = Synth.wOf(k); val h = Synth.hOf(k)
+      val z = zs(k, w, h)
+      val tgt = Array.tabulate(w * h) { i =>
+        val d = Terrain.flowDir(z, w, h, i % w, i / w)
+        if (d < 0) -1 else (i / w + Array(0, 1, 1, 1, 0, -1, -1, -1)(d)) * w +
+          (i % w + Array(1, 1, 0, -1, -1, -1, 0, 1)(d))
+      }
+      val ups = Array.fill(w * h)(List.empty[Int])
+      for (i <- 0 until w * h if tgt(i) >= 0) ups(tgt(i)) ::= i
+      val memo = scala.collection.mutable.Map.empty[Int, Int]
+      def ord(c: Int): Int = memo.getOrElseUpdate(c, {
+        if (ups(c).isEmpty) 1
+        else {
+          val os = ups(c).map(ord)
+          val m = os.max
+          m + (if (os.count(_ == m) >= 2) 1 else 0)
+        }
+      })
+      (0 until w * h).map(ord).groupBy(identity)
+        .map { case (o, v) => (o, v.size.toLong) }
+    }
+    val df = ks.map { k =>
+      val w = Synth.wOf(k); val h = Synth.hOf(k)
+      (k, enc(zs(k, w, h), w, h), w, h)
+    }.toDF("k", "b", "w", "h")
+      .withColumn("sc", explode(Terrain.strahlerCounts(col("b"),
+        col("w"), col("h"))))
+      .select(col("k"), col("sc._1").as("ord"), col("sc._2").as("cnt"))
+    val got = df.collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) =>
+        (k, rows.map(r => (r.getInt(1), r.getLong(2))).toMap)
+      }
+    for (k <- ks) assert(got(k) === refHist(k), s"k=$k")
+    // non-degenerate: orders beyond 2 occur (real confluence trees)
+    assert(got.values.exists(_.keys.max >= 3))
+  }
 }
