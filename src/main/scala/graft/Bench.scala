@@ -237,7 +237,8 @@ object Bench {
       "q_hotspot", "q_two_hop", "q_od_flows", "q_cost_distance",
       "q_union_area", "q_mobility", "q_knox", "q_ripley", "q_bearings",
       "q_crossings", "q_mk_trend", "q_colocate", "q_snap_roads",
-      "q_voronoi", "q_kde", "q_convoy", "q_tri_rough", "q_strahler")
+      "q_voronoi", "q_kde", "q_convoy", "q_tri_rough", "q_strahler",
+      "q_lap_pyramid")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

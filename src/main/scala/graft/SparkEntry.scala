@@ -956,6 +956,17 @@ object SparkEntry {
           col("sc._2").as("n_cells"))
         .orderBy("image_id", "ord")),
 
+    // two-level Laplacian pyramid (Burt-Adelson, floor-mean reduce):
+    // per-image subband energy split, exact integers
+    "q_lap_pyramid" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("lp", graft.ops.Vision.lapPyramidAgg(
+          col("dem_bytes"), col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("lp._1").as("n_l0"),
+          col("lp._2").as("l0_abs_sum"), col("lp._3").as("l0_max"),
+          col("lp._4").as("l1_abs_sum"), col("lp._5").as("g2_sum"))
+        .orderBy("image_id")),
+
     // D8 flow accumulation (upstream cell count): frontier
     // propagation over the flow DAG — per round only the LIVE
     // frontier shuffles, all images advance in the same job. The
@@ -4025,6 +4036,35 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_cells
          |FROM shfin f JOIN simg s ON s.k = f.k
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Laplacian pyramid: G1 = floor-mean over full 2x2 blocks (odd
+    // trailing row/col excluded by the inner join), L = G - parent
+    "q_lap_pyramid" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |lp1 AS (SELECT k, x//2 AS u, y//2 AS v, w//2 AS w1,
+         |          h//2 AS h1, SUM(z)//4 AS g
+         |        FROM demp WHERE x < 2*(w//2) AND y < 2*(h//2)
+         |        GROUP BY 1, 2, 3, 4, 5),
+         |lp2 AS (SELECT k, u//2 AS p, v//2 AS q, SUM(g)//4 AS g2
+         |        FROM lp1 WHERE u < 2*(w1//2) AND v < 2*(h1//2)
+         |        GROUP BY 1, 2, 3),
+         |ll0 AS (SELECT d.k, d.image_id, ABS(d.z - g.g) AS a
+         |        FROM demp d JOIN lp1 g ON g.k = d.k
+         |          AND g.u = d.x//2 AND g.v = d.y//2),
+         |ll1 AS (SELECT a.k, SUM(ABS(a.g - b.g2)) AS s1
+         |        FROM lp1 a JOIN lp2 b ON b.k = a.k
+         |          AND b.p = a.u//2 AND b.q = a.v//2
+         |        GROUP BY 1),
+         |lg2 AS (SELECT k, SUM(g2) AS gs FROM lp2 GROUP BY 1),
+         |la0 AS (SELECT k, image_id, CAST(COUNT(*) AS BIGINT) AS n_l0,
+         |          CAST(SUM(a) AS BIGINT) AS l0_abs_sum,
+         |          CAST(MAX(a) AS BIGINT) AS l0_max
+         |        FROM ll0 GROUP BY 1, 2)
+         |SELECT z.image_id, z.n_l0, z.l0_abs_sum, z.l0_max,
+         |  CAST(o.s1 AS BIGINT) AS l1_abs_sum,
+         |  CAST(g.gs AS BIGINT) AS g2_sum
+         |FROM la0 z JOIN ll1 o ON o.k = z.k JOIN lg2 g ON g.k = z.k
+         |ORDER BY z.image_id""".stripMargin,
 
     // min-plus scatter flood of the chamfer cost distance: each round
     // re-emits every reached cell with MIN(stay, neighbor + step);

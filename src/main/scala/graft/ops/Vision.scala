@@ -976,4 +976,55 @@ object Vision {
       }
     }
   })
+
+  /** TWO-LEVEL LAPLACIAN PYRAMID (Burt & Adelson 1983) stated in
+    * exact integers: G1 = floor-mean of each full 2×2 block of G0,
+    * L0 = G0 − nearest-upsampled G1 on the block-covered region
+    * (odd trailing row/column has no parent and is excluded — the
+    * standard truncation); G2/L1 repeat one level down. Reconstruction
+    * G0 = L0 + up(G1) is exact by construction; the gate checks the
+    * DECOMPOSITION: per-image (n_l0, Σ|L0|, max|L0|, Σ|L1|, ΣG2) —
+    * the subband energy split a pyramid codec would entropy-code.
+    * Per-image sequential kernel, corpus-parallel. */
+  val lapPyramidAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    def down(g: Array[Long], gw: Int, gh: Int): (Array[Long], Int, Int) = {
+      val dw = gw / 2; val dh = gh / 2
+      val out = new Array[Long](dw * dh)
+      var v = 0
+      while (v < dh) {
+        var u = 0
+        while (u < dw) {
+          out(v * dw + u) = (g(2 * v * gw + 2 * u) +
+            g(2 * v * gw + 2 * u + 1) + g((2 * v + 1) * gw + 2 * u) +
+            g((2 * v + 1) * gw + 2 * u + 1)) / 4
+          u += 1
+        }
+        v += 1
+      }
+      (out, dw, dh)
+    }
+    def lapStats(g: Array[Long], gw: Int, gh: Int, d: Array[Long],
+                 dw: Int, dh: Int): (Long, Long, Long) = {
+      var n = 0L; var s = 0L; var m = 0L
+      var y = 0
+      while (y < 2 * dh) {
+        var x = 0
+        while (x < 2 * dw) {
+          val l = g(y * gw + x) - d((y / 2) * dw + (x / 2))
+          n += 1; s += math.abs(l)
+          if (math.abs(l) > m) m = math.abs(l)
+          x += 1
+        }
+        y += 1
+      }
+      (n, s, m)
+    }
+    val g0 = z.map(_.toLong)
+    val (g1, w1, h1) = down(g0, w, h)
+    val (g2, w2, h2) = down(g1, w1, h1)
+    val (n0, s0, m0) = lapStats(g0, w, h, g1, w1, h1)
+    val (_, s1, _) = lapStats(g1, w1, h1, g2, w2, h2)
+    (n0, s0, m0, s1, g2.sum)
+  })
 }

@@ -174,4 +174,40 @@ class VisionPack2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.getLong(1) === tri)
     assert(got.getLong(2) === chk)
   }
+
+  test("lapPyramidAgg == naive two-level reference (odd dims truncated)") {
+    import spark.implicits._
+    // odd dims exercise the no-parent trailing row/column exclusion
+    val w = 21; val h = 13
+    val z = vals(41, w * h, 1800).map(_.toDouble)
+    def reduce(g: Array[Long], gw: Int, gh: Int): (Array[Long], Int, Int) = {
+      val dw = gw / 2; val dh = gh / 2
+      val o = Array.tabulate(dw * dh) { i =>
+        val u = i % dw; val v = i / dw
+        (g(2 * v * gw + 2 * u) + g(2 * v * gw + 2 * u + 1) +
+          g((2 * v + 1) * gw + 2 * u) + g((2 * v + 1) * gw + 2 * u + 1)) / 4
+      }
+      (o, dw, dh)
+    }
+    val g0 = z.map(_.toLong)
+    val (g1, w1, h1) = reduce(g0, w, h)
+    val (g2, w2, h2) = reduce(g1, w1, h1)
+    var n0 = 0L; var s0 = 0L; var m0 = 0L
+    for (y <- 0 until 2 * h1; x <- 0 until 2 * w1) {
+      val l = g0(y * w + x) - g1((y / 2) * w1 + (x / 2))
+      n0 += 1; s0 += math.abs(l); m0 = math.max(m0, math.abs(l))
+      // reconstruction identity on the covered region
+      assert(l + g1((y / 2) * w1 + (x / 2)) == g0(y * w + x))
+    }
+    var s1 = 0L
+    for (v <- 0 until 2 * h2; u <- 0 until 2 * w2)
+      s1 += math.abs(g1(v * w1 + u) - g2((v / 2) * w2 + (u / 2)))
+    val bytes = graft.core.Codec.encode(Array(z), w, h, "raw-i16le")
+    val row = Seq((bytes, w, h)).toDF("b", "w", "h")
+      .select(Vision.lapPyramidAgg(col("b"), col("w"), col("h")))
+      .collect()(0).getStruct(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4)) === ((n0, s0, m0, s1, g2.sum)))
+    assert(n0 == 4L * w1 * h1 && n0 < w.toLong * h) // truncation real
+  }
 }
