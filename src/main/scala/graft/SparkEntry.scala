@@ -1661,6 +1661,21 @@ object SparkEntry {
         .orderBy("sid")
     }),
 
+    // Hilbert-vs-Morton curve locality audit over the occupied
+    // 256x256 cells of the event point set: total Manhattan step
+    // length along each key order (the spatial-layout quantity)
+    "q_hilbert" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 150)
+      val hm = md5(col("event_id").cast("string"))
+      import graft.sketch.Cms.hexVal
+      def hv(i: Int) = hexVal(hm, i).cast("long")
+      val pts = ev.select(
+        (hv(1) * 256 + hv(2) * 16 + hv(3)).as("px"),
+        (hv(4) * 256 + hv(5) * 16 + hv(6)).as("py"))
+      graft.ops.SpatialJoin.curveLocality(pts, 16L, 8)
+    }),
+
     // discrete Voronoi / nearest-facility census: every event point
     // assigned to its nearest of 50 md5-derived sites (broadcast
     // argmin via lexicographic struct MIN, ties to smallest sid)
@@ -5765,6 +5780,35 @@ object SparkEntry {
          |  CAST(SUM((num * 4096) // den) AS BIGINT) AS d2q_sum
          |FROM srw GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Hilbert xy2d replayed as 8 unrolled rotate-flip rounds (pure
+    // div/mod/CASE — identical arithmetic to the Spark expression);
+    // locality sums via LAG over each key order
+    "q_hilbert" ->
+      s"""WITH hle AS (SELECT md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 150),
+         |hlc AS (SELECT DISTINCT
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT)//16 AS hx0,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT)//16 AS hy0
+         |        FROM hle),
+         |hp0 AS (SELECT hx0, hy0, hx0 AS x, hy0 AS y,
+         |          CAST(0 AS BIGINT) AS d FROM hlc),
+         |${hilbertRoundsSql(8)},
+         |hmn AS (SELECT hx0, hy0, d,
+         |          ${mortonSql("hx0", "hy0", 8)} AS m FROM hp8),
+         |hst AS (SELECT d, hx0, hy0,
+         |          ABS(hx0 - LAG(hx0) OVER (ORDER BY d))
+         |            + ABS(hy0 - LAG(hy0) OVER (ORDER BY d)) AS hs,
+         |          ABS(hx0 - LAG(hx0) OVER (ORDER BY m))
+         |            + ABS(hy0 - LAG(hy0) OVER (ORDER BY m)) AS ms
+         |        FROM hmn)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST(SUM(d) AS BIGINT) AS hd_sum,
+         |  CAST(COALESCE(SUM(hs), 0) AS BIGINT) AS hilbert_steps,
+         |  CAST(COALESCE(SUM(ms), 0) AS BIGINT) AS morton_steps
+         |FROM hst""".stripMargin,
+
     // Voronoi census ground truth: cross join points x 50 sites,
     // per-point argmin by lexicographic struct MIN (d2, sid)
     "q_voronoi" ->
@@ -9266,6 +9310,28 @@ object SparkEntry {
     s"(CASE WHEN ascii(substr($c, $pos, 1)) <= 57 " +
       s"THEN ascii(substr($c, $pos, 1)) - 48 " +
       s"ELSE ascii(substr($c, $pos, 1)) - 87 END)"
+
+  /** Unrolled Hilbert xy2d rounds (mirrors SpatialJoin.hilbertKey
+    * div/mod arithmetic exactly): CTEs hp1..hp{order} chained from
+    * hp0(hx0, hy0, x, y, d). */
+  private def hilbertRoundsSql(order: Int): String =
+    (order - 1 to 0 by -1).zipWithIndex.map { case (i, idx) =>
+      val s = 1L << i; val nm1 = (1L << order) - 1
+      s"hp${idx + 1} AS (SELECT hx0, hy0, " +
+        s"CASE WHEN (y//$s)%2 = 0 THEN (CASE WHEN (x//$s)%2 = 1 " +
+        s"THEN $nm1 - y ELSE y END) ELSE x END AS x, " +
+        s"CASE WHEN (y//$s)%2 = 0 THEN (CASE WHEN (x//$s)%2 = 1 " +
+        s"THEN $nm1 - x ELSE x END) ELSE y END AS y, " +
+        s"d + ${s * s} * (3*((x//$s)%2) + (y//$s)%2 " +
+        s"- 2*((x//$s)%2)*((y//$s)%2)) AS d FROM hp$idx)"
+    }.mkString(",\n")
+
+  /** Morton key as one div/mod expression over original coords. */
+  private def mortonSql(xc: String, yc: String, order: Int): String =
+    (0 until order).map { i =>
+      val s = 1L << i
+      s"${s * s}*(($xc//$s)%2 + 2*(($yc//$s)%2))"
+    }.mkString(" + ")
 
   /** Fixed DTW reference path (q_dtw / q_frechet / q_hausdorff): 6
     * points spanning the 12-bit md5 coordinate space, identical

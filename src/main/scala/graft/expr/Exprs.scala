@@ -109,6 +109,32 @@ case class RectIntersectsPoly(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
 }
 
+/** Hilbert xy2d key of a (x, y) cell in the 2^order grid — wraps
+  * [[Kernels.hilbertXY2D]] (O(order) loop) so whole-stage codegen
+  * emits one static call instead of the ~3^order re-substituted
+  * Column tree the pure-functions form would build. */
+case class HilbertKey(left: Expression, right: Expression, order: Int)
+    extends BinaryExpression {
+  require(order >= 1 && order <= 31, s"hilbert order=$order out of range")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_hilbert(bigint, bigint, int), got (${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    Kernels.hilbertXY2D(x.asInstanceOf[Long], y.asInstanceOf[Long], order)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.expr.Kernels.hilbertXY2D($x, $y, $order);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r, order)
+}
+
 object GraftFunctions {
   private def intLit(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -154,7 +180,9 @@ object GraftFunctions {
       intLit(es(2), "m"), intLit(es(3), "ks"))),
     "graft_pq_adc" -> (es => PqAdc(es(0), es(1), intLit(es(2), "ks"))),
     "graft_ivf_assign" -> (es => IvfAssign(es(0),
-      floatArrayLit(es(1), "graft_ivf_assign cents"), intLit(es(2), "kc"))))
+      floatArrayLit(es(1), "graft_ivf_assign cents"), intLit(es(2), "kc"))),
+    "graft_hilbert" -> (es => HilbertKey(es(0), es(1),
+      intLit(es(2), "graft_hilbert order"))))
 
   /** Idempotent registration on a live session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, b) =>

@@ -248,4 +248,28 @@ object Kernels {
     }
     java.lang.Double.valueOf(d / (math.sqrt(na) * math.sqrt(nb)))
   }
+
+  /** Hilbert curve xy2d (order-k key of a cell in the 2^k × 2^k grid),
+    * the standard iterative quadrant rotate-flip walk: per round
+    * s = 2^i, quadrant = (3·rx)^ry, then the ry=0 flip (n−1−·) + swap.
+    * An O(order) loop here instead of a Column construction because
+    * the column form must RE-SUBSTITUTE x and y each round — a ~3^k
+    * expression-tree blowup that shipped a 204 MB task binary at
+    * order 8. Called from HilbertKey's codegen. */
+  def hilbertXY2D(x0: Long, y0: Long, order: Int): Long = {
+    val nm1 = (1L << order) - 1L
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0L) {
+      val rx = if ((x & s) != 0L) 1L else 0L
+      val ry = if ((y & s) != 0L) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = nm1 - x; y = nm1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }

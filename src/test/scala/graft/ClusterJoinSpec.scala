@@ -620,4 +620,44 @@ class ClusterJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     // max_run) so the island logic is load-bearing
     assert(expect.nonEmpty && expect.exists(p => p._3 > p._4))
   }
+
+  test("hilbertKey: order-2 golden, exhaustive adjacency + bijection") {
+    import spark.implicits._
+    graft.expr.GraftFunctions.register(spark)
+    // the canonical 4x4 Hilbert walk (order 2), d value per (x, y)
+    val golden = Map(
+      (0L, 0L) -> 0L, (1L, 0L) -> 1L, (1L, 1L) -> 2L, (0L, 1L) -> 3L,
+      (0L, 2L) -> 4L, (0L, 3L) -> 5L, (1L, 3L) -> 6L, (1L, 2L) -> 7L,
+      (2L, 2L) -> 8L, (2L, 3L) -> 9L, (3L, 3L) -> 10L, (3L, 2L) -> 11L,
+      (3L, 1L) -> 12L, (2L, 1L) -> 13L, (2L, 0L) -> 14L, (3L, 0L) -> 15L)
+    val g2 = (for (x <- 0L to 3L; y <- 0L to 3L) yield (x, y))
+      .toDF("hx", "hy")
+      .select(col("hx"), col("hy"),
+        graft.ops.SpatialJoin.hilbertKey(col("hx"), col("hy"), 2).as("d"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(g2 === golden)
+    // order 3: bijection 0..63 AND every consecutive pair of keys is
+    // a unit Manhattan step — THE defining Hilbert property
+    val g3 = (for (x <- 0L to 7L; y <- 0L to 7L) yield (x, y))
+      .toDF("hx", "hy")
+      .select(col("hx"), col("hy"),
+        graft.ops.SpatialJoin.hilbertKey(col("hx"), col("hy"), 3).as("d"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(g3.map(_._1).toSeq === (0L until 64L))
+    for (i <- 1 until 64) {
+      val (px, py) = g3(i - 1)._2; val (cx, cy) = g3(i)._2
+      assert(math.abs(cx - px) + math.abs(cy - py) == 1L, s"step $i")
+    }
+    // locality: on the full order-4 grid, hilbert total step length
+    // (= 255, all unit) strictly beats morton's
+    val pts = (for (x <- 0L to 15L; y <- 0L to 15L) yield (x, y))
+      .toDF("px", "py")
+    val r = graft.ops.SpatialJoin.curveLocality(pts, 1L, 4).collect()(0)
+    assert(r.getLong(0) == 256L)
+    assert(r.getLong(1) == (0L until 256L).sum) // keys are a bijection
+    assert(r.getLong(2) == 255L) // hilbert: every step is unit
+    assert(r.getLong(3) > r.getLong(2)) // morton jumps cost more
+  }
 }
