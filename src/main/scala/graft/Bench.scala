@@ -238,7 +238,12 @@ object Bench {
       "q_union_area", "q_mobility", "q_knox", "q_ripley", "q_bearings",
       "q_crossings", "q_mk_trend", "q_colocate", "q_snap_roads",
       "q_voronoi", "q_kde", "q_convoy", "q_tri_rough", "q_strahler",
-      "q_lap_pyramid")
+      "q_lap_pyramid",
+      // detection-box post-processing + frequency-domain texture +
+      // image↔caption alignment filtering
+      "q_nms", "q_box_match", "q_haar", "q_clipscore",
+      "q_rasterize", "q_epsilon_filter", "q_lm_coverage",
+      "q_tile_neardup", "q_ann_recall", "q_sssp")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

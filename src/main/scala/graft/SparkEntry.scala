@@ -3148,8 +3148,177 @@ object SparkEntry {
           sum(col("l_quantity")).cast("long").as("sum_qty"),
           countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy("o_orderpriority")
+    }),
+
+    // ---- detection-box post-processing (Boxes.scala) ----
+
+    // greedy IoU>1/2 non-maximum suppression over 12 md5-derived
+    // candidate boxes per image: per-image O(n²) kernel, one hash
+    // shuffle on image_id. Oracle replays the greedy scan as a
+    // suppression-bitmask recursive CTE.
+    "q_nms" -> ((s, dir) =>
+      graft.ops.Boxes.nms(synthBoxes(s, dir, 12, ""), "image_id")
+        .orderBy("image_id", "box_id")),
+
+    // greedy detection matching (COCO-style single-threshold TP/FP/FN):
+    // 12 scored predictions vs 6 ground-truth boxes per image; each
+    // prediction in score order claims the unclaimed gt with the
+    // highest quantized IoU (> 0.5). Same per-image-kernel shape.
+    "q_box_match" -> ((s, dir) => {
+      val ps = synthBoxes(s, dir, 12, "").groupBy("image_id")
+        .agg(collect_list(struct(col("box_id"), col("x1"), col("y1"),
+          col("x2"), col("y2"), col("score"))).as("ps"))
+      val gs = synthBoxes(s, dir, 6, "g").groupBy("image_id")
+        .agg(collect_list(struct(col("box_id"), col("x1"), col("y1"),
+          col("x2"), col("y2"))).as("gs"))
+      ps.join(gs, Seq("image_id"))
+        .withColumn("m", graft.ops.Boxes.matchAgg(col("ps"), col("gs"),
+          lit(524288L)))
+        .select(col("image_id"), col("m._1").as("n_pred"),
+          col("m._2").as("tp"), col("m._3").as("fp"),
+          col("m._4").as("fn"), col("m._5").as("qiou_sum"))
+        .orderBy("image_id")
+    }),
+
+    // two-level integer Haar (S-transform) subband energies: oriented
+    // H/V/D detail split per level — the frequency-domain texture
+    // counterpart of q_lap_pyramid's isotropic residual
+    "q_haar" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("hr", graft.ops.Vision.haarAgg(
+          col("dem_bytes"), col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("hr._1").as("n_ll2"),
+          col("hr._2").as("h1_abs"), col("hr._3").as("v1_abs"),
+          col("hr._4").as("d1_abs"), col("hr._5").as("h2_abs"),
+          col("hr._6").as("v2_abs"), col("hr._7").as("d2_abs"),
+          col("hr._8").as("ll2_sum"))
+        .orderBy("image_id")),
+
+    // image↔caption alignment (CLIP-score-shaped) filter: integer dot
+    // of the 64-d block-mean image embedding with a 64-bucket hashed
+    // bag-of-words caption embedding; keep = score ≥ corpus mean
+    // (division-free). Per-row map + one scalar agg — zero sorts.
+    "q_clipscore" -> ((s, dir) =>
+      graft.vec.VectorOps.clipScores(
+        Synth.imagesWithBytes(s, dir, smallRaw)).orderBy("image_id")),
+
+    // vector→raster burn (GDAL RasterizeLayer parity): per-feature
+    // bbox cell enumeration + center PIP + MAX(fid) overlay; oracle
+    // replays the L-ring as its exact 2-rect decomposition
+    "q_rasterize" -> ((s, dir) =>
+      graft.ops.SpatialJoin.rasterizeBurn(Synth.polygonsL(s, dir), 1000L)
+        .orderBy("fid")),
+
+    // edge-preserving ε-filter (hard-range bilateral, t=200): floor-
+    // mean of the 3×3 neighbors within t of the center, exact integers
+    "q_epsilon_filter" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("ef", graft.ops.Vision.epsilonFilterAgg(
+          col("dem_bytes"), col("w").cast("int"), col("h").cast("int"),
+          lit(200L)))
+        .select(col("image_id"), col("ef._1").as("n_px"),
+          col("ef._2").as("out_sum"), col("ef._3").as("changed"),
+          col("ef._4").as("max_dev"))
+        .orderBy("image_id")),
+
+    // bigram-DF coverage (integer LM-perplexity proxy for quality
+    // filtering): per-doc attested-bigram fraction, 2^-20 quantized
+    "q_lm_coverage" -> ((s, dir) =>
+      graft.text.TextOps.lmCoverage(docs(s, dir)).orderBy("doc_id")),
+
+    // cross-image near-dup TILE groups (shared logo/watermark/crop
+    // detection): brightness-invariant 16×16 patch signatures
+    // (Σ(v−v0)·li), grouped corpus-wide, kept where ≥2 distinct
+    // images share a signature — sub-image dedup, the crop-level
+    // counterpart of q_dedup_images
+    "q_tile_neardup" -> ((s, dir) => {
+      val pat = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.Codec
+        val p = Codec.decode(bytes, w, h,
+          Codec.bandsStored(fmt, Synth.NumBands), fmt)(0)
+        graft.ops.Augment.patchSig(p, w, h, 16)
+      })
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("t", explode(pat(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt"))))
+        .select(col("image_id"), col("t._3").as("n_valid"),
+          col("t._4").as("sig"))
+        .where(col("n_valid") > 0)
+        .groupBy("n_valid", "sig")
+        .agg(count(lit(1)).as("n_tiles"),
+          countDistinct(col("image_id")).as("n_imgs"))
+        .where(col("n_imgs") >= 2)
+        .orderBy("n_valid", "sig")
+    }),
+
+    // ANN quality evaluation: recall@10 of the IVF index against the
+    // brute-force cosine ground truth (the index-tuning measurement
+    // every ANN deployment runs); both sides are existing gates, the
+    // eval is their key-join overlap per query
+    "q_ann_recall" -> ((s, dir) => {
+      val brute = graft.vec.VectorOps
+        .cosineTopK(emb(s, dir), col("vec_id") < 3, 10)
+        .select(col("qid"), col("vec_id"))
+      val ivf = graft.vec.VectorOps
+        .ivfTopK(emb(s, dir), col("vec_id") < 3, 10)
+        .select(col("qid").as("qid2"), col("vec_id").as("vid2"))
+      brute.join(ivf, col("qid") === col("qid2") &&
+          col("vec_id") === col("vid2"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k"), count(col("vid2")).as("n_common"))
+        .withColumn("recall_q",
+          graft.ops.Tiling.idiv(col("n_common") * 1048576L, col("k")))
+        .orderBy("qid")
+    }),
+
+    // bounded-hop multi-source shortest paths (6-round Bellman-Ford
+    // isochrone) over the proximity graph, centroid-Manhattan edge
+    // weights: per round one edge⋈dist join + one MIN aggregate
+    "q_sssp" -> ((s, dir) => {
+      val im = Synth.images(s, dir)
+      val co = im.select(col("k"), (col("x0m") + col("x1m")).as("cx"),
+        (col("y0m") + col("y1m")).as("cy"))
+      val e0 = graft.ops.SpatialJoin.proximityEdges(im, 3000L)
+      val ew = e0
+        .join(co.select(col("k").as("ka"), col("cx").as("cxa"),
+          col("cy").as("cya")), Seq("ka"))
+        .join(co.select(col("k").as("kb"), col("cx").as("cxb"),
+          col("cy").as("cyb")), Seq("kb"))
+        .withColumn("w", abs(col("cxa") - col("cxb")) +
+          abs(col("cya") - col("cyb")))
+      val edges = ew.select(col("ka").as("src"), col("kb").as("dst"),
+          col("w"))
+        .unionAll(ew.select(col("kb").as("src"), col("ka").as("dst"),
+          col("w")))
+      val sources = im.where(col("k") % 31 === 0).select(col("k").as("v"))
+      graft.graph.ShortestPaths.boundedSssp(edges, sources, 6)
+        .orderBy("v")
     })
   )
+
+  /** Deterministic md5-derived detection-box fixture: `n` boxes per
+    * image (k < 400) with corners in [0,4096)+[256,4608) and integer
+    * scores in [0,4096); `salt` separates prediction/ground-truth
+    * sets. Mirrored verbatim by the BoxCte oracle SQL. */
+  private def synthBoxes(s: SparkSession, dir: String, n: Int,
+                         salt: String): DataFrame = {
+    import graft.sketch.Cms.hexVal
+    val hm = md5(concat(col("image_id"), lit(s":$salt"),
+      col("i").cast("string")))
+    def hv(p: Int) = hexVal(hm, p).cast("long")
+    Synth.images(s, dir).where(col("k") < 400)
+      .select(col("image_id"),
+        explode(sequence(lit(0), lit(n - 1))).as("i"))
+      .withColumn("box_id", col("i").cast("long"))
+      .withColumn("x1", hv(1) * 256 + hv(2) * 16 + hv(3))
+      .withColumn("y1", hv(4) * 256 + hv(5) * 16 + hv(6))
+      .withColumn("x2", col("x1") + lit(256L) + hv(7) * 256 + hv(8) * 16
+        + hv(9))
+      .withColumn("y2", col("y1") + lit(256L) + hv(10) * 256 + hv(11) * 16
+        + hv(12))
+      .withColumn("score", hv(13) * 256 + hv(14) * 16 + hv(15))
+      .select("image_id", "box_id", "x1", "y1", "x2", "y2", "score")
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -8371,20 +8540,7 @@ object SparkEntry {
         |       sqrt(list_dot_product(b.ed, b.ed))) > 0.35
         |ORDER BY 1, 2""".stripMargin,
 
-    "q_ann_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
-        |           FROM embeddings WHERE vec_id < 3),
-        |c AS (SELECT q.qid, e.vec_id,
-        |        list_dot_product(q.qe, e.embedding::DOUBLE[]) /
-        |        (sqrt(list_dot_product(q.qe, q.qe)) *
-        |         sqrt(list_dot_product(e.embedding::DOUBLE[],
-        |                               e.embedding::DOUBLE[]))) AS sim
-        |      FROM q, embeddings e WHERE e.vec_id != q.qid),
-        |r AS (SELECT qid, vec_id,
-        |        ROW_NUMBER() OVER (PARTITION BY qid
-        |          ORDER BY sim DESC, vec_id) AS rank FROM c)
-        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id FROM r
-        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "q_ann_cosine_topk" -> CosineTopkOracleSql,
 
     "q_vec_label_stats" ->
       """WITH n AS (SELECT CAST(label AS BIGINT) AS label,
@@ -9155,12 +9311,354 @@ object SparkEntry {
         |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
         |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // greedy NMS ground truth: ranks in (score DESC, box_id) order,
+    // per-rank suppression bitmasks from the exact cross-multiplied
+    // IoU>1/2 test, then the greedy scan replayed as a 12-step
+    // recursive walk carrying (kept-mask, suppressed-mask)
+    "q_nms" -> nmsOracleSql,
+
+    // greedy matching ground truth: per-step argmax over unclaimed
+    // gts via lexicographic struct MAX on (qIoU, -grk), claimed-gt
+    // bitmask carried through the 12-step recursive walk
+    "q_box_match" -> boxMatchOracleSql,
+
+    // Haar ground truth: 2×2 parity pivot per level — a/b/c/d via
+    // CASE on (x%2, y%2), LL = floor-mean, oriented detail sums
+    "q_haar" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |ha1 AS (SELECT k, x//2 AS u, y//2 AS v,
+         |          SUM(CASE WHEN x%2=0 AND y%2=0 THEN z END) AS a,
+         |          SUM(CASE WHEN x%2=1 AND y%2=0 THEN z END) AS b,
+         |          SUM(CASE WHEN x%2=0 AND y%2=1 THEN z END) AS c,
+         |          SUM(CASE WHEN x%2=1 AND y%2=1 THEN z END) AS d
+         |        FROM demp WHERE x < 2*(w//2) AND y < 2*(h//2)
+         |        GROUP BY 1, 2, 3),
+         |hb1 AS (SELECT k, u, v, (a+b+c+d)//4 AS ll,
+         |          ABS((a+c)-(b+d)) AS ph, ABS((a+b)-(c+d)) AS pv,
+         |          ABS(a-b-c+d) AS pd
+         |        FROM ha1),
+         |hl1 AS (SELECT k, CAST(SUM(ph) AS BIGINT) AS h1_abs,
+         |          CAST(SUM(pv) AS BIGINT) AS v1_abs,
+         |          CAST(SUM(pd) AS BIGINT) AS d1_abs
+         |        FROM hb1 GROUP BY 1),
+         |ha2 AS (SELECT t.k, t.u//2 AS p2, t.v//2 AS q2,
+         |          SUM(CASE WHEN t.u%2=0 AND t.v%2=0 THEN t.ll END) AS a,
+         |          SUM(CASE WHEN t.u%2=1 AND t.v%2=0 THEN t.ll END) AS b,
+         |          SUM(CASE WHEN t.u%2=0 AND t.v%2=1 THEN t.ll END) AS c,
+         |          SUM(CASE WHEN t.u%2=1 AND t.v%2=1 THEN t.ll END) AS d
+         |        FROM hb1 t JOIN simg s ON s.k = t.k
+         |        WHERE t.u < 2*((s.w//2)//2) AND t.v < 2*((s.h//2)//2)
+         |        GROUP BY 1, 2, 3),
+         |hb2 AS (SELECT k, (a+b+c+d)//4 AS ll,
+         |          ABS((a+c)-(b+d)) AS ph, ABS((a+b)-(c+d)) AS pv,
+         |          ABS(a-b-c+d) AS pd
+         |        FROM ha2),
+         |hl2 AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_ll2,
+         |          CAST(SUM(ph) AS BIGINT) AS h2_abs,
+         |          CAST(SUM(pv) AS BIGINT) AS v2_abs,
+         |          CAST(SUM(pd) AS BIGINT) AS d2_abs,
+         |          CAST(SUM(ll) AS BIGINT) AS ll2_sum
+         |        FROM hb2 GROUP BY 1)
+         |SELECT s.image_id, l2.n_ll2, l1.h1_abs, l1.v1_abs, l1.d1_abs,
+         |  l2.h2_abs, l2.v2_abs, l2.d2_abs, l2.ll2_sum
+         |FROM hl1 l1 JOIN hl2 l2 ON l2.k = l1.k
+         |JOIN simg s ON s.k = l1.k
+         |ORDER BY s.image_id""".stripMargin,
+
+    // CLIP-score ground truth: bq re-derives the quantized block-mean
+    // embedding (PhashCte); caption buckets via md5-hex-digit hashing;
+    // keep = score·n ≥ Σscores (division-free corpus-mean test)
+    "q_clipscore" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte, $PhashCte,
+         |ctk0 AS (SELECT k, unnest(string_split(caption, ' ')) AS tok
+         |        FROM simg),
+         |ctk AS (SELECT k, md5(tok) AS hm FROM ctk0),
+         |ctb AS (SELECT k,
+         |          CAST((${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)}) % 64 AS BIGINT) AS bi,
+         |          CAST(COUNT(*) AS BIGINT) AS cnt
+         |        FROM ctk GROUP BY 1, 2),
+         |cdot AS (SELECT q.k,
+         |          COALESCE(SUM(q.mq * c.cnt), 0) AS score
+         |        FROM bq q LEFT JOIN ctb c ON c.k = q.k
+         |          AND c.bi = q.byi*8 + q.bxi
+         |        GROUP BY 1),
+         |ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |          CAST(SUM(score) AS BIGINT) AS ts FROM cdot)
+         |SELECT s.image_id, CAST(d.score AS BIGINT) AS score,
+         |  CAST(CASE WHEN d.score * t.n >= t.ts THEN 1 ELSE 0 END
+         |    AS BIGINT) AS keep
+         |FROM cdot d JOIN simg s ON s.k = d.k CROSS JOIN ctot t
+         |ORDER BY s.image_id""".stripMargin,
+
+    // rasterize ground truth: bbox cells via generate_series (integer
+    // floor-div bounds), center-in-L-ring via the exact 2-rect
+    // decomposition (same half-open edges the zonal oracle pins),
+    // MAX(fid) overlay, per-fid census
+    "q_rasterize" ->
+      s"""WITH $P,
+         |rlc AS (SELECT *, px0m + pwm//2 AS cutx, py0m + phm//2 AS cuty
+         |        FROM poly2),
+         |rcx AS (SELECT fid,
+         |          unnest(generate_series(px0m//1000 - 1,
+         |            px1m//1000 + 1)) AS cx
+         |        FROM rlc),
+         |rcl AS (SELECT c.fid, c.cx,
+         |          unnest(generate_series(l.py0m//1000 - 1,
+         |            l.py1m//1000 + 1)) AS cy
+         |        FROM rcx c JOIN rlc l ON l.fid = c.fid),
+         |rin AS (SELECT z.fid, z.cx, z.cy
+         |        FROM rcl z JOIN rlc p ON p.fid = z.fid
+         |        WHERE (z.cx*1000+500 >= p.px0m AND z.cx*1000+500 < p.px1m
+         |           AND z.cy*1000+500 >= p.py0m AND z.cy*1000+500 < p.cuty)
+         |           OR (z.cx*1000+500 >= p.px0m AND z.cx*1000+500 < p.cutx
+         |           AND z.cy*1000+500 >= p.cuty
+         |           AND z.cy*1000+500 < p.py1m)),
+         |rwin AS (SELECT cx, cy, MAX(fid) AS fid FROM rin GROUP BY 1, 2)
+         |SELECT fid, CAST(COUNT(*) AS BIGINT) AS n_owned,
+         |  CAST(SUM(cx) AS BIGINT) AS cx_sum,
+         |  CAST(SUM(cy) AS BIGINT) AS cy_sum
+         |FROM rwin GROUP BY fid ORDER BY fid""".stripMargin,
+
+    // ε-filter ground truth: 9-offset self-join with the |Δz| ≤ t
+    // range gate; center always joins itself so COUNT ≥ 1
+    "q_epsilon_filter" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |eo(dx, dy) AS (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(0,0),
+         |  (1,0),(-1,1),(0,1),(1,1)),
+         |ef AS (SELECT c.k, c.x, c.y, c.z,
+         |         SUM(n.z) AS s, COUNT(*) AS cnt
+         |       FROM demp c JOIN eo o ON TRUE
+         |       JOIN demp n ON n.k = c.k AND n.x = c.x + o.dx
+         |         AND n.y = c.y + o.dy
+         |       WHERE ABS(n.z - c.z) <= 200
+         |       GROUP BY 1, 2, 3, 4),
+         |ego AS (SELECT k, x, y, z, s//cnt AS o FROM ef)
+         |SELECT s.image_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+         |  CAST(SUM(o) AS BIGINT) AS out_sum,
+         |  CAST(SUM(CASE WHEN o <> z THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS changed,
+         |  CAST(MAX(ABS(o - z)) AS BIGINT) AS max_dev
+         |FROM ego g JOIN simg s ON s.k = g.k
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bigram-DF coverage ground truth: same list_transform bigram
+    // builder as q_ngrams, DF via COUNT(DISTINCT doc_id), floor-div
+    // quantized coverage
+    "q_lm_coverage" ->
+      s"""WITH $TokCte,
+         |lmg AS (SELECT doc_id, unnest(CASE WHEN len(ts) >= 2 THEN
+         |          list_transform(generate_series(1,
+         |            CAST(len(ts)-1 AS INT)),
+         |            i -> ts[i] ${Pipe}${Pipe} ' ' ${Pipe}${Pipe} ts[i+1])
+         |        ELSE CAST([] AS VARCHAR[]) END) AS gram FROM tok),
+         |lmd AS (SELECT gram, COUNT(DISTINCT doc_id) AS df
+         |        FROM lmg GROUP BY 1),
+         |lmj AS (SELECT g.doc_id,
+         |          CASE WHEN d.df >= 2 THEN 1 ELSE 0 END AS att
+         |        FROM lmg g JOIN lmd d ON d.gram = g.gram)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(att) AS BIGINT) AS n_attested,
+         |  CAST((SUM(att) * 1048576) // COUNT(*) AS BIGINT) AS cov_q
+         |FROM lmj GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // tile near-dup ground truth: per-patch first-valid value via
+    // struct MIN on the local index, brightness-cancelled signature
+    // swl − v0·sl, corpus-wide group census
+    "q_tile_neardup" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte,
+         |tnp AS (SELECT k, x//16 AS tpx, y//16 AS tpy,
+         |          MIN(struct_pack(li := (y%16)*16 + (x%16), v := v))
+         |            AS f,
+         |          SUM(v*((y%16)*16 + (x%16))) AS swl,
+         |          SUM((y%16)*16 + (x%16)) AS sl,
+         |          COUNT(*) AS n
+         |        FROM px WHERE b = 0 GROUP BY 1, 2, 3),
+         |tns AS (SELECT k, CAST(n AS BIGINT) AS n_valid,
+         |          CAST(swl - (f).v * sl AS BIGINT) AS sig FROM tnp)
+         |SELECT n_valid, sig, CAST(COUNT(*) AS BIGINT) AS n_tiles,
+         |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_imgs
+         |FROM tns GROUP BY 1, 2 HAVING COUNT(DISTINCT k) >= 2
+         |ORDER BY 1, 2""".stripMargin,
+
+    // recall@10 ground truth: the two existing ANN oracles embedded
+    // verbatim as CTE bodies, joined on (qid, vec_id)
+    "q_ann_recall" ->
+      s"""WITH abr AS ($CosineTopkOracleSql),
+         |aiv AS ($IvfOracleSql)
+         |SELECT abr.qid, CAST(COUNT(*) AS BIGINT) AS k,
+         |  CAST(COUNT(aiv.vec_id) AS BIGINT) AS n_common,
+         |  CAST((COUNT(aiv.vec_id) * 1048576) // COUNT(*) AS BIGINT)
+         |    AS recall_q
+         |FROM abr LEFT JOIN aiv ON aiv.qid = abr.qid
+         |  AND aiv.vec_id = abr.vec_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bounded-hop SSSP ground truth: brute proximity pairs (strict
+    // padded-rect overlap, the pagerank edge fixture) + centroid-
+    // Manhattan weights + self-loops, relaxed 6 recursive rounds
+    "q_sssp" ->
+      s"""WITH RECURSIVE $I,
+         |sg0 AS (SELECT a.k AS ka, b.k AS kb,
+         |          ABS((a.x0m+a.x1m) - (b.x0m+b.x1m))
+         |            + ABS((a.y0m+a.y1m) - (b.y0m+b.y1m)) AS w
+         |        FROM img2 a JOIN img2 b ON b.k > a.k
+         |          AND a.x0m - 3000 < b.x1m + 3000
+         |          AND b.x0m - 3000 < a.x1m + 3000
+         |          AND a.y0m - 3000 < b.y1m + 3000
+         |          AND b.y0m - 3000 < a.y1m + 3000),
+         |sge AS (SELECT ka AS src, kb AS dst, w FROM sg0
+         |        UNION ALL SELECT kb, ka, w FROM sg0
+         |        UNION ALL SELECT k, k, CAST(0 AS BIGINT) FROM img2),
+         |sgf(v, dist, it) AS (
+         |  SELECT k, CAST(0 AS BIGINT), 0 FROM img2 WHERE k % 31 = 0
+         |  UNION ALL
+         |  SELECT u.v, u.dist, u.it + 1 FROM (
+         |    SELECT e.dst AS v, MIN(t.dist + e.w) AS dist,
+         |      MAX(t.it) AS it
+         |    FROM sgf t JOIN sge e ON e.src = t.v
+         |    GROUP BY 1) u
+         |  WHERE u.it < 6)
+         |SELECT v, CAST(dist AS BIGINT) AS dist FROM sgf
+         |WHERE it = 6 ORDER BY v""".stripMargin
   )
+
+  /** SQL mirror of [[synthBoxes]]: CTEs `${name}0`, `${name}1`,
+    * `$name`(k, image_id, box_id, x1, y1, x2, y2, score). */
+  private def boxCteSql(name: String, n: Int, salt: String): String =
+    s"""${name}0 AS (SELECT k, image_id, CAST(sl.i AS BIGINT) AS box_id,
+       |    md5(image_id ${Pipe}${Pipe} ':$salt' ${Pipe}${Pipe}
+       |        CAST(sl.i AS VARCHAR)) AS hm
+       |  FROM img2 CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${n - 1})) AS i) sl
+       |  WHERE k < 400),
+       |${name}1 AS (SELECT k, image_id, box_id,
+       |    CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+       |      + ${hx("hm", 3)} AS BIGINT) AS x1,
+       |    CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+       |      + ${hx("hm", 6)} AS BIGINT) AS y1,
+       |    CAST(256 + ${hx("hm", 7)}*256 + ${hx("hm", 8)}*16
+       |      + ${hx("hm", 9)} AS BIGINT) AS bw,
+       |    CAST(256 + ${hx("hm", 10)}*256 + ${hx("hm", 11)}*16
+       |      + ${hx("hm", 12)} AS BIGINT) AS bh,
+       |    CAST(${hx("hm", 13)}*256 + ${hx("hm", 14)}*16
+       |      + ${hx("hm", 15)} AS BIGINT) AS score
+       |  FROM ${name}0),
+       |$name AS (SELECT k, image_id, box_id, x1, y1, x1+bw AS x2,
+       |    y1+bh AS y2, score FROM ${name}1)""".stripMargin
+
+  private def nmsOracleSql: String =
+    s"""WITH RECURSIVE $I,
+       |${boxCteSql("nbx", 12, "")},
+       |nrk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY k
+       |          ORDER BY score DESC, box_id) - 1 AS BIGINT) AS rk
+       |        FROM nbx),
+       |npr AS (SELECT a.k, a.rk AS ra, b.rk AS rb,
+       |          GREATEST(0, LEAST(a.x2, b.x2) - GREATEST(a.x1, b.x1)) *
+       |          GREATEST(0, LEAST(a.y2, b.y2) - GREATEST(a.y1, b.y1))
+       |            AS inter,
+       |          (a.x2-a.x1)*(a.y2-a.y1) + (b.x2-b.x1)*(b.y2-b.y1) AS ar2
+       |        FROM nrk a JOIN nrk b ON b.k = a.k AND b.rk > a.rk),
+       |nsup AS (SELECT k, ra AS rk,
+       |          SUM(CASE WHEN 2*inter > ar2 - inter
+       |              THEN (CAST(1 AS BIGINT) << CAST(rb AS INT))
+       |              ELSE 0 END) AS sm
+       |        FROM npr GROUP BY 1, 2),
+       |nst(k, r, kept, acc) AS (
+       |  SELECT k, CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+       |    CAST(0 AS BIGINT)
+       |  FROM (SELECT DISTINCT k FROM nrk)
+       |  UNION ALL
+       |  SELECT s.k, s.r + 1,
+       |    CASE WHEN ((s.acc >> CAST(s.r + 1 AS INT)) & 1) = 0
+       |         THEN s.kept ${Pipe} (CAST(1 AS BIGINT)
+       |                              << CAST(s.r + 1 AS INT))
+       |         ELSE s.kept END,
+       |    CASE WHEN ((s.acc >> CAST(s.r + 1 AS INT)) & 1) = 0
+       |         THEN s.acc ${Pipe} COALESCE(p.sm, 0) ELSE s.acc END
+       |  FROM nst s JOIN nrk r2 ON r2.k = s.k AND r2.rk = s.r + 1
+       |  LEFT JOIN nsup p ON p.k = s.k AND p.rk = s.r + 1
+       |  WHERE s.r < 11)
+       |SELECT b.image_id, b.box_id, b.x1, b.y1, b.x2, b.y2, b.score
+       |FROM nst f JOIN nrk b ON b.k = f.k
+       |  AND ((f.kept >> CAST(b.rk AS INT)) & 1) = 1
+       |WHERE f.r = 11
+       |ORDER BY 1, 2""".stripMargin
+
+  private def boxMatchOracleSql: String =
+    s"""WITH RECURSIVE $I,
+       |${boxCteSql("mpd", 12, "")},
+       |${boxCteSql("mgt", 6, "g")},
+       |mpp AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY k
+       |          ORDER BY score DESC, box_id) - 1 AS BIGINT) AS prk
+       |        FROM mpd),
+       |mgg AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY k
+       |          ORDER BY box_id) - 1 AS BIGINT) AS grk
+       |        FROM mgt),
+       |mpq AS (SELECT p.k, p.prk, g.grk,
+       |          GREATEST(0, LEAST(p.x2, g.x2) - GREATEST(p.x1, g.x1)) *
+       |          GREATEST(0, LEAST(p.y2, g.y2) - GREATEST(p.y1, g.y1))
+       |            AS inter,
+       |          (p.x2-p.x1)*(p.y2-p.y1) + (g.x2-g.x1)*(g.y2-g.y1) AS ar2
+       |        FROM mpp p JOIN mgg g ON g.k = p.k),
+       |mpq2 AS (SELECT k, prk, grk,
+       |          CASE WHEN ar2 - inter <= 0 THEN 0
+       |               ELSE (inter * 1048576) // (ar2 - inter) END AS q
+       |        FROM mpq),
+       |mst(k, p, used, tp, qsum) AS (
+       |  SELECT k, CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM (SELECT DISTINCT k FROM mpp)
+       |  UNION ALL
+       |  SELECT u.k, u.p,
+       |    CASE WHEN u.best IS NULL THEN u.used
+       |         ELSE u.used ${Pipe} (CAST(1 AS BIGINT)
+       |                              << CAST(-((u.best).g) AS INT)) END,
+       |    CASE WHEN u.best IS NULL THEN u.tp ELSE u.tp + 1 END,
+       |    CASE WHEN u.best IS NULL THEN u.qsum
+       |         ELSE u.qsum + (u.best).q END
+       |  FROM (
+       |    SELECT s.k, s.p + 1 AS p, s.used, s.tp, s.qsum,
+       |      MAX(CASE WHEN c.q IS NOT NULL
+       |          THEN struct_pack(q := c.q, g := -c.grk) END) AS best
+       |    FROM mst s
+       |    JOIN mpp r ON r.k = s.k AND r.prk = s.p + 1
+       |    LEFT JOIN mpq2 c ON c.k = s.k AND c.prk = s.p + 1
+       |      AND c.q > 524288
+       |      AND ((s.used >> CAST(c.grk AS INT)) & 1) = 0
+       |    WHERE s.p < 11
+       |    GROUP BY 1, 2, 3, 4, 5
+       |  ) u)
+       |SELECT b.image_id, CAST(12 AS BIGINT) AS n_pred, f.tp,
+       |  CAST(12 - f.tp AS BIGINT) AS fp, CAST(6 - f.tp AS BIGINT) AS fn,
+       |  f.qsum AS qiou_sum
+       |FROM mst f JOIN (SELECT DISTINCT k, image_id FROM mpp) b
+       |  ON b.k = f.k
+       |WHERE f.p = 11
+       |ORDER BY 1""".stripMargin
 
   private val SimgCte =
     """simg AS (SELECT * FROM img2
       |  WHERE w <= 64 AND h <= 64 AND k % 6 IN (1, 2))""".stripMargin
+
+  /** Brute-force cosine top-10 ground truth — shared verbatim by
+    * q_ann_cosine_topk and (as the truth side) q_ann_recall. */
+  private val CosineTopkOracleSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 3),
+      |c AS (SELECT q.qid, e.vec_id,
+      |        list_dot_product(q.qe, e.embedding::DOUBLE[]) /
+      |        (sqrt(list_dot_product(q.qe, q.qe)) *
+      |         sqrt(list_dot_product(e.embedding::DOUBLE[],
+      |                               e.embedding::DOUBLE[]))) AS sim
+      |      FROM q, embeddings e WHERE e.vec_id != q.qid),
+      |r AS (SELECT qid, vec_id,
+      |        ROW_NUMBER() OVER (PARTITION BY qid
+      |          ORDER BY sim DESC, vec_id) AS rank FROM c)
+      |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id FROM r
+      |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   /** IVF ANN ground truth — shared verbatim by q_ann_ivf_topk (direct
     * path) and q_ann_index (persisted-index probe): the index is a

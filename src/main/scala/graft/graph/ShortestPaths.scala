@@ -1,0 +1,40 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-hop single/multi-source shortest paths (Bellman-Ford with
+  * a fixed round budget) — the isochrone / network-reach primitive
+  * over the footprint proximity graph (same edge fixture as
+  * [[PageRank]] and the triangle census).
+  *
+  * Semantics after R rounds: dist(v) = the exact minimum path weight
+  * from any source to v over paths of AT MOST R edges (a bounded-hop
+  * isochrone — the natural contract for a fixed-round distributed
+  * relax, and exactly replayable by a bounded recursive CTE).
+  * Unreached vertices carry no row.
+  *
+  * Scale posture: per round ONE edge⋈dist equi-join plus one
+  * map-side-combined MIN aggregate on the destination key — the CC /
+  * PageRank shape. No global structure, no windows; the frontier
+  * never re-materializes the full graph. localCheckpoint per round
+  * truncates the plan (round count is a fixed small budget, so the
+  * lineage is bounded anyway). */
+object ShortestPaths {
+
+  /** edges(src, dst, w) must already be DIRECTED (emit both
+    * directions for an undirected graph); sources(v). */
+  def boundedSssp(edges: DataFrame, sources: DataFrame,
+                  rounds: Int): DataFrame = {
+    var dist = sources.select(col("v"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      dist = dist.join(edges, col("v") === col("src"))
+        .select(col("dst").as("v"), (col("dist") + col("w")).as("nd"))
+        .unionAll(dist.select(col("v"), col("dist").as("nd")))
+        .groupBy("v").agg(min("nd").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+}

@@ -67,6 +67,46 @@ object Augment {
     * transformer's embedding layer consumes. Checksums weight by the
     * patch-LOCAL index so the oracle verifies each pixel's position
     * inside its patch. */
+  /** Brightness-invariant per-patch signature for cross-image tile
+    * near-dup detection (shared logos / watermarks / boilerplate
+    * crops under exposure shift): over each ps×ps patch, with v0 =
+    * the FIRST valid cell in local scan order (li = ly·ps + lx),
+    * sig = Σ (v − v0)·li over valid cells — identical for two patches
+    * that differ only by a constant brightness offset. Returns
+    * (px, py, n_valid, sig) per patch; all-nodata patches carry
+    * sig = 0. Exact integers for exact-codec payloads. */
+  def patchSig(p: Array[Double], w: Int, h: Int,
+               ps: Int): Seq[(Int, Int, Long, Long)] = {
+    require(p.length == w * h, s"plane ${p.length} != ${w}x$h")
+    val npx = (w + ps - 1) / ps
+    val npy = (h + ps - 1) / ps
+    for {
+      py <- 0 until npy
+      px <- 0 until npx
+    } yield {
+      val x0 = px * ps; val y0 = py * ps
+      val cw = math.min(ps, w - x0); val ch = math.min(ps, h - y0)
+      var n = 0L; var swl = 0L; var sl = 0L
+      var v0 = 0L; var have = false
+      var ly = 0
+      while (ly < ch) {
+        var lx = 0
+        while (lx < cw) {
+          val v = p((y0 + ly) * w + x0 + lx)
+          if (!v.isNaN) {
+            val li = ly * ps + lx
+            val vl = math.floor(v).toLong
+            if (!have) { v0 = vl; have = true }
+            n += 1; swl += vl * li; sl += li
+          }
+          lx += 1
+        }
+        ly += 1
+      }
+      (px, py, n, if (have) swl - v0 * sl else 0L)
+    }
+  }
+
   def patchify(p: Array[Double], w: Int, h: Int,
                ps: Int): Seq[(Int, Int, Long, Long)] = {
     require(p.length == w * h, s"plane ${p.length} != ${w}x$h")

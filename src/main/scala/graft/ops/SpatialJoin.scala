@@ -987,4 +987,50 @@ object SpatialJoin {
       .select(col("k"), coalesce(col("role"), lit(0L)).as("role"),
         coalesce(col("cluster"), lit(-1L)).as("cluster"))
   }
+
+  /** Vector→raster polygon burn (the inverse of blob polygonize; GDAL
+    * `RasterizeLayer` parity, reference vector surface
+    * `/root/reference/GIP/GeoVectorResource.cpp`): each feature
+    * enumerates ONLY its own bbox cells at `cellM` resolution, keeps
+    * cells whose CENTER ray-casts inside the WKT ring
+    * (Geom.pointInPolygon — same half-open edge behavior the zonal
+    * gates pin), and overlapping features resolve last-writer-wins by
+    * MAX(fid) (deterministic overlay order). Returns the per-feature
+    * owned-cell census (n_owned, Σcx, Σcy).
+    *
+    * Scale posture: work per feature is bounded by its area/cellM² (no
+    * cross join, no global grid materialization); the two shuffles key
+    * on cell then fid — both bounded. A continent-sized feature would
+    * be pre-split by bbox tiling before the explode; the synth layer's
+    * features are city-sized. */
+  def rasterizeBurn(polys: DataFrame, cellM: Long = 1000L): DataFrame = {
+    val cellsU = udf((wkt: String) => {
+      val (rx, ry) = Geom.parsePolygonWkt(wkt)
+      // conservative integer-meter bbox (float round-trip can only
+      // widen it by 1 m; the PIP test decides the boundary cells)
+      val x0 = math.floor(rx.min * 1000).toLong
+      val x1 = math.ceil(rx.max * 1000).toLong
+      val y0 = math.floor(ry.min * 1000).toLong
+      val y1 = math.ceil(ry.max * 1000).toLong
+      val half = cellM / 2
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+      var cy = Math.floorDiv(y0, cellM)
+      while (cy <= Math.floorDiv(y1, cellM)) {
+        var cx = Math.floorDiv(x0, cellM)
+        while (cx <= Math.floorDiv(x1, cellM)) {
+          if (Geom.pointInPolygon((cx * cellM + half) / 1000.0,
+            (cy * cellM + half) / 1000.0, rx, ry)) out += ((cx, cy))
+          cx += 1
+        }
+        cy += 1
+      }
+      out.toSeq
+    })
+    polys.select(col("fid"), explode(cellsU(col("geom_wkt"))).as("c"))
+      .select(col("fid"), col("c._1").as("cx"), col("c._2").as("cy"))
+      .groupBy("cx", "cy").agg(max("fid").as("fid"))
+      .groupBy("fid")
+      .agg(count(lit(1)).as("n_owned"), sum("cx").as("cx_sum"),
+        sum("cy").as("cy_sum"))
+  }
 }

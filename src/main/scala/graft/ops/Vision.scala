@@ -1027,4 +1027,99 @@ object Vision {
     val (_, s1, _) = lapStats(g1, w1, h1, g2, w2, h2)
     (n0, s0, m0, s1, g2.sum)
   })
+
+  /** Two-level 2D Haar (integer S-transform) subband decomposition:
+    * each 2×2 block (a b / c d) yields LL = ⌊(a+b+c+d)/4⌋ and the
+    * UNNORMALIZED oriented details HL = (a+c)−(b+d) (vertical-edge
+    * energy), LH = (a+b)−(c+d) (horizontal-edge), HH = a−b−c+d
+    * (diagonal); level 2 repeats on the LL plane. Odd trailing
+    * row/column is dropped (as the Laplacian pyramid reduce does).
+    * Unlike [[lapPyramidAgg]]'s isotropic residual, this splits detail
+    * energy by ORIENTATION — the JPEG2000-style texture descriptor.
+    * Returns (n_ll2, h1, v1, d1, h2, v2, d2, ll2_sum): per-level
+    * absolute subband sums over exact integers.
+    *
+    * Scale posture: one decode per image, per-image O(w·h) kernel, no
+    * shuffle beyond the image-key aggregate that consumes it. */
+  val haarAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    haarStats(z.map(_.toLong), w, h)
+  })
+
+  /** Edge-preserving ε-filter (threshold bilateral with box spatial
+    * support — Harashima et al.'s ε-separating nonlinear filter): each
+    * output pixel is ⌊mean of the in-bounds 3×3 neighbors whose value
+    * differs from the center by ≤ t⌋; the center always participates,
+    * so the count is ≥ 1. Smooths sensor noise WITHOUT blurring edges
+    * (a neighbor across an edge exceeds t and is excluded) — the
+    * integer-exact counterpart of a bilateral filter with a hard range
+    * kernel. Returns (n_px, Σout, #changed, max |out−z|). One decode,
+    * per-image O(9·w·h), no shuffle beyond the image-key aggregate. */
+  val epsilonFilterAgg = udf((bytes: Array[Byte], w: Int, h: Int,
+                              t: Long) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    var outSum = 0L; var changed = 0L; var dev = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val c = z(y * w + x).toLong
+        var s = 0L; var n = 0L
+        var dy = -1
+        while (dy <= 1) {
+          val ny = y + dy
+          if (ny >= 0 && ny < h) {
+            var dx = -1
+            while (dx <= 1) {
+              val nx = x + dx
+              if (nx >= 0 && nx < w) {
+                val v = z(ny * w + nx).toLong
+                if (math.abs(v - c) <= t) { s += v; n += 1 }
+              }
+              dx += 1
+            }
+          }
+          dy += 1
+        }
+        val o = s / n // z ≥ 0 on the DEM fixture, so / is floor
+        outSum += o
+        if (o != c) changed += 1
+        if (math.abs(o - c) > dev) dev = math.abs(o - c)
+        x += 1
+      }
+      y += 1
+    }
+    (w.toLong * h, outSum, changed, dev)
+  })
+
+  /** Pure two-level Haar kernel (see [[haarAgg]]). */
+  def haarStats(g0: Array[Long], w: Int, h: Int)
+  : (Long, Long, Long, Long, Long, Long, Long, Long) = {
+    def level(g: Array[Long], gw: Int, gh: Int)
+    : (Array[Long], Int, Int, Long, Long, Long) = {
+      val dw = gw / 2; val dh = gh / 2
+      val ll = new Array[Long](dw * dh)
+      var sh = 0L; var sv = 0L; var sd = 0L
+      var v = 0
+      while (v < dh) {
+        var u = 0
+        while (u < dw) {
+          val a = g(2 * v * gw + 2 * u)
+          val b = g(2 * v * gw + 2 * u + 1)
+          val c = g((2 * v + 1) * gw + 2 * u)
+          val d = g((2 * v + 1) * gw + 2 * u + 1)
+          ll(v * dw + u) = (a + b + c + d) / 4
+          sh += math.abs((a + c) - (b + d))
+          sv += math.abs((a + b) - (c + d))
+          sd += math.abs(a - b - c + d)
+          u += 1
+        }
+        v += 1
+      }
+      (ll, dw, dh, sh, sv, sd)
+    }
+    val (g1, w1, h1, sh1, sv1, sd1) = level(g0, w, h)
+    val (g2, _, _, sh2, sv2, sd2) = level(g1, w1, h1)
+    (g2.length.toLong, sh1, sv1, sd1, sh2, sv2, sd2, g2.sum)
+  }
 }

@@ -1157,6 +1157,37 @@ object TextOps {
       .where(col("dist") <= k)
       .select("id_a", "id_b", "dist")
   }
+
+  /** Bigram document-frequency coverage — the division-free n-gram-LM
+    * quality proxy (KenLM-style perplexity filtering replaced by its
+    * integer skeleton): a document scores by how many of its bigrams
+    * are ATTESTED, i.e. appear in ≥ `minDf` distinct corpus documents.
+    * Low coverage flags gibberish/boilerplate-mangled text the way a
+    * high LM perplexity would, but stays exact (no log-probs).
+    * Returns (doc_id, n_bigrams, n_attested, cov_q = ⌊2²⁰·att/total⌋);
+    * documents with fewer than 2 tokens carry no bigrams and are
+    * dropped (nothing to score).
+    *
+    * Scale posture: one gram-keyed aggregate for the DF table, one
+    * gram join back, one doc-keyed aggregate — all bounded keys, no
+    * windows. At 10¹² docs the DF table would be a CMS/Bloom
+    * prefilter; the exact join keeps the gate value-exact. */
+  def lmCoverage(docs: DataFrame, minDf: Long = 2L): DataFrame = {
+    val grams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array())
+    val bi = docs.select(col("doc_id"), explode(grams).as("gram"))
+    val dfT = bi.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    bi.join(dfT, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_attested"))
+      .withColumn("cov_q",
+        graft.ops.Tiling.idiv(col("n_attested") * 1048576L,
+          col("n_bigrams")))
+  }
 }
 
 /** KMV (k-minimum-values) distinct sketch (Bar-Yossef et al. 2002):

@@ -589,4 +589,54 @@ object VectorOps {
     asg.join(dupIds, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"))
   }
+
+  /** Image↔caption alignment score + corpus-mean keep flag — the
+    * CLIP-score-shaped filter of web-scale image curation (LAION-style
+    * pipelines drop rows whose image/text embeddings disagree; here
+    * both embeddings are the engine's own deterministic features, so
+    * the filter is oracle-exact end to end).
+    *
+    * Image side: the 64-d 2⁻²⁰-quantized block-mean embedding
+    * (`Codec.blockMeanEmbedding`, the q_img_embedding vector). Caption
+    * side: a 64-bucket hashed bag-of-words (md5 first-3-hex-digits mod
+    * 64 per token — the Cms.hexVal derivation). Score = integer dot
+    * product; keep = score ≥ corpus mean, tested as
+    * `score·n ≥ Σscores` so no division happens.
+    *
+    * Scale posture: the score is a per-row map (decode + tokenize, no
+    * join — the caption rides in the same row as the pixels); the
+    * threshold is one scalar aggregate broadcast back as a literal
+    * cross join — two passes over the corpus, zero sorts, zero
+    * per-key windows. At 10¹² rows the mean could equally be a
+    * sampled quantile; the mean keeps the gate value-exact. */
+  def clipScores(images: DataFrame): DataFrame = {
+    import graft.core.Codec
+    val embU = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+      val p = Codec.decode(bytes, w, h,
+        Codec.bandsStored(fmt, graft.gen.Synth.NumBands), fmt)(0)
+      Codec.blockMeanEmbedding(p, w, h)
+        .map(m => math.floor(m * 1048576.0).toLong)
+    })
+    import graft.sketch.Cms.hexVal
+    val tokHash = md5(col("tok"))
+    val capBuckets = images
+      .select(col("image_id"),
+        explode(split(col("caption"), " ")).as("tok"))
+      .withColumn("bi", (hexVal(tokHash, 1) * 256 + hexVal(tokHash, 2) * 16
+        + hexVal(tokHash, 3)).cast("long") % 64)
+      .groupBy("image_id", "bi").agg(count(lit(1)).as("cnt"))
+    val scores = images
+      .select(col("image_id"),
+        posexplode(embU(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt"))).as(Seq("bi", "mq")))
+      .select(col("image_id"), col("bi").cast("long").as("bi"), col("mq"))
+      .join(capBuckets, Seq("image_id", "bi"), "left")
+      .groupBy("image_id")
+      .agg(coalesce(sum(col("mq") * col("cnt")), lit(0L)).as("score"))
+    val tot = scores.agg(count(lit(1)).as("n"), sum("score").as("ts"))
+    scores.crossJoin(broadcast(tot))
+      .select(col("image_id"), col("score"),
+        when(col("score") * col("n") >= col("ts"), 1L).otherwise(0L)
+          .as("keep"))
+  }
 }
