@@ -3180,6 +3180,19 @@ object SparkEntry {
         .orderBy("image_id")
     }),
 
+    // multi-object IoU tracklet linking over 4-frame video sequences
+    // (IoU-tracker association, mutual-best rule): consecutive-frame
+    // detections link iff quantized IoU > 0.5 and each is the other's
+    // argmax; every detection is labeled with its track origin.
+    // Fully relational — one frame→frame+1 self-join + two windows +
+    // a 3-step pointer walk, all keyed on the video id.
+    "q_track_iou" -> ((s, dir) =>
+      graft.ops.Boxes.iouTracks(
+          synthTrackDets(s, dir).withColumnRenamed("image_id", "vid"),
+          maxFrame = 4)
+        .withColumnRenamed("vid", "image_id")
+        .orderBy("image_id", "f", "box_id")),
+
     // two-level integer Haar (S-transform) subband energies: oriented
     // H/V/D detail split per level — the frequency-domain texture
     // counterpart of q_lap_pyramid's isotropic residual
@@ -3318,6 +3331,39 @@ object SparkEntry {
         + hv(12))
       .withColumn("score", hv(13) * 256 + hv(14) * 16 + hv(15))
       .select("image_id", "box_id", "x1", "y1", "x2", "y2", "score")
+  }
+
+  /** Deterministic tracked-object detection fixture: 6 objects per
+    * video (k < 300), each a ≥512-px box with per-frame drift
+    * |dx|,|dy| ≤ 30 (so consecutive-frame IoU of the SAME object is
+    * ≈0.9, well over the τ=0.5 link threshold) visible over frames
+    * fb..fe ⊂ [0,3] (births and deaths mid-sequence). Mirrored
+    * verbatim by the trkCteSql oracle. */
+  private def synthTrackDets(s: SparkSession, dir: String): DataFrame = {
+    import graft.sketch.Cms.hexVal
+    val hm = md5(concat(col("image_id"), lit(":trk"),
+      col("o").cast("string")))
+    def hv(p: Int) = hexVal(hm, p).cast("long")
+    Synth.images(s, dir).where(col("k") < 300)
+      .select(col("image_id"),
+        explode(sequence(lit(0), lit(5))).as("o"))
+      .withColumn("x0", hv(1) * 256 + hv(2) * 16 + hv(3))
+      .withColumn("y0", hv(4) * 256 + hv(5) * 16 + hv(6))
+      .withColumn("bw", lit(512L) + hv(7) * 16 + hv(8))
+      .withColumn("bh", lit(512L) + hv(9) * 16 + hv(10))
+      .withColumn("dx", hv(11) * 4 - 30)
+      .withColumn("dy", hv(12) * 4 - 30)
+      .withColumn("fb", hv(13) % 2)
+      .withColumn("fe", lit(2L) + hv(14) % 2)
+      .withColumn("f", explode(sequence(col("fb").cast("int"),
+        col("fe").cast("int"))))
+      .withColumn("f", col("f").cast("long"))
+      .withColumn("box_id", col("o").cast("long"))
+      .withColumn("x1", col("x0") + col("f") * col("dx"))
+      .withColumn("y1", col("y0") + col("f") * col("dy"))
+      .withColumn("x2", col("x1") + col("bw"))
+      .withColumn("y2", col("y1") + col("bh"))
+      .select("image_id", "f", "box_id", "x1", "y1", "x2", "y2")
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -9324,6 +9370,11 @@ object SparkEntry {
     // bitmask carried through the 12-step recursive walk
     "q_box_match" -> boxMatchOracleSql,
 
+    // IoU-tracker ground truth: the same fixture arithmetic, mutual
+    // argmax via two ROW_NUMBER windows on quantized IoU, then the
+    // 3-step origin pointer walk as chained LEFT JOINs
+    "q_track_iou" -> trackOracleSql,
+
     // Haar ground truth: 2×2 parity pivot per level — a/b/c/d via
     // CASE on (x%2, y%2), LL = floor-mean, oriented detail sums
     "q_haar" ->
@@ -9638,6 +9689,69 @@ object SparkEntry {
        |  ON b.k = f.k
        |WHERE f.p = 11
        |ORDER BY 1""".stripMargin
+
+  /** IoU-tracker ground truth: mirrors [[synthTrackDets]] (object
+    * motion fixture) then mutual-argmax linking + 3-step origin walk. */
+  private def trackOracleSql: String =
+    s"""WITH $I,
+       |trk0 AS (SELECT k, image_id, CAST(sl.o AS BIGINT) AS o,
+       |    md5(image_id ${Pipe}${Pipe} ':trk' ${Pipe}${Pipe}
+       |        CAST(sl.o AS VARCHAR)) AS hm
+       |  FROM img2 CROSS JOIN
+       |    (SELECT unnest(generate_series(0, 5)) AS o) sl
+       |  WHERE k < 300),
+       |trk1 AS (SELECT k, image_id, o AS box_id,
+       |    CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+       |      + ${hx("hm", 3)} AS BIGINT) AS x0,
+       |    CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+       |      + ${hx("hm", 6)} AS BIGINT) AS y0,
+       |    CAST(512 + ${hx("hm", 7)}*16 + ${hx("hm", 8)} AS BIGINT) AS bw,
+       |    CAST(512 + ${hx("hm", 9)}*16 + ${hx("hm", 10)} AS BIGINT) AS bh,
+       |    CAST(${hx("hm", 11)}*4 - 30 AS BIGINT) AS dx,
+       |    CAST(${hx("hm", 12)}*4 - 30 AS BIGINT) AS dy,
+       |    CAST(${hx("hm", 13)} % 2 AS BIGINT) AS fb,
+       |    CAST(2 + ${hx("hm", 14)} % 2 AS BIGINT) AS fe
+       |  FROM trk0),
+       |trk AS (SELECT k, image_id, box_id, CAST(fr.f AS BIGINT) AS f,
+       |    x0 + fr.f*dx AS x1, y0 + fr.f*dy AS y1,
+       |    x0 + fr.f*dx + bw AS x2, y0 + fr.f*dy + bh AS y2
+       |  FROM trk1 CROSS JOIN LATERAL
+       |    (SELECT unnest(generate_series(CAST(fb AS INT),
+       |       CAST(fe AS INT))) AS f) fr),
+       |tpp AS (SELECT a.k, a.f AS af, a.box_id AS abox,
+       |    b.f AS bf, b.box_id AS bbox,
+       |    GREATEST(0, LEAST(a.x2, b.x2) - GREATEST(a.x1, b.x1)) *
+       |    GREATEST(0, LEAST(a.y2, b.y2) - GREATEST(a.y1, b.y1)) AS inter,
+       |    (a.x2-a.x1)*(a.y2-a.y1) + (b.x2-b.x1)*(b.y2-b.y1) AS ar2
+       |  FROM trk a JOIN trk b ON b.k = a.k AND b.f = a.f + 1),
+       |tpq AS (SELECT k, af, abox, bf, bbox,
+       |    CASE WHEN ar2 - inter <= 0 THEN 0
+       |         ELSE (inter * 1048576) // (ar2 - inter) END AS q
+       |  FROM tpp),
+       |tpf AS (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY k, af, abox
+       |      ORDER BY q DESC, bbox) AS ra,
+       |    ROW_NUMBER() OVER (PARTITION BY k, bf, bbox
+       |      ORDER BY q DESC, abox) AS rb
+       |  FROM tpq WHERE q > 524288),
+       |tln AS (SELECT k, af, abox, bf, bbox FROM tpf
+       |  WHERE ra = 1 AND rb = 1),
+       |tl0 AS (SELECT k, image_id, f, box_id, f AS o_f, box_id AS o_b
+       |  FROM trk),
+       |tl1 AS (SELECT d.k, d.image_id, d.f, d.box_id,
+       |    COALESCE(l.af, d.o_f) AS o_f, COALESCE(l.abox, d.o_b) AS o_b
+       |  FROM tl0 d LEFT JOIN tln l ON l.k = d.k AND l.bf = d.o_f
+       |    AND l.bbox = d.o_b),
+       |tl2 AS (SELECT d.k, d.image_id, d.f, d.box_id,
+       |    COALESCE(l.af, d.o_f) AS o_f, COALESCE(l.abox, d.o_b) AS o_b
+       |  FROM tl1 d LEFT JOIN tln l ON l.k = d.k AND l.bf = d.o_f
+       |    AND l.bbox = d.o_b),
+       |tl3 AS (SELECT d.k, d.image_id, d.f, d.box_id,
+       |    COALESCE(l.af, d.o_f) AS o_f, COALESCE(l.abox, d.o_b) AS o_b
+       |  FROM tl2 d LEFT JOIN tln l ON l.k = d.k AND l.bf = d.o_f
+       |    AND l.bbox = d.o_b)
+       |SELECT image_id, f, box_id, o_f AS tr_f, o_b AS tr_box
+       |FROM tl3 ORDER BY 1, 2, 3""".stripMargin
 
   private val SimgCte =
     """simg AS (SELECT * FROM img2

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Detection-box operators for image-curation pipelines: greedy
@@ -136,4 +137,81 @@ object Boxes {
     }
     (ps.length.toLong, tp, ps.length - tp, gs.length - tp, qsum)
   })
+
+  /** Quantized IoU as a Column over two (x1,y1,x2,y2) box column
+    * quadruples: ⌊2²⁰·inter/union⌋, all-integer (codegen arithmetic,
+    * no UDF). Mirrors [[qIou]]. */
+  def qIouCol(ax1: Column, ay1: Column, ax2: Column, ay2: Column,
+              bx1: Column, by1: Column, bx2: Column, by2: Column): Column = {
+    val inter = greatest(lit(0L), least(ax2, bx2) - greatest(ax1, bx1)) *
+      greatest(lit(0L), least(ay2, by2) - greatest(ay1, by1))
+    val union = (ax2 - ax1) * (ay2 - ay1) + (bx2 - bx1) * (by2 - by1) - inter
+    // exact integer floor-div: subtract the remainder first so the
+    // double division is of an exact multiple (numerators reach ~6e11
+    // where naive floor(a/b) can be off by one ulp)
+    val num = inter * lit(1048576L)
+    when(union <= 0, lit(0L))
+      .otherwise((num - pmod(num, union)) / union).cast("long")
+  }
+
+  /** Multi-object IoU tracklet linking over per-video frame sequences
+    * (the SORT-family "IoU tracker", Bochinski et al. AVSS 2017, with
+    * the mutual-best association rule): detections in consecutive
+    * frames are linked iff their quantized IoU exceeds `tauQ`/2²⁰ AND
+    * each is the other's argmax (ties → smaller box_id). A track is
+    * the chain of linked detections; every detection is labeled with
+    * its track's ORIGIN (first frame, box_id) — births mid-sequence
+    * start new tracks, unmatched detections end them.
+    *
+    * Fully relational — no per-video kernel: one self-join on
+    * (video, frame→frame+1), two row_number windows for the mutual
+    * argmax, then a `maxFrame−1`-step pointer walk (each step one
+    * video-keyed hash join). At unbounded sequence length the walk
+    * becomes the pointer-doubling loop of graph.ConnectedComponents
+    * (log F rounds); frame counts per clip are bounded in practice so
+    * the linear walk is the cheaper plan. All joins key on vid — a
+    * single hash-partitioning is reused across every stage, and the
+    * per-key work is bounded by the detector's per-frame box budget
+    * (no skew).
+    *
+    * Input columns: vid, f, box_id, x1, y1, x2, y2 (integers).
+    * Output: (vid, f, box_id, tr_f, tr_box). */
+  def iouTracks(det: DataFrame, maxFrame: Int,
+                tauQ: Long = 524288L): DataFrame = {
+    val a = det.select(col("vid"), col("f").as("af"),
+      col("box_id").as("abox"), col("x1").as("ax1"), col("y1").as("ay1"),
+      col("x2").as("ax2"), col("y2").as("ay2"))
+    val b = det.select(col("vid"), col("f").as("bf"),
+      col("box_id").as("bbox"), col("x1").as("bx1"), col("y1").as("by1"),
+      col("x2").as("bx2"), col("y2").as("by2"))
+    val q = qIouCol(col("ax1"), col("ay1"), col("ax2"), col("ay2"),
+      col("bx1"), col("by1"), col("bx2"), col("by2"))
+    val pairs = a.join(b, a("vid") === b("vid") && col("bf") === col("af") + 1)
+      .drop(b("vid"))
+      .withColumn("q", q).where(col("q") > lit(tauQ))
+    val wA = Window.partitionBy(col("vid"), col("af"), col("abox"))
+      .orderBy(col("q").desc, col("bbox").asc)
+    val wB = Window.partitionBy(col("vid"), col("bf"), col("bbox"))
+      .orderBy(col("q").desc, col("abox").asc)
+    val links = pairs
+      .withColumn("ra", row_number().over(wA))
+      .withColumn("rb", row_number().over(wB))
+      .where(col("ra") === 1 && col("rb") === 1)
+      .select(col("vid"), col("af"), col("abox"), col("bf"), col("bbox"))
+    var lab = det.select(col("vid"), col("f"), col("box_id"),
+      col("f").as("o_f"), col("box_id").as("o_b"))
+    var step = 1
+    while (step < maxFrame) {
+      val ln = links.select(col("vid").as("l_vid"), col("af"), col("abox"),
+        col("bf"), col("bbox"))
+      lab = lab.join(ln, lab("vid") === col("l_vid") &&
+          lab("o_f") === col("bf") && lab("o_b") === col("bbox"), "left")
+        .select(col("vid"), col("f"), col("box_id"),
+          coalesce(col("af"), col("o_f")).as("o_f"),
+          coalesce(col("abox"), col("o_b")).as("o_b"))
+      step += 1
+    }
+    lab.select(col("vid"), col("f"), col("box_id"),
+      col("o_f").as("tr_f"), col("o_b").as("tr_box"))
+  }
 }
