@@ -214,8 +214,9 @@ object Bench {
       // texture/shape pack: GLCM, moments, Otsu, census, HOG-lite
       "q_glcm", "q_moments", "q_otsu", "q_census", "q_grad_octants",
       // raster time-series pack round 2: CUSUM changepoint scan +
-      // max-value composite over the 6-epoch stack
-      "q_changepoint", "q_temporal_composite",
+      // max-value composite + histogram-SAD shot cuts over the
+      // 6-epoch stack
+      "q_changepoint", "q_temporal_composite", "q_shot_cuts",
       // integral-image box filter + Canny-lite edge chain
       "q_integral_box", "q_canny",
       // SAD block motion (planted-shift recovery) + seam-carving DP

@@ -1864,6 +1864,20 @@ object SparkEntry {
         .where(col("n_px") > 0)
         .orderBy("image_id", "t_star")),
 
+    // shot-boundary detection over the 6-epoch stack (video clip
+    // splitting): SAD of consecutive 128-wide intensity histograms,
+    // cut fires when 128·SAD > n_px — one decode per frame, exact ints
+    "q_shot_cuts" -> ((s, dir) =>
+      Synth.demEpochImages(s, dir, 6, smallRaw)
+        .groupBy("k", "image_id", "w", "h")
+        .agg(collect_list(struct(col("t").cast("int").as("t"),
+          col("bytes"))).as("eps"))
+        .withColumn("r", explode(graft.ops.Terrain.shotCutAgg(
+          col("w").cast("int"), col("h").cast("int"), col("eps"))))
+        .select(col("image_id"), col("r._1").cast("long").as("t_from"),
+          col("r._2").as("sad"), col("r._3").as("is_cut"))
+        .orderBy("image_id", "t_from")),
+
     // temporal max-value composite (Holben 1986) over a 6-epoch
     // stack: winning epoch = argmax v (ties → earliest t); per-image
     // composite provenance histogram + winner checksum
@@ -6327,6 +6341,41 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_px,
          |  CAST(SUM(ad) AS BIGINT) AS dsum
          |FROM tbest GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // shot-cut ground truth: per (k, bin) conditional counts c0..c5,
+    // SAD_t via a CASE ladder over the 5 consecutive pairs
+    "q_shot_cuts" ->
+      s"""WITH $I, $SimgCte,
+         |tep AS (SELECT unnest(generate_series(0, 5)) AS t),
+         |ttv AS (SELECT s.k, s.image_id, s.w, s.h, e.t,
+         |          100 + ((s.k%7+1)*xs.x*xs.x + (s.k%5+1)*ys.y*ys.y
+         |               + (s.k%3+1)*xs.x*ys.y
+         |               + ((s.k*3)%11)*xs.x + ((s.k*7)%13)*ys.y) % 1900
+         |          + e.t * ((xs.x + ys.y + s.k) % 7 - 3)
+         |          + (e.t*e.t*(xs.x+1)*(s.k%11+1)) % 5 AS v
+         |        FROM simg s CROSS JOIN tep e
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.w-1 AS INT))) AS x) xs
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.h-1 AS INT))) AS y) ys),
+         |shb AS (SELECT k, image_id, w, h, v // 128 AS b,
+         |          SUM(CASE WHEN t=0 THEN 1 ELSE 0 END) AS c0,
+         |          SUM(CASE WHEN t=1 THEN 1 ELSE 0 END) AS c1,
+         |          SUM(CASE WHEN t=2 THEN 1 ELSE 0 END) AS c2,
+         |          SUM(CASE WHEN t=3 THEN 1 ELSE 0 END) AS c3,
+         |          SUM(CASE WHEN t=4 THEN 1 ELSE 0 END) AS c4,
+         |          SUM(CASE WHEN t=5 THEN 1 ELSE 0 END) AS c5
+         |        FROM ttv GROUP BY 1, 2, 3, 4, 5),
+         |sft AS (SELECT unnest(generate_series(0, 4)) AS tf),
+         |ssd AS (SELECT k, image_id, w, h, CAST(f.tf AS BIGINT) AS t_from,
+         |          SUM(ABS(
+         |            (CASE f.tf WHEN 0 THEN c0 WHEN 1 THEN c1
+         |              WHEN 2 THEN c2 WHEN 3 THEN c3 ELSE c4 END) -
+         |            (CASE f.tf WHEN 0 THEN c1 WHEN 1 THEN c2
+         |              WHEN 2 THEN c3 WHEN 3 THEN c4 ELSE c5 END))) AS sad
+         |        FROM shb CROSS JOIN sft f GROUP BY 1, 2, 3, 4, 5)
+         |SELECT image_id, t_from, CAST(sad AS BIGINT) AS sad,
+         |  CAST(CASE WHEN 128*sad > w*h THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_cut
+         |FROM ssd ORDER BY 1, 2""".stripMargin,
 
     // max-value composite: winner = MAX(struct(v, −t)) per pixel
     "q_temporal_composite" ->

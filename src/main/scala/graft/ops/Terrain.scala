@@ -826,4 +826,39 @@ object Terrain {
     }
     (0 until T).map(t => (t, n(t), sv(t)))
   })
+
+  /** Shot-boundary detection over an epoch/frame stack (the
+    * histogram-SAD cut detector of video segmentation pipelines —
+    * the clip-splitting step of a multimodal training-data curator):
+    * per consecutive frame pair, SAD of the 128-wide intensity
+    * histograms; a cut fires when 128·SAD exceeds n_px (the
+    * sensitivity constant is the detector's tunable). Integer-exact;
+    * one decode per frame, per-image work O(T·n_px). Returns rows
+    * (t_from, sad, cut). */
+  val shotCutAgg = udf((w: Int, h: Int,
+                        epochs: Seq[org.apache.spark.sql.Row]) => {
+    val byT = epochs.map(r => (r.getInt(0),
+      Codec.decode(r.getAs[Array[Byte]](1), w, h, 1, "raw-i16le")(0)))
+      .sortBy(_._1)
+    val T = byT.size
+    val hists = Array.ofDim[Long](T, 64)
+    var t = 0
+    while (t < T) {
+      val p = byT(t)._2
+      var i = 0
+      while (i < w * h) {
+        hists(t)(Math.floorDiv(p(i).toLong, 128L).toInt) += 1
+        i += 1
+      }
+      t += 1
+    }
+    (0 until T - 1).map { tf =>
+      var sad = 0L
+      var b = 0
+      while (b < 64) {
+        sad += math.abs(hists(tf)(b) - hists(tf + 1)(b)); b += 1
+      }
+      (tf, sad, if (128L * sad > w.toLong * h) 1L else 0L)
+    }
+  })
 }

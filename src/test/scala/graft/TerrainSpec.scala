@@ -284,4 +284,22 @@ class TerrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-degenerate: orders beyond 2 occur (real confluence trees)
     assert(got.values.exists(_.keys.max >= 3))
   }
+
+  test("shotCutAgg: identical frames → SAD 0 no cut; all pixels " +
+    "shifting a bin → SAD 2·n_px and a cut; epoch sort order holds") {
+    import spark.implicits._
+    val w = 8; val h = 4
+    val a = Array.fill(w * h)(100.0)   // bin 0
+    val b = Array.fill(w * h)(300.0)   // bin 2
+    // epochs delivered out of order: t=2 first — kernel must sort
+    val eps = Seq((2, enc(b, w, h)), (0, enc(a, w, h)), (1, enc(a, w, h)))
+    val df = Seq((w, h)).toDF("w", "h")
+      .withColumn("r", explode(Terrain.shotCutAgg(col("w"), col("h"),
+        typedLit(eps))))
+      .select(col("r._1").as("tf"), col("r._2").as("sad"),
+        col("r._3").as("cut"))
+    val got = df.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got === Array((0, 0L, 0L), (1, 2L * w * h, 1L)))
+  }
 }
