@@ -242,7 +242,8 @@ object Bench {
       "q_lap_pyramid",
       // detection-box post-processing + frequency-domain texture +
       // image↔caption alignment filtering
-      "q_nms", "q_box_match", "q_track_iou", "q_haar", "q_clipscore",
+      "q_nms", "q_box_match", "q_track_iou", "q_geohash",
+      "q_haar", "q_clipscore",
       "q_rasterize", "q_epsilon_filter", "q_lm_coverage",
       "q_tile_neardup", "q_ann_recall", "q_sssp")
     val newTimes = timeQueries(newNames)

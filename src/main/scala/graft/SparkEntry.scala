@@ -69,6 +69,18 @@ object SparkEntry {
         .select("image_id", "zix", "ziy", "z")
         .orderBy("z", "image_id")),
 
+    // standard base-32 geohash (lon-first interleave, 5 bits/char) of
+    // the footprint origin, 8 chars + the 4-char prefix (the
+    // interoperable cell key alongside Morton/Hilbert) — exact
+    // integer bisection bits, pure codegen arithmetic
+    "q_geohash" -> ((s, dir) =>
+      imgs(s, dir)
+        .withColumn("gh8",
+          SpatialJoin.geohash(col("x0m"), col("y0m"), 8))
+        .withColumn("gh4", substring(col("gh8"), 1, 4))
+        .select("image_id", "gh8", "gh4")
+        .orderBy("image_id")),
+
     // hierarchical cell-density rollup: one image scan builds the
     // res-10 summary; res-7 derives from it by parent-shift arithmetic
     // alone (shuffle over ≤ #cells rows, corpus-size independent)
@@ -3730,6 +3742,26 @@ object SparkEntry {
          |  CAST((y0m+90000)//512 AS BIGINT) AS ziy FROM img2)
          |SELECT image_id, zix, ziy, CAST($zTerms AS BIGINT) AS z
          |FROM c ORDER BY z, image_id""".stripMargin
+    },
+
+    // geohash ground truth: bisection bits = high bits of the scaled
+    // integer, 40-bit lon-first interleave, base-32 substr lookup
+    "q_geohash" -> {
+      val gTerms = (0 until 20).map(i =>
+        s"(((ul >> ${19 - i}) & 1) << ${39 - 2 * i}) + " +
+          s"(((ua >> ${19 - i}) & 1) << ${38 - 2 * i})").mkString(" + ")
+      val gChars = (0 until 8).map(j =>
+        s"substr('0123456789bcdefghjkmnpqrstuvwxyz', " +
+          s"CAST(((g >> ${35 - 5 * j}) & 31) + 1 AS INT), 1)")
+        .mkString("concat(", ", ", ")")
+      s"""WITH $I,
+         |c AS (SELECT image_id,
+         |  ((x0m+180000)*1048576)//360000 AS ul,
+         |  ((y0m+90000)*1048576)//180000 AS ua FROM img2),
+         |g AS (SELECT image_id, $gTerms AS g FROM c),
+         |o AS (SELECT image_id, $gChars AS gh8 FROM g)
+         |SELECT image_id, gh8, substr(gh8, 1, 4) AS gh4
+         |FROM o ORDER BY image_id""".stripMargin
     },
 
     // res-10 cover (cell edge 512 mdeg) → res-7 parent via //8: the

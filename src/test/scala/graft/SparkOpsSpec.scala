@@ -660,4 +660,23 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(coarse.agg(max("n_cells")).collect()(0).getLong(0) <= 64)
   }
 
+  test("geohash: canonical goldens and prefix nesting") {
+    import spark.implicits._
+    // classic reference points (geohash.org): (42.6, -5.6) → ezs42,
+    // (57.64911, 10.40744) → u4pruyd (milli-degree truncation keeps
+    // the first 7 chars: cell edge at 35 bits ≈ 0.01°)
+    val df = Seq((1L, -5600L, 42600L), (2L, 10407L, 57649L))
+      .toDF("id", "lon", "lat")
+      .withColumn("gh", graft.ops.SpatialJoin.geohash(
+        col("lon"), col("lat"), 8))
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got(1L).startsWith("ezs42"))
+    assert(got(2L).startsWith("u4pruy"))
+    // shorter precision is a strict prefix of longer
+    val gh3 = df.withColumn("g3", graft.ops.SpatialJoin.geohash(
+      col("lon"), col("lat"), 3)).collect()
+      .map(r => r.getString(3).take(3) -> r.getString(4))
+    gh3.foreach { case (pre, g3) => assert(pre == g3) }
+  }
+
 }
