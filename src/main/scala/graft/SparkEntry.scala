@@ -3260,6 +3260,20 @@ object SparkEntry {
           col("ef._4").as("max_dev"))
         .orderBy("image_id")),
 
+    // blur/focus curation gate: variance of the discrete Laplacian
+    // (Pech-Pacheco ICPR 2000) as the exact scaled form n·ΣL²−(ΣL)²,
+    // sharp iff score > τ·n² — the standard sharpness filter of an
+    // image-curation pipeline, one decode per image
+    "q_blur_filter" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("bf", graft.ops.Vision.blurScoreAgg(
+          col("dem_bytes"), col("w").cast("int"), col("h").cast("int"),
+          lit(1600000L)))
+        .select(col("image_id"), col("bf._1").as("n_int"),
+          col("bf._2").as("lap_sum"), col("bf._3").as("lap_sq_sum"),
+          col("bf._4").as("score"), col("bf._5").as("sharp"))
+        .orderBy("image_id")),
+
     // bigram-DF coverage (integer LM-perplexity proxy for quality
     // filtering): per-doc attested-bigram fraction, 2^-20 quantized
     "q_lm_coverage" -> ((s, dir) =>
@@ -9575,6 +9589,29 @@ object SparkEntry {
          |  CAST(MAX(ABS(o - z)) AS BIGINT) AS max_dev
          |FROM ego g JOIN simg s ON s.k = g.k
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // blur-filter ground truth: Laplacian via four demp self-joins
+    // on the neighbor coordinates, exact scaled variance
+    "q_blur_filter" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |blap AS (SELECT c.k, c.image_id,
+         |    4*c.z - l.z - r.z - u.z - d.z AS lv
+         |  FROM demp c
+         |  JOIN demp l ON l.k = c.k AND l.x = c.x-1 AND l.y = c.y
+         |  JOIN demp r ON r.k = c.k AND r.x = c.x+1 AND r.y = c.y
+         |  JOIN demp u ON u.k = c.k AND u.x = c.x AND u.y = c.y-1
+         |  JOIN demp d ON d.k = c.k AND d.x = c.x AND d.y = c.y+1
+         |  WHERE c.x BETWEEN 1 AND c.w-2 AND c.y BETWEEN 1 AND c.h-2),
+         |bag AS (SELECT k, image_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_int,
+         |    CAST(SUM(lv) AS BIGINT) AS lap_sum,
+         |    CAST(SUM(lv*lv) AS BIGINT) AS lap_sq_sum
+         |  FROM blap GROUP BY 1, 2)
+         |SELECT image_id, n_int, lap_sum, lap_sq_sum,
+         |  CAST(n_int*lap_sq_sum - lap_sum*lap_sum AS BIGINT) AS score,
+         |  CAST(CASE WHEN n_int*lap_sq_sum - lap_sum*lap_sum
+         |       > 1600000*n_int*n_int THEN 1 ELSE 0 END AS BIGINT) AS sharp
+         |FROM bag ORDER BY image_id""".stripMargin,
 
     // bigram-DF coverage ground truth: same list_transform bigram
     // builder as q_ngrams, DF via COUNT(DISTINCT doc_id), floor-div

@@ -1122,4 +1122,31 @@ object Vision {
     val (g2, _, _, sh2, sv2, sd2) = level(g1, w1, h1)
     (g2.length.toLong, sh1, sv1, sd1, sh2, sv2, sd2, g2.sum)
   }
+
+  /** Blur / focus measure — variance of the discrete Laplacian
+    * (Pech-Pacheco et al. ICPR 2000, the standard sharpness gate of
+    * image-curation pipelines): over interior pixels, L = 4z −
+    * z_left − z_right − z_up − z_down; the score is the EXACT scaled
+    * variance n·ΣL² − (ΣL)² (no division), and the keep decision is
+    * score > τ·n² (τ in L² units). Returns (n, lap_sum, lap_sq_sum,
+    * score, sharp). One decode per image, O(n_px) ints. */
+  val blurScoreAgg = udf((bytes: Array[Byte], w: Int, h: Int,
+                          tau: Long) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    var n = 0L; var s = 0L; var s2 = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val l = 4L * z(y * w + x).toLong - z(y * w + x - 1).toLong -
+          z(y * w + x + 1).toLong - z((y - 1) * w + x).toLong -
+          z((y + 1) * w + x).toLong
+        n += 1; s += l; s2 += l * l
+        x += 1
+      }
+      y += 1
+    }
+    val score = n * s2 - s * s
+    (n, s, s2, score, if (score > tau * n * n) 1L else 0L)
+  })
 }

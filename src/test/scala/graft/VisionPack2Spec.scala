@@ -210,4 +210,38 @@ class VisionPack2Spec extends AnyFunSuite with BeforeAndAfterAll {
       row.getLong(3), row.getLong(4)) === ((n0, s0, m0, s1, g2.sum)))
     assert(n0 == 4L * w1 * h1 && n0 < w.toLong * h) // truncation real
   }
+
+  test("blurScoreAgg: linear ramps score 0 (Laplacian-null); a " +
+    "single spike gives the hand value; brute variance parity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val w = 5; val h = 5
+    def run(z: Array[Double], tau: Long) = {
+      val b = graft.core.Codec.encode(Array(z), w, h, "raw-i16le")
+      Seq((b, w, h)).toDF("b", "w", "h")
+        .select(graft.ops.Vision.blurScoreAgg(col("b"), col("w"),
+          col("h"), lit(tau)).as("r"))
+        .collect()(0).getStruct(0)
+    }
+    // ramp z = 3x + 7y: interior Laplacian identically 0, not sharp
+    val ramp = Array.tabulate(w * h)(i => (3.0 * (i % w) + 7 * (i / w)))
+    val rr = run(ramp, 0L)
+    assert(rr.getLong(3) == 0L && rr.getLong(4) == 0L)
+    // single spike 100 at center: L = +400 center, −100 at its 4
+    // neighbors → n=9, s=0, s2=200000, score=1.8e6
+    val spike = Array.tabulate(w * h)(i => if (i == 12) 100.0 else 0.0)
+    val sr = run(spike, 0L)
+    assert((sr.getLong(0), sr.getLong(1), sr.getLong(2), sr.getLong(3),
+      sr.getLong(4)) === ((9L, 0L, 200000L, 1800000L, 1L)))
+    // random fixture: score == n·ΣL²−(ΣL)² by brute recompute
+    val z = vals(11, w * h, 1500).map(_.toDouble)
+    val br = run(z, 0L)
+    var n = 0L; var s = 0L; var s2 = 0L
+    for (y <- 1 until h - 1; x <- 1 until w - 1) {
+      val l = (4 * z(y * w + x) - z(y * w + x - 1) - z(y * w + x + 1) -
+        z((y - 1) * w + x) - z((y + 1) * w + x)).toLong
+      n += 1; s += l; s2 += l * l
+    }
+    assert(br.getLong(3) == n * s2 - s * s)
+  }
 }
