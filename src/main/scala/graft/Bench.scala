@@ -217,6 +217,7 @@ object Bench {
       // max-value composite + histogram-SAD shot cuts over the
       // 6-epoch stack
       "q_changepoint", "q_temporal_composite", "q_shot_cuts",
+      "q_curate_video",
       // integral-image box filter + Canny-lite edge chain
       "q_integral_box", "q_canny",
       // SAD block motion (planted-shift recovery) + seam-carving DP

@@ -1890,6 +1890,46 @@ object SparkEntry {
           col("r._2").as("sad"), col("r._3").as("is_cut"))
         .orderBy("image_id", "t_from")),
 
+    // end-to-end VIDEO curation pipeline (the clip-extraction recipe
+    // of a multimodal training-data curator), composed from the
+    // relational pieces: histogram-SAD shot cuts segment each 6-frame
+    // stack into clips (clip id = #cuts before t), the middle frame
+    // is the keyframe, and the clip ships iff its keyframe passes the
+    // variance-of-Laplacian sharpness gate. One decode pass for the
+    // cut scan + one for the kept keyframes; everything between is
+    // joins/aggregates keyed on the video id.
+    "q_curate_video" -> ((s, dir) => {
+      val eps = Synth.demEpochImages(s, dir, 6, smallRaw)
+      val cuts = eps.groupBy("k", "image_id", "w", "h")
+        .agg(collect_list(struct(col("t").cast("int").as("t"),
+          col("bytes"))).as("e"))
+        .withColumn("r", explode(graft.ops.Terrain.shotCutAgg(
+          col("w").cast("int"), col("h").cast("int"), col("e"))))
+        .select(col("image_id").as("c_vid"),
+          col("r._1").cast("long").as("t_from"), col("r._3").as("cut"))
+        .where(col("cut") === 1)
+      val frames = eps.select(col("image_id"), col("t"))
+      val cid = frames.join(cuts,
+          frames("image_id") === col("c_vid") && col("t_from") < col("t"),
+          "left")
+        .groupBy(col("image_id"), col("t"))
+        .agg(count(col("c_vid")).as("clip_id"))
+      val clips = cid.groupBy(col("image_id"), col("clip_id"))
+        .agg(min(col("t")).as("t_start"), max(col("t")).as("t_end"))
+        .withColumn("kf",
+          graft.ops.Tiling.idiv(col("t_start") + col("t_end"), lit(2L)))
+      clips.join(eps.select(col("image_id").as("e_vid"), col("t"),
+            col("bytes"), col("w"), col("h")),
+          col("e_vid") === clips("image_id") && col("t") === col("kf"))
+        .withColumn("bf", graft.ops.Vision.blurScoreAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), lit(1600000L)))
+        .select(col("image_id"), col("clip_id"),
+          col("t_start").cast("long").as("t_start"),
+          col("t_end").cast("long").as("t_end"), col("kf"),
+          col("bf._4").as("score"), col("bf._5").as("kept"))
+        .orderBy("image_id", "clip_id")
+    }),
+
     // temporal max-value composite (Holben 1986) over a 6-epoch
     // stack: winning epoch = argmax v (ties → earliest t); per-image
     // composite provenance histogram + winner checksum
@@ -6422,6 +6462,78 @@ object SparkEntry {
          |  CAST(CASE WHEN 128*sad > w*h THEN 1 ELSE 0 END AS BIGINT)
          |    AS is_cut
          |FROM ssd ORDER BY 1, 2""".stripMargin,
+
+    // video-curation ground truth: the shot-cut CTE feeds clip-id
+    // assignment (count of cuts before t), keyframe = (start+end)//2,
+    // then the Laplacian-variance gate via 4 neighbor self-joins on
+    // the keyframe epoch's value formula
+    "q_curate_video" ->
+      s"""WITH $I, $SimgCte,
+         |tep AS (SELECT unnest(generate_series(0, 5)) AS t),
+         |vtv AS (SELECT s.k, s.image_id, s.w, s.h, e.t, xs.x, ys.y,
+         |          100 + ((s.k%7+1)*xs.x*xs.x + (s.k%5+1)*ys.y*ys.y
+         |               + (s.k%3+1)*xs.x*ys.y
+         |               + ((s.k*3)%11)*xs.x + ((s.k*7)%13)*ys.y) % 1900
+         |          + e.t * ((xs.x + ys.y + s.k) % 7 - 3)
+         |          + (e.t*e.t*(xs.x+1)*(s.k%11+1)) % 5 AS v
+         |        FROM simg s CROSS JOIN tep e
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.w-1 AS INT))) AS x) xs
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.h-1 AS INT))) AS y) ys),
+         |vhb AS (SELECT k, image_id, w, h, v // 128 AS b,
+         |          SUM(CASE WHEN t=0 THEN 1 ELSE 0 END) AS c0,
+         |          SUM(CASE WHEN t=1 THEN 1 ELSE 0 END) AS c1,
+         |          SUM(CASE WHEN t=2 THEN 1 ELSE 0 END) AS c2,
+         |          SUM(CASE WHEN t=3 THEN 1 ELSE 0 END) AS c3,
+         |          SUM(CASE WHEN t=4 THEN 1 ELSE 0 END) AS c4,
+         |          SUM(CASE WHEN t=5 THEN 1 ELSE 0 END) AS c5
+         |        FROM vtv GROUP BY 1, 2, 3, 4, 5),
+         |vft AS (SELECT unnest(generate_series(0, 4)) AS tf),
+         |vsd AS (SELECT k, image_id, w, h, f.tf AS t_from,
+         |          SUM(ABS(
+         |            (CASE f.tf WHEN 0 THEN c0 WHEN 1 THEN c1
+         |              WHEN 2 THEN c2 WHEN 3 THEN c3 ELSE c4 END) -
+         |            (CASE f.tf WHEN 0 THEN c1 WHEN 1 THEN c2
+         |              WHEN 2 THEN c3 WHEN 3 THEN c4 ELSE c5 END))) AS sad
+         |        FROM vhb CROSS JOIN vft f GROUP BY 1, 2, 3, 4, 5),
+         |vct AS (SELECT k, image_id, t_from FROM vsd
+         |        WHERE 128*sad > w*h),
+         |vfr AS (SELECT s.k, s.image_id, e.t FROM simg s
+         |        CROSS JOIN tep e),
+         |vcid AS (SELECT f.k, f.image_id, f.t,
+         |          CAST(COUNT(c.t_from) AS BIGINT) AS clip_id
+         |        FROM vfr f LEFT JOIN vct c ON c.k = f.k
+         |          AND c.t_from < f.t
+         |        GROUP BY 1, 2, 3),
+         |vclip AS (SELECT k, image_id, clip_id,
+         |           CAST(MIN(t) AS BIGINT) AS t_start,
+         |           CAST(MAX(t) AS BIGINT) AS t_end,
+         |           CAST((MIN(t)+MAX(t))//2 AS BIGINT) AS kf
+         |         FROM vcid GROUP BY 1, 2, 3),
+         |vlap AS (SELECT cl.k, cl.clip_id,
+         |           4*c.v - l.v - r.v - u.v - d.v AS lv
+         |         FROM vclip cl
+         |         JOIN vtv c ON c.k = cl.k AND c.t = cl.kf
+         |         JOIN vtv l ON l.k = c.k AND l.t = c.t
+         |           AND l.x = c.x-1 AND l.y = c.y
+         |         JOIN vtv r ON r.k = c.k AND r.t = c.t
+         |           AND r.x = c.x+1 AND r.y = c.y
+         |         JOIN vtv u ON u.k = c.k AND u.t = c.t
+         |           AND u.x = c.x AND u.y = c.y-1
+         |         JOIN vtv d ON d.k = c.k AND d.t = c.t
+         |           AND d.x = c.x AND d.y = c.y+1
+         |         WHERE c.x BETWEEN 1 AND c.w-2
+         |           AND c.y BETWEEN 1 AND c.h-2),
+         |vbag AS (SELECT k, clip_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |           CAST(SUM(lv) AS BIGINT) AS s,
+         |           CAST(SUM(lv*lv) AS BIGINT) AS s2
+         |         FROM vlap GROUP BY 1, 2)
+         |SELECT cl.image_id, cl.clip_id, cl.t_start, cl.t_end, cl.kf,
+         |  CAST(b.n*b.s2 - b.s*b.s AS BIGINT) AS score,
+         |  CAST(CASE WHEN b.n*b.s2 - b.s*b.s > 1600000*b.n*b.n
+         |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM vclip cl JOIN vbag b ON b.k = cl.k
+         |  AND b.clip_id = cl.clip_id
+         |ORDER BY 1, 2""".stripMargin,
 
     // max-value composite: winner = MAX(struct(v, −t)) per pixel
     "q_temporal_composite" ->
