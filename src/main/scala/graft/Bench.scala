@@ -244,6 +244,7 @@ object Bench {
       // detection-box post-processing + frequency-domain texture +
       // image↔caption alignment filtering
       "q_nms", "q_box_match", "q_track_iou", "q_geohash",
+      "q_hilbert_ranges",
       "q_haar", "q_clipscore",
       "q_rasterize", "q_epsilon_filter", "q_lm_coverage", "q_blur_filter",
       "q_tile_neardup", "q_ann_recall", "q_sssp")

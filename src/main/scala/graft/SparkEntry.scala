@@ -1688,6 +1688,38 @@ object SparkEntry {
       graft.ops.SpatialJoin.curveLocality(pts, 16L, 8)
     }),
 
+    // Hilbert RANGE SCAN — the file-skipping planner demo: the query
+    // rect [37,97)×[55,200) over the order-8 cell grid is decomposed
+    // driver-side into minimal contiguous key ranges (quadtree
+    // descent, corner-entry d-intervals, merged), then the point set
+    // is counted per range via a broadcast range join. At 100 TB the
+    // same ranges become row-group min/max skip predicates over the
+    // Hilbert-clustered layout; the decomposition is data-independent.
+    "q_hilbert_ranges" -> ((s, dir) => {
+      import s.implicits._
+      graft.expr.GraftFunctions.register(s)
+      val rdf = broadcast(
+        graft.ops.SpatialJoin.hilbertRanges(37, 55, 97, 200, 8)
+          .zipWithIndex
+          .map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+          .toDF("range_id", "lo", "hi"))
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 150)
+      val hm = md5(col("event_id").cast("string"))
+      import graft.sketch.Cms.hexVal
+      def hv(i: Int) = hexVal(hm, i).cast("long")
+      val pts = ev.select(
+          (hv(1) * 256 + hv(2) * 16 + hv(3)).as("px"),
+          (hv(4) * 256 + hv(5) * 16 + hv(6)).as("py"))
+        .select(expr("px div 16").as("cx"), expr("py div 16").as("cy"))
+        .select(graft.ops.SpatialJoin.hilbertKey(
+          col("cx"), col("cy"), 8).as("d"))
+      rdf.join(pts, col("d").between(col("lo"), col("hi")), "left")
+        .groupBy("range_id", "lo", "hi")
+        .agg(count(col("d")).as("n_pts"))
+        .orderBy("range_id")
+    }),
+
     // discrete Voronoi / nearest-facility census: every event point
     // assigned to its nearest of 50 md5-derived sites (broadcast
     // argmin via lexicographic struct MIN, ties to smallest sid)
@@ -6123,6 +6155,34 @@ object SparkEntry {
          |  CAST(COALESCE(SUM(hs), 0) AS BIGINT) AS hilbert_steps,
          |  CAST(COALESCE(SUM(ms), 0) AS BIGINT) AS morton_steps
          |FROM hst""".stripMargin,
+
+    // Hilbert range-scan ground truth: the SAME driver-computed range
+    // literals (the decomposition is exhaustively spec-verified
+    // against brute xy2d membership), point keys via the 8 chained
+    // Hilbert CTE rounds, then the identical between-join count
+    "q_hilbert_ranges" -> {
+      val rangeRows = graft.ops.SpatialJoin
+        .hilbertRanges(37, 55, 97, 200, 8).zipWithIndex
+        .map { case ((lo, hi), i) => s"($i, $lo, $hi)" }.mkString(", ")
+      s"""WITH hre AS (SELECT md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 150),
+         |hrc AS (SELECT
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT)//16 AS hx0,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT)//16 AS hy0
+         |        FROM hre),
+         |hp0 AS (SELECT hx0, hy0, hx0 AS x, hy0 AS y,
+         |          CAST(0 AS BIGINT) AS d FROM hrc),
+         |${hilbertRoundsSql(8)},
+         |hrg AS (SELECT * FROM (VALUES $rangeRows)
+         |        AS t(range_id, lo, hi))
+         |SELECT CAST(g.range_id AS BIGINT) AS range_id,
+         |  CAST(g.lo AS BIGINT) AS lo, CAST(g.hi AS BIGINT) AS hi,
+         |  CAST(COUNT(p.d) AS BIGINT) AS n_pts
+         |FROM hrg g LEFT JOIN hp8 p ON p.d BETWEEN g.lo AND g.hi
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+    },
 
     // Voronoi census ground truth: cross join points x 50 sites,
     // per-point argmin by lexicographic struct MIN (d2, sid)

@@ -660,6 +660,31 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(coarse.agg(max("n_cells")).collect()(0).getLong(0) <= 64)
   }
 
+  test("hilbertRanges: exact rect coverage vs brute xy2d membership, " +
+    "disjoint sorted merged ranges (orders 4..6, random rects)") {
+    val rnd = new scala.util.Random(7)
+    for (order <- 4 to 6; _ <- 1 to 12) {
+      val n = 1L << order
+      val x0 = rnd.nextInt(n.toInt - 1).toLong
+      val x1 = x0 + 1 + rnd.nextInt((n - x0).toInt)
+      val y0 = rnd.nextInt(n.toInt - 1).toLong
+      val y1 = y0 + 1 + rnd.nextInt((n - y0).toInt)
+      val ranges = graft.ops.SpatialJoin.hilbertRanges(x0, y0, x1, y1, order)
+      // sorted, disjoint, nothing left unmerged
+      ranges.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1)
+        case _ =>
+      }
+      val inRanges = ranges.flatMap { case (l, h) => l to h }.toSet
+      val brute = (for (x <- x0 until x1; y <- y0 until y1)
+        yield graft.expr.Kernels.hilbertXY2D(x, y, order)).toSet
+      assert(inRanges === brute, s"order=$order rect=($x0,$y0,$x1,$y1)")
+    }
+    // full-grid query is ONE range
+    assert(graft.ops.SpatialJoin.hilbertRanges(0, 0, 16, 16, 4) ===
+      Seq((0L, 255L)))
+  }
+
   test("geohash: canonical goldens and prefix nesting") {
     import spark.implicits._
     // classic reference points (geohash.org): (42.6, -5.6) → ezs42,
