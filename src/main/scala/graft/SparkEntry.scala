@@ -81,6 +81,31 @@ object SparkEntry {
         .select("image_id", "gh8", "gh4")
         .orderBy("image_id")),
 
+    // Bing-maps quadkey of the footprint origin tile (pitch 4096
+    // mdeg, 7 levels): the XYZ tile-pyramid serving key — a parent
+    // tile's key is its children's string PREFIX (qk4 = the level-4
+    // ancestor), pure codegen base-4 interleave, no UDF
+    "q_quadkey" -> ((s, dir) =>
+      imgs(s, dir)
+        .withColumn("tx", expr("CAST((x0m + 150000) div 4096 AS BIGINT)"))
+        .withColumn("ty", expr("CAST((y0m + 60000) div 4096 AS BIGINT)"))
+        .withColumn("qk7", SpatialJoin.quadkey(col("tx"), col("ty"), 7))
+        .withColumn("qk4", substring(col("qk7"), 1, 4))
+        .select("image_id", "qk7", "qk4")
+        .orderBy("image_id")),
+
+    // tile-pyramid rollup on the quadkey PREFIX property: per-level-4
+    // ancestor tile image counts — one scan + a ≤4^4-key shuffle (the
+    // serving-side density summary; corpus-size-independent keyspace)
+    "q_quadkey_rollup" -> ((s, dir) =>
+      imgs(s, dir)
+        .withColumn("tx", expr("CAST((x0m + 150000) div 4096 AS BIGINT)"))
+        .withColumn("ty", expr("CAST((y0m + 60000) div 4096 AS BIGINT)"))
+        .groupBy(substring(SpatialJoin.quadkey(col("tx"), col("ty"), 7),
+          1, 4).as("tile"))
+        .agg(count(lit(1)).as("n_images"))
+        .orderBy("tile")),
+
     // hierarchical cell-density rollup: one image scan builds the
     // res-10 summary; res-7 derives from it by parent-shift arithmetic
     // alone (shuffle over ≤ #cells rows, corpus-size independent)
@@ -659,6 +684,79 @@ object SparkEntry {
           "image_id", "phash", 16)
         .orderBy("id_a", "id_b")),
 
+    // dHash (difference hash): 8×9 block-sum grid, bit = right cell
+    // mean > left cell mean — the gradient-direction perceptual hash,
+    // complementary to the phash column's global-mean bits and
+    // EXACTLY invariant to integer brightness shifts (DhashSpec).
+    // Division-free cross-multiplied compares → oracle bit-exact
+    "q_dhash" -> ((s, dir) => {
+      val dh = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.Codec
+        Codec.dHash(Codec.decode(bytes, w, h,
+          Codec.bandsStored(fmt, Synth.NumBands), fmt)(0), w, h)
+      })
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .select(col("image_id"), dh(col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt")).as("dhash"))
+        .orderBy("image_id")
+    }),
+
+    // corpus-scale dHash near-dup: the same 4×16-bit banded Hamming
+    // join as q_phash_banded over the gradient hash — catches
+    // exposure-shifted duplicates the raw-value hash misses
+    "q_dhash_banded" -> ((s, dir) => {
+      val dh = udf((bytes: Array[Byte], w: Int, h: Int, fmt: String) => {
+        import graft.core.Codec
+        Codec.dHash(Codec.decode(bytes, w, h,
+          Codec.bandsStored(fmt, Synth.NumBands), fmt)(0), w, h)
+      })
+      graft.ops.Hamming.bandedPairs(
+          Synth.imagesWithBytes(s, dir, smallRaw)
+            .select(col("image_id"), dh(col("bytes"),
+              col("w").cast("int"), col("h").cast("int"),
+              col("fmt")).as("dhash")),
+          "image_id", "dhash", 24)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // BT.601 luma/chroma screening constants (grayscale conversion +
+    // chroma-flatness gate) — exact ×1000/×564000/×713000 integer
+    // forms, one decode per image, no cross-image shuffle
+    "q_ycbcr_stats" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("t", graft.ops.Vision.lumaChromaAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands)))
+        .select(col("image_id"), col("t._1").as("n_px"),
+          col("t._2").as("y_sum"), col("t._3").as("y_min"),
+          col("t._4").as("y_max"), col("t._5").as("cb_sum"),
+          col("t._6").as("cr_sum"))
+        .orderBy("image_id")),
+
+    // division-free HSV hue-sector histogram (dominant-color /
+    // colorfulness screen): sector by channel-argmax + sign compares
+    // only, chroma = max−min exact; ≤7 rows per image, one decode
+    "q_hue_hist" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .select(col("image_id"), explode(graft.ops.Vision.hueHistAgg(
+          col("bytes"), col("w").cast("int"), col("h").cast("int"),
+          col("fmt"), lit(Synth.NumBands))).as("t"))
+        .select(col("image_id"), col("t._1").as("sector"),
+          col("t._2").as("n_px"), col("t._3").as("chroma_sum"))
+        .orderBy("image_id", "sector")),
+
+    // ordered Bayer 4×4 dithering (1-bit halftone quantization):
+    // fixed threshold lattice 64·(2M+1), count + positional checksum
+    // pin every lit coordinate — integer-exact, one decode
+    "q_dither" -> ((s, dir) =>
+      Synth.imagesWithBytes(s, dir, smallRaw)
+        .withColumn("t", graft.ops.Vision.ditherAgg(col("bytes"),
+          col("w").cast("int"), col("h").cast("int"), col("fmt"),
+          lit(Synth.NumBands)))
+        .select(col("image_id"), col("t._1").as("n_valid"),
+          col("t._2").as("n_on"), col("t._3").as("pos_sum"))
+        .orderBy("image_id")),
+
     // near-dup IMAGE clusters: connected components over the banded
     // pHash Hamming pairs (d ≤ 16) — the image twin of
     // q_dedup_clusters; keep-one-per-cluster image dedup at corpus
@@ -1183,6 +1281,19 @@ object SparkEntry {
         .where(col("n_eval") > 0)
         .orderBy("image_id")),
 
+    // unsharp mask (USM sharpen, k=1, r=2): q-scaled output
+    // U = 2·25·v − box25 exact; SAT gives O(1)/pixel at any radius
+    "q_unsharp" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("um", graft.ops.Vision.unsharpAgg(
+          col("dem_bytes"), col("w").cast("int"), col("h").cast("int"),
+          lit(2)))
+        .select(col("image_id"), col("um._1").as("n_eval"),
+          col("um._2").as("u_sum"), col("um._3").as("n_up"),
+          col("um._4").as("chk"))
+        .where(col("n_eval") > 0)
+        .orderBy("image_id")),
+
     // Canny-lite edge chain: integer central-diff gradient →
     // octant-quantized NMS → double threshold → hysteresis BFS
     "q_canny" -> ((s, dir) =>
@@ -1628,6 +1739,24 @@ object SparkEntry {
         .orderBy("gi", "gj")
     }),
 
+    // emerging-hotspot classification: the MK-trend cells composed
+    // with a division-free hot-NOW test on the final day slice —
+    // the space-time-cube taxonomy (intensifying/persistent/
+    // diminishing/emerging), same fixture as q_mk_trend
+    "q_emerging" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 150)
+      val hm = md5(col("event_id").cast("string"))
+      import graft.sketch.Cms.hexVal
+      def hv(i: Int) = hexVal(hm, i).cast("long")
+      val pts = ev.select(
+        (hv(1) * 256 + hv(2) * 16 + hv(3)).as("px"),
+        (hv(4) * 256 + hv(5) * 16 + hv(6)).as("py"),
+        unix_timestamp(col("ts")).as("t"))
+      graft.ops.SpatialJoin.emergingHotspots(pts, 512L, 86400L)
+        .orderBy("gi", "gj")
+    }),
+
     // bivariate colocation (cross-K pieces) between error and
     // purchase events: pair + participation counts at 3 radii from
     // ONE banded candidate set
@@ -1802,6 +1931,23 @@ object SparkEntry {
           col("r._2").as("b3"), col("r._3").as("n_px"),
           col("r._4").as("dsum"))
         .orderBy("image_id", "b0", "b3")),
+
+    // radiometric cross-calibration: per-image OLS of epoch-3 on
+    // epoch-0 pixels (relative radiometric normalization), exact
+    // integer moments (slope/intercept are one rational step away)
+    "q_radcal" -> ((s, dir) =>
+      Synth.demEpochImages(s, dir, 4, smallRaw)
+        .where(col("t").isin(0, 3))
+        .groupBy("k", "image_id", "w", "h")
+        .agg(collect_list(struct(col("t").cast("int").as("t"),
+          col("bytes"))).as("eps"))
+        .withColumn("r", graft.ops.Terrain.radcalAgg(
+          col("w").cast("int"), col("h").cast("int"),
+          lit(0), lit(3), col("eps")))
+        .select(col("image_id"), col("r._1").as("n_px"),
+          col("r._2").as("sx"), col("r._3").as("sy"),
+          col("r._4").as("sxy_n"), col("r._5").as("sxx_n"))
+        .orderBy("image_id")),
 
     // count-min sketch over corpus tokens with md5-derived row
     // hashes: top-5 true terms vs their overestimate-only estimates
@@ -2977,6 +3123,19 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // ROUGE-L sequence overlap vs a broadcast reference (Lin 2004):
+    // LCS over the first-24-token window — the sequence-aware
+    // decontamination twin; per-doc O(n·m) DP, no shuffle (oracle:
+    // monotone max-plus scatter recursive CTE, n+m-round fixpoint)
+    "q_rouge_lcs" -> ((s, dir) =>
+      docs(s, dir).where(col("doc_id") < 100)
+        .withColumn("tk", slice(split(col("text"), " "), 1, 24))
+        .withColumn("r", graft.text.TextOps.rougeLcsAgg(col("tk"),
+          array(RougeRef.map(lit(_)): _*)))
+        .select(col("doc_id"), col("r._1").as("n_toks"),
+          col("r._2").as("lcs"))
+        .orderBy("doc_id")),
+
     // deterministic epoch shuffle: reproducible per-epoch (shard, pos)
     // training order, sharded row_number (no global sort)
     "q_epoch_shuffle" -> ((s, dir) =>
@@ -3848,6 +4007,31 @@ object SparkEntry {
          |o AS (SELECT image_id, $gChars AS gh8 FROM g)
          |SELECT image_id, gh8, substr(gh8, 1, 4) AS gh4
          |FROM o ORDER BY image_id""".stripMargin
+    },
+
+    "q_quadkey" -> {
+      val digits = (0 until 7).map(i =>
+        s"CAST(((ty >> ${6 - i}) & 1)*2 + ((tx >> ${6 - i}) & 1)" +
+          " AS VARCHAR)").mkString("concat(", ", ", ")")
+      s"""WITH $I,
+         |t AS (SELECT image_id, (x0m+150000)//4096 AS tx,
+         |        (y0m+60000)//4096 AS ty FROM img2),
+         |q AS (SELECT image_id, $digits AS qk7 FROM t)
+         |SELECT image_id, qk7, substr(qk7, 1, 4) AS qk4
+         |FROM q ORDER BY image_id""".stripMargin
+    },
+
+    "q_quadkey_rollup" -> {
+      val digits = (0 until 7).map(i =>
+        s"CAST(((ty >> ${6 - i}) & 1)*2 + ((tx >> ${6 - i}) & 1)" +
+          " AS VARCHAR)").mkString("concat(", ", ", ")")
+      s"""WITH $I,
+         |t AS (SELECT image_id, (x0m+150000)//4096 AS tx,
+         |        (y0m+60000)//4096 AS ty FROM img2),
+         |q AS (SELECT image_id, $digits AS qk7 FROM t)
+         |SELECT substr(qk7, 1, 4) AS tile,
+         |       CAST(COUNT(*) AS BIGINT) AS n_images
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     // res-10 cover (cell edge 512 mdeg) → res-7 parent via //8: the
@@ -4903,6 +5087,27 @@ object SparkEntry {
          |  CAST(MAX(bs) AS BIGINT) AS box_max,
          |  CAST(SUM(bs*(x + 131*y)) AS BIGINT) AS chk
          |FROM ibs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_unsharp" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |umo AS (SELECT a.dx, b.dy
+         |        FROM (SELECT unnest(generate_series(-2, 2)) AS dx) a,
+         |             (SELECT unnest(generate_series(-2, 2)) AS dy) b),
+         |ums AS (SELECT c.k, c.image_id, c.x, c.y,
+         |          2*25*ANY_VALUE(c.z) - SUM(n.z) AS u,
+         |          ANY_VALUE(c.z) AS v
+         |        FROM demp c JOIN umo o ON TRUE
+         |        JOIN demp n ON n.k = c.k AND n.x = c.x + o.dx
+         |          AND n.y = c.y + o.dy
+         |        WHERE c.x >= 2 AND c.x <= c.w-3
+         |          AND c.y >= 2 AND c.y <= c.h-3
+         |        GROUP BY 1, 2, 3, 4)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_eval,
+         |  CAST(SUM(u) AS BIGINT) AS u_sum,
+         |  CAST(SUM(CASE WHEN u > 25*v THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_up,
+         |  CAST(SUM(u*(x + 131*y)) AS BIGINT) AS chk
+         |FROM ums GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Canny-lite: central-diff gradient, octant-axis NMS (the
     // q_grad_octants CASE ladder mod 4), double threshold, hysteresis
@@ -6036,6 +6241,55 @@ object SparkEntry {
          |FROM mkt t LEFT JOIN mks s ON t.gi = s.gi AND t.gj = s.gj
          |ORDER BY 1, 2""".stripMargin,
 
+    "q_emerging" ->
+      s"""WITH mke AS (SELECT event_id,
+         |          CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 150),
+         |mkp AS (SELECT t,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT) AS px,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT) AS py
+         |        FROM mke),
+         |mkb AS (SELECT px//512 AS gi, py//512 AS gj,
+         |          t//86400 AS tb, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM mkp GROUP BY 1, 2, 3),
+         |mks AS (SELECT a.gi, a.gj,
+         |          CAST(SUM(CASE WHEN b.c > a.c THEN 1
+         |            WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT)
+         |            AS s_stat
+         |        FROM mkb a JOIN mkb b
+         |          ON a.gi = b.gi AND a.gj = b.gj AND a.tb < b.tb
+         |        GROUP BY 1, 2),
+         |mkt AS (SELECT gi, gj, CAST(SUM(c) AS BIGINT) AS n_events
+         |        FROM mkb GROUP BY 1, 2),
+         |emx AS (SELECT MAX(tb) AS tbm FROM mkb),
+         |eml AS (SELECT gi, gj, c FROM mkb, emx WHERE tb = tbm),
+         |emn AS (SELECT l.gi, l.gj, CAST(SUM(n.c) AS BIGINT) AS nsum
+         |        FROM eml l JOIN eml n
+         |          ON n.gi BETWEEN l.gi - 1 AND l.gi + 1
+         |         AND n.gj BETWEEN l.gj - 1 AND l.gj + 1
+         |        GROUP BY 1, 2),
+         |emg AS (SELECT CAST(SUM(c) AS BIGINT) AS tot,
+         |          CAST(COUNT(*) AS BIGINT) AS ncl FROM eml),
+         |emc AS (SELECT t.gi, t.gj, t.n_events,
+         |          CAST(COALESCE(s.s_stat, 0) AS BIGINT) AS s_stat,
+         |          CASE WHEN n.nsum IS NOT NULL
+         |                AND n.nsum*g.ncl > g.tot*9 THEN 1 ELSE 0
+         |          END AS hot
+         |        FROM mkt t
+         |        LEFT JOIN mks s ON t.gi = s.gi AND t.gj = s.gj
+         |        LEFT JOIN emn n ON t.gi = n.gi AND t.gj = n.gj
+         |        CROSS JOIN emg g)
+         |SELECT gi, gj, n_events, s_stat, CAST(hot AS BIGINT) AS hot,
+         |  CASE WHEN hot = 1 AND s_stat > 0 THEN 'intensifying'
+         |       WHEN hot = 1 AND s_stat = 0 THEN 'persistent'
+         |       WHEN hot = 1 THEN 'diminishing'
+         |       WHEN s_stat > 0 THEN 'emerging'
+         |       ELSE 'none' END AS cls
+         |FROM emc ORDER BY 1, 2""".stripMargin,
+
     // colocation ground truth: all error×purchase pairs within the
     // coarsest radius, then per-radius pair + distinct-participant
     // counts from the one candidate set
@@ -6332,6 +6586,34 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_px,
          |  CAST(SUM(v3 - v0) AS BIGINT) AS dsum
          |FROM jp GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_radcal" ->
+      s"""WITH $I, $SimgCte,
+         |jep AS (SELECT unnest([0, 3]) AS t),
+         |jtv AS (SELECT s.k, s.image_id, xs.x, ys.y, e.t,
+         |          100 + ((s.k%7+1)*xs.x*xs.x + (s.k%5+1)*ys.y*ys.y
+         |               + (s.k%3+1)*xs.x*ys.y
+         |               + ((s.k*3)%11)*xs.x + ((s.k*7)%13)*ys.y) % 1900
+         |          + e.t * ((xs.x + ys.y + s.k) % 7 - 3)
+         |          + (e.t*e.t*(xs.x+1)*(s.k%11+1)) % 5 AS v
+         |        FROM simg s CROSS JOIN jep e
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.w-1 AS INT))) AS x) xs
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.h-1 AS INT))) AS y) ys),
+         |jp AS (SELECT k, image_id, x, y,
+         |         MAX(CASE WHEN t = 0 THEN v END) AS v0,
+         |         MAX(CASE WHEN t = 3 THEN v END) AS v3
+         |       FROM jtv GROUP BY 1, 2, 3, 4),
+         |jm AS (SELECT image_id,
+         |         CAST(COUNT(*) AS BIGINT) AS n_px,
+         |         CAST(SUM(v0) AS BIGINT) AS sx,
+         |         CAST(SUM(v3) AS BIGINT) AS sy,
+         |         CAST(SUM(v0*v3) AS BIGINT) AS sxy,
+         |         CAST(SUM(v0*v0) AS BIGINT) AS sxx
+         |       FROM jp GROUP BY 1)
+         |SELECT image_id, n_px, sx, sy,
+         |  n_px*sxy - sx*sy AS sxy_n,
+         |  n_px*sxx - sx*sx AS sxx_n
+         |FROM jm ORDER BY image_id""".stripMargin,
 
     // CMS rows from disjoint md5 hex pairs (ascii arithmetic);
     // estimate = min over the 4 row counters — overestimate-only
@@ -7716,6 +7998,82 @@ object SparkEntry {
          |FROM cand WHERE bit_count(xor(pha, phb)) <= 16
          |ORDER BY 1, 2""".stripMargin,
 
+    "q_dhash" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte, $DhashCte
+         |SELECT image_id, dhash FROM dhi
+         |ORDER BY image_id""".stripMargin,
+
+    "q_dhash_banded" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte, $DhashCte,
+         |bnd AS (SELECT image_id, dhash, j.bj,
+         |          (dhash >> (j.bj*16)) & 65535 AS bk
+         |        FROM dhi CROSS JOIN (SELECT unnest([0,1,2,3]) AS bj) j),
+         |cand AS (SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+         |           a.dhash AS dha, b.dhash AS dhb
+         |         FROM bnd a JOIN bnd b ON a.bj = b.bj AND a.bk = b.bk
+         |         WHERE a.image_id < b.image_id)
+         |SELECT id_a, id_b,
+         |       CAST(bit_count(xor(dha, dhb)) AS BIGINT) AS dist
+         |FROM cand WHERE bit_count(xor(dha, dhb)) <= 24
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q_ycbcr_stats" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte,
+         |pxw AS (SELECT k, x, y,
+         |    MAX(CASE WHEN b=0 THEN v END) AS vb0,
+         |    MAX(CASE WHEN b=1 THEN v END) AS vb1,
+         |    MAX(CASE WHEN b=2 THEN v END) AS vb2
+         |  FROM px WHERE b IN (0, 1, 2) GROUP BY k, x, y),
+         |yc AS (SELECT k, 299*vb2 + 587*vb1 + 114*vb0 AS y1000,
+         |         vb0, vb2 FROM pxw)
+         |SELECT s.image_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_px,
+         |       CAST(SUM(y.y1000) AS BIGINT) AS y_sum,
+         |       CAST(MIN(y.y1000) AS BIGINT) AS y_min,
+         |       CAST(MAX(y.y1000) AS BIGINT) AS y_max,
+         |       CAST(SUM(564*(1000*y.vb0 - y.y1000)) AS BIGINT) AS cb_sum,
+         |       CAST(SUM(713*(1000*y.vb2 - y.y1000)) AS BIGINT) AS cr_sum
+         |FROM yc y JOIN simg s ON s.k = y.k
+         |GROUP BY s.image_id ORDER BY s.image_id""".stripMargin,
+
+    "q_hue_hist" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte,
+         |pxw AS (SELECT k, x, y,
+         |    MAX(CASE WHEN b=0 THEN v END) AS vb,
+         |    MAX(CASE WHEN b=1 THEN v END) AS vg,
+         |    MAX(CASE WHEN b=2 THEN v END) AS vr
+         |  FROM px WHERE b IN (0, 1, 2) GROUP BY k, x, y),
+         |hs AS (SELECT k,
+         |    GREATEST(vr, vg, vb) - LEAST(vr, vg, vb) AS c,
+         |    CASE WHEN GREATEST(vr, vg, vb) = LEAST(vr, vg, vb) THEN 6
+         |         WHEN GREATEST(vr, vg, vb) = vr THEN
+         |           CASE WHEN vg >= vb THEN 0 ELSE 5 END
+         |         WHEN GREATEST(vr, vg, vb) = vg THEN
+         |           CASE WHEN vb < vr THEN 1 ELSE 2 END
+         |         ELSE CASE WHEN vr < vg THEN 3 ELSE 4 END
+         |    END AS sector
+         |  FROM pxw)
+         |SELECT s.image_id, CAST(h.sector AS BIGINT) AS sector,
+         |       CAST(COUNT(*) AS BIGINT) AS n_px,
+         |       CAST(SUM(h.c) AS BIGINT) AS chroma_sum
+         |FROM hs h JOIN simg s ON s.k = h.k
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_dither" ->
+      s"""WITH $I, $B, $SimgCte, $PxCte,
+         |dt AS (SELECT p.k, p.x, p.y, s.w,
+         |    CASE WHEN p.v > 64*(2*([0,8,2,10,12,4,14,6,3,11,1,9,
+         |      15,7,13,5][CAST((p.y%4)*4 + (p.x%4) AS INT) + 1]) + 1)
+         |      THEN 1 ELSE 0 END AS bit
+         |  FROM px p JOIN simg s ON s.k = p.k WHERE p.b = 0)
+         |SELECT s.image_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_valid,
+         |       CAST(SUM(d.bit) AS BIGINT) AS n_on,
+         |       CAST(SUM(CASE WHEN d.bit = 1 THEN d.x + d.w*d.y
+         |                ELSE 0 END) AS BIGINT) AS pos_sum
+         |FROM dt d JOIN simg s ON s.k = d.k
+         |GROUP BY s.image_id ORDER BY s.image_id""".stripMargin,
+
     // same banded candidates + d≤16 edges, then recursive-CTE
     // reachability → min-label per image (the CC ground truth)
     "q_phash_clusters" ->
@@ -8550,6 +8908,46 @@ object SparkEntry {
          |  GROUP BY 1, 2)
          |SELECT doc_id, bench_id, shared FROM hits
          |WHERE shared >= 2 ORDER BY doc_id, bench_id""".stripMargin,
+
+    // LCS DP as a monotone max-plus scatter fixpoint: v(i,j) relaxes
+    // from 0 via max(v(i-1,j), v(i,j-1), v(i-1,j-1)+eq); the state
+    // DAG is acyclic so the fixpoint is the DP value, reached within
+    // n+m <= 32 rounds (same no-overshoot argument as q_strahler)
+    "q_rouge_lcs" -> {
+      val refList = RougeRef.map(t => s"'$t'").mkString("[", ",", "]")
+      s"""WITH RECURSIVE
+         |rld AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |        FROM documents WHERE doc_id < 100),
+         |rlt AS (SELECT doc_id, LEAST(len(ts), 24) AS n, ts FROM rld),
+         |rls AS (SELECT t.doc_id, t.n, ii.i, jj.j,
+         |    CASE WHEN ii.i >= 1 AND jj.j >= 1
+         |         AND t.ts[CAST(ii.i AS INT)] =
+         |             ($refList)[CAST(jj.j AS INT)]
+         |         THEN 1 ELSE 0 END AS eq
+         |  FROM rlt t
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+         |    CAST(t.n AS INT))) AS i) ii
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS j) jj),
+         |rlv AS (
+         |  SELECT doc_id, n, i, j, 0 AS v, 0 AS it FROM rls
+         |  UNION ALL
+         |  SELECT s.doc_id, s.n, s.i, s.j,
+         |    MAX(CASE WHEN p.i = s.i - 1 AND p.j = s.j - 1
+         |             THEN p.v + s.eq ELSE p.v END) AS v,
+         |    MIN(p.it) + 1 AS it
+         |  FROM rlv p
+         |  JOIN rls s ON s.doc_id = p.doc_id
+         |    AND ((p.i = s.i AND p.j = s.j)
+         |      OR (p.i = s.i - 1 AND p.j = s.j)
+         |      OR (p.i = s.i AND p.j = s.j - 1)
+         |      OR (p.i = s.i - 1 AND p.j = s.j - 1))
+         |  WHERE p.it < 32
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+         |       CAST(v AS BIGINT) AS lcs
+         |FROM rlv WHERE it = 32 AND i = n AND j = 8
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // per-shard rank over the md5(doc_id:epoch) sort key — the
     // epoch-2 permutation replayed with window row_number
@@ -10149,6 +10547,36 @@ object SparkEntry {
       |       FROM bq q JOIN bt t ON t.k = q.k GROUP BY q.k),
       |phi AS (SELECT s.image_id, p.phash FROM ph p JOIN simg s ON s.k = p.k)""".stripMargin
 
+  /** dHash ground truth: the 8-row × 9-col block-sum grid over band
+    * 0 valid pixels, bit (r,c) ⇔ sv(r,c+1)·n(r,c) > sv(r,c)·n(r,c+1),
+    * packed MSB-first (bit 63 = the Long sign bit → the −2⁶³ branch,
+    * as in PhashCte). Requires $I, $B, $SimgCte, $PxCte. */
+  private val DhashCte =
+    """dcell AS (SELECT s.k, ry.r, cx.c,
+      |    (cx.c*s.w)//9 AS x0, ((cx.c+1)*s.w)//9 AS x1,
+      |    (ry.r*s.h)//8 AS y0, ((ry.r+1)*s.h)//8 AS y1
+      |  FROM simg s
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS r) ry
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS c) cx),
+      |dsum AS (SELECT d.k, d.r, d.c,
+      |    COUNT(p.v) AS n, COALESCE(SUM(p.v), 0) AS sv
+      |  FROM dcell d LEFT JOIN px p ON p.k = d.k AND p.b = 0
+      |    AND p.x >= d.x0 AND p.x < d.x1
+      |    AND p.y >= d.y0 AND p.y < d.y1
+      |  GROUP BY 1, 2, 3),
+      |dbit AS (SELECT l.k, l.r, l.c,
+      |    CASE WHEN rr.sv*l.n > l.sv*rr.n THEN 1 ELSE 0 END AS bit
+      |  FROM dsum l JOIN dsum rr ON rr.k = l.k AND rr.r = l.r
+      |    AND rr.c = l.c + 1
+      |  WHERE l.c < 8),
+      |dhh AS (SELECT k, CAST(SUM(CASE WHEN bit = 1 THEN
+      |      CASE WHEN r = 0 AND c = 0 THEN -9223372036854775807 - 1
+      |           ELSE (CAST(1 AS BIGINT) << CAST(63 - (r*8 + c) AS INT))
+      |      END ELSE 0 END) AS BIGINT) AS dhash
+      |  FROM dbit GROUP BY k),
+      |dhi AS (SELECT s.image_id, d.dhash
+      |  FROM dhh d JOIN simg s ON s.k = d.k)""".stripMargin
+
   private val PxCte = OracleCte.pixelGen
 
   /** Pivot the pixel rows into one row per (k,x,y) with all 6 band
@@ -10240,6 +10668,11 @@ object SparkEntry {
     * literals both engines. */
   private val DtwRefX = Seq(512L, 1024L, 2048L, 2560L, 3072L, 3584L)
   private val DtwRefY = Seq(3584L, 2560L, 2048L, 1024L, 768L, 256L)
+
+  /** Reference "eval passage" for the ROUGE-L gate — 8 tokens drawn
+    * from the synth documents' vocabulary so the LCS is non-trivial. */
+  private val RougeRef =
+    Seq("table", "value", "fast", "scan", "row", "agg", "key", "part")
 
   /** Shared track fixture for the DTW-family gates: each user's
     * first 24 events in (ts, event_id) order, with 12-bit md5-derived

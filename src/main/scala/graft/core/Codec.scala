@@ -365,6 +365,65 @@ object Codec {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** 64-bit difference-hash (dHash, Krawetz's public gradient hash):
+    * 8 rows × 9 columns of block sums; bit (r,c) set iff cell
+    * (r,c+1)'s mean exceeds cell (r,c)'s — the horizontal GRADIENT
+    * DIRECTION signature, complementary to [[aHash]]'s global-mean
+    * bits. EXACTLY invariant to an integer brightness shift v → v+κ
+    * ((s₂+κn₂)·n₁ > (s₁+κn₁)·n₂ reduces to s₂·n₁ > s₁·n₂ — the κ
+    * terms cancel even when cell counts differ) and to positive
+    * integer contrast scaling v → a·v: it catches exposure-shifted
+    * duplicates that a raw-value hash misses. Division-free —
+    * means compare via s₂·n₁ > s₁·n₂ over floor-quantized pixel
+    * values, so the DuckDB oracle replays the hash bit-exactly; an
+    * empty (all-nodata) cell carries (n,s) = (0,0), making both
+    * sides of its compares 0 (bit stays 0). Bit (r,c) lives at
+    * position 63 − (8r + c) (row-major from the MSB, like aHash).
+    * Cell edges are the floor-division grid [c·w/9, (c+1)·w/9) ×
+    * [r·h/8, (r+1)·h/8) — non-degenerate for w ≥ 9, h ≥ 8. */
+  def dHash(p: Array[Double], w: Int, h: Int): Long = {
+    require(w >= 9 && h >= 8, s"dHash needs >= 9x8 pixels, got ${w}x$h")
+    require(p.length == w * h, s"plane ${p.length} != ${w}x$h")
+    val n = new Array[Long](72); val sm = new Array[Long](72)
+    var by = 0
+    while (by < 8) {
+      val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+      var bx = 0
+      while (bx < 9) {
+        val x0 = bx * w / 9; val x1 = (bx + 1) * w / 9
+        var s = 0L; var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val v = p(y * w + x)
+            if (!java.lang.Double.isNaN(v)) {
+              cnt += 1; s += math.floor(v).toLong
+            }
+            x += 1
+          }
+          y += 1
+        }
+        n(by * 9 + bx) = cnt; sm(by * 9 + bx) = s
+        bx += 1
+      }
+      by += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val l = r * 9 + c
+        if (sm(l + 1) * n(l) > sm(l) * n(l + 1))
+          hash |= (1L << (63 - (r * 8 + c)))
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
   /** 64-dim image feature vector: the aHash's 8×8 block means, exposed
     * as an embedding (row-major, block (0,0) first; empty blocks 0.0).
     * This is the pixel→vector feature-extract step of the training-

@@ -232,6 +232,24 @@ object SpatialJoin {
     }: _*)
   }
 
+  /** Bing-maps QUADKEY ("Bing Maps Tile System", MSDN — the public
+    * XYZ tile-pyramid key): base-4 string of `levels` digits
+    * interleaving the tile-x/tile-y bits MSB-first, digit_i =
+    * 2·ty_bit + tx_bit. The defining property: a parent tile's key
+    * is its children's string PREFIX, so pyramid rollups are prefix
+    * aggregations (GROUP BY substring) and a key-sorted layout
+    * clusters each tile's children contiguously for range scans —
+    * the serving-side twin of the Morton/Hilbert file-clustering
+    * keys. Pure codegen Column arithmetic, no UDF. Inputs are
+    * non-negative integer tile coordinates < 2^levels. */
+  def quadkey(tx: Column, ty: Column, levels: Int): Column = {
+    require(levels >= 1 && levels <= 30, "1..30 levels supported")
+    concat((0 until levels).map { i =>
+      ((shiftright(ty, levels - 1 - i) % 2) * 2 +
+        (shiftright(tx, levels - 1 - i) % 2)).cast("string")
+    }: _*)
+  }
+
   /** CURVE-LOCALITY AUDIT: key the DISTINCT occupied cells of a point
     * set by Hilbert AND Morton at `order`, then measure the total
     * Manhattan step length along each key order — the quantity that
@@ -698,6 +716,56 @@ object SpatialJoin {
       .join(s, Seq("gi", "gj"), "left")
       .select(col("gi"), col("gj"), col("n_buckets"), col("n_events"),
         coalesce(col("s_stat"), lit(0L)).as("s_stat"))
+  }
+
+  /** EMERGING-HOTSPOT classification — the space-time-cube analysis
+    * (the published "emerging hot spot" taxonomy over a Getis-Ord-
+    * style hot test × Mann-Kendall trend, stated division-free):
+    * per cell, the MK S statistic over its per-bucket counts
+    * ([[mannKendallCells]]) composed with a hot-NOW test on the
+    * FINAL time slice — a cell is hot iff its 3×3 neighborhood
+    * count sum beats the slice's global per-cell mean by
+    * cross-multiplication (nsum·ncells > 9·tot; neighbors absent
+    * from the slice count 0, and a cell with no events in the final
+    * slice is not hot). Taxonomy:
+    *   hot ∧ S>0 → intensifying;  hot ∧ S=0 → persistent;
+    *   hot ∧ S<0 → diminishing;   ¬hot ∧ S>0 → emerging; else none.
+    * Scale shape: the per-cell series self-join is calendar-bounded
+    * (≤ nTb² rows per cell), the slice probe is a 9-key explode
+    * join over ≤ #occupied-cells rows, and the global slice stats
+    * ride in as one broadcast row — nothing corpus-sized shuffles
+    * more than once. Returns (gi, gj, n_events, s_stat, hot, cls). */
+  def emergingHotspots(pts: DataFrame, pitch: Long,
+                       tbSize: Long): DataFrame = {
+    val mk = mannKendallCells(pts, pitch, tbSize)
+    val binned = pts.select(expr(s"px div $pitch").as("gi"),
+        expr(s"py div $pitch").as("gj"),
+        expr(s"t div $tbSize").as("tb"))
+      .groupBy("gi", "gj", "tb").agg(count(lit(1)).as("c"))
+    val tbMax = binned.agg(max("tb").as("tbm"))
+    val last = binned.join(broadcast(tbMax), col("tb") === col("tbm"))
+      .select("gi", "gj", "c")
+    val probe = last
+      .withColumn("ni", explode(sequence(col("gi") - 1, col("gi") + 1)))
+      .withColumn("nj", explode(sequence(col("gj") - 1, col("gj") + 1)))
+      .select(col("gi"), col("gj"), col("ni"), col("nj"))
+    val nsum = probe
+      .join(last.select(col("gi").as("ni"), col("gj").as("nj"),
+        col("c").as("cn")), Seq("ni", "nj"))
+      .groupBy("gi", "gj").agg(sum("cn").as("nsum"))
+    val glob = last.agg(sum("c").as("tot"), count(lit(1)).as("ncl"))
+    val hotCells = nsum.crossJoin(broadcast(glob))
+      .select(col("gi"), col("gj"),
+        (col("nsum") * col("ncl") > col("tot") * lit(9L)).as("hot"))
+    mk.join(hotCells, Seq("gi", "gj"), "left")
+      .withColumn("hot", coalesce(col("hot"), lit(false)))
+      .select(col("gi"), col("gj"), col("n_events"), col("s_stat"),
+        col("hot").cast("long").as("hot"),
+        when(col("hot") && col("s_stat") > 0, "intensifying")
+          .when(col("hot") && col("s_stat") === 0, "persistent")
+          .when(col("hot"), "diminishing")
+          .when(col("s_stat") > 0, "emerging")
+          .otherwise("none").as("cls"))
   }
 
   /** BIVARIATE COLOCATION counts (cross-K / colocation-rule pieces,

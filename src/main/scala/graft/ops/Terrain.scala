@@ -799,6 +799,30 @@ object Terrain {
     acc.toSeq.map { case ((ba, bb), (n, ds)) => (ba, bb, n, ds) }
   })
 
+  /** Radiometric cross-calibration regression between two epochs —
+    * relative radiometric normalization by per-image OLS of epoch-b
+    * pixels on epoch-a pixels (the regression counterpart of the
+    * histogram-matching LUT): emits the EXACT integer moments that
+    * determine the fit — n, Σx, Σy, sxy = n·Σxy − Σx·Σy, sxx =
+    * n·Σx² − (Σx)² (slope = sxy/sxx, intercept = (Σy·sxx −
+    * Σx·sxy)/(n·sxx) are each one rational step away). Bounds:
+    * v ≤ 2012, n ≤ 4096 px ⇒ n·Σxy ≤ 6.8e13 — Long-exact. One
+    * decode pair per image, no cross-image shuffle. */
+  val radcalAgg = udf((w: Int, h: Int, ta: Int, tb: Int,
+                       epochs: Seq[org.apache.spark.sql.Row]) => {
+    val byT = epochs.map(r => (r.getInt(0),
+      Codec.decode(r.getAs[Array[Byte]](1), w, h, 1, "raw-i16le")(0))).toMap
+    val va = byT(ta); val vb = byT(tb)
+    var n = 0L; var sx = 0L; var sy = 0L; var sxy = 0L; var sxx = 0L
+    var i = 0
+    while (i < w * h) {
+      val x = va(i).toLong; val y = vb(i).toLong
+      n += 1; sx += x; sy += y; sxy += x * y; sxx += x * x
+      i += 1
+    }
+    (n, sx, sy, n * sxy - sx * sy, n * sxx - sx * sx)
+  })
+
   /** Temporal best-pixel composite (the max-value-composite rule of
     * Holben 1986, the standard cloud-free compositing recipe): per
     * pixel the winning epoch is argmax v_t, ties → earliest t.

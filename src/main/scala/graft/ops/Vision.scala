@@ -459,6 +459,49 @@ object Vision {
     (n, bs, if (n == 0) 0L else bmax, chk)
   }
 
+  /** UNSHARP MASK — the classic USM sharpen out = v + k·(v − blur),
+    * stated divide-free over the SAT box blur: with q = (2r+1)² and
+    * k = 1, the q-scaled output is U = 2·q·v − Σz(window) (exact
+    * integer; the real output is U/q). Per image over full-support
+    * interior: (n_eval, ΣU, n_up = pixels sharpened upward, i.e.
+    * U > q·v ⇔ v above its local mean, Σ U·(x+131·y) positional
+    * checksum). O(1) per pixel at any radius via the SAT — the
+    * oracle replays the naive O(r²) window scan. */
+  val unsharpAgg = udf((bytes: Array[Byte], w: Int, h: Int, r: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val sat = new Array[Long]((w + 1) * (h + 1))
+    var y = 0
+    while (y < h) {
+      var rowSum = 0L
+      var x = 0
+      while (x < w) {
+        rowSum += z(y * w + x).toLong
+        sat((y + 1) * (w + 1) + (x + 1)) = sat(y * (w + 1) + (x + 1)) + rowSum
+        x += 1
+      }
+      y += 1
+    }
+    val q = (2L * r + 1L) * (2L * r + 1L)
+    var n = 0L; var us = 0L; var up = 0L; var chk = 0L
+    y = r
+    while (y < h - r) {
+      val y0 = y - r; val y1 = y + r + 1
+      var x = r
+      while (x < w - r) {
+        val x0 = x - r; val x1 = x + r + 1
+        val box = sat(y1 * (w + 1) + x1) - sat(y0 * (w + 1) + x1) -
+          sat(y1 * (w + 1) + x0) + sat(y0 * (w + 1) + x0)
+        val v = z(y * w + x).toLong
+        val u = 2L * q * v - box
+        n += 1; us += u; if (u > q * v) up += 1
+        chk += u * (x + 131L * y)
+        x += 1
+      }
+      y += 1
+    }
+    (n, us, up, chk)
+  })
+
   /** Windowed local statistics from TWO summed-area tables (z and
     * z²) — the adaptive-threshold / texture-energy building block
     * (Niblack 1986 family, stated divide-free): with q = (2r+1)²,
@@ -1148,5 +1191,116 @@ object Vision {
     }
     val score = n * s2 - s * s
     (n, s, s2, score, if (score > tau * n * n) 1L else 0L)
+  })
+
+  /** BT.601 luma/chroma statistics (ITU-R BT.601-7 §2.5.1 matrix —
+    * the public SD colorimetry standard): per valid pixel, with the
+    * sensor's (blue, green, red) = bands (0, 1, 2),
+    *   Y1000  = 299·R + 587·G + 114·B        (luma ×1000, exact ints)
+    *   Cb564k = 564·(1000·B − Y1000)          (B−Y chroma ×564000)
+    *   Cr713k = 713·(1000·R − Y1000)          (R−Y chroma ×713000).
+    * Returns (n, ΣY1000, min Y1000, max Y1000, ΣCb564k, ΣCr713k) —
+    * the grayscale-conversion + chroma-screening constants of an
+    * image-curation pipeline (|ΣCb|+|ΣCr| ≈ 0 flags grayscale scans;
+    * ΣY/n is the brightness gate). One decode, O(n_px) integer ops,
+    * no cross-image shuffle. Skips any pixel with a NaN channel. */
+  val lumaChromaAgg = udf((bytes: Array[Byte], w: Int, h: Int,
+                           fmt: String, nb: Int) => {
+    val pl = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+    val pb = pl(0); val pg = pl(1); val pr = pl(2)
+    var n = 0L; var ys = 0L; var cb = 0L; var cr = 0L
+    var ymin = Long.MaxValue; var ymax = Long.MinValue
+    var i = 0
+    while (i < w * h) {
+      val b = pb(i); val g = pg(i); val r = pr(i)
+      if (!java.lang.Double.isNaN(b) && !java.lang.Double.isNaN(g) &&
+          !java.lang.Double.isNaN(r)) {
+        val bl = math.floor(b).toLong; val gl = math.floor(g).toLong
+        val rl = math.floor(r).toLong
+        val y1000 = 299L * rl + 587L * gl + 114L * bl
+        n += 1; ys += y1000
+        if (y1000 < ymin) ymin = y1000
+        if (y1000 > ymax) ymax = y1000
+        cb += 564L * (1000L * bl - y1000)
+        cr += 713L * (1000L * rl - y1000)
+      }
+      i += 1
+    }
+    if (n == 0L) (0L, 0L, 0L, 0L, 0L, 0L)
+    else (n, ys, ymin, ymax, cb, cr)
+  })
+
+  /** HSV hue-SECTOR histogram + chroma mass — the dominant-color /
+    * colorfulness screen of an image-curation pipeline, stated
+    * DIVISION-FREE: the six 60° hue sectors of the standard RGB→HSV
+    * hexagon (Smith 1978) are decided purely by which channel is the
+    * max and the SIGN of the other two's difference (h′ = (G−B)/C ∈
+    * [−1,1) when R is max ⇒ sector 0 iff G ≥ B else 5; h′ = 2+(B−R)/C
+    * when G is max ⇒ sector 1 iff B < R else 2; h′ = 4+(R−G)/C when B
+    * is max ⇒ sector 3 iff R < G else 4) — no float hue ever
+    * computed. Chroma = max−min is exact. Argmax ties break R, G, B
+    * (the CASE order); chroma = 0 ⇒ the achromatic bucket 6. With
+    * (blue, green, red) = bands (0, 1, 2), returns one row per
+    * occupied sector: (sector, n_px, chroma_sum). One decode,
+    * integer-exact, ≤7 rows out per image. */
+  val hueHistAgg = udf((bytes: Array[Byte], w: Int, h: Int,
+                        fmt: String, nb: Int) => {
+    val pl = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
+    val pb = pl(0); val pg = pl(1); val pr = pl(2)
+    val n = new Array[Long](7); val cs = new Array[Long](7)
+    var i = 0
+    while (i < w * h) {
+      val b = pb(i); val g = pg(i); val r = pr(i)
+      if (!java.lang.Double.isNaN(b) && !java.lang.Double.isNaN(g) &&
+          !java.lang.Double.isNaN(r)) {
+        val bl = math.floor(b).toLong; val gl = math.floor(g).toLong
+        val rl = math.floor(r).toLong
+        val mx = math.max(rl, math.max(gl, bl))
+        val mn = math.min(rl, math.min(gl, bl))
+        val c = mx - mn
+        val sec =
+          if (c == 0L) 6
+          else if (mx == rl) { if (gl >= bl) 0 else 5 }
+          else if (mx == gl) { if (bl < rl) 1 else 2 }
+          else { if (rl < gl) 3 else 4 }
+        n(sec) += 1; cs(sec) += c
+      }
+      i += 1
+    }
+    (0 until 7).filter(n(_) > 0L).map(s => (s.toLong, n(s), cs(s)))
+  })
+
+  /** Bayer 4×4 index matrix (Bayer 1973, the public ordered-dither
+    * pattern), row-major: M(x,y) = BayerM((y%4)·4 + x%4) ∈ [0,16). */
+  val BayerM: Array[Int] =
+    Array(0, 8, 2, 10, 12, 4, 14, 6, 3, 11, 1, 9, 15, 7, 13, 5)
+
+  /** Ordered (Bayer 4×4) dithering — the classic halftone / 1-bit
+    * quantization kernel. Pixel (x,y) lights iff v > 64·(2·M+1)
+    * (thresholds 64, 192, …, 1984 — 16 levels spanning the synth
+    * value range [200, ~1900]); the fixed threshold lattice trades
+    * quantization error for spatial dispersion exactly as in the
+    * published matrix. Returns (n_valid, n_on, Σ(x + w·y) over lit
+    * pixels) — count plus a positional checksum that pins every lit
+    * coordinate. One decode, integer-exact. */
+  val ditherAgg = udf((bytes: Array[Byte], w: Int, h: Int,
+                       fmt: String, nb: Int) => {
+    val p = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)(0)
+    var n = 0L; var on = 0L; var cs = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = p(y * w + x)
+        if (!java.lang.Double.isNaN(v)) {
+          n += 1
+          val t = 64L * (2L * BayerM((y % 4) * 4 + (x % 4)) + 1L)
+          if (math.floor(v).toLong > t) { on += 1; cs += x + w.toLong * y }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (n, on, cs)
   })
 }

@@ -711,6 +711,36 @@ object TextOps {
       .where(col("shared") >= minHits)
   }
 
+  /** ROUGE-L sequence overlap (Lin 2004): longest-common-subsequence
+    * length between a document's token window and a broadcast
+    * reference sequence — the integer NUMERATOR of ROUGE-L (P/R/F
+    * are one divide away from (lcs, n, |ref|)). Sequence-aware
+    * decontamination twin: bag-of-n-gram overlap (decontaminate)
+    * underweights near-verbatim passages with small edits; LCS
+    * scores ORDERED overlap directly. Corpus side is embarrassingly
+    * parallel — per-doc O(n·m) rolling DP, one scan, no shuffle;
+    * the eval side rides in as a literal array (broadcast-by-value).
+    * Returns (n_toks, lcs). */
+  val rougeLcsAgg = udf((toks: Seq[String], ref: Seq[String]) => {
+    val n = toks.length; val m = ref.length
+    val dp = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      var diag = 0 // dp(j-1) from the previous row
+      var j = 1
+      while (j <= m) {
+        val up = dp(j)
+        dp(j) =
+          if (toks(i - 1) == ref(j - 1)) diag + 1
+          else math.max(up, dp(j - 1))
+        diag = up
+        j += 1
+      }
+      i += 1
+    }
+    (n.toLong, dp(m).toLong)
+  })
+
   /** Deterministic EPOCH SHUFFLE — the global training-order
     * permutation for epoch `epoch`: every doc gets a pseudorandom but
     * reproducible (shard, pos) coordinate, re-drawn per epoch. Sort

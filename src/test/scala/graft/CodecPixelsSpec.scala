@@ -166,6 +166,48 @@ class CodecPixelsSpec extends AnyFunSuite {
     assert(Codec.hamming(h1, Codec.aHash(p3, w, h)) > 10)
   }
 
+  test("dHash: brute-force reference, brightness-shift invariance, nodata") {
+    // brute reference: float block means over the same 8x9 grid
+    def brute(p: Array[Double], w: Int, h: Int): Long = {
+      def cell(r: Int, c: Int): (Long, Long) = {
+        var s = 0L; var n = 0L
+        for (y <- r * h / 8 until (r + 1) * h / 8;
+             x <- c * w / 9 until (c + 1) * w / 9
+             if !p(y * w + x).isNaN) {
+          s += math.floor(p(y * w + x)).toLong; n += 1
+        }
+        (s, n)
+      }
+      var hash = 0L
+      for (r <- 0 until 8; c <- 0 until 8) {
+        val (s1, n1) = cell(r, c); val (s2, n2) = cell(r, c + 1)
+        if (s2 * n1 > s1 * n2) hash |= (1L << (63 - (r * 8 + c)))
+      }
+      hash
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 20) {
+      val w = 16 + rnd.nextInt(60); val h = 16 + rnd.nextInt(60)
+      val nw = rnd.nextInt(5)
+      val p = Array.tabulate(w * h) { i =>
+        if (i % w < nw) Double.NaN else rnd.nextInt(2000).toDouble
+      }
+      assert(Codec.dHash(p, w, h) == brute(p, w, h), s"trial $trial")
+      // EXACT brightness-shift invariance (the property aHash on raw
+      // thresholds lacks): v -> v + 137 flips no bit
+      val shifted = p.map(v => if (v.isNaN) v else v + 137.0)
+      assert(Codec.dHash(shifted, w, h) == Codec.dHash(p, w, h))
+      // integer contrast scaling v -> 3v flips no bit either
+      val scaled = p.map(v => if (v.isNaN) v else v * 3.0)
+      assert(Codec.dHash(scaled, w, h) == Codec.dHash(p, w, h))
+    }
+    // gradient direction is the signature: an increasing ramp sets
+    // every row's bits to 1s, a decreasing ramp to 0s
+    val inc = Array.tabulate(18 * 16)(i => (i % 18).toDouble)
+    assert(Codec.dHash(inc, 18, 16) == -1L) // all 64 bits set
+    assert(Codec.dHash(inc.map(180.0 - _), 18, 16) == 0L)
+  }
+
   test("chain ops with nodata restore (reference GeoRaster.h:517-524 rule)") {
     val p = Array(4.0, Double.NaN, 9.0, -1.0)
     // sqrt of negative → NaN → restored as nodata

@@ -704,4 +704,32 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     gh3.foreach { case (pre, g3) => assert(pre == g3) }
   }
 
+  test("quadkey: Bing tile-system goldens and parent-prefix property") {
+    import spark.implicits._
+    // MSDN "Bing Maps Tile System" worked example: tile (3,5) at
+    // level 3 → "213"; (0,0) → all-zero key; (2^L−1, 2^L−1) → all 3s
+    val df = Seq((3L, 5L), (0L, 0L), (7L, 7L), (4L, 2L))
+      .toDF("tx", "ty")
+      .withColumn("qk", graft.ops.SpatialJoin.quadkey(
+        col("tx"), col("ty"), 3))
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got((3L, 5L)) == "213")
+    assert(got((0L, 0L)) == "000")
+    assert(got((7L, 7L)) == "333")
+    assert(got((4L, 2L)) == "120")
+    // parent tile (tx/2, ty/2) at L−1 is the string PREFIX — the
+    // property every pyramid rollup and range scan rides on
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(50)((rnd.nextInt(128).toLong,
+      rnd.nextInt(128).toLong)).toDF("tx", "ty")
+      .withColumn("qk7", graft.ops.SpatialJoin.quadkey(
+        col("tx"), col("ty"), 7))
+      .withColumn("qkp", graft.ops.SpatialJoin.quadkey(
+        expr("tx div 2"), expr("ty div 2"), 6))
+    pts.collect().foreach { r =>
+      assert(r.getString(2).take(6) == r.getString(3))
+    }
+  }
+
 }
