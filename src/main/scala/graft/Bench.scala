@@ -247,7 +247,11 @@ object Bench {
       "q_hilbert_ranges",
       "q_haar", "q_clipscore",
       "q_rasterize", "q_epsilon_filter", "q_lm_coverage", "q_blur_filter",
-      "q_tile_neardup", "q_ann_recall", "q_sssp")
+      "q_tile_neardup", "q_ann_recall", "q_sssp",
+      // late round-5 wave: perceptual/color/tile ops + eval overlap
+      "q_dhash", "q_dhash_banded", "q_ycbcr_stats", "q_hue_hist",
+      "q_dither", "q_quadkey", "q_quadkey_rollup", "q_rouge_lcs",
+      "q_emerging", "q_unsharp", "q_radcal")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel
