@@ -251,7 +251,12 @@ object Bench {
       // late round-5 wave: perceptual/color/tile ops + eval overlap
       "q_dhash", "q_dhash_banded", "q_ycbcr_stats", "q_hue_hist",
       "q_dither", "q_quadkey", "q_quadkey_rollup", "q_rouge_lcs",
-      "q_emerging", "q_unsharp", "q_radcal")
+      "q_emerging", "q_unsharp", "q_radcal",
+      // audio modality: decode-once clip kernels + relational VAD /
+      // banded fingerprint dedup
+      "q_audio_stats", "q_audio_frames", "q_audio_vad",
+      "q_audio_fingerprint", "q_audio_neardup", "q_audio_pitch",
+      "q_audio_normalize")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.gen.{OracleCte, Synth}
 import graft.index.CellGrid
-import graft.ops.{Algorithms, Bands, Indices, Knn, Mosaic, SpatialJoin, Stats, Tiling, Warp}
+import graft.ops.{Algorithms, Audio, Bands, Indices, Knn, Mosaic, SpatialJoin, Stats, Tiling, Warp}
 
 /** Driver contract — one `queries` entry (+ DuckDB `oracleSql` mirror)
   * per implemented operator from SURVEY.md §2. The geospatial input
@@ -39,6 +39,61 @@ object SparkEntry {
       .select(col("image_id"), col("fid"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- audio modality (opaque PCM payload + typed metadata; the
+    // third leg of the multimodal contract next to images and video —
+    // graft.ops.Audio) ----
+    "q_audio_meta" -> ((s, dir) =>
+      Synth.audio(s, dir)
+        .groupBy("sr", "lang")
+        .agg(count(lit(1)).as("n_clips"),
+          sum(floor(col("n") * 1000 / col("sr"))).as("total_ms"))
+        .orderBy("sr", "lang")),
+
+    "q_audio_stats" -> ((s, dir) =>
+      Audio.clipStats(
+          Synth.audioWithBytes(s, dir, _.where(col("k") % 3 === 1)))
+        .orderBy("audio_id")),
+
+    "q_audio_trim" -> ((s, dir) =>
+      Audio.trimBounds(
+          Synth.audioWithBytes(s, dir, _.where(col("k") % 3 === 1)))
+        .orderBy("audio_id")),
+
+    "q_audio_resample" -> ((s, dir) =>
+      Audio.resampleTo(
+          Synth.audioWithBytes(s, dir, _.where(col("k") % 3 === 1)))
+        .orderBy("audio_id")),
+
+    "q_audio_frames" -> ((s, dir) =>
+      Audio.frameEnergies(
+          Synth.audioWithBytes(s, dir, _.where(col("k") % 12 === 1)))
+        .orderBy("audio_id", "frame_no")),
+
+    "q_audio_vad" -> ((s, dir) =>
+      Audio.vadSegments(Audio.frameEnergies(
+          Synth.audioWithBytes(s, dir, _.where(col("k") % 12 === 1))))
+        .orderBy("audio_id", "seg_no")),
+
+    "q_audio_fingerprint" -> ((s, dir) =>
+      Audio.fingerprints(
+          Synth.audioWithBytes(s, dir, _.where(col("k") % 3 === 1)))
+        .orderBy("audio_id")),
+
+    "q_audio_neardup" -> ((s, dir) =>
+      Audio.nearDup(Synth.audioWithBytes(s, dir,
+          _.where(col("k") % 3 === 1), twins = true))
+        .orderBy("id_a", "id_b")),
+
+    "q_audio_pitch" -> ((s, dir) =>
+      Audio.pitchLag(
+          Synth.audioWithBytes(s, dir, _.where(col("k") % 12 === 1)))
+        .orderBy("audio_id")),
+
+    "q_audio_normalize" -> ((s, dir) =>
+      Audio.normalizePeak(
+          Synth.audioWithBytes(s, dir, _.where(col("k") % 3 === 1)))
+        .orderBy("audio_id")),
+
     "q_images_meta" -> ((s, dir) =>
       imgs(s, dir)
         .select(col("image_id"), col("w"), col("h"), col("fmt"), col("nw"),
@@ -3952,6 +4007,117 @@ object SparkEntry {
     }
 
   def oracleSql: Map[String, String] = Map(
+    "q_audio_meta" ->
+      s"""WITH $Aud
+         |SELECT sr, lang, CAST(COUNT(*) AS BIGINT) AS n_clips,
+         |       CAST(SUM((n*1000)//sr) AS BIGINT) AS total_ms
+         |FROM aud GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_audio_stats" ->
+      s"""WITH $Aud, $SaudCte, ${OracleCte.audioGen},
+         |ad AS (SELECT audio_id, s,
+         |         LAG(s) OVER (PARTITION BY audio_id ORDER BY i) AS ps
+         |       FROM asamp)
+         |SELECT audio_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+         |  CAST(SUM(s*s) AS BIGINT) AS sum_sq,
+         |  CAST(MAX(ABS(s)) AS BIGINT) AS max_abs,
+         |  CAST(SUM(CASE WHEN ps IS NOT NULL AND ps*s < 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+         |  CAST(SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_silent
+         |FROM ad GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_audio_trim" ->
+      s"""WITH $Aud, $SaudCte, ${OracleCte.audioGen}
+         |SELECT audio_id,
+         |  CAST(COALESCE(MIN(CASE WHEN s <> 0 THEN i END), -1) AS BIGINT)
+         |    AS first_voiced,
+         |  CAST(COALESCE(MAX(CASE WHEN s <> 0 THEN i END), -1) AS BIGINT)
+         |    AS last_voiced,
+         |  CAST(COALESCE(MAX(CASE WHEN s <> 0 THEN i END)
+         |    - MIN(CASE WHEN s <> 0 THEN i END) + 1, 0) AS BIGINT)
+         |    AS trimmed_n
+         |FROM asamp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_audio_resample" ->
+      s"""WITH $Aud, $SaudCte, ${OracleCte.audioGen}
+         |SELECT audio_id, CAST(8000 AS BIGINT) AS out_sr,
+         |  CAST(COUNT(*) AS BIGINT) AS out_n,
+         |  CAST(SUM(s * (((i // (sr//8000)) % 97) + 1)) AS BIGINT)
+         |    AS checksum
+         |FROM asamp WHERE i % (sr//8000) = 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_audio_frames" ->
+      s"""WITH $Aud, $SaudFrCte, ${OracleCte.audioGen}, $AudFrameCte
+         |SELECT audio_id, CAST(fr AS BIGINT) AS frame_no, energy
+         |FROM fe ORDER BY 1, 2""".stripMargin,
+
+    "q_audio_vad" ->
+      s"""WITH $Aud, $SaudFrCte, ${OracleCte.audioGen}, $AudFrameCte,
+         |av AS (SELECT audio_id, fr FROM fe
+         |       WHERE energy >= ${Audio.VadEnergyMin}),
+         |ag AS (SELECT audio_id, fr,
+         |         fr - ROW_NUMBER() OVER (PARTITION BY audio_id
+         |           ORDER BY fr) AS grp
+         |       FROM av),
+         |asg AS (SELECT audio_id, grp, MIN(fr) AS f0, MAX(fr) AS f1,
+         |          COUNT(*) AS nf FROM ag GROUP BY 1, 2)
+         |SELECT audio_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY audio_id ORDER BY f0)
+         |    AS BIGINT) AS seg_no,
+         |  CAST(f0 AS BIGINT) AS f0, CAST(f1 AS BIGINT) AS f1,
+         |  CAST(nf AS BIGINT) AS n_frames
+         |FROM asg ORDER BY 1, 2""".stripMargin,
+
+    "q_audio_fingerprint" ->
+      s"""WITH $Aud, $SaudCte, ${OracleCte.audioGen}, $AudFpCte
+         |SELECT audio_id, fp FROM afp ORDER BY 1""".stripMargin,
+
+    "q_audio_neardup" ->
+      s"""WITH $Aud,
+         |saud AS (SELECT *, FALSE AS tw FROM aud WHERE k % 3 = 1
+         |         UNION ALL
+         |         SELECT k, audio_id || '-tw', sr, n, lead, tail, f, m,
+         |                speaker, lang, TRUE
+         |         FROM aud WHERE k % 3 = 1 AND k % 40 = 0),
+         |${OracleCte.audioGenTw}, $AudFpCte
+         |SELECT a.audio_id AS id_a, b.audio_id AS id_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
+         |FROM afp a JOIN afp b ON a.audio_id < b.audio_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q_audio_pitch" ->
+      s"""WITH $Aud, $SaudFrCte, ${OracleCte.audioGen},
+         |lags AS (SELECT unnest([${Audio.PitchLags.mkString(",")}])
+         |           AS tau),
+         |ac AS (SELECT c.audio_id, l.tau,
+         |         COALESCE(SUM(p1.s * p2.s), 0) AS r
+         |       FROM saud c CROSS JOIN lags l
+         |       LEFT JOIN asamp p1 ON p1.audio_id = c.audio_id
+         |       LEFT JOIN asamp p2 ON p2.audio_id = p1.audio_id
+         |         AND p2.i = p1.i + l.tau
+         |       GROUP BY 1, 2),
+         |rk AS (SELECT audio_id, tau, r,
+         |         ROW_NUMBER() OVER (PARTITION BY audio_id
+         |           ORDER BY r DESC, tau) AS rnk
+         |       FROM ac)
+         |SELECT audio_id, CAST(tau AS BIGINT) AS best_lag,
+         |       CAST(r AS BIGINT) AS r_best
+         |FROM rk WHERE rnk = 1 ORDER BY 1""".stripMargin,
+
+    "q_audio_normalize" ->
+      s"""WITH $Aud, $SaudCte, ${OracleCte.audioGen},
+         |amx AS (SELECT audio_id, MAX(ABS(s)) AS ma
+         |        FROM asamp GROUP BY 1)
+         |SELECT p.audio_id, CAST(m.ma AS BIGINT) AS max_abs,
+         |  CAST(SUM((CASE WHEN p.s >= 0 THEN (p.s*10000) // m.ma
+         |    ELSE -(((-p.s)*10000 + m.ma - 1) // m.ma) END)
+         |    * ((p.i % 101) + 1)) AS BIGINT) AS norm_checksum
+         |FROM asamp p JOIN amx m ON m.audio_id = p.audio_id
+         |GROUP BY 1, m.ma ORDER BY 1""".stripMargin,
+
     "q_images_meta" ->
       s"""WITH $I
          |SELECT image_id, w, h, fmt, nw, caption, x0m, y0m, x1m, y1m
@@ -10444,6 +10610,38 @@ object SparkEntry {
   private val SimgCte =
     """simg AS (SELECT * FROM img2
       |  WHERE w <= 64 AND h <= 64 AND k % 6 IN (1, 2))""".stripMargin
+
+  // ---- audio oracle building blocks (mirror graft.ops.Audio) ----
+  private val Aud = OracleCte.audio
+  private val SaudCte = "saud AS (SELECT * FROM aud WHERE k % 3 = 1)"
+  private val SaudFrCte = "saud AS (SELECT * FROM aud WHERE k % 12 = 1)"
+
+  /** Overlapped frame energies (len 160, hop 80) from the per-sample
+    * replay: fe(audio_id, fr, energy). Requires saud + asamp. */
+  private val AudFrameCte =
+    """afr AS (
+      |  SELECT a.audio_id, f.fr
+      |  FROM saud a CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+      |    CAST((a.n - 160)//80 AS INT))) AS fr) f),
+      |fe AS (SELECT r.audio_id, r.fr,
+      |         CAST(SUM(p.s*p.s) AS BIGINT) AS energy
+      |       FROM afr r JOIN asamp p ON p.audio_id = r.audio_id
+      |         AND p.i >= r.fr*80 AND p.i < r.fr*80 + 160
+      |       GROUP BY 1, 2)""".stripMargin
+
+  /** Span-energy-delta fingerprint (63 spans → 62 delta bits, packed
+    * positive): afp(audio_id, fp). Requires asamp. */
+  private val AudFpCte =
+    """asp AS (SELECT audio_id, (i*63)//n AS sp, SUM(s*s) AS e
+      |        FROM asamp GROUP BY 1, 2),
+      |aspd AS (SELECT audio_id, sp, e,
+      |           LAG(e) OVER (PARTITION BY audio_id ORDER BY sp) AS pe
+      |         FROM asp),
+      |afp AS (SELECT audio_id,
+      |          CAST(COALESCE(SUM(CASE WHEN pe IS NOT NULL AND e > pe
+      |            THEN (CAST(1 AS BIGINT) << CAST(sp-1 AS INT))
+      |            ELSE 0 END), 0) AS BIGINT) AS fp
+      |        FROM aspd GROUP BY 1)""".stripMargin
 
   /** Brute-force cosine top-10 ground truth — shared verbatim by
     * q_ann_cosine_topk and (as the truth side) q_ann_recall. */

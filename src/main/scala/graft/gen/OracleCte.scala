@@ -62,6 +62,58 @@ object OracleCte {
       s"(CASE WHEN list_dot_product($edCol, $w::DOUBLE[]) >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** audio metadata CTE — SQL mirror of [[Synth.audio]]:
+    * aud(k, audio_id, sr, n, lead, tail, f, m, speaker, lang). */
+  val audio: String =
+    s"""aud AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS k,
+       |         'aud-' || CAST(c_custkey AS VARCHAR) AS audio_id,
+       |         CAST(8000*(1 + c_custkey % 2) AS BIGINT) AS sr,
+       |         CAST(400 + (c_custkey*37) % 1600 AS BIGINT) AS n,
+       |         CAST(c_custkey % 50 AS BIGINT) AS lead,
+       |         CAST((c_custkey*3) % 50 AS BIGINT) AS tail,
+       |         CAST(3 + c_custkey % 13 AS BIGINT) AS f,
+       |         CAST(2*(500 + (c_custkey*13) % 1500) AS BIGINT) AS m,
+       |         'spk-' || CAST(c_custkey % 20 AS VARCHAR) AS speaker,
+       |         ${sqlList(Synth.AudioLangs)}[CAST((c_custkey*3) % 5 AS INT)+1]
+       |           AS lang
+       |  FROM customer)""".stripMargin
+
+  /** Sample-exact waveform replay (lateral generate_series) — SQL
+    * mirror of [[Synth.audioSample]]: asamp(k, audio_id, sr, n, i, s).
+    * Requires a preceding CTE `saud` selecting a subset of aud. The
+    * soft-frame attenuation is floor(raw/16.0), NOT `// 16`: DuckDB
+    * `//` truncates toward zero on negatives while the Scala kernel
+    * floor-divides. */
+  val audioGen: String =
+    """asamp AS (
+      |  SELECT a.k, a.audio_id, a.sr, a.n, gs.i,
+      |    CASE WHEN gs.i < a.lead OR gs.i >= a.n - a.tail THEN 0
+      |         WHEN ((gs.i // 160) % 3) = 0 THEN
+      |           CAST(floor((((gs.i*a.f + a.k*7) % a.m) - a.m//2)
+      |                      / 16.0) AS BIGINT)
+      |         ELSE ((gs.i*a.f + a.k*7) % a.m) - a.m//2 END AS s
+      |  FROM saud a
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+      |    CAST(a.n-1 AS INT))) AS i) gs)""".stripMargin
+
+  /** Twin-aware waveform replay: like [[audioGen]] but `saud` must
+    * carry a BOOLEAN `tw` column; twin rows add +1 where
+    * (i*31 + k) % 997 = 0 (mirror of [[Synth.audioTwinSample]]). */
+  val audioGenTw: String =
+    """asamp AS (
+      |  SELECT a.k, a.audio_id, a.sr, a.n, gs.i,
+      |    (CASE WHEN gs.i < a.lead OR gs.i >= a.n - a.tail THEN 0
+      |          WHEN ((gs.i // 160) % 3) = 0 THEN
+      |            CAST(floor((((gs.i*a.f + a.k*7) % a.m) - a.m//2)
+      |                       / 16.0) AS BIGINT)
+      |          ELSE ((gs.i*a.f + a.k*7) % a.m) - a.m//2 END)
+      |    + (CASE WHEN a.tw AND (gs.i*31 + a.k) % 997 = 0
+      |            THEN 1 ELSE 0 END) AS s
+      |  FROM saud a
+      |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0,
+      |    CAST(a.n-1 AS INT))) AS i) gs)""".stripMargin
+
   /** Pixel-exact regeneration for small images (lateral
     * generate_series): px(k, b, x, y, v) over VALID pixels only.
     * Requires a preceding CTE `simg` selecting small rows of img2. */

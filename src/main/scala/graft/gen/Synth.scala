@@ -289,4 +289,88 @@ object Synth {
     ).withColumn("px1m", col("px0m") + col("pwm"))
      .withColumn("py1m", col("py0m") + col("phm"))
   }
+
+  // ---- audio clips (opaque PCM payload + typed metadata) ----
+  //
+  // The third modality of the multimodal contract (image/video/audio as
+  // opaque binary + typed metadata). One clip per `customer` row; the
+  // waveform is pure integer arithmetic so the DuckDB oracle replays it
+  // per-sample with generate_series (SQL mirror: OracleCte.audio /
+  // audioGen). Shape: `lead`/`tail` samples of exact silence, a
+  // sawtooth body of period m/f and amplitude m/2, and every third
+  // 160-sample frame attenuated 16× (floor division) — a voiced/soft
+  // alternation that gives VAD, framing and fingerprint ops real
+  // structure to find.
+
+  val AudioLangs: Seq[String] = Seq("en", "de", "fr", "es", "ja")
+
+  def audSrOf(k: Long): Long   = 8000L * (1 + k % 2)
+  def audNOf(k: Long): Long    = 400 + (k * 37) % 1600
+  def audLeadOf(k: Long): Long = k % 50
+  def audTailOf(k: Long): Long = (k * 3) % 50
+  def audFreqOf(k: Long): Long = 3 + k % 13
+  def audModOf(k: Long): Long  = 2 * (500 + (k * 13) % 1500) // even
+
+  /** Sample i of clip k. Soft frames use floorDiv to mirror the
+    * oracle's floor(raw/16.0) exactly on negatives (DuckDB `//`
+    * truncates toward zero, so the SQL side states floor()). */
+  def audioSample(k: Long, i: Long): Int = {
+    if (i < audLeadOf(k) || i >= audNOf(k) - audTailOf(k)) 0
+    else {
+      val m = audModOf(k)
+      val raw = (i * audFreqOf(k) + k * 7) % m - m / 2
+      (if ((i / 160) % 3 == 0) Math.floorDiv(raw, 16L) else raw).toInt
+    }
+  }
+
+  /** Noisy twin of clip k: +1 on ~n/997 samples — a near-duplicate by
+    * construction (span-energy fingerprints land within Hamming ≤ 3). */
+  def audioTwinSample(k: Long, i: Long): Int =
+    audioSample(k, i) + (if ((i * 31 + k) % 997 == 0) 1 else 0)
+
+  def encodeAudio(k: Long, twin: Boolean = false): Array[Byte] = {
+    val n = audNOf(k).toInt
+    val bb = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      bb.putShort((if (twin) audioTwinSample(k, i) else audioSample(k, i))
+        .toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Audio metadata table derived from `customer` — no payload.
+    * Columns: k, audio_id, sr, n, fmt, speaker, lang. */
+  def audio(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val k = col("c_custkey").cast("long")
+    cust.select(
+      k.as("k"),
+      concat(lit("aud-"), col("c_custkey").cast("string")).as("audio_id"),
+      (lit(8000L) * (lit(1) + k % 2)).as("sr"),
+      (lit(400) + (k * 37) % 1600).as("n"),
+      lit("pcm-i16le").as("fmt"),
+      concat(lit("spk-"), (k % 20).cast("string")).as("speaker"),
+      element_at(array(AudioLangs.map(lit): _*),
+        (((k * 3) % 5) + 1).cast("int")).as("lang"))
+  }
+
+  /** Audio WITH encoded i16le payload. `twins = true` appends a noisy
+    * twin row (audio_id + "-tw") for every clip with k % 40 == 0 —
+    * constructed near-duplicates for the dedup gates. */
+  def audioWithBytes(spark: SparkSession, sfDir: String,
+                     keyFilter: DataFrame => DataFrame = identity,
+                     twins: Boolean = false): DataFrame = {
+    val enc   = udf((k: Long) => encodeAudio(k))
+    val encTw = udf((k: Long) => encodeAudio(k, twin = true))
+    val base  = keyFilter(audio(spark, sfDir))
+    val withB = base.withColumn("bytes", enc(col("k")))
+    if (!twins) withB
+    else withB.unionByName(
+      base.where(col("k") % 40 === 0)
+        .withColumn("audio_id", concat(col("audio_id"), lit("-tw")))
+        .withColumn("bytes", encTw(col("k"))))
+  }
 }
