@@ -94,6 +94,9 @@ object SparkEntry {
           Synth.audioWithBytes(s, dir, _.where(col("k") % 3 === 1)))
         .orderBy("audio_id")),
 
+    "q_audio_pack" -> ((s, dir) =>
+      Audio.packWindows(Synth.audio(s, dir)).orderBy("audio_id")),
+
     "q_images_meta" -> ((s, dir) =>
       imgs(s, dir)
         .select(col("image_id"), col("w"), col("h"), col("fmt"), col("nw"),
@@ -4106,6 +4109,20 @@ object SparkEntry {
          |SELECT audio_id, CAST(tau AS BIGINT) AS best_lag,
          |       CAST(r AS BIGINT) AS r_best
          |FROM rk WHERE rnk = 1 ORDER BY 1""".stripMargin,
+
+    "q_audio_pack" ->
+      s"""WITH $Aud,
+         |b AS (SELECT audio_id, ${Md5BucketSql("audio_id")} % 8 AS shard,
+         |        n FROM aud),
+         |c AS (SELECT audio_id, shard, n,
+         |  CAST(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY audio_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS samp_start FROM b)
+         |SELECT audio_id, CAST(shard AS BIGINT) AS shard, n, samp_start,
+         |  CAST(FLOOR(samp_start / 4000.0) AS BIGINT) AS first_win,
+         |  CAST(FLOOR((samp_start + n - 1) / 4000.0) AS BIGINT)
+         |    AS last_win
+         |FROM c ORDER BY audio_id""".stripMargin,
 
     "q_audio_normalize" ->
       s"""WITH $Aud, $SaudCte, ${OracleCte.audioGen},

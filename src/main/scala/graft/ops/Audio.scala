@@ -218,4 +218,24 @@ object Audio {
     audioWithBytes.withColumn("nm", normUdf(col("bytes")))
       .select(col("audio_id"), col("nm._1").as("max_abs"),
         col("nm._2").as("norm_checksum"))
+
+  /** Fixed-window training packing (concat-and-chunk): clips stream
+    * into `nShards` independent md5-sharded packing lanes; the running
+    * sample offset is a per-shard window — bounded partitions, never a
+    * global sort (the same skew-safe shape as text sequence packing).
+    * Metadata-only: no payload decode. */
+  def packWindows(audioMeta: DataFrame, winLen: Long = 4000L,
+                  nShards: Int = 8): DataFrame = {
+    val shard = pmod(graft.text.TextOps.md5Bucket(col("audio_id")),
+      lit(nShards))
+    val w = Window.partitionBy("shard").orderBy("audio_id")
+    audioMeta.select(col("audio_id"), shard.cast("long").as("shard"),
+        col("n"))
+      .withColumn("samp_start",
+        coalesce(sum("n").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("first_win", Tiling.idiv(col("samp_start"), lit(winLen)))
+      .withColumn("last_win",
+        Tiling.idiv(col("samp_start") + col("n") - 1, lit(winLen)))
+  }
 }

@@ -181,4 +181,19 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(s.exists(_ < 0), s"clip $k")
     }
   }
+
+  test("packWindows: per-shard running offsets match a sequential pack") {
+    val rows = Audio.packWindows(Synth.audio(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      var off = 0L
+      rs.sortBy(_._1).foreach { case (id, _, n, start, fw, lw) =>
+        assert(start == off, s"$id in shard $shard")
+        assert(fw == off / 4000 && lw == (off + n - 1) / 4000, id)
+        off += n
+      }
+    }
+    assert(rows.map(_._2).distinct.length > 1, "md5 lanes actually split")
+  }
 }
