@@ -256,7 +256,7 @@ object Bench {
       // banded fingerprint dedup
       "q_audio_stats", "q_audio_frames", "q_audio_vad",
       "q_audio_fingerprint", "q_audio_neardup", "q_audio_pitch",
-      "q_audio_normalize", "q_audio_pack")
+      "q_audio_normalize", "q_audio_pack", "q_curate_audio")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

@@ -97,6 +97,33 @@ object SparkEntry {
     "q_audio_pack" -> ((s, dir) =>
       Audio.packWindows(Synth.audio(s, dir)).orderBy("audio_id")),
 
+    // composed 5-stage audio curation (the q_curate / q_curate_images /
+    // q_curate_video symmetry for the third modality): signal-stats
+    // filter → VAD voiced-coverage floor → pitch plausibility →
+    // fingerprint near-dup excision — every stage exact, the oracle
+    // replays the whole composition from the per-sample CTE
+    "q_curate_audio" -> ((s, dir) => {
+      val awb = Synth.audioWithBytes(s, dir,
+        _.where(col("k") % 3 === 1), twins = true)
+      val s1 = Audio.clipStats(awb)
+        .where(col("n_silent") * 5 <= col("n_samples") &&
+               col("max_abs") >= 500)
+      val fe = Audio.frameEnergies(awb)
+      val vv = fe.groupBy("audio_id").agg(
+        sum(when(col("energy") >= Audio.VadEnergyMin, 1L)
+          .otherwise(0L)).as("nf_voiced"),
+        count(lit(1)).as("nf_total"))
+      val s2 = s1.join(vv, "audio_id")
+        .where(col("nf_voiced") * 3 >= col("nf_total") * 2)
+      val s3 = s2.join(Audio.pitchLag(awb), "audio_id")
+        .where(col("best_lag") <= 240)
+      val dups = Audio.nearDup(awb)
+        .select(col("id_b").as("audio_id")).distinct()
+      s3.join(dups, Seq("audio_id"), "left_anti")
+        .select("audio_id", "n_samples", "sum_sq", "best_lag")
+        .orderBy("audio_id")
+    }),
+
     "q_images_meta" -> ((s, dir) =>
       imgs(s, dir)
         .select(col("image_id"), col("w"), col("h"), col("fmt"), col("nw"),
@@ -4078,12 +4105,7 @@ object SparkEntry {
          |SELECT audio_id, fp FROM afp ORDER BY 1""".stripMargin,
 
     "q_audio_neardup" ->
-      s"""WITH $Aud,
-         |saud AS (SELECT *, FALSE AS tw FROM aud WHERE k % 3 = 1
-         |         UNION ALL
-         |         SELECT k, audio_id || '-tw', sr, n, lead, tail, f, m,
-         |                speaker, lang, TRUE
-         |         FROM aud WHERE k % 3 = 1 AND k % 40 = 0),
+      s"""WITH $Aud, $SaudTwCte,
          |${OracleCte.audioGenTw}, $AudFpCte
          |SELECT a.audio_id AS id_a, b.audio_id AS id_b,
          |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
@@ -4092,23 +4114,9 @@ object SparkEntry {
          |ORDER BY 1, 2""".stripMargin,
 
     "q_audio_pitch" ->
-      s"""WITH $Aud, $SaudFrCte, ${OracleCte.audioGen},
-         |lags AS (SELECT unnest([${Audio.PitchLags.mkString(",")}])
-         |           AS tau),
-         |ac AS (SELECT c.audio_id, l.tau,
-         |         COALESCE(SUM(p1.s * p2.s), 0) AS r
-         |       FROM saud c CROSS JOIN lags l
-         |       LEFT JOIN asamp p1 ON p1.audio_id = c.audio_id
-         |       LEFT JOIN asamp p2 ON p2.audio_id = p1.audio_id
-         |         AND p2.i = p1.i + l.tau
-         |       GROUP BY 1, 2),
-         |rk AS (SELECT audio_id, tau, r,
-         |         ROW_NUMBER() OVER (PARTITION BY audio_id
-         |           ORDER BY r DESC, tau) AS rnk
-         |       FROM ac)
-         |SELECT audio_id, CAST(tau AS BIGINT) AS best_lag,
-         |       CAST(r AS BIGINT) AS r_best
-         |FROM rk WHERE rnk = 1 ORDER BY 1""".stripMargin,
+      s"""WITH $Aud, $SaudFrCte, ${OracleCte.audioGen}, $AudPitchCte
+         |SELECT audio_id, best_lag, r_best FROM apt
+         |ORDER BY 1""".stripMargin,
 
     "q_audio_pack" ->
       s"""WITH $Aud,
@@ -4123,6 +4131,32 @@ object SparkEntry {
          |  CAST(FLOOR((samp_start + n - 1) / 4000.0) AS BIGINT)
          |    AS last_win
          |FROM c ORDER BY audio_id""".stripMargin,
+
+    "q_curate_audio" ->
+      s"""WITH $Aud, $SaudTwCte,
+         |${OracleCte.audioGenTw},
+         |ast AS (SELECT audio_id, COUNT(*) AS n_samples,
+         |          SUM(s*s) AS sum_sq, MAX(ABS(s)) AS max_abs,
+         |          SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS n_silent
+         |        FROM asamp GROUP BY 1),
+         |$AudFrameCte,
+         |avv AS (SELECT audio_id,
+         |          SUM(CASE WHEN energy >= ${Audio.VadEnergyMin}
+         |            THEN 1 ELSE 0 END) AS nfv,
+         |          COUNT(*) AS nft
+         |        FROM fe GROUP BY 1),
+         |$AudPitchCte, $AudFpCte,
+         |adup AS (SELECT b.audio_id FROM afp a JOIN afp b
+         |           ON a.audio_id < b.audio_id
+         |         WHERE bit_count(xor(a.fp, b.fp)) <= 3)
+         |SELECT t.audio_id, CAST(t.n_samples AS BIGINT) AS n_samples,
+         |  CAST(t.sum_sq AS BIGINT) AS sum_sq, p.best_lag
+         |FROM ast t JOIN avv v USING (audio_id)
+         |  JOIN apt p USING (audio_id)
+         |WHERE t.n_silent*5 <= t.n_samples AND t.max_abs >= 500
+         |  AND v.nfv*3 >= v.nft*2 AND p.best_lag <= 240
+         |  AND t.audio_id NOT IN (SELECT audio_id FROM adup)
+         |ORDER BY 1""".stripMargin,
 
     "q_audio_normalize" ->
       s"""WITH $Aud, $SaudCte, ${OracleCte.audioGen},
@@ -10645,6 +10679,34 @@ object SparkEntry {
       |       FROM afr r JOIN asamp p ON p.audio_id = r.audio_id
       |         AND p.i >= r.fr*80 AND p.i < r.fr*80 + 160
       |       GROUP BY 1, 2)""".stripMargin
+
+  /** Subset + constructed noisy twins (k % 40 = 0), with the `tw`
+    * flag audioGenTw needs. */
+  private val SaudTwCte =
+    """saud AS (SELECT *, FALSE AS tw FROM aud WHERE k % 3 = 1
+      |         UNION ALL
+      |         SELECT k, audio_id || '-tw', sr, n, lead, tail, f, m,
+      |                speaker, lang, TRUE
+      |         FROM aud WHERE k % 3 = 1 AND k % 40 = 0)""".stripMargin
+
+  /** Autocorrelation over the fixed lag set → one best (lag, r) per
+    * clip: apt(audio_id, best_lag, r_best). Requires saud + asamp. */
+  private val AudPitchCte =
+    s"""alags AS (SELECT unnest([${graft.ops.Audio.PitchLags.mkString(",")}])
+       |            AS tau),
+       |aac AS (SELECT c.audio_id, l.tau,
+       |          COALESCE(SUM(p1.s * p2.s), 0) AS r
+       |        FROM saud c CROSS JOIN alags l
+       |        LEFT JOIN asamp p1 ON p1.audio_id = c.audio_id
+       |        LEFT JOIN asamp p2 ON p2.audio_id = p1.audio_id
+       |          AND p2.i = p1.i + l.tau
+       |        GROUP BY 1, 2),
+       |apt AS (SELECT audio_id, CAST(tau AS BIGINT) AS best_lag,
+       |          CAST(r AS BIGINT) AS r_best
+       |        FROM (SELECT audio_id, tau, r,
+       |                ROW_NUMBER() OVER (PARTITION BY audio_id
+       |                  ORDER BY r DESC, tau) AS rnk FROM aac)
+       |        WHERE rnk = 1)""".stripMargin
 
   /** Span-energy-delta fingerprint (63 spans → 62 delta bits, packed
     * positive): afp(audio_id, fp). Requires asamp. */

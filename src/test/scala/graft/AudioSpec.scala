@@ -196,4 +196,50 @@ class AudioSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(rows.map(_._2).distinct.length > 1, "md5 lanes actually split")
   }
+
+  test("q_curate_audio: survivors match a full brute replay of all " +
+       "five stages") {
+    val out = SparkEntry.queries("q_curate_audio")(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    val ks = (1 to 150).filter(_ % 3 == 1).map(_.toLong)
+    val clips: Seq[(String, Array[Int])] = ks.flatMap { k =>
+      val base = samples(k)
+      val tw =
+        if (k % 40 == 0)
+          Seq(s"aud-$k-tw" -> Array.tabulate(base.length)(i =>
+            Synth.audioTwinSample(k, i)))
+        else Seq.empty
+      Seq(s"aud-$k" -> base) ++ tw
+    }
+    def fpOf(s: Array[Int]): Long = {
+      val e = new Array[Long](Audio.FpSpans)
+      for (i <- s.indices)
+        e((i.toLong * Audio.FpSpans / s.length).toInt) += s(i).toLong * s(i)
+      (1 until Audio.FpSpans).foldLeft(0L) { (acc, j) =>
+        if (e(j) > e(j - 1)) acc | (1L << (j - 1)) else acc }
+    }
+    val fps = clips.map { case (id, s) => id -> fpOf(s) }.toMap
+    val dupIds = (for {
+      (a, _) <- clips; (b, _) <- clips
+      if a < b && java.lang.Long.bitCount(fps(a) ^ fps(b)) <= 3
+    } yield b).toSet
+    val expected = clips.filter { case (id, s) =>
+      val nSil = s.count(_ == 0)
+      val maxAbs = s.map(v => math.abs(v).toLong).max
+      val nf = 1 + (s.length - Audio.FrameLen) / Audio.FrameHop
+      val e = (0 until nf).map { fr =>
+        (fr * Audio.FrameHop until fr * Audio.FrameHop + Audio.FrameLen)
+          .map(i => s(i).toLong * s(i)).sum }
+      val nfv = e.count(_ >= Audio.VadEnergyMin)
+      val bl = Audio.PitchLags.map { tau =>
+        tau.toLong -> (0 until math.max(0, s.length - tau))
+          .map(i => s(i).toLong * s(i + tau)).sum
+      }.sortBy { case (t, r) => (-r, t) }.head._1
+      nSil * 5 <= s.length && maxAbs >= 500 &&
+        nfv * 3 >= nf * 2 && bl <= 240 && !dupIds(id)
+    }.map(_._1).toSet
+    assert(out == expected)
+    assert(expected.nonEmpty && expected.size < clips.size,
+      "the pipeline must actually discriminate")
+  }
 }
