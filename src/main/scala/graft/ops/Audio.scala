@@ -161,6 +161,11 @@ object Audio {
   def fingerprints(audioWithBytes: DataFrame): DataFrame =
     audioWithBytes.select(col("audio_id"), fpUdf(col("bytes")).as("fp"))
 
+  /** Column form of the fingerprint kernel — for streaming ingest
+    * projections (stateless, one decode per arriving clip). */
+  def fpCol(bytes: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    fpUdf(bytes)
+
   /** Near-duplicate clips: banded Hamming join over fingerprints —
     * full recall for dist ≤ 3 by the 4×16-band pigeonhole, candidates
     * sub-quadratic (shared-band equi-join, never a cross join). */

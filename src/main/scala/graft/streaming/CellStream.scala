@@ -87,6 +87,20 @@ object CellStream {
       .dropDuplicatesWithinWatermark("phash")
       .select(col("image_id"), col("phash"))
 
+  /** AUDIO-ingest twin of [[dedupImageStream]]: the span-energy
+    * fingerprint is computed inside the ingest projection (one PCM
+    * decode per arriving clip, stateless) and exact-fingerprint
+    * duplicates are dropped within the watermark. Near-dup (Hamming
+    * ≤ d) clustering stays in the batch [[graft.ops.Audio.nearDup]]
+    * pass, exactly as image/text near-dup does. State bounded by
+    * rate × lateness. Input needs (ts, audio_id, bytes). */
+  def dedupAudioStream(stream: DataFrame, lateness: String): DataFrame =
+    stream
+      .withColumn("fp", graft.ops.Audio.fpCol(col("bytes")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("audio_id"), col("fp"))
+
   /** EXACTLY-ONCE streaming sink into the resumable Lineage table:
     * each micro-batch lands in its own epoch directory via
     * `Lineage.writeResumable` — Spark's checkpoint replays a failed

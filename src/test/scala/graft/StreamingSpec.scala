@@ -243,4 +243,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.exists(i => i == "im-a" || i == "im-b"), s"got $ids")
     q.stop()
   }
+
+  test("streaming audio dedup: fingerprint computed at ingest, " +
+       "re-uploaded payload suppressed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Array[Byte])]
+    val df = input.toDF().toDF("ts", "audio_id", "bytes")
+    val out = CellStream.dedupAudioStream(df, lateness = "10 seconds")
+    val q = out.writeStream.format("memory")
+      .queryName("auddedup").outputMode("append").start()
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    val b1 = graft.gen.Synth.encodeAudio(1L)
+    val b7 = graft.gen.Synth.encodeAudio(7L)
+    input.addData((t(1), "au-a", b1), (t(2), "au-b", b1), // same payload
+      (t(3), "au-c", b7))
+    q.processAllAvailable()
+    input.addData((t(5), "au-d", b1)) // later-batch re-upload
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT audio_id, fp FROM auddedup ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val ids = rows.map(_._1).toSeq
+    assert(ids.size == 2, s"got $ids")
+    assert(ids.contains("au-c") && !ids.contains("au-d"), s"got $ids")
+    assert(ids.exists(i => i == "au-a" || i == "au-b"), s"got $ids")
+    // the ingest projection really computed the batch fingerprint
+    val fpMap = rows.toMap
+    val expected = graft.ops.Audio.fingerprints(
+      graft.gen.Synth.audioWithBytes(spark, "/root/testdata/sf0.001",
+        _.where(org.apache.spark.sql.functions.col("k") === 7)))
+      .collect().head.getLong(1)
+    assert(fpMap("au-c") == expected)
+    q.stop()
+  }
 }
