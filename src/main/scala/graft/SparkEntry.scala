@@ -1507,6 +1507,16 @@ object SparkEntry {
       graft.ops.SpatialJoin.twoHopCensus(Synth.images(s, dir), 3000L)
         .orderBy("v")),
 
+    // k-core (k=3) of the proximity graph: synchronous peel to the
+    // fixpoint (monotone, one count-action per round); survivors with
+    // their within-core degree. The oracle unrolls the same peel as
+    // chained survivor CTEs — KCoreRounds in both places.
+    "q_kcore" -> ((s, dir) =>
+      graft.graph.KCore.kcore(
+          graft.ops.SpatialJoin.proximityEdges(Synth.images(s, dir), 3000L),
+          3, KCoreRounds)
+        .orderBy("v")),
+
     // union (coverage) area of pad-3000 footprints per 30000-pitch
     // coarse cell: grid-partitioned slab decomposition, exact mdeg^2
     "q_union_area" -> ((s, dir) =>
@@ -3140,6 +3150,12 @@ object SparkEntry {
     "q_ngrams" -> ((s, dir) =>
       graft.text.TextOps.ngramCounts(docs(s, dir), 2, 50)),
 
+    // collocation mining: top-40 bigrams by exact scaled-integer PMI
+    // (c12 ≥ 3) — rare-pair filter before the unigram joins, token
+    // total broadcast, ranking never touches a float
+    "q_pmi" -> ((s, dir) =>
+      graft.text.TextOps.pmiBigrams(docs(s, dir), 3, 40)),
+
     // dictionary encoding (tokenizer apply): top-40 vocab ids, OOV→0,
     // per-doc position-weighted id checksum — the id sequence checked
     // without materializing it; vocab broadcast to the encode join
@@ -3408,6 +3424,30 @@ object SparkEntry {
       ev.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
         .select(col("user_id"), col("event_id"), col("value"))
         .orderBy("user_id")
+    }),
+
+    // 2-D skyline (Pareto frontier) of users over (event count,
+    // Σ⌊100·value⌋), maximize both — per-d1 max collapse + strict-
+    // prefix-max frontier broadcast, never the all-pairs dominance
+    // join the oracle replays
+    "q_skyline" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val pts = ev.groupBy("user_id").agg(
+        count(lit(1)).cast("long").as("n_events"),
+        sum(floor(col("value") * 100).cast("long")).cast("long").as("vsum"))
+      graft.ops.Relational.skyline2d(pts).orderBy("user_id")
+    }),
+
+    // robust per-type outlier census: exact integer median/MAD over
+    // the ⌊100·value⌋ histogram (order statistics over the VALUE
+    // DOMAIN, never a per-group row sort), rule |x−med| > 3·MAD in
+    // doubled/quadrupled integers
+    "q_mad_outliers" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.ops.Relational.madOutliers(
+          ev.select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("vc")))
+        .orderBy("event_type")
     }),
     "q_events_sessions" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
@@ -5671,6 +5711,29 @@ object SparkEntry {
          |SELECT t.src AS v, t.n1, c.n2
          |FROM th1 t JOIN thc c ON c.src = t.src
          |ORDER BY v""".stripMargin,
+
+    // k-core ground truth: all-pairs padded-bbox edges (same fixture
+    // as q_two_hop), symmetrized, then the synchronous peel unrolled
+    // as KCoreRounds chained survivor CTEs; final degree within the
+    // last survivor set
+    "q_kcore" ->
+      s"""WITH $I,
+         |kc0 AS (SELECT a.k AS ka, b.k AS kb FROM img2 a JOIN img2 b
+         |        ON b.k > a.k
+         |        AND a.x0m - 3000 < b.x1m + 3000
+         |        AND b.x0m - 3000 < a.x1m + 3000
+         |        AND a.y0m - 3000 < b.y1m + 3000
+         |        AND b.y0m - 3000 < a.y1m + 3000),
+         |kce AS MATERIALIZED (SELECT ka AS src, kb AS dst FROM kc0
+         |        UNION ALL SELECT kb, ka FROM kc0),
+         |ks0 AS MATERIALIZED (SELECT DISTINCT src FROM kce),
+         |${kcorePeelSql(3, KCoreRounds)}
+         |SELECT CAST(e.src AS BIGINT) AS v,
+         |  CAST(COUNT(*) AS BIGINT) AS coredeg
+         |FROM kce e JOIN ks$KCoreRounds a ON a.src = e.src
+         |JOIN ks$KCoreRounds b ON b.src = e.dst
+         |GROUP BY 1 HAVING COUNT(*) >= 3
+         |ORDER BY 1""".stripMargin,
 
     // union area ground truth: same slab decomposition in SQL —
     // clip to cells, LEAD slabs, running-max island walk per slab;
@@ -7963,7 +8026,9 @@ object SparkEntry {
 
     "q_vector_where" ->
       s"""WITH $P
-         |SELECT fid, px0m, py0m, px1m, py1m FROM poly2
+         |SELECT fid, CAST(px0m AS BIGINT) AS px0m,
+         |  CAST(py0m AS BIGINT) AS py0m, CAST(px1m AS BIGINT) AS px1m,
+         |  CAST(py1m AS BIGINT) AS py1m FROM poly2
          |WHERE pwm > 20000 AND fid % 2 = 0 ORDER BY fid""".stripMargin,
 
     // spectral scatter: closed-form ramp sums per band pair — with
@@ -8984,6 +9049,31 @@ object SparkEntry {
          |      ELSE CAST([] AS VARCHAR[]) END) AS gram FROM tok)
          |SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt
          |FROM g GROUP BY gram ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+
+    // PMI replay: unigram + bigram count tables over the same token
+    // CTE, rare-pair filter, exact scaled-integer ratio — `//` is
+    // DuckDB floor division, matching Spark's `div` on positives
+    "q_pmi" ->
+      s"""WITH $TokCte,
+         |pu AS (SELECT unnest(ts) AS t FROM tok),
+         |pun AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cu
+         |        FROM pu GROUP BY 1),
+         |ptt AS (SELECT CAST(SUM(cu) AS BIGINT) AS ntok FROM pun),
+         |pg AS (SELECT unnest(CASE WHEN len(ts) >= 2 THEN
+         |        list_transform(generate_series(1, CAST(len(ts)-1 AS INT)),
+         |          i -> struct_pack(w1 := ts[i], w2 := ts[i+1]))
+         |      ELSE CAST([] AS STRUCT(w1 VARCHAR, w2 VARCHAR)[]) END)
+         |        AS p FROM tok),
+         |pb AS (SELECT p.w1 AS w1, p.w2 AS w2,
+         |         CAST(COUNT(*) AS BIGINT) AS c12
+         |       FROM pg GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+         |SELECT pb.w1 ${Pipe}${Pipe} ' ' ${Pipe}${Pipe} pb.w2 AS gram,
+         |  pb.c12, a.cu AS ca, b.cu AS cb,
+         |  CAST((10000 * pb.c12 * t.ntok) // (a.cu * b.cu) AS BIGINT)
+         |    AS pmi_scaled
+         |FROM pb JOIN pun a ON a.t = pb.w1
+         |JOIN pun b ON b.t = pb.w2, ptt t
+         |ORDER BY pmi_scaled DESC, gram LIMIT 40""".stripMargin,
 
     // vocab rank replay + positional unnest + left join, OOV id 0
     "q_encode_ids" ->
@@ -10153,6 +10243,59 @@ object SparkEntry {
         |SELECT user_id, event_id, value FROM r WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
 
+    // skyline ground truth: the quadratic NOT-EXISTS strict-dominance
+    // definition the bucketed prefix-max plan must reproduce exactly
+    "q_skyline" ->
+      """WITH sky AS (SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS vsum
+        |  FROM events GROUP BY 1)
+        |SELECT a.user_id, a.n_events, a.vsum FROM sky a
+        |WHERE NOT EXISTS (SELECT 1 FROM sky b
+        |  WHERE b.n_events >= a.n_events AND b.vsum >= a.vsum
+        |    AND (b.n_events > a.n_events OR b.vsum > a.vsum))
+        |ORDER BY user_id""".stripMargin,
+
+    // median/MAD replay: cumulative order statistics over the
+    // (type, value) histogram — doubled median = val(lo)+val(hi) at
+    // 0-based ranks (n−1)//2 and n//2, repeated over the deviation
+    // histogram for mad4; outlier rule 2·dev2 > 3·mad4
+    "q_mad_outliers" ->
+      """WITH mh AS (SELECT event_type,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS vc,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |mc1 AS (SELECT event_type, vc, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY vc) AS upto,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM mh),
+        |mlo AS (SELECT event_type, vc AS vlo, n FROM mc1
+        |  WHERE upto > (n - 1) // 2 AND upto - c <= (n - 1) // 2),
+        |mhi AS (SELECT event_type, vc AS vhi FROM mc1
+        |  WHERE upto > n // 2 AND upto - c <= n // 2),
+        |mmd AS (SELECT l.event_type, l.n, l.vlo + h.vhi AS med2
+        |  FROM mlo l JOIN mhi h USING (event_type)),
+        |mdv AS (SELECT mh.event_type, ABS(2 * mh.vc - m.med2) AS dv,
+        |    CAST(SUM(mh.c) AS BIGINT) AS c
+        |  FROM mh JOIN mmd m USING (event_type) GROUP BY 1, 2),
+        |mc2 AS (SELECT event_type, dv, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY dv) AS upto,
+        |    SUM(c) OVER (PARTITION BY event_type) AS n FROM mdv),
+        |dlo AS (SELECT event_type, dv AS dvlo FROM mc2
+        |  WHERE upto > (n - 1) // 2 AND upto - c <= (n - 1) // 2),
+        |dhi AS (SELECT event_type, dv AS dvhi FROM mc2
+        |  WHERE upto > n // 2 AND upto - c <= n // 2),
+        |mmad AS (SELECT l.event_type, l.dvlo + h.dvhi AS mad4
+        |  FROM dlo l JOIN dhi h USING (event_type)),
+        |mout AS (SELECT d.event_type, CAST(SUM(d.c) AS BIGINT) AS nout
+        |  FROM mdv d JOIN mmad a USING (event_type)
+        |  WHERE 2 * d.dv > 3 * a.mad4 GROUP BY 1)
+        |SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+        |  CAST(m.med2 AS BIGINT) AS med2, CAST(a.mad4 AS BIGINT) AS mad4,
+        |  CAST(COALESCE(o.nout, 0) AS BIGINT) AS n_outliers
+        |FROM mmd m JOIN mmad a USING (event_type)
+        |LEFT JOIN mout o USING (event_type)
+        |ORDER BY 1""".stripMargin,
+
     "q_events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |f AS (SELECT user_id,
@@ -10901,6 +11044,26 @@ object SparkEntry {
        |FROM u JOIN img2 i ON i.k = u.k
        |ORDER BY image_id, product""".stripMargin
   }
+
+  /** Peel-round cap shared by the q_kcore gate and its oracle mirror:
+    * the Spark peel early-exits at the fixpoint; the oracle unrolls
+    * exactly this many survivor CTEs, so results agree whenever the
+    * fixture converges within the cap (asserted in GraphSpec). */
+  private val KCoreRounds = 12
+
+  /** Chained k-core survivor CTEs ks1..ksR: survivors of round r are
+    * the nodes whose degree within round r−1's survivors is ≥ k —
+    * the same synchronous peel KCore.kcore runs, unrolled. */
+  private def kcorePeelSql(k: Int, rounds: Int): String =
+    (1 to rounds).map { r =>
+      // MATERIALIZED: each round references the previous one TWICE —
+      // DuckDB inlines plain CTEs, so without it the scan tree
+      // doubles per round (2^rounds source scans; fd exhaustion)
+      s"ks$r AS MATERIALIZED (SELECT e.src FROM kce e " +
+        s"JOIN ks${r - 1} a ON a.src = e.src " +
+        s"JOIN ks${r - 1} b ON b.src = e.dst " +
+        s"GROUP BY e.src HAVING COUNT(*) >= $k)"
+    }.mkString(",\n")
 
   private val TokCte =
     """tok AS (SELECT doc_id, lang, n_chars, text,

@@ -528,6 +528,51 @@ object TextOps {
       .limit(topN)
   }
 
+  /** Collocation mining: pointwise mutual information over bigrams
+    * (Church & Hanks 1990, "Word association norms, mutual
+    * information, and lexicography" — public literature). PMI =
+    * log p(w1w2)/(p(w1)p(w2)); monotone in the RATIO, so the op
+    * ranks by the exact scaled integer ratio
+    * pmi_scaled = ⌊scale·c12·N / (c1·c2)⌋ and never touches a float —
+    * the oracle replays it bit-for-bit. (At corpus sizes where
+    * scale·c12·N exceeds Int64 — N ≳ 10⁹ tokens — promote the
+    * numerator to DecimalType(38,0); the ordering is unchanged.)
+    *
+    * Plan: one token explode → unigram aggregate, one bigram explode
+    * → bigram aggregate (both map-side combined, keys = vocab-sized),
+    * the rare-pair filter c12 ≥ minCount BEFORE the unigram joins, a
+    * broadcast of the token total. No all-pairs anywhere.
+    *
+    * @return top-N (gram, c12, ca, cb, pmi_scaled) by PMI desc, gram
+    */
+  def pmiBigrams(docs: DataFrame, minCount: Long, topN: Int,
+                 scale: Long = 10000L): DataFrame = {
+    val uni = docs.select(explode(toks).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).cast("long").as("ntok"))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(array())
+    val big = docs.select(explode(pairs).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+    big
+      .join(uni.select(col("t").as("w1"), col("cu").as("ca")), "w1")
+      .join(uni.select(col("t").as("w2"), col("cu").as("cb")), "w2")
+      .crossJoin(broadcast(total))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("gram"),
+        col("c12").cast("long").as("c12"),
+        col("ca").cast("long").as("ca"),
+        col("cb").cast("long").as("cb"),
+        expr(s"CAST(($scale * c12 * ntok) div (ca * cb) AS BIGINT)")
+          .as("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("gram"))
+      .limit(topN)
+  }
+
   /** Deterministic train/val split — content-independent, stable under
     * reshuffles and re-runs (a training-data pipeline must never let
     * the split depend on partitioning): bucket = first 4 hex chars of

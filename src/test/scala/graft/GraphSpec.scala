@@ -179,4 +179,52 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ranks differ across nodes (non-degenerate fixture)
     assert(got.values.toSet.size > 1)
   }
+
+  /** Driver-side synchronous peel reference for k-core. */
+  private def kcoreRef(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val und = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    var adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val keep = adj.filter(_._2.size >= k).keySet
+      val next = adj.collect {
+        case (v, ns) if keep(v) => v -> ns.intersect(keep)
+      }.toMap
+      changed = next.map(_._2.size).sum != adj.map(_._2.size).sum
+      adj = next
+    }
+    adj.collect { case (v, ns) if ns.size >= k => v -> ns.size.toLong }
+  }
+
+  test("kcore matches the driver peel on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 25
+      val edges = (0 until n * 3)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val got = graft.graph.KCore.kcore(edges.toDF("a", "b"), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === kcoreRef(edges, 3), s"trial $trial")
+    }
+  }
+
+  test("kcore peels a chain to nothing and keeps a clique") {
+    import spark.implicits._
+    // chain 0-1-2-...-9 has max degree 2 → empty 3-core
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    assert(graft.graph.KCore.kcore(chain.toDF("a", "b"), 3).count() === 0)
+    // K5 plus a pendant: the 3-core is exactly the K5, degree 4 each
+    val k5 = for (i <- 0L until 5L; j <- (i + 1) until 5L) yield (i, j)
+    val got = graft.graph.KCore.kcore((k5 :+ (0L, 99L)).toDF("a", "b"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === (0L until 5L).map(_ -> 4L).toMap)
+    // the gate's oracle unrolls KCoreRounds=12 — a 3-core that takes
+    // longer to converge than that would silently diverge; the peel
+    // above converges in ≤ a handful of rounds
+    assert(graft.graph.KCore.lastRounds <= 12)
+  }
 }
