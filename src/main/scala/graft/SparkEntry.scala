@@ -1517,6 +1517,25 @@ object SparkEntry {
           3, KCoreRounds)
         .orderBy("v")),
 
+    // community detection over the proximity graph: synchronous
+    // label propagation, LabelPropRounds fixed rounds, most-frequent
+    // neighbor label with ties -> smallest (total order, so the
+    // result is partition-independent); per-round two-level aggregate
+    // partial-aggregates map-side. The oracle unrolls the rounds.
+    "q_label_prop" -> ((s, dir) =>
+      graft.graph.LabelProp.labelProp(
+          graft.ops.SpatialJoin.proximityEdges(Synth.images(s, dir), 3000L),
+          LabelPropRounds)
+        .orderBy("v")),
+
+    // link prediction over the proximity graph: top-40 non-adjacent
+    // pairs by exact scaled Jaccard of neighborhoods (wedge join at
+    // the middle vertex, anti-join vs the edge list — never all-pairs)
+    "q_link_pred" -> ((s, dir) =>
+      graft.graph.LabelProp.linkPredict(
+          graft.ops.SpatialJoin.proximityEdges(Synth.images(s, dir), 3000L),
+          40)),
+
     // union (coverage) area of pad-3000 footprints per 30000-pitch
     // coarse cell: grid-partitioned slab decomposition, exact mdeg^2
     "q_union_area" -> ((s, dir) =>
@@ -5734,6 +5753,55 @@ object SparkEntry {
          |JOIN ks$KCoreRounds b ON b.src = e.dst
          |GROUP BY 1 HAVING COUNT(*) >= 3
          |ORDER BY 1""".stripMargin,
+
+    // label-propagation replay: same bbox-overlap edges, LabelPropRounds
+    // unrolled vote rounds (count per (node, label), argmax by
+    // (count desc, label asc) via ROW_NUMBER)
+    "q_label_prop" ->
+      s"""WITH $I,
+         |lq0 AS (SELECT a.k AS ka, b.k AS kb FROM img2 a JOIN img2 b
+         |        ON b.k > a.k
+         |        AND a.x0m - 3000 < b.x1m + 3000
+         |        AND b.x0m - 3000 < a.x1m + 3000
+         |        AND a.y0m - 3000 < b.y1m + 3000
+         |        AND b.y0m - 3000 < a.y1m + 3000),
+         |lpe AS MATERIALIZED (SELECT ka AS src, kb AS dst FROM lq0
+         |        UNION ALL SELECT kb, ka FROM lq0),
+         |lp0 AS (SELECT DISTINCT src AS v, src AS lab FROM lpe),
+         |${labelPropRoundsSql(LabelPropRounds)}
+         |SELECT CAST(v AS BIGINT) AS v, CAST(lab AS BIGINT) AS lab
+         |FROM lp$LabelPropRounds ORDER BY 1""".stripMargin,
+
+    // link-prediction replay: wedge join at the middle vertex over the
+    // same directed edges, anti-join vs the canonical pair list, exact
+    // integer scaled Jaccard, identical total-order top-40
+    "q_link_pred" ->
+      s"""WITH $I,
+         |lk0 AS (SELECT a.k AS ka, b.k AS kb FROM img2 a JOIN img2 b
+         |        ON b.k > a.k
+         |        AND a.x0m - 3000 < b.x1m + 3000
+         |        AND b.x0m - 3000 < a.x1m + 3000
+         |        AND a.y0m - 3000 < b.y1m + 3000
+         |        AND b.y0m - 3000 < a.y1m + 3000),
+         |lke AS MATERIALIZED (SELECT ka AS src, kb AS dst FROM lk0
+         |        UNION ALL SELECT kb, ka FROM lk0),
+         |lkd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |        FROM lke GROUP BY 1),
+         |lkw AS (SELECT e1.dst AS a, e2.dst AS b,
+         |          CAST(COUNT(*) AS BIGINT) AS cn
+         |        FROM lke e1 JOIN lke e2 ON e2.src = e1.src
+         |          AND e1.dst < e2.dst
+         |        GROUP BY 1, 2),
+         |lkc AS (SELECT w.a, w.b, w.cn FROM lkw w
+         |        LEFT JOIN lk0 e ON e.ka = w.a AND e.kb = w.b
+         |        WHERE e.ka IS NULL)
+         |SELECT CAST(c.a AS BIGINT) AS a, CAST(c.b AS BIGINT) AS b,
+         |  c.cn, da.deg AS da, db.deg AS db,
+         |  CAST((1000000 * c.cn) // (da.deg + db.deg - c.cn) AS BIGINT)
+         |    AS jacc_scaled
+         |FROM lkc c JOIN lkd da ON da.src = c.a
+         |JOIN lkd db ON db.src = c.b
+         |ORDER BY jacc_scaled DESC, cn DESC, a, b LIMIT 40""".stripMargin,
 
     // union area ground truth: same slab decomposition in SQL —
     // clip to cells, LEAD slabs, running-max island walk per slab;
@@ -11063,6 +11131,23 @@ object SparkEntry {
         s"JOIN ks${r - 1} a ON a.src = e.src " +
         s"JOIN ks${r - 1} b ON b.src = e.dst " +
         s"GROUP BY e.src HAVING COUNT(*) >= $k)"
+    }.mkString(",\n")
+
+  /** Synchronous label-propagation rounds shared by the q_label_prop
+    * gate and its oracle mirror (fixed rounds — the deterministic
+    * distributed LPA variant; see [[graft.graph.LabelProp]]). */
+  private val LabelPropRounds = 3
+
+  /** Chained label-propagation CTEs lp1..lpR from lp0(v, lab) over
+    * directed edges lpe(src, dst): per round, each node adopts the
+    * most frequent neighbor label, ties → smallest label. */
+  private def labelPropRoundsSql(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"lpv$r AS (SELECT e.dst AS v, l.lab, COUNT(*) AS c " +
+        s"FROM lpe e JOIN lp${r - 1} l ON l.v = e.src GROUP BY 1, 2),\n" +
+        s"lp$r AS MATERIALIZED (SELECT v, lab FROM (SELECT v, lab, " +
+        s"ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rk " +
+        s"FROM lpv$r) WHERE rk = 1)"
     }.mkString(",\n")
 
   private val TokCte =

@@ -1,0 +1,95 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Community detection and link prediction over an undirected pair
+  * list — the two remaining classics of the proximity-graph family
+  * next to [[ConnectedComponents]] / [[KCore]] / [[PageRank]]
+  * (reference anchor: the spatial-proximity relationships exposed by
+  * `GeoVector.intersections`, /root/reference/GIP/GeoVectorResource.cpp:1;
+  * algorithms from the public literature — Raghavan et al. 2007
+  * "Near linear time algorithm to detect community structures" and
+  * Liben-Nowell & Kleinberg 2003 "The link prediction problem").
+  *
+  * Both are stated in exact integers with total-order tie-breaks, so
+  * a SQL oracle replays them bit-for-bit. */
+object LabelProp {
+
+  /** SYNCHRONOUS label propagation, `rounds` fixed rounds: every node
+    * starts labeled with its own id; each round every node adopts the
+    * most frequent label among its neighbors, ties broken by the
+    * SMALLEST label (argmax by (count desc, label asc) — a total
+    * order, so the result is partition-independent and engines
+    * agree). Fixed synchronous rounds (not async-until-converged) are
+    * the deterministic distributed variant: async LPA's result
+    * depends on visit order, which no shared-nothing engine can
+    * reproduce.
+    *
+    * Scale posture: each round is one edge⋈label equi-join plus a
+    * two-level aggregate — groupBy (node, label) partial-aggregates
+    * map-side (a 10⁹-degree hub costs one combiner row per task per
+    * distinct neighbor label, not one reducer row per edge), then the
+    * per-node argmax reduces ≤ #distinct-labels rows. Per-round
+    * lineage is truncated with a lazy localCheckpoint, same as
+    * [[ConnectedComponents]]. Rounds are FIXED so the oracle unrolls
+    * them as CTEs.
+    *
+    * Returns one row per node in the edge set: (v, lab). */
+  def labelProp(pairs: DataFrame, rounds: Int): DataFrame = {
+    val canon = ConnectedComponents.canonEdges(pairs)
+    val sym = canon.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(canon.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(false)
+    var lab = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lab"))
+    var t = 0
+    while (t < rounds) {
+      val votes = sym
+        .join(lab.select(col("v").as("src"), col("lab")), Seq("src"))
+        .groupBy(col("dst").as("v"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (c desc, lab asc): labels are non-negative ids, so
+      // max(struct(c, -lab)) realizes the total order exactly
+      lab = votes.groupBy("v")
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("lab"))
+        .localCheckpoint(false)
+      t += 1
+    }
+    lab
+  }
+
+  /** Common-neighbor link prediction: for every NON-adjacent pair
+    * (a, b) sharing at least one neighbor, the common-neighbor count
+    * `cn`, the endpoint degrees, and the exact scaled Jaccard
+    * coefficient 10⁶·cn div (da + db − cn); top `topK` by
+    * (jacc desc, cn desc, a, b).
+    *
+    * Scale posture: candidate pairs are generated as wedges at their
+    * middle vertex (one self-equi-join of the directed edge list on
+    * the middle key), so work is Σ deg(m)² — bounded on a proximity
+    * graph whose degree is capped by geometry; on a heavy-tailed
+    * graph, cap or sample hub middles first (the standard guard).
+    * The (a, b) count partial-aggregates map-side; already-adjacent
+    * pairs leave via one anti-join against the canonical edge list;
+    * no all-pairs stage anywhere. */
+  def linkPredict(pairs: DataFrame, topK: Int): DataFrame = {
+    val und = ConnectedComponents.canonEdges(pairs)
+    val dir = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    val cn = dir.select(col("src").as("m"), col("dst").as("a"))
+      .join(dir.select(col("src").as("m"), col("dst").as("b")), Seq("m"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    cn.join(und.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+      .join(deg.select(col("src").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("src").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"), col("da"), col("db"),
+        expr("(1000000 * cn) div (da + db - cn)").as("jacc_scaled"))
+      .orderBy(col("jacc_scaled").desc, col("cn").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+}

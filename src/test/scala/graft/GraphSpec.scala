@@ -227,4 +227,69 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // above converges in ≤ a handful of rounds
     assert(graft.graph.KCore.lastRounds <= 12)
   }
+
+  /** Driver-side synchronous LPA with the same (count desc, lab asc)
+    * tie-break. */
+  private def lpaRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    var lab = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      lab = adj.map { case (v, ns) =>
+        val votes = ns.groupBy(lab).map { case (l, xs) => (l, xs.size) }
+        v -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("label propagation matches the driver replay; two cliques keep " +
+    "their own labels across a bridge") {
+    import spark.implicits._
+    // two K4s {0..3} and {10..13} joined by one bridge 3-10: after any
+    // number of rounds each clique converges to its min label and the
+    // bridge endpoints stay with their cliques
+    val k4a = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j)
+    val k4b = for (i <- 10L until 14L; j <- (i + 1) until 14L) yield (i, j)
+    val edges = k4a ++ k4b :+ (3L, 10L)
+    val got = graft.graph.LabelProp.labelProp(edges.toDF("a", "b"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === lpaRef(edges, 3))
+    assert((0L until 4L).forall(v => got(v) == 0L))
+    assert((10L until 14L).forall(v => got(v) == 10L))
+    // random graphs: exact agreement with the driver replay
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val n = 30 + trial * 20
+      val re = (0 until n * 2)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val g = graft.graph.LabelProp.labelProp(re.toDF("a", "b"), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(g === lpaRef(re, 3), s"trial $trial")
+    }
+  }
+
+  test("link prediction: path endpoints beat loosely-tied pairs, " +
+    "adjacent pairs are excluded, scores are exact") {
+    import spark.implicits._
+    // path 0-1-2: only candidate is (0,2) with cn=1, da=db=1 →
+    // jacc = 10^6·1/(1+1-1) = 10^6
+    val got = graft.graph.LabelProp.linkPredict(
+        Seq((0L, 1L), (1L, 2L)).toDF("a", "b"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(5)))
+    assert(got.toSeq === Seq((0L, 2L, 1L, 1000000L)))
+    // K4 minus one edge: the missing pair (2,3) has cn=2 (both share
+    // 0 and 1), deg 2 each → jacc = 2·10^6/(2+2-2) = 10^6; every
+    // existing edge must be absent from the candidates
+    val k4m = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L))
+    val g2 = graft.graph.LabelProp.linkPredict(k4m.toDF("a", "b"), 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(5)))).toMap
+    assert(g2.contains((2L, 3L)) && g2((2L, 3L)) === ((2L, 1000000L)))
+    assert(k4m.forall(e => !g2.contains(e)))
+  }
 }
