@@ -3175,6 +3175,21 @@ object SparkEntry {
     "q_pmi" -> ((s, dir) =>
       graft.text.TextOps.pmiBigrams(docs(s, dir), 3, 40)),
 
+    // tf-idf pair similarity over the df≤100-pruned vector space:
+    // integer weights tf·((N·10) div df), squared-cosine score as one
+    // exact scaled integer (BigInt for the dot² step); candidates from
+    // the pruned posting self-join — work Σ df², never all-pairs
+    "q_tfidf_sim" -> ((s, dir) =>
+      graft.text.TextOps.tfidfSimPairs(docs(s, dir), 100L, 30)),
+
+    // decision-stump training (exact-Gini split search on n_chars//64
+    // predicting lang='en'): per-threshold split counts + weighted-
+    // Gini cost as one scaled integer; the window runs over the
+    // threshold HISTOGRAM, never the corpus
+    "q_stump" -> ((s, dir) =>
+      graft.text.TextOps.giniStump(docs(s, dir), col("n_chars"),
+        col("lang") === "en", 64L)),
+
     // dictionary encoding (tokenizer apply): top-40 vocab ids, OOV→0,
     // per-doc position-weighted id checksum — the id sequence checked
     // without materializing it; vocab broadcast to the encode join
@@ -9142,6 +9157,52 @@ object SparkEntry {
          |FROM pb JOIN pun a ON a.t = pb.w1
          |JOIN pun b ON b.t = pb.w2, ptt t
          |ORDER BY pmi_scaled DESC, gram LIMIT 40""".stripMargin,
+
+    // tf-idf pair-similarity replay: pruned postings, integer idf,
+    // HUGEINT for the dot²·10⁶ step, identical total-order top-30
+    "q_tfidf_sim" ->
+      s"""WITH $TokCte,
+         |tsp AS (SELECT doc_id, unnest(ts) AS term FROM tok),
+         |tsf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |        FROM tsp GROUP BY 1, 2),
+         |tsd AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+         |        FROM tsf GROUP BY 1 HAVING COUNT(*) <= 100),
+         |tsn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+         |tsw AS (SELECT p.doc_id, p.term, p.tf * ((n.nd * 10) // d.df) AS w
+         |        FROM tsf p JOIN tsd d ON d.term = p.term, tsn n),
+         |tsm AS (SELECT doc_id, CAST(SUM(w*w) AS BIGINT) AS nrm
+         |        FROM tsw GROUP BY 1),
+         |tst AS (SELECT a.doc_id AS a, b.doc_id AS b,
+         |          CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+         |        FROM tsw a JOIN tsw b ON b.term = a.term
+         |          AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2)
+         |SELECT d.a, d.b, d.dot,
+         |  CAST((CAST(d.dot AS HUGEINT) * d.dot * 1000000)
+         |    // (CAST(na.nrm AS HUGEINT) * nb.nrm) AS BIGINT)
+         |    AS sim2_scaled
+         |FROM tst d JOIN tsm na ON na.doc_id = d.a
+         |JOIN tsm nb ON nb.doc_id = d.b
+         |ORDER BY sim2_scaled DESC, dot DESC, a, b LIMIT 30""".stripMargin,
+
+    // stump replay: threshold histogram, cumulative split counts,
+    // exact weighted-Gini cost via integer cross-multiplication
+    "q_stump" ->
+      s"""WITH sth AS (SELECT n_chars // 64 AS t,
+         |        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |      FROM documents),
+         |sthh AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+         |           CAST(SUM(y) AS BIGINT) AS p FROM sth GROUP BY 1),
+         |stc AS (SELECT t, CAST(SUM(n) OVER (ORDER BY t) AS BIGINT) AS nl,
+         |          CAST(SUM(p) OVER (ORDER BY t) AS BIGINT) AS pl
+         |        FROM sthh),
+         |stt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+         |          CAST(SUM(p) AS BIGINT) AS pt FROM sthh)
+         |SELECT c.t, c.nl, c.pl, q.nt - c.nl AS nr, q.pt - c.pl AS pr,
+         |  CAST(((c.pl*(c.nl-c.pl)*(q.nt-c.nl)
+         |    + (q.pt-c.pl)*((q.nt-c.nl)-(q.pt-c.pl))*c.nl) * 1000000)
+         |    // (c.nl * (q.nt - c.nl)) AS BIGINT) AS cost_scaled
+         |FROM stc c, stt q WHERE c.nl < q.nt ORDER BY c.t""".stripMargin,
 
     // vocab rank replay + positional unnest + left join, OOV id 0
     "q_encode_ids" ->

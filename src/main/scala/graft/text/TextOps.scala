@@ -1263,6 +1263,94 @@ object TextOps {
         graft.ops.Tiling.idiv(col("n_attested") * 1048576L,
           col("n_bigrams")))
   }
+
+  /** Tf-idf document-pair similarity over the STOPWORD-PRUNED vector
+    * space (Salton's vector model with the classic df-cap pruning):
+    * the vocabulary is restricted to terms with df ≤ `dfCap` (terms in
+    * more docs carry no discrimination and would make the posting join
+    * quadratic), weights are exact integers w = tf · ((N·10) div df)
+    * (the log-free integer idf, same family as [[keywords]]), and the
+    * pair score is the SQUARED cosine as one exact scaled integer
+    * sim2 = dot²·10⁶ div (‖a‖²·‖b‖²) — the square avoids sqrt while
+    * preserving the cosine ranking (cosine ≥ 0 here: weights are
+    * non-negative). The one 128-bit step (dot² can pass 2⁶³) runs in
+    * BigInt on the Spark side and HUGEINT in the oracle.
+    *
+    * Scale posture: candidates come from the posting-list self-join on
+    * the PRUNED vocabulary — work is Σ_t df(t)² ≤ dfCap·Σdf, never
+    * all-pairs, and the df cap is exactly the knob that bounds the
+    * hottest term's join fan-out; the (a,b) dot aggregate partial-
+    * aggregates map-side; norms and the df table are vocabulary-sized
+    * broadcasts. Top `topK` by (sim2 desc, dot desc, a, b). */
+  def tfidfSimPairs(docs: DataFrame, dfCap: Long, topK: Int): DataFrame = {
+    val post = docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap)
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val w = post.join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * expr("(nd * 10) div df")).as("w"))
+    val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm"))
+    val dots = w.select(col("doc_id").as("a"), col("term"),
+        col("w").as("wa"))
+      .join(w.select(col("doc_id").as("b"), col("term"), col("w").as("wb")),
+        Seq("term"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+    val sim2 = udf((dot: Long, na: Long, nb: Long) =>
+      ((BigInt(dot) * dot * 1000000L) / (BigInt(na) * nb)).toLong)
+    dots
+      .join(norms.select(col("doc_id").as("a"), col("nrm").as("na")),
+        Seq("a"))
+      .join(norms.select(col("doc_id").as("b"), col("nrm").as("nb")),
+        Seq("b"))
+      .select(col("a"), col("b"), col("dot"),
+        sim2(col("dot"), col("na"), col("nb")).as("sim2_scaled"))
+      .orderBy(col("sim2_scaled").desc, col("dot").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** Exact-Gini decision-stump training (CART's split search, Breiman
+    * 1984, on one feature) — the quality-classifier primitive of a
+    * curation pipeline: given a binary label `labelCol` and an integer
+    * feature `featCol`, evaluate every quantized threshold t (feature
+    * div `quant`) by the weighted Gini impurity of the (f ≤ t | f > t)
+    * split, stated as one exact scaled integer so the argmin is
+    * engine-independent:
+    *
+    *   cost(t) ∝ posL·negL/nL + posR·negR/nR
+    *   cost_scaled = (posL·negL·nR + posR·negR·nL)·10⁶ div (nL·nR)
+    *
+    * Scale posture: one map-side-combined histogram over (threshold,
+    * label) — ≤ #distinct-quantized-values rows — then cumulative sums
+    * over that tiny table on a single window ordered by t (the window
+    * input is the HISTOGRAM, never the corpus). Returns every interior
+    * threshold with its split counts and cost; row 1 of the (cost, t)
+    * ordering is the trained stump. */
+  def giniStump(docs: DataFrame, featCol: Column, labelCol: Column,
+                quant: Long): DataFrame = {
+    val hist = docs
+      .select(graft.ops.Tiling.idiv(featCol.cast("long"), lit(quant)).as("t"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .groupBy("t").agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+    val wAll = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("n")).as("nt"), sum(col("p")).as("pt"))
+    hist
+      .select(col("t"), sum(col("n")).over(wAll).as("nl"),
+        sum(col("p")).over(wAll).as("pl"))
+      .crossJoin(broadcast(tot))
+      .where(col("nl") < col("nt"))
+      .select(col("t"), col("nl"), col("pl"),
+        (col("nt") - col("nl")).as("nr"), (col("pt") - col("pl")).as("pr"))
+      .withColumn("cost_scaled", graft.ops.Tiling.idiv(
+        (col("pl") * (col("nl") - col("pl")) * col("nr") +
+         col("pr") * (col("nr") - col("pr")) * col("nl")) * 1000000L,
+        col("nl") * col("nr")))
+      .orderBy("t")
+  }
 }
 
 /** KMV (k-minimum-values) distinct sketch (Bar-Yossef et al. 2002):

@@ -520,4 +520,46 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(enc.toSeq == Seq((0L, 3L, 3L), (1L, 3L, 3L)))
   }
+
+  test("tfidfSimPairs: identical docs score exactly 10^6, disjoint " +
+    "docs never pair, df-capped terms are pruned") {
+    import spark.implicits._
+    val d = Seq((0L, "x y z"), (1L, "x y z"), (2L, "p q"),
+        (3L, "x q"), (4L, "the the the"))
+      .toDF("doc_id", "text")
+    val got = TextOps.tfidfSimPairs(d, 100L, 20).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // identical vectors: dot = na = nb -> sim2 = 10^6 exactly
+    assert(got((0L, 1L))._2 === 1000000L)
+    // docs sharing no term never appear
+    assert(!got.contains((0L, 2L)) && !got.contains((1L, 2L)) &&
+      !got.contains((2L, 4L)))
+    // partial overlap ranks strictly below identical
+    assert(got((0L, 3L))._2 < 1000000L)
+    // dfCap = 1 prunes every shared term -> no pairs at all
+    assert(TextOps.tfidfSimPairs(d, 1L, 20).count() === 0)
+  }
+
+  test("giniStump: a perfectly separable feature reaches cost 0 at " +
+    "the separating threshold, counts exact") {
+    import spark.implicits._
+    // label true iff f >= 200; quant 64 -> thresholds {1, 3}
+    val d = Seq((100L, false), (110L, false), (240L, true), (250L, true))
+      .toDF("f", "y")
+    val got = TextOps.giniStump(d, col("f"), col("y"), 64L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // threshold t=1 (f//64 <= 1 i.e. f < 128): left = 2 neg, right =
+    // 2 pos -> pure split, cost 0
+    assert(got.toSeq === Seq((1L, 2L, 0L, 2L, 2L, 0L)))
+    // a mixed fixture: cost is the exact scaled rational
+    val d2 = Seq((0L, true), (64L, false), (128L, true), (192L, false))
+      .toDF("f", "y")
+    val g2 = TextOps.giniStump(d2, col("f"), col("y"), 64L).collect()
+      .map(r => (r.getLong(0), r.getLong(5))).toMap
+    // t=0: left (1 pos, 0 neg) cost 0; right (1 pos, 2 neg) ->
+    // (0*1*3 + 1*2*1)*10^6 // (1*3) = 666666
+    assert(g2(0L) === 666666L)
+  }
 }
