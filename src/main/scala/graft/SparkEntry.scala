@@ -1234,6 +1234,41 @@ object SparkEntry {
           col("m._4").as("chk"))
         .orderBy("image_id")),
 
+    // Lee sigma speckle filter: floor-mean of the 3×3 neighbors
+    // within ±120 of the center (center always included) — edges
+    // survive, speckle smooths; pure integer, one decode
+    "q_lee_filter" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("t", graft.ops.Vision.leeSigmaAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int"), lit(120)))
+        .select(col("image_id"), col("t._1").as("n_int"),
+          col("t._2").as("out_sum"), col("t._3").as("n_smoothed"),
+          col("t._4").as("chk"))
+        .orderBy("image_id")),
+
+    // SSIM vs the raster's own 3×3 box mean over full 8×8 interior
+    // blocks — one exact scaled integer per block (n²-scaled form,
+    // HUGEINT/BigInt for the wide step), per-image rollup
+    "q_ssim" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("t", graft.ops.Vision.ssimAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("t._1").as("n_blocks"),
+          col("t._2").as("ssim_sum"), col("t._3").as("ssim_min"),
+          col("t._4").as("chk"))
+        .orderBy("image_id")),
+
+    // HOG-style orientation census: central-difference gradients,
+    // division-free octant binning, L1 magnitude — ≤8 rows per image
+    "q_hog" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .select(col("image_id"), explode(graft.ops.Vision.hogAgg(
+          col("dem_bytes"), col("w").cast("int"), col("h").cast("int")))
+          .as("t"))
+        .select(col("image_id"), col("t._1").as("octant"),
+          col("t._2").as("n_px"), col("t._3").as("mag_sum"))
+        .orderBy("image_id", "octant")),
+
     // morphological gradient (Beucher): dilate3×3 − erode3×3 =
     // window max − min — the morphology edge-strength operator
     "q_morph_gradient" -> ((s, dir) =>
@@ -5037,6 +5072,104 @@ object SparkEntry {
          |    AS n_changed,
          |  CAST(SUM(med*(x + 131*y)) AS BIGINT) AS chk
          |FROM mfm GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    // Lee sigma replay: 3×3 scatter join, FILTER on |n.z − center| ≤
+    // 120, floor divide (non-negative operands)
+    "q_lee_filter" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |lfo AS (SELECT a.dx, b.dy
+         |        FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |             (SELECT unnest([-1,0,1]) AS dy) b),
+         |lfm AS (SELECT d.k, d.image_id, d.x, d.y, d.z,
+         |          CAST(SUM(n.z) FILTER (WHERE abs(n.z - d.z) <= 120)
+         |            AS BIGINT) AS s,
+         |          CAST(COUNT(*) FILTER (WHERE abs(n.z - d.z) <= 120)
+         |            AS BIGINT) AS m
+         |        FROM demp d JOIN lfo o ON TRUE
+         |        JOIN demp n ON n.k = d.k AND n.x = d.x + o.dx
+         |          AND n.y = d.y + o.dy
+         |        WHERE d.x >= 1 AND d.x <= d.w-2
+         |          AND d.y >= 1 AND d.y <= d.h-2
+         |        GROUP BY 1, 2, 3, 4, 5),
+         |lfr AS (SELECT image_id, x, y, z, s // m AS outv FROM lfm)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_int,
+         |  CAST(SUM(outv) AS BIGINT) AS out_sum,
+         |  CAST(SUM(CASE WHEN outv <> z THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_smoothed,
+         |  CAST(SUM(outv*(x + 131*y)) AS BIGINT) AS chk
+         |FROM lfr GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    // SSIM replay: 3×3 box floor-mean per interior pixel, 8×8 block
+    // sums, n²-scaled SSIM with the num·10⁶ step in HUGEINT (// is
+    // floor division — the kernel floor-adjusts its BigInt divide)
+    "q_ssim" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |sso AS (SELECT a.dx, b.dy
+         |        FROM (SELECT unnest([-1,0,1]) AS dx) a,
+         |             (SELECT unnest([-1,0,1]) AS dy) b),
+         |ssp AS (SELECT d.k, d.image_id, d.x, d.y, d.z AS a,
+         |          CAST(SUM(n.z) AS BIGINT) // 9 AS b
+         |        FROM demp d JOIN sso o ON TRUE
+         |        JOIN demp n ON n.k = d.k AND n.x = d.x + o.dx
+         |          AND n.y = d.y + o.dy
+         |        WHERE d.x >= 1 AND d.x <= d.w-2
+         |          AND d.y >= 1 AND d.y <= d.h-2
+         |        GROUP BY 1, 2, 3, 4, 5),
+         |ssb AS (SELECT k, image_id, (x-1)//8 AS bx, (y-1)//8 AS by,
+         |          CAST(COUNT(*) AS BIGINT) AS n,
+         |          CAST(SUM(a) AS BIGINT) AS sa,
+         |          CAST(SUM(b) AS BIGINT) AS sb,
+         |          CAST(SUM(a*a) AS BIGINT) AS saa,
+         |          CAST(SUM(b*b) AS BIGINT) AS sbb,
+         |          CAST(SUM(a*b) AS BIGINT) AS sab
+         |        FROM ssp GROUP BY 1, 2, 3, 4),
+         |ssv AS (SELECT image_id, bx, by,
+         |          CAST(((2*CAST(sa AS HUGEINT)*sb + 419*4096)
+         |             * (2*(64*CAST(sab AS HUGEINT) - CAST(sa AS HUGEINT)*sb)
+         |                + 3775*4096) * 1000000)
+         |            // ((CAST(sa AS HUGEINT)*sa + CAST(sb AS HUGEINT)*sb
+         |                + 419*4096)
+         |               * ((64*CAST(saa AS HUGEINT) - CAST(sa AS HUGEINT)*sa)
+         |                + (64*CAST(sbb AS HUGEINT) - CAST(sb AS HUGEINT)*sb)
+         |                + 3775*4096)) AS BIGINT) AS v
+         |        FROM ssb WHERE n = 64)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |  CAST(SUM(v) AS BIGINT) AS ssim_sum,
+         |  CAST(COALESCE(MIN(v), 0) AS BIGINT) AS ssim_min,
+         |  CAST(SUM(v*(bx + 31*by)) AS BIGINT) AS chk
+         |FROM ssv GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    // HOG replay: central-difference gradients via four shifted
+    // self-joins, the octant sign/compare ladder, L1 magnitude
+    "q_hog" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |hgg AS (SELECT d.k, d.image_id,
+         |          nx.z - px.z AS gx, ny.z - py.z AS gy
+         |        FROM demp d
+         |        JOIN demp nx ON nx.k = d.k AND nx.x = d.x+1 AND nx.y = d.y
+         |        JOIN demp px ON px.k = d.k AND px.x = d.x-1 AND px.y = d.y
+         |        JOIN demp ny ON ny.k = d.k AND ny.x = d.x AND ny.y = d.y+1
+         |        JOIN demp py ON py.k = d.k AND py.x = d.x AND py.y = d.y-1
+         |        WHERE d.x >= 1 AND d.x <= d.w-2
+         |          AND d.y >= 1 AND d.y <= d.h-2),
+         |hgo AS (SELECT image_id,
+         |          CASE
+         |            WHEN gx = 0 AND gy = 0 THEN 8
+         |            WHEN gx > 0 AND gy >= 0 AND gy < gx THEN 0
+         |            WHEN gx > 0 AND gy >= gx THEN 1
+         |            WHEN gy > 0 AND gx <= 0 AND gy > -gx THEN 2
+         |            WHEN gx < 0 AND gy > 0 AND gy <= -gx THEN 3
+         |            WHEN gx < 0 AND gy <= 0 AND gy > gx THEN 4
+         |            WHEN gx < 0 AND gy <= gx THEN 5
+         |            WHEN gy < 0 AND gx >= 0 AND gx < -gy THEN 6
+         |            ELSE 7 END AS oct,
+         |          abs(gx) + abs(gy) AS m
+         |        FROM hgg)
+         |SELECT image_id, CAST(oct AS BIGINT) AS octant,
+         |  CAST(COUNT(*) AS BIGINT) AS n_px,
+         |  CAST(SUM(m) AS BIGINT) AS mag_sum
+         |FROM hgo WHERE oct < 8
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // dilate − erode = window max − min, interior pixels
     "q_morph_gradient" ->

@@ -1303,4 +1303,137 @@ object Vision {
     }
     (n, on, cs)
   })
+
+  /** Lee SIGMA filter (Lee 1983, the classic SAR speckle denoiser):
+    * each interior pixel is replaced by the floor-mean of the 3×3
+    * neighbors whose value lies within ±`tau` of the center (the
+    * center always qualifies, so the divisor is ≥ 1) — edges survive
+    * because dissimilar neighbors are excluded from the average.
+    * All-integer. Per image: (n_int, Σ out, n_smoothed where out ≠ z,
+    * Σ out·(x+131·y)). */
+  val leeSigmaAgg = udf((bytes: Array[Byte], w: Int, h: Int, tau: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    var n = 0L; var os = 0L; var nc = 0L; var chk = 0L
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val c = z(y * w + x).toLong
+        var s = 0L; var m = 0L
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) {
+            val v = z((y + dy) * w + (x + dx)).toLong
+            if (math.abs(v - c) <= tau) { s += v; m += 1 }
+            dx += 1
+          }
+          dy += 1
+        }
+        val out = Math.floorDiv(s, m)
+        n += 1; os += out; chk += out * (x + 131L * y)
+        if (out != c) nc += 1
+        x += 1
+      }
+      y += 1
+    }
+    (n, os, nc, chk)
+  })
+
+  /** SSIM (Wang et al. 2004) between the raster and its own 3×3
+    * floor-box-mean — the no-reference sharpness/structure index a
+    * curation gate thresholds on — over NON-overlapping 8×8 blocks of
+    * the interior, stated as ONE exact scaled integer per block: with
+    * block sums sa, sb, saa, sbb, sab over n = 64 pixels,
+    *
+    *   num = (2·sa·sb + C1·n²) · (2·(n·sab − sa·sb) + C2·n²)
+    *   den = (sa² + sb² + C1·n²) · ((n·saa − sa²) + (n·sbb − sb²) + C2·n²)
+    *   ssim_scaled = floor(num·10⁶ / den)
+    *
+    * (the n²-scaled SSIM with C1 = (0.01·L)², C2 = (0.03·L)², L = 2048
+    * — constants keep den > 0 on flat blocks). num·10⁶ passes 2⁶³, so
+    * the one wide step runs in BigInt here and HUGEINT in the oracle.
+    * Partial edge blocks (n < 64) are dropped. Per image:
+    * (n_blocks, Σ ssim_scaled, min ssim_scaled, Σ ssim·(bx+31·by)). */
+  val ssimAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val c1 = 419L // round((0.01·2048)²)
+    val c2 = 3775L // round((0.03·2048)²)
+    // accumulate per 8×8 block of the interior: key (bx, by)
+    val acc = scala.collection.mutable.HashMap[(Int, Int),
+      (Long, Long, Long, Long, Long, Long)]()
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val a = z(y * w + x).toLong
+        var s = 0L
+        var dy = -1
+        while (dy <= 1) {
+          var dx = -1
+          while (dx <= 1) { s += z((y + dy) * w + (x + dx)).toLong; dx += 1 }
+          dy += 1
+        }
+        val b = Math.floorDiv(s, 9L)
+        val key = ((x - 1) / 8, (y - 1) / 8)
+        val (n0, sa, sb, saa, sbb, sab) =
+          acc.getOrElse(key, (0L, 0L, 0L, 0L, 0L, 0L))
+        acc(key) = (n0 + 1, sa + a, sb + b, saa + a * a, sbb + b * b,
+          sab + a * b)
+        x += 1
+      }
+      y += 1
+    }
+    var nb = 0L; var ss = 0L; var mn = Long.MaxValue; var chk = 0L
+    acc.foreach { case ((bx, by), (n, sa, sb, saa, sbb, sab)) =>
+      if (n == 64L) {
+        val n2 = n * n
+        val num = (BigInt(2) * sa * sb + BigInt(c1) * n2) *
+          (BigInt(2) * (n * sab - sa * sb) + BigInt(c2) * n2)
+        // den > 0 always: n·saa − sa² ≥ 0 (Cauchy–Schwarz) and the
+        // C-terms are positive; num CAN be negative, so divide with
+        // FLOOR semantics (BigInt / truncates toward zero; DuckDB //
+        // floors) — adjust when signs differ and a remainder exists
+        val den = (BigInt(sa) * sa + BigInt(sb) * sb + BigInt(c1) * n2) *
+          (BigInt(n * saa - sa * sa) + (n * sbb - sb * sb) +
+            BigInt(c2) * n2)
+        val p = num * 1000000L
+        val q0 = p / den
+        val v = (if (p.signum < 0 && p % den != 0) q0 - 1 else q0).toLong
+        nb += 1; ss += v; chk += v * (bx + 31L * by)
+        if (v < mn) mn = v
+      }
+    }
+    (nb, ss, if (nb == 0) 0L else mn, chk)
+  })
+
+  /** HOG-style orientation histogram (Dalal & Triggs 2005, the
+    * division-free integer core): interior pixels take central-
+    * difference gradients gx, gy; orientation = [[octant]](gx, gy)
+    * (sign/compare ladder only — no atan), magnitude = |gx| + |gy|
+    * (L1 — no sqrt). Per (image, octant 0..7): pixel count and Σ
+    * magnitude; flat pixels (gx = gy = 0 → octant 8) are skipped.
+    * ≤ 8 rows per image, one decode. */
+  val hogAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val cnt = new Array[Long](8)
+    val mag = new Array[Long](8)
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val gx = z(y * w + x + 1).toLong - z(y * w + x - 1).toLong
+        val gy = z((y + 1) * w + x).toLong - z((y - 1) * w + x).toLong
+        val o = octant(gx, gy)
+        if (o < 8) {
+          cnt(o) += 1
+          mag(o) += math.abs(gx) + math.abs(gy)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (0 until 8).filter(cnt(_) > 0)
+      .map(o => (o.toLong, cnt(o), mag(o)))
+  })
 }

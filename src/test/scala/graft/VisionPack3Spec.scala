@@ -172,4 +172,73 @@ class VisionPack3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sy === 3 * sx - 40 * n)
     assert(sxyN === 3 * sxxN) // exact slope 3
   }
+
+  test("leeSigmaAgg: constant plane is a fixpoint; tau=0 averages " +
+    "only equal neighbors; brute-force agreement on a random plane") {
+    import spark.implicits._
+    val const = Array(Array.fill(w * h)(700.0))
+    val cb = Codec.encode(const, w, h, "raw-i16le")
+    val r0 = Seq((cb, w, h)).toDF("b", "w", "h")
+      .select(Vision.leeSigmaAgg(col("b"), col("w"), col("h"), lit(120)))
+      .collect()(0).getStruct(0)
+    assert(r0.getLong(2) === 0L) // nothing smoothed
+    assert(r0.getLong(1) === 700L * (w - 2) * (h - 2))
+    // brute force vs the kernel, tau = 150
+    val v = vals(31, w * h, 2000).map(_.toDouble)
+    val vb = Codec.encode(Array(v), w, h, "raw-i16le")
+    val rk = Seq((vb, w, h)).toDF("b", "w", "h")
+      .select(Vision.leeSigmaAgg(col("b"), col("w"), col("h"), lit(150)))
+      .collect()(0).getStruct(0)
+    var n = 0L; var os = 0L; var nc = 0L; var chk = 0L
+    for (y <- 1 until h - 1; x <- 1 until w - 1) {
+      val c = v(y * w + x).toLong
+      val sel = for (dy <- -1 to 1; dx <- -1 to 1;
+                     z = v((y + dy) * w + x + dx).toLong
+                     if math.abs(z - c) <= 150) yield z
+      val out = Math.floorDiv(sel.sum, sel.size.toLong)
+      n += 1; os += out; chk += out * (x + 131L * y)
+      if (out != c) nc += 1
+    }
+    assert((rk.getLong(0), rk.getLong(1), rk.getLong(2), rk.getLong(3))
+      === ((n, os, nc, chk)))
+  }
+
+  test("ssimAgg: self-similar (flat) blocks score exactly 10^6; " +
+    "a textured plane scores strictly less") {
+    import spark.implicits._
+    // flat plane: a == box-mean everywhere, variance 0 -> SSIM = 1
+    val const = Array(Array.fill(34 * 34)(900.0))
+    val cb = Codec.encode(const, 34, 34, "raw-i16le")
+    val r0 = Seq((cb, 34, 34)).toDF("b", "w", "h")
+      .select(Vision.ssimAgg(col("b"), col("w"), col("h")))
+      .collect()(0).getStruct(0)
+    assert(r0.getLong(0) === 16L) // 32x32 interior = 16 full blocks
+    assert(r0.getLong(2) === 1000000L) // min block = exactly 1
+    assert(r0.getLong(1) === 16000000L)
+    // textured: box-mean smooths, so SSIM < 1 on every block
+    val v = vals(47, 34 * 34, 2000).map(_.toDouble)
+    val vb = Codec.encode(Array(v), 34, 34, "raw-i16le")
+    val r1 = Seq((vb, 34, 34)).toDF("b", "w", "h")
+      .select(Vision.ssimAgg(col("b"), col("w"), col("h")))
+      .collect()(0).getStruct(0)
+    assert(r1.getLong(0) === 16L && r1.getLong(2) < 1000000L)
+  }
+
+  test("hogAgg: a pure-vertical ramp puts every interior pixel in " +
+    "octant 2 with magnitude 2·slope; a flat plane emits nothing") {
+    import spark.implicits._
+    val ramp = Array(Array.tabulate(w * h)(i => (i / w).toDouble * 5))
+    val rb = Codec.encode(ramp, w, h, "raw-i16le")
+    val rows = Seq((rb, w, h)).toDF("b", "w", "h")
+      .select(explode(Vision.hogAgg(col("b"), col("w"), col("h"))).as("t"))
+      .select(col("t._1"), col("t._2"), col("t._3")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq ===
+      Seq((2L, ((w - 2) * (h - 2)).toLong, 10L * (w - 2) * (h - 2))))
+    val flat = Codec.encode(Array(Array.fill(w * h)(3.0)), w, h,
+      "raw-i16le")
+    assert(Seq((flat, w, h)).toDF("b", "w", "h")
+      .select(explode(Vision.hogAgg(col("b"), col("w"), col("h"))))
+      .count() === 0L)
+  }
 }
