@@ -457,6 +457,15 @@ object SparkEntry {
           Synth.polygons(s, dir), Synth.NumBands)
         .orderBy("fid")),
 
+    // categorical zonal statistics: majority/minority/diversity of
+    // the 256-quantized band-0 value per polygon zone — the kernel
+    // ships per-pair histograms (≤ bins rows), never pixels
+    "q_zonal_majority" -> ((s, dir) =>
+      Stats.zonalMajority(Stats.zonalHist(
+          Synth.imagesWithBytes(s, dir, smallRaw),
+          Synth.polygons(s, dir), Synth.NumBands, 256L))
+        .orderBy("fid")),
+
     // ARBITRARY-RING zonal stats (extract-by-vector on a CONCAVE
     // polygon): ray-cast pixel-center inclusion against the L-ring
     // layer — the engine's generic PIP; the oracle states the same
@@ -1906,6 +1915,24 @@ object SparkEntry {
         .orderBy("gi", "gj")
     }),
 
+    // per-cell dyadic EWMA burst detector over the trailing 30 days:
+    // α=1/2 smoothing via the exact closed form 2^t·s_t = Σ 2^(i−1)x_i
+    // (gap days need no densification), anomaly = x_t > 6·s_{t−1}
+    // stated integer-exactly — per-cell windows over ≤30 rows
+    "q_ewma_anomaly" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .where(col("user_id") < 150)
+      val hm = md5(col("event_id").cast("string"))
+      import graft.sketch.Cms.hexVal
+      def hv(i: Int) = hexVal(hm, i).cast("long")
+      val pts = ev.select(
+        (hv(1) * 256 + hv(2) * 16 + hv(3)).as("px"),
+        (hv(4) * 256 + hv(5) * 16 + hv(6)).as("py"),
+        unix_timestamp(col("ts")).as("t"))
+      graft.ops.SpatialJoin.ewmaAnomaly(pts, 512L, 86400L, 30)
+        .orderBy("gi", "gj", "day")
+    }),
+
     // bivariate colocation (cross-K pieces) between error and
     // purchase events: pair + participation counts at 3 radii from
     // ONE banded candidate set
@@ -2080,6 +2107,24 @@ object SparkEntry {
           col("r._2").as("b3"), col("r._3").as("n_px"),
           col("r._4").as("dsum"))
         .orderBy("image_id", "b0", "b3")),
+
+    // chi-square association over the epoch-0/3 joint histogram:
+    // margins × margins cross product per image (absent cells o=0),
+    // exact n-scaled (o−e)²/e summed as scaled integers — the
+    // change-STRENGTH statistic next to the raw change matrix
+    "q_chi2_assoc" -> ((s, dir) =>
+      Stats.chi2FromJointHist(
+        Synth.demEpochImages(s, dir, 4, smallRaw)
+          .where(col("t").isin(0, 3))
+          .groupBy("k", "image_id", "w", "h")
+          .agg(collect_list(struct(col("t").cast("int").as("t"),
+            col("bytes"))).as("eps"))
+          .withColumn("r", explode(graft.ops.Terrain.jointHistAgg(
+            col("w").cast("int"), col("h").cast("int"),
+            lit(0), lit(3), col("eps"))))
+          .select(col("image_id"), col("r._1").as("b0"),
+            col("r._2").as("b3"), col("r._3").as("n_px")))
+        .orderBy("image_id")),
 
     // radiometric cross-calibration: per-image OLS of epoch-3 on
     // epoch-0 pixels (relative radiometric normalization), exact
@@ -6786,6 +6831,40 @@ object SparkEntry {
          |       ELSE 'none' END AS cls
          |FROM emc ORDER BY 1, 2""".stripMargin,
 
+    // EWMA replay: same md5 point grid, trailing-30-day filter, the
+    // 2^(idx−1) windowed sum, BIGINT shifts, floor-divided millis
+    "q_ewma_anomaly" ->
+      s"""WITH ewe AS (SELECT event_id,
+         |          CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+         |          md5(CAST(event_id AS VARCHAR)) AS hm
+         |        FROM events WHERE user_id < 150),
+         |ewp AS (SELECT t,
+         |          CAST(${hx("hm", 1)}*256 + ${hx("hm", 2)}*16
+         |            + ${hx("hm", 3)} AS BIGINT) AS px,
+         |          CAST(${hx("hm", 4)}*256 + ${hx("hm", 5)}*16
+         |            + ${hx("hm", 6)} AS BIGINT) AS py
+         |        FROM ewe),
+         |ewb AS (SELECT px//512 AS gi, py//512 AS gj,
+         |          t//86400 AS day, CAST(COUNT(*) AS BIGINT) AS x
+         |        FROM ewp GROUP BY 1, 2, 3),
+         |ewm AS (SELECT MAX(day) AS mxd FROM ewb),
+         |ewr AS (SELECT b.gi, b.gj, b.day, b.x,
+         |          b.day - (m.mxd - 30) AS idx
+         |        FROM ewb b, ewm m WHERE b.day > m.mxd - 30),
+         |ewc AS (SELECT gi, gj, day, x, idx,
+         |          x * (CAST(1 AS BIGINT) << CAST(idx - 1 AS INT)) AS xw,
+         |          CAST(SUM(x * (CAST(1 AS BIGINT)
+         |              << CAST(idx - 1 AS INT)))
+         |            OVER (PARTITION BY gi, gj ORDER BY idx) AS BIGINT)
+         |            AS tt
+         |        FROM ewr)
+         |SELECT gi, gj, day, x,
+         |  CAST((tt * 1000) // (CAST(1 AS BIGINT) << CAST(idx AS INT))
+         |    AS BIGINT) AS ewma_milli,
+         |  CAST(CASE WHEN xw > (tt - xw) * 6 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS anom
+         |FROM ewc ORDER BY 1, 2, 3""".stripMargin,
+
     // colocation ground truth: all error×purchase pairs within the
     // coarsest radius, then per-radius pair + distinct-participant
     // counts from the one candidate set
@@ -7082,6 +7161,50 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_px,
          |  CAST(SUM(v3 - v0) AS BIGINT) AS dsum
          |FROM jp GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // chi-square replay: the q_joint_hist derivation, then margins,
+    // cross product with o=0 fill, exact floored contributions
+    "q_chi2_assoc" ->
+      s"""WITH $I, $SimgCte,
+         |jep AS (SELECT unnest([0, 3]) AS t),
+         |jtv AS (SELECT s.k, s.image_id, xs.x, ys.y, e.t,
+         |          100 + ((s.k%7+1)*xs.x*xs.x + (s.k%5+1)*ys.y*ys.y
+         |               + (s.k%3+1)*xs.x*ys.y
+         |               + ((s.k*3)%11)*xs.x + ((s.k*7)%13)*ys.y) % 1900
+         |          + e.t * ((xs.x + ys.y + s.k) % 7 - 3)
+         |          + (e.t*e.t*(xs.x+1)*(s.k%11+1)) % 5 AS v
+         |        FROM simg s CROSS JOIN jep e
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.w-1 AS INT))) AS x) xs
+         |        CROSS JOIN LATERAL (SELECT unnest(generate_series(0, CAST(s.h-1 AS INT))) AS y) ys),
+         |jp AS (SELECT k, image_id, x, y,
+         |         MAX(CASE WHEN t = 0 THEN v END) AS v0,
+         |         MAX(CASE WHEN t = 3 THEN v END) AS v3
+         |       FROM jtv GROUP BY 1, 2, 3, 4),
+         |jh AS (SELECT image_id, CAST(v0 // 256 AS BIGINT) AS b0,
+         |         CAST(v3 // 256 AS BIGINT) AS b3,
+         |         CAST(COUNT(*) AS BIGINT) AS o
+         |       FROM jp GROUP BY 1, 2, 3),
+         |jr AS (SELECT image_id, b0, CAST(SUM(o) AS BIGINT) AS rc
+         |       FROM jh GROUP BY 1, 2),
+         |jc AS (SELECT image_id, b3, CAST(SUM(o) AS BIGINT) AS cc
+         |       FROM jh GROUP BY 1, 2),
+         |jn AS (SELECT image_id, CAST(SUM(o) AS BIGINT) AS n
+         |       FROM jh GROUP BY 1),
+         |jg AS (SELECT r.image_id, r.b0, c.b3, r.rc, c.cc, n.n,
+         |         COALESCE(h.o, 0) AS o
+         |       FROM jr r JOIN jc c ON c.image_id = r.image_id
+         |       JOIN jn n ON n.image_id = r.image_id
+         |       LEFT JOIN jh h ON h.image_id = r.image_id
+         |         AND h.b0 = r.b0 AND h.b3 = c.b3),
+         |jx AS (SELECT image_id, b0, b3,
+         |         ((n*o - rc*cc)*(n*o - rc*cc)*1000) // (n*rc*cc)
+         |           AS contrib
+         |       FROM jg)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  CAST((COUNT(DISTINCT b0) - 1)
+         |     * (COUNT(DISTINCT b3) - 1) AS BIGINT) AS dof,
+         |  CAST(SUM(contrib) AS BIGINT) AS chi2_scaled
+         |FROM jx GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_radcal" ->
       s"""WITH $I, $SimgCte,
@@ -8188,6 +8311,34 @@ object SparkEntry {
          |  CAST(MIN(v) AS BIGINT) AS vmin,
          |  CAST(MAX(v) AS BIGINT) AS vmax
          |FROM zp GROUP BY fid ORDER BY fid""".stripMargin,
+
+    // zonal majority replay: same center-in-rect pixel join, q = v//256
+    // histogram per zone, majority/minority via opposite-order ranks
+    "q_zonal_majority" ->
+      s"""WITH $I, $P, $B, $SimgCte, $PxCte,
+         |zmp AS (SELECT p2.fid, x.v // 256 AS q
+         |        FROM px x
+         |        JOIN img2 i ON i.k = x.k
+         |        JOIN poly2 p2
+         |          ON i.x0m + 4*x.x + 2 >= p2.px0m
+         |         AND i.x0m + 4*x.x + 2 <  p2.px1m
+         |         AND i.y1m - 4*x.y - 2 >= p2.py0m
+         |         AND i.y1m - 4*x.y - 2 <  p2.py1m
+         |        WHERE x.b = 0),
+         |zmh AS (SELECT fid, q, CAST(COUNT(*) AS BIGINT) AS n
+         |        FROM zmp GROUP BY 1, 2),
+         |zmr AS (SELECT fid, q, n,
+         |          ROW_NUMBER() OVER (PARTITION BY fid
+         |            ORDER BY n DESC, q) AS rj,
+         |          ROW_NUMBER() OVER (PARTITION BY fid
+         |            ORDER BY n, q) AS rn
+         |        FROM zmh)
+         |SELECT fid,
+         |  CAST(MAX(CASE WHEN rj = 1 THEN q END) AS BIGINT) AS majority_q,
+         |  CAST(MAX(CASE WHEN rn = 1 THEN q END) AS BIGINT) AS minority_q,
+         |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |  CAST(SUM(n) AS BIGINT) AS n_px
+         |FROM zmr GROUP BY fid ORDER BY fid""".stripMargin,
 
     // concave L-ring zonal: inclusion = union of two half-open rects
     // (lower full-width slab + upper left-of-cut slab) — the exact SQL

@@ -768,6 +768,51 @@ object SpatialJoin {
           .otherwise("none").as("cls"))
   }
 
+  /** Per-cell dyadic EWMA anomaly scan over daily event counts — the
+    * burst detector next to [[emergingHotspots]]: each cell's daily
+    * count series x_t (t = day index within the trailing `window`
+    * days, zero-initialized s_0 = 0) is smoothed by the α = ½ EWMA
+    * s_t = (s_{t−1} + x_t) / 2, which has the EXACT closed form
+    * 2^t·s_t = Σ_{i≤t} 2^{i−1}·x_i — a plain windowed sum of
+    * 2^{idx−1}·x with calendar-absolute weights, so GAP DAYS (x = 0)
+    * contribute nothing and need no densification. A day is anomalous
+    * when x_t > 6·s_{t−1}, stated integer-exactly as
+    * 2^{t−1}·x_t > 6·(T_{t−1}) with T the scaled running sum.
+    *
+    * Overflow bound: weights ≤ 2^{window−1}, so window = 30 keeps
+    * T ≤ 30·2^29·max-daily-count — Long-safe to ~5·10⁸ events per
+    * cell-day. Scale posture: one (cell, day) count aggregate
+    * (map-side combined), one broadcast max-day, then a per-cell
+    * window over ≤ `window` rows — never a global sort.
+    *
+    * Input: (px, py, t). Returns (gi, gj, day, x, ewma_milli, anom)
+    * for each ACTIVE cell-day in the trailing window. */
+  def ewmaAnomaly(pts: DataFrame, pitch: Long, tbSize: Long,
+                  window: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binned = pts.select(expr(s"px div $pitch").as("gi"),
+        expr(s"py div $pitch").as("gj"),
+        expr(s"t div $tbSize").as("day"))
+      .groupBy("gi", "gj", "day").agg(count(lit(1)).as("x"))
+    val mx = binned.agg(max("day").as("mxd"))
+    val recent = binned.crossJoin(broadcast(mx))
+      .where(col("day") > col("mxd") - window)
+      .withColumn("idx", col("day") - (col("mxd") - window))
+    val wN = Window.partitionBy("gi", "gj").orderBy("idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    recent
+      .withColumn("wgt",
+        expr("shiftleft(cast(1 as bigint), cast(idx - 1 as int))"))
+      .withColumn("tt", sum(col("x") * col("wgt")).over(wN))
+      .select(col("gi"), col("gj"), col("day"), col("x"),
+        Tiling.idiv(col("tt") * 1000L,
+          expr("shiftleft(cast(1 as bigint), cast(idx as int))"))
+          .as("ewma_milli"),
+        (col("x") * col("wgt") >
+          (col("tt") - col("x") * col("wgt")) * 6L)
+          .cast("long").as("anom"))
+  }
+
   /** BIVARIATE COLOCATION counts (cross-K / colocation-rule pieces,
     * Shekhar & Huang SSTD 2001): between point sets A and B, for each
     * radius r: n_pairs = |{(a,b): d²(a,b) ≤ r²}| and the PARTICIPATION

@@ -241,6 +241,101 @@ object Stats {
         col("px0m"), col("py0m"), col("px1m"), col("py1m"))))
   }
 
+  /** Zonal HISTOGRAM of quantized pixel values — the categorical-
+    * raster zonal family ([[zonalStats]] covers the continuous one):
+    * same covering-cell join + clamped intersection window + decode
+    * memo, but the kernel emits the ≤⌈range/quant⌉-entry histogram of
+    * q = value div `quant` per (fid, image) pair, which the caller
+    * rolls up by fid. Majority (mode), minority, and diversity are
+    * then one tiny aggregate over ≤ bins rows per zone — the shuffle
+    * carries histograms, never pixels. Returns (fid, q, n_px). */
+  def zonalHist(imagesWithBytes: DataFrame, polys: DataFrame, nb: Int,
+                quant: Long, band: Int = 0, resM: Long = 4L): DataFrame = {
+    val joined = SpatialJoin.joinRects(imagesWithBytes, polys)
+    val zs = udf((img: org.apache.spark.sql.Row,
+                  px0: Long, py0: Long, px1: Long, py1: Long) => {
+      val k = img.getLong(0)
+      val bytes = img.getAs[Array[Byte]](1)
+      val w = img.getInt(2); val h = img.getInt(3)
+      val fmt = img.getString(4)
+      val x0m = img.getLong(5); val y1m = img.getLong(6)
+      val plane = Codec.decodeMemo(k, bytes, w, h,
+        Codec.bandsStored(fmt, nb), fmt)(band)
+      val half = resM / 2
+      val xLo = math.max(0L, ceilDiv(px0 - x0m - half, resM)).toInt
+      val xHi = math.min(w.toLong, ceilDiv(px1 - x0m - half, resM)).toInt
+      val yLo = math.max(0L, Math.floorDiv(y1m - half - py1, resM) + 1).toInt
+      val yHi = math.min(h.toLong, Math.floorDiv(y1m - half - py0, resM) + 1).toInt
+      val acc = scala.collection.mutable.HashMap[Long, Long]()
+      var y = yLo
+      while (y < yHi) {
+        var x = xLo
+        while (x < xHi) {
+          val v = plane(y * w + x)
+          if (!v.isNaN) {
+            val q = Math.floorDiv(v.toLong, quant)
+            acc(q) = acc.getOrElse(q, 0L) + 1L
+          }
+          x += 1
+        }
+        y += 1
+      }
+      acc.toSeq.map { case (q, c) => (q, c) }
+    })
+    joined
+      .select(col("fid"), explode(zs(
+        struct(col("k"), col("bytes"), col("w").cast("int"),
+          col("h").cast("int"), col("fmt"), col("x0m"), col("y1m")),
+        col("px0m"), col("py0m"), col("px1m"), col("py1m"))).as("t"))
+      .groupBy(col("fid"), col("t._1").as("q"))
+      .agg(sum(col("t._2")).as("n_px"))
+  }
+
+  /** Zonal MAJORITY/minority/diversity from a [[zonalHist]] result:
+    * per zone the modal quantized value (ties → smallest q), the
+    * rarest (ties → smallest q), the distinct-value count, and the
+    * pixel total — the standard categorical zonal-statistics quartet.
+    * Input ≤ bins rows per zone, so the argmax is a tiny struct
+    * aggregate. */
+  def zonalMajority(hist: DataFrame): DataFrame =
+    hist.groupBy("fid").agg(
+      (-max(struct(col("n_px"), (-col("q")).as("nq"))).getField("nq"))
+        .as("majority_q"),
+      min(struct(col("n_px"), col("q"))).getField("q").as("minority_q"),
+      count(lit(1)).as("n_classes"),
+      sum(col("n_px")).as("n_px"))
+
+  /** Chi-square test of independence over a JOINT HISTOGRAM (the
+    * band-association / change-strength statistic next to the raw
+    * change matrix): input rows (image_id, b0, b3, n_px) — e.g. the
+    * q_joint_hist output — give margins r_i, c_j and total n; the
+    * statistic sums over the FULL margin cross product (absent cells
+    * enter with o = 0):
+    *
+    *   contrib(i,j) = (n·o − r_i·c_j)²·1000 div (n·r_i·c_j)
+    *
+    * (the exact n-scaled (o−e)²/e with e = r·c/n, floored per cell —
+    * a deterministic contract both engines state identically).
+    * Returns (image_id, n_cells, dof, chi2_scaled). The cross product
+    * is bins², built per image — never corpus-wide. */
+  def chi2FromJointHist(jh: DataFrame): DataFrame = {
+    val r = jh.groupBy("image_id", "b0").agg(sum("n_px").as("rc"))
+    val c = jh.groupBy("image_id", "b3").agg(sum("n_px").as("cc"))
+    val n = jh.groupBy("image_id").agg(sum("n_px").as("n"))
+    val d2 = (col("n") * col("o") - col("rc") * col("cc")) *
+      (col("n") * col("o") - col("rc") * col("cc"))
+    r.join(c, "image_id").join(n, "image_id")
+      .join(jh.select(col("image_id"), col("b0"), col("b3"),
+        col("n_px").as("o")), Seq("image_id", "b0", "b3"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("contrib", graft.ops.Tiling.idiv(d2 * 1000L,
+        col("n") * col("rc") * col("cc")))
+      .groupBy("image_id").agg(
+        count(lit(1)).as("n_cells"),
+        ((countDistinct("b0") - 1) * (countDistinct("b3") - 1)).as("dof"),
+        sum("contrib").as("chi2_scaled"))
+  }
+
   /** Arbitrary-polygon zonal stats: same join + windowed kernel as
     * [[zonalStats]], but the zone is the feature's WKT ring (degree
     * coords) — window-clamp to the ring's bbox, then ray-cast each

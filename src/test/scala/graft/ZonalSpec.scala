@@ -117,4 +117,100 @@ class ZonalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
     assert(got.nonEmpty, "fixture should produce at least one zonal row")
   }
+
+  test("zonalHist + zonalMajority match brute-force quantized counts") {
+    val flt: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.where(col("w") <= 64 && col("h") <= 64 &&
+        (col("k") % 6 === 1 || col("k") % 6 === 2))
+    val hist = Stats.zonalHist(Synth.imagesWithBytes(spark, sfDir, flt),
+      Synth.polygons(spark, sfDir), Synth.NumBands, 256L)
+    val gotH = hist.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force: same pixel walk as brute(), quantized
+    val polys = Synth.polygons(spark, sfDir)
+      .select("fid", "px0m", "py0m", "px1m", "py1m")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val imgs = Synth.images(spark, sfDir)
+      .where(col("w") <= 64 && col("h") <= 64 &&
+             (col("k") % 6 === 1 || col("k") % 6 === 2))
+      .select("k", "w", "h", "fmt", "x0m", "y1m")
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt,
+        r.getLong(2).toInt, r.getString(3), r.getLong(4), r.getLong(5)))
+    val acc = scala.collection.mutable.Map[(Long, Long), Long]()
+    for ((fid, px0, py0, px1, py1) <- polys;
+         (k, w, h, fmt, x0m, y1m) <- imgs;
+         y <- 0 until h; x <- 0 until w) {
+      val cx = x0m + 4L * x + 2
+      val cy = y1m - 4L * y - 2
+      if (cx >= px0 && cx < px1 && cy >= py0 && cy < py1) {
+        val v = Synth.pixelValue(k, fmt, 0, x, y)
+        if (!v.isNaN) {
+          val key = (fid, Math.floorDiv(v.toLong, 256L))
+          acc(key) = acc.getOrElse(key, 0L) + 1L
+        }
+      }
+    }
+    assert(gotH === acc.toMap)
+    // majority rollup: argmax/argmin with the documented tie-breaks
+    val gotM = Stats.zonalMajority(hist).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val wantM = acc.groupBy(_._1._1).map { case (fid, m) =>
+      val h = m.map { case ((_, q), n) => (q, n) }.toSeq
+      fid -> (h.minBy { case (q, n) => (-n, q) }._1,
+        h.minBy { case (q, n) => (n, q) }._1,
+        h.size.toLong, h.map(_._2).sum)
+    }
+    assert(gotM === wantM)
+  }
+
+  test("chi2FromJointHist: exact independence scores 0, a diagonal " +
+    "table scores the closed form") {
+    import spark.implicits._
+    // independent 2x2: o = r*c/n exactly (margins 2/2, n = 4)
+    val ind = Seq(("i", 0L, 0L, 1L), ("i", 0L, 1L, 1L),
+        ("i", 1L, 0L, 1L), ("i", 1L, 1L, 1L))
+      .toDF("image_id", "b0", "b3", "n_px")
+    val gi = Stats.chi2FromJointHist(ind).collect()(0)
+    assert((gi.getLong(1), gi.getLong(2), gi.getLong(3)) === ((4L, 1L, 0L)))
+    // perfect diagonal 2x2 (n = 4, o = 2 on diag): chi2 = n = 4 ->
+    // each of 4 cells contributes (4·o − 4)²·1000/(4·2·2): diag
+    // (16−4)²·1000/16 = 4000... wait rc = cc = 2 -> den = 4·2·2 = 16,
+    // diag num (4·2 − 4)² = 16 -> 1000; off-diag (0 − 4)² = 16 -> 1000
+    val diag = Seq(("d", 0L, 0L, 2L), ("d", 1L, 1L, 2L))
+      .toDF("image_id", "b0", "b3", "n_px")
+    val gd = Stats.chi2FromJointHist(diag).collect()(0)
+    assert((gd.getLong(1), gd.getLong(2), gd.getLong(3)) ===
+      ((4L, 1L, 4000L)))
+  }
+
+  test("ewmaAnomaly: a spike after quiet days is flagged, the EWMA " +
+    "halves across gap days, steady traffic is never flagged") {
+    import spark.implicits._
+    // one cell (px,py < 512 -> gi=gj=0); day d carries c events
+    def mk(days: Seq[(Long, Int)]) =
+      days.flatMap { case (d, c) => Seq.fill(c)((1L, 1L, d * 86400L)) }
+        .toDF("px", "py", "t")
+    // steady 4/day for 5 days then a 40-spike
+    val got = graft.ops.SpatialJoin.ewmaAnomaly(
+        mk(Seq((0L, 4), (1L, 4), (2L, 4), (3L, 4), (4L, 40))),
+        512L, 86400L, 30)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.last === ((4L, 40L, 21875L, 1L))) // spike flagged
+    // day 0 is flagged by the zero-history convention (x > 6·0);
+    // the steady days after it are not
+    assert(got.head._4 === 1L)
+    assert(got.slice(1, 4).forall(_._4 == 0L))
+    // gap semantics: x=8 on day 0, nothing after; EWMA on day 0 is
+    // 8000/2 = 4000 milli; a revisit on day 2 with x=1 sees the
+    // prior mass halved twice: T = 8·2^26 + 1·2^28, s = T/2^29
+    val g2 = graft.ops.SpatialJoin.ewmaAnomaly(
+        mk(Seq((0L, 8), (2L, 1))), 512L, 86400L, 30)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(g2(0)._2 === 4000L)
+    assert(g2(1)._2 === 1500L) // (8/2³ + 1/2)·1000: two gap halvings
+  }
 }
