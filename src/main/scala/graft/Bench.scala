@@ -256,7 +256,16 @@ object Bench {
       // banded fingerprint dedup
       "q_audio_stats", "q_audio_frames", "q_audio_vad",
       "q_audio_fingerprint", "q_audio_neardup", "q_audio_pitch",
-      "q_audio_normalize", "q_audio_pack", "q_curate_audio")
+      "q_audio_normalize", "q_audio_pack", "q_curate_audio",
+      // graph mining + structure: k-core, collocations, skyline,
+      // robust outliers, communities, link prediction
+      "q_kcore", "q_pmi", "q_skyline", "q_outliers",
+      "q_label_prop", "q_link_pred",
+      // final round-5 wave: IR pair similarity, stump training,
+      // speckle/SSIM/HOG raster kernels, categorical zonal, change
+      // association, EWMA burst scan
+      "q_tfidf_sim", "q_stump", "q_lee_filter", "q_ssim", "q_hog",
+      "q_zonal_majority", "q_chi2_assoc", "q_ewma_anomaly")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

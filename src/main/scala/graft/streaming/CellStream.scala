@@ -53,6 +53,59 @@ object CellStream {
       }
   }
 
+  /** STREAMING per-cell EWMA burst detector — the ingest-time twin of
+    * the batch `SpatialJoin.ewmaAnomaly` gate, with the SAME exact
+    * arithmetic: per (cell, day) the state carries (lastDay, T) where
+    * T = 2^{idx}·s after day `lastDay`'s update and idx counts days
+    * from the cell's first-seen day; a new day first decays the scaled
+    * sum (conceptually — the closed form needs no rescan: T just
+    * accumulates x·2^{idx−1} and the comparison shifts instead), then
+    * flags x_t > 6·s_{t−1} as 2^{t−1}·x_t > 6·T_{t−1} — integers only,
+    * no floats, identical to the batch rule. To keep the scaled sum
+    * Long-safe indefinitely (the batch op bounds its window; a stream
+    * has no end), the state RENORMALIZES: when idx reaches 40 the sum
+    * is shifted right by 20 and idx rebased — a floor that loses only
+    * sub-2^-20 mass, applied identically on every run since it
+    * depends only on the input sequence. State: one row per cell.
+    * Input: typed (cell, day, count) rows — one per cell-day (the
+    * upstream micro-batch aggregate) in event-time order per cell;
+    * emits (cell, day, x, anomFlag). Run in Update mode. */
+  def ewmaBurstState(stream: Dataset[(Long, Long, Long)])
+      : Dataset[(Long, Long, Long, Long)] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (cell: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          // state = (firstDay, lastIdx, T)
+          var (day0, idx, t) = state.getOption.getOrElse((-1L, 0L, 0L))
+          var out: (Long, Long, Long, Long) = (cell, -1L, 0L, 0L)
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, d, x) =>
+            if (day0 < 0) day0 = d
+            var i = d - day0 + 1
+            if (i > idx) {
+              // renormalize before the exponent can overflow
+              if (i > 40) {
+                val shift = i - 20
+                t = t >> shift.min(62L).toInt
+                day0 += shift
+                i = d - day0 + 1
+              }
+              val xw = x << (i - 1).toInt
+              val anom = if (xw > 6 * t) 1L else 0L
+              t += xw
+              idx = i
+              out = (cell, d, x, anom)
+            }
+            // late/duplicate days (i <= idx) are ignored: the batch
+            // pass owns corrections, ingest state only moves forward
+          }
+          state.update((day0, idx, t))
+          out
+      }
+  }
+
   /** STREAMING exact dedup — the ingest-time half of the dedup
     * pipeline (the batch half is TextOps.dedupExact + the
     * ConnectedComponents clustering): emit ONE representative per

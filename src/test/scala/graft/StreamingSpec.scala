@@ -276,4 +276,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fpMap("au-c") == expected)
     q.stop()
   }
+
+  test("ewmaBurstState: burst flags match the batch EWMA rule across " +
+    "micro-batches, gap days decay, late days are ignored") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)] // (cell, day, x)
+    val out = CellStream.ewmaBurstState(input.toDS())
+    val q = out.toDF("cell", "day", "x", "anom").writeStream
+      .format("memory").queryName("ewmastate").outputMode("update").start()
+    // batch 1: steady 4/day for days 0..3 on cell 5
+    input.addData((5L, 0L, 4L), (5L, 1L, 4L), (5L, 2L, 4L), (5L, 3L, 4L))
+    q.processAllAvailable()
+    // batch 2: the spike (day 4, x=40) + a LATE day-2 revision (ignored)
+    input.addData((5L, 4L, 40L), (5L, 2L, 99L))
+    q.processAllAvailable()
+    val rows = spark.sql(
+        "SELECT day, x, anom FROM ewmastate WHERE day >= 0 ORDER BY day")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // mapGroupsWithState emits once per key per batch: batch 1's
+    // emission is the last processed day; batch 2's is the spike.
+    // The spike must be flagged (40 > 6·s where s < 8); the late
+    // day-2 row must NOT appear as a new emission
+    assert(rows.last === ((4L, 40L, 1L)))
+    assert(!rows.exists(r => r._1 == 2L && r._2 == 99L))
+    // zero-history convention: very first day of a cell is flagged
+    val input2 = MemoryStream[(Long, Long, Long)]
+    val out2 = CellStream.ewmaBurstState(input2.toDS())
+    val q2 = out2.toDF("cell", "day", "x", "anom").writeStream
+      .format("memory").queryName("ewmastate2").outputMode("update").start()
+    input2.addData((9L, 10L, 8L))
+    q2.processAllAvailable()
+    // gap decay: day 10 x=8 (s=4), then day 13 x=3: s_pre = 8·2^{-4}
+    // ... T tracking: xw = 3·2^3 = 24 > 6·T(=8)? T after day10 = 8;
+    // at day 13, xw = 3·8 = 24, 6·T = 48 -> not flagged
+    input2.addData((9L, 13L, 3L))
+    q2.processAllAvailable()
+    val r2 = spark.sql("SELECT day, anom FROM ewmastate2 ORDER BY day")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(r2.toSeq === Seq((10L, 1L), (13L, 0L)), r2.mkString(","))
+    q.stop(); q2.stop()
+  }
 }
