@@ -2178,6 +2178,21 @@ object SparkEntry {
           s.read.parquet(s"$dir/events.parquet"), 10L)
         .orderBy("item_a", "item_b")),
 
+    // association rules (a-priori level 2 → rules): both directions
+    // per frequent pair, exact scaled confidence + lift, minConf cut;
+    // the rule stage is vocabulary²-bounded, item counts broadcast
+    "q_assoc_rules" -> ((s, dir) =>
+      graft.ops.Itemsets.rules(
+          s.read.parquet(s"$dir/events.parquet"), 10L, 10000L)
+        .orderBy("ante", "cons")),
+
+    // Laplace-smoothed class-affinity classifier, trained AND applied
+    // in-engine: md5-bucket train/val split, (class, term) count model
+    // broadcast to the scoring join, argmax by (score desc, lang asc)
+    "q_classify" -> ((s, dir) =>
+      graft.text.TextOps.classAffinity(docs(s, dir), 200)
+        .orderBy("doc_id")),
+
     // per-user hourly gap-fill: bucket events by hour, generate the
     // DENSE hour series per user, carry the last seen event_type
     // forward across empty hours (ignore-nulls last over the ordered
@@ -7279,6 +7294,79 @@ object SparkEntry {
         |  ON a.user_id = b.user_id AND a.hr = b.hr AND a.item < b.item
         |GROUP BY 1, 2 HAVING COUNT(*) >= 10
         |ORDER BY 1, 2""".stripMargin,
+
+    // association-rule replay: same basket CTE, both rule directions,
+    // exact integer confidence/lift with the same floor divisions
+    "q_assoc_rules" ->
+      """WITH arb AS (SELECT DISTINCT user_id,
+        |         CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS hr,
+        |         event_type || '#' ||
+        |           CAST(CAST(substr(props, 7, length(props)-7) AS INT)
+        |             // 50 AS VARCHAR) AS item
+        |       FROM events),
+        |arp AS (SELECT a.item AS item_a, b.item AS item_b,
+        |          CAST(COUNT(*) AS BIGINT) AS support
+        |        FROM arb a JOIN arb b
+        |          ON a.user_id = b.user_id AND a.hr = b.hr
+        |          AND a.item < b.item
+        |        GROUP BY 1, 2 HAVING COUNT(*) >= 10),
+        |ari AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM arb GROUP BY 1),
+        |arn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM
+        |          (SELECT DISTINCT user_id, hr FROM arb)),
+        |ard AS (SELECT item_a AS ante, item_b AS cons, support FROM arp
+        |        UNION ALL SELECT item_b, item_a, support FROM arp)
+        |SELECT d.ante, d.cons, d.support,
+        |  CAST((d.support * 1000000) // ca.c AS BIGINT) AS conf_scaled,
+        |  CAST((d.support * n.n * 1000000) // (ca.c * cb.c) AS BIGINT)
+        |    AS lift_scaled
+        |FROM ard d JOIN ari ca ON ca.item = d.ante
+        |JOIN ari cb ON cb.item = d.cons, arn n
+        |WHERE (d.support * 1000000) // ca.c >= 10000
+        |ORDER BY ante, cons""".stripMargin,
+
+    // classifier replay: same md5 split, Laplace counts over train,
+    // per-occurrence floored weights, (score desc, lang) argmax
+    "q_classify" ->
+      """WITH clb AS (SELECT doc_id,
+        |  CAST((strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+        |    AS BIGINT) AS bucket
+        |  FROM documents),
+        |cls AS (SELECT d.doc_id, d.lang, d.text,
+        |          CASE WHEN b.bucket * 1000 < 200 * 65536
+        |            THEN 'val' ELSE 'train' END AS split
+        |        FROM documents d JOIN clb b ON b.doc_id = d.doc_id),
+        |ctk AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |        FROM cls WHERE split = 'train'),
+        |ctl AS (SELECT lang AS l, term, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM ctk GROUP BY 1, 2),
+        |cnl AS (SELECT lang AS l, CAST(COUNT(*) AS BIGINT) AS nl
+        |        FROM ctk GROUP BY 1),
+        |cvv AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+        |        FROM ctk),
+        |cdn AS (SELECT l, nl + v.v AS den FROM cnl, cvv v),
+        |cvt AS (SELECT doc_id, lang,
+        |          unnest(string_split(text, ' ')) AS term
+        |        FROM cls WHERE split = 'val'),
+        |csc AS (SELECT t.doc_id, t.lang, d.l,
+        |          CAST(SUM(((COALESCE(m.c, 0) + 1) * 1000000) // d.den)
+        |            AS BIGINT) AS score
+        |        FROM cvt t CROSS JOIN cdn d
+        |        LEFT JOIN ctl m ON m.l = d.l AND m.term = t.term
+        |        GROUP BY 1, 2, 3),
+        |crk AS (SELECT doc_id, lang, l, score,
+        |          ROW_NUMBER() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, l) AS rk
+        |        FROM csc)
+        |SELECT doc_id, lang, l AS pred_lang, score FROM crk
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     // hour = floor(epoch/3600) (sub-second truncation can never cross
     // an hour boundary); latest-in-hour via arg_max on (ts, event_id);

@@ -55,4 +55,41 @@ object Itemsets {
     baskets(events)
       .groupBy("item").agg(count(lit(1)).as("support"))
       .where(col("support") >= minSup)
+
+  /** ASSOCIATION RULES from the frequent pairs — the second half of
+    * a-priori (Agrawal & Srikant 1994 §3): each frequent pair (a, b)
+    * yields both directed rules with exact scaled metrics
+    *
+    *   conf(a→b)  = 10⁶·c_ab div c_a
+    *   lift       = 10⁶·c_ab·n div (c_a·c_b)   (direction-free)
+    *
+    * where n = total baskets. Rules below `minConf` (scaled) are cut.
+    * All integers; ties ordered by (antecedent, consequent). Scale:
+    * the pair table is vocabulary²-bounded, item counts broadcast —
+    * this stage never touches the corpus again. */
+  def rules(events: DataFrame, minSup: Long, minConfScaled: Long)
+      : DataFrame = {
+    val pairs = frequentPairs(events, minSup)
+    val items = baskets(events)
+      .groupBy("item").agg(count(lit(1)).as("c"))
+    val n = baskets(events)
+      .select("user_id", "hr").distinct()
+      .agg(count(lit(1)).as("n"))
+    val both = pairs
+      .select(col("item_a").as("ante"), col("item_b").as("cons"),
+        col("support"))
+      .unionByName(pairs.select(col("item_b").as("ante"),
+        col("item_a").as("cons"), col("support")))
+    both
+      .join(broadcast(items.select(col("item").as("ante"),
+        col("c").as("ca"))), Seq("ante"))
+      .join(broadcast(items.select(col("item").as("cons"),
+        col("c").as("cb"))), Seq("cons"))
+      .crossJoin(broadcast(n))
+      .select(col("ante"), col("cons"), col("support"),
+        Tiling.idiv(col("support") * 1000000L, col("ca")).as("conf_scaled"),
+        Tiling.idiv(col("support") * col("n") * 1000000L,
+          col("ca") * col("cb")).as("lift_scaled"))
+      .where(col("conf_scaled") >= minConfScaled)
+  }
 }

@@ -1312,6 +1312,56 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Laplace-smoothed class-affinity TEXT CLASSIFIER (the additive,
+    * log-free sibling of multinomial naive Bayes — train and apply
+    * inside the engine): the corpus splits train/val on the
+    * [[splitAssign]] md5 bucket (content-independent, reshuffle-
+    * stable); training counts c(t,l) per (class, term) and class
+    * token totals N_l over the TRAIN docs; a val doc scores each
+    * class by the exact integer sum over its token OCCURRENCES
+    *
+    *   score(d, l) = Σ_t (c(t,l) + 1)·10⁶ div (N_l + V)
+    *
+    * (Laplace add-one over the train vocabulary V; unseen terms
+    * contribute the smoothing floor). Prediction = argmax by
+    * (score desc, lang asc) — a total order both engines replay.
+    *
+    * Scale posture: the count model is vocabulary×classes-sized and
+    * BROADCAST to the scoring join; scoring is one explode + one
+    * map-side-combined (doc, class) sum — the corpus is touched once
+    * for training and once for scoring. Returns one row per val doc:
+    * (doc_id, lang, pred_lang, score). */
+  def classAffinity(docs: DataFrame, valPermille: Int): DataFrame = {
+    val withSplit = docs.join(
+      splitAssign(docs, valPermille).select("doc_id", "split"), "doc_id")
+    val train = withSplit.where(col("split") === "train")
+    val tok = train.select(col("lang"), explode(toks).as("term"))
+    val ctl = tok.groupBy("lang", "term").agg(count(lit(1)).as("c"))
+    val nl = tok.groupBy("lang").agg(count(lit(1)).as("nl"))
+    val v = tok.select("term").distinct().agg(count(lit(1)).as("v"))
+    val langs = nl.crossJoin(broadcast(v))
+      .select(col("lang").as("l"), (col("nl") + col("v")).as("den"))
+    val valTok = withSplit.where(col("split") === "val")
+      .select(col("doc_id"), col("lang"), explode(toks).as("term"))
+    // score every (val token occurrence, class): broadcast the model
+    val scored = valTok
+      .crossJoin(broadcast(langs))
+      .join(broadcast(ctl.select(col("lang").as("l"), col("term"),
+        col("c"))), Seq("l", "term"), "left")
+      .select(col("doc_id"), col("lang"), col("l"),
+        graft.ops.Tiling.idiv((coalesce(col("c"), lit(0L)) + 1L) * 1000000L,
+          col("den")).as("w"))
+      .groupBy("doc_id", "lang", "l").agg(sum(col("w")).as("score"))
+    // argmax by (score desc, lang asc): per-doc window over ≤ #classes
+    // rows — the window input is the score table, never the corpus
+    val wD = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("l"))
+    scored.withColumn("rk", row_number().over(wD))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("l").as("pred_lang"),
+        col("score"))
+  }
+
   /** Exact-Gini decision-stump training (CART's split search, Breiman
     * 1984, on one feature) — the quality-classifier primitive of a
     * curation pipeline: given a binary label `labelCol` and an integer

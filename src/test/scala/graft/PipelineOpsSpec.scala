@@ -541,6 +541,56 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.tfidfSimPairs(d, 1L, 20).count() === 0)
   }
 
+  test("association rules: confidence and lift are the exact scaled " +
+    "ratios on a hand-checked basket set") {
+    import spark.implicits._
+    // 3 baskets (one user, hours 0/1/2): {A,B}, {A,B}, {A}
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:30:00")
+    def at(h: Int) = new java.sql.Timestamp(ts0.getTime + h * 3600 * 1000L)
+    val ev = Seq(
+      (1L, at(0), "A", """{"k": 1}"""), (1L, at(0), "B", """{"k": 1}"""),
+      (1L, at(1), "A", """{"k": 1}"""), (1L, at(1), "B", """{"k": 1}"""),
+      (1L, at(2), "A", """{"k": 1}"""))
+      .toDF("user_id", "ts", "event_type", "props")
+    val got = graft.ops.Itemsets.rules(ev, 2L, 0L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(x => (x._1, x._2))
+    // c_A = 3, c_B = 2, support = 2, n = 3:
+    // A->B conf = 2e6//3 = 666666, B->A conf = 1e6,
+    // lift both ways = 2·3·1e6//(3·2) = 1e6
+    assert(got.toSeq === Seq(
+      ("A#0", "B#0", 2L, 666666L, 1000000L),
+      ("B#0", "A#0", 2L, 1000000L, 1000000L)))
+  }
+
+  test("classAffinity: a val doc is assigned the class whose train " +
+    "corpus shares its tokens; ties break to the smaller lang") {
+    import spark.implicits._
+    // splitAssign buckets on md5(doc_id): find ids on each side so
+    // the fixture is deterministic without faking the split
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16)
+    }
+    val ids = (0L to 400L)
+    val valIds = ids.filter(i => bucket(i) * 1000 < 200 * 65536)
+    val trainIds = ids.filter(i => bucket(i) * 1000 >= 200 * 65536)
+    // two train docs per class with disjoint vocab, one val doc that
+    // speaks "en" vocabulary
+    val d = Seq(
+      (trainIds(0), "en", "alpha beta alpha"),
+      (trainIds(1), "en", "beta alpha"),
+      (trainIds(2), "de", "zug bahn zug"),
+      (trainIds(3), "de", "bahn zug"),
+      (valIds(0), "en", "alpha beta"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.classAffinity(d, 200).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === Seq((valIds(0), "en", "en")))
+  }
+
   test("giniStump: a perfectly separable feature reaches cost 0 at " +
     "the separating threshold, counts exact") {
     import spark.implicits._
