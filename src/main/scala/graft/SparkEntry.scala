@@ -3270,12 +3270,12 @@ object SparkEntry {
     "q_pmi" -> ((s, dir) =>
       graft.text.TextOps.pmiBigrams(docs(s, dir), 3, 40)),
 
-    // tf-idf pair similarity over the df≤100-pruned vector space:
+    // tf-idf pair similarity over the df ≤ 20%·N-pruned vector space:
     // integer weights tf·((N·10) div df), squared-cosine score as one
     // exact scaled integer (BigInt for the dot² step); candidates from
     // the pruned posting self-join — work Σ df², never all-pairs
     "q_tfidf_sim" -> ((s, dir) =>
-      graft.text.TextOps.tfidfSimPairs(docs(s, dir), 100L, 30)),
+      graft.text.TextOps.tfidfSimPairs(docs(s, dir), 200L, 30)),
 
     // decision-stump training (exact-Gini split search on n_chars//64
     // predicting lang='en'): per-threshold split counts + weighted-
@@ -9537,9 +9537,11 @@ object SparkEntry {
          |tsp AS (SELECT doc_id, unnest(ts) AS term FROM tok),
          |tsf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
          |        FROM tsp GROUP BY 1, 2),
-         |tsd AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
-         |        FROM tsf GROUP BY 1 HAVING COUNT(*) <= 100),
+         |tsd0 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+         |        FROM tsf GROUP BY 1),
          |tsn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+         |tsd AS (SELECT d.term, d.df FROM tsd0 d, tsn n
+         |        WHERE d.df * 1000 <= 200 * n.nd),
          |tsw AS (SELECT p.doc_id, p.term, p.tf * ((n.nd * 10) // d.df) AS w
          |        FROM tsf p JOIN tsd d ON d.term = p.term, tsn n),
          |tsm AS (SELECT doc_id, CAST(SUM(w*w) AS BIGINT) AS nrm

@@ -1266,9 +1266,9 @@ object TextOps {
 
   /** Tf-idf document-pair similarity over the STOPWORD-PRUNED vector
     * space (Salton's vector model with the classic df-cap pruning):
-    * the vocabulary is restricted to terms with df ≤ `dfCap` (terms in
-    * more docs carry no discrimination and would make the posting join
-    * quadratic), weights are exact integers w = tf · ((N·10) div df)
+    * the vocabulary is restricted to terms with df ≤ N·`dfCapPermille`
+    * /1000 (terms in more docs carry no discrimination and would make
+    * the posting join quadratic), weights are exact integers w = tf · ((N·10) div df)
     * (the log-free integer idf, same family as [[keywords]]), and the
     * pair score is the SQUARED cosine as one exact scaled integer
     * sim2 = dot²·10⁶ div (‖a‖²·‖b‖²) — the square avoids sqrt while
@@ -1277,17 +1277,23 @@ object TextOps {
     * BigInt on the Spark side and HUGEINT in the oracle.
     *
     * Scale posture: candidates come from the posting-list self-join on
-    * the PRUNED vocabulary — work is Σ_t df(t)² ≤ dfCap·Σdf, never
+    * the PRUNED vocabulary — work is Σ_t df(t)² ≤ cap·Σdf, never
     * all-pairs, and the df cap is exactly the knob that bounds the
     * hottest term's join fan-out; the (a,b) dot aggregate partial-
     * aggregates map-side; norms and the df table are vocabulary-sized
     * broadcasts. Top `topK` by (sim2 desc, dot desc, a, b). */
-  def tfidfSimPairs(docs: DataFrame, dfCap: Long, topK: Int): DataFrame = {
+  def tfidfSimPairs(docs: DataFrame, dfCapPermille: Long, topK: Int)
+      : DataFrame = {
     val post = docs.select(col("doc_id"), explode(toks).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfT = post.groupBy("term").agg(count(lit(1)).as("df"))
-      .where(col("df") <= dfCap)
     val nd = docs.agg(count(lit(1)).as("nd"))
+    // the cap is a FRACTION of the corpus (df ≤ N·permille/1000), so
+    // the pruning contract is scale-invariant — a fixed absolute cap
+    // silently empties the vector space when the corpus grows 10×
+    val dfT = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .where(col("df") * 1000 <= lit(dfCapPermille) * col("nd"))
+      .select("term", "df")
     val w = post.join(broadcast(dfT), Seq("term"))
       .crossJoin(broadcast(nd))
       .select(col("doc_id"), col("term"),

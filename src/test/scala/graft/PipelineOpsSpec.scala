@@ -527,7 +527,7 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d = Seq((0L, "x y z"), (1L, "x y z"), (2L, "p q"),
         (3L, "x q"), (4L, "the the the"))
       .toDF("doc_id", "text")
-    val got = TextOps.tfidfSimPairs(d, 100L, 20).collect()
+    val got = TextOps.tfidfSimPairs(d, 1000L, 20).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
       .toMap
     // identical vectors: dot = na = nb -> sim2 = 10^6 exactly
@@ -537,8 +537,9 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       !got.contains((2L, 4L)))
     // partial overlap ranks strictly below identical
     assert(got((0L, 3L))._2 < 1000000L)
-    // dfCap = 1 prunes every shared term -> no pairs at all
-    assert(TextOps.tfidfSimPairs(d, 1L, 20).count() === 0)
+    // a 200 permille cap over 5 docs means df <= 1: every shared
+    // term is pruned -> no pairs at all
+    assert(TextOps.tfidfSimPairs(d, 200L, 20).count() === 0)
   }
 
   test("association rules: confidence and lift are the exact scaled " +
