@@ -266,7 +266,8 @@ object Bench {
       // association, EWMA burst scan
       "q_tfidf_sim", "q_stump", "q_lee_filter", "q_ssim", "q_hog",
       "q_zonal_majority", "q_chi2_assoc", "q_ewma_anomaly",
-      "q_assoc_rules", "q_classify")
+      "q_assoc_rules", "q_classify",
+      "q_clustering_coef", "q_confusion", "q_markov")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

@@ -1580,6 +1580,14 @@ object SparkEntry {
           graft.ops.SpatialJoin.proximityEdges(Synth.images(s, dir), 3000L),
           40)),
 
+    // per-node clustering coefficient: triangles enumerated once by
+    // degree-ordered orientation (hub-safe Σ out-deg² work), corners
+    // credited via explode, exact scaled 2t div deg(deg−1)
+    "q_clustering_coef" -> ((s, dir) =>
+      graft.graph.LabelProp.clusteringCoef(
+          graft.ops.SpatialJoin.proximityEdges(Synth.images(s, dir), 3000L))
+        .orderBy("v")),
+
     // union (coverage) area of pad-3000 footprints per 30000-pitch
     // coarse cell: grid-partitioned slab decomposition, exact mdeg^2
     "q_union_area" -> ((s, dir) =>
@@ -2192,6 +2200,21 @@ object SparkEntry {
     "q_classify" -> ((s, dir) =>
       graft.text.TextOps.classAffinity(docs(s, dir), 200)
         .orderBy("doc_id")),
+
+    // classifier EVALUATION: the confusion matrix over the val split
+    // — one classes²-bounded rollup of the q_classify output
+    "q_confusion" -> ((s, dir) =>
+      graft.text.TextOps.classAffinity(docs(s, dir), 200)
+        .groupBy(col("lang").as("true_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "pred_lang")),
+
+    // first-order Markov next-event transition matrix: per-user
+    // window pass, type²-bounded counts, exact scaled probabilities
+    "q_markov" -> ((s, dir) =>
+      graft.ops.TimeJoins.eventTransitions(
+          s.read.parquet(s"$dir/events.parquet"))
+        .orderBy("a", "b")),
 
     // per-user hourly gap-fill: bucket events by hour, generate the
     // DENSE hour series per user, carry the last seen event_type
@@ -6011,6 +6034,34 @@ object SparkEntry {
          |JOIN lkd db ON db.src = c.b
          |ORDER BY jacc_scaled DESC, cn DESC, a, b LIMIT 40""".stripMargin,
 
+    // clustering-coefficient replay: id-ordered triple join finds
+    // each triangle once (orientation-free ground truth), corners
+    // credited via unnest, same floor formula
+    "q_clustering_coef" ->
+      s"""WITH $I,
+         |cc0 AS (SELECT a.k AS u, b.k AS v FROM img2 a JOIN img2 b
+         |        ON b.k > a.k
+         |        AND a.x0m - 3000 < b.x1m + 3000
+         |        AND b.x0m - 3000 < a.x1m + 3000
+         |        AND a.y0m - 3000 < b.y1m + 3000
+         |        AND b.y0m - 3000 < a.y1m + 3000),
+         |ccd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM
+         |         (SELECT u AS src FROM cc0
+         |          UNION ALL SELECT v FROM cc0) GROUP BY 1),
+         |cct AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |        FROM cc0 e1 JOIN cc0 e2 ON e2.u = e1.v
+         |        JOIN cc0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |ccx AS (SELECT unnest([a, b, c]) AS v FROM cct),
+         |ccc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS tri
+         |        FROM ccx GROUP BY 1)
+         |SELECT CAST(d.src AS BIGINT) AS v, d.deg,
+         |  COALESCE(c.tri, 0) AS tri,
+         |  CAST(CASE WHEN d.deg < 2 THEN 0 ELSE
+         |    (2 * 1000000 * COALESCE(c.tri, 0)) // (d.deg * (d.deg - 1))
+         |    END AS BIGINT) AS coef_scaled
+         |FROM ccd d LEFT JOIN ccc c ON c.v = d.src
+         |ORDER BY 1""".stripMargin,
+
     // union area ground truth: same slab decomposition in SQL —
     // clip to cells, LEAD slabs, running-max island walk per slab;
     // half-open boxes so area = Σ ylen·(sx1−sx0) exactly
@@ -7367,6 +7418,67 @@ object SparkEntry {
         |        FROM csc)
         |SELECT doc_id, lang, l AS pred_lang, score FROM crk
         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    // confusion replay: the q_classify chain rolled up per
+    // (true, predicted) cell
+    "q_confusion" ->
+      """WITH clb AS (SELECT doc_id,
+        |  CAST((strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+        |    AS BIGINT) AS bucket
+        |  FROM documents),
+        |cls AS (SELECT d.doc_id, d.lang, d.text,
+        |          CASE WHEN b.bucket * 1000 < 200 * 65536
+        |            THEN 'val' ELSE 'train' END AS split
+        |        FROM documents d JOIN clb b ON b.doc_id = d.doc_id),
+        |ctk AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |        FROM cls WHERE split = 'train'),
+        |ctl AS (SELECT lang AS l, term, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM ctk GROUP BY 1, 2),
+        |cnl AS (SELECT lang AS l, CAST(COUNT(*) AS BIGINT) AS nl
+        |        FROM ctk GROUP BY 1),
+        |cvv AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+        |        FROM ctk),
+        |cdn AS (SELECT l, nl + v.v AS den FROM cnl, cvv v),
+        |cvt AS (SELECT doc_id, lang,
+        |          unnest(string_split(text, ' ')) AS term
+        |        FROM cls WHERE split = 'val'),
+        |csc AS (SELECT t.doc_id, t.lang, d.l,
+        |          CAST(SUM(((COALESCE(m.c, 0) + 1) * 1000000) // d.den)
+        |            AS BIGINT) AS score
+        |        FROM cvt t CROSS JOIN cdn d
+        |        LEFT JOIN ctl m ON m.l = d.l AND m.term = t.term
+        |        GROUP BY 1, 2, 3),
+        |crk AS (SELECT doc_id, lang, l, score,
+        |          ROW_NUMBER() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, l) AS rk
+        |        FROM csc)
+        |SELECT lang AS true_lang, l AS pred_lang,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM crk WHERE rk = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Markov replay: per-user LEAD over (ts, event_id), type²-bounded
+    // counts, exact floored transition probabilities
+    "q_markov" ->
+      """WITH mkv AS (SELECT user_id, event_type,
+        |        LEAD(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS nt
+        |      FROM events),
+        |mkc AS (SELECT event_type AS a, nt AS b,
+        |          CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM mkv WHERE nt IS NOT NULL GROUP BY 1, 2),
+        |mkt AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ca
+        |        FROM mkc GROUP BY 1)
+        |SELECT c.a, c.b, c.c,
+        |  CAST((c.c * 1000000) // t.ca AS BIGINT) AS p_scaled
+        |FROM mkc c JOIN mkt t ON t.a = c.a ORDER BY 1, 2""".stripMargin,
 
     // hour = floor(epoch/3600) (sub-second truncation can never cross
     // an hour boundary); latest-in-hour via arg_max on (ts, event_id);

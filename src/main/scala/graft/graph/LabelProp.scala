@@ -74,8 +74,55 @@ object LabelProp {
     * The (a, b) count partial-aggregates map-side; already-adjacent
     * pairs leave via one anti-join against the canonical edge list;
     * no all-pairs stage anywhere. */
+  /** Per-node LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998):
+    * c(v) = 2·t(v)·10⁶ div (deg·(deg−1)) where t(v) = triangles
+    * through v — the transitivity score that separates organically
+    * dense neighborhoods from hub-and-spoke ones. Triangles are
+    * enumerated ONCE each by the same degree-ordered orientation as
+    * `SpatialJoin.triangleCensus` (every wedge generated at its
+    * lowest-(deg,id) apex, closed against the oriented edge list —
+    * work Σ out-deg² with out-degrees capped near the arboricity,
+    * hub-safe), then each triangle credits its three corners via one
+    * explode + map-side-combined count. Nodes with deg < 2 emit
+    * coef 0. Returns (v, deg, tri, coef_scaled). */
+  def clusteringCoef(pairs: DataFrame): DataFrame = {
+    val und = ConnectedComponents.canonEdges(pairs).localCheckpoint(false)
+    val dir = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    // total order ord = deg·2^40 + id (ids < 2^40), orient low→high
+    val withOrd = dir
+      .join(deg.select(col("src"), col("deg").as("ds")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dd")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        (col("ds") * (1L << 40) + col("src")).as("os"),
+        (col("dd") * (1L << 40) + col("dst")).as("od"))
+      .where(col("os") < col("od"))
+    val e1 = withOrd.select(col("src").as("a"), col("dst").as("b"),
+      col("od").as("ob"))
+    val e2 = withOrd.select(col("src").as("a"), col("dst").as("c"),
+      col("od").as("oc"))
+    val wedges = e1.join(e2, Seq("a")).where(col("ob") < col("oc"))
+    val closed = wedges.join(
+      withOrd.select(col("src").as("b"), col("dst").as("c")),
+      Seq("b", "c"), "left_semi")
+    val tcnt = closed
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    deg.select(col("src").as("v"), col("deg"))
+      .join(tcnt, Seq("v"), "left")
+      .select(col("v"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") < 2, 0L).otherwise(
+          expr("(2 * 1000000 * coalesce(tri, 0L)) div (deg * (deg - 1))"))
+          .as("coef_scaled"))
+  }
+
   def linkPredict(pairs: DataFrame, topK: Int): DataFrame = {
-    val und = ConnectedComponents.canonEdges(pairs)
+    // the edge list feeds FOUR consumers (two wedge sides, the
+    // anti-join, degrees) — materialize it once or the upstream
+    // edge-generation join re-executes per consumer
+    val und = ConnectedComponents.canonEdges(pairs).localCheckpoint(false)
     val dir = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))

@@ -140,4 +140,32 @@ object TimeJoins {
              us(col("r_ts")) - us(col("l_ts")) <= gapUs)
       .select(col("l_id"), col("r_id"), col("k").as(key))
   }
+
+  /** First-order MARKOV transition matrix over per-user event-type
+    * sequences — the behavioral model behind next-action prediction
+    * and funnel leak analysis: consecutive event pairs (ordered by
+    * (ts, event_id) within each user, the engine's canonical event
+    * order) are counted per (type a → type b), and the transition
+    * probability is the exact scaled integer c_ab·10⁶ div c_a
+    * (c_a = Σ_b c_ab, outgoing mass, so rows of the matrix sum to
+    * ≤ 10⁶ with floor loss < #types).
+    *
+    * Scale posture: one window pass partitioned by the entity key
+    * (per-user partitions, never global), then two type²-bounded
+    * aggregates — the matrix is vocabulary-sized however large the
+    * event log. Returns (a, b, c, p_scaled). */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val bi = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .where(col("next_type").isNotNull)
+    val cnt = bi.groupBy(col("event_type").as("a"),
+        col("next_type").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("a").agg(sum("c").as("ca"))
+    cnt.join(tot, "a")
+      .select(col("a"), col("b"), col("c"),
+        Tiling.idiv(col("c") * 1000000L, col("ca")).as("p_scaled"))
+  }
 }

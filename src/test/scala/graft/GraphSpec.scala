@@ -272,6 +272,27 @@ class GraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("clustering coefficient: K4 is fully transitive, a path has " +
+    "zero, K4-minus-an-edge splits exactly") {
+    import spark.implicits._
+    val k4 = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j)
+    val g = graft.graph.LabelProp.clusteringCoef(k4.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert((0L until 4L).forall(v => g(v) === ((3L, 3L, 1000000L))))
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val gp = graft.graph.LabelProp.clusteringCoef(path.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(gp.values.forall(_ == 0L))
+    // K4 minus (2,3): t = (2,2,1,1), deg = (3,3,2,2)
+    val k4m = k4.filterNot(_ == ((2L, 3L)))
+    val gm = graft.graph.LabelProp.clusteringCoef(k4m.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(gm(0L) === ((3L, 2L, 666666L)) && gm(1L) === ((3L, 2L, 666666L)))
+    assert(gm(2L) === ((2L, 1L, 1000000L)) && gm(3L) === ((2L, 1L, 1000000L)))
+  }
+
   test("link prediction: path endpoints beat loosely-tied pairs, " +
     "adjacent pairs are excluded, scores are exact") {
     import spark.implicits._

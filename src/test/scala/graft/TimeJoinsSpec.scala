@@ -112,4 +112,28 @@ class TimeJoinsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-trivial: all three depths occur
     assert(got.values.map(_._4).toSet == Set(1L, 2L, 3L))
   }
+
+  test("eventTransitions: counts and scaled probabilities are exact " +
+    "on a hand sequence; last events emit nothing") {
+    import spark.implicits._
+    // user 1: A,B,A,C  -> A->B, B->A, A->C ; user 2: B,B -> B->B
+    val ev = Seq(
+      (1L, 10L, ts(1000000L), "A"), (1L, 11L, ts(2000000L), "B"),
+      (1L, 12L, ts(3000000L), "A"), (1L, 13L, ts(4000000L), "C"),
+      (2L, 20L, ts(1000000L), "B"), (2L, 21L, ts(2000000L), "B"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = graft.ops.TimeJoins.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      ("A", "B") -> ((1L, 500000L)), ("A", "C") -> ((1L, 500000L)),
+      ("B", "A") -> ((1L, 500000L)), ("B", "B") -> ((1L, 500000L))))
+    // equal-ts tie inside one user breaks on event_id: (X id 30) then
+    // (Y id 31) at the same ts is X->Y, never Y->X
+    val tie = Seq((3L, 30L, ts(5000000L), "X"), (3L, 31L, ts(5000000L), "Y"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val g2 = graft.ops.TimeJoins.eventTransitions(tie).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(g2.toSeq === Seq(("X", "Y")))
+  }
 }
