@@ -1267,6 +1267,17 @@ object SparkEntry {
           col("t._4").as("chk"))
         .orderBy("image_id")),
 
+    // structure-tensor coherence per 8×8 block: the edge-vs-texture
+    // anisotropy ((a−b)²+4c²)/(a+b)² as one exact scaled integer
+    "q_coherence" -> ((s, dir) =>
+      Synth.demImages(s, dir, smallRaw)
+        .withColumn("t", graft.ops.Vision.coherenceAgg(col("dem_bytes"),
+          col("w").cast("int"), col("h").cast("int")))
+        .select(col("image_id"), col("t._1").as("n_blocks"),
+          col("t._2").as("coh_sum"), col("t._3").as("coh_max"),
+          col("t._4").as("chk"))
+        .orderBy("image_id")),
+
     // HOG-style orientation census: central-difference gradients,
     // division-free octant binning, L1 magnitude — ≤8 rows per image
     "q_hog" -> ((s, dir) =>
@@ -5221,6 +5232,37 @@ object SparkEntry {
          |  CAST(COALESCE(MIN(v), 0) AS BIGINT) AS ssim_min,
          |  CAST(SUM(v*(bx + 31*by)) AS BIGINT) AS chk
          |FROM ssv GROUP BY image_id ORDER BY image_id""".stripMargin,
+
+    // coherence replay: the same gradient scatter join, 8×8 block
+    // tensor sums, HUGEINT for the num·10⁶ step
+    "q_coherence" ->
+      s"""WITH $I, $SimgCte, $DemCte,
+         |chg AS (SELECT d.k, d.image_id, d.x, d.y,
+         |          nx.z - px.z AS gx, ny.z - py.z AS gy
+         |        FROM demp d
+         |        JOIN demp nx ON nx.k = d.k AND nx.x = d.x+1 AND nx.y = d.y
+         |        JOIN demp px ON px.k = d.k AND px.x = d.x-1 AND px.y = d.y
+         |        JOIN demp ny ON ny.k = d.k AND ny.x = d.x AND ny.y = d.y+1
+         |        JOIN demp py ON py.k = d.k AND py.x = d.x AND py.y = d.y-1
+         |        WHERE d.x >= 1 AND d.x <= d.w-2
+         |          AND d.y >= 1 AND d.y <= d.h-2),
+         |chb AS (SELECT k, image_id, (x-1)//8 AS bx, (y-1)//8 AS by,
+         |          CAST(COUNT(*) AS BIGINT) AS n,
+         |          CAST(SUM(gx*gx) AS BIGINT) AS a,
+         |          CAST(SUM(gy*gy) AS BIGINT) AS b,
+         |          CAST(SUM(gx*gy) AS BIGINT) AS c
+         |        FROM chg GROUP BY 1, 2, 3, 4),
+         |chv AS (SELECT image_id, bx, by,
+         |          CASE WHEN a + b = 0 THEN 0 ELSE
+         |            CAST((CAST((a-b)*(a-b) + 4*c*c AS HUGEINT) * 1000000)
+         |              // (CAST(a+b AS HUGEINT) * (a+b)) AS BIGINT)
+         |          END AS v
+         |        FROM chb WHERE n = 64)
+         |SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         |  CAST(SUM(v) AS BIGINT) AS coh_sum,
+         |  CAST(COALESCE(MAX(v), 0) AS BIGINT) AS coh_max,
+         |  CAST(SUM(v*(bx + 31*by)) AS BIGINT) AS chk
+         |FROM chv GROUP BY image_id ORDER BY image_id""".stripMargin,
 
     // HOG replay: central-difference gradients via four shifted
     // self-joins, the octant sign/compare ladder, L1 magnitude

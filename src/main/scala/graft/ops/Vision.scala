@@ -1407,6 +1407,53 @@ object Vision {
     (nb, ss, if (nb == 0) 0L else mn, chk)
   })
 
+  /** STRUCTURE-TENSOR coherence (Weickert 1998's anisotropy measure,
+    * the edge-vs-texture discriminator): per 8×8 interior block, the
+    * tensor sums a = Σgx², b = Σgy², c = Σgx·gy over central-
+    * difference gradients give the eigenvalue anisotropy
+    *
+    *   coherence = ((λ₊−λ₋)/(λ₊+λ₋))² = ((a−b)² + 4c²) / (a+b)²
+    *
+    * stated as ONE exact scaled integer per block (numerator ≤ 5·10¹⁸
+    * fits a Long; the ·10⁶ step runs in BigInt here and HUGEINT in
+    * the oracle; flat blocks a+b = 0 score 0). 1 = single dominant
+    * orientation (edge), 0 = isotropic texture/flat. Partial edge
+    * blocks dropped. Per image: (n_blocks, Σ coh, max coh,
+    * Σ coh·(bx+31·by)). */
+  val coherenceAgg = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val acc = scala.collection.mutable.HashMap[(Int, Int),
+      (Long, Long, Long, Long)]()
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val gx = z(y * w + x + 1).toLong - z(y * w + x - 1).toLong
+        val gy = z((y + 1) * w + x).toLong - z((y - 1) * w + x).toLong
+        val key = ((x - 1) / 8, (y - 1) / 8)
+        val (n, a, b, c) = acc.getOrElse(key, (0L, 0L, 0L, 0L))
+        acc(key) = (n + 1, a + gx * gx, b + gy * gy, c + gx * gy)
+        x += 1
+      }
+      y += 1
+    }
+    var nb = 0L; var cs = 0L; var mx = 0L; var chk = 0L
+    acc.foreach { case ((bx, by), (n, a, b, c)) =>
+      if (n == 64L) {
+        val den = (a + b) * (a + b)
+        val v =
+          if (den == 0L) 0L
+          else {
+            val num = (a - b) * (a - b) + 4L * c * c
+            (BigInt(num) * 1000000L / den).toLong
+          }
+        nb += 1; cs += v; chk += v * (bx + 31L * by)
+        if (v > mx) mx = v
+      }
+    }
+    (nb, cs, mx, chk)
+  })
+
   /** HOG-style orientation histogram (Dalal & Triggs 2005, the
     * division-free integer core): interior pixels take central-
     * difference gradients gx, gy; orientation = [[octant]](gx, gy)

@@ -224,6 +224,25 @@ class VisionPack3Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r1.getLong(0) === 16L && r1.getLong(2) < 1000000L)
   }
 
+  test("coherenceAgg: a 1-D ramp is perfectly coherent, flat is 0, " +
+    "random texture sits strictly between") {
+    import spark.implicits._
+    def run(p: Array[Double], pw: Int, ph: Int) = {
+      val b = Codec.encode(Array(p), pw, ph, "raw-i16le")
+      Seq((b, pw, ph)).toDF("b", "w", "h")
+        .select(Vision.coherenceAgg(col("b"), col("w"), col("h")))
+        .collect()(0).getStruct(0)
+    }
+    val ramp = run(Array.tabulate(34 * 34)(i => (i / 34).toDouble * 5),
+      34, 34)
+    assert(ramp.getLong(0) === 16L)
+    assert(ramp.getLong(1) === 16L * 1000000L) // every block coh = 1
+    val flat = run(Array.fill(34 * 34)(42.0), 34, 34)
+    assert(flat.getLong(1) === 0L && flat.getLong(0) === 16L)
+    val rnd = run(vals(53, 34 * 34, 2000).map(_.toDouble), 34, 34)
+    assert(rnd.getLong(2) < 1000000L && rnd.getLong(1) > 0L)
+  }
+
   test("hogAgg: a pure-vertical ramp puts every interior pixel in " +
     "octant 2 with magnitude 2·slope; a flat plane emits nothing") {
     import spark.implicits._
