@@ -800,16 +800,19 @@ object Bench {
          || 16 (r5 code, perceptual-wave full run) | **0.894** | 0.859 | 0.703 | 0.634 | 0.755 | 0.840 |
          || 17 (r5 close-out full run) | **0.814** | 0.753 | 0.615 | 0.781 | 0.658 | 1.000 |
          || 18 (r5 final: full 295-gate suite + graph/IR/classifier wave) | **1.002** | 1.064 | 0.705 | 0.700 | 0.732 | 0.956 |
+         || 19 (r5 final+4 gates; host gave only 0.848 on bare kernels) | 0.779 | 0.848 | 0.612 | 0.679 | 0.885 | 0.767 |
          || **this run** | **${f"$eff%.3f"}** | ${f"$effKern%.3f"} | ${f"$eff32%.3f"} | ${f"$effLc%.3f"} | ${f"$lcCeil%.3f"} | ${f"$effLcNorm%.3f"} |
          |
          |Every leg tracks its SAME-RUN measured kernel ceiling — the spread is
          |host placement (documented ±25% lottery at ≥24 active vCPUs), not the
-         |engine: the primary pair passes ≥0.8 raw OUTRIGHT in 14 of 18
-         |recorded runs — including every run (9–18) on the shipped r4
-         |and r5 code (0.849, 0.886, 0.949, 0.825, 0.899, 0.891, 0.847,
-         |0.894, 0.814, 1.002 raw; max 1.002, run 18 — the first run to
-         |clear 1.0 raw, i.e. super-linear against the host's own
-         |same-run placement) —
+         |engine: the primary pair passes ≥0.8 raw OUTRIGHT in 14 of 19
+         |recorded runs — including an unbroken streak over runs 9–18 on
+         |the shipped r4 and r5 code (0.849, 0.886, 0.949, 0.825, 0.899,
+         |0.891, 0.847, 0.894, 0.814, 1.002 raw; max 1.002, run 18 — the
+         |first run to clear 1.0 raw, i.e. super-linear against the
+         |host's own same-run placement; run 19's 0.779 landed on a draw
+         |where the bare-kernel ceiling itself was 0.848, normalized
+         |0.918) —
          |run 6's 8→32 pair passes at 0.910 raw, and the 1→4-executor pair
          |reaches 1.301 raw / 1.528 median on the shipped r4 close-out
          |(run 12, 2×-data protocol; best in-process-era 0.773 raw /
@@ -818,7 +821,7 @@ object Bench {
          |primary pair's Spark-job raw ratio lands within 19% of its
          |same-run bare-kernel hardware ceiling (primary
          |engine-normalized ≥ 0.81 in all rows, ≥ 0.95 in twelve of
-         |eighteen — re-check this claim against fresh rows): the plan
+         |nineteen — re-check this claim against fresh rows): the plan
          |adds no scaling loss of its own.
          |(Prose-count key: "N of M pass ≥0.8 raw" and "normalized ≥
          |0.95 in K of M" — recount on every shipped run.)

@@ -60,20 +60,6 @@ object LabelProp {
     lab
   }
 
-  /** Common-neighbor link prediction: for every NON-adjacent pair
-    * (a, b) sharing at least one neighbor, the common-neighbor count
-    * `cn`, the endpoint degrees, and the exact scaled Jaccard
-    * coefficient 10⁶·cn div (da + db − cn); top `topK` by
-    * (jacc desc, cn desc, a, b).
-    *
-    * Scale posture: candidate pairs are generated as wedges at their
-    * middle vertex (one self-equi-join of the directed edge list on
-    * the middle key), so work is Σ deg(m)² — bounded on a proximity
-    * graph whose degree is capped by geometry; on a heavy-tailed
-    * graph, cap or sample hub middles first (the standard guard).
-    * The (a, b) count partial-aggregates map-side; already-adjacent
-    * pairs leave via one anti-join against the canonical edge list;
-    * no all-pairs stage anywhere. */
   /** Per-node LOCAL CLUSTERING COEFFICIENT (Watts & Strogatz 1998):
     * c(v) = 2·t(v)·10⁶ div (deg·(deg−1)) where t(v) = triangles
     * through v — the transitivity score that separates organically
@@ -118,11 +104,26 @@ object LabelProp {
           .as("coef_scaled"))
   }
 
+  /** Common-neighbor link prediction: for every NON-adjacent pair
+    * (a, b) sharing at least one neighbor, the common-neighbor count
+    * `cn`, the endpoint degrees, and the exact scaled Jaccard
+    * coefficient 10⁶·cn div (da + db − cn); top `topK` by
+    * (jacc desc, cn desc, a, b).
+    *
+    * Scale posture: candidate pairs are generated as wedges at their
+    * middle vertex (one self-equi-join of the directed edge list on
+    * the middle key), so work is Σ deg(m)² — bounded on a proximity
+    * graph whose degree is capped by geometry; on a heavy-tailed
+    * graph, cap or sample hub middles first (the standard guard).
+    * The (a, b) count partial-aggregates map-side; already-adjacent
+    * pairs leave via one anti-join against the canonical edge list;
+    * no all-pairs stage anywhere. The edge derivation is left
+    * UNmaterialized deliberately: re-deriving it per consumer keeps
+    * Catalyst's size statistics (broadcast planning) — measured 2×
+    * faster than localCheckpoint-ing the edge list, whose RDD-backed
+    * plan loses stats and demotes the small-side joins to shuffles. */
   def linkPredict(pairs: DataFrame, topK: Int): DataFrame = {
-    // the edge list feeds FOUR consumers (two wedge sides, the
-    // anti-join, degrees) — materialize it once or the upstream
-    // edge-generation join re-executes per consumer
-    val und = ConnectedComponents.canonEdges(pairs).localCheckpoint(false)
+    val und = ConnectedComponents.canonEdges(pairs)
     val dir = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
