@@ -72,7 +72,7 @@ object LabelProp {
     * explode + map-side-combined count. Nodes with deg < 2 emit
     * coef 0. Returns (v, deg, tri, coef_scaled). */
   def clusteringCoef(pairs: DataFrame): DataFrame = {
-    val und = ConnectedComponents.canonEdges(pairs).localCheckpoint(false)
+    val und = ConnectedComponents.canonEdges(pairs)
     val dir = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
