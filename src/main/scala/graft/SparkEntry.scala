@@ -1591,6 +1591,29 @@ object SparkEntry {
           graft.ops.SpatialJoin.proximityEdges(Synth.images(s, dir), 3000L),
           40)),
 
+    // degree distribution of the proximity graph (the sanity summary
+    // every graph pipeline starts with): two map-side-combined
+    // aggregates, output ≤ max-degree rows
+    "q_degree_dist" -> ((s, dir) => {
+      val e = graft.ops.SpatialJoin.proximityEdges(Synth.images(s, dir),
+        3000L)
+      e.select(col("ka").as("v")).unionAll(e.select(col("kb").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("deg")
+    }),
+
+    // corpus language-mixture Gini impurity (the diversity number a
+    // data-mixing recipe targets): 10⁶·(n²−Σc²) div n², classes-
+    // bounded aggregate, one output row
+    "q_gini_mix" -> ((s, dir) => {
+      val cl = docs(s, dir).groupBy("lang").agg(count(lit(1)).as("c"))
+      cl.agg(sum(col("c")).as("n"), count(lit(1)).as("n_langs"),
+          sum(col("c") * col("c")).as("ss"))
+        .select(col("n").as("n_docs"), col("n_langs"),
+          expr("((n * n - ss) * 1000000) div (n * n)").as("gini_scaled"))
+    }),
+
     // per-node clustering coefficient: triangles enumerated once by
     // degree-ordered orientation (hub-safe Σ out-deg² work), corners
     // credited via explode, exact scaled 2t div deg(deg−1)
@@ -6075,6 +6098,33 @@ object SparkEntry {
          |FROM lkc c JOIN lkd da ON da.src = c.a
          |JOIN lkd db ON db.src = c.b
          |ORDER BY jacc_scaled DESC, cn DESC, a, b LIMIT 40""".stripMargin,
+
+    // degree-distribution replay over the same bbox-overlap edges
+    "q_degree_dist" ->
+      s"""WITH $I,
+         |dd0 AS (SELECT a.k AS ka, b.k AS kb FROM img2 a JOIN img2 b
+         |        ON b.k > a.k
+         |        AND a.x0m - 3000 < b.x1m + 3000
+         |        AND b.x0m - 3000 < a.x1m + 3000
+         |        AND a.y0m - 3000 < b.y1m + 3000
+         |        AND b.y0m - 3000 < a.y1m + 3000),
+         |ddd AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM
+         |         (SELECT ka AS v FROM dd0
+         |          UNION ALL SELECT kb FROM dd0) GROUP BY 1)
+         |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM ddd GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // mixture-Gini replay: per-class counts, n²-scaled impurity
+    "q_gini_mix" ->
+      """WITH gmc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM documents GROUP BY 1),
+        |gmt AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |          CAST(COUNT(*) AS BIGINT) AS n_langs,
+        |          CAST(SUM(c*c) AS BIGINT) AS ss FROM gmc)
+        |SELECT n AS n_docs, n_langs,
+        |  CAST(((n * n - ss) * 1000000) // (n * n) AS BIGINT)
+        |    AS gini_scaled
+        |FROM gmt""".stripMargin,
 
     // clustering-coefficient replay: id-ordered triple join finds
     // each triangle once (orientation-free ground truth), corners
