@@ -268,7 +268,7 @@ object Bench {
       "q_zonal_majority", "q_chi2_assoc", "q_ewma_anomaly",
       "q_assoc_rules", "q_classify",
       "q_clustering_coef", "q_confusion", "q_markov", "q_coherence",
-      "q_degree_dist", "q_gini_mix")
+      "q_degree_dist", "q_gini_mix", "q_containment")
     val newTimes = timeQueries(newNames)
 
     // decode-amplification evidence (VERDICT r3 #2): run the pixel

@@ -3250,6 +3250,15 @@ object SparkEntry {
           docs(s, dir).where(col("doc_id") < 100), 0.01)
         .orderBy("id_a", "id_b")),
 
+    // Broder containment (asymmetric near-dup: embedded copies):
+    // both directions as exact scaled integers, keep when the larger
+    // direction ≥ 1% — the verification metric for length-skewed
+    // pairs that Jaccard dilutes
+    "q_containment" -> ((s, dir) =>
+      graft.text.TextOps.containmentPairs(
+          docs(s, dir).where(col("doc_id") < 100), 10000L)
+        .orderBy("id_a", "id_b")),
+
     // corpus-scale near-dup: MinHash-band candidates + exact verify —
     // UNBOUNDED input (whole documents table), no cross join in the plan
     "q_jaccard_lsh" -> ((s, dir) =>
@@ -9582,6 +9591,29 @@ object SparkEntry {
          |      FROM t a, t b WHERE a.doc_id < b.doc_id)
          |SELECT id_a, id_b, n_inter, n_union FROM p
          |WHERE CAST(n_inter AS DOUBLE)/n_union >= 0.01
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // containment replay: same shingle sets, exact floored scaled
+    // ratios in both directions, greatest-direction threshold
+    "q_containment" ->
+      s"""WITH $TokCte,
+         |t AS (SELECT doc_id, list_distinct(
+         |        CASE WHEN len(ts) >= 3 THEN
+         |          list_transform(generate_series(1, CAST(len(ts)-2 AS INT)),
+         |            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+         |        ELSE [text] END) AS sh
+         |      FROM tok WHERE doc_id < 100),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+         |        CAST(len(a.sh) AS BIGINT) AS n_a,
+         |        CAST(len(b.sh) AS BIGINT) AS n_b
+         |      FROM t a, t b WHERE a.doc_id < b.doc_id),
+         |q AS (SELECT id_a, id_b, n_inter, n_a, n_b,
+         |        CAST((1000000 * n_inter) // n_a AS BIGINT) AS cont_a,
+         |        CAST((1000000 * n_inter) // n_b AS BIGINT) AS cont_b
+         |      FROM p)
+         |SELECT id_a, id_b, n_inter, n_a, n_b, cont_a, cont_b FROM q
+         |WHERE GREATEST(cont_a, cont_b) >= 10000
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_jaccard_lsh" ->

@@ -360,6 +360,32 @@ object TextOps {
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
   }
 
+  /** Broder CONTAINMENT similarity (the asymmetric twin of Jaccard,
+    * Broder 1997): cont(A→B) = |A∩B|/|A| — the right dedup metric
+    * when one document EMBEDS another (quote inclusion, header
+    * wrapping, near-superset crawls), where Jaccard is diluted by the
+    * length gap. Both directions as exact scaled integers
+    * 10⁶·inter div |sh|; pairs kept when the LARGER direction clears
+    * `minContScaled`. This exact variant is the verification metric —
+    * at corpus scale candidates come from [[jaccardPairsLsh]]'s band
+    * join (a shared shingle min is exactly what an embedded copy
+    * produces), never from the cross join used here on the bounded
+    * oracle slice. */
+  def containmentPairs(docs: DataFrame, minContScaled: Long): DataFrame = {
+    val withSh = docs.select(col("doc_id"), shingleSet.as("sh"))
+    val a = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .withColumn("n_b", size(col("sh_b")).cast("long"))
+      .withColumn("cont_a", expr("(1000000 * n_inter) div n_a"))
+      .withColumn("cont_b", expr("(1000000 * n_inter) div n_b"))
+      .where(greatest(col("cont_a"), col("cont_b")) >= minContScaled)
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "cont_a", "cont_b")
+  }
+
   /** CORPUS-SCALE near-dup pairs: MinHash-band candidate generation +
     * exact Jaccard verification — no cross join anywhere.
     *
