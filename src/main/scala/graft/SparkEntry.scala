@@ -1171,9 +1171,9 @@ object SparkEntry {
           col("lp._4").as("l1_abs_sum"), col("lp._5").as("g2_sum"))
         .orderBy("image_id")),
 
-    // D8 flow accumulation (upstream cell count): frontier
-    // propagation over the flow DAG — per round only the LIVE
-    // frontier shuffles, all images advance in the same job. The
+    // D8 flow accumulation (upstream cell count): pointer-doubling
+    // ancestor counting over the flow forest — ceil(log2 path)
+    // shuffle rounds, all images advance in the same job. The
     // oracle walks every cell's flow path with a recursive CTE and
     // counts visits.
     "q_flow_accum" -> ((s, dir) =>
@@ -1184,8 +1184,8 @@ object SparkEntry {
           sum(col("acc") * col("acc")).as("acc_sq_sum"))
         .orderBy("image_id")),
 
-    // accumulated-cost surface (distributed Dijkstra/label
-    // correction) from z%19==0 seed cells under the (2,3)-chamfer
+    // accumulated-cost surface (decode-once per-image Dijkstra)
+    // from z%19==0 seed cells under the (2,3)-chamfer
     // metric over cost 1+z%2: per image the source/reached census
     // plus exact-integer distance checksums
     "q_cost_distance" -> ((s, dir) =>

