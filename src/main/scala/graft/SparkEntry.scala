@@ -3880,16 +3880,11 @@ object SparkEntry {
     // weights: per round one edge⋈dist join + one MIN aggregate
     "q_sssp" -> ((s, dir) => {
       val im = Synth.images(s, dir)
-      val co = im.select(col("k"), (col("x0m") + col("x1m")).as("cx"),
-        (col("y0m") + col("y1m")).as("cy"))
-      val e0 = graft.ops.SpatialJoin.proximityEdges(im, 3000L)
-      val ew = e0
-        .join(co.select(col("k").as("ka"), col("cx").as("cxa"),
-          col("cy").as("cya")), Seq("ka"))
-        .join(co.select(col("k").as("kb"), col("cx").as("cxb"),
-          col("cy").as("cyb")), Seq("kb"))
-        .withColumn("w", abs(col("cxa") - col("cxb")) +
-          abs(col("cya") - col("cyb")))
+      // centroid-Manhattan weights straight off the pair row (the
+      // ±pad corner sums cancel exactly) — no footprint re-attach
+      val ew = graft.ops.SpatialJoin.proximityEdgesCoords(im, 3000L)
+        .withColumn("w", abs(col("sxa") - col("sxb")) +
+          abs(col("sya") - col("syb")))
       val edges = ew.select(col("ka").as("src"), col("kb").as("dst"),
           col("w"))
         .unionAll(ew.select(col("kb").as("src"), col("ka").as("dst"),

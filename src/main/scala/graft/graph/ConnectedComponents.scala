@@ -99,11 +99,18 @@ object ConnectedComponents {
     * cluster swap in reliable `checkpoint()` (or a per-round Lineage
     * table write) so a lost executor can't lose a round. */
   def starEdges(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // each round's lazy checkpoint is materialized by its fingerprint
+    // job, so the previous generation is provably dead at commit() —
+    // freed on the spot instead of leaking one block set per round
+    // into the session (graft.ops.Ckpt scaladoc; guide §5)
+    val gen = new graft.ops.CheckpointGen(pairs.sparkSession.sparkContext)
     var (e, fp) = ckptFingerprint(canon(pairs))
+    gen.commit()
     var done = false
     var it = 0
     while (!done && it < maxIter) {
       val (next, nfp) = ckptFingerprint(smallStar(largeStar(e)))
+      gen.commit()
       e = next
       done = nfp == fp
       fp = nfp

@@ -56,7 +56,11 @@ object KCore {
       val c = e.localCheckpoint(false)
       (c, c.count())
     }
+    // per-round checkpoints are materialized by the edge-count job —
+    // free the superseded generation each round (Ckpt scaladoc)
+    val gen = new graft.ops.CheckpointGen(pairs.sparkSession.sparkContext)
     var (cur, cfp) = fp(sym)
+    gen.commit()
     var done = cfp == 0
     var it = 0
     while (!done && it < maxRounds) {
@@ -67,6 +71,7 @@ object KCore {
         .join(keep.select(col("src").as("dst")), "dst")
         .select("src", "dst")
       val (next, nfp) = fp(pruned)
+      gen.commit()
       cur = next
       done = nfp == cfp || nfp == 0
       cfp = nfp

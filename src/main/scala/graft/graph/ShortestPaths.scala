@@ -17,23 +17,30 @@ import org.apache.spark.sql.functions._
   * Scale posture: per round ONE edge⋈dist equi-join plus one
   * map-side-combined MIN aggregate on the destination key — the CC /
   * PageRank shape. No global structure, no windows; the frontier
-  * never re-materializes the full graph. localCheckpoint per round
-  * truncates the plan (round count is a fixed small budget, so the
-  * lineage is bounded anyway). */
+  * never re-materializes the full graph. The edge table is
+  * checkpointed ONCE up front (every round joins it — left
+  * un-materialized, the whole edge derivation, e.g. the banded
+  * proximity self-join, re-executes `rounds` times: guide §5
+  * "recomputing is more expensive than the memory"; measured 6×
+  * recompute on q_sssp), while the per-round dist checkpoints are
+  * LAZY: dist is tiny, so plan truncation is all that is needed and
+  * the whole relax runs as one pipelined job instead of one
+  * materialization job per round. */
 object ShortestPaths {
 
   /** edges(src, dst, w) must already be DIRECTED (emit both
     * directions for an undirected graph); sources(v). */
   def boundedSssp(edges: DataFrame, sources: DataFrame,
                   rounds: Int): DataFrame = {
+    val e = edges.localCheckpoint()
     var dist = sources.select(col("v"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
-      dist = dist.join(edges, col("v") === col("src"))
+      dist = dist.join(e, col("v") === col("src"))
         .select(col("dst").as("v"), (col("dist") + col("w")).as("nd"))
         .unionAll(dist.select(col("v"), col("dist").as("nd")))
         .groupBy("v").agg(min("nd").as("dist"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     dist
   }

@@ -68,6 +68,16 @@ object Knn {
       .withColumn("cell", packed)
       .drop("cix", "ciy")
 
+    // the query side is small by contract (it broadcasts), so the
+    // per-round bookkeeping collects the RESOLVED qids (≤ #queries
+    // rows — the same bounded-driver-aggregate budget as centroid
+    // collection) instead of broadcast-joining them: each round is
+    // then exactly ONE job (the doneIds aggregate, which also
+    // materializes the round cache), where the join+isEmpty form paid
+    // three scheduler round-trips and two broadcast builds per round —
+    // the wall for this operator IS job-count overhead, not data
+    val nQueries = q0.count()
+    var nResolved = 0L
     var unresolved = q0
     var resolved: DataFrame = null
     var r = initialRing.toLong
@@ -83,15 +93,16 @@ object Knn {
       } else {
         // ring guarantee: k found AND kth distance ≤ r·cellSize
         val bound = r * cellSize
-        val doneIds = round.groupBy("qid")
+        val done = round.groupBy("qid")
           .agg(count(lit(1)).as("n"), max(col("dist2")).as("kd2"))
           .where(col("n") === k && col("kd2") <= lit(bound * bound))
-          .select("qid")
-        val roundResolved = round.join(broadcast(doneIds), Seq("qid"))
+          .select("qid").collect().map(_.get(0)).toSeq
+        val roundResolved = round.where(col("qid").isin(done: _*))
         resolved =
           if (resolved == null) roundResolved else resolved.union(roundResolved)
-        unresolved = unresolved.join(broadcast(doneIds), Seq("qid"), "left_anti")
-        if (unresolved.isEmpty) exhaustive = true else r *= 2
+        unresolved = unresolved.where(!col("qid").isin(done: _*))
+        nResolved += done.length
+        if (nResolved >= nQueries) exhaustive = true else r *= 2
       }
     }
     resolved

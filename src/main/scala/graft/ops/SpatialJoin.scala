@@ -452,7 +452,26 @@ object SpatialJoin {
     * intersection, so no post-join distinct is needed. At 10⁹ images
     * the shuffle key count is bounded by cells, and per-cell work by
     * local density, not corpus size. */
-  def proximityEdges(images: DataFrame, pad: Long, res: Int = 7): DataFrame = {
+  def proximityEdges(images: DataFrame, pad: Long, res: Int = 7): DataFrame =
+    proximityPairs(images, pad, res).select("ka", "kb")
+
+  /** [[proximityEdges]] plus the padded-corner SUMS of both endpoints:
+    * (ka, kb, sxa, sya, sxb, syb) with sx = (x0m−pad)+(x1m+pad) =
+    * x0m+x1m — the pad cancels exactly in integer arithmetic, so
+    * centroid-derived edge weights (|Δ(x0+x1)| + |Δ(y0+y1)|) come
+    * straight off the pair row and the consumer skips the two
+    * footprint re-attach shuffle joins q_sssp used to pay. */
+  def proximityEdgesCoords(images: DataFrame, pad: Long,
+                           res: Int = 7): DataFrame =
+    proximityPairs(images, pad, res)
+      .select(col("ka"), col("kb"),
+        (col("ax0") + col("ax1")).as("sxa"),
+        (col("ay0") + col("ay1")).as("sya"),
+        (col("bx0") + col("bx1")).as("sxb"),
+        (col("by0") + col("by1")).as("syb"))
+
+  private def proximityPairs(images: DataFrame, pad: Long,
+                             res: Int): DataFrame = {
     val base = images.select(col("k"), (col("x0m") - pad).as("bx0"),
       (col("y0m") - pad).as("by0"), (col("x1m") + pad).as("bx1"),
       (col("y1m") + pad).as("by1"))
@@ -469,7 +488,6 @@ object SpatialJoin {
         col("ay0") < col("by1") && col("by0") < col("ay1") &&
         cellIx(greatest(col("ax0"), col("bx0")), res) === col("cix") &&
         cellIy(greatest(col("ay0"), col("by0")), res) === col("ciy"))
-      .select("ka", "kb")
   }
 
   /** Triangle census of the proximity graph via degree-ordered

@@ -310,6 +310,8 @@ object Terrain {
       .localCheckpoint()
     var far = pairs.select(col("k"), col("ux"), col("uy"),
       col("ax").as("fx"), col("ay").as("fy"))
+    val sc = dem.sparkSession.sparkContext
+    var farIds = Set.empty[Int] // superseded far generations get freed
     lastAccumRounds = 0
     var nFar = far.count()
     while (nFar > 0) {
@@ -319,16 +321,24 @@ object Terrain {
             col("ax"), col("ay")), Seq("k", "fx", "fy"))
         .select(col("k"), col("ux"), col("uy"), col("ax"), col("ay"))
         .localCheckpoint()
+      val preFar = Ckpt.persistedIds(sc)
       val newFar = far.join(
           far.select(col("k"), col("ux").as("fx"), col("uy").as("fy"),
             col("fx").as("gx"), col("fy").as("gy")), Seq("k", "fx", "fy"))
         .select(col("k"), col("ux"), col("uy"),
           col("gx").as("fx"), col("gy").as("fy"))
         .localCheckpoint()
+      val newFarIds = Ckpt.persistedIds(sc) -- preFar
+      // the previous far generation is dead once newPairs/newFar are
+      // materialized (eager checkpoints) — free it; pairs legs stay
+      // alive, the final count reads them all (Ckpt scaladoc)
+      Ckpt.free(sc, farIds)
+      farIds = newFarIds
       pairs = pairs.unionByName(newPairs)
       far = newFar
       nFar = far.count()
     }
+    Ckpt.free(sc, farIds) // the last far generation is empty-adjacent
     val ups = pairs
       .groupBy(col("k"), col("ax").as("x"), col("ay").as("y"))
       .agg(count(lit(1)).as("ups"))
@@ -354,6 +364,8 @@ object Terrain {
     * Output: one row per cell (k, image_id, x, y, px, py). */
   def watershed(dem: DataFrame): DataFrame = {
     val meta = dem.select(col("k"), col("image_id"))
+    // superseded pointer generations are freed each round (Ckpt)
+    val gen = new CheckpointGen(dem.sparkSession.sparkContext)
     // initial pointer: flow target, or self for pits — one decode
     // pass, no grid⋈edges seed join
     var ptr = dem
@@ -362,6 +374,7 @@ object Terrain {
       .select(col("k"), col("e._1").as("x"), col("e._2").as("y"),
         col("e._3").as("px"), col("e._4").as("py"))
       .localCheckpoint()
+    gen.commit()
     var changed = 1L
     lastWatershedRounds = 0
     while (changed > 0) {
