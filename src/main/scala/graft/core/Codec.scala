@@ -315,6 +315,115 @@ object Codec {
     }
   }
 
+  /** Fused per-band stats over the ENCODED payload — the decode loop
+    * and [[graft.core.Pixels.stats]] folded into one streaming pass
+    * with no plane materialization (q_channel_norm-scale corpus stats
+    * were allocating ~whole-corpus-in-doubles of transient planes per
+    * pass; guide §1.2 "per-task work"). Semantics are bit-identical to
+    * `stats(decode(bytes,...)(b))` per band: same nodata-sentinel/NaN
+    * skips, same empty-band (n=0 ⇒ 0,0,0,0,0 after the NaN.toLong=0
+    * cast) rows, and the SAME accumulation arithmetic — ≤16-bit
+    * integer formats (u8/i16le/u16le) accumulate in Long, which equals
+    * the sequential double sum exactly (every partial stays < 2^53:
+    * sumsq ≤ n·2^32 with n ≤ 2^16 pixels per plane... bounded by the
+    * 255-pixel max dimension of the codec lattice, 2^46 worst case),
+    * while f32le keeps the double accumulation order so fractional or
+    * huge payloads truncate identically to the unfused path. Other
+    * formats (u32/i32/f64, png/bmp/jpg) take the unfused
+    * decode+stats path unchanged.
+    * Returns (band, count, sum, min, max, sumsq) as Longs. */
+  def bandStatsFused(bytes: Array[Byte], w: Int, h: Int, nbS: Int,
+                     fmt: String): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val n = w * h
+    fmt match {
+      case "raw-u8" =>
+        (0 until nbS).map { b =>
+          var cnt = 0L; var s = 0L; var s2 = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          val off = b * n
+          var i = 0
+          while (i < n) {
+            val u = bytes(off + i) & 0xFF
+            if (u != NodataU8) {
+              val v = u.toLong
+              cnt += 1; s += v; s2 += v * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+            }
+            i += 1
+          }
+          if (cnt == 0) (b.toLong, 0L, 0L, 0L, 0L, 0L)
+          else (b.toLong, cnt, s, mn, mx, s2)
+        }
+      case "raw-i16le" =>
+        (0 until nbS).map { b =>
+          var cnt = 0L; var s = 0L; var s2 = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          val off = b * n * 2
+          var i = 0
+          while (i < n) {
+            val j = off + i * 2
+            val u = ((bytes(j) & 0xFF) | (bytes(j + 1) << 8)).toShort
+            if (u != NodataI16) {
+              val v = u.toLong
+              cnt += 1; s += v; s2 += v * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+            }
+            i += 1
+          }
+          if (cnt == 0) (b.toLong, 0L, 0L, 0L, 0L, 0L)
+          else (b.toLong, cnt, s, mn, mx, s2)
+        }
+      case "raw-u16le" =>
+        (0 until nbS).map { b =>
+          var cnt = 0L; var s = 0L; var s2 = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          val off = b * n * 2
+          var i = 0
+          while (i < n) {
+            val j = off + i * 2
+            val u = (bytes(j) & 0xFF) | ((bytes(j + 1) & 0xFF) << 8)
+            if (u != NodataU16) {
+              val v = u.toLong
+              cnt += 1; s += v; s2 += v * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+            }
+            i += 1
+          }
+          if (cnt == 0) (b.toLong, 0L, 0L, 0L, 0L, 0L)
+          else (b.toLong, cnt, s, mn, mx, s2)
+        }
+      case "raw-f32le" =>
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        (0 until nbS).map { b =>
+          var cnt = 0L; var s = 0.0; var s2 = 0.0
+          var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            val f = bb.getFloat((b * n + i) * 4)
+            if (!(f == NodataF32 || f.isNaN)) {
+              val v = f.toDouble
+              cnt += 1; s += v; s2 += v * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+            }
+            i += 1
+          }
+          if (cnt == 0) (b.toLong, 0L, 0L, 0L, 0L, 0L)
+          else (b.toLong, cnt, s.toLong, mn.toLong, mx.toLong, s2.toLong)
+        }
+      case _ =>
+        val planes = decode(bytes, w, h, nbS, fmt)
+        planes.toIndexedSeq.zipWithIndex.map { case (p, b) =>
+          val s = Pixels.stats(p)
+          (b.toLong, s.count, s.sum.toLong, s.min.toLong, s.max.toLong,
+           s.sumsq.toLong)
+        }
+    }
+  }
+
   /** 64-bit FNV-1a over the payload, length folded in — the memo's
     * stale-hit guard. One multiply+xor per byte; a decode is ≥10×
     * this per byte, so the guard stays noise. */

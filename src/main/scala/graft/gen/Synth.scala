@@ -115,7 +115,12 @@ object Synth {
       val pl = planes(k)
       Codec.aHash(pl(0), wOf(k), hOf(k))
     })
+    // spread the metadata rows across cores BEFORE payload synthesis:
+    // the backing parquet is one tiny file = one scan task, so every
+    // downstream decode kernel otherwise runs single-threaded (guide
+    // §2.5 input skew; measured 7s -> 0.7s on q_channel_norm)
     keyFilter(images(spark, sfDir))
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("bytes", enc(col("k")))
       .withColumn("phash", ph(col("k")))
   }
@@ -145,6 +150,7 @@ object Synth {
     })
     keyFilter(images(spark, sfDir))
       .select(col("k"), col("image_id"), col("w"), col("h"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("lwir_bytes", enc(col("k")))
   }
 
@@ -181,6 +187,12 @@ object Synth {
       }
       Codec.encode(Array(p), w, h, "raw-i16le")
     })
+    // NO repartition here (unlike imagesWithBytes): every demImages
+    // gate filters to the tiny smallRaw set, and the terrain loops
+    // checkpoint the exploded cells — an explicit round-robin exchange
+    // is not AQE-coalescible, so it pins 32-partition checkpoints and
+    // costs the pointer-doubling rounds ~2x in task launches (measured
+    // q_flow_accum 5.0s -> 9.0s)
     keyFilter(images(spark, sfDir))
       .select(col("k"), col("image_id"), col("w"), col("h"))
       .withColumn("dem_bytes", enc(col("k")))
@@ -366,6 +378,7 @@ object Synth {
     val enc   = udf((k: Long) => encodeAudio(k))
     val encTw = udf((k: Long) => encodeAudio(k, twin = true))
     val base  = keyFilter(audio(spark, sfDir))
+      .repartition(spark.sparkContext.defaultParallelism)
     val withB = base.withColumn("bytes", enc(col("k")))
     if (!twins) withB
     else withB.unionByName(

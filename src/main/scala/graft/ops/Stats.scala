@@ -17,14 +17,12 @@ object Stats {
     * Returns array of (band, cnt, vsum, vmin, vmax, vsumsq) — values
     * are integral by synthesis, surfaced as exact BIGINTs. */
   val bandStatsUdf = udf(
-    (bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) => {
-      val planes = Codec.decode(bytes, w, h, Codec.bandsStored(fmt, nb), fmt)
-      planes.zipWithIndex.map { case (p, b) =>
-        val s = Pixels.stats(p)
-        (b.toLong, s.count, s.sum.toLong, s.min.toLong, s.max.toLong,
-         s.sumsq.toLong)
-      }.toSeq
-    })
+    (bytes: Array[Byte], w: Int, h: Int, fmt: String, nb: Int) =>
+      // fused decode+stats streaming pass (Codec.bandStatsFused):
+      // bit-identical to stats(decode(...)(b)) per band, zero plane
+      // allocation — the corpus-stats gates were GC-bound on the
+      // transient double planes
+      Codec.bandStatsFused(bytes, w, h, Codec.bandsStored(fmt, nb), fmt))
 
   /** images (with bytes) → one row per (image, band) with exact stats. */
   def bandStats(imagesWithBytes: DataFrame, nb: Int): DataFrame =

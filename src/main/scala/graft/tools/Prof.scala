@@ -134,6 +134,35 @@ object Prof {
         }
         time("lp-full-current")(graft.graph.LabelProp.linkPredict(
           graft.ops.SpatialJoin.proximityEdges(im, 3000L), 40))
+      case "cnmicro" =>
+        import graft.core.Codec
+        val ks = (0L until 40000L).filter(k => k % 6 == 1 || k % 6 == 2)
+          .take(400)
+        def bench(name: String)(f: Long => Unit): Unit = {
+          val t0 = System.nanoTime(); ks.foreach(f)
+          println(f"PROF $name sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+        }
+        bench("warm")(k => Codec.bandStatsFused(Synth.encodeImage(k),
+          Synth.wOf(k), Synth.hOf(k),
+          Codec.bandsStored(Synth.fmtOf(k), Synth.NumBands), Synth.fmtOf(k)))
+        bench("encode-only")(k => Synth.encodeImage(k))
+        bench("encode+fused")(k => Codec.bandStatsFused(Synth.encodeImage(k),
+          Synth.wOf(k), Synth.hOf(k),
+          Codec.bandsStored(Synth.fmtOf(k), Synth.NumBands), Synth.fmtOf(k)))
+        bench("encode+decode+stats") { k =>
+          val fmt = Synth.fmtOf(k)
+          val nbS = Codec.bandsStored(fmt, Synth.NumBands)
+          val planes = Codec.decode(Synth.encodeImage(k), Synth.wOf(k),
+            Synth.hOf(k), nbS, fmt)
+          planes.foreach(graft.core.Pixels.stats)
+        }
+      case "cn" =>
+        val withBytes = Synth.imagesWithBytes(spark, sfDir,
+          _.where(col("k") % 6 === 1 || col("k") % 6 === 2))
+        time("scan-bytes")(withBytes.agg(
+          sum(length(col("bytes"))).as("b")))
+        time("channel-norm")(graft.ops.Stats.channelNorm(withBytes,
+          Synth.NumBands))
       case other =>
         System.err.println(s"unknown mode $other")
     }
