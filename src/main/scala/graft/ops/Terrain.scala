@@ -310,35 +310,36 @@ object Terrain {
       .localCheckpoint()
     var far = pairs.select(col("k"), col("ux"), col("uy"),
       col("ax").as("fx"), col("ay").as("fy"))
-    val sc = dem.sparkSession.sparkContext
-    var farIds = Set.empty[Int] // superseded far generations get freed
     lastAccumRounds = 0
     var nFar = far.count()
     while (nFar > 0) {
       lastAccumRounds += 1
-      val newPairs = far.join(
-          pairs.select(col("k"), col("ux").as("fx"), col("uy").as("fy"),
-            col("ax"), col("ay")), Seq("k", "fx", "fy"))
-        .select(col("k"), col("ux"), col("uy"), col("ax"), col("ay"))
+      // ONE compose join per round: the probe side unions pairs
+      // (→ new ancestor pairs at distances (2^i, 2^{i+1}]) with far
+      // itself tagged isfar (→ the squared 2^{i+1}-pointer), so each
+      // round is a single shuffle-join + checkpoint job plus a cheap
+      // block-scan count — the two-join form paid two checkpoint
+      // jobs per round. Each round's checkpoint stays alive as the
+      // backing of its pairs slice (the final count reads every
+      // slice), so residency is bounded by what the result needs.
+      val probe = pairs
+        .select(col("k"), col("ux").as("fx"), col("uy").as("fy"),
+          col("ax"), col("ay"), lit(false).as("isfar"))
+        .unionByName(far.select(col("k"), col("ux").as("fx"),
+          col("uy").as("fy"), col("fx").as("ax"), col("fy").as("ay"),
+          lit(true).as("isfar")))
+      val composed = far.join(probe, Seq("k", "fx", "fy"))
+        .select(col("k"), col("ux"), col("uy"), col("ax"), col("ay"),
+          col("isfar"))
         .localCheckpoint()
-      val preFar = Ckpt.persistedIds(sc)
-      val newFar = far.join(
-          far.select(col("k"), col("ux").as("fx"), col("uy").as("fy"),
-            col("fx").as("gx"), col("fy").as("gy")), Seq("k", "fx", "fy"))
+      val newFar = composed.where(col("isfar"))
         .select(col("k"), col("ux"), col("uy"),
-          col("gx").as("fx"), col("gy").as("fy"))
-        .localCheckpoint()
-      val newFarIds = Ckpt.persistedIds(sc) -- preFar
-      // the previous far generation is dead once newPairs/newFar are
-      // materialized (eager checkpoints) — free it; pairs legs stay
-      // alive, the final count reads them all (Ckpt scaladoc)
-      Ckpt.free(sc, farIds)
-      farIds = newFarIds
-      pairs = pairs.unionByName(newPairs)
+          col("ax").as("fx"), col("ay").as("fy"))
+      nFar = newFar.count()
+      pairs = pairs.unionByName(composed.where(!col("isfar"))
+        .select(col("k"), col("ux"), col("uy"), col("ax"), col("ay")))
       far = newFar
-      nFar = far.count()
     }
-    Ckpt.free(sc, farIds) // the last far generation is empty-adjacent
     val ups = pairs
       .groupBy(col("k"), col("ax").as("x"), col("ay").as("y"))
       .agg(count(lit(1)).as("ups"))
