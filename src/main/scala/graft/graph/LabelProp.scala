@@ -45,8 +45,13 @@ object LabelProp {
       .select(col("v"), col("v").as("lab"))
     var t = 0
     while (t < rounds) {
+      // label table is |V|-sized vs the |E|-sized symmetric edge
+      // list: broadcast it so rounds never re-shuffle the edges
+      // (guide §3.1; the lazily-checkpointed sides carry no stats and
+      // otherwise plan as SMJ)
       val votes = sym
-        .join(lab.select(col("v").as("src"), col("lab")), Seq("src"))
+        .join(broadcast(lab.select(col("v").as("src"), col("lab"))),
+          Seq("src"))
         .groupBy(col("dst").as("v"), col("lab"))
         .agg(count(lit(1)).as("c"))
       // argmax by (c desc, lab asc): labels are non-negative ids, so

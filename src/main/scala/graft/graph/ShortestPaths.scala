@@ -36,7 +36,10 @@ object ShortestPaths {
     var dist = sources.select(col("v"), lit(0L).as("dist"))
       .localCheckpoint(false)
     for (_ <- 1 to rounds) {
-      dist = dist.join(e, col("v") === col("src"))
+      // dist is vertex-sized vs the edge table: broadcast it so the
+      // relax never shuffles edges (guide §3.1; drop the hint when
+      // |V| exceeds the broadcast budget)
+      dist = broadcast(dist).join(e, col("v") === col("src"))
         .select(col("dst").as("v"), (col("dist") + col("w")).as("nd"))
         .unionAll(dist.select(col("v"), col("dist").as("nd")))
         .groupBy("v").agg(min("nd").as("dist"))
