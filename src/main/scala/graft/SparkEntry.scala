@@ -1265,6 +1265,10 @@ object SparkEntry {
         .select(col("image_id"), col("t._1").as("n_blocks"),
           col("t._2").as("ssim_sum"), col("t._3").as("ssim_min"),
           col("t._4").as("chk"))
+        // rasters too small for one full interior 8x8 block emit no
+        // row, matching the oracle's GROUP-BY-over-blocks row
+        // semantics (ADVICE r5; no-op on the current fixture)
+        .where(col("n_blocks") > 0)
         .orderBy("image_id")),
 
     // structure-tensor coherence per 8×8 block: the edge-vs-texture
@@ -1276,6 +1280,7 @@ object SparkEntry {
         .select(col("image_id"), col("t._1").as("n_blocks"),
           col("t._2").as("coh_sum"), col("t._3").as("coh_max"),
           col("t._4").as("chk"))
+        .where(col("n_blocks") > 0) // see q_ssim note (ADVICE r5)
         .orderBy("image_id")),
 
     // HOG-style orientation census: central-difference gradients,

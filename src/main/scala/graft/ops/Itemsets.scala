@@ -39,8 +39,11 @@ object Itemsets {
       .distinct()
 
   /** Frequent pairs: (item_a, item_b, support), support ≥ minSup. */
-  def frequentPairs(events: DataFrame, minSup: Long): DataFrame = {
-    val b = baskets(events)
+  def frequentPairs(events: DataFrame, minSup: Long): DataFrame =
+    frequentPairsFromBaskets(baskets(events), minSup)
+
+  private def frequentPairsFromBaskets(b: DataFrame,
+                                       minSup: Long): DataFrame = {
     val l = b.select(col("user_id"), col("hr"), col("item").as("item_a"))
     val r = b.select(col("user_id"), col("hr"), col("item").as("item_b"))
     l.join(r, Seq("user_id", "hr"))
@@ -69,10 +72,14 @@ object Itemsets {
     * this stage never touches the corpus again. */
   def rules(events: DataFrame, minSup: Long, minConfScaled: Long)
       : DataFrame = {
-    val pairs = frequentPairs(events, minSup)
-    val items = baskets(events)
+    // one basket derivation feeds all three aggregates (ADVICE r5:
+    // the pair join, item counts and basket total each re-scanned +
+    // re-distinct'ed the events table)
+    val b = baskets(events).localCheckpoint()
+    val pairs = frequentPairsFromBaskets(b, minSup)
+    val items = b
       .groupBy("item").agg(count(lit(1)).as("c"))
-    val n = baskets(events)
+    val n = b
       .select("user_id", "hr").distinct()
       .agg(count(lit(1)).as("n"))
     val both = pairs
