@@ -81,7 +81,10 @@ object LabelProp {
     val dir = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
-    // total order ord = deg·2^40 + id (ids < 2^40), orient low→high
+    // total order ord = deg·2^40 + id (ids < 2^40), orient low→high.
+    // BOUND (ADVICE r5): the packed key needs deg < 2^23 (~8.4M) on
+    // top of ids < 2^40 — beyond that, compare a struct (deg, id)
+    // instead; unreachable for the padded proximity fixtures
     val withOrd = dir
       .join(deg.select(col("src"), col("deg").as("ds")), Seq("src"))
       .join(deg.select(col("src").as("dst"), col("deg").as("dd")),

@@ -1308,6 +1308,11 @@ object TextOps {
     * hottest term's join fan-out; the (a,b) dot aggregate partial-
     * aggregates map-side; norms and the df table are vocabulary-sized
     * broadcasts. Top `topK` by (sim2 desc, dot desc, a, b). */
+  /* BOUND (ADVICE r5): weights w = tf·((N·10) div df) and norms Σw²
+   * accumulate in Long; with idf ≤ 10·N that is safe while
+   * Σ tf²·(10N)² < 2^63 — i.e. corpora under ~10⁸ docs at these tf
+   * ranges. Past that, widen the norm accumulation to
+   * DecimalType(38,0) like the dot² step already does. */
   def tfidfSimPairs(docs: DataFrame, dfCapPermille: Long, topK: Int)
       : DataFrame = {
     val post = docs.select(col("doc_id"), explode(toks).as("term"))

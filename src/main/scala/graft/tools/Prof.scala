@@ -64,7 +64,6 @@ object Prof {
         def dir = und.select(col("u").as("src"), col("v").as("dst"))
           .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
         time("deg")(dir.groupBy("src").agg(count(lit(1)).as("deg")))
-        def cnBase = dir.select(col("m").as("m"), col("dst").as("a"))
         time("cn-smj") {
           dir.select(col("src").as("m"), col("dst").as("a"))
             .join(dir.select(col("src").as("m"), col("dst").as("b")), Seq("m"))
