@@ -377,8 +377,11 @@ object Synth {
                      twins: Boolean = false): DataFrame = {
     val enc   = udf((k: Long) => encodeAudio(k))
     val encTw = udf((k: Long) => encodeAudio(k, twin = true))
+    // no repartition here: audio payloads are <=4KB (<=2000 samples),
+    // so synthesis is trivial and the extra exchange measurably
+    // regressed every small audio gate (the imagesWithBytes win case
+    // is MB-scale payloads on one scan task)
     val base  = keyFilter(audio(spark, sfDir))
-      .repartition(spark.sparkContext.defaultParallelism)
     val withB = base.withColumn("bytes", enc(col("k")))
     if (!twins) withB
     else withB.unionByName(
