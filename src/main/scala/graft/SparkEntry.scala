@@ -264,7 +264,8 @@ object SparkEntry {
     "q_band_stats" -> ((s, dir) =>
       Stats.bandStats(
           Synth.imagesWithBytes(s, dir,
-            _.where(col("k") % 6 === 1 || col("k") % 6 === 2)),
+            _.where(col("k") % 6 === 1 || col("k") % 6 === 2),
+            spread = true),
           Synth.NumBands)
         .orderBy("image_id", "band")),
 
@@ -287,7 +288,8 @@ object SparkEntry {
     "q_channel_norm" -> ((s, dir) =>
       Stats.channelNorm(
           Synth.imagesWithBytes(s, dir,
-            _.where(col("k") % 6 === 1 || col("k") % 6 === 2)),
+            _.where(col("k") % 6 === 1 || col("k") % 6 === 2),
+            spread = true),
           Synth.NumBands)
         .orderBy("band")),
 

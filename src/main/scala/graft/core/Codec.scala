@@ -34,6 +34,12 @@ import javax.imageio.ImageIO
   */
 object Codec {
 
+  // javax.imageio defaults to a FILE-backed stream cache: every
+  // png/bmp/jpg decode/encode writes a temp file before the codec
+  // sees a byte. All payloads here are in-memory byte arrays —
+  // memory-cache the streams instead (pure win; results unchanged).
+  ImageIO.setUseCache(false)
+
   val NodataU8: Int     = 0
   val NodataI16: Short  = Short.MinValue
   val NodataF32: Float  = -32768.0f

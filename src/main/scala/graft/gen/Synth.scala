@@ -109,18 +109,25 @@ object Synth {
     * `keyFilter` prunes BEFORE the encode kernel runs (column-pruned,
     * filter-pushed scan; the encode is per-row, no shuffle). */
   def imagesWithBytes(spark: SparkSession, sfDir: String,
-                      keyFilter: DataFrame => DataFrame = identity): DataFrame = {
+                      keyFilter: DataFrame => DataFrame = identity,
+                      spread: Boolean = false): DataFrame = {
     val enc = udf((k: Long) => encodeImage(k))
     val ph  = udf((k: Long) => {
       val pl = planes(k)
       Codec.aHash(pl(0), wOf(k), hOf(k))
     })
-    // spread the metadata rows across cores BEFORE payload synthesis:
-    // the backing parquet is one tiny file = one scan task, so every
-    // downstream decode kernel otherwise runs single-threaded (guide
-    // §2.5 input skew; measured 7s -> 0.7s on q_channel_norm)
-    keyFilter(images(spark, sfDir))
-      .repartition(spark.sparkContext.defaultParallelism)
+    // spread=true: distribute the metadata rows across cores BEFORE
+    // payload synthesis — the backing parquet is one tiny file = one
+    // scan task, so a thousands-of-images consumer otherwise runs its
+    // encode/decode kernels single-threaded (guide §2.5 input skew;
+    // measured 8.6s -> 1.0s on q_channel_norm). Opt-in because the
+    // extra exchange costs the ~30 tiny (17-image) gates ~0.1-0.2s
+    // each for nothing — only the corpus-wide consumers flip it.
+    val base = keyFilter(images(spark, sfDir))
+    val spreadBase =
+      if (spread) base.repartition(spark.sparkContext.defaultParallelism)
+      else base
+    spreadBase
       .withColumn("bytes", enc(col("k")))
       .withColumn("phash", ph(col("k")))
   }
@@ -150,7 +157,6 @@ object Synth {
     })
     keyFilter(images(spark, sfDir))
       .select(col("k"), col("image_id"), col("w"), col("h"))
-      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("lwir_bytes", enc(col("k")))
   }
 
