@@ -22,6 +22,12 @@ import org.apache.spark.SparkContext
   * the plan, are what later rounds read). Loops whose rounds stay
   * lazy until one terminal action (e.g. LabelProp) must NOT free
   * anything mid-loop.
+  *
+  * Spark logs "RDD N was locally checkpointed, its lineage has been
+  * truncated and cannot be recomputed after unpersisting" for every
+  * freed generation — that is exactly the property the safety rule
+  * above relies on (nothing will ever read the freed generation);
+  * the warning is expected and benign here.
   */
 object Ckpt {
 
