@@ -20,6 +20,20 @@ object TextOps {
 
   def toks: Column = split(col("text"), " ")
 
+  /** Materialize the token array ONCE before lambda-heavy consumption
+    * (guide §4 / the minhashFast lesson): higher-order-function
+    * lambdas are codegen-fallback, so a lambda body that references
+    * the DERIVED [[toks]] expression re-runs the whole `split(text)`
+    * on every element access — O(|toks|²) interpreted work per doc
+    * for a gram builder. Projecting the split into a real column
+    * first makes each lambda access an O(1) array read (Catalyst's
+    * CollapseProject leaves the projection alone: the alias is
+    * referenced many times and `split` is not collapse-cheap).
+    * Purely a common-subexpression materialization — every consumer
+    * computes identical values. */
+  private def withTokArr(docs: DataFrame, as: String = "__tk"): DataFrame =
+    docs.withColumn(as, toks)
+
   private def termCount(term: String): Column =
     size(filter(toks, t => t === lit(term))).cast("long")
 
@@ -60,27 +74,33 @@ object TextOps {
     * per-row higher-order expressions: no shuffle, codegen'd, and the
     * max-count scan is bounded by the doc's distinct-gram count. */
   def repetitionStats(docs: DataFrame): DataFrame = {
+    val tk = col("__tk")
     def grams(n: Int): Column =
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      when(size(tk) >= n,
+        transform(sequence(lit(0), size(tk) - n),
+          i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
         .otherwise(array().cast("array<string>"))
+    // g2/g3 are materialized columns, NOT inline expressions: maxCount
+    // references its gram array inside two nested lambdas, which would
+    // otherwise re-build the whole gram array (itself re-splitting the
+    // text) per distinct gram — cubic per-doc work
     def maxCount(g: Column): Column =
       coalesce(
         array_max(transform(array_distinct(g),
           x => size(filter(g, y => y === x)))),
         lit(0)).cast("long")
-    val g2 = grams(2)
-    val g3 = grams(3)
-    docs.select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      (size(toks) - size(array_distinct(toks))).cast("long")
-        .as("n_dup_words"),
-      size(g2).cast("long").as("n_2grams"),
-      maxCount(g2).as("max_2gram"),
-      size(g3).cast("long").as("n_3grams"),
-      maxCount(g3).as("max_3gram"))
+    withTokArr(docs)
+      .withColumn("__g2", grams(2))
+      .withColumn("__g3", grams(3))
+      .select(
+        col("doc_id"),
+        size(tk).cast("long").as("n_tokens"),
+        (size(tk) - size(array_distinct(tk))).cast("long")
+          .as("n_dup_words"),
+        size(col("__g2")).cast("long").as("n_2grams"),
+        maxCount(col("__g2")).as("max_2gram"),
+        size(col("__g3")).cast("long").as("n_3grams"),
+        maxCount(col("__g3")).as("max_3gram"))
   }
 
   /** n-gram-marker language ID heuristic (deterministic argmax with
@@ -177,10 +197,11 @@ object TextOps {
     * windows (gram corpus-frequency ≥ 2) tagged with their per-doc
     * island number. Columns: doc_id, pos, gh, island. */
   private def dupIslands(docs: DataFrame, L: Int): DataFrame = {
-    val g = docs.where(size(toks) >= L)
+    val tk = col("__tk")
+    val g = withTokArr(docs).where(size(tk) >= L)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(toks) - (L - 1)),
-          i => md5(concat_ws(" ", slice(toks, i, lit(L)))))))
+        posexplode(transform(sequence(lit(1), size(tk) - (L - 1)),
+          i => md5(concat_ws(" ", slice(tk, i, lit(L)))))))
       .toDF("doc_id", "pos", "gh")
     // duplicated gram keys via partial-aggregated count (skew-safe:
     // map-side combine bounds any one gram's reducer input by the map
@@ -216,10 +237,11 @@ object TextOps {
     * argmin is the lexicographic min of (hash, −pos), identical in
     * any SQL engine (min-of-struct over a row frame). */
   def winnow(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
-    val g = docs.where(size(toks) >= k)
+    val tk = col("__tk")
+    val g = withTokArr(docs).where(size(tk) >= k)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(1), size(toks) - (k - 1)),
-          i => md5(concat_ws(" ", slice(toks, i, lit(k)))))))
+        posexplode(transform(sequence(lit(1), size(tk) - (k - 1)),
+          i => md5(concat_ws(" ", slice(tk, i, lit(k)))))))
       .toDF("doc_id", "pos", "gh")
     val fr = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
@@ -283,12 +305,13 @@ object TextOps {
     * functions: sig_j = min over shingles of md5(j || shingle). Pure
     * higher-order expressions; exactly reproducible in SQL. */
   def minhash(docs: DataFrame, n: Int = 4): DataFrame = {
-    val shingles = when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
+    val tk = col("__tk")
+    val shingles = when(size(tk) >= 3,
+      transform(sequence(lit(1), size(tk) - 2),
         i => concat_ws(" ",
-          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+          element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))
       .otherwise(array(col("text")))
-    val withSh = docs.withColumn("sh", shingles)
+    val withSh = withTokArr(docs).withColumn("sh", shingles)
     (0 until n).foldLeft(withSh) { (df, j) =>
       df.withColumn(s"h$j",
         array_min(transform(col("sh"), s => md5(concat(lit(j.toString), s)))))
@@ -325,15 +348,26 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc_id"))
 
   /** DISTINCT 3-token-shingle set (the Jaccard universe). */
-  def shingleSet: Column = array_distinct(when(size(toks) >= 3,
-    transform(sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-    .otherwise(array(col("text"))))
+  def shingleSet: Column = shingleSetOf(toks)
+
+  /** [[shingleSet]] over an ALREADY-MATERIALIZED token-array column —
+    * the lambda then reads the array in O(1) per element instead of
+    * re-running `split(text)` (see [[withTokArr]]). */
+  private def shingleSetOf(tk: Column): Column =
+    array_distinct(when(size(tk) >= 3,
+      transform(sequence(lit(1), size(tk) - 2),
+        i => concat_ws(" ",
+          element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2))))
+      .otherwise(array(col("text"))))
+
+  /** (doc_id, sh) projection shared by the Jaccard/containment ops. */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    withTokArr(docs)
+      .select(col("doc_id"), shingleSetOf(col("__tk")).as("sh"))
 
   private def jaccardVerify(cand: DataFrame, docs: DataFrame,
                             threshold: Double): DataFrame = {
-    val sets = docs.select(col("doc_id"), shingleSet.as("sh"))
+    val sets = shingleSets(docs)
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -349,7 +383,7 @@ object TextOps {
     * bit-reproducible in SQL. ALL-PAIRS — only for bounded inputs; the
     * corpus-scale path is [[jaccardPairsLsh]]. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val withSh = docs.select(col("doc_id"), shingleSet.as("sh"))
+    val withSh = shingleSets(docs)
     val a = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
@@ -372,7 +406,7 @@ object TextOps {
     * produces), never from the cross join used here on the bounded
     * oracle slice. */
   def containmentPairs(docs: DataFrame, minContScaled: Long): DataFrame = {
-    val withSh = docs.select(col("doc_id"), shingleSet.as("sh"))
+    val withSh = shingleSets(docs)
     val a = withSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
@@ -543,11 +577,12 @@ object TextOps {
   /** n-gram (token) counts — language-model count tables; same plan
     * shape as [[vocab]] over the n-gram explode. */
   def ngramCounts(docs: DataFrame, n: Int, topN: Int): DataFrame = {
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+    val tk = col("__tk")
+    val grams = when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + j)): _*)))
       .otherwise(array())
-    docs.select(explode(grams).as("gram"))
+    withTokArr(docs).select(explode(grams).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram"))
@@ -576,12 +611,13 @@ object TextOps {
     val uni = docs.select(explode(toks).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cu"))
     val total = uni.agg(sum(col("cu")).cast("long").as("ntok"))
-    val pairs = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2"))))
+    val tk = col("__tk")
+    val pairs = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => struct(element_at(tk, i).as("w1"),
+          element_at(tk, i + 1).as("w2"))))
       .otherwise(array())
-    val big = docs.select(explode(pairs).as("p"))
+    val big = withTokArr(docs).select(explode(pairs).as("p"))
       .select(col("p.w1"), col("p.w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .where(col("c12") >= minCount)
@@ -768,12 +804,15 @@ object TextOps {
     * minuscule fraction — and combines map-side). */
   def decontaminate(docs: DataFrame, bench: DataFrame, n: Int,
                     minHits: Int): DataFrame = {
-    def grams(df: DataFrame, idAs: String): DataFrame =
-      df.select(col("doc_id").as(idAs), explode(when(size(toks) >= n,
-          transform(sequence(lit(1), size(toks) - (n - 1)),
+    def grams(df: DataFrame, idAs: String): DataFrame = {
+      val tk = col("__tk")
+      withTokArr(df).select(col("doc_id").as(idAs),
+        explode(when(size(tk) >= n,
+          transform(sequence(lit(1), size(tk) - (n - 1)),
             i => concat_ws(" ",
-              (0 until n).map(j => element_at(toks, i + j)): _*)))
+              (0 until n).map(j => element_at(tk, i + j)): _*)))
           .otherwise(array())).as("gram"))
+    }
     grams(docs, "doc_id")
       .join(broadcast(grams(bench, "bench_id").distinct()), Seq("gram"))
       .where(col("doc_id") =!= col("bench_id"))
@@ -914,9 +953,8 @@ object TextOps {
     // pair joins run over delta-sized inputs only
     val candIds = cand.select(col("id_new").as("doc_id"))
       .union(cand.select(col("id_old").as("doc_id"))).distinct()
-    val sets = corpus.unionByName(delta)
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingleSet.as("sh"))
+    val sets = shingleSets(corpus.unionByName(delta)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi"))
     cand
       .join(broadcast(sets.select(col("doc_id").as("id_new"),
         col("sh").as("sh_a"))), Seq("id_new"))
@@ -1274,11 +1312,12 @@ object TextOps {
     * windows. At 10¹² docs the DF table would be a CMS/Bloom
     * prefilter; the exact join keeps the gate value-exact. */
   def lmCoverage(docs: DataFrame, minDf: Long = 2L): DataFrame = {
-    val grams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    val tk = col("__tk")
+    val grams = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
       .otherwise(array())
-    val bi = docs.select(col("doc_id"), explode(grams).as("gram"))
+    val bi = withTokArr(docs).select(col("doc_id"), explode(grams).as("gram"))
     val dfT = bi.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("df"))
     bi.join(dfT, Seq("gram"))
