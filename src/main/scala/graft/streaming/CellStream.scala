@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.index.CellGrid
 
 /** Structured-Streaming surface: continuous ingest of image-metadata
@@ -69,18 +69,24 @@ object CellStream {
     * depends only on the input sequence. State: one row per cell.
     * Input: typed (cell, day, count) rows — one per cell-day (the
     * upstream micro-batch aggregate) in event-time order per cell;
-    * emits (cell, day, x, anomFlag). Run in Update mode. */
+    * emits (cell, day, x, anomFlag) for EVERY processed cell-day —
+    * flatMapGroupsWithState, so a micro-batch that delivers several
+    * new days for one cell emits one flagged row per day, matching
+    * the batch ewmaAnomaly row-per-day contract (ADVICE r5: the
+    * earlier mapGroupsWithState form folded all days into state but
+    * emitted only the last one). Run in Update mode. */
   def ewmaBurstState(stream: Dataset[(Long, Long, Long)])
       : Dataset[(Long, Long, Long, Long)] = {
     import stream.sparkSession.implicits._
     stream.groupByKey(_._1)
-      .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (cell: Long, rows: Iterator[(Long, Long, Long)],
          state: GroupState[(Long, Long, Long)]) =>
           // state = (firstDay, lastIdx, T)
           var (day0, idx, t) = state.getOption.getOrElse((-1L, 0L, 0L))
-          var out: (Long, Long, Long, Long) = (cell, -1L, 0L, 0L)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long)]
           rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, d, x) =>
             if (day0 < 0) day0 = d
             var i = d - day0 + 1
@@ -96,13 +102,13 @@ object CellStream {
               val anom = if (xw > 6 * t) 1L else 0L
               t += xw
               idx = i
-              out = (cell, d, x, anom)
+              out += ((cell, d, x, anom))
             }
             // late/duplicate days (i <= idx) are ignored: the batch
             // pass owns corrections, ingest state only moves forward
           }
           state.update((day0, idx, t))
-          out
+          out.iterator
       }
   }
 

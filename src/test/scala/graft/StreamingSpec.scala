@@ -294,11 +294,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = spark.sql(
         "SELECT day, x, anom FROM ewmastate WHERE day >= 0 ORDER BY day")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // mapGroupsWithState emits once per key per batch: batch 1's
-    // emission is the last processed day; batch 2's is the spike.
-    // The spike must be flagged (40 > 6·s where s < 8); the late
-    // day-2 row must NOT appear as a new emission
-    assert(rows.last === ((4L, 40L, 1L)))
+    // flatMapGroupsWithState emits EVERY processed cell-day (ADVICE
+    // r5 fix): batch 1 emits days 0..3 — day 0 flagged (first day,
+    // T=0), days 1..3 steady (xw = 4·2^i ≤ 6·T); batch 2 emits the
+    // spike day 4 flagged (xw = 640 > 6·T = 360). The late day-2
+    // revision must NOT re-emit
+    assert(rows.toSeq === Seq((0L, 4L, 1L), (1L, 4L, 0L), (2L, 4L, 0L),
+      (3L, 4L, 0L), (4L, 40L, 1L)), rows.mkString(","))
     assert(!rows.exists(r => r._1 == 2L && r._2 == 99L))
     // zero-history convention: very first day of a cell is flagged
     val input2 = MemoryStream[(Long, Long, Long)]
